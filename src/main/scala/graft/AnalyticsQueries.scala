@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Det._
+
+/** Headline analytical queries over the TPC-H-ish testdata.
+  *
+  * The reference has no group-by/join/sort operators (SURVEY.md §2.4, §2.9) —
+  * these cover the gap the extension surface needs and serve as the bench
+  * workload. All shuffle-bearing: grouped aggregation with map-side partial
+  * agg, broadcast joins for the small dimensions, window functions on a
+  * single hash shuffle.
+  */
+object AnalyticsQueries {
+
+  /** TPC-H Q1-flavored pricing summary: one shuffle, partial aggregation
+    * map-side; decimal sums for oracle determinism. */
+  val q1Pricing = Q(
+    "q1_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${dsumSql("l_quantity")} AS sum_qty,
+      ${dsumSql("l_extendedprice")} AS sum_base_price,
+      ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+      ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+      ${davgSql("l_quantity")} AS avg_qty,
+      ${davgSql("l_extendedprice")} AS avg_price,
+      count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  /** Top unshipped-revenue orders: 3-way join (customer broadcast), grouped
+    * agg, deterministic top-k (decimal revenue + full tie-break). */
+  val q3TopOrders = Q(
+    "q3_top_orders",
+    (s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    Some(s"""SELECT o_orderkey, o_orderpriority,
+      ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 10"""),
+    bench = true)
+
+  /** Region revenue rollup: 5-way join with every dimension broadcast —
+    * only the lineitem↔orders join shuffles at scale. */
+  val q5RegionRevenue = Q(
+    "q5_region_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""SELECT r_name, n_name,
+      ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""),
+    bench = true)
+
+  /** Deterministic global top-k sort (total order via orderkey tie-break). */
+  val qTopkSort = Q(
+    "q_topk_orders_by_price",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"""))
+
+  /** Window functions: per-customer order ranking, one hash shuffle. */
+  val qWindowRank = Q(
+    "q_window_top_order_per_customer",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) t
+      WHERE rn <= 3"""),
+    bench = true)
+
+  /** Anti/semi join pair: orders lacking any lineitem + parts that ship. */
+  val qAntiJoin = Q(
+    "q_orders_without_lineitems",
+    (s, d) => {
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"""))
+
+  val qSemiJoin = Q(
+    "q_parts_with_shipments",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+    },
+    Some("""SELECT p_partkey, p_brand FROM part
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"""))
+
+  /** Broadcast-join fact-to-dim aggregate. */
+  val qBrandVolume = Q(
+    "q_brand_volume",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_quantity")).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""SELECT p_brand, ${dsumSql("l_quantity")} AS total_qty,
+      count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand"""))
+
+  /** ROLLUP grouping-sets aggregate (absent in the reference; SURVEY §2.4). */
+  val qRollup = Q(
+    "q_rollup_region_nation",
+    (s, d) => {
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      val cust = Tables.customer(s, d)
+      cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_balance"))
+    },
+    Some(s"""SELECT r_name, n_name, count(*) AS n_customers,
+      ${dsumSql("c_acctbal")} AS total_balance
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)"""))
+
+  /** Event-time tumbling-window aggregation, batch form of the Structured
+    * Streaming pipeline in graft.streaming (same plan shape). */
+  val qEventsHourly = Q(
+    "q_events_hourly",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value")),
+    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+      FROM events GROUP BY 1, 2"""),
+    bench = true)
+
+  def all: Seq[Q] = Seq(
+    q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
+    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly)
+}

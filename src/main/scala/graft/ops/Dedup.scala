@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication / key-conflict operators (SURVEY.md §2.5, D1-D2). */
+object Dedup {
+
+  /** D1 — full-row dedup (`drop_duplicates()`, ecommerce_s3_to_pg.py:252).
+    * One hash shuffle on all columns; AQE coalesces post-shuffle
+    * partitions. */
+  def dropDuplicateRows(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** D1 variant for order-carrying frames: dedup on the data columns only,
+    * keeping the first occurrence in file order (the pandas
+    * `drop_duplicates()` contract when a positional index rides along). */
+  def dropDuplicateRowsKeepingFirst(subset: Seq[String], orderCol: String)(
+      df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** D2 — key-conflict split (ecommerce_s3_to_pg.py:274-289): rows whose
+    * key occurs more than once go *entirely* to the flagged side; only
+    * singleton keys stay clean. One window count over a single hash shuffle
+    * on the key — the reference's only true window aggregation.
+    *
+    * Returns (clean, flagged). Both sides share the counted plan, so with
+    * the result cached (or under AQE reuse) the shuffle happens once.
+    */
+  def conflictSplit(key: String)(df: DataFrame): (DataFrame, DataFrame) = {
+    val counted = df.withColumn(
+      "__key_count", count(lit(1)).over(Window.partitionBy(col(key))))
+    val clean = counted.filter(col("__key_count") === 1).drop("__key_count")
+    val flagged = counted.filter(col("__key_count") > 1).drop("__key_count")
+    (clean, flagged)
+  }
+}

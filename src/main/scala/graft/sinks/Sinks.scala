@@ -1,0 +1,83 @@
+package graft.sinks
+
+import java.sql.Connection
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Sinks (SURVEY.md §2.7, K1-K6). */
+object Sinks {
+
+  /** K1/K2 — cleaned CSV sink (`load_to_s3`, ecommerce_s3_to_pg.py:637-685).
+    * Header on, overwrite per timestamped key; s3a:// in production, file
+    * path in tests — identical code path. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K3 — DDL for the four sink tables, kept as explicit SQL run once from
+    * the driver before any partition writes (ecommerce_s3_to_pg.py:450-533).
+    */
+  val amazonSaleDdl: String =
+    """CREATE TABLE IF NOT EXISTS amazon_sale (
+      |  order_id TEXT, date DATE, status TEXT, fulfillment TEXT,
+      |  sales_channel TEXT, ship_service_level TEXT, sku TEXT,
+      |  category TEXT, size TEXT, asin TEXT, courier_status TEXT,
+      |  quantity INTEGER, amount FLOAT, ship_city TEXT, ship_state TEXT,
+      |  ship_postal_code FLOAT, ship_country TEXT, b2b TEXT,
+      |  loaded_at TIMESTAMP, created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+      |  PRIMARY KEY (order_id, date))""".stripMargin
+
+  /** D3/K4 — idempotent upsert: the reference's
+    * `INSERT ... ON CONFLICT (order_id, date) DO NOTHING`
+    * (ecommerce_s3_to_pg.py:541-549). Spark's JDBC sink has no upsert, so
+    * this builds the statement for a `foreachPartition` writer: each
+    * partition opens its own connection/transaction and batches inserts.
+    * Partition-level (not single-txn) atomicity — idempotence via the
+    * conflict clause makes retries safe, strictly stronger than the
+    * reference's duplicate-Lambda mitigation (README.md:119-127).
+    */
+  def upsertSql(table: String, columns: Seq[String],
+      conflictCols: Seq[String]): String = {
+    val collist = columns.mkString(", ")
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    s"INSERT INTO $table ($collist) VALUES ($placeholders) " +
+      s"ON CONFLICT (${conflictCols.mkString(", ")}) DO NOTHING"
+  }
+
+  /** K4/K6 executor-side writer. `connect` is a serializable factory so
+    * tests can inject an embedded connection; production passes a
+    * DriverManager lambda. Batched like psycopg2's execute_values. */
+  def upsertPartitions(
+      df: DataFrame,
+      table: String,
+      conflictCols: Seq[String],
+      connect: () => Connection,
+      batchSize: Int = 1000): Unit = {
+    val columns = df.columns.toSeq
+    val sql = upsertSql(table, columns, conflictCols)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = connect()
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var i = 0
+          rows.foreach { row =>
+            columns.indices.foreach(j => st.setObject(j + 1, row.get(j)))
+            st.addBatch()
+            i += 1
+            if (i % batchSize == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** K5 — plain append via the built-in JDBC sink. */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+}
