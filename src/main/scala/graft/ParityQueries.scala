@@ -1,7 +1,338 @@
 package graft
 
-/** Reference-parity operator queries (SURVEY.md §2) — filled in per operator
-  * as each lands with its ScalaTest spec. */
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, OrderedSplit, Profiling, Projections, ScalarFns}
+import graft.pipeline.Transform
+
+/** Reference-parity operator queries (SURVEY.md §2): each §2 operator row
+  * exercised over the driver testdata with a DuckDB oracle.
+  *
+  * The testdata is clean, so most queries first derive a deterministic
+  * "messy" column (sentinels, currency strings, embedded nulls) with the
+  * SAME derivation on the oracle side, then apply the operator under test
+  * in Spark and its algebraic effect in SQL. Ops whose semantics are
+  * driver-side (S-ops, P7/P8, F9, K-sinks) are covered by ScalaTest specs
+  * instead — they have no tabular result to hash.
+  */
 object ParityQueries {
-  def all: Seq[Q] = Seq()
+
+  // ---- P-ops ---------------------------------------------------------------
+
+  val p1 = Q(
+    "p1_drop_columns",
+    (s, d) => Tables.lineitem(s, d).transform(Projections.dropColumns(Seq(
+      "l_comment", "l_tax", "l_discount", "l_shipdate", "not_a_column"))),
+    Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      l_extendedprice, l_returnflag, l_linestatus FROM lineitem"""))
+
+  val p2 = Q(
+    "p2_normalize_names",
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .toDF(" C CustKey ", "C-Name", "C  Mkt-Segment")
+      .transform(Projections.normalizeColumnNames),
+    Some("""SELECT c_custkey AS c_custkey, c_name AS c_name,
+      c_mktsegment AS c_mkt_segment FROM customer"""))
+
+  val p3 = Q(
+    "p3_rename_map",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .transform(Projections.renameColumns(
+        Map("o_orderstatus" -> "status", "missing_col" -> "never_used"))),
+    Some("SELECT o_orderkey, o_orderstatus AS status FROM orders"))
+
+  /** Shared "derived nulls" projection for P4/P5/A2 (same derivation in the
+    * oracle): status null where 'F', priority null where '1-URGENT', price
+    * null above 250k. */
+  private def nullDerived(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      nullif(col("o_orderstatus"), lit("F")).as("status_n"),
+      nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio_n"),
+      when(col("o_totalprice") > 250000, lit(null))
+        .otherwise(col("o_totalprice")).as("price_n"))
+
+  private val nullDerivedSql =
+    """SELECT o_orderkey,
+      nullif(o_orderstatus, 'F') AS status_n,
+      nullif(o_orderpriority, '1-URGENT') AS prio_n,
+      CASE WHEN o_totalprice > 250000 THEN NULL ELSE o_totalprice END AS price_n
+      FROM orders"""
+
+  private val nullCountSql =
+    """(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+      + CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      + CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)"""
+
+  val p4 = Q(
+    "p4_row_null_ratio",
+    (s, d) => nullDerived(s, d).transform(Projections.rowNullRatioBelow(0.5)),
+    Some(s"""SELECT * FROM ($nullDerivedSql)
+      WHERE (CASE WHEN status_n IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN prio_n IS NULL THEN 1 ELSE 0 END
+           + CASE WHEN price_n IS NULL THEN 1 ELSE 0 END) / 4.0 < 0.5"""))
+
+  val p5 = Q(
+    "p5_critical_columns_drop",
+    (s, d) => nullDerived(s, d).transform(
+      Projections.dropRowsNullIn(Seq("status_n", "price_n", "absent_col"))),
+    Some(s"""SELECT * FROM ($nullDerivedSql)
+      WHERE status_n IS NOT NULL AND price_n IS NOT NULL"""))
+
+  val p6 = Q(
+    "p6_all_alphabetic_rows",
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("doc_id").cast("string"))
+          .otherwise(col("lang")).as("mixed"),
+        col("source"))
+      .filter(Projections.allAlphabetic(Seq("mixed", "source"))),
+    Some("""SELECT doc_id,
+      CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id AS VARCHAR) ELSE lang END AS mixed,
+      source
+      FROM documents
+      WHERE regexp_matches(CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id AS VARCHAR)
+                                ELSE lang END, '[a-zA-Z]')
+        AND regexp_matches(source, '[a-zA-Z]')"""))
+
+  // ---- F-ops ---------------------------------------------------------------
+
+  val f1 = Q(
+    "f1_upper_trim_keyword_cols",
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_custkey"),
+        concat(lit("  "), col("c_name"), lit(" ")).as("customer_name"))
+      .transform(ScalarFns.upperTrimKeywordCols()),
+    Some("""SELECT c_custkey, upper(c_name) AS customer_name FROM customer"""))
+
+  val f2 = Q(
+    "f2_lower_trim_cols",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        concat(lit(" "), col("o_orderpriority"), lit("  ")).as("priority"))
+      .transform(ScalarFns.lowerTrimCols(Seq("priority", "absent"))),
+    Some("SELECT o_orderkey, lower(o_orderpriority) AS priority FROM orders"))
+
+  val f3 = Q(
+    "f3_trim_string_cols",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("  "), col("lang"), lit("\t")).as("lang_pad"),
+        col("n_chars"))
+      .transform(ScalarFns.trimStringCols),
+    // Spark `trim` strips spaces AND control chars <= U+0020, like
+    // Python's str.strip(); DuckDB trim() strips spaces only, so the
+    // oracle names the char set explicitly.
+    Some("""SELECT doc_id, trim(lang_pad, ' ' || chr(9)) AS lang_pad, n_chars
+      FROM (SELECT doc_id, '  ' || lang || chr(9) AS lang_pad, n_chars
+            FROM documents)"""))
+
+  val f4 = Q(
+    "f4_parse_date_multiformat",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 4 === 0,
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 4 === 1,
+            date_format(col("o_orderdate"), "MM/dd/yyyy"))
+          .when(col("o_orderkey") % 4 === 2,
+            date_format(col("o_orderdate"), "MM-dd-yyyy"))
+          .otherwise(lit("not a date")).as("raw_date"))
+      .withColumn("parsed_date", ScalarFns.parseDate(col("raw_date")))
+      .drop("raw_date"),
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_orderkey % 4 IN (0, 1, 2)
+           THEN strftime(o_orderdate, '%Y-%m-%d') ELSE NULL END AS parsed_date
+      FROM orders"""))
+
+  val f5a = Q(
+    "f5_month_datetime_strategy",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("month_raw"))
+      .select(col("o_orderkey"),
+        ScalarFns.monthFromDatetime(col("month_raw")).as("month_name")),
+    Some("SELECT o_orderkey, monthname(o_orderdate) AS month_name FROM orders"))
+
+  val f5b = Q(
+    "f5_month_prefix_strategy",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        upper(date_format(col("o_orderdate"), "MMM")).as("month_raw"))
+      .select(col("o_orderkey"),
+        ScalarFns.monthFromPrefix(col("month_raw")).as("month_name")),
+    Some("SELECT o_orderkey, monthname(o_orderdate) AS month_name FROM orders"))
+
+  val f6 = Q(
+    "f6_currency_scrub",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("not numeric"))
+          .otherwise(concat(lit(" $"), col("o_totalprice").cast("string"),
+            lit(" "))).as("amount_raw"))
+      .select(col("o_orderkey"),
+        ScalarFns.numericScrubRounded(col("amount_raw")).as("amount")),
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           ELSE round(o_totalprice, 2) END AS amount
+      FROM orders"""))
+
+  val f7 = Q(
+    "f7_sentinel_to_null",
+    (s, d) => {
+      val sentinelPick = element_at(
+        array(ScalarFns.naSentinels.map(lit): _*),
+        (col("o_orderkey") % ScalarFns.naSentinels.size).cast("int") + 1)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, sentinelPick)
+            .otherwise(col("o_orderstatus")).as("status_raw"))
+        .select(col("o_orderkey"),
+          ScalarFns.sentinelToNull(col("status_raw")).as("status"))
+    },
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS status
+      FROM orders"""))
+
+  // ---- A-ops ---------------------------------------------------------------
+
+  val a1 = Q(
+    "a1_profile_summary",
+    (s, d) => Profiling.profile(Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))),
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count($c) AS non_null,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+          count(DISTINCT $c) AS "distinct",
+          CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max
+          FROM lineitem"""
+      Seq("l_orderkey", "l_quantity", "l_returnflag").map(one)
+        .mkString(" UNION ALL ")
+    })
+
+  val a2 = Q(
+    "a2_null_counts",
+    (s, d) => Profiling.nullCounts(nullDerived(s, d)),
+    Some(s"""SELECT CAST(0 AS BIGINT) AS o_orderkey,
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_n,
+      CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS prio_n,
+      CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS price_n
+      FROM orders"""))
+
+  val a5 = Q(
+    "a5_drop_allnull_columns",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        lit(null).cast("string").as("dead_col"),
+        when(col("doc_id") % 2 === 0, col("source")).as("half_null"))
+      .transform(Profiling.dropAllNullColumns),
+    Some("""SELECT doc_id, lang,
+      CASE WHEN doc_id % 2 = 0 THEN source ELSE NULL END AS half_null
+      FROM documents"""))
+
+  // ---- D-ops ---------------------------------------------------------------
+
+  val d1 = Q(
+    "d1_full_row_dedup",
+    (s, d) => Tables.documents(s, d).select(col("lang"), col("source"))
+      .transform(Dedup.dropDuplicateRows),
+    Some("SELECT DISTINCT lang, source FROM documents"))
+
+  val d2clean = Q(
+    "d2_conflict_split_clean",
+    (s, d) => Dedup.conflictSplit("l_orderkey")(Tables.lineitem(s, d))._1
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+      FROM (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS c FROM lineitem)
+      WHERE c = 1"""))
+
+  val d2flagged = Q(
+    "d2_conflict_split_flagged",
+    (s, d) => Dedup.conflictSplit("l_orderkey")(Tables.lineitem(s, d))._2
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+      FROM (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS c FROM lineitem)
+      WHERE c > 1"""))
+
+  // ---- O-ops ---------------------------------------------------------------
+
+  private def o1Input(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") === 250, lit("newcola"))
+        .otherwise((col("doc_id") % 7).cast("string")).as("name_col"),
+      when(col("doc_id") === 250, lit("newcolb"))
+        .otherwise(col("source")).as("val_col"))
+
+  val o1part1 = Q(
+    "o1_embedded_header_part1",
+    (s, d) => {
+      val in = o1Input(s, d)
+      val cols = Seq("name_col", "val_col")
+      OrderedSplit.embeddedHeaderSplit(
+        in, cols, Projections.allAlphabetic(cols), "doc_id")._1
+    },
+    Some("""SELECT CAST(doc_id % 7 AS VARCHAR) AS name_col, source AS val_col
+      FROM documents WHERE doc_id < 250"""))
+
+  val o1part2 = Q(
+    "o1_embedded_header_part2",
+    (s, d) => {
+      val in = o1Input(s, d)
+      val cols = Seq("name_col", "val_col")
+      OrderedSplit.embeddedHeaderSplit(
+        in, cols, Projections.allAlphabetic(cols), "doc_id")._2.get
+    },
+    Some("""SELECT CAST(doc_id % 7 AS VARCHAR) AS newcola, source AS newcolb
+      FROM documents WHERE doc_id > 250"""))
+
+  val o2 = Q(
+    "o2_schema_padding",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .transform(OrderedSplit.padToColumns(
+        Seq("doc_id", "lang", "extra_a", "extra_b"))),
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+      CAST(NULL AS VARCHAR) AS extra_a, CAST(NULL AS VARCHAR) AS extra_b
+      FROM documents"""))
+
+  // ---- the full generic transform chain (§3.3 step 6) ----------------------
+
+  val transformChain = Q(
+    "transform_chain_full",
+    (s, d) => {
+      val derived = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 13 === 0, lit("NA"))
+          .when(col("o_orderkey") % 13 === 1, lit(" "))
+          .otherwise(concat(lit(" "), col("o_orderstatus"), lit(" ")))
+          .as("Status "),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("Order Date"),
+        date_format(col("o_orderdate"), "MMM").as("Ship-Month"),
+        concat(lit("$"), col("o_totalprice").cast("string"))
+          .as("Total Amount"),
+        lit(null).cast("string").as("Dead Col"),
+        col("o_custkey").as("Qty Count"))
+      Transform(derived)
+    },
+    Some("""SELECT
+      CASE WHEN o_orderkey % 13 IN (0, 1) THEN NULL
+           ELSE o_orderstatus END AS status,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      monthname(o_orderdate) AS ship_month,
+      round(o_totalprice, 2) AS total_amount,
+      o_custkey AS qty_count
+      FROM orders"""),
+    bench = true)
+
+  def all: Seq[Q] = Seq(
+    p1, p2, p3, p4, p5, p6,
+    f1, f2, f3, f4, f5a, f5b, f6, f7,
+    a1, a2, a5,
+    d1, d2clean, d2flagged,
+    o1part1, o1part2, o2,
+    transformChain)
 }

@@ -32,19 +32,24 @@ object ScalarFns {
     val targets = df.columns.filter(c =>
       keywords.exists(k => c.toLowerCase.contains(k)))
     targets.foldLeft(df)((d, c) =>
-      d.withColumn(c, upper(trim(col(c).cast("string")))))
+      d.withColumn(c, upper(strip(col(c).cast("string")))))
   }
 
   /** F2 — lower+trim on explicitly listed columns (ecommerce_s3_to_pg.py:
     * 236-240), only those present. */
   def lowerTrimCols(cols: Seq[String])(df: DataFrame): DataFrame =
     cols.filter(df.columns.contains).foldLeft(df)((d, c) =>
-      d.withColumn(c, lower(trim(col(c).cast("string")))))
+      d.withColumn(c, lower(strip(col(c).cast("string")))))
 
-  /** F3 — trim every string-typed column (ecommerce_s3_to_pg.py:190-191). */
+  /** Python-`str.strip()` semantics: strip ALL leading/trailing whitespace
+    * (tabs, newlines, …), not just spaces like Spark's `trim`. */
+  def strip(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^\\s+", ""), "\\s+$", "")
+
+  /** F3 — strip every string-typed column (ecommerce_s3_to_pg.py:190-191). */
   def trimStringCols(df: DataFrame): DataFrame = {
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    strCols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+    strCols.foldLeft(df)((d, c) => d.withColumn(c, strip(col(c))))
   }
 
   /** F4 — date parse expression: multi-format best-effort parse, formatted
@@ -53,7 +58,7 @@ object ScalarFns {
     * (ecommerce_s3_to_pg.py:149-155). pandas infers per-value; we cover the
     * formats that occur in the three Kaggle report shapes. */
   def parseDate(c: Column): Column = {
-    val s = trim(c.cast("string"))
+    val s = strip(c.cast("string"))
     val parsed = coalesce(
       try_to_date(s),                         // 2022-06-01 / ISO timestamps
       try_to_date(s, "MM-dd-yy"),        // 04-30-22 (Amazon report)
@@ -68,8 +73,8 @@ object ScalarFns {
   /** F5 strategy A — whole column datetime-parses: full month name. */
   def monthFromDatetime(c: Column): Column =
     date_format(coalesce(
-      try_to_timestamp(trim(c.cast("string"))),
-      try_to_date(trim(c.cast("string")), "MMM-yy").cast("timestamp")),
+      try_to_timestamp(strip(c.cast("string"))),
+      try_to_date(strip(c.cast("string")), "MMM-yy").cast("timestamp")),
       "MMMM")
 
   /** F5 strategy B — 3-char-prefix lookup (`jun` → `June`); non-match →
@@ -78,7 +83,7 @@ object ScalarFns {
     val entries = monthMapping.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
     val m = map(entries: _*)
-    element_at(m, lower(trim(c.cast("string"))).substr(1, 3))
+    element_at(m, lower(strip(c.cast("string"))).substr(1, 3))
   }
 
   /** F5 parseability probe used to pick the strategy — column-level, one
