@@ -17,7 +17,7 @@ object Dedup {
     * `drop_duplicates()` contract when a positional index rides along). */
   def dropDuplicateRowsKeepingFirst(subset: Seq[String], orderCol: String)(
       df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(subset.map(col): _*).orderBy(col(orderCol))
+    val w = Window.partitionBy(subset.map(qcol): _*).orderBy(qcol(orderCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -32,7 +32,7 @@ object Dedup {
     */
   def conflictSplit(key: String)(df: DataFrame): (DataFrame, DataFrame) = {
     val counted = df.withColumn(
-      "__key_count", count(lit(1)).over(Window.partitionBy(col(key))))
+      "__key_count", count(lit(1)).over(Window.partitionBy(qcol(key))))
     val clean = counted.filter(col("__key_count") === 1).drop("__key_count")
     val flagged = counted.filter(col("__key_count") > 1).drop("__key_count")
     (clean, flagged)

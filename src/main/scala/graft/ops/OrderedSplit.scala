@@ -35,20 +35,20 @@ object OrderedSplit {
       pivotPred: Column,
       idxCol: String = "__row_idx"): (DataFrame, Option[DataFrame]) = {
     val pivotIdxRow = dfWithIdx.filter(pivotPred)
-      .agg(min(col(idxCol)).as("k")).head()
+      .agg(min(qcol(idxCol)).as("k")).head()
     if (pivotIdxRow.isNullAt(0)) {
       (dfWithIdx.drop(idxCol), None)
     } else {
       val k = pivotIdxRow.getLong(0)
-      val part1 = dfWithIdx.filter(col(idxCol) < k).drop(idxCol)
-      val pivotRow = dfWithIdx.filter(col(idxCol) === k)
-        .select(dataCols.map(col).toSeq: _*).head()
+      val part1 = dfWithIdx.filter(qcol(idxCol) < k).drop(idxCol)
+      val pivotRow = dfWithIdx.filter(qcol(idxCol) === k)
+        .select(dataCols.map(qcol).toSeq: _*).head()
       val newNames = dataCols.indices.map { i =>
         Option(pivotRow.get(i)).map(_.toString)
           .map(Projections.normalizeName)
           .getOrElse(dataCols(i))
       }
-      val part2 = dfWithIdx.filter(col(idxCol) > k).drop(idxCol)
+      val part2 = dfWithIdx.filter(qcol(idxCol) > k).drop(idxCol)
         .toDF(newNames: _*)
       (part1, Some(part2))
     }
@@ -60,7 +60,7 @@ object OrderedSplit {
     * untyped null columns. */
   def padToSchema(target: Seq[(String, DataType)])(df: DataFrame): DataFrame =
     df.select(target.map { case (name, dt) =>
-      if (df.columns.contains(name)) col(name).cast(dt).as(name)
+      if (df.columns.contains(name)) qcol(name).cast(dt).as(name)
       else lit(null).cast(dt).as(name)
     }.toSeq: _*)
 

@@ -17,14 +17,14 @@ object Profiling {
     * ecommerce_s3_to_pg.py:42-43): one row, one column per input column. */
   def nullCounts(df: DataFrame): DataFrame =
     df.select(df.columns.map(c =>
-      sum(col(c).isNull.cast("long")).as(c)).toSeq: _*)
+      sum(qcol(c).isNull.cast("long")).as(c)).toSeq: _*)
 
   /** A5 companion — per-column NON-null counts, used to drop all-null
     * columns (`dropna(axis=1, how='all')`, ecommerce_s3_to_pg.py:202-203). */
   def nonNullCounts(df: DataFrame): Map[String, Long] = {
     if (df.columns.isEmpty) return Map.empty
     val row: Row = df.select(df.columns.map(c =>
-      count(col(c)).as(c)).toSeq: _*).head()
+      count(qcol(c)).as(c)).toSeq: _*).head()
     df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
 
@@ -33,7 +33,7 @@ object Profiling {
   def dropAllNullColumns(df: DataFrame): DataFrame = {
     val counts = nonNullCounts(df)
     val keep = df.columns.filter(c => counts.getOrElse(c, 0L) > 0L)
-    df.select(keep.map(col).toSeq: _*)
+    df.select(keep.map(qcol).toSeq: _*)
   }
 
   /** A1 — profiling summary in the spirit of `df.describe(include='all')`
@@ -44,11 +44,11 @@ object Profiling {
     val perCol = df.columns.map { c =>
       df.select(
         lit(c).as("column"),
-        count(col(c)).as("non_null"),
-        sum(col(c).isNull.cast("long")).as("nulls"),
-        countDistinct(col(c)).as("distinct"),
-        min(col(c)).cast("string").as("min"),
-        max(col(c)).cast("string").as("max"))
+        count(qcol(c)).as("non_null"),
+        sum(qcol(c).isNull.cast("long")).as("nulls"),
+        countDistinct(qcol(c)).as("distinct"),
+        min(qcol(c)).cast("string").as("min"),
+        max(qcol(c)).cast("string").as("max"))
     }
     perCol.reduce(_.unionAll(_))
   }

@@ -30,10 +30,10 @@ object Projections {
     * (ecommerce_s3_to_pg.py:242-245, :324-326, :358-360; including the
     * *intent* of the dead `gross_amt` rename at :396-398 — see SURVEY.md
     * defect list). */
-  def renameColumns(renames: Map[String, String])(df: DataFrame): DataFrame = {
-    val present = renames.filter { case (from, _) => df.columns.contains(from) }
-    df.withColumnsRenamed(present)
-  }
+  def renameColumns(renames: Map[String, String])(df: DataFrame): DataFrame =
+    // pure-metadata toDF rename: `withColumnsRenamed` parses attribute names
+    // and rejects reference-real column names like `design_no.`
+    df.toDF(df.columns.map(c => renames.getOrElse(c, c)): _*)
 
   /** P4 — keep rows whose null ratio across all columns is < `threshold`
     * (ecommerce_s3_to_pg.py:253 — runs BEFORE sentinel normalization, so
@@ -43,7 +43,7 @@ object Projections {
     val cols = df.columns.filterNot(exclude.contains)
     val n = cols.length
     val nullCount = cols
-      .map(c => col(c).isNull.cast("int"))
+      .map(c => qcol(c).isNull.cast("int"))
       .reduce(_ + _)
     df.filter(nullCount / lit(n.toDouble) < threshold)
   }
@@ -60,7 +60,7 @@ object Projections {
     * fail the predicate, matching the reference's isinstance check. Compiles
     * to an rlike conjunction — no UDF. */
   def allAlphabetic(cols: Seq[String]): Column =
-    cols.map(c => col(c).cast("string").rlike("[a-zA-Z]")).reduce(_ && _)
+    cols.map(c => qcol(c).cast("string").rlike("[a-zA-Z]")).reduce(_ && _)
 
   /** P7 — empty-input guard (ecommerce_s3_to_pg.py:430-432). Cheap plan:
     * limit(1) scan, not a full count. */

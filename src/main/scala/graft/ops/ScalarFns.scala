@@ -32,14 +32,14 @@ object ScalarFns {
     val targets = df.columns.filter(c =>
       keywords.exists(k => c.toLowerCase.contains(k)))
     targets.foldLeft(df)((d, c) =>
-      d.withColumn(c, upper(strip(col(c).cast("string")))))
+      d.withColumn(c, upper(strip(qcol(c).cast("string")))))
   }
 
   /** F2 — lower+trim on explicitly listed columns (ecommerce_s3_to_pg.py:
     * 236-240), only those present. */
   def lowerTrimCols(cols: Seq[String])(df: DataFrame): DataFrame =
     cols.filter(df.columns.contains).foldLeft(df)((d, c) =>
-      d.withColumn(c, lower(strip(col(c).cast("string")))))
+      d.withColumn(c, lower(strip(qcol(c).cast("string")))))
 
   /** Python-`str.strip()` semantics: strip ALL leading/trailing whitespace
     * (tabs, newlines, …), not just spaces like Spark's `trim`. */
@@ -49,7 +49,7 @@ object ScalarFns {
   /** F3 — strip every string-typed column (ecommerce_s3_to_pg.py:190-191). */
   def trimStringCols(df: DataFrame): DataFrame = {
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    strCols.foldLeft(df)((d, c) => d.withColumn(c, strip(col(c))))
+    strCols.foldLeft(df)((d, c) => d.withColumn(c, strip(qcol(c))))
   }
 
   /** F4 — date parse expression: multi-format best-effort parse, formatted
@@ -106,7 +106,7 @@ object ScalarFns {
 
   def sentinelsToNull(df: DataFrame): DataFrame = {
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    strCols.foldLeft(df)((d, c) => d.withColumn(c, sentinelToNull(col(c))))
+    strCols.foldLeft(df)((d, c) => d.withColumn(c, sentinelToNull(qcol(c))))
   }
 
   /** F9 — timestamped object-key generation (driver-side;

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-import graft.ops.{Profiling, Projections, ScalarFns}
+import graft.ops.{qcol, Profiling, Projections, ScalarFns}
 
 /** The generic cleaning chain (`transform`, ecommerce_s3_to_pg.py:123-214) —
   * the heart of reference parity. Stage order is load-bearing (SURVEY.md
@@ -47,9 +47,9 @@ object Transform {
     val statAggs: Seq[Column] =
       Seq(count(lit(1)).as("__n")) ++
         monthCols.map(c =>
-          ScalarFns.monthParseableCount(col(c)).as(s"__month_$c")) ++
+          ScalarFns.monthParseableCount(qcol(c)).as(s"__month_$c")) ++
         numericCandidates.map(c =>
-          count(ScalarFns.numericScrub(col(c))).as(s"__num_$c"))
+          count(ScalarFns.numericScrub(qcol(c))).as(s"__num_$c"))
     val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
     def stat(name: String): Long = stats.getLong(stats.fieldIndex(name))
     val total = stat("__n")
@@ -57,15 +57,15 @@ object Transform {
     // ---- build the projection from the collected stats --------------------
     val projected = df.columns.foldLeft(df) { (d, c) =>
       if (dateCols.contains(c)) {
-        d.withColumn(c, ScalarFns.parseDate(col(c)))
+        d.withColumn(c, ScalarFns.parseDate(qcol(c)))
       } else if (monthCols.contains(c)) {
         // column-level strategy pick (reference :160 `.notna().any()`)
         if (stat(s"__month_$c") > 0)
-          d.withColumn(c, ScalarFns.monthFromDatetime(col(c)))
-        else d.withColumn(c, ScalarFns.monthFromPrefix(col(c)))
+          d.withColumn(c, ScalarFns.monthFromDatetime(qcol(c)))
+        else d.withColumn(c, ScalarFns.monthFromPrefix(qcol(c)))
       } else if (numericCandidates.contains(c)
           && total > 0 && stat(s"__num_$c") > 0.9 * total) {
-        d.withColumn(c, ScalarFns.numericScrubRounded(col(c)))
+        d.withColumn(c, ScalarFns.numericScrubRounded(qcol(c)))
       } else d
     }
 

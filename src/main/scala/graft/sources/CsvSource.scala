@@ -35,13 +35,13 @@ object CsvSource {
       r
     }
     val utf8 = reader("UTF-8").csv(path)
-    val probeCols = utf8.columns.filter(_ => true)
     val hasGarbage = utf8.columns.exists(_.contains('�')) || {
       import org.apache.spark.sql.functions._
+      import graft.ops.qcol
       val strCols = utf8.schema.fields
         .filter(_.dataType == org.apache.spark.sql.types.StringType)
       strCols.nonEmpty && utf8
-        .filter(strCols.map(f => col(f.name).contains("�"))
+        .filter(strCols.map(f => qcol(f.name).contains("�"))
           .reduce(_ || _))
         .limit(1).count() > 0
     }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.pipeline.Transform
+import graft.sinks.Sinks
+import graft.sources.CsvSource
+
+/** Unit specs for operator semantics, including the order sensitivities and
+  * defect resolutions called out in SURVEY.md §3.3 / §7.4. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P2 normalizeName: lowercase, strip, whitespace/hyphen runs → _") {
+    assert(Projections.normalizeName(" Courier  Status ") == "courier_status")
+    assert(Projections.normalizeName("GROSS AMT") == "gross_amt")
+    assert(Projections.normalizeName("ship-service-level") == "ship_service_level")
+  }
+
+  test("P4 before F7: sentinel strings count as non-null in the row ratio") {
+    val df = Seq(("NA", "NA", "NA", "x")).toDF("a", "b", "c", "d")
+    // sentinels not yet nulled → 0% null → row survives P4
+    assert(Projections.rowNullRatioBelow(0.5)(df).count() == 1)
+    val nulled = ScalarFns.sentinelsToNull(df)
+    assert(Projections.rowNullRatioBelow(0.5)(nulled).count() == 0)
+  }
+
+  test("F6 adoption boundary: exactly 90% is NOT adopted, >90% is") {
+    val vals90 = (1 to 9).map(i => s"$i.5") :+ "not a number" // 9/10 = 90%
+    val df90 = vals90.toDF("amount")
+    assert(Transform(df90).schema("amount").dataType.typeName == "string")
+    val vals91 = (1 to 10).map(i => s"$i.5") :+ "not a number" // 10/11 > 90%
+    val df91 = vals91.toDF("amount")
+    assert(Transform(df91).schema("amount").dataType.typeName == "double")
+  }
+
+  test("F5 decision is column-level: one parseable value flips the strategy") {
+    val noParse = Seq("jan", "FEB ", "xxx").toDF("month")
+    val outB = Transform(noParse).orderBy("month").collect().map(_.getString(0))
+    assert(outB.toSet == Set("January", "February", null))
+    // one datetime-parseable value → whole column uses strategy A
+    val withParse = Seq("2021-06-01", "jan", "xxx").toDF("month")
+    val outA = Transform(withParse).collect().map(_.getString(0))
+    assert(outA.count(_ == "June") == 1 && outA.count(_ == null) == 2)
+  }
+
+  test("F7 all sentinels map to null (property)") {
+    val df = ScalarFns.naSentinels.toDF("v")
+    val out = ScalarFns.sentinelsToNull(df).collect().map(_.getString(0))
+    assert(out.forall(_ == null))
+  }
+
+  test("D1/D2 idempotence: clean(clean(x)) == clean(x)") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b"), (2, "c"), (3, "d"))
+      .toDF("k", "v")
+    val once = Dedup.dropDuplicateRows(df)
+    assert(once.count() == Dedup.dropDuplicateRows(once).count())
+    val (clean, flagged) = Dedup.conflictSplit("k")(once)
+    assert(clean.count() == 2 && flagged.count() == 2) // k=2 conflicts
+    val (clean2, flagged2) = Dedup.conflictSplit("k")(clean)
+    assert(clean2.count() == clean.count() && flagged2.count() == 0)
+  }
+
+  test("O1 partition property: part1 ∪ pivot ∪ part2 == input") {
+    val df = Seq((0L, "1", "x"), (1L, "2", "y"), (2L, "hdr", "cols"),
+      (3L, "4", "z")).toDF("idx", "a", "b")
+    val (p1, p2opt) = OrderedSplit.embeddedHeaderSplit(
+      df, Seq("a", "b"), Projections.allAlphabetic(Seq("a", "b")), "idx")
+    assert(p1.count() == 2)
+    assert(p2opt.get.count() == 1)
+    assert(p2opt.get.columns.toSeq == Seq("hdr", "cols"))
+    assert(p1.count() + 1 + p2opt.get.count() == df.count())
+  }
+
+  test("S5 router classification") {
+    import CsvSource._
+    assert(classify("Amazon Sale Report_x.csv") == AmazonSale)
+    assert(classify("International Sale Report_x.csv") == InternationalSale)
+    assert(classify("Sale Report_x.csv") == PlainSale)
+    assert(classify("inventory.csv") == Unrecognized)
+  }
+
+  test("S2 raw name filter") {
+    assert(CsvSource.rawNameFilter("amazon sale report.csv"))
+    assert(!CsvSource.rawNameFilter("sale%20report.csv"))
+    assert(!CsvSource.rawNameFilter("sale report.txt"))
+  }
+
+  test("S3 encoding fallback: ISO-8859-1 bytes decode after fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("enc").toFile
+    val f = new java.io.File(dir, "latin sale.csv")
+    val bytes = "name,city\ncafé,Zürich\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    java.nio.file.Files.write(f.toPath, bytes)
+    val out = CsvSource.read(spark, f.getPath).collect()
+    assert(out.head.getString(0) == "café")
+    assert(out.head.getString(1) == "Zürich")
+  }
+
+  test("K4 upsert SQL matches reference ON CONFLICT shape") {
+    val sql = Sinks.upsertSql("amazon_sale", Seq("order_id", "date", "amount"),
+      Seq("order_id", "date"))
+    assert(sql == "INSERT INTO amazon_sale (order_id, date, amount) " +
+      "VALUES (?, ?, ?) ON CONFLICT (order_id, date) DO NOTHING")
+  }
+
+  test("P7 empty guard") {
+    assert(Projections.isEmpty(Seq.empty[(Int, String)].toDF("a", "b")))
+    assert(!Projections.isEmpty(Seq((1, "x")).toDF("a", "b")))
+  }
+}
