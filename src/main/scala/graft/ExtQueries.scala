@@ -1,7 +1,254 @@
 package graft
 
-/** LLM-data-pipeline extension queries (dedup / similarity / text analysis /
-  * multimodal) — SURVEY.md §2.10. */
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, Similarity, TextDedup, TextStats}
+
+/** LLM-data-pipeline extension queries (SURVEY.md §2.10): dedup family,
+  * similarity search, text analysis, multimodal plumbing — each with a
+  * DuckDB oracle where the math is portable (everything here is md5-based
+  * or 6-dp-rounded specifically so it is).
+  */
 object ExtQueries {
-  def all: Seq[Q] = Seq()
+
+  // ---- text analysis -------------------------------------------------------
+
+  val textStats = Q(
+    "ext_text_stats",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n_tokens"),
+      TextStats.bpeishTokenCount(col("text")).as("n_bpeish"),
+      TextStats.charCount(col("text")).as("n_chars_m"),
+      TextStats.meanWordLen(col("text")).as("mean_word_len"),
+      TextStats.stopwordRatio(col("text")).as("stopword_ratio")),
+    Some(s"""SELECT doc_id,
+      len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish,
+      length(text) AS n_chars_m,
+      round(length(regexp_replace(text, '\\s+', '', 'g'))
+        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+        AS mean_word_len,
+      round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+          t -> t IN (${TextStats.enStopwords.map(w => s"'$w'").mkString(",")})))
+        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+        AS stopword_ratio
+      FROM documents"""),
+    bench = true)
+
+  val quality = Q(
+    "ext_quality_score",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextStats.qualityScore(col("text")).as("quality")),
+    None) // composite float formula; verified by ScalaTest, rows-only here
+
+  val langid = Q(
+    "ext_langid",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextStats.langId(col("text")).as("lang_pred")),
+    None) // argmax-with-ties logic; verified by ScalaTest, rows-only here
+
+  val fingerprint = Q(
+    "ext_fingerprint",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextStats.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents"""))
+
+  // ---- dedup family --------------------------------------------------------
+
+  val dedupExact = Q(
+    "ext_dedup_exact",
+    (s, d) => TextDedup.exactDedup(Tables.documents(s, d), "text", "doc_id"),
+    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      min(doc_id) AS representative_id, count(*) AS n_copies
+      FROM documents GROUP BY 1"""),
+    bench = true)
+
+  /** Portable seeded hash in DuckDB SQL (mirror of TextDedup.seededHash). */
+  private def dkHash(seed: Int, expr: String) =
+    s"CAST(('0x' || substring(md5('$seed:' || $expr), 1, 8)) AS BIGINT)"
+
+  private def dkShingles(n: Int) =
+    s"""list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
+      i -> array_to_string(toks[i:i+${n - 1}], ' ')))"""
+
+  val dedupMinhash = Q(
+    "ext_dedup_minhash_lsh",
+    (s, d) => TextDedup.minhashNearDups(
+      Tables.documents(s, d), "text", "doc_id",
+      n = 3, k = 8, bands = 4, threshold = 0.2),
+    Some {
+      val sigExprs = (0 until 8).map(seed =>
+        s"list_min(list_transform(sh, x -> ${dkHash(seed, "x")}))")
+      val bandExprs = (0 until 4).map { b =>
+        val lo = b * 2
+        s"'$b' || ',' || CAST(sig[${lo + 1}] AS VARCHAR) || ',' || CAST(sig[${lo + 2}] AS VARCHAR)"
+      }
+      s"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
+         sig AS (
+           SELECT doc_id, sh, [${sigExprs.mkString(", ")}] AS sig FROM sh),
+         banded AS (
+           SELECT doc_id, sh, unnest([${bandExprs.mkString(", ")}]) AS band
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+           FROM banded a JOIN banded b USING (band)
+           WHERE a.doc_id < b.doc_id),
+         scored AS (
+           SELECT id_a, id_b,
+             round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+               AS jaccard
+           FROM cand)
+       SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"""
+    },
+    bench = true)
+
+  val dedupNgram = Q(
+    "ext_dedup_ngram_jaccard",
+    (s, d) => TextDedup.ngramJaccardPairs(
+      Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.2),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents),
+      sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+            AS jaccard,
+          len(list_intersect(a.sh, b.sh)) AS inter
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs
+      WHERE jaccard >= 0.2 AND inter > 0"""))
+
+  val dedupSimhash = Q(
+    "ext_dedup_simhash",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextDedup.simhash(col("text"), 3).as("simhash")),
+    Some {
+      val bitExprs = (0 until 32).map { j =>
+        s"""(CASE WHEN list_sum(list_transform(sh,
+            x -> CASE WHEN (${dkHash(0, "x")} >> $j) & 1 = 1
+                      THEN 1 ELSE -1 END)) > 0
+            THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"""
+      }
+      s"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks)
+       SELECT doc_id, ${bitExprs.mkString(" + ")} AS simhash FROM sh"""
+    })
+
+  // ---- similarity search ---------------------------------------------------
+
+  /** Portable cosine in DuckDB SQL: double dot / norms, rounded 6 dp. */
+  private val dkCos =
+    """round(list_dot_product(a_emb, b_emb)
+      / (sqrt(list_dot_product(a_emb, a_emb))
+         * sqrt(list_dot_product(b_emb, b_emb))), 6)"""
+
+  val simBrute = Q(
+    "ext_sim_bruteforce_topk",
+    (s, d) => Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5),
+    Some(s"""WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb
+        FROM embeddings WHERE vec_id < 8),
+      c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b_emb
+        FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id, $dkCos AS cos
+        FROM q JOIN c ON query_id != neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5"""),
+    bench = true)
+
+  val simLsh = Q(
+    "ext_sim_lsh_topk",
+    (s, d) => Similarity.lshTopK(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5, bits = 4),
+    Some(s"""WITH b AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, emb AS a_emb, bucket FROM b
+            WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, emb AS b_emb, bucket FROM b),
+      scored AS (
+        SELECT query_id, neighbor_id, $dkCos AS cos
+        FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5"""))
+
+  val simCentroids = Q(
+    "ext_label_centroids",
+    (s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)),
+    None) // avg of floats: summation-order-sensitive; ScalaTest-verified
+
+  // ---- multimodal plumbing -------------------------------------------------
+
+  val mmMeta = Q(
+    "ext_multimodal_meta",
+    (s, d) => Multimodal.withPayloadMeta(
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload")),
+      "payload")
+      .select(col("doc_id"), col("byte_len"), col("digest"), col("head_hex")),
+    Some("""SELECT doc_id, length(text) AS byte_len, md5(text) AS digest,
+      lower(hex(substring(text, 1, 4))) AS head_hex
+      FROM documents"""))
+
+  val mmFeatures = Q(
+    "ext_multimodal_features",
+    (s, d) => {
+      val withF = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.fakeDecodeFeatures(
+            Multimodal.asPayload(col("text"))).as("f"))
+      withF.select(col("doc_id"),
+        element_at(col("f"), 1).as("f0"), element_at(col("f"), 2).as("f1"),
+        element_at(col("f"), 3).as("f2"), element_at(col("f"), 4).as("f3"))
+    },
+    Some {
+      def f(i: Int) =
+        s"""round(CAST(('0x' || substring(md5(text), ${i * 8 + 1}, 8)) AS BIGINT)
+           / 4294967296.0, 6) AS f$i"""
+      s"SELECT doc_id, ${(0 until 4).map(f).mkString(", ")} FROM documents"
+    })
+
+  def all: Seq[Q] = Seq(
+    textStats, quality, langid, fingerprint,
+    dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
+    simBrute, simLsh, simCentroids,
+    mmMeta, mmFeatures)
 }

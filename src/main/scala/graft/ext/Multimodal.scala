@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.10): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, plus batched
+  * feature-extraction plumbing.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * [[fakeDecodeFeatures]] derives deterministic pseudo-features from the
+  * payload's md5, so the Spark-side contract — schema, binary columns,
+  * partition-batched extraction, pushdown-friendly metadata — is real and
+  * tested while the codec call is a marked substitution point.
+  *
+  * Scale notes: payloads stay opaque binary end-to-end (no driver
+  * collection); metadata columns (byte_len, digest, mime) are split out so
+  * filters prune on cheap columns without touching payload bytes — at
+  * 100 TB that is the difference between scanning kilobyte metadata and
+  * petabyte payloads. Batched extraction mirrors Arrow-batch UDF shape:
+  * partition-iterator in, partition-iterator out, constant memory.
+  */
+object Multimodal {
+
+  /** Wrap a text column as a fake binary payload (testdata has no real
+    * media; the plumbing is payload-agnostic). */
+  def asPayload(c: Column): Column = c.cast("binary")
+
+  /** Metadata projection over a binary payload: byte length, md5 digest,
+    * sniffed mime tag, and a hex preview of the leading bytes. */
+  def withPayloadMeta(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("byte_len", length(col(payloadCol)))
+      .withColumn("digest", md5(col(payloadCol)))
+      .withColumn("head_hex", lower(hex(substring(col(payloadCol), 1, 4))))
+
+  /** "Frame sampling": fixed-stride byte slices of the payload — the shape
+    * of video frame extraction without a codec. Returns an array of binary
+    * chunks. */
+  def sampleChunks(payload: Column, chunkLen: Int, stride: Int,
+      maxChunks: Int): Column =
+    transform(sequence(lit(0), lit(maxChunks - 1)),
+      i => payload.substr(i * lit(stride) + lit(1), lit(chunkLen)))
+
+  /** STUB decode → feature vector: 4 deterministic doubles in [0,1) derived
+    * from md5 of the payload (substitute a real codec here in production;
+    * the signature — binary in, fixed-width double array out — is the
+    * real contract). Pure Catalyst expression, so the "decode" runs
+    * codegen'd per partition with no driver involvement, exactly where a
+    * JNI codec call would sit. */
+  def fakeDecodeFeatures(payload: Column): Column = {
+    val h = md5(payload)
+    array((0 until 4).map { i =>
+      round(conv(substring(h, i * 8 + 1, 8), 16, 10).cast("double")
+        / lit(4294967296.0), 6)
+    }: _*)
+  }
+
+  /** Batched partition-level extraction: the mapPartitions twin of an
+    * Arrow-batch UDF — groups rows into `batchSize` chunks, "decodes" each
+    * batch, emits (id, features). A real implementation swaps
+    * `decodeBatch` for the codec call; everything around it stays. */
+  def extractFeaturesBatched(
+      df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Array[Double])] =
+      batch.map { case (id, bytes) =>
+        val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        val feats = (0 until 4).map { i =>
+          val v = java.nio.ByteBuffer.wrap(d, i * 4, 4).getInt.toLong & 0xffffffffL
+          math.round(v / 4294967296.0 * 1e6) / 1e6
+        }.toArray
+        (id, feats)
+      }
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rows = input.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { chunk =>
+        decodeBatch(chunk.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+          .map { case (id, f) => Row(id, f.toSeq) }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.10).
+  *
+  * Scale design (100 TB): brute-force top-k is the correctness baseline —
+  * a broadcast of the (small) query set against the corpus, one pass, one
+  * shuffle for the per-query top-k. The LSH-bucketed variant prunes the
+  * corpus side by sign-bucket equality first, shrinking the candidate set
+  * by ~2^bits before any dot product is computed; at cluster scale the
+  * buckets also give the shuffle key for co-partitioned retrieval.
+  *
+  * All cosine values are computed in double and rounded to 6 dp; ordering
+  * ties break on vec_id — so top-k is total-ordered and reproducible across
+  * engines (float-sum association noise ~1e-13 ≪ the 1e-6 grain).
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force top-k cosine neighbors for a query subset (`queryPred`
+    * selects the query vectors, e.g. `vec_id < 8`). Excludes self-matches.
+    */
+  def bruteForceTopK(
+      emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val scored = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Sign-bucket key from the first `bits` dimensions: the trivial,
+    * fully-deterministic LSH family (hyperplanes = coordinate axes). */
+  def signBucket(emb: Column, bits: Int): Column =
+    concat_ws("", (0 until bits).map(i =>
+      when(element_at(emb, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed top-k: candidates restricted to the query's sign bucket.
+    * Trades recall for a ~2^bits candidate reduction; the scale path. */
+  def lshTopK(
+      emb: DataFrame, queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
+    val withBucket = emb.withColumn("bucket", signBucket(col("embedding"), bits))
+    val queries = withBucket.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val corpus = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Per-label centroids, emitted flat as (label, dim, value): posexplode →
+    * grouped mean — one shuffle on (label, dim), no list-ordering
+    * dependence in the result. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+
+  /** Embedding-cosine near-duplicate pairs within sign buckets: the
+    * embedding-space analogue of MinHash near-dedup. */
+  def cosineNearDups(
+      emb: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    val withBucket = emb.withColumn("bucket", signBucket(col("embedding"), bits))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, Similarity, TextDedup, TextStats}
+
+/** Specs for extension operators without a SQL oracle (plus semantic
+  * checks the hash compare can't express). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("langid: argmax semantics and 'und' fallback") {
+    val df = Seq(
+      ("the cat is on the mat and it is flat", "en"),
+      ("el perro y la casa de que en un", "es"),
+      ("der hund und die katze ist nicht von", "de"),
+      ("zzz qqq xxx", "und")).toDF("text", "expected")
+    val out = df.withColumn("pred", TextStats.langId(col("text"))).collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"text='${r.getString(0)}'"))
+  }
+
+  test("quality score: bounded [0,1], monotone in stopword presence") {
+    val scored = docs.select(TextStats.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(scored.getDouble(0) >= 0.0 && scored.getDouble(1) <= 1.0)
+    val good = Seq("the quick brown fox jumps over the lazy dog and it is fine")
+      .toDF("text").select(TextStats.qualityScore(col("text"))).head().getDouble(0)
+    val noisy = Seq("$$$ 123 456 789 %%% !!! 000 ###")
+      .toDF("text").select(TextStats.qualityScore(col("text"))).head().getDouble(0)
+    assert(good > noisy)
+  }
+
+  test("label centroids: one row per (label, dim), mean of member vectors") {
+    val cent = Similarity.labelCentroids(emb)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val nLabels = emb.select("label").distinct().count()
+    assert(cent.count() == nLabels * dims)
+    // spot-check one cell against a driver-side computation
+    val l0d0 = cent.filter(col("label") === 0 && col("dim") === 0)
+      .head().getDouble(2)
+    val expected = emb.filter(col("label") === 0)
+      .select(element_at(col("embedding"), 1).cast("double")).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(l0d0 - expected.sum / expected.length) < 1e-6)
+  }
+
+  test("LSH top-k ⊆ brute-force scoring; bucket restriction holds") {
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 3)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.lshTopK(emb, col("vec_id") < 4, 3, bits = 4)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    // every LSH hit scores identically to the exhaustive computation
+    lsh.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc == c))
+    }
+    val bucketOf = emb
+      .withColumn("b", Similarity.signBucket(col("embedding"), 4))
+      .select("vec_id", "b").as[(Long, String)].collect().toMap
+    lsh.foreach { case (q, n, _) => assert(bucketOf(q) == bucketOf(n)) }
+  }
+
+  test("cosineNearDups is symmetric-free (a<b) and thresholded") {
+    val pairs = Similarity.cosineNearDups(emb, 0.5, bits = 4).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("multimodal: batched extraction matches the expression-stub features") {
+    val payloads = docs.limit(50)
+      .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
+    val viaExpr = payloads.select(col("doc_id"),
+      Multimodal.fakeDecodeFeatures(col("payload")).as("f"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val viaBatch = Multimodal.extractFeaturesBatched(
+      payloads, "doc_id", "payload", batchSize = 7)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(viaBatch.keySet == viaExpr.keySet)
+    viaBatch.foreach { case (id, f) =>
+      f.zip(viaExpr(id)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("multimodal: chunk sampling strides over payload bytes") {
+    val df = Seq("abcdefghijklmnopqrstuvwxyz").toDF("t")
+      .select(Multimodal.asPayload(col("t")).as("p"))
+    val chunks = df.select(Multimodal.sampleChunks(col("p"), 4, 10, 3).as("c"))
+      .head().getSeq[Array[Byte]](0)
+    assert(chunks.map(new String(_)).toSeq == Seq("abcd", "klmn", "uvwx"))
+  }
+
+  test("minhash LSH recall vs exact n-gram jaccard at matched threshold") {
+    val exact = TextDedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minhashNearDups(docs, "text", "doc_id", 3, 8, 4, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verified-LSH output is always a subset of exact pairs
+    assert(lsh.subsetOf(exact))
+    // and at 8 hashes / 4 bands recall on this corpus should be substantial
+    if (exact.nonEmpty) assert(lsh.size.toDouble / exact.size > 0.5)
+  }
+
+  test("simhash: near-identical docs collide, distinct docs do not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different content about spark query engines and parquet"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextDedup.simhash(col("text"), 3).as("h")).as[(Long, Long)]
+      .collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
+  }
+}
