@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Projections
+import graft.pipeline.Cleaners
+import graft.sinks.Sinks
+import graft.sources.CsvSource
+
+/** Structured Streaming variant of the reference's event-driven micro-batch
+  * pipeline (SURVEY.md §2.8).
+  *
+  * The reference reacts to S3 ObjectCreated events with a LastModified
+  * time-window heuristic and is known to double-process files when one
+  * upload batch triggers several Lambda invocations (README.md:119-127).
+  * The Spark file source + checkpointing replaces both: files are tracked
+  * exactly-once in the checkpoint, `maxFileAge` matches the ingestion
+  * window, and `Trigger.AvailableNow` gives the drain-then-stop batch
+  * semantics of a Lambda invocation.
+  *
+  * A file-source stream has ONE fixed schema, so each report class runs as
+  * its own stream with a class glob (`Amazon*.csv`, …) — the production
+  * shape for heterogeneous landing dirs; S5 routing becomes the glob.
+  */
+object StreamPipeline {
+
+  /** File-source stream over a raw-CSV landing directory (S4's streaming
+    * form). `maxFileAge` mirrors the reference's `minutes` window; the
+    * glob is the streaming twin of S5 routing. */
+  def fileStream(
+      spark: SparkSession, dir: String, schema: StructType,
+      glob: String = "*.csv", maxFileAge: String = "7d"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFileAge", maxFileAge)
+      .option("pathGlobFilter", glob)
+      .csv(dir)
+
+  /** Clean + land each micro-batch of one report class. Batches are
+    * idempotent per checkpoint, so event re-delivery cannot double-load —
+    * strictly stronger than the reference's ON CONFLICT mitigation. */
+  def cleanClassStream(
+      raw: DataFrame, cls: CsvSource.FileClass, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cleanAndWrite(batch, cls, s"$outDir/batch_$batchId")
+      }
+      .start()
+
+  /** Class dispatch → cleaner → cleaned-CSV sinks (K2). Shared by the
+    * streaming foreachBatch and the batch driver. */
+  def cleanAndWrite(df: DataFrame, cls: CsvSource.FileClass,
+      outDir: String): Unit = cls match {
+    case CsvSource.AmazonSale =>
+      val (clean, flagged) = Cleaners.amazon(df)
+      Sinks.writeCsv(clean, s"$outDir/amazon_sale")
+      if (!Projections.isEmpty(flagged))
+        Sinks.writeCsv(flagged, s"$outDir/amazon_sale_duplicates")
+    case CsvSource.PlainSale =>
+      Sinks.writeCsv(Cleaners.sale(df), s"$outDir/sale")
+    case CsvSource.InternationalSale =>
+      val (p1, p2) = Cleaners.international(df)
+      Sinks.writeCsv(p1, s"$outDir/international_1")
+      if (!Projections.isEmpty(p2))
+        Sinks.writeCsv(p2, s"$outDir/international_2")
+    case CsvSource.Unrecognized => () // reference skips (:721-722)
+  }
+
+  /** Event-time windowed aggregation with watermarking over the events
+    * stream — the §2.8 extension surface (absent in the reference). */
+  def eventsWindowed(
+      events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+}
