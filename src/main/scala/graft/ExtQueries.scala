@@ -84,8 +84,11 @@ object ExtQueries {
       Tables.documents(s, d), "text", "doc_id",
       n = 3, k = 8, bands = 4, threshold = 0.2),
     Some {
-      val sigExprs = (0 until 8).map(seed =>
-        s"list_min(list_transform(sh, x -> ${dkHash(seed, "x")}))")
+      val sigExprs = (0 until 8).map { i =>
+        val (a, b) = (graft.ext.TextDedup.minhashA(i),
+          graft.ext.TextDedup.minhashB(i))
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647))"
+      }
       val bandExprs = (0 until 4).map { b =>
         val lo = b * 2
         s"'$b' || ',' || CAST(sig[${lo + 1}] AS VARCHAR) || ',' || CAST(sig[${lo + 2}] AS VARCHAR)"
@@ -95,8 +98,13 @@ object ExtQueries {
            FROM documents),
          sh AS (
            SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
+         hs AS (
+           SELECT doc_id, sh,
+             list_transform(sh,
+               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)) AS hs
+           FROM sh),
          sig AS (
-           SELECT doc_id, sh, [${sigExprs.mkString(", ")}] AS sig FROM sh),
+           SELECT doc_id, sh, [${sigExprs.mkString(", ")}] AS sig FROM hs),
          banded AS (
            SELECT doc_id, sh, unnest([${bandExprs.mkString(", ")}]) AS band
            FROM sig),

@@ -37,13 +37,35 @@ object TextDedup {
     conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 8), 16, 10)
       .cast("long")
 
-  /** MinHash signature: for each of `k` seeds, the min seeded hash over the
-    * document's shingles. One narrow projection, no shuffle. */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
-    array((0 until k).map(seed =>
-      array_min(transform(sh, s => seededHash(s, seed)))): _*)
-  }
+  /** Base 32-bit content hash (ONE md5 per shingle — the only expensive
+    * hash; all MinHash seeds derive from it arithmetically). */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Universal-hash family over the base hash: h_i(x) = (a_i·x + b_i) mod p
+    * with p = 2^31-1 and a_i < 2^30, so products stay inside int64 in any
+    * engine. Cheap integer math replaces per-seed md5 — HOF lambdas run
+    * interpreted, so hash count is the whole MinHash cost. */
+  val minhashP: Long = 2147483647L
+  val minhashA: Seq[Long] = Seq(727938331L, 941083981L, 536870923L,
+    824633789L, 426752539L, 986106731L, 315432781L, 678910987L)
+  val minhashB: Seq[Long] = Seq(886116853L, 665772893L, 373587883L,
+    854775211L, 741103597L, 174440041L, 275604541L, 984107441L)
+
+  def affineHash(h: Column, i: Int): Column =
+    (h * lit(minhashA(i)) + lit(minhashB(i))) % lit(minhashP)
+
+  /** MinHash signature from a pre-computed base-hash array column. Callers
+    * should project the hash array first (see [[minhashNearDups]]) so the
+    * md5 pass runs once, not once per seed. */
+  def signatureFromHashes(hs: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hs, h => affineHash(h, i)))): _*)
+
+  /** Convenience single-expression signature (recomputes the md5 pass per
+    * seed — prefer the projected two-step form on hot paths). */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    signatureFromHashes(transform(shingles(text, n), baseHash(_)), k)
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
     * values, each band rendered as "b:<v1>,<v2>" strings. Docs sharing any
@@ -74,20 +96,29 @@ object TextDedup {
       n: Int = 3, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"),
-      minhashSignature(col(textCol), n, k).as("sig"))
-    val banded = withSig
-      .select(col("id"), col("sh"),
+    // shingle sets computed ONCE and joined back by id at the end — the
+    // band explode/self-join shuffles only (id, band) pairs, never the
+    // shingle arrays (at scale the arrays dominate the shuffle otherwise)
+    val withSh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    // hash array and signature each projected ONCE before the band
+    // explode: HOF lambdas run interpreted, so letting later stages
+    // re-inline these expressions multiplies the dominant md5 cost
+    val banded = df
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol), n), baseHash(_)).as("hs"))
+      .select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
+      .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -121,18 +152,30 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 32-bit SimHash signature: sign-sum of per-shingle hash bits. One
-    * grouped pass (explode + sum per bit via bit arithmetic). */
+  /** 32-bit SimHash signature: sign-sum of per-shingle hash bits.
+    *
+    * Single aggregate pass with an int-array accumulator: each shingle is
+    * md5-hashed ONCE and its 32 sign contributions folded via zip_with —
+    * a per-bit aggregate would re-hash every shingle 32×, and HOF lambdas
+    * run interpreted, so the hash count is the whole cost. Bit j of the
+    * hash is extracted as `(h div 2^j) % 2` (h < 2^32, exact in double).
+    */
   def simhash(text: Column, n: Int = 3): Column = {
     val sh = shingles(text, n)
-    val bitSums = (0 until 32).map { j =>
-      aggregate(sh, lit(0),
-        (acc, s) => acc + when(
-          shiftright(seededHash(s, 0), j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-    }
-    bitSums.zipWithIndex.map { case (bs, j) =>
-      when(bs > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bitSums = aggregate(
+      sh,
+      array_repeat(lit(0), 32),
+      (acc, s) => {
+        val h = seededHash(s, 0)
+        zip_with(acc, sequence(lit(0), lit(31)), (a, j) =>
+          a + when(
+            floor(h / pow(lit(2.0), j.cast("double"))).cast("long") % 2 === 1,
+            lit(1)).otherwise(lit(-1)))
+      })
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(31)), (a, j) =>
+        when(a > 0, pow(lit(2.0), j.cast("double")).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 }
