@@ -44,7 +44,7 @@ object ScalarFns {
   /** Python-`str.strip()` semantics: strip ALL leading/trailing whitespace
     * (tabs, newlines, …), not just spaces like Spark's `trim`. */
   def strip(c: Column): Column =
-    regexp_replace(regexp_replace(c, "^\\s+", ""), "\\s+$", "")
+    regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** F3 — strip every string-typed column (ecommerce_s3_to_pg.py:190-191). */
   def trimStringCols(df: DataFrame): DataFrame = {
@@ -111,7 +111,8 @@ object ScalarFns {
     * (ecommerce_s3_to_pg.py:177-178). Adoption (the >90% rule) is decided
     * from stats by [[graft.pipeline.Transform]]; `round(2)` on adopt. */
   def numericScrub(c: Column): Column =
-    regexp_replace(trim(c.cast("string")), "[\\$,()\\s]", "")
+    // the scrub class already strips ALL whitespace — no pre-trim needed
+    regexp_replace(c.cast("string"), "[\\$,()\\s]", "")
       .try_cast("double")
 
   def numericScrubRounded(c: Column): Column = round(numericScrub(c), 2)
