@@ -218,6 +218,24 @@ object ExtQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
+  val cosineNearDup = Q(
+    "ext_dedup_embedding_cosine",
+    (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d), 0.5, bits = 4),
+    Some(s"""WITH b AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               a.emb AS a_emb, b2.emb AS b_emb
+        FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+      SELECT id_a, id_b, $dkCos AS cos FROM p
+      WHERE $dkCos >= 0.5"""))
+
   val simCentroids = Q(
     "ext_label_centroids",
     (s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)),
@@ -256,7 +274,7 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     textStats, quality, langid, fingerprint,
-    dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
+    dedupExact, dedupMinhash, dedupNgram, dedupSimhash, cosineNearDup,
     simBrute, simLsh, simCentroids,
     mmMeta, mmFeatures)
 }

@@ -13,6 +13,25 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** K2 batch upload with the P7 empty guard and P8 identity-dup guard
+    * (`load_to_s3`, ecommerce_s3_to_pg.py:637-685): a DataFrame OBJECT
+    * already written under another name is skipped — reference `id(df)`
+    * set semantics, i.e. reference identity, not value equality. Returns
+    * the names actually written. */
+  def writeCsvAll(tables: Seq[(String, DataFrame)], outDir: String): Seq[String] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    tables.flatMap { case (name, df) =>
+      if (df == null || seen.contains(df)
+          || graft.ops.Projections.isEmpty(df)) None
+      else {
+        seen.add(df)
+        writeCsv(df, s"$outDir/$name")
+        Some(name)
+      }
+    }
+  }
+
   /** K3 — DDL for the four sink tables, kept as explicit SQL run once from
     * the driver before any partition writes (ecommerce_s3_to_pg.py:450-533).
     */

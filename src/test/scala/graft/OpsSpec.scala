@@ -105,6 +105,15 @@ class OpsSpec extends SparkSpec {
       "VALUES (?, ?, ?) ON CONFLICT (order_id, date) DO NOTHING")
   }
 
+  test("P8 identity-dup guard: same DataFrame object written once") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val empty = df.limit(0)
+    val out = java.nio.file.Files.createTempDirectory("p8").toString
+    val written = Sinks.writeCsvAll(
+      Seq("first" -> df, "alias_of_first" -> df, "empty" -> empty), out)
+    assert(written == Seq("first"))
+  }
+
   test("P7 empty guard") {
     assert(Projections.isEmpty(Seq.empty[(Int, String)].toDF("a", "b")))
     assert(!Projections.isEmpty(Seq((1, "x")).toDF("a", "b")))
