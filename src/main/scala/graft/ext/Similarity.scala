@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns in double precision. */
+  /** Dot product of two float-array columns in double precision — the
+    * native codegen'd expression (tight primitive loop, no per-row
+    * allocation). Bit-identical to [[dotHof]]: same left-to-right double
+    * summation. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.FloatVecDot.float_dot(a, b)
+
+  /** Built-in-composed dot product (interpreted HOF path) — kept as the
+    * reference implementation for arbitrary numeric arrays and for
+    * differential testing against [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two `ARRAY<FLOAT>` columns in
+  * double precision, with whole-stage codegen.
+  *
+  * The composable alternative — `aggregate(zip_with(a, b, _*_), 0d, _+_)` —
+  * is semantically identical but runs interpreted (higher-order-function
+  * lambdas never enter codegen), allocating a zipped array per row. This
+  * expression generates a tight primitive loop instead: no allocation, no
+  * lambda dispatch, same strict left-to-right summation order (so results
+  * are bit-identical to the HOF form and to the DuckDB oracle's
+  * list_dot_product at the 6-dp rounding grain used by the similarity
+  * queries). Preference order per SURVEY §7.3: built-ins first, custom
+  * Expression only where built-ins can't express it *efficiently* — this
+  * is the one hot-loop case (N dot products per candidate pair at 100 TB).
+  *
+  * Null elements inside the arrays are treated as 0 (embeddings are
+  * non-null by contract; the guard keeps eval total).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"FloatVecDot requires two ARRAY<FLOAT> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVecDot {
+  /** Column-API entry point: `float_dot(a, b)`. */
+  def float_dot(a: Column, b: Column): Column =
+    Bridge.toCol(FloatVecDot(Bridge.toExpr(a), Bridge.toExpr(b)))
+}

@@ -66,6 +66,16 @@ class ExtSpec extends SparkSpec {
     lsh.foreach { case (q, n, _) => assert(bucketOf(q) == bucketOf(n)) }
   }
 
+  test("FloatVecDot codegen expression is bit-identical to the HOF dot") {
+    val pairs = emb.limit(100).select(col("embedding").as("a"))
+      .crossJoin(emb.limit(7).select(col("embedding").as("b")))
+    val diffs = pairs.select(
+      (Similarity.dot(col("a"), col("b"))
+        - Similarity.dotHof(col("a"), col("b"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs == 0)
+  }
+
   test("cosineNearDups is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDups(emb, 0.5, bits = 4).collect()
     pairs.foreach { r =>
