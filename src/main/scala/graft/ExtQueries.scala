@@ -236,6 +236,19 @@ object ExtQueries {
       SELECT id_a, id_b, $dkCos AS cos FROM p
       WHERE $dkCos >= 0.5"""))
 
+  /** IVF ANN: kmeans-trained, cluster-pruned top-k. Training is seeded but
+    * engine-specific → rows-only gate here; ExtSpec checks recall + score
+    * agreement against the exact path. */
+  val simIvf = Q(
+    "ext_sim_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ext.IvfIndex.train(emb, nlist = 8)
+      graft.ext.IvfIndex.search(emb, model, col("vec_id") < 8, k = 5,
+        nprobe = 2)
+    },
+    None)
+
   val simCentroids = Q(
     "ext_label_centroids",
     (s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)),
@@ -275,6 +288,6 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     textStats, quality, langid, fingerprint,
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, cosineNearDup,
-    simBrute, simLsh, simCentroids,
+    simBrute, simLsh, simIvf, simCentroids,
     mmMeta, mmFeatures)
 }

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.FloatVecDot.float_dot
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the
+  * cluster-pruned scale path next to [[Similarity.lshTopK]]'s sign-bucket
+  * family (SURVEY.md §2.10).
+  *
+  * Train: k-means over (a sample of) the corpus → `nlist` centroids.
+  * Index: one pass assigning every vector to its nearest centroid — the
+  * cluster id becomes the partition/shuffle key. Search: a query probes
+  * only its `nprobe` nearest centroids' clusters, cutting candidates by
+  * ~nlist/nprobe; at cluster scale the corpus is co-partitioned by
+  * `cluster`, so a probe touches only those partitions.
+  *
+  * Centroids are tiny (nlist × dim floats) and broadcast as literals into
+  * a codegen'd argmin-of-[[float_dot]] expression — assignment is one
+  * narrow projection, no shuffle, no UDF.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def nlist: Int = centroids.length
+  }
+
+  /** Train centroids with ml.KMeans (seeded → reproducible for a fixed
+    * input partitioning). */
+  def train(emb: DataFrame, nlist: Int, seed: Long = 42L,
+      maxIter: Int = 20): Model = {
+    val feats = emb.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+    val model = km.fit(feats)
+    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** Literal column for one centroid. */
+  private def centroidLit(c: Array[Float]): Column =
+    array(c.map(v => lit(v)): _*)
+
+  /** Index of the centroid with max cosine (≡ min angular distance) —
+    * argmax over nlist codegen'd dot products. */
+  private def centroidSim(emb: Column, c: Array[Float]): Column =
+    float_dot(emb, centroidLit(c)) / (sqrt(float_dot(emb, emb)) *
+      lit(math.sqrt(c.map(v => v.toDouble * v).sum)))
+
+  def nearestCentroid(emb: Column, m: Model): Column = {
+    val sims = m.centroids.map(c => centroidSim(emb, c))
+    val simArr = array(sims: _*)
+    (array_position(simArr, array_max(simArr)) - 1).cast("int")
+  }
+
+  /** `nprobe` nearest centroid ids for a query vector, as an array. */
+  def probeCentroids(emb: Column, m: Model, nprobe: Int): Column = {
+    val sims = m.centroids.zipWithIndex.map { case (c, i) =>
+      struct(centroidSim(emb, c).as("sim"), lit(i).as("idx"))
+    }
+    slice(
+      transform(reverse(array_sort(array(sims: _*))), s => s.getField("idx")),
+      1, nprobe)
+  }
+
+  /** Assign every corpus vector its cluster id (the indexing pass). */
+  def index(emb: DataFrame, m: Model): DataFrame =
+    emb.withColumn("cluster", nearestCentroid(col("embedding"), m))
+
+  /** IVF top-k search: queries probe `nprobe` clusters, cosine-rank within
+    * the probed candidates (6-dp rounding + vec_id tie-break, like the
+    * exact path). */
+  def search(emb: DataFrame, m: Model, queryPred: Column, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val indexed = index(emb, m)
+    val corpus = indexed.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("cluster"))
+    val queries = indexed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeCentroids(col("embedding"), m, nprobe)).as("cluster"))
+    val scored = corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

@@ -84,6 +84,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF: clusters partition the corpus; search scores match exact path") {
+    val model = graft.ext.IvfIndex.train(emb, nlist = 4)
+    assert(model.nlist == 4)
+    val indexed = graft.ext.IvfIndex.index(emb, model)
+    assert(indexed.filter(col("cluster").isNull
+      || col("cluster") < 0 || col("cluster") >= 4).count() == 0)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 10)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = graft.ext.IvfIndex.search(emb, model, col("vec_id") < 4,
+      k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    assert(ivf.nonEmpty)
+    // any (q,n) pair surfaced by IVF that brute-force also ranked must
+    // carry the identical rounded cosine
+    ivf.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc == c)) }
+  }
+
   test("multimodal: batched extraction matches the expression-stub features") {
     val payloads = docs.limit(50)
       .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
