@@ -99,24 +99,24 @@ object ExtQueries {
          sh AS (
            SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
          hs AS (
-           SELECT doc_id, sh,
-             list_transform(sh,
-               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)) AS hs
+           SELECT doc_id,
+             list_distinct(list_transform(sh,
+               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT))) AS hs
            FROM sh),
          sig AS (
-           SELECT doc_id, sh, [${sigExprs.mkString(", ")}] AS sig FROM hs),
+           SELECT doc_id, hs, [${sigExprs.mkString(", ")}] AS sig FROM hs),
          banded AS (
-           SELECT doc_id, sh, unnest([${bandExprs.mkString(", ")}]) AS band
+           SELECT doc_id, hs, unnest([${bandExprs.mkString(", ")}]) AS band
            FROM sig),
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  a.sh AS sh_a, b.sh AS sh_b
+                  a.hs AS hs_a, b.hs AS hs_b
            FROM banded a JOIN banded b USING (band)
            WHERE a.doc_id < b.doc_id),
          scored AS (
            SELECT id_a, id_b,
-             round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+             round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+               / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 6)
                AS jaccard
            FROM cand)
        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"""

@@ -96,17 +96,15 @@ object TextDedup {
       n: Int = 3, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
-    // shingle sets computed ONCE and joined back by id at the end — the
-    // band explode/self-join shuffles only (id, band) pairs, never the
-    // shingle arrays (at scale the arrays dominate the shuffle otherwise)
-    val withSh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-    // hash array and signature each projected ONCE before the band
-    // explode: HOF lambdas run interpreted, so letting later stages
-    // re-inline these expressions multiplies the dominant md5 cost
-    val banded = df
-      .select(col(idCol).as("id"),
-        transform(shingles(col(textCol), n), baseHash(_)).as("hs"))
+    // the whole shingle→hash pipeline is ONE native expression per doc
+    // (graft.functions.ShingleHashes); Jaccard is verified over the hash
+    // SETS (identical formula on the oracle side), so shingle strings
+    // never materialize. The band explode/self-join shuffles only
+    // (id, band) pairs; hash arrays join back by id for the verify.
+    val withHs = df.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingle_hashes(col(textCol), n).as("hs"))
+    // signature projected once so the band slices don't re-inline it
+    val banded = withHs
       .select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
@@ -117,11 +115,11 @@ object TextDedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(withHs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(withHs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("uni",
-        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        size(col("hs_a")) + size(col("hs_b")) - col("inter"))
       .withColumn("jaccard",
         round(col("inter") / col("uni").cast("double"), 6))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,71 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-`n`-gram shingle hashes of a text column, as one native
+  * expression: tokenize → n-grams → md5 → first-4-bytes unsigned long →
+  * distinct, in a single JVM pass per row.
+  *
+  * Produces EXACTLY `conv(substring(md5(shingle),1,8),16,10)` for each
+  * distinct shingle (the portable hash the DuckDB oracle replicates) —
+  * but ~10× faster than the composable
+  * `array_distinct(transform(sequence(...), slice/concat_ws))` + md5 HOF
+  * chain, which evaluates interpreted per element. This is the MinHash
+  * hot loop: at 100 TB every document passes through here once.
+  *
+  * Short documents (< n tokens) yield an empty array — also the DuckDB
+  * `generate_series(1, len-n+1)` semantics.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.trim
+    val toks = text.split("\\s+")
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (!(toks.length == 1 && toks(0).isEmpty) && toks.length >= n) {
+      val md = MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        out.add(h)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def shingle_hashes(text: Column, n: Int): Column =
+    Bridge.toCol(ShingleHashes(Bridge.toExpr(text), n))
+}
