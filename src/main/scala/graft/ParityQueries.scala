@@ -328,7 +328,80 @@ object ParityQueries {
       FROM orders"""),
     bench = true)
 
+  /** Full clean_amazon_sale pipeline end-to-end with a DuckDB oracle: the
+    * messy Amazon-report shape is derived deterministically from `orders`
+    * (conflicting order ids, exact dup rows, mostly-blank rows, currency
+    * variants, sentinel NAs, an all-null column, unparseable dates), run
+    * through the REAL `Cleaners.amazon` chain (P1→F2→P3→D1→P4→Transform→
+    * P5→D2), and the oracle replicates each stage's algebraic effect. The
+    * strongest single correctness statement: every stage order sensitivity
+    * in SURVEY §3.3 is load-bearing for this hash to match. */
+  val amazonE2e = Q(
+    "amazon_pipeline_e2e",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val k = col("o_orderkey")
+      def messy(src: org.apache.spark.sql.DataFrame) = src.select(
+        k.cast("int").as("index"),
+        when(k % 41 === 0, lit(null))
+          .when(k % 95 < 2,
+            concat(lit("C"), expr("o_orderkey div 2").cast("string")))
+          .otherwise(concat(lit("O"), k.cast("string"))).as("Order ID"),
+        when(k % 41 === 0, lit(null))
+          .when(k % 11 === 3, lit("not a date"))
+          .otherwise(date_format(col("o_orderdate"), "MM/dd/yyyy"))
+          .as("Date"),
+        when(k % 41 === 0, lit(null))
+          .when(k % 13 === 0, lit("NA"))
+          .when(k % 13 === 1, lit(" "))
+          .when(k % 13 === 2, lit(" SHIPPED "))
+          .otherwise(col("o_orderstatus")).as("Status"),
+        when(k % 2 === 0, lit("Merchant")).otherwise(lit("Amazon"))
+          .as("Fulfilment"),
+        (k % 5 + 1).cast("int").as("Qty"),
+        lit("INR").as("currency"),
+        when(k % 41 === 0, lit(null))
+          .when(k % 23 === 0, lit("n/a"))
+          .when(k % 7 === 0,
+            concat(lit("$"), col("o_totalprice").cast("string")))
+          .when(k % 7 === 1,
+            concat(lit("("), col("o_totalprice").cast("string"), lit(")")))
+          .otherwise(col("o_totalprice").cast("string")).as("Amount"),
+        when(k % 41 === 0, lit(null))
+          .otherwise(concat(lit("City"), (k % 37).cast("string")))
+          .as("ship-city"),
+        lit(null).cast("string").as("Ghost Col"))
+      val raw = messy(o).unionAll(messy(o.filter(k % 101 === 0)))
+      graft.pipeline.Cleaners.amazon(raw)._1
+    },
+    Some("""WITH dedup AS (
+        SELECT DISTINCT o_orderkey AS k, o_orderdate AS d,
+               o_totalprice AS p, o_orderstatus AS st
+        FROM (SELECT * FROM orders
+              UNION ALL
+              SELECT * FROM orders WHERE o_orderkey % 101 = 0)),
+      kept AS (SELECT * FROM dedup WHERE k % 41 != 0),
+      cleaned AS (
+        SELECT
+          CASE WHEN k % 95 < 2 THEN 'C' || CAST(k // 2 AS VARCHAR)
+               ELSE 'O' || CAST(k AS VARCHAR) END AS order_id,
+          strftime(d, '%Y-%m-%d') AS date,
+          CASE WHEN k % 13 = 2 THEN 'shipped' ELSE lower(st) END AS status,
+          CASE WHEN k % 2 = 0 THEN 'merchant' ELSE 'amazon' END
+            AS fulfillment,
+          CAST(k % 5 + 1 AS INT) AS quantity,
+          round(p, 2) AS amount,
+          'city' || CAST(k % 37 AS VARCHAR) AS ship_city
+        FROM kept
+        WHERE k % 13 NOT IN (0, 1) AND k % 23 != 0 AND k % 11 != 3)
+      SELECT order_id, date, status, fulfillment, quantity, amount, ship_city
+      FROM (SELECT *, count(*) OVER (PARTITION BY order_id) AS c
+            FROM cleaned)
+      WHERE c = 1"""),
+    bench = true)
+
   def all: Seq[Q] = Seq(
+    amazonE2e,
     p1, p2, p3, p4, p5, p6,
     f1, f2, f3, f4, f5a, f5b, f6, f7,
     a1, a2, a5,

@@ -7,9 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query files); this object only adapts it to the driver's shape.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full clean_amazon_sale pipeline end-to-end (P1→F2→P3→D1→P4→
+    * stats-driven Transform→P5→D2) over derived messy data. */
   def entry(spark: SparkSession): DataFrame =
-    AnalyticsQueries.q1Pricing.run(spark, "/root/testdata/sf0.001")
+    ParityQueries.amazonE2e.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
