@@ -3,8 +3,9 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
+import org.apache.spark.storage.StorageLevel
 
-import graft.ops.{qcol, Profiling, Projections, ScalarFns}
+import graft.ops.{qcol, Projections, ScalarFns}
 
 /** The generic cleaning chain (`transform`, ecommerce_s3_to_pg.py:123-214) —
   * the heart of reference parity. Stage order is load-bearing (SURVEY.md
@@ -19,40 +20,65 @@ import graft.ops.{qcol, Profiling, Projections, ScalarFns}
   *  e. A5 drop all-null columns
   *
   * The data-dependent decisions (F5 strategy, F6 adoption, A5 drop) cannot
-  * be one lazy plan: they are resolved by exactly TWO distributed aggregate
-  * actions — one pre-projection stats pass (per-column parse/convert counts,
-  * all fused into a single aggregate) and one post-projection non-null-count
-  * pass — each returning one tiny row to the driver. The scan itself stays
-  * distributed, so the chain holds at 100 TB.
+  * be one lazy plan — but they CAN be one distributed aggregate: the fused
+  * stats pass below computes, per column, the counts for EVERY possible
+  * outcome (datetime-parseable months AND prefix-mapped months, adopted
+  * numerics AND kept-string survivors), so strategy pick, adoption, and
+  * the A5 column drop all resolve from a single tiny driver-side row.
+  * One stats action + the caller's action = exactly two passes over the
+  * input, which is persisted (memory-then-disk) across them so upstream
+  * shuffles (e.g. a preceding dedup) never re-execute.
   */
 object Transform {
 
   def apply(df0: DataFrame): DataFrame = {
     val df = Projections.normalizeColumnNames(df0)
-    val n = df.columns.length
+    df.persist(StorageLevel.MEMORY_AND_DISK)
 
     val stringCols = df.schema.fields
       .filter(_.dataType == StringType).map(_.name).toSet
-
     val dateCols = df.columns.filter(_.contains("date")).toSeq
-    val monthCols = df.columns.filter(_.contains("month")).toSeq
+    val monthCols = df.columns
+      .filter(c => c.contains("month") && !dateCols.contains(c)).toSeq
     // F6 candidates: string-typed columns (the reference's `object` dtype
-    // loop) that aren't already converted by the date pass. Month columns
-    // re-enter as month-name strings and simply fail numeric conversion,
-    // like in the reference.
+    // loop) not already converted by the date pass. Month columns re-enter
+    // as month-name strings and simply fail numeric conversion, like in
+    // the reference.
     val numericCandidates = df.columns
-      .filter(c => stringCols.contains(c) && !dateCols.contains(c)).toSeq
+      .filter(c => stringCols.contains(c) && !dateCols.contains(c)
+        && !monthCols.contains(c)).toSeq
+    val passThrough = df.columns.filterNot(c =>
+      dateCols.contains(c) || monthCols.contains(c)
+        || numericCandidates.contains(c)).toSeq
 
-    // ---- stats pass 1: one fused aggregate --------------------------------
+    // ---- the single fused stats pass --------------------------------------
     val statAggs: Seq[Column] =
       Seq(count(lit(1)).as("__n")) ++
-        monthCols.map(c =>
-          ScalarFns.monthParseableCount(qcol(c)).as(s"__month_$c")) ++
-        numericCandidates.map(c =>
-          count(ScalarFns.numericScrub(qcol(c))).as(s"__num_$c"))
+        dateCols.map(c =>
+          count(ScalarFns.parseDate(qcol(c))).as(s"__date_$c")) ++
+        monthCols.flatMap(c => Seq(
+          count(ScalarFns.monthFromDatetime(qcol(c))).as(s"__ma_$c"),
+          count(ScalarFns.monthFromPrefix(qcol(c))).as(s"__mb_$c"))) ++
+        numericCandidates.flatMap(c => Seq(
+          count(ScalarFns.numericScrub(qcol(c))).as(s"__num_$c"),
+          count(ScalarFns.sentinelToNull(
+            ScalarFns.strip(qcol(c)))).as(s"__keep_$c"))) ++
+        passThrough.map(c => count(qcol(c)).as(s"__nn_$c"))
     val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
     def stat(name: String): Long = stats.getLong(stats.fieldIndex(name))
     val total = stat("__n")
+
+    // ---- resolve decisions + final non-null count per column --------------
+    def monthStrategyA(c: String): Boolean = stat(s"__ma_$c") > 0
+    def adopted(c: String): Boolean =
+      total > 0 && stat(s"__num_$c") > 0.9 * total
+    def finalNonNull(c: String): Long =
+      if (dateCols.contains(c)) stat(s"__date_$c")
+      else if (monthCols.contains(c))
+        (if (monthStrategyA(c)) stat(s"__ma_$c") else stat(s"__mb_$c"))
+      else if (numericCandidates.contains(c))
+        (if (adopted(c)) stat(s"__num_$c") else stat(s"__keep_$c"))
+      else stat(s"__nn_$c")
 
     // ---- build the projection from the collected stats --------------------
     val projected = df.columns.foldLeft(df) { (d, c) =>
@@ -60,11 +86,10 @@ object Transform {
         d.withColumn(c, ScalarFns.parseDate(qcol(c)))
       } else if (monthCols.contains(c)) {
         // column-level strategy pick (reference :160 `.notna().any()`)
-        if (stat(s"__month_$c") > 0)
+        if (monthStrategyA(c))
           d.withColumn(c, ScalarFns.monthFromDatetime(qcol(c)))
         else d.withColumn(c, ScalarFns.monthFromPrefix(qcol(c)))
-      } else if (numericCandidates.contains(c)
-          && total > 0 && stat(s"__num_$c") > 0.9 * total) {
+      } else if (numericCandidates.contains(c) && adopted(c)) {
         d.withColumn(c, ScalarFns.numericScrubRounded(qcol(c)))
       } else d
     }
@@ -73,7 +98,9 @@ object Transform {
     val cleaned = ScalarFns.sentinelsToNull(
       ScalarFns.trimStringCols(projected))
 
-    // e. A5 — stats pass 2 on the final projection
-    Profiling.dropAllNullColumns(cleaned)
+    // e. A5 — resolved from the same stats row (empty input: keep schema)
+    if (total == 0) cleaned
+    else cleaned.select(
+      df.columns.filter(c => finalNonNull(c) > 0L).map(qcol).toSeq: _*)
   }
 }
