@@ -28,7 +28,8 @@ object Bench {
     val headline = Registry.all.filter(_.bench)
     def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()
-      q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+      try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+      finally graft.pipeline.CacheScope.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
     val results = headline.map { q =>

@@ -23,12 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Word n-gram shingles, de-duplicated per document. */
+  /** Word n-gram shingles, de-duplicated per document. Documents with
+    * fewer than `n` tokens yield an empty array (the contract
+    * [[graft.functions.ShingleHashes]] implements natively) — the guard is
+    * load-bearing: Spark's `sequence(1, 0)` is the DESCENDING array
+    * `[1, 0]` (not empty like DuckDB's generate_series), and `slice` then
+    * throws on the 0 start index. */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextStats.tokens(text)
     array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Portable 32-bit hash of a shingle under seed `i`: first 8 hex chars of

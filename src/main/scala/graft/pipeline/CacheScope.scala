@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic lifetime for mid-pipeline caches.
+  *
+  * Operators that must materialize statistics before building their final
+  * plan (e.g. [[Transform]]'s fused stats pass) persist their input so the
+  * caller's action does not recompute the upstream lineage. But a bare
+  * `persist` with no matching `unpersist` leaks storage: invoked per
+  * micro-batch (StreamPipeline) or per bench rep, cached blocks accumulate
+  * until GC-driven cleanup happens to run — unbounded memory/disk growth
+  * under sustained load, and eviction thrash under storage pressure.
+  *
+  * This registry makes release explicit: operators register through
+  * [[persist]], and every driver-side consumer calls [[releaseAll]] once
+  * its materializing action (write/collect) completes. Contract: release
+  * AFTER the action — the returned plans reference the cached data
+  * lazily.
+  */
+object CacheScope {
+
+  private val active = new ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` (memory-then-disk) and register it for the next
+    * [[releaseAll]]. If an identical plan is already cached (e.g. a caller
+    * pre-cached the input), the frame is neither re-persisted nor
+    * registered — ownership stays with whoever cached it first. */
+  def persist(df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      active.add(df)
+    }
+    df
+  }
+
+  /** Unpersist every registered frame. Idempotent; non-blocking (block
+    * deletion proceeds asynchronously, correctness never depends on it). */
+  def releaseAll(): Unit = {
+    var df = active.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = active.poll()
+    }
+  }
+}

@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
-import org.apache.spark.storage.StorageLevel
 
 import graft.ops.{qcol, Projections, ScalarFns}
 
@@ -27,13 +26,15 @@ import graft.ops.{qcol, Projections, ScalarFns}
   * the A5 column drop all resolve from a single tiny driver-side row.
   * One stats action + the caller's action = exactly two passes over the
   * input, which is persisted (memory-then-disk) across them so upstream
-  * shuffles (e.g. a preceding dedup) never re-execute.
+  * shuffles (e.g. a preceding dedup) never re-execute. The cache is
+  * registered with [[CacheScope]] — callers release it deterministically
+  * after their materializing action, so per-micro-batch / per-rep
+  * invocations never accumulate storage.
   */
 object Transform {
 
   def apply(df0: DataFrame): DataFrame = {
-    val df = Projections.normalizeColumnNames(df0)
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    val df = CacheScope.persist(Projections.normalizeColumnNames(df0))
 
     val stringCols = df.schema.fields
       .filter(_.dataType == StringType).map(_.name).toSet

@@ -57,21 +57,23 @@ object StreamPipeline {
   /** Class dispatch → cleaner → cleaned-CSV sinks (K2). Shared by the
     * streaming foreachBatch and the batch driver. */
   def cleanAndWrite(df: DataFrame, cls: CsvSource.FileClass,
-      outDir: String): Unit = cls match {
-    case CsvSource.AmazonSale =>
-      val (clean, flagged) = Cleaners.amazon(df)
-      Sinks.writeCsv(clean, s"$outDir/amazon_sale")
-      if (!Projections.isEmpty(flagged))
-        Sinks.writeCsv(flagged, s"$outDir/amazon_sale_duplicates")
-    case CsvSource.PlainSale =>
-      Sinks.writeCsv(Cleaners.sale(df), s"$outDir/sale")
-    case CsvSource.InternationalSale =>
-      val (p1, p2) = Cleaners.international(df)
-      Sinks.writeCsv(p1, s"$outDir/international_1")
-      if (!Projections.isEmpty(p2))
-        Sinks.writeCsv(p2, s"$outDir/international_2")
-    case CsvSource.Unrecognized => () // reference skips (:721-722)
-  }
+      outDir: String): Unit = try {
+    cls match {
+      case CsvSource.AmazonSale =>
+        val (clean, flagged) = Cleaners.amazon(df)
+        Sinks.writeCsv(clean, s"$outDir/amazon_sale")
+        if (!Projections.isEmpty(flagged))
+          Sinks.writeCsv(flagged, s"$outDir/amazon_sale_duplicates")
+      case CsvSource.PlainSale =>
+        Sinks.writeCsv(Cleaners.sale(df), s"$outDir/sale")
+      case CsvSource.InternationalSale =>
+        val (p1, p2) = Cleaners.international(df)
+        Sinks.writeCsv(p1, s"$outDir/international_1")
+        if (!Projections.isEmpty(p2))
+          Sinks.writeCsv(p2, s"$outDir/international_2")
+      case CsvSource.Unrecognized => () // reference skips (:721-722)
+    }
+  } finally graft.pipeline.CacheScope.releaseAll() // per-batch: no leak
 
   /** Event-time windowed aggregation with watermarking over the events
     * stream — the §2.8 extension surface (absent in the reference). */

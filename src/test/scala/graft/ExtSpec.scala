@@ -138,6 +138,25 @@ class ExtSpec extends SparkSpec {
     if (exact.nonEmpty) assert(lsh.size.toDouble / exact.size > 0.5)
   }
 
+  test("shingles: documents shorter than n tokens yield an empty array") {
+    // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
+    // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
+    val df = Seq(
+      (0L, ""), (1L, "one"), (2L, "two tokens"),
+      (3L, "exactly three tokens"), (4L, "now four whole tokens"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextDedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(0L).isEmpty && out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L) == Seq("exactly three tokens"))
+    assert(out(4L).size == 2)
+    // the downstream signatures must also survive short docs end-to-end
+    val sig = df.select(TextDedup.simhash(col("text"), 3),
+      TextDedup.minhashSignature(col("text"), 3, 4)).collect()
+    assert(sig.length == 5)
+  }
+
   test("simhash: near-identical docs collide, distinct docs do not") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
