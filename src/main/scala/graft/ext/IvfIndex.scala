@@ -3,7 +3,6 @@ package graft.ext
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.FloatVecDot.float_dot
@@ -30,10 +29,21 @@ object IvfIndex {
   }
 
   /** Train centroids with ml.KMeans (seeded → reproducible for a fixed
-    * input partitioning). */
+    * input partitioning). Corpora above `maxTrainVectors` are seeded-sampled
+    * down first: k-means needs only a representative sample to place
+    * `nlist` centroids, and fitting the FULL corpus would make the trainer
+    * itself the dominant job at 100 TB. The index/search contract already
+    * tolerates approximate centroids (any centroid set partitions the
+    * corpus; quality degrades gracefully), so sampling changes recall by
+    * ~nothing and cost by |corpus|/maxTrainVectors. */
   def train(emb: DataFrame, nlist: Int, seed: Long = 42L,
-      maxIter: Int = 20): Model = {
-    val feats = emb.select(
+      maxIter: Int = 20, maxTrainVectors: Long = 100000L): Model = {
+    val n = emb.count()
+    val sampled =
+      if (n > maxTrainVectors)
+        emb.sample(withReplacement = false, maxTrainVectors.toDouble / n, seed)
+      else emb
+    val feats = sampled.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
     val model = km.fit(feats)
@@ -84,10 +94,6 @@ object IvfIndex {
     val scored = corpus.join(broadcast(queries), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    Similarity.topKPerQuery(scored, k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2.10).
@@ -38,6 +37,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Per-query top-k over a scored (query_id, neighbor_id, cos) frame via
+    * the bounded-heap aggregate [[graft.functions.TopKAgg]] — partial
+    * aggregation shrinks candidates to ≤k per (query, partition) map-side,
+    * so no single reducer ever sees the full scored corpus (the
+    * `row_number().over(partitionBy(query_id))` form it replaces funneled
+    * ALL scored rows through one task per query). Same total order as the
+    * window form: cos desc (pre-rounded 6 dp), neighbor_id asc —
+    * bit-identical results. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k(
+        col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos"), col("t.rank").as("rank"))
+
   /** Brute-force top-k cosine neighbors for a query subset (`queryPred`
     * selects the query vectors, e.g. `vec_id < 8`). Excludes self-matches.
     */
@@ -50,11 +65,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Sign-bucket key from the first `bits` dimensions: the trivial,
@@ -77,11 +88,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Per-label centroids, emitted flat as (label, dim, value): posexplode →
@@ -93,15 +100,33 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
 
   /** Embedding-cosine near-duplicate pairs within sign buckets: the
-    * embedding-space analogue of MinHash near-dedup. */
+    * embedding-space analogue of MinHash near-dedup.
+    *
+    * Skew guard: real embeddings cluster, so one hot sign bucket can hold
+    * a large fraction of the corpus and the within-bucket self-join
+    * reverts to n² ON ONE TASK. A cheap per-bucket count (≤2^bits rows,
+    * broadcast back) decides a salt factor `s = ⌈|bucket|/maxBucketRows⌉`;
+    * the left side partitions its rows across `s` salts (`id mod s`) and
+    * the right side replicates to every salt — the standard skew-join
+    * replication, preserving EXACTLY the all-pairs-within-bucket result
+    * while bounding per-task work to O(maxBucketRows·|bucket|) across `s`
+    * parallel tasks instead of O(|bucket|²) on one. */
   def cosineNearDups(
-      emb: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+      emb: DataFrame, threshold: Double, bits: Int = 8,
+      maxBucketRows: Long = 100000L): DataFrame = {
     val withBucket = emb.withColumn("bucket", signBucket(col("embedding"), bits))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("bucket"))
+    val salts = withBucket.groupBy("bucket")
+      .agg(ceil(count(lit(1)).cast("double") / maxBucketRows)
+        .cast("int").as("nsalt"))
+    val a = withBucket.join(broadcast(salts), Seq("bucket"))
+      .select(col("bucket"),
+        pmod(col("vec_id"), col("nsalt").cast("long")).cast("int").as("salt"),
+        col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = withBucket.join(broadcast(salts), Seq("bucket"))
+      .select(col("bucket"),
+        explode(sequence(lit(0), col("nsalt") - 1)).as("salt"),
+        col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)

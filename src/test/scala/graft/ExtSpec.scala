@@ -84,6 +84,52 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDups skew guard: salted hot bucket = unsalted pair set") {
+    // 60 vectors, ALL in one sign bucket (positive coords) — the skew case
+    val skewed = spark.range(60).select(col("id").as("vec_id"),
+      array((lit(1.0) + col("id").cast("double") / 100).cast("float"),
+        lit(0.5f), lit(0.25f), lit(0.125f)).as("embedding"))
+    def pairSet(maxBucketRows: Long) =
+      Similarity.cosineNearDups(skewed, 0.9, bits = 4, maxBucketRows)
+        .select("id_a", "id_b", "cos").as[(Long, Long, Double)]
+        .collect().toSet
+    val unsalted = pairSet(maxBucketRows = 1000000L) // nsalt = 1 everywhere
+    val salted = pairSet(maxBucketRows = 10L)        // nsalt = 6 in the bucket
+    assert(unsalted.nonEmpty)
+    assert(salted == unsalted) // replication preserves the exact result
+  }
+
+  test("bounded-heap top-k: matches window ranking incl. ties; no Window node") {
+    import org.apache.spark.sql.expressions.Window
+    // deliberate ties: score = id % 3 → many equal scores per query,
+    // tie-break must pick LOWER neighbor_id first
+    val scored = spark.range(200).select(
+      (col("id") % 4).as("query_id"),
+      col("id").as("neighbor_id"),
+      (col("id") % 3).cast("double").as("cos"))
+    val viaAgg = Similarity.topKPerQuery(scored, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // fewer candidates than k: all rows come back, ranked densely
+    val tiny = spark.range(3).select(lit(0L).as("query_id"),
+      col("id").as("neighbor_id"), col("id").cast("double").as("cos"))
+    val got = Similarity.topKPerQuery(tiny, 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSeq == Seq(2L, 1L, 0L))
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3))
+    // the scale-killer is gone: no Window in the physical plan
+    val plan = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
   test("IVF: clusters partition the corpus; search scores match exact path") {
     val model = graft.ext.IvfIndex.train(emb, nlist = 4)
     assert(model.nlist == 4)
