@@ -204,14 +204,33 @@ object ParityQueries {
     (s, d) => Profiling.profile(Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))),
     Some {
-      def one(c: String) =
+      // mirrors Profiling.profile's decimal-sum mean/std and interpolated
+      // quartiles (quantile_cont ≡ Spark's exact `percentile`), all 6 dp
+      def one(c: String, numeric: Boolean) = {
+        val dsum = s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+        val dsq =
+          s"CAST(sum(CAST(CAST($c AS DOUBLE)*CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)"
+        val stats =
+          if (numeric) s"""
+            CASE WHEN count($c) > 0 THEN round($dsum / count($c), 6) END AS mean,
+            CASE WHEN count($c) > 1 THEN round(sqrt(greatest(0.0,
+              ($dsq - $dsum * $dsum / count($c)) / (count($c) - 1))), 6) END AS std,
+            round(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS q25,
+            round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS median,
+            round(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS q75"""
+          else """
+            CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+            CAST(NULL AS DOUBLE) AS q25, CAST(NULL AS DOUBLE) AS median,
+            CAST(NULL AS DOUBLE) AS q75"""
         s"""SELECT '$c' AS "column", count($c) AS non_null,
           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
           count(DISTINCT $c) AS "distinct",
-          CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max
+          CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max,
+          $stats
           FROM lineitem"""
-      Seq("l_orderkey", "l_quantity", "l_returnflag").map(one)
-        .mkString(" UNION ALL ")
+      }
+      Seq("l_orderkey" -> true, "l_quantity" -> true, "l_returnflag" -> false)
+        .map { case (c, n) => one(c, n) }.mkString(" UNION ALL ")
     })
 
   val a2 = Q(

@@ -118,4 +118,34 @@ class OpsSpec extends SparkSpec {
     assert(Projections.isEmpty(Seq.empty[(Int, String)].toDF("a", "b")))
     assert(!Projections.isEmpty(Seq((1, "x")).toDF("a", "b")))
   }
+
+  test("A1 profile: describe-parity stats, nulls for non-numeric, ddof=1") {
+    val df = Seq(
+      (1.0: java.lang.Double, "x"), (2.0: java.lang.Double, "y"),
+      (3.0: java.lang.Double, null), (null: java.lang.Double, "y"))
+      .toDF("num", "str")
+    val rows = Profiling.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = rows("num")
+    assert(n.getLong(1) == 3 && n.getLong(2) == 1 && n.getLong(3) == 3)
+    assert(n.getDouble(6) == 2.0)           // mean of 1,2,3
+    assert(n.getDouble(7) == 1.0)           // sample std (ddof=1)
+    assert(n.getDouble(8) == 1.5 && n.getDouble(9) == 2.0
+      && n.getDouble(10) == 2.5)            // interpolated quartiles
+    val s = rows("str")
+    assert(s.getLong(1) == 3 && s.getLong(2) == 1)
+    (6 to 10).foreach(i => assert(s.isNullAt(i))) // non-numeric → null stats
+    // single-input-scan plan: no union of per-column aggregates
+    val plan = Profiling.profile(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"))
+  }
+
+  test("A1 profile: n=1 column has null std, n=0 column has null stats") {
+    val df = Seq((java.lang.Double.valueOf(5.0), null: java.lang.Double))
+      .toDF("one", "none")
+    val rows = Profiling.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("one").getDouble(6) == 5.0 && rows("one").isNullAt(7))
+    (6 to 10).foreach(i => assert(rows("none").isNullAt(i)))
+  }
 }
