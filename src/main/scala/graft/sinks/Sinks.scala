@@ -32,19 +32,6 @@ object Sinks {
     }
   }
 
-  /** K3 — DDL for the four sink tables, kept as explicit SQL run once from
-    * the driver before any partition writes (ecommerce_s3_to_pg.py:450-533).
-    */
-  val amazonSaleDdl: String =
-    """CREATE TABLE IF NOT EXISTS amazon_sale (
-      |  order_id TEXT, date DATE, status TEXT, fulfillment TEXT,
-      |  sales_channel TEXT, ship_service_level TEXT, sku TEXT,
-      |  category TEXT, size TEXT, asin TEXT, courier_status TEXT,
-      |  quantity INTEGER, amount FLOAT, ship_city TEXT, ship_state TEXT,
-      |  ship_postal_code FLOAT, ship_country TEXT, b2b TEXT,
-      |  loaded_at TIMESTAMP, created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
-      |  PRIMARY KEY (order_id, date))""".stripMargin
-
   /** D3/K4 — idempotent upsert: the reference's
     * `INSERT ... ON CONFLICT (order_id, date) DO NOTHING`
     * (ecommerce_s3_to_pg.py:541-549). Spark's JDBC sink has no upsert, so
@@ -62,6 +49,13 @@ object Sinks {
       s"ON CONFLICT (${conflictCols.mkString(", ")}) DO NOTHING"
   }
 
+  /** Plain positional insert statement (the reference's non-conflict
+    * `INSERT INTO t (cols) VALUES %s`, ecommerce_s3_to_pg.py:552-566). */
+  def insertSql(table: String, columns: Seq[String]): String = {
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES ($placeholders)"
+  }
+
   /** K4/K6 executor-side writer. `connect` is a serializable factory so
     * tests can inject an embedded connection; production passes a
     * DriverManager lambda. Batched like psycopg2's execute_values. */
@@ -70,9 +64,20 @@ object Sinks {
       table: String,
       conflictCols: Seq[String],
       connect: () => Connection,
+      batchSize: Int = 1000): Unit =
+    writePartitions(df, upsertSql(table, df.columns.toSeq, conflictCols),
+      connect, batchSize)
+
+  /** Executor-side batched writer for an arbitrary positional-parameter
+    * statement over the frame's columns (in column order). Per-partition
+    * connection + transaction; see K6 notes on [[upsertSql]] — for
+    * all-or-nothing loads use [[PgLoad.loadAllStaged]]. */
+  def writePartitions(
+      df: DataFrame,
+      sql: String,
+      connect: () => Connection,
       batchSize: Int = 1000): Unit = {
     val columns = df.columns.toSeq
-    val sql = upsertSql(table, columns, conflictCols)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = connect()

@@ -119,6 +119,20 @@ class OpsSpec extends SparkSpec {
     assert(!Projections.isEmpty(Seq((1, "x")).toDF("a", "b")))
   }
 
+  test("F9 timestampedKey: UTC-stamped object key shape") {
+    val at = java.time.Instant.parse("2024-01-02T03:04:05Z")
+    assert(ScalarFns.timestampedKey("cleaned-zone", "amazon_sale", at)
+      == "cleaned-zone/amazon_sale_2024-01-02_03-04-05.csv")
+  }
+
+  test("F10 withAudit: appends loaded_at + data_source literal columns") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-02 03:04:05")
+    val out = ScalarFns.withAudit("part1", ts)(Seq("a").toDF("c"))
+    assert(out.columns.toSeq == Seq("c", "loaded_at", "data_source"))
+    val row = out.collect()(0)
+    assert(row.getTimestamp(1) == ts && row.getString(2) == "part1")
+  }
+
   test("A1 profile: describe-parity stats, nulls for non-numeric, ddof=1") {
     val df = Seq(
       (1.0: java.lang.Double, "x"), (2.0: java.lang.Double, "y"),
