@@ -419,8 +419,144 @@ object ParityQueries {
       WHERE c = 1"""),
     bench = true)
 
+  /** Full clean_sale pipeline end-to-end (ecommerce_s3_to_pg.py:298-335):
+    * messy sale-report shape derived deterministically from `part` (exact
+    * dup rows, blank rows, sentinel NAs, spaced numerics, an all-null
+    * column), run through the REAL `Cleaners.sale` chain (P1→D1→P4→
+    * Transform→P3 design_no. rename), oracle replicating each stage. */
+  val saleE2e = Q(
+    "sale_pipeline_e2e",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val k = col("p_partkey")
+      def messy(src: org.apache.spark.sql.DataFrame) = src.select(
+        k.cast("int").as("index"),
+        when(k % 53 === 0, lit(null))
+          .otherwise(concat(lit(" SKU"), k.cast("string"), lit(" ")))
+          .as("SKU Code"),
+        when(k % 53 === 0, lit(null))
+          .when(k % 17 === 0, lit("NA"))
+          .otherwise(concat(lit("D"), (k % 100).cast("string")))
+          .as("Design No."),
+        when((k % 53 === 0) || (k % 43 === 0), lit(null))
+          .when(k % 29 === 0, lit("n/a"))
+          .otherwise(concat(lit(" "), (k % 500).cast("string"), lit(" ")))
+          .as("Stock"),
+        when(k % 53 === 0, lit(null))
+          .otherwise(element_at(
+            array(lit("Kurta"), lit("Top"), lit("Dress"), lit("Saree")),
+            (k % 4).cast("int") + 1)).as("Category"),
+        when(k % 53 === 0, lit(null))
+          .otherwise(element_at(array(lit("S"), lit("M"), lit("L"), lit("XL")),
+            (k % 4).cast("int") + 1)).as("Size"),
+        when((k % 53 === 0) || (k % 41 === 0), lit(null))
+          .otherwise(concat(lit("Color"), (k % 7).cast("string")))
+          .as("Color"),
+        lit(null).cast("string").as("Ghost Col"))
+      val raw = messy(p).unionAll(messy(p.filter(k % 101 === 0)))
+      graft.pipeline.Cleaners.sale(raw)
+    },
+    Some("""SELECT
+        'SKU' || CAST(p_partkey AS VARCHAR) AS sku_code,
+        CASE WHEN p_partkey % 17 = 0 THEN NULL
+             ELSE 'D' || CAST(p_partkey % 100 AS VARCHAR) END AS design_no,
+        CASE WHEN p_partkey % 43 = 0 OR p_partkey % 29 = 0 THEN NULL
+             ELSE round(CAST(p_partkey % 500 AS DOUBLE), 2) END AS stock,
+        list_extract(['Kurta','Top','Dress','Saree'],
+          CAST(p_partkey % 4 AS INT) + 1) AS category,
+        list_extract(['S','M','L','XL'],
+          CAST(p_partkey % 4 AS INT) + 1) AS "size",
+        CASE WHEN p_partkey % 41 = 0 THEN NULL
+             ELSE 'Color' || CAST(p_partkey % 7 AS VARCHAR) END AS color
+      FROM part WHERE p_partkey % 53 != 0"""))
+
+  /** Messy international-report shape shared by the two e2e queries below:
+    * derived from `orders` with an EMBEDDED SECOND HEADER row (O1) at
+    * `__row_idx` 30001 whose cells are all-alphabetic column names — the
+    * part2 header carries `gross amt`, exercising the normalize + dead
+    * `gross_amt`→`gross_amount` rename intent. Exact dups (higher row
+    * idx, D1 keep-first), blank rows (P4), sentinel months, currency
+    * rates, unparseable dates included. */
+  private def intlRaw(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val o = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    def messy(src: org.apache.spark.sql.DataFrame, idxOffset: Long) = src.select(
+      k.cast("int").as("index"),
+      when(k % 53 === 0, lit(null))
+        .when(k % 11 === 3, lit("not a date"))
+        .otherwise(date_format(col("o_orderdate"), "MM/dd/yyyy")).as("DATE"),
+      when(k % 53 === 0, lit(null))
+        .when(k % 37 === 0, lit("NA"))
+        .otherwise(upper(date_format(col("o_orderdate"), "MMM"))).as("Months"),
+      when(k % 53 === 0, lit(null))
+        .otherwise(concat(lit(" Cust "), (k % 50).cast("string")))
+        .as("CUSTOMER"),
+      when(k % 53 === 0, lit(null))
+        .otherwise(concat(lit("St-"), (k % 30).cast("string"))).as("Style"),
+      when(k % 53 === 0, lit(null))
+        .otherwise(concat(lit("sku"), (k % 200).cast("string"))).as("SKU"),
+      when(k % 53 === 0, lit(null))
+        .otherwise(element_at(
+          array(lit("s"), lit("m"), lit("l"), lit("xl"), lit("xxl")),
+          (k % 5).cast("int") + 1)).as("Size"),
+      when(k % 53 === 0, lit(null))
+        .when(k % 29 === 0, lit("n/a"))
+        .otherwise((k % 7 + 1).cast("string")).as("PCS"),
+      when(k % 53 === 0, lit(null))
+        .otherwise(concat(lit(" $"), (k % 90 + 10).cast("string"), lit(".5 ")))
+        .as("RATE"),
+      when(k % 53 === 0, lit(null))
+        .otherwise(concat(lit("$"), col("o_totalprice").cast("string")))
+        .as("GROSS AMT"),
+      (k * 2 + idxOffset).as("__row_idx"))
+    val pivot = o.sparkSession.range(1).select(
+      lit(999999).cast("int").as("index"),
+      lit("date").as("DATE"), lit("months").as("Months"),
+      lit("customer").as("CUSTOMER"), lit("style").as("Style"),
+      lit("sku").as("SKU"), lit("size").as("Size"),
+      lit("pcs").as("PCS"), lit("rate").as("RATE"),
+      lit("gross amt").as("GROSS AMT"),
+      lit(15001L).as("__row_idx")) // between k=7500 and k=7501 at every SF
+    messy(o, 0L).unionAll(messy(o.filter(k % 101 === 0), 200000L))
+      .unionAll(pivot)
+  }
+
+  private def intlOracle(pred: String) =
+    s"""SELECT
+        CASE WHEN o_orderkey % 11 = 3 THEN NULL
+             ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date,
+        CASE WHEN o_orderkey % 37 = 0 THEN NULL
+             ELSE monthname(o_orderdate) END AS months,
+        'CUST ' || CAST(o_orderkey % 50 AS VARCHAR) AS customer,
+        'ST-' || CAST(o_orderkey % 30 AS VARCHAR) AS style,
+        'SKU' || CAST(o_orderkey % 200 AS VARCHAR) AS sku,
+        upper(list_extract(['s','m','l','xl','xxl'],
+          CAST(o_orderkey % 5 AS INT) + 1)) AS "size",
+        CASE WHEN o_orderkey % 29 = 0 THEN NULL
+             ELSE round(CAST(o_orderkey % 7 + 1 AS DOUBLE), 2) END AS pcs,
+        round(CAST(o_orderkey % 90 + 10 AS DOUBLE) + 0.5, 2) AS rate,
+        round(o_totalprice, 2) AS gross_amount
+      FROM orders WHERE o_orderkey % 53 != 0 AND $pred"""
+
+  /** clean_international_sale end-to-end, part 1 (rows before the embedded
+    * header; ecommerce_s3_to_pg.py:337-421): D1 keep-first → P4 → P1 →
+    * P3 → O1 split → Transform → F1. */
+  val intlE2ePart1 = Q(
+    "international_pipeline_e2e_part1",
+    (s, d) => graft.pipeline.Cleaners.international(intlRaw(s, d))._1,
+    Some(intlOracle("o_orderkey <= 7500")))
+
+  /** Part 2: rows after the embedded header, re-headered from the pivot
+    * row's cells (`gross amt` → normalized `gross_amt` → renamed
+    * `gross_amount`), then the same Transform + F1 chain. */
+  val intlE2ePart2 = Q(
+    "international_pipeline_e2e_part2",
+    (s, d) => graft.pipeline.Cleaners.international(intlRaw(s, d))._2,
+    Some(intlOracle("o_orderkey >= 7501")),
+    bench = true)
+
   def all: Seq[Q] = Seq(
-    amazonE2e,
+    amazonE2e, saleE2e, intlE2ePart1, intlE2ePart2,
     p1, p2, p3, p4, p5, p6,
     f1, f2, f3, f4, f5a, f5b, f6, f7,
     a1, a2, a5,
