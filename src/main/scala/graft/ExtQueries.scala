@@ -263,8 +263,12 @@ object ExtQueries {
         .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload")),
       "payload")
       .select(col("doc_id"), col("byte_len"), col("digest"), col("head_hex")),
-    Some("""SELECT doc_id, length(text) AS byte_len, md5(text) AS digest,
-      lower(hex(substring(text, 1, 4))) AS head_hex
+    // BYTE semantics on both sides (Spark computes over the binary
+    // payload): octet_length / first-4-BYTES hex, not character ops —
+    // equal on ASCII but the oracle must encode the true contract
+    Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      md5(text) AS digest,
+      lower(left(hex(encode(text)), 8)) AS head_hex
       FROM documents"""))
 
   val mmFeatures = Q(

@@ -15,15 +15,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * is semantically identical but runs interpreted (higher-order-function
   * lambdas never enter codegen), allocating a zipped array per row. This
   * expression generates a tight primitive loop instead: no allocation, no
-  * lambda dispatch, same strict left-to-right summation order (so results
-  * are bit-identical to the HOF form and to the DuckDB oracle's
+  * lambda dispatch, same strict left-to-right summation order — so for
+  * EQUAL-LENGTH, NON-NULL `ARRAY<FLOAT>` inputs (the embeddings contract)
+  * results are bit-identical to the HOF form and to the DuckDB oracle's
   * list_dot_product at the 6-dp rounding grain used by the similarity
-  * queries). Preference order per SURVEY §7.3: built-ins first, custom
-  * Expression only where built-ins can't express it *efficiently* — this
-  * is the one hot-loop case (N dot products per candidate pair at 100 TB).
-  *
-  * Null elements inside the arrays are treated as 0 (embeddings are
-  * non-null by contract; the guard keeps eval total).
+  * queries. Outside that contract the two differ by design: the HOF form
+  * returns NULL on length mismatch (zip_with pads with nulls) or null
+  * elements, while this expression computes a min-length partial sum
+  * treating null elements as 0, keeping eval total. Preference order per
+  * SURVEY §7.3: built-ins first, custom Expression only where built-ins
+  * can't express it *efficiently* — this is the one hot-loop case
+  * (N dot products per candidate pair at 100 TB).
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -165,6 +165,16 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal meta is BYTE-semantic, not character-semantic") {
+    // é and ö are 2 UTF-8 bytes: 11 chars → 13 bytes; head = h,é,l bytes
+    val df = Seq("héllo wörld").toDF("t")
+      .select(Multimodal.asPayload(col("t")).as("payload"))
+    val r = Multimodal.withPayloadMeta(df, "payload")
+      .select("byte_len", "head_hex").head()
+    assert(r.getInt(0) == 13)
+    assert(r.getString(1) == "68c3a96c")
+  }
+
   test("multimodal: chunk sampling strides over payload bytes") {
     val df = Seq("abcdefghijklmnopqrstuvwxyz").toDF("t")
       .select(Multimodal.asPayload(col("t")).as("p"))
