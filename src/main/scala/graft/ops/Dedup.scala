@@ -14,12 +14,27 @@ object Dedup {
 
   /** D1 variant for order-carrying frames: dedup on the data columns only,
     * keeping the first occurrence in file order (the pandas
-    * `drop_duplicates()` contract when a positional index rides along). */
+    * `drop_duplicates()` contract when a positional index rides along).
+    *
+    * When `subset` covers every column except the order column — the
+    * whole-row case both cleaners use — the kept row IS its group key, so
+    * a hash aggregate (`groupBy(subset).min(order)`) reproduces keep-first
+    * exactly with map-side partial aggregation and NO sort. Only when
+    * extra non-key columns must survive from the kept row does the
+    * sort-based window run. */
   def dropDuplicateRowsKeepingFirst(subset: Seq[String], orderCol: String)(
       df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(subset.map(qcol): _*).orderBy(qcol(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val others =
+      df.columns.filterNot(c => subset.contains(c) || c == orderCol)
+    if (others.isEmpty) {
+      df.groupBy(subset.map(qcol): _*)
+        .agg(min(qcol(orderCol)).as(orderCol))
+        .select(df.columns.toSeq.map(qcol): _*)
+    } else {
+      val w = Window.partitionBy(subset.map(qcol): _*).orderBy(qcol(orderCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** D2 — key-conflict split (ecommerce_s3_to_pg.py:274-289): rows whose

@@ -60,12 +60,16 @@ object Cleaners {
       else OrderedSplit.withRowIndex(df0)
 
     val dataCols = indexed.columns.filterNot(_ == idx).toSeq
-    val prepared = indexed
+    // Persisted (scope-released): the O1 split takes two driver actions
+    // (pivot min + pivot row) and each part's Transform takes a stats
+    // action — without the cache the D1 dedup shuffle would re-execute
+    // for every one of those five consumers.
+    val prepared = CacheScope.persist(indexed
       .transform(Dedup.dropDuplicateRowsKeepingFirst(dataCols, idx)) // D1
       .transform(Projections.rowNullRatioBelow(0.5, Seq(idx))) // P4
       .transform(Projections.dropColumns(Seq("index")))        // P1
       .transform(Projections.renameColumns(
-        Map("GROSS AMT" -> "gross_amount")))                   // P3
+        Map("GROSS AMT" -> "gross_amount"))))                  // P3
 
     val cols = prepared.columns.filterNot(_ == idx).toSeq
     val (part1Raw, part2RawOpt) = OrderedSplit.embeddedHeaderSplit(
