@@ -213,7 +213,35 @@ object AnalyticsQueries {
       FROM events GROUP BY 1, 2"""),
     bench = true)
 
+  /** Per-user session windows via the native `session_window` aggregate
+    * (graft.streaming.SessionWindows; §2.8 extension). Oracle replicates
+    * the gap-merge with the standard lag + cumulative-sum rewrite: a new
+    * session starts when the µs gap to the previous event is ≥ the 4-hour
+    * gap (session windows are [start, last+gap) half-open). */
+  val qSessions = Q(
+    "q_sessions_gap",
+    (s, d) => graft.streaming.SessionWindows.sessions(
+      Tables.events(s, d), "4 hours"),
+    Some(s"""WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS seq
+        FROM g)
+      SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+        count(*) AS n_events, ${dsumSql("value")} AS total_value
+      FROM sess GROUP BY user_id, seq"""),
+    bench = true)
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
-    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly)
+    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions)
 }

@@ -54,6 +54,65 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == expected)
   }
 
+  test("session windows: custom flatMapGroupsWithState == native session_window") {
+    import spark.implicits._
+    import graft.streaming.SessionWindows
+    val gapUs = 4L * 3600 * 1000000
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val native = SessionWindows.sessions(events, "4 hours")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    val custom = SessionWindows.sessionizeWithState(
+      events.select(col("user_id"), col("ts"), col("value"))
+        .as[SessionWindows.SessionEvent], gapUs)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(native.nonEmpty)
+    assert(custom == native)
+  }
+
+  test("session windows stream: event-time timeout closes sessions finally") {
+    import spark.implicits._
+    import graft.streaming.SessionWindows
+    implicit val sq = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Double)]
+    val q = SessionWindows.sessionizeStream(
+      in.toDF.toDF("user_id", "ts", "value"), gapUs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10s apart (one open session)
+      in.addData((1L, at(0), 1.0), (1L, at(10), 2.0))
+      q.processAllAvailable()
+      // batch 2: user 2 far in the future advances the watermark past
+      // user 1's last_event + gap → user 1's timeout becomes eligible
+      in.addData((2L, at(3 * 3600), 5.0))
+      q.processAllAvailable()
+      // batch 3: another trigger lets the timed-out group fire
+      in.addData((2L, at(3 * 3600 + 5), 6.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select(col("user_id"), col("n_events"), col("total_value"))
+        .as[(Long, Long, Double)].collect()
+      val u1 = out.filter(_._1 == 1L)
+      assert(u1.length == 1)
+      assert(u1.head._2 == 2 && u1.head._3 == 3.0)
+      // user 2's session is still open (watermark has not passed it)
+      assert(!out.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("BatchMain: routes all three classes + skips unrecognized") {
     val landing = Files.createTempDirectory("landing2").toFile
     val out = Files.createTempDirectory("out2").toString
