@@ -29,7 +29,7 @@ object Bench {
     def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-      finally graft.pipeline.CacheScope.releaseAll()
+      finally graft.ops.CacheScope.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
     val results = headline.map { q =>

@@ -20,7 +20,7 @@ object Dev {
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      graft.pipeline.CacheScope.releaseAll()
+      graft.ops.CacheScope.releaseAll()
       println(f"[dev] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     fn(spark, sfDir).explain("formatted")

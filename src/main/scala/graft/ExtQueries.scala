@@ -127,17 +127,25 @@ object ExtQueries {
     "ext_dedup_ngram_jaccard",
     (s, d) => TextDedup.ngramJaccardPairs(
       Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.2),
+    // same 32-bit hash-set measure as the MinHash verify step (mirror of
+    // ShingleHashes), so Spark and the oracle compute the identical
+    // Jaccard even in the (astronomically unlikely) collision case
     Some(s"""WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents),
       sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
+      hs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(sh,
+            x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT))) AS hs
+        FROM sh),
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+          round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+            / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6)
             AS jaccard,
-          len(list_intersect(a.sh, b.sh)) AS inter
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          len(list_intersect(a.hs, b.hs)) AS inter
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, jaccard FROM pairs
       WHERE jaccard >= 0.2 AND inter > 0"""))
 

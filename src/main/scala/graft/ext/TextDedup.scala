@@ -135,22 +135,28 @@ object TextDedup {
 
   /** All-pairs n-gram Jaccard over an inverted shingle index — the exact
     * baseline used to verify LSH recall (quadratic per shared shingle;
-    * not the 100 TB path). */
+    * not the 100 TB path).
+    *
+    * The index carries only (hash, id, set_size) — set sizes are
+    * projected BEFORE the explode, so no shingle array ever crosses the
+    * join shuffle; shingles are the 32-bit [[graft.functions.ShingleHashes]]
+    * set (one native pass per doc), the same measure the MinHash verify
+    * step and its oracle use. */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-    val inv = withSh.select(col("id"), col("sh"),
-      explode(col("sh")).as("shingle"))
-    val a = inv.select(col("shingle"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = inv.select(col("shingle"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("shingle"))
+    val withHs = df.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingle_hashes(col(textCol), n).as("hs"))
+    val inv = withHs.select(col("id"), size(col("hs")).as("nsh"),
+      explode(col("hs")).as("h"))
+    val a = inv.select(col("h"), col("id").as("id_a"), col("nsh").as("n_a"))
+    val b = inv.select(col("h"), col("id").as("id_b"), col("nsh").as("n_b"))
+    a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"),
-        first(size(col("sh_a"))).as("size_a"),
-        first(size(col("sh_b"))).as("size_b"))
+        first(col("n_a")).as("size_a"),
+        first(col("n_b")).as("size_b"))
       .withColumn("jaccard", round(col("inter")
         / (col("size_a") + col("size_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)

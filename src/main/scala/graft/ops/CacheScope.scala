@@ -1,4 +1,4 @@
-package graft.pipeline
+package graft.ops
 
 import java.util.concurrent.ConcurrentLinkedQueue
 

@@ -42,12 +42,16 @@ object Dedup {
     * singleton keys stay clean. One window count over a single hash shuffle
     * on the key — the reference's only true window aggregation.
     *
-    * Returns (clean, flagged). Both sides share the counted plan, so with
-    * the result cached (or under AQE reuse) the shuffle happens once.
+    * Returns (clean, flagged). `cacheBothSides` persists the counted
+    * frame through [[CacheScope]] so consumers that materialize BOTH
+    * sides (the batch/stream loaders) run the window and its upstream
+    * once instead of once per side; single-side consumers leave it off.
     */
-  def conflictSplit(key: String)(df: DataFrame): (DataFrame, DataFrame) = {
-    val counted = df.withColumn(
+  def conflictSplit(key: String, cacheBothSides: Boolean = false)(
+      df: DataFrame): (DataFrame, DataFrame) = {
+    val counted0 = df.withColumn(
       "__key_count", count(lit(1)).over(Window.partitionBy(qcol(key))))
+    val counted = if (cacheBothSides) CacheScope.persist(counted0) else counted0
     val clean = counted.filter(col("__key_count") === 1).drop("__key_count")
     val flagged = counted.filter(col("__key_count") > 1).drop("__key_count")
     (clean, flagged)

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, OrderedSplit, Projections, ScalarFns}
+import graft.ops.{CacheScope, Dedup, OrderedSplit, Projections, ScalarFns}
 
 /** The three per-class cleaning pipelines (SURVEY.md §3.2-3.3), stage
   * orders exactly as the reference runs them.
@@ -11,8 +11,11 @@ import graft.ops.{Dedup, OrderedSplit, Projections, ScalarFns}
 object Cleaners {
 
   /** `clean_amazon_sale` (ecommerce_s3_to_pg.py:216-296) →
-    * (clean, flaggedDuplicates). */
-  def amazon(df0: DataFrame): (DataFrame, DataFrame) = {
+    * (clean, flaggedDuplicates). Pass `cacheSplit = true` when BOTH
+    * returned frames will be materialized (the loaders do) — the D2
+    * window and its upstream then execute once, scope-cached. */
+  def amazon(df0: DataFrame, cacheSplit: Boolean = false)
+      : (DataFrame, DataFrame) = {
     val dropCols = Seq("Unnamed: 22", "promotion-ids", "fulfilled-by",
       "Style", "currency", "index")
     val toStandardize = Seq("Status", "Courier Status", "Fulfilment",
@@ -32,7 +35,7 @@ object Cleaners {
       .transform(Projections.dropRowsNullIn(critical))         // P5
 
     if (transformed.columns.contains("order_id"))
-      Dedup.conflictSplit("order_id")(transformed)             // D2
+      Dedup.conflictSplit("order_id", cacheSplit)(transformed) // D2
     else (transformed, transformed.limit(0))
   }
 

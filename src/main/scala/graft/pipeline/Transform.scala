@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-import graft.ops.{qcol, Projections, ScalarFns}
+import graft.ops.{qcol, CacheScope, Projections, ScalarFns}
 
 /** The generic cleaning chain (`transform`, ecommerce_s3_to_pg.py:123-214) —
   * the heart of reference parity. Stage order is load-bearing (SURVEY.md

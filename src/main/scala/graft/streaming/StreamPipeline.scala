@@ -60,7 +60,7 @@ object StreamPipeline {
       outDir: String): Unit = try {
     cls match {
       case CsvSource.AmazonSale =>
-        val (clean, flagged) = Cleaners.amazon(df)
+        val (clean, flagged) = Cleaners.amazon(df, cacheSplit = true)
         Sinks.writeCsv(clean, s"$outDir/amazon_sale")
         if (!Projections.isEmpty(flagged))
           Sinks.writeCsv(flagged, s"$outDir/amazon_sale_duplicates")
@@ -73,7 +73,7 @@ object StreamPipeline {
           Sinks.writeCsv(p2, s"$outDir/international_2")
       case CsvSource.Unrecognized => () // reference skips (:721-722)
     }
-  } finally graft.pipeline.CacheScope.releaseAll() // per-batch: no leak
+  } finally graft.ops.CacheScope.releaseAll() // per-batch: no leak
 
   /** Event-time windowed aggregation with watermarking over the events
     * stream — the §2.8 extension surface (absent in the reference). */
