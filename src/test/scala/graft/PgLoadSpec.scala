@@ -210,6 +210,46 @@ class PgLoadSpec extends SparkSpec {
       .contains("ON CONFLICT"))
   }
 
+  test("runWithPg: raw landing dir → cleaned CSVs AND all four PG tables") {
+    val landing = java.nio.file.Files.createTempDirectory("pg_landing").toFile
+    val out = java.nio.file.Files.createTempDirectory("pg_out").toString
+    Seq("Amazon Sale Report_2022-04-30_10-00-00.csv",
+      "Sale Report_2022-04-30_10-00-00.csv",
+      "International Sale Report_2022-04-30_10-00-00.csv").foreach { n =>
+      java.nio.file.Files.copy(
+        new java.io.File(TestSpark.fixture(n)).toPath,
+        new java.io.File(landing, n).toPath)
+    }
+    val connect = freshDb("graftpg5")
+    PgLoad.runDdl(connect, ddls("5"))
+    val written = graft.app.BatchMain.runWithPg(
+      spark, landing.toString, out, connect, loadedAt,
+      upsertSqlFor = quotedUpsert, insertSqlFor = quotedInsert,
+      createTables = false)
+    assert(written == Seq("amazon_sale", "amazon_sale_version", "sale",
+      "international_sales", "international_sales"))
+    // same counts as the CSV zone (StreamingSpec golden numbers)
+    assert(queryLong(connect, s"SELECT count(*) FROM ${q("amazon_sale")}") == 8)
+    assert(queryLong(connect,
+      s"SELECT count(*) FROM ${q("amazon_sale_version")}") == 2)
+    assert(queryLong(connect, s"SELECT count(*) FROM ${q("sale")}") == 5)
+    assert(queryLong(connect,
+      s"""SELECT count(*) FROM ${q("international_sales")}
+          WHERE ${q("data_source")} = 'part1'""") == 4)
+    assert(queryLong(connect,
+      s"""SELECT count(*) FROM ${q("international_sales")}
+          WHERE ${q("data_source")} = 'part2'""") == 3)
+    // the CSV zone landed too, from the SAME cleaned frames
+    def readOut(sub: String) =
+      spark.read.option("header", "true").csv(s"$out/$sub")
+    assert(readOut("amazon_sale").count() == 8)
+    assert(readOut("international_2").count() == 3)
+    // every loaded row carries the audit timestamp
+    assert(queryLong(connect,
+      s"""SELECT count(*) FROM ${q("amazon_sale")}
+          WHERE ${q("loaded_at")} IS NULL""") == 0)
+  }
+
   test("loadAll skips empty frames like the reference's df.empty guards") {
     val connect = freshDb("graftpg4")
     PgLoad.runDdl(connect, ddls("4"))
