@@ -226,6 +226,43 @@ object ExtQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
+  /** Random-hyperplane LSH top-k: the planes are md5-derived integers, so
+    * the oracle reconstructs them EXACTLY (h/2^31 − 1 in double) and the
+    * bucket signs agree bit-for-bit (in-order double summation on both
+    * sides, the same contract the cosine oracles already rely on). */
+  val simLshRh = Q(
+    "ext_sim_lsh_rh_topk",
+    (s, d) => Similarity.lshTopKHyperplane(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5,
+      bits = 6, dim = 64, seed = 42),
+    Some {
+      val planeExprs = (0 until 6).map { i =>
+        val lits = (0 until 64).map { dd =>
+          s"(${Similarity.hyperplaneCoeffInt(42, i, dd)}/2147483648.0 - 1)"
+        }.mkString(", ")
+        s"""(CASE WHEN list_dot_product(emb, [$lits]) >= 0
+            THEN '1' ELSE '0' END)"""
+      }.mkString(" || ")
+      s"""WITH b AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        bk AS (SELECT vec_id, emb, $planeExprs AS bucket FROM b),
+        q AS (SELECT vec_id AS query_id, emb AS a_emb, bucket FROM bk
+              WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, emb AS b_emb, bucket FROM bk),
+        scored AS (
+          SELECT query_id, neighbor_id, $dkCos AS cos
+          FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5"""
+    })
+
   val cosineNearDup = Q(
     "ext_dedup_embedding_cosine",
     (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d), 0.5, bits = 4),
@@ -300,6 +337,6 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     textStats, quality, langid, fingerprint,
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, cosineNearDup,
-    simBrute, simLsh, simIvf, simCentroids,
+    simBrute, simLsh, simLshRh, simIvf, simCentroids,
     mmMeta, mmFeatures)
 }

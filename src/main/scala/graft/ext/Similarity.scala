@@ -74,6 +74,81 @@ object Similarity {
     concat_ws("", (0 until bits).map(i =>
       when(element_at(emb, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Seeded random-hyperplane coefficient as a portable INTEGER: the
+    * first 4 md5 bytes of "seed:plane:dim" — any engine (including the
+    * DuckDB oracle) reconstructs the identical planes from the same
+    * string. Coefficient value = h/2^31 − 1 ∈ [−1, 1), exact in double. */
+  def hyperplaneCoeffInt(seed: Int, plane: Int, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$seed:$plane:$dim".getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Random-hyperplane family for [[lshTopKHyperplane]] — the proper
+    * angle-preserving LSH (SimHash for dense vectors): collision
+    * probability is 1 − θ/π per bit, uniformly over directions, unlike
+    * [[signBucket]]'s coordinate axes which key on whatever the first
+    * `bits` dimensions happen to encode. */
+  def randomHyperplanes(
+      bits: Int, dim: Int, seed: Int = 42): Array[Array[Double]] =
+    Array.tabulate(bits)(i => Array.tabulate(dim)(d =>
+      hyperplaneCoeffInt(seed, i, d).toDouble / 2147483648.0 - 1.0))
+
+  /** In-order double dot of a float-array column with literal plane
+    * coefficients — same summation order as the oracle's
+    * list_dot_product, so bucket signs agree bit-for-bit. */
+  private def planeDot(emb: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, array(plane.map(lit).toSeq: _*),
+        (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def hyperplaneBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    concat_ws("", planes.map(p =>
+      when(planeDot(emb, p) >= 0, lit("1")).otherwise(lit("0"))).toSeq: _*)
+
+  /** Multi-probe expansion: the query's own bucket plus every bucket at
+    * Hamming distance 1 (one sign bit flipped). Recall grows ~(bits+1)×
+    * candidates for the price of replicating only the QUERY side — the
+    * corpus keeps one bucket per vector, so a pair can match at most
+    * once (no dedup needed). */
+  def probeBuckets(bucket: Column, bits: Int): Column =
+    array((bucket +: (0 until bits).map { i =>
+      concat(
+        substring(bucket, 1, i),
+        when(substring(bucket, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(bucket, i + 2, bits - i - 1))
+    }): _*)
+
+  /** LSH top-k over seeded random-hyperplane buckets — same join/top-k
+    * shape as [[lshTopK]], better-distributed buckets. `dim` must match
+    * the embedding width (planes are literals; no data pass needed).
+    * `probeRadius` 0 = exact bucket only; 1 = multi-probe all one-bit
+    * neighbor buckets (the recall/scan trade at scale). */
+  def lshTopKHyperplane(
+      emb: DataFrame, queryPred: Column, k: Int,
+      bits: Int = 6, dim: Int = 64, seed: Int = 42,
+      probeRadius: Int = 0): DataFrame = {
+    val planes = randomHyperplanes(bits, dim, seed)
+    val withBucket =
+      emb.withColumn("bucket", hyperplaneBucket(col("embedding"), planes))
+    val queries0 = withBucket.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val queries =
+      if (probeRadius == 0) queries0
+      else queries0
+        .withColumn("bucket", explode(probeBuckets(col("bucket"), bits)))
+    val corpus = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed top-k: candidates restricted to the query's sign bucket.
     * Trades recall for a ~2^bits candidate reduction; the scale path. */
   def lshTopK(

@@ -76,6 +76,34 @@ class ExtSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("hyperplane LSH: deterministic planes, consistent scores, real recall") {
+    val planes = Similarity.randomHyperplanes(4, 8, seed = 7)
+    assert(planes.map(_.toSeq).toSeq ==
+      Similarity.randomHyperplanes(4, 8, seed = 7).map(_.toSeq).toSeq)
+    assert(planes.flatten.forall(v => v >= -1.0 && v < 1.0))
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 8, 5)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    val bruteMap = brute.map(t => (t._1, t._2) -> t._3).toMap
+    def run(radius: Int) = Similarity.lshTopKHyperplane(
+      emb, col("vec_id") < 8, 5, bits = 4, dim = 64, probeRadius = radius)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    val rh = run(0)
+    val rhProbed = run(1)
+    assert(rh.nonEmpty)
+    // any shared (q, n) pair carries the identical rounded cosine
+    (rh ++ rhProbed).foreach { case (q, n, c) =>
+      bruteMap.get((q, n)).foreach(bc => assert(bc == c)) }
+    // recall@5 vs exact — deterministic corpus + seed, so exact values;
+    // multi-probe must dominate single-probe and clear a real floor
+    def recall(xs: Array[(Long, Long, Double)]) =
+      xs.count(t => bruteMap.contains((t._1, t._2))).toDouble / brute.length
+    assert(recall(rhProbed) >= recall(rh))
+    assert(recall(rhProbed) > 0.3,
+      s"recall@5 probed=${recall(rhProbed)} single=${recall(rh)}")
+  }
+
   test("cosineNearDups is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDups(emb, 0.5, bits = 4).collect()
     pairs.foreach { r =>
