@@ -149,24 +149,40 @@ object ExtQueries {
       SELECT id_a, id_b, jaccard FROM pairs
       WHERE jaccard >= 0.2 AND inter > 0"""))
 
+  /** Shared signature CTE mirroring TextDedup.simhash (32 sign-sums). */
+  private def simhashSigCte: String = {
+    val bitExprs = (0 until 32).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(sh,
+          x -> CASE WHEN (${dkHash(0, "x")} >> $j) & 1 = 1
+                    THEN 1 ELSE -1 END)) > 0
+          THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"""
+    }
+    s"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+       sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
+       sig AS (SELECT doc_id, ${bitExprs.mkString(" + ")} AS simhash FROM sh)"""
+  }
+
   val dedupSimhash = Q(
     "ext_dedup_simhash",
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       TextDedup.simhash(col("text"), 3).as("simhash")),
-    Some {
-      val bitExprs = (0 until 32).map { j =>
-        s"""(CASE WHEN list_sum(list_transform(sh,
-            x -> CASE WHEN (${dkHash(0, "x")} >> $j) & 1 = 1
-                      THEN 1 ELSE -1 END)) > 0
-            THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"""
-      }
-      s"""WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-           FROM documents),
-         sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks)
-       SELECT doc_id, ${bitExprs.mkString(" + ")} AS simhash FROM sh"""
-    })
+    Some(s"$simhashSigCte SELECT doc_id, simhash FROM sig"))
+
+  /** Banded-Hamming SimHash pairing: band agreement is only the candidate
+    * filter, so the oracle can skip straight to the all-pairs distance
+    * check — banding guarantees complete recall at Hamming ≤ bands−1. */
+  val dedupSimhashPairs = Q(
+    "ext_dedup_simhash_pairs",
+    (s, d) => TextDedup.simhashNearDups(
+      Tables.documents(s, d), "text", "doc_id", n = 3, bands = 4),
+    Some(s"""$simhashSigCte
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""))
 
   // ---- similarity search ---------------------------------------------------
 
@@ -336,7 +352,8 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     textStats, quality, langid, fingerprint,
-    dedupExact, dedupMinhash, dedupNgram, dedupSimhash, cosineNearDup,
+    dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
+    cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simCentroids,
     mmMeta, mmFeatures)
 }

@@ -163,6 +163,43 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** SimHash near-duplicate pairs by banded Hamming join.
+    *
+    * Pigeonhole banding: a 32-bit signature split into `bands` equal
+    * bands — two signatures within Hamming distance `bands − 1` must
+    * agree on at least one whole band, so the self-join runs on
+    * (band_index, band_value) keys only (never all-pairs, same shape as
+    * the MinHash band join), and `bit_count(xor)` verifies the true
+    * distance on collisions. `maxHamming` defaults to `bands − 1`, the
+    * largest distance banding guarantees to recall completely. */
+  def simhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 4, maxHamming: Int = -1): DataFrame = {
+    val bandWidth = 32 / bands
+    val maxH = if (maxHamming >= 0) maxHamming else bands - 1
+    val withSig = df.select(col(idCol).as("id"),
+      simhash(col(textCol), n).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(i => struct(
+        lit(i).as("b"),
+        shiftright(col("sig"), i * bandWidth)
+          .bitwiseAND(lit((1L << bandWidth) - 1)).as("v"))): _*)).as("band"))
+      .select(col("id"), col("sig"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    val a = banded.select(col("b"), col("v"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("b"), col("v"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("b", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxH)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** 32-bit SimHash signature: sign-sum of per-shingle hash bits.
     *
     * Single aggregate pass with an int-array accumulator: each shingle is

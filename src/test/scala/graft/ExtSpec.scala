@@ -241,6 +241,21 @@ class ExtSpec extends SparkSpec {
     assert(sig.length == 5)
   }
 
+  test("simhash banded pairing is COMPLETE at Hamming ≤ bands−1") {
+    val viaBands = TextDedup.simhashNearDups(docs, "text", "doc_id",
+      n = 3, bands = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // ground truth: driver-side all-pairs popcount over the signatures
+    val sigs = docs.select(col("doc_id"),
+      TextDedup.simhash(col("text"), 3)).as[(Long, Long)].collect()
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(viaBands == expected) // pigeonhole: nothing ≤ 3 escapes a band
+  }
+
   test("simhash: near-identical docs collide, distinct docs do not") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
