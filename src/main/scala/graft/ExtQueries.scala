@@ -78,50 +78,77 @@ object ExtQueries {
       generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
       i -> array_to_string(toks[i:i+${n - 1}], ' ')))"""
 
+  /** Composable CTE chain ending in `scored(id_a, id_b, jaccard)` —
+    * shared by the MinHash oracle and the components oracle. */
+  private def minhashCteBody: String = {
+    val sigExprs = (0 until 8).map { i =>
+      val (a, b) = (graft.ext.TextDedup.minhashA(i),
+        graft.ext.TextDedup.minhashB(i))
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647))"
+    }
+    val bandExprs = (0 until 4).map { b =>
+      val lo = b * 2
+      s"'$b' || ',' || CAST(sig[${lo + 1}] AS VARCHAR) || ',' || CAST(sig[${lo + 2}] AS VARCHAR)"
+    }
+    s"""toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
+       hs AS (
+         SELECT doc_id,
+           list_distinct(list_transform(sh,
+             x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT))) AS hs
+         FROM sh),
+       sig AS (
+         SELECT doc_id, hs, [${sigExprs.mkString(", ")}] AS sig FROM hs),
+       banded AS (
+         SELECT doc_id, hs, unnest([${bandExprs.mkString(", ")}]) AS band
+         FROM sig),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.hs AS hs_a, b.hs AS hs_b
+         FROM banded a JOIN banded b USING (band)
+         WHERE a.doc_id < b.doc_id),
+       scored AS (
+         SELECT id_a, id_b,
+           round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+             / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 6)
+             AS jaccard
+         FROM cand)"""
+  }
+
   val dedupMinhash = Q(
     "ext_dedup_minhash_lsh",
     (s, d) => TextDedup.minhashNearDups(
       Tables.documents(s, d), "text", "doc_id",
       n = 3, k = 8, bands = 4, threshold = 0.2),
-    Some {
-      val sigExprs = (0 until 8).map { i =>
-        val (a, b) = (graft.ext.TextDedup.minhashA(i),
-          graft.ext.TextDedup.minhashB(i))
-        s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647))"
-      }
-      val bandExprs = (0 until 4).map { b =>
-        val lo = b * 2
-        s"'$b' || ',' || CAST(sig[${lo + 1}] AS VARCHAR) || ',' || CAST(sig[${lo + 2}] AS VARCHAR)"
-      }
-      s"""WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
-         hs AS (
-           SELECT doc_id,
-             list_distinct(list_transform(sh,
-               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT))) AS hs
-           FROM sh),
-         sig AS (
-           SELECT doc_id, hs, [${sigExprs.mkString(", ")}] AS sig FROM hs),
-         banded AS (
-           SELECT doc_id, hs, unnest([${bandExprs.mkString(", ")}]) AS band
-           FROM sig),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  a.hs AS hs_a, b.hs AS hs_b
-           FROM banded a JOIN banded b USING (band)
-           WHERE a.doc_id < b.doc_id),
-         scored AS (
-           SELECT id_a, id_b,
-             round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
-               / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))), 6)
-               AS jaccard
-           FROM cand)
-       SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"""
-    },
+    Some(s"""WITH $minhashCteBody
+       SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"""),
     bench = true)
+
+  /** Connected components over the MinHash near-dup pairs: every doc
+    * labeled with its component's min id (self for singletons). The
+    * oracle computes the transitive closure with a recursive CTE and
+    * takes the min reachable id — exactly the fixpoint the iterative
+    * min-label propagation converges to. */
+  val dedupComponents = Q(
+    "ext_dedup_components",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "text", "doc_id",
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+      TextDedup.connectedComponents(docs, "doc_id", pairs)
+    },
+    Some(s"""WITH RECURSIVE $minhashCteBody,
+        pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.2),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a"""))
 
   val dedupNgram = Q(
     "ext_dedup_ngram_jaccard",
@@ -353,7 +380,7 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     textStats, quality, langid, fingerprint,
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
-    cosineNearDup,
+    dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simCentroids,
     mmMeta, mmFeatures)
 }

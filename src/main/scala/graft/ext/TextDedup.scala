@@ -163,6 +163,63 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-duplicate pairs — the step that turns
+    * pairwise dedup output into per-document keep/drop decisions: every
+    * document is labeled with its component's MINIMUM id (the kept
+    * representative); documents in no pair are their own representative.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * shuffle-join + partial-min aggregate per round, converging in
+    * graph-diameter rounds. Near-dup components are small and shallow
+    * (they exist because documents are mutual near-copies), so a handful
+    * of rounds suffices; the iteration materializes each round
+    * (persist + the convergence aggregate) so lineage stays flat. The
+    * label sum is monotonically non-increasing, making it an exact,
+    * cheap convergence test. At extreme diameters a production job would
+    * switch to alternating star contractions (O(log n) rounds); the
+    * `maxIter` cap documents that bound.
+    */
+  def connectedComponents(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // cached: every round's join re-reads the edge set, and the pair
+    // mining upstream (LSH/banding) is far too expensive to re-run per
+    // round; scope-released after the caller's action
+    val edges = graft.ops.CacheScope.persist(pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionAll(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+    var labels = docs
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum("rep")).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("nbr_rep"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSum = next.agg(sum("rep")).head().getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = newSum == prevSum
+      prevSum = newSum
+      iter += 1
+    }
+    // the final round stays cached (the result plan reads it) and is
+    // scope-released with everything else after the caller's action
+    graft.ops.CacheScope.track(labels)
+    labels.select(col("id").as(idCol), col("rep").as("rep_id"))
+  }
+
   /** SimHash near-duplicate pairs by banded Hamming join.
     *
     * Pigeonhole banding: a 32-bit signature split into `bands` equal

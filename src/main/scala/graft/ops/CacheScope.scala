@@ -37,6 +37,15 @@ object CacheScope {
     df
   }
 
+  /** Register an ALREADY-persisted frame for the next [[releaseAll]] —
+    * for operators that manage persistence themselves mid-computation
+    * (e.g. iterative algorithms) but want their final cached result
+    * scope-released like everything else. */
+  def track(df: DataFrame): DataFrame = {
+    active.add(df)
+    df
+  }
+
   /** Unpersist every registered frame. Idempotent; non-blocking (block
     * deletion proceeds asynchronously, correctness never depends on it). */
   def releaseAll(): Unit = {

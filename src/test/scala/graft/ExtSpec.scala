@@ -241,6 +241,18 @@ class ExtSpec extends SparkSpec {
     assert(sig.length == 5)
   }
 
+  test("connected components: chain, pair, singletons → min-id labels") {
+    // chain 0–1–2–3 (diameter 3 forces multi-round propagation),
+    // pair 5–6 (listed twice, reversed), singletons 4 and 7
+    val ids = spark.range(8).select(col("id").as("doc_id"))
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (6L, 5L))
+      .toDF("id_a", "id_b")
+    val comp = TextDedup.connectedComponents(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("simhash banded pairing is COMPLETE at Hamming ≤ bands−1") {
     val viaBands = TextDedup.simhashNearDups(docs, "text", "doc_id",
       n = 3, bands = 4)
