@@ -104,4 +104,20 @@ object Sinks {
   def appendJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties): Unit =
     df.write.mode("append").jdbc(url, table, props)
+
+  /** Scale-path persistence: bucketed (and optionally sort-ordered)
+    * parquet table. Joins and aggregations keyed on the bucket columns
+    * then run WITHOUT a shuffle exchange — at 100 TB, pre-bucketing the
+    * fact tables on their join keys turns every downstream key-equi-join
+    * into a zip of co-located buckets (spec asserts the exchange-free
+    * plan). Bucket count should approximate target parallelism ×
+    * desired split size; both join sides must share it. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
 }

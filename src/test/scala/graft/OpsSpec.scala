@@ -119,6 +119,32 @@ class OpsSpec extends SparkSpec {
     assert(!Projections.isEmpty(Seq((1, "x")).toDF("a", "b")))
   }
 
+  test("bucketed tables: co-located key join plans with NO shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    Sinks.writeBucketed(Tables.orders(spark, sf), "orders_bkt",
+      Seq("o_orderkey"), 4, sortCols = Seq("o_orderkey"))
+    Sinks.writeBucketed(Tables.lineitem(spark, sf), "lineitem_bkt",
+      Seq("l_orderkey"), 4, sortCols = Seq("l_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      // and it still computes the right thing
+      val expected = Tables.orders(spark, sf).join(
+        Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("F9 timestampedKey: UTC-stamped object key shape") {
     val at = java.time.Instant.parse("2024-01-02T03:04:05Z")
     assert(ScalarFns.timestampedKey("cleaned-zone", "amazon_sale", at)
