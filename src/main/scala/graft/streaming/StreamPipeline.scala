@@ -75,6 +75,56 @@ object StreamPipeline {
     }
   } finally graft.ops.CacheScope.releaseAll() // per-batch: no leak
 
+  /** Class dispatch → cleaner → the Postgres load path (K3-K6) for one
+    * micro-batch — the streaming twin of [[graft.app.BatchMain.runWithPg]]'s
+    * sink half. Frames for the other classes are empty, so
+    * [[Sinks.writeCsvAll]]-style guards inside loadAll skip them. */
+  def cleanAndLoad(
+      df: DataFrame, cls: CsvSource.FileClass,
+      connect: () => java.sql.Connection, loadedAt: java.sql.Timestamp,
+      upsertSqlFor: (String, Seq[String], Seq[String]) => String =
+        Sinks.upsertSql,
+      insertSqlFor: (String, Seq[String]) => String = Sinks.insertSql,
+      createTables: Boolean = false): Seq[String] = try {
+    val empty = df.sparkSession.emptyDataFrame
+    cls match {
+      case CsvSource.AmazonSale =>
+        val (clean, flagged) = Cleaners.amazon(df, cacheSplit = true)
+        graft.sinks.PgLoad.loadAll(clean, flagged, empty, empty, empty,
+          loadedAt, connect, upsertSqlFor, insertSqlFor, createTables)
+      case CsvSource.PlainSale =>
+        graft.sinks.PgLoad.loadAll(empty, empty, Cleaners.sale(df), empty,
+          empty, loadedAt, connect, upsertSqlFor, insertSqlFor, createTables)
+      case CsvSource.InternationalSale =>
+        val (p1, p2) = Cleaners.international(df)
+        graft.sinks.PgLoad.loadAll(empty, empty, empty, p1, p2,
+          loadedAt, connect, upsertSqlFor, insertSqlFor, createTables)
+      case CsvSource.Unrecognized => Nil
+    }
+  } finally graft.ops.CacheScope.releaseAll()
+
+  /** Stream one report class into Postgres. Batches are tracked in the
+    * checkpoint, so event re-delivery or restart CANNOT double-load even
+    * the append-only tables — exactly-once into JDBC, strictly stronger
+    * than the reference's ON CONFLICT-only mitigation (README.md:119-127).
+    * `loadedAtFor(batchId)` keeps the F10 stamp deterministic per batch. */
+  def loadClassStream(
+      raw: DataFrame, cls: CsvSource.FileClass,
+      connect: () => java.sql.Connection, checkpointDir: String,
+      loadedAtFor: Long => java.sql.Timestamp,
+      upsertSqlFor: (String, Seq[String], Seq[String]) => String =
+        Sinks.upsertSql,
+      insertSqlFor: (String, Seq[String]) => String = Sinks.insertSql)
+      : StreamingQuery =
+    raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cleanAndLoad(batch, cls, connect, loadedAtFor(batchId),
+          upsertSqlFor, insertSqlFor): Unit
+      }
+      .start()
+
   /** Event-time windowed aggregation with watermarking over the events
     * stream — the §2.8 extension surface (absent in the reference). */
   def eventsWindowed(

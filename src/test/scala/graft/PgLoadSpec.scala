@@ -250,6 +250,34 @@ class PgLoadSpec extends SparkSpec {
           WHERE ${q("loaded_at")} IS NULL""") == 0)
   }
 
+  test("loadClassStream: file stream → Derby, restart does NOT double-load") {
+    val landing = java.nio.file.Files.createTempDirectory("pg_stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("pg_ckpt").toString
+    val fixture = new java.io.File(
+      TestSpark.fixture("Amazon Sale Report_2022-04-30_10-00-00.csv"))
+    java.nio.file.Files.copy(fixture.toPath,
+      new java.io.File(landing, fixture.getName).toPath)
+    val connect = freshDb("graftpg6")
+    PgLoad.runDdl(connect, ddls("6"))
+    val schema = graft.sources.CsvSource.read(spark, fixture.getPath).schema
+    def startStream() = graft.streaming.StreamPipeline.loadClassStream(
+      graft.streaming.StreamPipeline.fileStream(
+        spark, landing.toString, schema, glob = "Amazon*.csv"),
+      graft.sources.CsvSource.AmazonSale, connect, ckpt,
+      loadedAtFor = _ => loadedAt,
+      upsertSqlFor = quotedUpsert, insertSqlFor = quotedInsert)
+    startStream().awaitTermination(120000)
+    assert(queryLong(connect, s"SELECT count(*) FROM ${q("amazon_sale")}") == 8)
+    assert(queryLong(connect,
+      s"SELECT count(*) FROM ${q("amazon_sale_version")}") == 2)
+    // restart over the same checkpoint: the batch is already committed,
+    // so even the APPEND-ONLY version table stays at 2 (exactly-once)
+    startStream().awaitTermination(120000)
+    assert(queryLong(connect, s"SELECT count(*) FROM ${q("amazon_sale")}") == 8)
+    assert(queryLong(connect,
+      s"SELECT count(*) FROM ${q("amazon_sale_version")}") == 2)
+  }
+
   test("loadAll skips empty frames like the reference's df.empty guards") {
     val connect = freshDb("graftpg4")
     PgLoad.runDdl(connect, ddls("4"))
