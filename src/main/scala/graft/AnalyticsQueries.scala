@@ -223,7 +223,7 @@ object AnalyticsQueries {
     (s, d) => graft.streaming.SessionWindows.sessions(
       Tables.events(s, d), "4 hours"),
     Some(s"""WITH g AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
           CASE WHEN lag(ts) OVER w IS NULL
                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
                THEN 1 ELSE 0 END AS new_session
@@ -231,7 +231,7 @@ object AnalyticsQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, ts, value,
-          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS seq
         FROM g)
       SELECT user_id,

@@ -24,6 +24,7 @@ object Dev {
       println(f"[dev] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     fn(spark, sfDir).explain("formatted")
+    graft.ops.CacheScope.releaseAll() // the explain build persists too
     spark.stop()
   }
 }

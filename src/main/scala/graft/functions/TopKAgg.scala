@@ -95,10 +95,13 @@ final class TopKBuffer(val k: Int) {
   * (query, partition) — candidates shrink map-side by |partition|/k, and
   * the final merge is k·partitions per query, not |corpus|.
   *
-  * Determinism contract: callers pass scores already rounded to their
-  * comparison grain (the similarity family rounds to 6 dp), and ties
-  * break on lower id — the same total order as the window form, so
-  * results are bit-identical to it.
+  * Determinism contract: callers pass FINITE scores already rounded to
+  * their comparison grain (the similarity family rounds to 6 dp), and
+  * ties break on lower id — the same total order as the window form, so
+  * results are bit-identical to it over finite scores. Deliberate
+  * divergence outside that contract: NULL and NaN scores are EXCLUDED
+  * (a NaN cosine means a zero-norm vector — garbage the window form
+  * would have ranked first, since desc ordering puts NaN on top).
   *
   * Output: `array<struct<id:long, score:double, rank:int>>` sorted
   * best-first; explode + rename at the call site.
@@ -138,7 +141,10 @@ case class TopKAgg(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buffer.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      val sd = s.asInstanceOf[Double]
+      // NaN would corrupt the heap invariant (every comparison false);
+      // excluded by contract — see the class doc
+      if (!sd.isNaN) buffer.add(sd, i.asInstanceOf[Long])
     }
     buffer
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.ArrayDeque
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
@@ -20,10 +20,17 @@ import org.apache.spark.storage.StorageLevel
   * its materializing action (write/collect) completes. Contract: release
   * AFTER the action — the returned plans reference the cached data
   * lazily.
+  *
+  * The registry is THREAD-LOCAL: plan construction and the matching
+  * release happen on the same driver thread in every consumer (a
+  * foreachBatch body runs whole on its stream's microbatch thread), and
+  * scoping per thread means one stream's release cannot unpersist a
+  * concurrent stream's still-needed caches.
   */
 object CacheScope {
 
-  private val active = new ConcurrentLinkedQueue[DataFrame]()
+  private val active =
+    ThreadLocal.withInitial[ArrayDeque[DataFrame]](() => new ArrayDeque())
 
   /** Persist `df` (memory-then-disk) and register it for the next
     * [[releaseAll]]. If an identical plan is already cached (e.g. a caller
@@ -32,7 +39,7 @@ object CacheScope {
   def persist(df: DataFrame): DataFrame = {
     if (df.storageLevel == StorageLevel.NONE) {
       df.persist(StorageLevel.MEMORY_AND_DISK)
-      active.add(df)
+      active.get.add(df)
     }
     df
   }
@@ -42,17 +49,19 @@ object CacheScope {
     * (e.g. iterative algorithms) but want their final cached result
     * scope-released like everything else. */
   def track(df: DataFrame): DataFrame = {
-    active.add(df)
+    active.get.add(df)
     df
   }
 
-  /** Unpersist every registered frame. Idempotent; non-blocking (block
-    * deletion proceeds asynchronously, correctness never depends on it). */
+  /** Unpersist every frame registered ON THIS THREAD. Idempotent;
+    * non-blocking (block deletion proceeds asynchronously, correctness
+    * never depends on it). */
   def releaseAll(): Unit = {
-    var df = active.poll()
+    val q = active.get
+    var df = q.poll()
     while (df != null) {
       df.unpersist(blocking = false)
-      df = active.poll()
+      df = q.poll()
     }
   }
 }

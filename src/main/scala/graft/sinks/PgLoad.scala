@@ -133,6 +133,20 @@ object PgLoad {
     } finally conn.close()
   }
 
+  /** Best-effort statements (stage drops/creates where "doesn't exist" /
+    * "already exists" are expected states, dialects lacking IF EXISTS). */
+  private def execQuietly(connect: () => Connection, sqls: Seq[String]): Unit =
+    sqls.foreach { s =>
+      try runDdl(connect, Seq(s))
+      catch { case _: java.sql.SQLException => () }
+    }
+
+  /** Batch ledger for exactly-once promotion: one row per committed
+    * load, inserted INSIDE the promote transaction, PRIMARY KEY so a
+    * replayed batch cannot commit twice. */
+  val ledgerDdl: String =
+    "CREATE TABLE graft_load_ledger (batch_key VARCHAR(200) PRIMARY KEY)"
+
   // ---- typed projections -----------------------------------------------
 
   /** Column types of the amazon DDLs (the cleaned frames carry cleaned
@@ -281,7 +295,19 @@ object PgLoad {
     * stages into their targets in a single transaction and drops the
     * stages. A crash before COMMIT leaves the target tables untouched —
     * the reference's rollback semantics, kept even though the heavy write
-    * fan-out stays distributed. */
+    * fan-out stays distributed.
+    *
+    * Crash-safety of the stages themselves: names carry `runTag`, stale
+    * same-name stages are dropped before creation, and cleanup runs in a
+    * finally — a failed run can be re-run without manual repair.
+    *
+    * `ledgerKey` makes the promotion EXACTLY-ONCE for replayed batches
+    * (streaming foreachBatch is at-least-once): the key is inserted into
+    * `graft_load_ledger` (PRIMARY KEY) inside the SAME transaction as
+    * the promotes — a replay of an already-committed batch hits the key
+    * violation, rolls back, and returns Nil; a replay of a batch that
+    * crashed before COMMIT sees untouched targets and promotes cleanly.
+    */
   def loadAllStaged(
       amazonClean: DataFrame,
       amazonFlagged: DataFrame,
@@ -293,8 +319,11 @@ object PgLoad {
       promoteSqlFor: (String, String, Seq[String], Seq[String]) => String =
         promoteSql,
       createTables: Boolean = true,
-      batchSize: Int = 1000): Seq[String] = {
+      batchSize: Int = 1000,
+      runTag: String = "r0",
+      ledgerKey: Option[String] = None): Seq[String] = {
     if (createTables) runDdl(connect)
+    if (ledgerKey.isDefined) execQuietly(connect, Seq(ledgerDdl))
 
     // (target, conflictCols, prepared frame), reference order
     val loads: Seq[(String, Seq[String], DataFrame)] = Seq(
@@ -309,29 +338,49 @@ object PgLoad {
         prepareInternational(international2, "part2", loadedAt))
     ).filter { case (_, _, df) => !Projections.isEmpty(df) }
 
-    val staged = loads.zipWithIndex.map { case ((target, cc, df), i) =>
-      val stage = s"${target}_stage_$i"
-      runDdl(connect, Seq(stageDdl(stage, df)))
-      Sinks.writePartitions(df, stageInsertSql(stage, df.columns.toSeq),
-        connect, batchSize)
-      (stage, target, cc, df.columns.toSeq)
-    }
-
-    // ONE transaction: every promotion, then commit
-    val conn = connect()
+    val stageNames = loads.indices.map(i =>
+      s"${loads(i)._1}_stage_${runTag}_$i")
     try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      staged.foreach { case (stage, target, cc, cols) =>
-        st.execute(promoteSqlFor(stage, target, cols, cc))
+      val staged = loads.zipWithIndex.map { case ((target, cc, df), i) =>
+        val stage = stageNames(i)
+        execQuietly(connect, Seq(s"DROP TABLE ${qid(stage)}")) // stale run
+        runDdl(connect, Seq(stageDdl(stage, df)))
+        Sinks.writePartitions(df, stageInsertSql(stage, df.columns.toSeq),
+          connect, batchSize)
+        (stage, target, cc, df.columns.toSeq)
       }
-      conn.commit()
-    } catch {
-      case e: Throwable => conn.rollback(); throw e
-    } finally conn.close()
 
-    runDdl(connect,
-      staged.map { case (stage, _, _, _) => s"DROP TABLE ${qid(stage)}" })
-    staged.map(_._2).distinct
+      // ONE transaction: the ledger claim + every promotion, then commit
+      val conn = connect()
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        val claimed = ledgerKey match {
+          case Some(k) =>
+            try {
+              st.executeUpdate("INSERT INTO graft_load_ledger (batch_key) " +
+                s"VALUES ('${k.replace("'", "''")}')")
+              true
+            } catch {
+              case e: java.sql.SQLException
+                  if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException]
+                    || Option(e.getSQLState).exists(_.startsWith("23")) =>
+                conn.rollback() // batch already committed once: no-op replay
+                false
+            }
+          case None => true
+        }
+        if (!claimed) return Nil
+        staged.foreach { case (stage, target, cc, cols) =>
+          st.execute(promoteSqlFor(stage, target, cols, cc))
+        }
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally conn.close()
+
+      staged.map(_._2).distinct
+    } finally execQuietly(connect,
+      stageNames.map(s => s"DROP TABLE ${qid(s)}"))
   }
 }

@@ -61,15 +61,26 @@ object SessionWindows {
       user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, total_value: Double)
 
-  /** One open (not yet gap-closed) session kept in the state store. */
+  /** One open (not yet gap-closed) session kept in the state store.
+    * `sum_cents` accumulates value scaled to 2-dp EXACT integers — the
+    * same decimal arithmetic [[graft.Det.dsum]] uses in [[sessions]], so
+    * the custom-state path's totals equal the native aggregate's
+    * regardless of summation order. */
   final case class OpenSession(
-      start_us: Long, last_us: Long, n: Long, sum: Double)
+      start_us: Long, last_us: Long, n: Long, sum_cents: Long)
 
   private def micros(t: java.sql.Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
 
+  /** value → exact scale-2 cents, matching Spark's double→DECIMAL(18,2)
+    * cast (shortest-repr decimal, HALF_UP). */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
   private def close(user: Long, o: OpenSession, gapUs: Long): Session =
-    Session(user, o.start_us, o.last_us + gapUs, o.n, o.sum)
+    Session(user, o.start_us, o.last_us + gapUs, o.n, o.sum_cents / 100.0)
 
   /** Fold sorted events into an open session, emitting every session the
     * gap closes along the way. */
@@ -82,12 +93,12 @@ object SessionWindows {
       open = open match {
         case Some(o) if ts - o.last_us < gapUs =>
           Some(OpenSession(o.start_us, math.max(o.last_us, ts),
-            o.n + 1, o.sum + e.value))
+            o.n + 1, o.sum_cents + cents(e.value)))
         case Some(o) =>
           out += close(user, o, gapUs)
-          Some(OpenSession(ts, ts, 1, e.value))
+          Some(OpenSession(ts, ts, 1, cents(e.value)))
         case None =>
-          Some(OpenSession(ts, ts, 1, e.value))
+          Some(OpenSession(ts, ts, 1, cents(e.value)))
       }
     }
     open

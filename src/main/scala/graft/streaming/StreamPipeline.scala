@@ -75,53 +75,59 @@ object StreamPipeline {
     }
   } finally graft.ops.CacheScope.releaseAll() // per-batch: no leak
 
-  /** Class dispatch → cleaner → the Postgres load path (K3-K6) for one
+  /** Class dispatch → cleaner → the STAGED Postgres load (K3-K6) for one
     * micro-batch — the streaming twin of [[graft.app.BatchMain.runWithPg]]'s
-    * sink half. Frames for the other classes are empty, so
-    * [[Sinks.writeCsvAll]]-style guards inside loadAll skip them. */
+    * sink half. Frames for the other classes are empty; loadAllStaged
+    * skips them. `ledgerKey` makes the batch's visible effect
+    * exactly-once — see [[graft.sinks.PgLoad.loadAllStaged]]. */
   def cleanAndLoad(
       df: DataFrame, cls: CsvSource.FileClass,
       connect: () => java.sql.Connection, loadedAt: java.sql.Timestamp,
-      upsertSqlFor: (String, Seq[String], Seq[String]) => String =
-        Sinks.upsertSql,
-      insertSqlFor: (String, Seq[String]) => String = Sinks.insertSql,
-      createTables: Boolean = false): Seq[String] = try {
+      promoteSqlFor: (String, String, Seq[String], Seq[String]) => String =
+        graft.sinks.PgLoad.promoteSql,
+      createTables: Boolean = false,
+      runTag: String = "r0",
+      ledgerKey: Option[String] = None): Seq[String] = try {
     val empty = df.sparkSession.emptyDataFrame
+    def load(amC: DataFrame, amF: DataFrame, sa: DataFrame,
+        i1: DataFrame, i2: DataFrame) =
+      graft.sinks.PgLoad.loadAllStaged(amC, amF, sa, i1, i2, loadedAt,
+        connect, promoteSqlFor, createTables, runTag = runTag,
+        ledgerKey = ledgerKey)
     cls match {
       case CsvSource.AmazonSale =>
         val (clean, flagged) = Cleaners.amazon(df, cacheSplit = true)
-        graft.sinks.PgLoad.loadAll(clean, flagged, empty, empty, empty,
-          loadedAt, connect, upsertSqlFor, insertSqlFor, createTables)
+        load(clean, flagged, empty, empty, empty)
       case CsvSource.PlainSale =>
-        graft.sinks.PgLoad.loadAll(empty, empty, Cleaners.sale(df), empty,
-          empty, loadedAt, connect, upsertSqlFor, insertSqlFor, createTables)
+        load(empty, empty, Cleaners.sale(df), empty, empty)
       case CsvSource.InternationalSale =>
         val (p1, p2) = Cleaners.international(df)
-        graft.sinks.PgLoad.loadAll(empty, empty, empty, p1, p2,
-          loadedAt, connect, upsertSqlFor, insertSqlFor, createTables)
+        load(empty, empty, empty, p1, p2)
       case CsvSource.Unrecognized => Nil
     }
   } finally graft.ops.CacheScope.releaseAll()
 
-  /** Stream one report class into Postgres. Batches are tracked in the
-    * checkpoint, so event re-delivery or restart CANNOT double-load even
-    * the append-only tables — exactly-once into JDBC, strictly stronger
-    * than the reference's ON CONFLICT-only mitigation (README.md:119-127).
-    * `loadedAtFor(batchId)` keeps the F10 stamp deterministic per batch. */
+  /** Stream one report class into Postgres, exactly-once: foreachBatch
+    * is at-least-once (a batch can replay after a mid-batch crash or on
+    * redelivery), so each batch promotes through [[cleanAndLoad]]'s
+    * staged single-transaction path claiming ledger key `<class>#<id>` —
+    * a replayed already-committed batch is a no-op even for the
+    * append-only tables, strictly stronger than the reference's
+    * ON CONFLICT-only mitigation (README.md:119-127). `loadedAtFor`
+    * keeps the F10 stamp deterministic per batch. */
   def loadClassStream(
       raw: DataFrame, cls: CsvSource.FileClass,
       connect: () => java.sql.Connection, checkpointDir: String,
       loadedAtFor: Long => java.sql.Timestamp,
-      upsertSqlFor: (String, Seq[String], Seq[String]) => String =
-        Sinks.upsertSql,
-      insertSqlFor: (String, Seq[String]) => String = Sinks.insertSql)
-      : StreamingQuery =
+      promoteSqlFor: (String, String, Seq[String], Seq[String]) => String =
+        graft.sinks.PgLoad.promoteSql): StreamingQuery =
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cleanAndLoad(batch, cls, connect, loadedAtFor(batchId),
-          upsertSqlFor, insertSqlFor): Unit
+          promoteSqlFor, runTag = s"b$batchId",
+          ledgerKey = Some(s"$cls#$batchId")): Unit
       }
       .start()
 

@@ -61,8 +61,8 @@ class StreamingSpec extends SparkSpec {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val native = SessionWindows.sessions(events, "4 hours")
       .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"))
-      .as[(Long, String, String, Long)].collect().toSet
+        col("n_events"), col("total_value"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
     val custom = SessionWindows.sessionizeWithState(
       events.select(col("user_id"), col("ts"), col("value"))
         .as[SessionWindows.SessionEvent], gapUs)
@@ -71,8 +71,8 @@ class StreamingSpec extends SparkSpec {
           .as("session_start"),
         date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")
           .as("session_end"),
-        col("n_events"))
-      .as[(Long, String, String, Long)].collect().toSet
+        col("n_events"), col("total_value"))
+      .as[(Long, String, String, Long, Double)].collect().toSet
     assert(native.nonEmpty)
     assert(custom == native)
   }
