@@ -265,7 +265,7 @@ class PgLoadSpec extends SparkSpec {
         spark, landing.toString, schema, glob = "Amazon*.csv"),
       graft.sources.CsvSource.AmazonSale, connect, ckpt,
       loadedAtFor = _ => loadedAt,
-      upsertSqlFor = quotedUpsert, insertSqlFor = quotedInsert)
+      promoteSqlFor = quotedPromote)
     startStream().awaitTermination(120000)
     assert(queryLong(connect, s"SELECT count(*) FROM ${q("amazon_sale")}") == 8)
     assert(queryLong(connect,
