@@ -207,7 +207,7 @@ object ParityQueries {
       // mirrors Profiling.profile's decimal-sum mean/std and interpolated
       // quartiles (quantile_cont ≡ Spark's exact `percentile`), all 6 dp
       def one(c: String, numeric: Boolean) = {
-        val dsum = s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+        val dsum = s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
         val dsq =
           s"CAST(sum(CAST(CAST($c AS DOUBLE)*CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)"
         val stats =

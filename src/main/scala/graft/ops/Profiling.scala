@@ -69,7 +69,12 @@ object Profiling {
         val stats =
           if (df.schema(c).dataType.isInstanceOf[NumericType]) {
             val n = count(qcol(c))
-            val s = sum(qcol(c).cast(DecimalType(18, 6))).cast("double")
+            // DECIMAL(38,6) holds 32 integer digits per value and per sum —
+            // a per-value DECIMAL(18,6) would null anything >= 1e12 and
+            // silently skew mean/std. Remaining bound: the sum-of-squares
+            // path nulls out for |x| >= ~1e16 (x^2 >= 1e32); std is reported
+            // null there rather than wrong.
+            val s = sum(qcol(c).cast(DecimalType(38, 6))).cast("double")
             val sq = sum((qcol(c).cast("double") * qcol(c).cast("double"))
               .cast(DecimalType(38, 6))).cast("double")
             Seq(

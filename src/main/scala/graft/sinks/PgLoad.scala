@@ -147,6 +147,17 @@ object PgLoad {
   val ledgerDdl: String =
     "CREATE TABLE graft_load_ledger (batch_key VARCHAR(200) PRIMARY KEY)"
 
+  /** True iff `key` is already committed in the load ledger. */
+  private def ledgerHas(connect: () => Connection, key: String): Boolean = {
+    val c = connect()
+    try {
+      val ps = c.prepareStatement(
+        "SELECT 1 FROM graft_load_ledger WHERE batch_key = ?")
+      try { ps.setString(1, key); ps.executeQuery().next() }
+      finally ps.close()
+    } finally c.close()
+  }
+
   // ---- typed projections -----------------------------------------------
 
   /** Column types of the amazon DDLs (the cleaned frames carry cleaned
@@ -324,6 +335,12 @@ object PgLoad {
       ledgerKey: Option[String] = None): Seq[String] = {
     if (createTables) runDdl(connect)
     if (ledgerKey.isDefined) execQuietly(connect, Seq(ledgerDdl))
+    // Cheap pre-flight: a replayed ALREADY-COMMITTED batch should skip the
+    // whole stage-write fan-out, not rewrite every frame and then discover
+    // the duplicate at promote time. Purely an optimization — the
+    // authoritative exactly-once guard stays the PK claim inside the
+    // promote transaction below (this probe alone would race).
+    if (ledgerKey.exists(ledgerHas(connect, _))) return Nil
 
     // (target, conflictCols, prepared frame), reference order
     val loads: Seq[(String, Seq[String], DataFrame)] = Seq(
@@ -358,8 +375,10 @@ object PgLoad {
         val claimed = ledgerKey match {
           case Some(k) =>
             try {
-              st.executeUpdate("INSERT INTO graft_load_ledger (batch_key) " +
-                s"VALUES ('${k.replace("'", "''")}')")
+              val ps = conn.prepareStatement(
+                "INSERT INTO graft_load_ledger (batch_key) VALUES (?)")
+              try { ps.setString(1, k); ps.executeUpdate() }
+              finally ps.close()
               true
             } catch {
               case e: java.sql.SQLException
