@@ -5,17 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times the headline queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Methodology: per query, one warm-up run then `BENCH_REPS` timed runs,
-  * reporting the min — this box shows multi-second environment stalls
-  * (hypervisor pauses) that would otherwise dominate a single-shot number.
-  * Each run forces FULL materialization through the noop sink (a bare
-  * `count()` would let Catalyst prune the projections being measured).
+  * Methodology: one warm-up pass over every query (codegen + broadcast
+  * build + JIT), then `BENCH_REPS` timed ROUNDS, each round running every
+  * query once, reporting the per-query min across rounds. Rounds are
+  * interleaved rather than back-to-back reps of one query because this
+  * box throttles sustained CPU in multi-second windows (hypervisor
+  * pauses): consecutive reps of the same heavy query land in the SAME
+  * throttle window and inflate both, while interleaving spreads a window
+  * across different queries so the per-query min stays quiet. Each run
+  * forces FULL materialization through the noop sink (a bare `count()`
+  * would let Catalyst prune the projections being measured).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,19 +37,27 @@ object Bench {
       finally graft.ops.CacheScope.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
+    val warm = headline.map { q =>
+      q.name -> (try runOnce(q) catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} warm-up FAILED: ${e.getMessage}")
+        -1.0
+      })
+    }.toMap
+    val rounds: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      headline.map { q =>
+        q.name -> (try runOnce(q) catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          -1.0
+        })
+      }.toMap
+    }
     val results = headline.map { q =>
-      try {
-        val warm = runOnce(q) // warm-up: codegen + broadcast build
-        val times = (1 to reps).map(_ => runOnce(q)).sorted
-        System.err.println(
-          f"[bench] ${q.name}: warm=$warm%.2f runs=${times.mkString(",")}")
-        // min, not median: this host throttles sustained CPU, inflating
-        // later reps by up to 10× — min is the noise-robust statistic
-        q.name -> times.min
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-        q.name -> -1.0
-      }
+      val times = rounds.map(_(q.name)).filter(_ >= 0).sorted
+      System.err.println(f"[bench] ${q.name}: warm=${warm(q.name)}%.2f " +
+        s"runs=${times.mkString(",")}")
+      // min, not median: throttle windows inflate individual runs by up
+      // to 10x — min across interleaved rounds is the noise-robust stat
+      q.name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
