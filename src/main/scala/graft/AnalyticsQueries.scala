@@ -241,7 +241,49 @@ object AnalyticsQueries {
       FROM sess GROUP BY user_id, seq"""),
     bench = true)
 
+  /** As-of join ([[graft.ops.AsofJoin]]): each purchase event joined to
+    * the SAME user's most recent click at-or-before it — the canonical
+    * event-attribution shape. The right side is pre-aggregated unique per
+    * (user_id, ts) (the operator's determinism contract; DuckDB's ASOF
+    * carries the same tie caveat), with max(event_id) / arg_max picking
+    * the representative click. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val qAsof = Q(
+    "q_asof_purchase_click",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+        .select(col("user_id"), col("ts"), col("click_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("click_value"))
+      graft.ops.AsofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select(col("user_id"), col("purchase_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("purchase_value"), col("click_id"), col("click_ts"),
+          col("click_value"))
+    },
+    Some("""WITH r AS (
+        SELECT user_id, ts, max(event_id) AS click_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          arg_max("value", event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      l AS (
+        SELECT user_id, ts, event_id AS purchase_id,
+          "value" AS purchase_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT l.user_id, l.purchase_id,
+        strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        l.purchase_value, r.click_id, r.click_ts, r.click_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""))
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
-    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions)
+    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
+    qAsof)
 }

@@ -188,4 +188,33 @@ class OpsSpec extends SparkSpec {
     assert(rows("one").getDouble(6) == 5.0 && rows("one").isNullAt(7))
     (6 to 10).foreach(i => assert(rows("none").isNullAt(i)))
   }
+
+  test("AsofJoin: backward inclusive, row-level null carry, no-match null") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+      (2L, 15L, "p3")).toDF("k", "ts", "pid")
+    // right row at ts=18 has a genuinely-NULL v: the match for ts=20 must
+    // keep that NULL, not fall back to ts=8's "a" (row-level semantics)
+    val right = Seq((1L, 8L, Option("a")), (1L, 10L, Option("b")),
+      (1L, 18L, None: Option[String]), (2L, 99L, Option("z")))
+      .toDF("k", "ts", "v")
+    val out = AsofJoin(left, right, Seq("k"), "ts", "ts")
+      .orderBy("k", "ts").collect()
+    // ts=5: no right at-or-before → null; ts=10: tie is INCLUSIVE → "b";
+    // ts=20: latest right is ts=18 whose v is null → null (not "a");
+    // k=2 ts=15: right only at 99 (future) → null
+    assert(out.map(r => (r.getLong(0), r.getLong(1),
+      Option(r.getString(3)))).toSeq == Seq(
+      (1L, 5L, None), (1L, 10L, Some("b")), (1L, 20L, None),
+      (2L, 15L, None)))
+    // exactly one Exchange: the union shuffles ONCE on the key
+    val plan = AsofJoin(left, right, Seq("k"), "ts", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length == 2)
+  }
+
+  test("AsofJoin rejects colliding right value column names") {
+    val l = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
+    val r = Seq((1L, 1L, "y")).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException](AsofJoin(l, r, Seq("k"), "ts", "ts"))
+  }
 }
