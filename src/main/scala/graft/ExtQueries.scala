@@ -377,10 +377,84 @@ object ExtQueries {
       s"SELECT doc_id, ${(0 until 4).map(f).mkString(", ")} FROM documents"
     })
 
+  // ---- sketches ------------------------------------------------------------
+
+  /** KMV distinct-count sketch ([[graft.functions.KmvAgg]]) next to the
+    * exact count it approximates: per language, estimate the number of
+    * distinct texts from the 128 smallest md5-hash values. Reproducible
+    * across engines by construction — the DuckDB oracle computes the
+    * SAME sketch (k smallest distinct hashes) and the SAME `(k-1)/U(k)`
+    * estimator, so even the approximation hash-matches exactly. At scale
+    * this replaces a full `count(DISTINCT text)` shuffle of every text
+    * with k longs per (group, partition). */
+  val kmvDistinct = Q(
+    "ext_kmv_distinct",
+    (s, d) => {
+      val k = 128
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          graft.functions.KmvAgg.kmv_sketch(
+            TextDedup.baseHash(col("text")), k).as("sk"),
+          countDistinct(col("text")).as("exact_distinct"))
+        .select(col("lang"),
+          when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(round(lit((k - 1).toDouble) /
+              ((element_at(col("sk"), k) + 1) / lit(4294967296.0)), 6))
+            .as("kmv_distinct"),
+          col("exact_distinct"))
+    },
+    Some("""WITH h AS (
+        SELECT DISTINCT lang,
+          ('0x' || substring(md5(text), 1, 8))::BIGINT AS hv
+        FROM documents),
+      r AS (
+        SELECT lang, hv,
+          row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+          count(*) OVER (PARTITION BY lang) AS nd
+        FROM h),
+      e AS (
+        SELECT lang, max(nd) AS nd,
+          max(CASE WHEN rn = 128 THEN hv END) AS hk
+        FROM r GROUP BY lang),
+      x AS (
+        SELECT lang, count(DISTINCT text) AS exact_distinct
+        FROM documents GROUP BY lang)
+      SELECT e.lang,
+        CASE WHEN e.nd < 128 THEN CAST(e.nd AS DOUBLE)
+             ELSE round(127.0 / ((e.hk + 1) / 4294967296.0), 6)
+        END AS kmv_distinct,
+        x.exact_distinct
+      FROM e JOIN x USING (lang)"""))
+
+  /** Deterministic per-group sampling: the 5 rows with the smallest
+    * md5(doc_id) per source — a seeded uniform sample that is stable
+    * across runs, engines, and cluster layouts (unlike `TABLESAMPLE` /
+    * `rand()`), so downstream eval sets are reproducible. Reuses the
+    * bounded-heap [[graft.functions.TopKAgg]] (negated hash = bottom-k):
+    * map-side partial top-k, no per-group window funnel. */
+  val detSample = Q(
+    "ext_det_sample",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.top_k(
+        (lit(0L) - TextDedup.baseHash(col("doc_id").cast("string")))
+          .cast("double"),
+        col("doc_id"), 5).as("picks"))
+      .select(col("source"), explode(col("picks")).as("p"))
+      .select(col("source"), col("p.rank").as("rank"),
+        col("p.id").as("doc_id")),
+    Some("""SELECT source, CAST(rn AS INT) AS rank, doc_id FROM (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+              doc_id) AS rn
+        FROM documents) t WHERE rn <= 5"""))
+
   def all: Seq[Q] = Seq(
     textStats, quality, langid, fingerprint,
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simCentroids,
-    mmMeta, mmFeatures)
+    mmMeta, mmFeatures, kmvDistinct, detSample)
 }

@@ -280,4 +280,36 @@ class ExtSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
   }
+
+  test("KmvAgg: set semantics, exact under k, k smallest ascending") {
+    import graft.functions.KmvAgg.kmv_sketch
+    // duplicates of the same hash must occupy ONE slot
+    val dup = (1 to 50).flatMap(_ => Seq(7L, 3L, 9L)).toDF("h")
+      .repartition(8) // force partial buffers + merge
+    val sk = dup.agg(kmv_sketch(col("h"), 4)).head().getSeq[Long](0)
+    assert(sk == Seq(3L, 7L, 9L)) // 3 distinct → exact, ascending
+    // more distinct values than k → the k smallest, deduped
+    val many = ((1 to 100).map(_.toLong) ++ (1 to 100).map(_.toLong))
+      .toDF("h").repartition(8)
+    val sk2 = many.agg(kmv_sketch(col("h"), 5)).head().getSeq[Long](0)
+    assert(sk2 == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("KMV estimate lands near the exact distinct count") {
+    import graft.functions.KmvAgg.kmv_sketch
+    val k = 128
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val row = docs.agg(
+      kmv_sketch(graft.ext.TextDedup.baseHash(col("text")), k).as("sk"),
+      countDistinct(col("text")).as("exact")).head()
+    val sk = row.getSeq[Long](0)
+    val exact = row.getLong(1)
+    val est =
+      if (sk.size < k) sk.size.toDouble
+      else (k - 1).toDouble / ((sk(k - 1) + 1) / 4294967296.0)
+    // KMV relative std error ≈ 1/sqrt(k-2) ≈ 9% at k=128; allow 4 sigma
+    assert(math.abs(est - exact) / exact < 0.36,
+      s"est=$est exact=$exact")
+  }
 }
