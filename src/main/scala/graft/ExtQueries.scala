@@ -80,7 +80,12 @@ object ExtQueries {
 
   /** Composable CTE chain ending in `scored(id_a, id_b, jaccard)` —
     * shared by the MinHash oracle and the components oracle. */
-  private def minhashCteBody: String = {
+  private def minhashCteBody: String = minhashCteBodyFrom("documents")
+
+  /** Same CTE chain but reading (doc_id, text) from an arbitrary earlier
+    * CTE — lets composed pipelines run the LSH stage over a pre-filtered
+    * corpus. */
+  private def minhashCteBodyFrom(src: String): String = {
     val sigExprs = (0 until 8).map { i =>
       val (a, b) = (graft.ext.TextDedup.minhashA(i),
         graft.ext.TextDedup.minhashB(i))
@@ -92,7 +97,7 @@ object ExtQueries {
     }
     s"""toks AS (
          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-         FROM documents),
+         FROM $src),
        sh AS (
          SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
        hs AS (
@@ -451,10 +456,82 @@ object ExtQueries {
               doc_id) AS rn
         FROM documents) t WHERE rn <= 5"""))
 
+  /** Flagship LLM-corpus cleaning pipeline end-to-end, every stage a
+    * first-class operator from this module composed the way a real
+    * training-data run chains them:
+    *
+    *   language filter → token-count filter → exact dedup (keep-first by
+    *   fingerprint) → MinHash-LSH near-dup pairs → connected components
+    *   → keep each component's representative.
+    *
+    * The corpus is salted deterministically with exact copies (caught by
+    * stage 3) and tail-appended near-copies (jaccard ≈ 0.9 — caught by
+    * stages 4-5), so every dedup stage is load-bearing for the hash to
+    * match. The oracle replays all six stages in DuckDB, including the
+    * LSH banding and a recursive-CTE transitive closure. */
+  val llmCorpus = Q(
+    "llm_corpus_pipeline_e2e",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val dupCopies = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"))
+      val nearCopies = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" tail marker token")).as("text"),
+          col("lang"))
+      val corpus = docs.unionByName(dupCopies).unionByName(nearCopies)
+      val filtered = corpus
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .filter(col("lang") === "en" && col("n_tokens") >= 30)
+      val firsts = TextDedup.exactDedup(filtered, "text", "doc_id")
+        .select(col("representative_id").as("doc_id"))
+      val survivors = graft.ops.CacheScope.persist(
+        filtered.join(firsts, Seq("doc_id"), "left_semi"))
+      val pairs = TextDedup.minhashNearDups(survivors, "text", "doc_id",
+        n = 3, k = 8, bands = 4, threshold = 0.5)
+      val labels = TextDedup.connectedComponents(survivors, "doc_id", pairs)
+      survivors.join(labels, Seq("doc_id"))
+        .filter(col("rep_id") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents
+        WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' tail marker token', lang
+        FROM documents WHERE doc_id % 11 = 0),
+      filtered AS (
+        SELECT doc_id, text, lang,
+          len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM corpus
+        WHERE lang = 'en'
+          AND len(string_split_regex(trim(text), '\\s+')) >= 30),
+      firsts AS (
+        SELECT min(doc_id) AS doc_id FROM filtered
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+      survivors AS (
+        SELECT f.* FROM filtered f JOIN firsts USING (doc_id)),
+      ${minhashCteBodyFrom("survivors")},
+      pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM survivors
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a)
+      SELECT s.doc_id, s.lang, s.n_tokens
+      FROM survivors s JOIN labels l USING (doc_id)
+      WHERE l.rep = s.doc_id"""),
+    bench = true)
+
   def all: Seq[Q] = Seq(
     textStats, quality, langid, fingerprint,
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simCentroids,
-    mmMeta, mmFeatures, kmvDistinct, detSample)
+    mmMeta, mmFeatures, kmvDistinct, detSample, llmCorpus)
 }
