@@ -382,6 +382,49 @@ object ExtQueries {
       s"SELECT doc_id, ${(0 until 4).map(f).mkString(", ")} FROM documents"
     })
 
+  /** Trained trigram language ID ([[TextStats.trainTrigramProfiles]] +
+    * [[TextStats.langIdTrigram]]): profiles are learned from the labeled
+    * corpus itself (top-50 document-frequent trigrams per language),
+    * broadcast, and applied as a set-overlap argmax — a real train/apply
+    * pipeline, unlike the fixed-stopword heuristic it supersedes, and
+    * fully oracle-checked (deterministic counts, rank tie-breaks on
+    * trigram/lang ascending). */
+  val langidTrigram = Q(
+    "ext_langid_trigram",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val profiles = TextStats.trainTrigramProfiles(docs, "text", "lang", 50)
+      TextStats.langIdTrigram(docs, "text", "doc_id", profiles)
+    },
+    Some("""WITH nt AS (
+        SELECT doc_id, lang,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      tg AS (
+        SELECT doc_id, lang, unnest(list_distinct(list_transform(
+          range(1, greatest(length(nt) - 1, 1)),
+          i -> substring(nt, CAST(i AS INT), 3)))) AS tg
+        FROM nt),
+      prof AS (
+        SELECT lang, tg,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY count(*) DESC, tg) AS rank
+        FROM tg GROUP BY lang, tg
+        QUALIFY rank <= 50),
+      sc AS (
+        SELECT t.doc_id, p.lang, count(*) AS score
+        FROM tg t JOIN prof p ON t.tg = p.tg
+        GROUP BY t.doc_id, p.lang),
+      best AS (
+        SELECT doc_id, lang, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, lang) AS rn
+        FROM sc)
+      SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred,
+        coalesce(b.score, 0) AS score
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""))
+
   // ---- sketches ------------------------------------------------------------
 
   /** KMV distinct-count sketch ([[graft.functions.KmvAgg]]) next to the
@@ -533,5 +576,5 @@ object ExtQueries {
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simCentroids,
-    mmMeta, mmFeatures, kmvDistinct, detSample, llmCorpus)
+    mmMeta, mmFeatures, kmvDistinct, detSample, llmCorpus, langidTrigram)
 }

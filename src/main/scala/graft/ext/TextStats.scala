@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ScalarFns.strip
@@ -91,4 +92,58 @@ object TextStats {
     * the exact-dedup key. Same formula is expressible in any engine. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(strip(text)), "\\s+", " "))
+
+  // ---- trained trigram language ID (Cavnar & Trenkle '94 style) -----------
+
+  /** Distinct character trigrams of the whitespace-normalized lowercase
+    * text (same normalization as [[fingerprint]]). One regex pass plus a
+    * codegen'd HOF — no per-trigram UDF. */
+  def charTrigrams(text: Column): Column = {
+    val nt = regexp_replace(lower(strip(text)), "\\s+", " ")
+    array_distinct(
+      when(length(nt) >= 3,
+        transform(sequence(lit(1), length(nt) - 2), i => nt.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Train: the `topN` most document-frequent trigrams per labeled
+    * language → (lang, tg, rank). The `row_number` window here is NOT the
+    * single-reducer anti-pattern: its input is the already-aggregated
+    * (language × trigram-vocabulary) count table, whose size is bounded
+    * by the character-trigram vocabulary — independent of corpus size —
+    * so at 100 TB the window input is still a few thousand rows per
+    * language. Ties break on trigram ascending for determinism. */
+  def trainTrigramProfiles(docs: DataFrame, textCol: String,
+      langCol: String, topN: Int = 50): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        explode(charTrigrams(col(textCol))).as("tg"))
+      .groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("df").desc, col("tg").asc)))
+      .filter(col("rank") <= topN)
+      .select("lang", "tg", "rank")
+
+  /** Apply: score = |distinct doc trigrams ∩ language profile|, argmax
+    * with (score desc, lang asc) tie-break; docs hitting no profile at
+    * all predict 'und' with score 0. The profile table is broadcast (topN
+    * × languages rows); the per-doc argmax window partitions on the
+    * high-cardinality doc id, so it parallelizes with the corpus. */
+  def langIdTrigram(docs: DataFrame, textCol: String, idCol: String,
+      profiles: DataFrame): DataFrame = {
+    val tg = docs.select(col(idCol).as("id"),
+      explode(charTrigrams(col(textCol))).as("tg"))
+    val scores = tg
+      .join(broadcast(profiles.select(col("lang"), col("tg"))), Seq("tg"))
+      .groupBy(col("id"), col("lang")).agg(count(lit(1)).as("score"))
+    val best = scores.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("lang").asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    docs.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("lang"), lit("und")).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
 }

@@ -281,6 +281,35 @@ class ExtSpec extends SparkSpec {
     assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
   }
 
+  test("trigram langid separates languages when the text carries signal") {
+    // the driver corpus's lang labels are random over a SHARED vocabulary
+    // (unlearnable by construction), so discrimination is proven on a
+    // fixture with real per-language character statistics instead
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the garden", "en"),
+      (2L, "she was walking through the forest with her little brother", "en"),
+      (3L, "le renard brun saute par dessus le chien paresseux dans le jardin", "fr"),
+      (4L, "elle marchait dans la foret avec son petit frere hier soir", "fr"),
+      (5L, "der schnelle braune fuchs springt uber den faulen hund im garten", "de"),
+      (6L, "sie ging gestern abend mit ihrem kleinen bruder durch den wald", "de"),
+      (7L, "el rapido zorro marron salta sobre el perro perezoso en el jardin", "es"),
+      (8L, "ella caminaba por el bosque con su hermanito ayer por la noche", "es"))
+      .toDF("doc_id", "text", "lang")
+    val prof = TextStats.trainTrigramProfiles(train, "text", "lang", 50)
+    val test = Seq(
+      (11L, "the dog sleeps in the garden with the fox", "en"),
+      (12L, "le chien dort dans le jardin avec le renard", "fr"),
+      (13L, "der hund schlaft im garten mit dem fuchs", "de"),
+      (14L, "el perro duerme en el jardin con el zorro", "es"))
+      .toDF("doc_id", "text", "lang")
+    val pred = TextStats.langIdTrigram(test, "text", "doc_id", prof)
+    val agree = test.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .select(avg((col("lang") === col("lang_pred")).cast("double")))
+      .head().getDouble(0)
+    assert(agree == 1.0, s"held-out accuracy $agree")
+  }
+
   test("KmvAgg: set semantics, exact under k, k smallest ascending") {
     import graft.functions.KmvAgg.kmv_sketch
     // duplicates of the same hash must occupy ONE slot
