@@ -143,4 +143,18 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Streaming exact dedup — the D1/ext-dedup family on an unbounded
+    * stream. `dropDuplicatesWithinWatermark` keys the state store on
+    * `keyCols` but, unlike plain `dropDuplicates`, EVICTS each key once
+    * the event-time watermark passes it — bounded state, the only shape
+    * that survives an unbounded corpus feed. Contract: a duplicate is
+    * suppressed if it arrives within the watermark delay of the first
+    * occurrence; later re-occurrences (state already evicted) re-emit,
+    * which is the documented at-least-once dedup trade every bounded-
+    * state streaming dedup makes. */
+  def dedupStream(raw: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    raw.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

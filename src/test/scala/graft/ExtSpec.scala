@@ -178,6 +178,23 @@ class ExtSpec extends SparkSpec {
       brute.get((q, n)).foreach(bc => assert(bc == c)) }
   }
 
+  test("IVF: recall rises with nprobe and is exact at full probe") {
+    val model = graft.ext.IvfIndex.train(emb, nlist = 4)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(np: Int): Double = {
+      val s = graft.ext.IvfIndex
+        .search(emb, model, col("vec_id") < 4, k = 5, nprobe = np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      s.intersect(brute).size.toDouble / brute.size
+    }
+    val (r1, r2, r4) = (recall(1), recall(2), recall(4))
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1 $r2 $r4")
+    // probing every cluster = no pruning: the SAME rounding and tie-break
+    // as the exact path makes full-probe IVF identical to brute force
+    assert(r4 == 1.0, s"full-probe recall $r4 != 1.0")
+  }
+
   test("multimodal: batched extraction matches the expression-stub features") {
     val payloads = docs.limit(50)
       .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))

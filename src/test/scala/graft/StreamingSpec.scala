@@ -113,6 +113,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: within-watermark duplicates suppressed across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, Double)]
+    val q = StreamPipeline.dedupStream(
+      in.toDF.toDF("fp", "ts", "value"), Seq("fp"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: fp "a" twice in-batch, fp "b" once
+      in.addData(("a", at(0), 1.0), ("a", at(5), 2.0), ("b", at(10), 3.0))
+      q.processAllAvailable()
+      // batch 2: "a" again within the watermark delay → still suppressed
+      in.addData(("a", at(60), 4.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select(col("fp"), col("value"))
+        .as[(String, Double)].collect().sorted
+      // exactly one row per key, and it is the FIRST occurrence
+      assert(out.toSeq == Seq(("a", 1.0), ("b", 3.0)))
+    } finally q.stop()
+  }
+
   test("BatchMain: routes all three classes + skips unrecognized") {
     val landing = Files.createTempDirectory("landing2").toFile
     val out = Files.createTempDirectory("out2").toString
