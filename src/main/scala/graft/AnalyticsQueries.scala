@@ -282,8 +282,36 @@ object AnalyticsQueries {
         l.purchase_value, r.click_id, r.click_ts, r.click_value
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""))
 
+  /** Band join ([[graft.ops.BandJoin]]): for each event, how many events
+    * other users produced within ±30 minutes, and their total value — the
+    * time-proximity join shape (co-occurrence, correlation windows) that
+    * a raw inequality predicate would plan as an all-pairs nested loop.
+    * The oracle states the predicate naively; the Spark side is the
+    * bucketed single-shuffle rewrite, and they must agree exactly. */
+  val qBandJoin = Q(
+    "q_band_join_nearby_events",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("l_us"))
+      val r = ev.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), unix_micros(col("ts")).as("r_us"),
+        col("value").as("r_value"))
+      graft.ops.BandJoin(l, r, "l_us", "r_us", 1800L * 1000000)
+        .filter(col("r_user_id") =!= col("user_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby"),
+          dsum(col("r_value")).as("nearby_value"))
+    },
+    Some(s"""SELECT e1.event_id, count(*) AS n_nearby,
+        ${dsumSql("e2.value")} AS nearby_value
+      FROM events e1 JOIN events e2
+        ON e2.user_id != e1.user_id
+       AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 1800000000
+      GROUP BY e1.event_id"""))
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
-    qAsof)
+    qAsof, qBandJoin)
 }

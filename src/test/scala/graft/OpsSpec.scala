@@ -212,6 +212,24 @@ class OpsSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length == 2)
   }
 
+  test("BandJoin: exact-once pairs at/inside tolerance, none outside") {
+    val l = Seq((1L, 100L), (2L, 250L)).toDF("lid", "lk")
+    val r = Seq((10L, 100L), (11L, 199L), (12L, 201L), (13L, 0L),
+      (14L, 350L)).toDF("rid", "rk")
+    val out = BandJoin(l, r, "lk", "rk", 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    // lid=1 (k=100): rids at 100 (d=0), 199 (d=99), 0 (d=100 inclusive),
+    //   201 is d=101 → out; lid=2 (k=250): 199/201 (d<=51), 350 (d=100)
+    assert(out == Seq((1L, 10L), (1L, 11L), (1L, 13L),
+      (2L, 11L), (2L, 12L), (2L, 14L)))
+    // each pair appears exactly once (no bucket-overlap duplicates)
+    assert(out.distinct == out)
+    // the plan is an equi-join, not a nested loop
+    val plan = BandJoin(l, r, "lk", "rk", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
+
   test("AsofJoin rejects colliding right value column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "ts", "v")
