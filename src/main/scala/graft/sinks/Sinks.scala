@@ -32,6 +32,44 @@ object Sinks {
     }
   }
 
+  /** Clustered parquet layout sink — the 100 TB table-layout companion
+    * to the CSV/JDBC parity sinks. Three knobs that decide whether a
+    * petabyte table is scannable:
+    *
+    *  - hive `partitionBy(partitionCols)` → partition pruning on the
+    *    coarse key (date, language, source);
+    *  - `sortWithinPartitions(partitionCols ++ sortCols)` → row groups
+    *    clustered on `sortCols`, so parquet min/max statistics prune
+    *    inside each partition too;
+    *  - `repartition` on the partition key (plus an optional hash salt)
+    *    → each hive partition is written by `filesPerPartition` tasks,
+    *    not by every task: without this, N shuffle tasks × P partitions
+    *    emit N·P small files and the table dies of metadata, the classic
+    *    small-files failure. `maxRecordsPerFile` caps the other extreme.
+    *
+    * `filesPerPartition > 1` trades file count for write parallelism on
+    * skewed partition keys (one giant date still fans out). */
+  def writeClusteredParquet(df: DataFrame, dir: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      filesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    import org.apache.spark.sql.functions._
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    val pcols = partitionCols.map(graft.ops.qcol)
+    val distKeys =
+      if (filesPerPartition == 1) pcols
+      else pcols :+ pmod(hash(sortCols.map(graft.ops.qcol): _*),
+        lit(filesPerPartition))
+    df.repartition(distKeys: _*)
+      .sortWithinPartitions(
+        (partitionCols ++ sortCols).map(graft.ops.qcol): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+  }
+
   /** D3/K4 — idempotent upsert: the reference's
     * `INSERT ... ON CONFLICT (order_id, date) DO NOTHING`
     * (ecommerce_s3_to_pg.py:541-549). Spark's JDBC sink has no upsert, so

@@ -212,6 +212,27 @@ class OpsSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length == 2)
   }
 
+  test("clustered parquet sink: one file per partition, sorted within") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString
+    Sinks.writeClusteredParquet(docs, dir,
+      partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    val root = new java.io.File(dir)
+    val partDirs = root.listFiles().filter(_.getName.startsWith("lang="))
+    assert(partDirs.length == 5) // en/fr/de/es/zh
+    partDirs.foreach { p =>
+      val files = p.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${p.getName}: ${files.length} files")
+      // rows inside the single file are clustered on doc_id
+      val ids = spark.read.parquet(files.head.getPath)
+        .select("doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"${p.getName} not sorted")
+    }
+    // round-trip completeness
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
   test("BandJoin: exact-once pairs at/inside tolerance, none outside") {
     val l = Seq((1L, 100L), (2L, 250L)).toDF("lid", "lk")
     val r = Seq((10L, 100L), (11L, 199L), (12L, 201L), (13L, 0L),
