@@ -41,14 +41,61 @@ object ExtQueries {
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       TextStats.qualityScore(col("text")).as("quality")),
-    None) // composite float formula; verified by ScalaTest, rows-only here
+    // the composite is plain IEEE arithmetic over 6-dp-rounded ratios —
+    // same component order on both engines, so the doubles are
+    // bit-identical (left-assoc sums, identical rounding)
+    Some(s"""WITH c AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\\s+')) AS tc,
+          round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> t IN (${TextStats.enStopwords.map(w => s"'$w'").mkString(",")})))
+            / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+            AS sr,
+          round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+            / CAST(length(text) AS DOUBLE), 6) AS pr,
+          round(len(regexp_extract_all(text, '[0-9]'))
+            / CAST(length(text) AS DOUBLE), 6) AS dr
+        FROM documents)
+      SELECT doc_id,
+        round(least(1.0, tc / 20.0) * 0.4
+          + least(1.0, sr * 4.0) * 0.3
+          + greatest(0.0, 1.0 - pr * 5.0) * 0.2
+          + greatest(0.0, 1.0 - dr * 5.0) * 0.1, 6) AS quality
+      FROM c"""))
 
   val langid = Q(
     "ext_langid",
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       TextStats.langId(col("text")).as("lang_pred")),
-    None) // argmax-with-ties logic; verified by ScalaTest, rows-only here
+    // scores per language + first-match-wins argmax in ascending lang
+    // order — the CASE replays langId's when-chain exactly, ties and all
+    Some {
+      val langs = TextStats.langStopwords.toSeq.sortBy(_._1)
+      def scoreCol(lang: String) = s"s_$lang"
+      val scoreExprs = langs.map { case (lang, words) =>
+        s"""round(len(list_filter(toks, t -> t IN (${
+          words.map(w => s"'$w'").mkString(",")})))
+          / CAST(len(toks) AS DOUBLE), 6) AS ${scoreCol(lang)}"""
+      }.mkString(",\n          ")
+      val gx = langs.map(l => scoreCol(l._1)).mkString(", ")
+      val cases = langs.map { case (lang, _) =>
+        s"WHEN ${scoreCol(lang)} = greatest($gx) THEN '$lang'"
+      }.mkString("\n          ")
+      s"""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+          $scoreExprs
+          FROM t)
+        SELECT doc_id,
+          CASE WHEN greatest($gx) <= 0 THEN 'und'
+          $cases
+          ELSE 'und' END AS lang_pred
+        FROM s"""
+    })
 
   val fingerprint = Q(
     "ext_fingerprint",
@@ -345,7 +392,16 @@ object ExtQueries {
   val simCentroids = Q(
     "ext_label_centroids",
     (s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)),
-    None) // avg of floats: summation-order-sensitive; ScalaTest-verified
+    // decimal-sum mean (see labelCentroids) makes the float average
+    // order-insensitive, so it oracle-checks like any money column; the
+    // testdata embedding width (64, TESTDATA.md) is a literal because
+    // DuckDB 1.0's range() cannot take lateral column arguments
+    Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
+        round(CAST(sum(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+            AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS centroid_v
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+      WHERE i <= len(embedding)
+      GROUP BY label, i"""))
 
   // ---- multimodal plumbing -------------------------------------------------
 

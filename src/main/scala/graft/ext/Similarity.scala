@@ -172,7 +172,14 @@ object Similarity {
   def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+      // decimal sum, not avg(double): double summation is order-sensitive
+      // and a cluster re-shuffle would change the last bits; DECIMAL(38,9)
+      // addition is exact (float→double is exact, double→9-dp rounding is
+      // the same on every engine), so centroids are bit-reproducible
+      .agg(round(
+        sum(col("v").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+          .cast("double") / count(lit(1)), 6).as("centroid_v"))
 
   /** Embedding-cosine near-duplicate pairs within sign buckets: the
     * embedding-space analogue of MinHash near-dedup.
