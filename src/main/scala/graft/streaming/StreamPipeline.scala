@@ -157,4 +157,27 @@ object StreamPipeline {
       watermark: String): DataFrame =
     raw.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join — attribute each purchase to the same
+    * user's clicks in the preceding `window`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, which
+    * is what lets Spark EVICT join state: without the interval bound a
+    * stream-stream inner join must retain every row forever. State per
+    * side is O(rows within watermark+window), the bounded shape that
+    * survives an unbounded feed. Columns are prefixed to keep the output
+    * unambiguous. */
+  def clickAttributionStream(clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user_id"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+      col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    c.join(p, expr(s"""c_user_id = p_user_id
+        AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $window"""))
+      .select(col("c_user_id").as("user_id"), col("click_id"),
+        col("purchase_id"), col("purchase_value"))
+  }
 }

@@ -139,6 +139,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to in-window clicks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Long, java.sql.Timestamp)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Long, java.sql.Timestamp, Double)]
+    val q = StreamPipeline.clickAttributionStream(
+      clicks.toDF.toDF("user_id", "event_id", "ts"),
+      purchases.toDF.toDF("user_id", "event_id", "ts", "value"),
+      window = "1 hour")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 100L, at(0)), (2L, 101L, at(0)))
+      // u1 buys 30 min after the click (in window); u2 buys 2h after
+      // (outside); u3 buys with no click at all
+      purchases.addData((1L, 200L, at(1800), 9.99),
+        (2L, 201L, at(7200), 5.0), (3L, 202L, at(60), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(out == Seq((1L, 100L, 200L)))
+    } finally q.stop()
+  }
+
   test("BatchMain: routes all three classes + skips unrecognized") {
     val landing = Files.createTempDirectory("landing2").toFile
     val out = Files.createTempDirectory("out2").toString
