@@ -438,6 +438,31 @@ object ExtQueries {
       s"SELECT doc_id, ${(0 until 4).map(f).mkString(", ")} FROM documents"
     })
 
+  val mmFrames = Q(
+    "ext_multimodal_frames",
+    (s, d) => Multimodal.explodeFrames(
+      Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload")),
+      "doc_id", "payload", chunkLen = 32, stride = 64, maxChunks = 4)
+      .select(col("doc_id"), col("frame_idx"), col("frame_digest"),
+        element_at(col("frame_features"), 1).as("f0"),
+        element_at(col("frame_features"), 2).as("f1"),
+        element_at(col("frame_features"), 3).as("f2"),
+        element_at(col("frame_features"), 4).as("f3")),
+    Some {
+      def f(i: Int) =
+        s"""round(CAST(('0x' || substring(md5(chunk), ${i * 8 + 1}, 8)) AS BIGINT)
+           / 4294967296.0, 6) AS f$i"""
+      s"""WITH fr AS (
+          SELECT doc_id, CAST(i AS INT) AS frame_idx,
+            substring(text, CAST(i * 64 + 1 AS INT), 32) AS chunk
+          FROM documents CROSS JOIN range(0, 4) t(i)
+          WHERE length(substring(text, CAST(i * 64 + 1 AS INT), 32)) > 0)
+        SELECT doc_id, frame_idx, md5(chunk) AS frame_digest,
+          ${(0 until 4).map(f).mkString(", ")}
+        FROM fr"""
+    })
+
   /** Trained trigram language ID ([[TextStats.trainTrigramProfiles]] +
     * [[TextStats.langIdTrigram]]): profiles are learned from the labeled
     * corpus itself (top-50 document-frequent trigrams per language),
@@ -632,5 +657,6 @@ object ExtQueries {
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simCentroids,
-    mmMeta, mmFeatures, kmvDistinct, detSample, llmCorpus, langidTrigram)
+    mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
+    langidTrigram)
 }

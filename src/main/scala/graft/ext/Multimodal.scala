@@ -42,6 +42,23 @@ object Multimodal {
     transform(sequence(lit(0), lit(maxChunks - 1)),
       i => payload.substr(i * lit(stride) + lit(1), lit(chunkLen)))
 
+  /** Frame-sampled payload exploded to per-frame ROWS — the fan-out shape
+    * a video pipeline feeds downstream (one row per sampled frame, with
+    * its index, digest, and stub features). Chunks shorter than
+    * `chunkLen` at the payload tail are kept (the "last frame"); empty
+    * ones beyond the end are dropped. Pure projections + one
+    * `posexplode` — the fan-out multiplies rows, never bytes on the
+    * driver. */
+  def explodeFrames(df: DataFrame, idCol: String, payloadCol: String,
+      chunkLen: Int, stride: Int, maxChunks: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(sampleChunks(col(payloadCol), chunkLen, stride, maxChunks))
+          .as(Seq("frame_idx", "frame")))
+      .filter(length(col("frame")) > 0)
+      .select(col(idCol), col("frame_idx"),
+        md5(col("frame")).as("frame_digest"),
+        fakeDecodeFeatures(col("frame")).as("frame_features"))
+
   /** STUB decode → feature vector: 4 deterministic doubles in [0,1) derived
     * from md5 of the payload (substitute a real codec here in production;
     * the signature — binary in, fixed-width double array out — is the
