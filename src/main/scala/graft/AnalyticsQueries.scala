@@ -280,7 +280,8 @@ object AnalyticsQueries {
       SELECT l.user_id, l.purchase_id,
         strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
         l.purchase_value, r.click_id, r.click_ts, r.click_value
-      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""))
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""),
+    bench = true)
 
   /** Band join ([[graft.ops.BandJoin]]): for each event, how many events
     * other users produced within ±30 minutes, and their total value — the
@@ -308,7 +309,8 @@ object AnalyticsQueries {
       FROM events e1 JOIN events e2
         ON e2.user_id != e1.user_id
        AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 1800000000
-      GROUP BY e1.event_id"""))
+      GROUP BY e1.event_id"""),
+    bench = true)
 
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
