@@ -312,8 +312,76 @@ object AnalyticsQueries {
       GROUP BY e1.event_id"""),
     bench = true)
 
+  /** Pairwise Pearson correlation matrix over the lineitem measures in
+    * ONE pass — the fused-stats shape ([[graft.ops.Profiling.profile]],
+    * Transform's decision pass) applied to second-order statistics: every
+    * Sx/Sxx/Sxy accumulates in the same wide aggregate (one scan, one
+    * Exchange), the tiny driver-side row unpivots with `stack`. Naive
+    * `df.stat.corr` runs one job per pair — 6 scans here, linear in
+    * pairs at 100 TB. Determinism: all sums are exact DECIMAL(38,6)
+    * (per-value 6-dp rounding is identical on both engines), and the
+    * corr formula is evaluated with the identical parenthesization, so
+    * even the catastrophic-cancellation bits agree. */
+  val qCorr = Q(
+    "q_corr_matrix",
+    (s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 6))
+      val aggs =
+        Seq(count(lit(1)).as("n")) ++
+          cols.map(c => sum(dec(col(c))).cast("double").as(s"s_$c")) ++
+          cols.map(c =>
+            sum(dec(col(c) * col(c))).cast("double").as(s"ss_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(dec(col(a) * col(b))).cast("double").as(s"sp_${a}_$b") }
+      val w = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = pairs.flatMap { case (a, b) =>
+        Seq(lit(a), lit(b), round(
+          (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+              sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))),
+          6))
+      }
+      w.select(stack((lit(pairs.length) +: stackArgs): _*)
+        .as(Seq("col_a", "col_b", "corr")))
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      def ds(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+      val stats =
+        cols.map(c => s"${ds(c)} AS s_$c") ++
+          cols.map(c => s"${ds(s"$c * $c")} AS ss_$c") ++
+          pairs.map { case (a, b) => s"${ds(s"$a * $b")} AS sp_${a}_$b" }
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+          round((n * sp_${a}_$b - s_$a * s_$b)
+            / (sqrt(n * ss_$a - s_$a * s_$a)
+               * sqrt(n * ss_$b - s_$b * s_$b)), 6) AS corr FROM w"""
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT count(*) AS n, ${stats.mkString(", ")}
+        FROM lineitem) $rows"""
+    })
+
+  /** CUBE grouping sets — all 2^2 aggregation levels in one Expand +
+    * one shuffle (the ROLLUP companion, §2.4 extension). */
+  val qCube = Q(
+    "q_cube_status_priority",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice"), 6).as("total_price"),
+        count(lit(1)).as("n_orders")),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      ${dsumSql("o_totalprice", 6)} AS total_price, count(*) AS n_orders
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
-    qAsof, qBandJoin)
+    qAsof, qBandJoin, qCorr, qCube)
 }
