@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, Similarity, TextDedup, TextStats}
+import graft.ext.{Multimodal, PqIndex, Similarity, TextDedup, TextStats}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.10): dedup family,
   * similarity search, text analysis, multimodal plumbing — each with a
@@ -389,6 +389,15 @@ object ExtQueries {
     },
     None)
 
+  val simPq = Q(
+    "ext_sim_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = PqIndex.train(emb, dim = 64, m = 8, k = 32)
+      PqIndex.search(emb, model, col("vec_id") < 8, k = 5, oversample = 8)
+    },
+    None) // ml.KMeans codebooks are engine-internal; ScalaTest recall spec
+
   val simCentroids = Q(
     "ext_label_centroids",
     (s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)),
@@ -656,7 +665,7 @@ object ExtQueries {
     textStats, quality, langid, fingerprint,
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
     dedupComponents, cosineNearDup,
-    simBrute, simLsh, simLshRh, simIvf, simCentroids,
+    simBrute, simLsh, simLshRh, simIvf, simPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
     langidTrigram)
 }

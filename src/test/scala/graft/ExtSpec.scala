@@ -195,6 +195,31 @@ class ExtSpec extends SparkSpec {
     assert(r4 == 1.0, s"full-probe recall $r4 != 1.0")
   }
 
+  test("PQ: codes compress, re-rank scores are exact, recall beats floor") {
+    val model = graft.ext.PqIndex.train(emb, dim = 64, m = 8, k = 32)
+    assert(model.m == 8 && model.k == 32 && model.subDim == 8)
+    val coded = graft.ext.PqIndex.encode(emb, model)
+    // every vector encodes to 4 codes in [0, 16)
+    assert(coded.filter(size(col("codes")) =!= 8).count() == 0)
+    assert(coded.filter(exists(col("codes"),
+      c => c < 0 || c >= 32)).count() == 0)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 8, 5)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val bruteCos = brute.map(t => (t._1, t._2) -> t._3).toMap
+    val pq = graft.ext.PqIndex
+      .search(emb, model, col("vec_id") < 8, k = 5, oversample = 8)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    // surfaced scores are TRUE cosines (the re-rank is exact)
+    pq.foreach { case (q, n, c) =>
+      bruteCos.get((q, n)).foreach(bc => assert(bc == c)) }
+    val recall = pq.map(t => (t._1, t._2)).toSet
+      .intersect(bruteSet).size.toDouble / bruteSet.size
+    assert(recall > 0.4, s"PQ recall@5 with 8x oversample = $recall")
+  }
+
   test("multimodal: batched extraction matches the expression-stub features") {
     val payloads = docs.limit(50)
       .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
