@@ -398,6 +398,17 @@ object ExtQueries {
     },
     None) // ml.KMeans codebooks are engine-internal; ScalaTest recall spec
 
+  val simIvfPq = Q(
+    "ext_sim_ivfpq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ivf = graft.ext.IvfIndex.train(emb, nlist = 8)
+      val pq = PqIndex.train(emb, dim = 64, m = 8, k = 32)
+      PqIndex.searchWithIvf(emb, ivf, pq, col("vec_id") < 8,
+        k = 5, nprobe = 3, oversample = 8)
+    },
+    None) // ml.KMeans internals; ScalaTest proves full-probe == PQ-only
+
   val simCentroids = Q(
     "ext_label_centroids",
     (s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)),
@@ -665,7 +676,7 @@ object ExtQueries {
     textStats, quality, langid, fingerprint,
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
     dedupComponents, cosineNearDup,
-    simBrute, simLsh, simLshRh, simIvf, simPq, simCentroids,
+    simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
     langidTrigram)
 }

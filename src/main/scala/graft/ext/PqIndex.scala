@@ -115,6 +115,38 @@ object PqIndex {
     round(dotApprox / (sqrt(float_dot(qEmb, qEmb)) * reconNorm), 6)
   }
 
+  /** IVF+PQ combined search — the full FAISS IVFPQ shape: coarse cluster
+    * pruning cuts the candidate set by ~nlist/nprobe, then ADC code
+    * scoring avoids touching any pruned-in candidate's raw vector, and
+    * only the oversampled shortlist is exactly re-ranked. At 100 TB the
+    * corpus is co-partitioned by `cluster` and each probe reads a few
+    * partitions' code columns — the two prunings compose multiplicatively. */
+  def searchWithIvf(emb: DataFrame, ivf: IvfIndex.Model, pq: Model,
+      queryPred: Column, k: Int, nprobe: Int = 2,
+      oversample: Int = 4): DataFrame = {
+    val coded = encode(IvfIndex.index(emb, ivf), pq)
+      .select(col("vec_id").as("neighbor_id"), col("cluster"),
+        col("codes"), col("recon_norm"))
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(IvfIndex.probeCentroids(col("embedding"), ivf, nprobe))
+          .as("cluster"))
+    val approx = coded.join(broadcast(queries), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        adcCosine(col("q_emb"), col("codes"), col("recon_norm"), pq))
+    val shortlist = Similarity.topKPerQuery(approx, k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+    Similarity.topKPerQuery(exact, k)
+  }
+
   /** PQ top-k search with exact re-rank: ADC-score every candidate's
     * CODES (cheap), keep the top `oversample·k` per query map-side, then
     * re-rank only that shortlist with true cosines. Output matches the

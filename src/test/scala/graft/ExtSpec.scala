@@ -220,6 +220,33 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.4, s"PQ recall@5 with 8x oversample = $recall")
   }
 
+  test("IVFPQ: full probe equals PQ-only; pruning keeps exact scores") {
+    val ivf = graft.ext.IvfIndex.train(emb, nlist = 4)
+    val pq = graft.ext.PqIndex.train(emb, dim = 64, m = 8, k = 32)
+    val pqOnly = graft.ext.PqIndex
+      .search(emb, pq, col("vec_id") < 8, k = 5, oversample = 8)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().toSet
+    // nprobe = nlist → no cluster pruning → identical candidates, and the
+    // same rounding/tie-breaks → identical output to PQ-only search
+    val fullProbe = graft.ext.PqIndex.searchWithIvf(emb, ivf, pq,
+      col("vec_id") < 8, k = 5, nprobe = 4, oversample = 8)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(fullProbe == pqOnly)
+    // pruned probe: whatever it surfaces carries TRUE cosines
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 8, 20)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val pruned = graft.ext.PqIndex.searchWithIvf(emb, ivf, pq,
+      col("vec_id") < 8, k = 5, nprobe = 2, oversample = 8)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc == c)) }
+  }
+
   test("multimodal: batched extraction matches the expression-stub features") {
     val payloads = docs.limit(50)
       .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
