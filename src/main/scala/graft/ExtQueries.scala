@@ -393,7 +393,7 @@ object ExtQueries {
     "ext_sim_pq_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = PqIndex.train(emb, dim = 64, m = 8, k = 32)
+      val model = PqIndex.train(emb, dim = 64, m = 8, k = 32, maxIter = 10)
       PqIndex.search(emb, model, col("vec_id") < 8, k = 5, oversample = 8)
     },
     None) // ml.KMeans codebooks are engine-internal; ScalaTest recall spec
@@ -402,8 +402,8 @@ object ExtQueries {
     "ext_sim_ivfpq_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val ivf = graft.ext.IvfIndex.train(emb, nlist = 8)
-      val pq = PqIndex.train(emb, dim = 64, m = 8, k = 32)
+      val ivf = graft.ext.IvfIndex.train(emb, nlist = 8, maxIter = 10)
+      val pq = PqIndex.train(emb, dim = 64, m = 8, k = 32, maxIter = 10)
       PqIndex.searchWithIvf(emb, ivf, pq, col("vec_id") < 8,
         k = 5, nprobe = 3, oversample = 8)
     },
