@@ -97,6 +97,46 @@ object ExtQueries {
         FROM s"""
     })
 
+  /** PII redaction over a corpus deterministically salted with an email,
+    * phone, IP, and URL derived from each doc_id — so every pattern and
+    * the staged application order are load-bearing for the hash to
+    * match (the raw corpus is PII-free; without injection the oracle
+    * would be a no-op). */
+  val piiRedact = Q(
+    "ext_pii_redact",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@example.com or +1 (555) 867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), col("doc_id") % 256,
+        lit(".7 see https://ex.org/d/"), col("doc_id")).as("t"))
+      .select(col("doc_id"),
+        TextStats.redactPii(col("t")).as("redacted"),
+        TextStats.piiCount(col("t")).as("n_redacted")),
+    Some {
+      val stages = TextStats.piiPatterns.zipWithIndex.map {
+        case ((tag, p), i) =>
+          val prev = if (i == 0) "raw" else s"s$i"
+          val counts = (1 to i).map(j => s"c$j, ").mkString
+          s"""s${i + 1} AS (
+            SELECT doc_id, ${counts}len(regexp_extract_all(t, '$p')) AS c${i + 1},
+              regexp_replace(t, '$p', '<${tag.toUpperCase}>', 'g') AS t
+            FROM $prev)"""
+      }.mkString(",\n        ")
+      s"""WITH raw AS (
+          SELECT doc_id, text || ' contact u' || doc_id
+            || '@example.com or +1 (555) 867-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.7 see https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS t
+          FROM documents),
+        $stages
+        SELECT doc_id, t AS redacted,
+          CAST(c1 + c2 + c3 + c4 AS INT) AS n_redacted
+        FROM s4"""
+    })
+
   val fingerprint = Q(
     "ext_fingerprint",
     (s, d) => Tables.documents(s, d).select(
@@ -673,7 +713,7 @@ object ExtQueries {
     bench = true)
 
   def all: Seq[Q] = Seq(
-    textStats, quality, langid, fingerprint,
+    textStats, quality, langid, piiRedact, fingerprint,
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,

@@ -93,6 +93,38 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(strip(text)), "\\s+", " "))
 
+  // ---- PII redaction -------------------------------------------------------
+
+  /** Redaction patterns in application ORDER — order is load-bearing:
+    * URLs first (they contain @, dots, digits), then emails, then IPs,
+    * then phones (the loosest pattern, applied only to what survives).
+    * RE2-safe syntax (no backrefs/lookahead) so any engine's regex
+    * library — Java here, RE2 in the DuckDB oracle — matches the same
+    * spans: each pattern's match extent is "maximal run ending at the
+    * required terminal class", identical under leftmost-greedy and
+    * leftmost-longest semantics. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "url" -> "https?://\\S+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\+?\\d[\\d\\s().-]{6,}\\d")
+
+  /** Replace each PII class with its `<TAG>` placeholder (placeholders
+    * contain no digits or @, so later stages cannot re-match them). Pure
+    * codegen'd regexp_replace chain — one projection, no shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (tag, p)) =>
+      regexp_replace(c, p, s"<${tag.toUpperCase}>")
+    }
+
+  /** Total redaction count, staged identically to [[redactPii]] (each
+    * class counted on the text AFTER earlier classes were replaced). */
+  def piiCount(text: Column): Column =
+    piiPatterns.foldLeft((text, lit(0))) { case ((c, n), (tag, p)) =>
+      (regexp_replace(c, p, s"<${tag.toUpperCase}>"),
+        n + size(regexp_extract_all(c, lit(p), lit(0))))
+    }._2
+
   // ---- trained trigram language ID (Cavnar & Trenkle '94 style) -----------
 
   /** Distinct character trigrams of the whitespace-normalized lowercase

@@ -350,6 +350,23 @@ class ExtSpec extends SparkSpec {
     assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
   }
 
+  test("PII redaction: staged order keeps URL-embedded emails as URLs") {
+    val out = Seq(
+      ("see https://a.b/c?u=x@y.zz now", "see <URL> now"),
+      ("mail bob@corp.io today", "mail <EMAIL> today"),
+      ("host 192.168.0.1 up", "host <IP> up"),
+      ("call +1 (555) 867-5309 now", "call <PHONE> now"),
+      ("clean text stays", "clean text stays"))
+      .toDF("t", "expected")
+      .select(TextStats.redactPii(col("t")).as("got"), col("expected"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // a doc with all four classes counts all four, staged
+    val n = Seq("x@y.zz https://h/p 1.2.3.4 +1 (555) 867-5309")
+      .toDF("t").select(TextStats.piiCount(col("t"))).head().getInt(0)
+    assert(n == 4)
+  }
+
   test("trigram langid separates languages when the text carries signal") {
     // the driver corpus's lang labels are random over a SHARED vocabulary
     // (unlearnable by construction), so discrimination is proven on a
