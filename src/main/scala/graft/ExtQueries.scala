@@ -156,6 +156,41 @@ object ExtQueries {
       FROM documents GROUP BY 1"""),
     bench = true)
 
+  /** Incremental dedup ([[TextDedup.incrementalDedup]]): the even-id half
+    * of the corpus plays the already-ingested archive (present only as
+    * its fingerprint INDEX), the odd half plus re-submitted copies of
+    * even docs play the incoming batch. Survivors must be exactly the
+    * genuinely-new contents — the old corpus itself is never read. */
+  val dedupIncremental = Q(
+    "ext_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = TextDedup.exactDedup(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .select("fp", "representative_id")
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      val (survivors, _) =
+        TextDedup.incrementalDedup(incoming, "text", "doc_id", index)
+      survivors.select("doc_id")
+    },
+    Some("""WITH old_idx AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 2 = 0),
+      incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 500000, text FROM documents WHERE doc_id % 10 = 0),
+      wf AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM incoming),
+      firsts AS (SELECT fp, min(doc_id) AS doc_id FROM wf GROUP BY fp)
+      SELECT f.doc_id FROM firsts f
+      WHERE NOT EXISTS (SELECT 1 FROM old_idx o WHERE o.fp = f.fp)"""))
+
   /** Portable seeded hash in DuckDB SQL (mirror of TextDedup.seededHash). */
   private def dkHash(seed: Int, expr: String) =
     s"CAST(('0x' || substring(md5('$seed:' || $expr), 1, 8)) AS BIGINT)"
@@ -714,7 +749,8 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     textStats, quality, langid, piiRedact, fingerprint,
-    dedupExact, dedupMinhash, dedupNgram, dedupSimhash, dedupSimhashPairs,
+    dedupExact, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
+    dedupSimhashPairs,
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,

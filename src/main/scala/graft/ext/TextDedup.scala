@@ -91,6 +91,35 @@ object TextDedup {
       .agg(min(col(idCol)).as("representative_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — dedup an INCOMING batch against an
+    * existing fingerprint index without ever re-reading the old corpus:
+    * the shape a 100 TB ingestion pipeline actually needs (the full
+    * corpus is petabytes; the index is one (fp, representative_id) row
+    * per distinct content, kilobytes per terabyte of text).
+    *
+    * Returns (survivors, updatedIndex): survivors are incoming rows that
+    * are first-of-fingerprint within the batch (min id) AND absent from
+    * the index; updatedIndex = index ∪ the survivors' entries, same
+    * schema, ready for the next batch. Cost: one hash aggregate over the
+    * batch + one anti-join + one semi-join against the index — all keyed
+    * on `fp`, so an index stored bucketed by fp ([[graft.sinks.Sinks]]
+    * bucketed sink) joins exchange-free on the index side. */
+  def incrementalDedup(incoming: DataFrame, textCol: String, idCol: String,
+      index: DataFrame): (DataFrame, DataFrame) = {
+    val withFp = incoming.withColumn("fp",
+      TextStats.fingerprint(col(textCol)))
+    val novel = withFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("representative_id"))
+      .join(index.select("fp"), Seq("fp"), "left_anti")
+    val survivors = withFp
+      .join(novel.select(col("fp"),
+        col("representative_id").as("__keep")), Seq("fp"))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep", "fp")
+    (survivors, index.select("fp", "representative_id")
+      .unionByName(novel.select("fp", "representative_id")))
+  }
+
   /** MinHash+LSH candidate pairs with exact Jaccard verification.
     * Returns (id_a, id_b, jaccard) for verified pairs ≥ `threshold`.
     *

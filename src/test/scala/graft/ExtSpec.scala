@@ -350,6 +350,34 @@ class ExtSpec extends SparkSpec {
     assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
   }
 
+  test("incremental dedup: batch dedups against index without old corpus") {
+    val batch1 = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val empty = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("representative_id",
+            org.apache.spark.sql.types.LongType))))
+    val (s1, idx1) = TextDedup.incrementalDedup(batch1, "text", "doc_id", empty)
+    assert(s1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(idx1.count() == 2)
+    // batch 2: a cross-batch dup (alpha beta), an in-batch dup pair
+    // (epsilon twice — keep-first id 4), and whitespace-variant of a
+    // batch-1 doc (fingerprint-normalized → dup)
+    val batch2 = Seq((3L, "alpha beta"), (5L, "epsilon zeta"),
+      (4L, "epsilon zeta"), (6L, "  GAMMA   delta  "))
+      .toDF("doc_id", "text")
+    val (s2, idx2) = TextDedup.incrementalDedup(batch2, "text", "doc_id", idx1)
+    assert(s2.select("doc_id").as[Long].collect().toSet == Set(4L))
+    assert(idx2.count() == 3)
+    // replay of batch 2 is a no-op against the updated index
+    val (s3, idx3) = TextDedup.incrementalDedup(batch2, "text", "doc_id", idx2)
+    assert(s3.count() == 0 && idx3.count() == 3)
+  }
+
   test("PII redaction: staged order keeps URL-embedded emails as URLs") {
     val out = Seq(
       ("see https://a.b/c?u=x@y.zz now", "see <URL> now"),
