@@ -212,6 +212,32 @@ class OpsSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length == 2)
   }
 
+  test("GraftExtensions: native functions callable from SQL") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))""")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql(
+      "SELECT size(shingle_hashes('a b c d', 2))").head().getInt(0)
+    assert(sh == 3) // "a b", "b c", "c d"
+    spark.range(10).createOrReplaceTempView("ext_nums")
+    val tk = spark.sql(
+      """SELECT top_k(CAST(id AS DOUBLE), id, 3) FROM ext_nums""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(_.getLong(0)) == Seq(9L, 8L, 7L))
+    val kmv = spark.sql(
+      "SELECT kmv_sketch(id, 4) FROM ext_nums").head().getSeq[Long](0)
+    assert(kmv == Seq(0L, 1L, 2L, 3L))
+    // non-literal k is rejected with a clear message
+    val err = intercept[Exception](
+      spark.sql("SELECT kmv_sketch(id, CAST(id AS INT)) FROM ext_nums")
+        .head())
+    assert(err.getMessage.contains("INT literal")
+      || Option(err.getCause).exists(_.getMessage.contains("INT literal")))
+  }
+
   test("clustered parquet sink: one file per partition, sorted within") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.01/documents.parquet")
