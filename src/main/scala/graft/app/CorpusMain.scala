@@ -1,0 +1,88 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{TextDedup, TextStats}
+import graft.ops.CacheScope
+import graft.sinks.Sinks
+
+/** Corpus driver — the LLM-training-data counterpart to [[BatchMain]]:
+  * one runnable entry that takes a documents table and produces a clean,
+  * layout-optimized corpus plus a load report. Stages (each an operator
+  * this library ships, composed in the order a production ingest runs):
+  *
+  *   1. annotate: token counts, quality score, fingerprints;
+  *   2. PII redaction (staged URL→email→IP→phone);
+  *   3. gate: minimum tokens + quality floor;
+  *   4. exact dedup keep-first by fingerprint;
+  *   5. MinHash-LSH near-dup mining → connected components → keep each
+  *      component's representative;
+  *   6. land as hive-partitioned (lang), doc_id-clustered parquet.
+  *
+  * Prints one JSON summary line (counts per stage) for orchestration.
+  *
+  * Usage: runMain graft.app.CorpusMain <docsParquetDir> <outDir>
+  *          [minTokens] [minQuality]
+  */
+object CorpusMain {
+  def main(args: Array[String]): Unit = {
+    val docsDir = args(0)
+    val outDir = args(1)
+    val minTokens = if (args.length > 2) args(2).toInt else 10
+    val minQuality = if (args.length > 3) args(3).toDouble else 0.2
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val summary = run(spark, spark.read.parquet(docsDir), outDir,
+      minTokens, minQuality)
+    println(summary)
+    spark.stop()
+  }
+
+  /** Returns the JSON summary line; writes the clean corpus under
+    * `outDir/corpus`. */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+      minTokens: Int = 10, minQuality: Double = 0.2): String = {
+    val annotated = CacheScope.persist(docs.select(
+      col("doc_id"), col("lang"),
+      TextStats.redactPii(col("text")).as("text"),
+      TextStats.tokenCount(col("text")).as("n_tokens"),
+      TextStats.qualityScore(col("text")).as("quality"),
+      TextStats.fingerprint(col("text")).as("fp")))
+    val total = annotated.count()
+
+    val gated = annotated.filter(
+      col("n_tokens") >= minTokens && col("quality") >= minQuality)
+    val nGated = gated.count()
+
+    // exact dedup keep-first on the PRE-redaction fingerprint (two docs
+    // differing only in redacted PII are still near-dups, not exact)
+    val firsts = gated.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactKept = CacheScope.persist(
+      gated.join(firsts, Seq("doc_id"), "left_semi"))
+    val nExact = exactKept.count()
+
+    val pairs = TextDedup.minhashNearDups(exactKept, "text", "doc_id",
+      n = 3, k = 8, bands = 4, threshold = 0.5)
+    val labels = TextDedup.connectedComponents(exactKept, "doc_id", pairs)
+    val clean = exactKept.join(labels, Seq("doc_id"))
+      .filter(col("rep_id") === col("doc_id"))
+      .select("doc_id", "lang", "text", "n_tokens", "quality")
+
+    Sinks.writeClusteredParquet(clean, s"$outDir/corpus",
+      partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    val nClean = spark.read.parquet(s"$outDir/corpus").count()
+    CacheScope.releaseAll()
+
+    s"""{"total":$total,"gated":$nGated,"exact_deduped":$nExact,""" +
+      s""""clean":$nClean,"out":"$outDir/corpus"}"""
+  }
+}

@@ -350,6 +350,28 @@ class ExtSpec extends SparkSpec {
     assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
   }
 
+  test("CorpusMain: end-to-end corpus run lands partitioned clean output") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_out").toString
+    // salt with one exact dup so the dedup stages do real work
+    val salted = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 90000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))
+    val summary = graft.app.CorpusMain.run(
+      TestSpark.spark, salted, out, minTokens = 5, minQuality = 0.0)
+    def field(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(summary).get.group(1).toLong
+    val (total, gated, exact, clean) = (field("total"), field("gated"),
+      field("exact_deduped"), field("clean"))
+    assert(total == docs.count() + docs.filter(col("doc_id") % 5 === 0).count())
+    assert(gated <= total && exact <= gated && clean <= exact)
+    // every salted exact copy was removed
+    assert(exact <= docs.count())
+    val landed = TestSpark.spark.read.parquet(s"$out/corpus")
+    assert(landed.count() == clean)
+    assert(new java.io.File(s"$out/corpus").listFiles()
+      .exists(_.getName.startsWith("lang=")))
+  }
+
   test("incremental dedup: batch dedups against index without old corpus") {
     val batch1 = Seq((1L, "alpha beta"), (2L, "gamma delta"))
       .toDF("doc_id", "text")
