@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, PqIndex, Similarity, TextDedup, TextStats}
+import graft.ext.{Multimodal, PqIndex, Retrieval, Similarity, TextDedup, TextStats}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.10): dedup family,
   * similarity search, text analysis, multimodal plumbing — each with a
@@ -136,6 +136,64 @@ object ExtQueries {
           CAST(c1 + c2 + c3 + c4 AS INT) AS n_redacted
         FROM s4"""
     })
+
+  /** C4-style boilerplate line removal over a deterministically salted
+    * corpus: every doc gains a universal cookie banner, one of three
+    * rotating template lines, and a unique `ref id N` footer — the
+    * operator must strip the first two everywhere and keep the footer
+    * (and the original text) untouched, preserving line order. */
+  val lineDedup = Q(
+    "ext_line_dedup",
+    (s, d) => TextDedup.removeBoilerplateLines(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat_ws("\n",
+          lit("cookie notice: accept all cookies"),
+          col("text"),
+          element_at(
+            array(lit("nav: home | about | contact"),
+              lit("subscribe to our newsletter"),
+              lit("(c) 2024 example corp")),
+            (col("doc_id") % 3 + 1).cast("int")),
+          concat(lit("ref id "), col("doc_id"))).as("text")),
+      "text", "doc_id", minDocs = 10),
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          'cookie notice: accept all cookies' || chr(10) || text || chr(10)
+          || ['nav: home | about | contact','subscribe to our newsletter',
+              '(c) 2024 example corp'][CAST(doc_id % 3 + 1 AS INT)]
+          || chr(10) || 'ref id ' || doc_id AS t
+        FROM documents),
+      ln AS (
+        SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+          generate_subscripts(string_split(t, chr(10)), 1) AS pos
+        FROM raw),
+      fp AS (
+        SELECT doc_id, pos, line,
+          md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS line_fp
+        FROM ln),
+      bp AS (
+        SELECT line_fp FROM (
+          SELECT line_fp, count(DISTINCT doc_id) AS n FROM fp GROUP BY 1)
+        WHERE n >= 10),
+      kept AS (SELECT f.* FROM fp f ANTI JOIN bp USING (line_fp)),
+      agg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+          count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT r.doc_id, coalesce(a.cleaned, '') AS cleaned,
+        CAST(len(string_split(r.t, chr(10))) - coalesce(a.n_kept, 0) AS INT)
+          AS n_removed
+      FROM raw r LEFT JOIN agg a USING (doc_id)"""))
+
+  /** BM25 ranked retrieval: global top-10 documents for a fixed
+    * three-term query. See [[graft.ext.Retrieval]] for the scale and
+    * determinism story. */
+  val bm25 = Q(
+    "ext_bm25_topk",
+    (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+      Seq("spark", "window", "vector"), k = 10),
+    Some(Retrieval.bm25OracleSql(Seq("spark", "window", "vector"), 10)))
 
   val fingerprint = Q(
     "ext_fingerprint",
@@ -748,7 +806,7 @@ object ExtQueries {
     bench = true)
 
   def all: Seq[Q] = Seq(
-    textStats, quality, langid, piiRedact, fingerprint,
+    textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
     dedupExact, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, cosineNearDup,

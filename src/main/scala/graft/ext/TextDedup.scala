@@ -120,6 +120,51 @@ object TextDedup {
       .unionByName(novel.select("fp", "representative_id")))
   }
 
+  /** C4-style boilerplate-line removal (Raffel et al. 2020 §2.2: lines
+    * that recur across many pages — nav bars, cookie banners, license
+    * headers — are template noise, not content): any line whose
+    * normalized fingerprint occurs in at least `minDocs` DISTINCT
+    * documents is removed from every document; per-doc line order is
+    * preserved and fully-boilerplate documents survive as empty text.
+    *
+    * Returns (idCol, cleaned, n_removed).
+    *
+    * Scale (100 TB): lines explode to (line_fp, pos, line) — the global
+    * frequency is a two-level hash aggregate on the 16-byte digest
+    * (per-doc distinct first, so a line repeated inside one doc counts
+    * once; both levels combine map-side). The boilerplate set (freq ≥
+    * minDocs) is tiny by construction — a template line appears in
+    * thousands of docs, so the set is ~corpus/minDocs rows — and joins
+    * back as a broadcast-able left-anti on the fingerprint. Reassembly
+    * is one shuffle on the doc id. No stage is all-pairs, and only
+    * fingerprints cross the frequency shuffle, never line text. */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Int): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos"), col("col").as("line"),
+        TextStats.fingerprint(col("line")).as("line_fp"))
+    val boilerplate = lines
+      .select(col("line_fp"), col(idCol)).distinct()
+      .groupBy("line_fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line_fp")
+    val kept = lines.join(boilerplate, Seq("line_fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("cleaned"),
+        count(lit(1)).cast("int").as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0))).as("n_removed"))
+  }
+
   /** MinHash+LSH candidate pairs with exact Jaccard verification.
     * Returns (id_a, id_b, jaccard) for verified pairs ≥ `threshold`.
     *

@@ -477,4 +477,49 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.36,
       s"est=$est exact=$exact")
   }
+
+  test("boilerplate line removal: frequent lines stripped, order kept") {
+    val corpus = (1 to 30).map { i =>
+      (i.toLong, s"unique head $i\nSHARED BANNER LINE\nunique tail $i")
+    }.toDF("doc_id", "text")
+      // doc 31 is pure boilerplate; doc 32 repeats the banner twice
+      // (in-doc repeats count once toward doc-frequency)
+      .union(Seq(
+        (31L, "SHARED BANNER LINE"),
+        (32L, "SHARED BANNER LINE\nkeep me\nSHARED BANNER LINE"))
+        .toDF("doc_id", "text"))
+    val out = TextDedup.removeBoilerplateLines(corpus, "text", "doc_id", 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(5L) == (("unique head 5\nunique tail 5", 1)))
+    assert(out(31L) == (("", 1)))
+    assert(out(32L) == (("keep me", 2)))
+  }
+
+  test("boilerplate line removal: below-threshold lines untouched") {
+    val corpus = (1 to 5).map(i => (i.toLong, s"a $i\nrare shared line"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextDedup
+      .removeBoilerplateLines(corpus, "text", "doc_id", 10)
+      .agg(sum("n_removed")).head().getLong(0)
+    assert(out == 0L)
+  }
+
+  test("bm25: term-frequent doc ranks first, scores non-increasing") {
+    val corpus = Seq(
+      (1L, "spark spark spark join window"),
+      (2L, "spark join table scan row"),
+      (3L, "table scan row batch merge"),
+      (4L, "window window spark table scan")).toDF("doc_id", "text")
+    val out = graft.ext.Retrieval
+      .bm25TopK(corpus, "text", "doc_id", Seq("spark", "window"), 4)
+      .collect()
+    // idf favors the rarer 'window' (df=2) over 'spark' (df=3): doc 4's
+    // double-window beats doc 1's triple-spark (tf saturates at k1)
+    assert(out.map(_.getLong(0)).take(2).toSeq == Seq(4L, 1L))
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4))
+    // doc 3 has zero query terms -> scores 0, must rank last
+    assert(out.last.getLong(0) == 3L && out.last.getDouble(1) == 0.0)
+  }
 }
