@@ -380,8 +380,163 @@ object AnalyticsQueries {
       ${dsumSql("o_totalprice", 6)} AS total_price, count(*) AS n_orders
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
 
+  /** PIVOT: order counts and exact-decimal revenue per priority, one
+    * column pair per status. Values are enumerated explicitly, so the
+    * pivot is a single-pass conditional aggregation (no extra
+    * distinct-values job) — same plan as the oracle's CASE form. */
+  val qPivot = Q(
+    "q_pivot_status_by_priority",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      .select(col("o_orderpriority"),
+        col("F_n").as("f_n"), col("F_rev").as("f_rev"),
+        col("O_n").as("o_n"), col("O_rev").as("o_rev"),
+        col("P_n").as("p_n"), col("P_rev").as("p_rev")),
+    Some(s"""SELECT o_orderpriority,
+      count(*) FILTER (o_orderstatus = 'F') AS f_n,
+      ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_rev,
+      count(*) FILTER (o_orderstatus = 'O') AS o_n,
+      ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_rev,
+      count(*) FILTER (o_orderstatus = 'P') AS p_n,
+      ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_rev
+      FROM orders GROUP BY o_orderpriority"""))
+
+  /** Set operations (INTERSECT / EXCEPT / UNION ALL — SURVEY §2.9 absent
+    * in the reference): customer cohorts by order status. Each leg is a
+    * distinct-project (hash aggregate); the set ops hash-shuffle on the
+    * full row, which IS the key — no skew, scales linearly. */
+  val qSetOps = Q(
+    "q_setops_customer_cohorts",
+    (s, d) => {
+      def keys(status: String) = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_custkey")).distinct()
+      val both = keys("F").intersect(keys("O"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(lit("f_and_o").as("cohort"), col("n_customers"))
+      val fOnly = keys("F").except(keys("O"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(lit("f_only").as("cohort"), col("n_customers"))
+      val either = keys("F").union(keys("O")).distinct()
+        .agg(count(lit(1)).as("n_customers"))
+        .select(lit("f_or_o").as("cohort"), col("n_customers"))
+      both.unionByName(fOnly).unionByName(either)
+    },
+    Some("""WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      SELECT 'f_and_o' AS cohort,
+        (SELECT count(*) FROM (SELECT * FROM f INTERSECT SELECT * FROM o)) AS n_customers
+      UNION ALL SELECT 'f_only',
+        (SELECT count(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM o))
+      UNION ALL SELECT 'f_or_o',
+        (SELECT count(*) FROM (SELECT * FROM f UNION SELECT * FROM o))"""))
+
+  /** Ranking-window family over PARTITIONED windows (ntile / cume_dist /
+    * percent_rank): quartile of each order's price within its priority
+    * class. The window shuffles on the partition key (5 balanced classes
+    * here; at scale any reasonable-cardinality key), never a global sort.
+    * The ORDER BY carries o_orderkey so every rank function sees a total
+    * order — no peer groups, engine-independent results. */
+  val qNtile = Q(
+    "q_ntile_priority_price",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("price_quartile"),
+        round(cume_dist().over(w), 6).as("cume"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+      ntile(4) OVER w AS price_quartile,
+      round(cume_dist() OVER w, 6) AS cume,
+      round(percent_rank() OVER w, 6) AS pct_rank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)"""))
+
+  /** Scale-correct global quantile bucketing: instead of a global-sort
+    * ntile (one reducer sees every row), the three quartile cut points of
+    * per-customer spend are computed by an exact percentile aggregate and
+    * broadcast back; assignment is then an embarrassingly parallel CASE.
+    * This is the 100 TB shape for "which quartile is this customer in". */
+  val qQuartileAssign = Q(
+    "q_spend_quartile_assign",
+    (s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      val cuts = spend.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY spend)").as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY spend)").as("q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY spend)").as("q3"))
+      spend.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"), col("spend"),
+          when(col("spend") <= col("q1"), 1)
+            .when(col("spend") <= col("q2"), 2)
+            .when(col("spend") <= col("q3"), 3)
+            .otherwise(4).as("spend_quartile"))
+    },
+    Some(s"""WITH spend AS (
+        SELECT o_custkey, ${dsumSql("o_totalprice")} AS spend
+        FROM orders GROUP BY o_custkey),
+      cuts AS (
+        SELECT CAST(quantile_disc(spend, 0.25) AS DOUBLE) AS q1,
+          CAST(quantile_disc(spend, 0.5) AS DOUBLE) AS q2,
+          CAST(quantile_disc(spend, 0.75) AS DOUBLE) AS q3
+        FROM spend)
+      SELECT o_custkey, spend,
+        CASE WHEN spend <= q1 THEN 1 WHEN spend <= q2 THEN 2
+             WHEN spend <= q3 THEN 3 ELSE 4 END AS spend_quartile
+      FROM spend, cuts"""))
+
+  /** Date-spine gap fill + forward fill: daily counts/revenue of 'P'
+    * orders with missing days materialized at 0 and the last seen
+    * revenue carried forward. The ordered window runs over the SPINE
+    * (one row per day — thousands of rows regardless of fact size, the
+    * daily aggregate has already shrunk the data), so the
+    * single-partition sort is bounded by calendar length, not corpus
+    * size. */
+  val qGapFill = Q(
+    "q_gap_fill_daily",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "P")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+      val spine = daily
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("interval 1 day"))).as("day"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          last(col("revenue"), ignoreNulls = true).over(w)
+            .as("last_seen_revenue"))
+    },
+    Some(s"""WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+          ${dsumSql("o_totalprice")} AS revenue
+        FROM orders WHERE o_orderstatus = 'P' GROUP BY 1),
+      spine AS (
+        SELECT CAST(unnest(generate_series(
+          (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+          INTERVAL 1 DAY)) AS DATE) AS day)
+      SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+        last_value(d.revenue IGNORE NULLS) OVER (
+          ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS last_seen_revenue
+      FROM spine s LEFT JOIN daily d USING (day)"""))
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
-    qAsof, qBandJoin, qCorr, qCube)
+    qAsof, qBandJoin, qCorr, qCube,
+    qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill)
 }
