@@ -195,6 +195,16 @@ object ExtQueries {
       Seq("spark", "window", "vector"), k = 10),
     Some(Retrieval.bm25OracleSql(Seq("spark", "window", "vector"), 10)))
 
+  /** Hybrid lexical+semantic retrieval fused with RRF; doc 7's embedding
+    * is the semantic query, the BM25 terms the lexical one. */
+  val hybridRrf = Q(
+    "ext_hybrid_rrf_topk",
+    (s, d) => Retrieval.hybridRrfTopK(
+      Tables.documents(s, d), Tables.embeddings(s, d), "text", "doc_id",
+      Seq("spark", "window", "vector"), queryVecId = 7L, k = 10),
+    Some(Retrieval.hybridRrfOracleSql(
+      Seq("spark", "window", "vector"), queryVecId = 7L, k = 10)))
+
   val fingerprint = Q(
     "ext_fingerprint",
     (s, d) => Tables.documents(s, d).select(
@@ -807,6 +817,7 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
+    hybridRrf,
     dedupExact, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, cosineNearDup,

@@ -65,6 +65,73 @@ object Retrieval {
         col("t.rank").as("rank"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009:
+    * score = Σ_legs 1/(rrfK + rank)) of a BM25 lexical leg and an
+    * embedding-cosine semantic leg, the standard two-tower RAG retrieval
+    * shape. Docs and embeddings share the id space (`vec_id = doc_id`).
+    *
+    * Scale: each leg is already bounded (its own top-`n` via the
+    * bounded-heap aggregate), so the fusion full-outer join touches at
+    * most 2n rows — driver-free, broadcast-sized regardless of corpus.
+    * Determinism: ranks are ints, 1/(rrfK+rank) is the same IEEE double
+    * on both engines, legs sum in fixed order, 6-dp round. */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame,
+      textCol: String, idCol: String,
+      queryTerms: Seq[String], queryVecId: Long, k: Int,
+      n: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, textCol, idCol, queryTerms, n)
+      .select(col(idCol).cast("long").as("lex_id"),
+        col("rank").as("lex_rank"))
+    val sem = Similarity.bruteForceTopK(emb, col("vec_id") === queryVecId, n)
+      .select(col("neighbor_id").as("sem_id"), col("rank").as("sem_rank"))
+    lex.join(sem, col("lex_id") === col("sem_id"), "full_outer")
+      .select(
+        coalesce(col("lex_id"), col("sem_id")).as("id"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)),
+          6).as("rrf"))
+      .groupBy()
+      .agg(graft.functions.TopKAgg.top_k(col("rrf"), col("id"), k).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.id").as(idCol), col("t.score").as("score"),
+        col("t.rank").as("rank"))
+  }
+
+  /** DuckDB oracle SQL for [[hybridRrfTopK]] over `documents` +
+    * `embeddings` (vec_id = doc_id). */
+  def hybridRrfOracleSql(queryTerms: Seq[String], queryVecId: Long,
+      k: Int, n: Int = 20, rrfK: Int = 60): String =
+    s"""WITH lex AS (${bm25OracleSql(queryTerms, n)}),
+      q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb,
+          vec_id AS query_id
+        FROM embeddings WHERE vec_id = $queryVecId),
+      c AS (
+        SELECT vec_id AS neighbor_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b_emb
+        FROM embeddings),
+      sem0 AS (
+        SELECT neighbor_id,
+          round(list_dot_product(a_emb, b_emb)
+            / (sqrt(list_dot_product(a_emb, a_emb))
+               * sqrt(list_dot_product(b_emb, b_emb))), 6) AS cos
+        FROM q JOIN c ON query_id != neighbor_id),
+      sem AS (
+        SELECT neighbor_id, rank FROM (
+          SELECT neighbor_id,
+            row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank
+          FROM sem0)
+        WHERE rank <= $n),
+      fused AS (
+        SELECT coalesce(l.doc_id, s.neighbor_id) AS doc_id,
+          round(coalesce(1.0 / ($rrfK + l.rank), 0)
+            + coalesce(1.0 / ($rrfK + s.rank), 0), 6) AS rrf
+        FROM lex l FULL JOIN sem s ON l.doc_id = s.neighbor_id)
+      SELECT doc_id, rrf AS score,
+        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT $k"""
+
   /** DuckDB oracle SQL for [[bm25TopK]] over the `documents` table —
     * generated from the same constants so every double literal
     * round-trips to the identical value. */

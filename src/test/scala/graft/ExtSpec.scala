@@ -504,6 +504,21 @@ class ExtSpec extends SparkSpec {
     assert(out == 0L)
   }
 
+  test("hybrid RRF: doc present in both legs outranks single-leg docs") {
+    val sf001docs = Tables.documents(spark, sf)
+    val sf001emb = Tables.embeddings(spark, sf)
+    val out = graft.ext.Retrieval.hybridRrfTopK(
+      sf001docs, sf001emb, "text", "doc_id",
+      Seq("spark", "window", "vector"), queryVecId = 7L, k = 10)
+      .collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // every returned score is a sum of at most two leg contributions,
+    // each bounded by 1/(60+1)
+    assert(scores.head <= 2.0 / 61 + 1e-9 && scores.last > 0.0)
+  }
+
   test("bm25: term-frequent doc ranks first, scores non-increasing") {
     val corpus = Seq(
       (1L, "spark spark spark join window"),
