@@ -205,6 +205,122 @@ object ExtQueries {
     Some(Retrieval.hybridRrfOracleSql(
       Seq("spark", "window", "vector"), queryVecId = 7L, k = 10)))
 
+  /** Gopher-style intra-document repetition stats over the raw corpus. */
+  val repetition = Q(
+    "ext_repetition_stats",
+    (s, d) => TextStats.repetitionStats(
+      Tables.documents(s, d), "text", "doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      base AS (
+        SELECT doc_id,
+          round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+            AS dup_token_frac,
+          CASE WHEN len(tk) >= 2 THEN
+            list_transform(generate_series(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i + 1])
+          ELSE CAST([] AS VARCHAR[]) END AS bg
+        FROM t),
+      ex AS (
+        SELECT doc_id, len(bg) AS n_bg, unnest(bg) AS g FROM base),
+      cnt AS (
+        SELECT doc_id, g, count(*) AS c, any_value(n_bg) AS n_bg
+        FROM ex GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / any_value(n_bg), 6)
+          AS top_bigram_frac
+        FROM cnt GROUP BY 1)
+      SELECT b.doc_id, b.dup_token_frac, t2.top_bigram_frac
+      FROM base b LEFT JOIN top t2 USING (doc_id)"""))
+
+  /** Deterministic id-hash train/val/test split (90/5/5). */
+  val hashSplit = Q(
+    "ext_hash_split",
+    (s, d) => TextDedup.hashSplit(
+      Tables.documents(s, d).select("doc_id"), "doc_id")
+      .select("doc_id", "split"),
+    Some("""SELECT doc_id,
+      CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          AS b
+      FROM documents)"""))
+
+  private val benchSnippets = Seq(
+    (1, "the quick brown fox jumps over the lazy dog near the riverbank"),
+    (2, "pack my box with five dozen liquor jugs before noon tomorrow arrives"),
+    (3, "sphinx of black quartz judge my vow under bright evening skies"))
+
+  /** Benchmark decontamination over a corpus deterministically salted
+    * with two of the three benchmark snippets (the third is the
+    * negative control): docs ≡ 7 (mod 50) embed snippet 1, ≡ 23 embed
+    * snippet 2 — exactly those (doc, bench) pairs must surface. */
+  val contamination = Q(
+    "ext_contamination",
+    (s, d) => {
+      import s.implicits._
+      val bench = benchSnippets.toDF("bench_id", "text")
+      val salted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 50 === 7,
+          concat(col("text"), lit(" " + benchSnippets(0)._2)))
+          .when(col("doc_id") % 50 === 23,
+            concat(col("text"), lit(" " + benchSnippets(1)._2)))
+          .otherwise(col("text")).as("text"))
+      TextDedup.benchmarkContamination(
+        salted, bench, "text", "doc_id", "bench_id")
+    },
+    Some(s"""WITH bench(bench_id, btext) AS (VALUES
+        ${benchSnippets.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+      salted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 50 = 7 THEN text || ' ${benchSnippets(0)._2}'
+               WHEN doc_id % 50 = 23 THEN text || ' ${benchSnippets(1)._2}'
+               ELSE text END AS t
+        FROM documents),
+      dsh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(tk) - 2),
+          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS tk
+              FROM salted)),
+      bsh AS (
+        SELECT bench_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(tk) - 2),
+          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS sh
+        FROM (SELECT bench_id, string_split_regex(trim(btext), '\\s+') AS tk
+              FROM bench))
+      SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+      FROM dsh d JOIN bsh b USING (sh)
+      GROUP BY 1, 2 HAVING count(*) >= 5"""))
+
+  /** Symmetric int8 embedding quantization (4× compression), scalarized
+    * to one row per (vector, dimension) for the hash compare — the codes
+    * column itself stays an array in [[graft.ext.Similarity.quantizeInt8]]. */
+  val quantize = Q(
+    "ext_embedding_quantize",
+    (s, d) => Tables.embeddings(s, d).select(
+      col("vec_id"),
+      Similarity.int8Scale(col("embedding")).as("scale"),
+      posexplode(Similarity.quantizeInt8(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("q"),
+        col("scale")),
+    Some("""WITH qd AS (
+        SELECT vec_id,
+          list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+          embedding
+        FROM embeddings)
+      SELECT vec_id,
+        generate_subscripts(embedding, 1) - 1 AS dim,
+        CASE WHEN scale = 0 THEN 0
+          ELSE CAST(round(CAST(unnest(embedding) AS DOUBLE) / scale) AS INT)
+        END AS q,
+        scale
+      FROM qd"""))
+
   val fingerprint = Q(
     "ext_fingerprint",
     (s, d) => Tables.documents(s, d).select(
@@ -817,7 +933,7 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
-    hybridRrf,
+    hybridRrf, repetition, hashSplit, contamination, quantize,
     dedupExact, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, cosineNearDup,

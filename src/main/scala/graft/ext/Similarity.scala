@@ -214,4 +214,22 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Per-vector symmetric int8 quantization scale: max|x| / 127. */
+  def int8Scale(emb: Column): Column =
+    aggregate(emb, lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double")))) / lit(127.0)
+
+  /** Symmetric int8 quantization of a float-vector column — the standard
+    * 4× storage/bandwidth compression for ANN candidate scoring (scores
+    * on int8 codes, exact re-rank on the float originals — the same
+    * two-tier shape as [[PqIndex]]). Zero vectors quantize to zeros
+    * (guarded on both engines rather than dividing by a zero scale).
+    * Pure projection: no shuffle, embarrassingly parallel. */
+  def quantizeInt8(emb: Column): Column = {
+    val s = int8Scale(emb)
+    transform(emb, x =>
+      when(s === 0.0, lit(0))
+        .otherwise(round(x.cast("double") / s).cast("int")))
+  }
 }

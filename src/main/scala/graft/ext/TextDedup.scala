@@ -165,6 +165,46 @@ object TextDedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0))).as("n_removed"))
   }
 
+  /** Deterministic train/val/test split: bucket = content-independent
+    * 32-bit hash of the id, mod 100 — stable across runs, engines, row
+    * order, and partitioning (never `rand()`: a retry or a different
+    * layout would silently reshuffle the split). Pure projection, no
+    * shuffle; exact expected fractions, not exact counts (the standard
+    * trade for a stateless assignment). */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = baseHash(col(idCol).cast("string")) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Benchmark decontamination scan: corpus documents sharing at least
+    * `minShared` distinct word `n`-gram shingles with any benchmark
+    * document — the contamination check every serious training-data
+    * pipeline runs before training (don't train on the test set).
+    *
+    * Returns (idCol, benchIdCol, n_shared).
+    *
+    * Scale (100 TB): benchmark suites are tiny by construction, so the
+    * exploded benchmark shingle set BROADCASTS — the corpus side streams
+    * through a map-side hash join with no shuffle; the only exchange is
+    * the (doc, bench) count, bounded by actual collisions. */
+  def benchmarkContamination(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, benchIdCol: String,
+      n: Int = 3, minShared: Int = 5): DataFrame = {
+    val d = docs.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val b = bench.select(col(benchIdCol),
+      explode(shingles(col(textCol), n)).as("sh"))
+    d.join(broadcast(b), Seq("sh"))
+      .groupBy(col(idCol), col(benchIdCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash+LSH candidate pairs with exact Jaccard verification.
     * Returns (id_a, id_b, jaccard) for verified pairs ≥ `threshold`.
     *

@@ -93,6 +93,53 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(strip(text)), "\\s+", " "))
 
+  // ---- intra-document repetition (Gopher quality rules) --------------------
+
+  /** Fraction of tokens that repeat an earlier token (Rae et al. 2021
+    * Appendix A repetition filters, adapted to whitespace tokens since
+    * the corpus is single-line). Pure projection — no shuffle. */
+  def dupTokenFrac(text: Column): Column = {
+    val t = tokens(lower(text))
+    round(lit(1.0) -
+      size(array_distinct(t)).cast("double") / size(t), 6)
+  }
+
+  /** All word bigrams in order (NOT de-duplicated — repetition analysis
+    * needs the multiset; contrast [[TextDedup.shingles]]). */
+  def rawBigrams(text: Column): Column = {
+    val t = tokens(lower(text))
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document repetition stats: (idCol, dup_token_frac,
+    * top_bigram_frac) where top_bigram_frac is the share of all bigrams
+    * taken by the single most frequent one (Gopher's "top n-gram
+    * fraction" gate).
+    *
+    * Scale: the bigram count is keyed by (doc, gram) — two hash
+    * aggregates with map-side partials, cardinality bounded by corpus
+    * token count; no window, no all-pairs. Documents with fewer than two
+    * tokens surface a NULL fraction rather than a fabricated zero. */
+  def repetitionStats(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+      dupTokenFrac(col(textCol)).as("dup_token_frac"),
+      rawBigrams(col(textCol)).as("bg"))
+    val tops = base
+      .select(col(idCol), size(col("bg")).as("n_bg"),
+        explode(col("bg")).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"), first(col("n_bg")).as("n_bg"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / first(col("n_bg")), 6)
+        .as("top_bigram_frac"))
+    base.select(col(idCol), col("dup_token_frac"))
+      .join(tops, Seq(idCol), "left")
+  }
+
   // ---- PII redaction -------------------------------------------------------
 
   /** Redaction patterns in application ORDER — order is load-bearing:

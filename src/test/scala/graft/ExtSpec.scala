@@ -504,6 +504,67 @@ class ExtSpec extends SparkSpec {
     assert(out == 0L)
   }
 
+  test("repetition stats: hand-computed fractions") {
+    val corpus = Seq(
+      (1L, "a a a a"),       // 3 of 4 tokens repeat; all bigrams 'a a'
+      (2L, "a b c d"),       // no repeats; 3 distinct bigrams
+      (3L, "x y x y x")).toDF("doc_id", "text") // 'x y' twice of 4
+    val out = TextStats.repetitionStats(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((0.75, 1.0)))
+    assert(out(2L) == ((0.0, 0.333333)))
+    assert(out(3L) == ((0.6, 0.5)))
+  }
+
+  test("hash split: deterministic, fractions near 90/5/5") {
+    val ids = spark.range(0, 10000).toDF("doc_id")
+    val a = TextDedup.hashSplit(ids, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(a("train") - 9000.0) / 9000 < 0.05)
+    assert(math.abs(a("val") - 500.0) / 500 < 0.3)
+    assert(math.abs(a("test") - 500.0) / 500 < 0.3)
+    val b = TextDedup.hashSplit(ids.repartition(7), "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // layout-independent
+  }
+
+  test("contamination: only salted docs flagged, control snippet clean") {
+    val snippet = "the quick brown fox jumps over the lazy dog today"
+    val bench = Seq((1, snippet), (2, "completely unrelated benchmark text here with many words"))
+      .toDF("bench_id", "text")
+    val corpus = Seq(
+      (10L, s"some filler words then $snippet and more filler"),
+      (11L, "entirely innocent document with its own vocabulary set"),
+      (12L, snippet)).toDF("doc_id", "text")
+    val out = TextDedup
+      .benchmarkContamination(corpus, bench, "text", "doc_id", "bench_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out == Set((10L, 1), (12L, 1)))
+  }
+
+  test("int8 quantize: reconstruction error bounded by scale/2") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = vecs.select(col("vec_id"),
+      Similarity.int8Scale(col("embedding")).as("s"),
+      Similarity.quantizeInt8(col("embedding")).as("q"),
+      col("embedding")).collect()
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val e = r.getSeq[Float](3)
+      if (r.getLong(0) == 2L) assert(s == 0.0 && q.forall(_ == 0))
+      else q.zip(e).foreach { case (qi, ei) =>
+        assert(math.abs(qi * s - ei) <= s / 2 + 1e-12)
+        assert(math.abs(qi) <= 127)
+      }
+    }
+  }
+
   test("hybrid RRF: doc present in both legs outranks single-leg docs") {
     val sf001docs = Tables.documents(spark, sf)
     val sf001emb = Tables.embeddings(spark, sf)
