@@ -184,7 +184,8 @@ object ExtQueries {
       SELECT r.doc_id, coalesce(a.cleaned, '') AS cleaned,
         CAST(len(string_split(r.t, chr(10))) - coalesce(a.n_kept, 0) AS INT)
           AS n_removed
-      FROM raw r LEFT JOIN agg a USING (doc_id)"""))
+      FROM raw r LEFT JOIN agg a USING (doc_id)"""),
+    bench = true)
 
   /** BM25 ranked retrieval: global top-10 documents for a fixed
     * three-term query. See [[graft.ext.Retrieval]] for the scale and
@@ -193,7 +194,8 @@ object ExtQueries {
     "ext_bm25_topk",
     (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), "text", "doc_id",
       Seq("spark", "window", "vector"), k = 10),
-    Some(Retrieval.bm25OracleSql(Seq("spark", "window", "vector"), 10)))
+    Some(Retrieval.bm25OracleSql(Seq("spark", "window", "vector"), 10)),
+    bench = true)
 
   /** Hybrid lexical+semantic retrieval fused with RRF; doc 7's embedding
     * is the semantic query, the BM25 terms the lexical one. */
