@@ -323,6 +323,54 @@ object ExtQueries {
         scale
       FROM qd"""))
 
+  /** Sequence-packing offsets ([[graft.ext.Packing]]): id-ordered corpus
+    * concatenation chunked into 512-token context windows via a
+    * distributed prefix sum (NOT a global-window running sum). */
+  val packOffsets = Q(
+    "ext_pack_offsets",
+    (s, d) => graft.ext.Packing.packOffsets(
+      Tables.documents(s, d).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", chunkTokens = 512),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS BIGINT) AS global_offset
+        FROM t)
+      SELECT doc_id, n_tokens, global_offset,
+        global_offset // 512 AS chunk_id,
+        global_offset % 512 AS offset_in_chunk
+      FROM c"""))
+
+  /** Sliding-window doc chunking: 32-token windows, stride 24. */
+  val chunkDocs = Q(
+    "ext_chunk_docs",
+    (s, d) => graft.ext.Packing.chunkDocs(
+      Tables.documents(s, d), "text", "doc_id",
+      chunkTokens = 32, stride = 24),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents),
+      n AS (
+        SELECT doc_id, tk, len(tk) AS n,
+          CASE WHEN len(tk) <= 32 THEN 1
+               ELSE (len(tk) - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+        FROM t),
+      st AS (
+        SELECT doc_id, tk, n,
+          unnest(generate_series(0, n_chunks - 1)) AS k
+        FROM n)
+      SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        CAST(k * 24 + 1 AS INT) AS chunk_start,
+        CAST(least(32, n - (k * 24 + 1) + 1) AS INT) AS n_chunk_tokens,
+        array_to_string(tk[(k * 24 + 1):(k * 24 + 32)], ' ') AS chunk_text
+      FROM st"""))
+
   val fingerprint = Q(
     "ext_fingerprint",
     (s, d) => Tables.documents(s, d).select(
@@ -935,7 +983,8 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
-    hybridRrf, repetition, hashSplit, contamination, quantize,
+    hybridRrf, repetition, hashSplit, contamination, quantize, packOffsets,
+    chunkDocs,
     dedupExact, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, cosineNearDup,

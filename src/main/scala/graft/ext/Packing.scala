@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: documents are concatenated in id
+  * order and chunked into fixed context windows, so each doc needs its
+  * global token offset — an exclusive prefix sum over the corpus.
+  *
+  * The naive form (`sum().over(Window.orderBy(id))`) funnels every row
+  * through ONE reducer. This implements the classic two-phase
+  * distributed prefix sum instead:
+  *
+  *   1. range-partition by id and sort within partitions — each
+  *      partition owns a contiguous id range;
+  *   2. per-partition totals (tiny: one row per partition) get their own
+  *      running offsets on a single task — the only sequential step,
+  *      O(#partitions), corpus-size-independent;
+  *   3. offsets broadcast back; the intra-partition running sum uses a
+  *      window PARTITIONED BY partition id, so every partition computes
+  *      its local prefix in parallel.
+  *
+  * Result is independent of the partition count (range boundaries come
+  * from sampling, but the prefix sum over a fixed id order does not
+  * depend on where the cuts fall — the spec proves repartition
+  * invariance).
+  */
+object Packing {
+
+  /** Global packing offsets: (idCol, n_tokens, global_offset, chunk_id,
+    * offset_in_chunk) with chunks of `chunkTokens` tokens over the
+    * id-ordered concatenation of the corpus. */
+  def packOffsets(docs: DataFrame, idCol: String, lenCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val sorted = docs.select(col(idCol), col(lenCol).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val partOffsets = sorted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptotal"))
+      .withColumn("__poffset",
+        coalesce(
+          sum(col("__ptotal")).over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__poffset"))
+    val localW = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted.join(broadcast(partOffsets), Seq("__pid"))
+      .withColumn("global_offset",
+        col("__poffset") + coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("global_offset"))
+      // integer `div`, not `/`: epoch-scale offsets must not round-trip
+      // through double
+      .withColumn("chunk_id", expr(s"global_offset div $chunkTokens"))
+      .withColumn("offset_in_chunk", col("global_offset") % chunkTokens)
+  }
+
+  /** Sliding-window document chunking (the RAG / long-context training
+    * prep shape): token windows of `chunkTokens` advancing by `stride`,
+    * final window allowed partial, every doc yields ≥ 1 chunk. Output:
+    * (idCol, chunk_idx, chunk_start, n_chunk_tokens, chunk_text).
+    *
+    * One codegen projection + one explode — no shuffle, no state; chunk
+    * COUNT arithmetic stays integral end-to-end (no ceil-on-double). */
+  def chunkDocs(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val t: Column = TextStats.tokens(col(textCol))
+    docs.select(col(idCol), t.as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(transform(sequence(lit(0),
+          when(size(col("__tk")) <= chunkTokens, lit(1)).otherwise(expr(
+            s"(size(__tk) - $chunkTokens + $stride - 1) div $stride + 1")
+            .cast("int")) - 1),
+          k => k * stride + 1)))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col").as("chunk_start"),
+        least(lit(chunkTokens), size(col("__tk")) - col("col") + 1)
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__tk"), col("col"), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+}

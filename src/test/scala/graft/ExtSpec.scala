@@ -565,6 +565,52 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pack offsets: distributed prefix sum == naive, layout-invariant") {
+    val lens = (1L to 100L).map(i => (i, (i % 7) + 1)).toDF("doc_id", "n")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Packing.packOffsets(df, "doc_id", "n", 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    val a = run(lens)
+    val b = run(lens.repartition(13))
+    assert(a == b)
+    // naive sequential expectation
+    var off = 0L
+    val expected = (1L to 100L).map { i =>
+      val n = (i % 7) + 1
+      val row = (i, off, off / 16, off % 16)
+      off += n
+      row
+    }.toSet
+    assert(a == expected)
+  }
+
+  test("chunking: stride windows, partial tail, short doc -> one chunk") {
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = graft.ext.Packing
+      .chunkDocs(corpus, "text", "doc_id", chunkTokens = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    val doc1 = out.filter(_._1 == 1L)
+    // starts 1,4,7: window at 7 reaches token 10, so striding stops
+    assert(doc1.map(_._3).toSeq == Seq(1, 4, 7))
+    assert(doc1.map(_._4).toSeq == Seq(4, 4, 4))
+    assert(doc1.head._5 == "w1 w2 w3 w4" && doc1.last._5 == "w7 w8 w9 w10")
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._5 == "a b c" && doc2.head._4 == 3)
+    // 11 tokens: a 4th, partial window is needed to cover the tail
+    val doc3 = Seq((3L, (1 to 11).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tail3 = graft.ext.Packing
+      .chunkDocs(doc3, "text", "doc_id", chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(tail3.toSeq == Seq((1, 4), (4, 4), (7, 4), (10, 2)))
+  }
+
   test("hybrid RRF: doc present in both legs outranks single-leg docs") {
     val sf001docs = Tables.documents(spark, sf)
     val sf001emb = Tables.embeddings(spark, sf)

@@ -87,6 +87,32 @@ class OpsSpec extends SparkSpec {
     assert(!CsvSource.rawNameFilter("sale report.txt"))
   }
 
+  test("JSONL source: schema enforced, corrupt lines quarantined") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "corpus.jsonl")
+    java.nio.file.Files.write(f.toPath,
+      ("""{"doc_id": 1, "text": "hello world", "lang": "en"}""" + "\n" +
+        """{"doc_id": 2, "text": "bonjour", "lang": "fr"}""" + "\n" +
+        """not json at all{{""" + "\n" +
+        """{"doc_id": "NaN-ish", "text": 42}""" + "\n" +
+        """{"doc_id": 3, "text": "ok", "lang": null}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (clean, corrupt) =
+      graft.sources.JsonlSource.read(spark, f.toString, schema)
+    try {
+      assert(clean.columns.toSeq == Seq("doc_id", "text", "lang"))
+      val ids = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 3L))
+      // the type-mismatched line is corrupt (doc_id not a long), the
+      // non-JSON line too; the explicit-null line is clean
+      assert(corrupt.count() == 2)
+    } finally CacheScope.releaseAll()
+  }
+
   test("S3 encoding fallback: ISO-8859-1 bytes decode after fallback") {
     val dir = java.nio.file.Files.createTempDirectory("enc").toFile
     val f = new java.io.File(dir, "latin sale.csv")
