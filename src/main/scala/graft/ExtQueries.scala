@@ -371,6 +371,53 @@ object ExtQueries {
         array_to_string(tk[(k * 24 + 1):(k * 24 + 32)], ' ') AS chunk_text
       FROM st"""))
 
+  /** Int8-code ANN: compressed scoring pass + exact re-rank. */
+  val simInt8 = Q(
+    "ext_sim_int8_topk",
+    (s, d) => Similarity.int8TopK(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5),
+    Some(s"""WITH sc AS (
+        SELECT vec_id,
+          list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+          embedding
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id, scale,
+          list_transform(embedding, x ->
+            CASE WHEN scale = 0 THEN 0
+              ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INT) END) AS q
+        FROM sc),
+      qs AS (SELECT vec_id AS query_id, scale AS q_scale, q AS q_codes
+             FROM codes WHERE vec_id < 8),
+      cs AS (SELECT vec_id AS neighbor_id, scale AS n_scale, q AS n_codes
+             FROM codes),
+      s1 AS (
+        SELECT query_id, neighbor_id,
+          round(q_scale * n_scale * list_dot_product(q_codes, n_codes), 6)
+            AS iscore
+        FROM qs JOIN cs ON query_id != neighbor_id),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY iscore DESC, neighbor_id) AS rn
+          FROM s1) WHERE rn <= 20),
+      re AS (
+        SELECT query_id, neighbor_id, $dkCos AS cos
+        FROM short
+        JOIN (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb
+          FROM embeddings) qa ON qa.vec_id = query_id
+        JOIN (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b_emb
+          FROM embeddings) cb ON cb.vec_id = neighbor_id)
+      SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rn
+        FROM re) WHERE rn <= 5"""))
+
   val fingerprint = Q(
     "ext_fingerprint",
     (s, d) => Tables.documents(s, d).select(
@@ -575,7 +622,9 @@ object ExtQueries {
   // ---- similarity search ---------------------------------------------------
 
   /** Portable cosine in DuckDB SQL: double dot / norms, rounded 6 dp. */
-  private val dkCos =
+  // def, not val: referenced by queries declared earlier in the object
+  // (val init order would interpolate null into their SQL)
+  private def dkCos =
     """round(list_dot_product(a_emb, b_emb)
       / (sqrt(list_dot_product(a_emb, a_emb))
          * sqrt(list_dot_product(b_emb, b_emb))), 6)"""
@@ -984,7 +1033,7 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
     hybridRrf, repetition, hashSplit, contamination, quantize, packOffsets,
-    chunkDocs,
+    chunkDocs, simInt8,
     dedupExact, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, cosineNearDup,

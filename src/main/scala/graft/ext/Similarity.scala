@@ -215,6 +215,48 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Exact integer dot product of two int8 code arrays (≤ 127² per term,
+    * sums exact in long for any realistic dimensionality). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** ANN top-k over int8-quantized codes, the compressed-scoring shape
+    * every production vector store uses (and [[PqIndex]]'s simpler
+    * sibling): stage 1 scores the WHOLE corpus with the integer code dot
+    * scaled by the two quantization scales — a quarter of the bytes of
+    * float scoring, exact int64 arithmetic — keeping an oversampled
+    * shortlist per query via the bounded heap; stage 2 re-ranks only the
+    * shortlist with exact float cosines. Both stages deterministic, so
+    * the full pipeline replays in the DuckDB oracle. */
+  def int8TopK(emb: DataFrame, queryPred: Column, k: Int,
+      oversample: Int = 4): DataFrame = {
+    val coded = emb.select(col("vec_id"),
+      int8Scale(col("embedding")).as("scale"),
+      quantizeInt8(col("embedding")).as("q"))
+    val queries = coded.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),
+        col("q").as("q_codes"))
+    val scored = coded
+      .select(col("vec_id").as("neighbor_id"), col("scale").as("n_scale"),
+        col("q").as("n_codes"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("q_scale") * col("n_scale") *
+          intDot(col("q_codes"), col("n_codes")), 6).as("cos"))
+    val shortlist = topKPerQuery(scored, k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    val qVecs = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val reranked = shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+    topKPerQuery(reranked, k)
+  }
+
   /** Per-vector symmetric int8 quantization scale: max|x| / 127. */
   def int8Scale(emb: Column): Column =
     aggregate(emb, lit(0.0),

@@ -585,6 +585,22 @@ class ExtSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("int8 ANN: full oversample reproduces brute force bit-exactly") {
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val nCorpus = emb.count().toInt
+    val full = Similarity.int8TopK(emb, col("vec_id") < 4, 5,
+      oversample = nCorpus) // shortlist = whole corpus -> exact re-rank
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == brute)
+    // defaults: recall@5 against brute force should be high
+    val approx = Similarity.int8TopK(emb, col("vec_id") < 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = bruteIds.intersect(approx).size.toDouble / bruteIds.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("chunking: stride windows, partial tail, short doc -> one chunk") {
     val corpus = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
