@@ -418,6 +418,30 @@ object ExtQueries {
             ORDER BY cos DESC, neighbor_id) AS rn
         FROM re) WHERE rn <= 5"""))
 
+  /** Top-5 TF-IDF keywords per document. */
+  val keywords = Q(
+    "ext_keywords_tfidf",
+    (s, d) => Retrieval.tfidfKeywords(
+      Tables.documents(s, d), "text", "doc_id", m = 5),
+    Some("""WITH terms AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+          round(tf * round(ln((n_docs + 1) / (df + 1)) + 1.0, 6), 6)
+            AS tfidf
+        FROM tf JOIN dfreq USING (term), nd)
+      SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id, term, tfidf,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS rn
+        FROM scored) WHERE rn <= 5"""))
+
   val fingerprint = Q(
     "ext_fingerprint",
     (s, d) => Tables.documents(s, d).select(
@@ -1033,7 +1057,7 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
     hybridRrf, repetition, hashSplit, contamination, quantize, packOffsets,
-    chunkDocs, simInt8,
+    chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, cosineNearDup,

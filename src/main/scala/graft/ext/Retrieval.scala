@@ -98,6 +98,35 @@ object Retrieval {
         col("t.rank").as("rank"))
   }
 
+  /** Top-`m` TF-IDF keywords per document (smooth idf:
+    * ln((N+1)/(df+1)) + 1, the sklearn formulation). Plan: one explode →
+    * (doc, term) hash aggregate → term-keyed df aggregate joined back →
+    * per-doc ranking window PARTITIONED BY doc (the partition key is the
+    * document — thousands of tiny partitions, never a global sort). The
+    * idf is rounded to 6 dp before the product so libm ulp divergence
+    * cannot reach the scores. */
+  def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
+      m: Int): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        round(col("tf") *
+          round(log((col("n_docs") + 1) / (col("df") + 1)) + lit(1.0), 6),
+          6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   /** DuckDB oracle SQL for [[hybridRrfTopK]] over `documents` +
     * `embeddings` (vec_id = doc_id). */
   def hybridRrfOracleSql(queryTerms: Seq[String], queryVecId: Long,

@@ -585,6 +585,21 @@ class ExtSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("tfidf keywords: rare terms outrank ubiquitous ones") {
+    val corpus = Seq(
+      (1L, "common rare1"),
+      (2L, "common common"),
+      (3L, "common rare2")).toDF("doc_id", "text")
+    val out = graft.ext.Retrieval
+      .tfidfKeywords(corpus, "text", "doc_id", m = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    // equal tf: the df=1 term's idf beats the everywhere-term's
+    assert(out((1L, 1)) == "rare1")
+    assert(out((3L, 1)) == "rare2")
+    assert(out((2L, 1)) == "common")
+  }
+
   test("int8 ANN: full oversample reproduces brute force bit-exactly") {
     val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
