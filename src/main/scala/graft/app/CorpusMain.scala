@@ -12,13 +12,16 @@ import graft.sinks.Sinks
   * layout-optimized corpus plus a load report. Stages (each an operator
   * this library ships, composed in the order a production ingest runs):
   *
-  *   1. annotate: token counts, quality score, fingerprints;
-  *   2. PII redaction (staged URL→email→IP→phone);
-  *   3. gate: minimum tokens + quality floor;
-  *   4. exact dedup keep-first by fingerprint;
-  *   5. MinHash-LSH near-dup mining → connected components → keep each
+  *   1. boilerplate-line removal (lines recurring across ≥ minDocs
+  *      docs stripped corpus-wide);
+  *   2. annotate: token counts, quality score, repetition, fingerprints;
+  *   3. PII redaction (staged URL→email→IP→phone);
+  *   4. gate: minimum tokens + quality floor + repetition ceiling;
+  *   5. exact dedup keep-first by fingerprint;
+  *   6. MinHash-LSH near-dup mining → connected components → keep each
   *      component's representative;
-  *   6. land as hive-partitioned (lang), doc_id-clustered parquet.
+  *   7. deterministic train/val/test assignment (id-hash 90/5/5);
+  *   8. land as hive-partitioned (lang), doc_id-clustered parquet.
   *
   * Prints one JSON summary line (counts per stage) for orchestration.
   *
@@ -48,17 +51,24 @@ object CorpusMain {
   /** Returns the JSON summary line; writes the clean corpus under
     * `outDir/corpus`. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-      minTokens: Int = 10, minQuality: Double = 0.2): String = {
-    val annotated = CacheScope.persist(docs.select(
+      minTokens: Int = 10, minQuality: Double = 0.2,
+      boilerplateMinDocs: Int = 25, maxDupTokenFrac: Double = 0.9): String = {
+    val deBoiler = TextDedup.removeBoilerplateLines(
+        docs, "text", "doc_id", boilerplateMinDocs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
+    val annotated = CacheScope.persist(deBoiler.select(
       col("doc_id"), col("lang"),
       TextStats.redactPii(col("text")).as("text"),
       TextStats.tokenCount(col("text")).as("n_tokens"),
       TextStats.qualityScore(col("text")).as("quality"),
+      TextStats.dupTokenFrac(col("text")).as("dup_frac"),
       TextStats.fingerprint(col("text")).as("fp")))
     val total = annotated.count()
 
     val gated = annotated.filter(
-      col("n_tokens") >= minTokens && col("quality") >= minQuality)
+      col("n_tokens") >= minTokens && col("quality") >= minQuality &&
+        col("dup_frac") <= maxDupTokenFrac)
     val nGated = gated.count()
 
     // exact dedup keep-first on the PRE-redaction fingerprint (two docs
@@ -73,9 +83,11 @@ object CorpusMain {
     val pairs = TextDedup.minhashNearDups(exactKept, "text", "doc_id",
       n = 3, k = 8, bands = 4, threshold = 0.5)
     val labels = TextDedup.connectedComponents(exactKept, "doc_id", pairs)
-    val clean = exactKept.join(labels, Seq("doc_id"))
-      .filter(col("rep_id") === col("doc_id"))
-      .select("doc_id", "lang", "text", "n_tokens", "quality")
+    val clean = TextDedup.hashSplit(
+      exactKept.join(labels, Seq("doc_id"))
+        .filter(col("rep_id") === col("doc_id"))
+        .select("doc_id", "lang", "text", "n_tokens", "quality"),
+      "doc_id")
 
     Sinks.writeClusteredParquet(clean, s"$outDir/corpus",
       partitionCols = Seq("lang"), sortCols = Seq("doc_id"))

@@ -158,6 +158,31 @@ object StreamPipeline {
     raw.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming corpus ingestion: the stateless head of the batch corpus
+    * pipeline (annotate → PII redact → quality/token/repetition gate)
+    * followed by bounded-state exact dedup on the content fingerprint —
+    * every stage per-row except the dedup, whose state the watermark
+    * evicts. This is the shape that keeps up with an unbounded document
+    * feed: near-dup mining (LSH) and split assignment stay DOWNSTREAM
+    * batch jobs over the landed clean corpus ([[graft.app.CorpusMain]]),
+    * because they need corpus-global context a stream cannot hold. */
+  def corpusCleanStream(docs: DataFrame, tsCol: String, watermark: String,
+      minTokens: Int = 10, minQuality: Double = 0.2,
+      maxDupTokenFrac: Double = 0.9): DataFrame = {
+    import graft.ext.TextStats
+    val annotated = docs.select(col("doc_id"), col(tsCol),
+      TextStats.redactPii(col("text")).as("text"),
+      TextStats.tokenCount(col("text")).as("n_tokens"),
+      TextStats.qualityScore(col("text")).as("quality"),
+      TextStats.dupTokenFrac(col("text")).as("dup_frac"),
+      TextStats.fingerprint(col("text")).as("fp"))
+    val gated = annotated.filter(
+      col("n_tokens") >= minTokens && col("quality") >= minQuality &&
+        col("dup_frac") <= maxDupTokenFrac)
+    dedupStream(gated, Seq("fp"), tsCol, watermark)
+      .select("doc_id", tsCol, "text", "n_tokens", "quality")
+  }
+
   /** Stream-stream interval join — attribute each purchase to the same
     * user's clicks in the preceding `window`. Both sides carry
     * watermarks and the join condition bounds event-time distance, which

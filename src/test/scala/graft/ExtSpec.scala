@@ -370,6 +370,9 @@ class ExtSpec extends SparkSpec {
     assert(landed.count() == clean)
     assert(new java.io.File(s"$out/corpus").listFiles()
       .exists(_.getName.startsWith("lang=")))
+    // the split column landed and only carries the three values
+    assert(landed.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
   test("incremental dedup: batch dedups against index without old corpus") {

@@ -139,6 +139,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus clean: gates drop noise, dedup keeps first copy") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val good = "the quick brown fox jumps over the lazy dog and it is fine"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, String)]
+    val q = StreamPipeline.corpusCleanStream(
+      in.toDF.toDF("doc_id", "ts", "text"), "ts", "10 minutes",
+      minTokens = 5, minQuality = 0.2)
+      .writeStream.format("memory").queryName("corpus_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, at(0), good),
+        (2L, at(1), "too short"),                      // token gate
+        (3L, at(2), good + " "),                       // exact dup of 1 (fp ignores trim)
+        (4L, at(3), good + " extra tail words here"))  // distinct survivor
+      q.processAllAvailable()
+      in.addData((5L, at(30), good))                   // cross-batch dup of 1
+      q.processAllAvailable()
+      val ids = spark.table("corpus_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases attribute to in-window clicks") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
