@@ -559,6 +559,23 @@ object ExtQueries {
        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"""),
     bench = true)
 
+  /** Containment (asymmetric Jaccard) over the same LSH candidates —
+    * partial-duplication detection. The oracle reuses the shared CTE
+    * chain's `cand` stage with the asymmetric denominator. */
+  val dedupContainment = Q(
+    "ext_dedup_containment",
+    (s, d) => TextDedup.minhashContainmentPairs(
+      Tables.documents(s, d), "text", "doc_id",
+      n = 3, k = 8, bands = 4, threshold = 0.3),
+    Some(s"""WITH $minhashCteBody,
+       cscored AS (
+         SELECT id_a, id_b,
+           round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+             / least(len(hs_a), len(hs_b)), 6) AS containment
+         FROM cand)
+       SELECT id_a, id_b, containment FROM cscored
+       WHERE containment >= 0.3"""))
+
   /** Connected components over the MinHash near-dup pairs: every doc
     * labeled with its component's min id (self for singletons). The
     * oracle computes the transitive closure with a recursive CTE and
@@ -1058,7 +1075,8 @@ object ExtQueries {
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
     hybridRrf, repetition, hashSplit, contamination, quantize, packOffsets,
     chunkDocs, simInt8, keywords,
-    dedupExact, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
+    dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
+    dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,

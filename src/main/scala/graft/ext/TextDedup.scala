@@ -212,13 +212,14 @@ object TextDedup {
     * band key (the ONLY shuffle, sized by bucket collisions, not n²) →
     * distinct candidate pairs → exact Jaccard on the pair's shingle sets.
     */
-  def minhashNearDups(
-      df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+  /** MinHash-LSH candidate pairs with their shingle-hash sets attached:
+    * (id_a, id_b, hs_a, hs_b, inter). The shared front half of every
+    * LSH-verified metric (Jaccard, containment). */
+  private def lshCandidates(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
     // the whole shingle→hash pipeline is ONE native expression per doc
-    // (graft.functions.ShingleHashes); Jaccard is verified over the hash
+    // (graft.functions.ShingleHashes); metrics verify over the hash
     // SETS (identical formula on the oracle side), so shingle strings
     // never materialize. The band explode/self-join shuffles only
     // (id, band) pairs; hash arrays join back by id for the verify.
@@ -231,21 +232,47 @@ object TextDedup {
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
     val a = banded.select(col("band"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band"))
+    a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cand
       .join(withHs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(withHs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+  }
+
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    lshCandidates(df, textCol, idCol, n, k, bands)
       .withColumn("uni",
         size(col("hs_a")) + size(col("hs_b")) - col("inter"))
       .withColumn("jaccard",
         round(col("inter") / col("uni").cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** Containment (asymmetric Jaccard) pairs: |A∩B| / min(|A|,|B|) —
+    * flags PARTIAL duplication (one doc quoting or embedding most of a
+    * smaller one) that the symmetric Jaccard misses once sizes diverge.
+    *
+    * Honest recall caveat, documented rather than hidden: candidates
+    * come from the same symmetric MinHash banding, so a small doc buried
+    * inside a much larger one may never band-collide (its shingles are a
+    * minority of the big doc's MinHash draw). Catching those requires
+    * asymmetric schemes; within moderate size ratios — the common
+    * near-dup case — this shares the banding's collision bound. */
+  def minhashContainmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame =
+    lshCandidates(df, textCol, idCol, n, k, bands)
+      .withColumn("containment",
+        round(col("inter") /
+          least(size(col("hs_a")), size(col("hs_b"))).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
 
   /** All-pairs n-gram Jaccard over an inverted shingle index — the exact
     * baseline used to verify LSH recall (quadratic per shared shingle;

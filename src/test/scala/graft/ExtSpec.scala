@@ -588,6 +588,25 @@ class ExtSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("containment: embedded doc flagged even when jaccard is low") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " filler1 filler2 filler3"
+    val corpus = Seq((1L, small), (2L, big), (3L, "totally different words"))
+      .toDF("doc_id", "text")
+    val cont = TextDedup.minhashContainmentPairs(
+      corpus, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // IF banding surfaced (1,2) as a candidate, containment must be 1.0
+    // while jaccard is far below; with only 3 docs and full-prefix
+    // overlap the first band collides deterministically
+    assert(cont.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"got ${cont.toSeq}")
+    val jac = TextDedup.minhashNearDups(
+      corpus, "text", "doc_id", threshold = 0.9)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("tfidf keywords: rare terms outrank ubiquitous ones") {
     val corpus = Seq(
       (1L, "common rare1"),
