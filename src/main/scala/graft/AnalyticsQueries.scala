@@ -390,10 +390,12 @@ object AnalyticsQueries {
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      // coalesce the counts: pivot emits NULL for a listed value with no
+      // rows in a group, while count(*) FILTER (the oracle) emits 0
       .select(col("o_orderpriority"),
-        col("F_n").as("f_n"), col("F_rev").as("f_rev"),
-        col("O_n").as("o_n"), col("O_rev").as("o_rev"),
-        col("P_n").as("p_n"), col("P_rev").as("p_rev")),
+        coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_rev").as("f_rev"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_rev").as("o_rev"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_rev").as("p_rev")),
     Some(s"""SELECT o_orderpriority,
       count(*) FILTER (o_orderstatus = 'F') AS f_n,
       ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_rev,
@@ -410,16 +412,21 @@ object AnalyticsQueries {
   val qSetOps = Q(
     "q_setops_customer_cohorts",
     (s, d) => {
-      def keys(status: String) = Tables.orders(s, d)
-        .filter(col("o_orderstatus") === status)
-        .select(col("o_custkey")).distinct()
-      val both = keys("F").intersect(keys("O"))
+      // each leg cached: three cohorts reuse both legs, and without the
+      // persist every reuse is a fresh scan + distinct of orders
+      def keys(status: String) = graft.ops.CacheScope.persist(
+        Tables.orders(s, d)
+          .filter(col("o_orderstatus") === status)
+          .select(col("o_custkey")).distinct())
+      val f = keys("F")
+      val o = keys("O")
+      val both = f.intersect(o)
         .agg(count(lit(1)).as("n_customers"))
         .select(lit("f_and_o").as("cohort"), col("n_customers"))
-      val fOnly = keys("F").except(keys("O"))
+      val fOnly = f.except(o)
         .agg(count(lit(1)).as("n_customers"))
         .select(lit("f_only").as("cohort"), col("n_customers"))
-      val either = keys("F").union(keys("O")).distinct()
+      val either = f.union(o).distinct()
         .agg(count(lit(1)).as("n_customers"))
         .select(lit("f_or_o").as("cohort"), col("n_customers"))
       both.unionByName(fOnly).unionByName(either)

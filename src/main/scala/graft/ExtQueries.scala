@@ -174,7 +174,8 @@ object ExtQueries {
         FROM ln),
       bp AS (
         SELECT line_fp FROM (
-          SELECT line_fp, count(DISTINCT doc_id) AS n FROM fp GROUP BY 1)
+          SELECT line_fp, count(DISTINCT doc_id) AS n FROM fp
+          WHERE length(trim(line)) > 0 GROUP BY 1)
         WHERE n >= 10),
       kept AS (SELECT f.* FROM fp f ANTI JOIN bp USING (line_fp)),
       agg AS (
@@ -303,10 +304,11 @@ object ExtQueries {
     * column itself stays an array in [[graft.ext.Similarity.quantizeInt8]]. */
   val quantize = Q(
     "ext_embedding_quantize",
-    (s, d) => Tables.embeddings(s, d).select(
-      col("vec_id"),
-      Similarity.int8Scale(col("embedding")).as("scale"),
-      posexplode(Similarity.quantizeInt8(col("embedding"))))
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(Similarity.quantizeInt8(col("embedding"), col("scale"))))
       .select(col("vec_id"), col("pos").as("dim"), col("col").as("q"),
         col("scale")),
     Some("""WITH qd AS (

@@ -53,9 +53,13 @@ object CorpusMain {
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       minTokens: Int = 10, minQuality: Double = 0.2,
       boilerplateMinDocs: Int = 25, maxDupTokenFrac: Double = 0.9): String = {
+    // the raw corpus is read by the line explode, the n_lines re-select,
+    // and the lang join — persist once instead of three full scans of
+    // the largest table in the pipeline
+    val src = CacheScope.persist(docs.select("doc_id", "lang", "text"))
     val deBoiler = TextDedup.removeBoilerplateLines(
-        docs, "text", "doc_id", boilerplateMinDocs)
-      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        src, "text", "doc_id", boilerplateMinDocs)
+      .join(src.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
     val annotated = CacheScope.persist(deBoiler.select(
       col("doc_id"), col("lang"),

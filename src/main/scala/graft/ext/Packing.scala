@@ -34,10 +34,16 @@ object Packing {
   def packOffsets(docs: DataFrame, idCol: String, lenCol: String,
       chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    val sorted = docs.select(col(idCol), col(lenCol).cast("long").as("n_tokens"))
-      .repartitionByRange(col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .withColumn("__pid", spark_partition_id())
+    // persisted, not merely shared lineage: both consumers below re-derive
+    // __pid from the range exchange, and without materialization their
+    // consistency would silently depend on exchange reuse (a second
+    // materialization of RangePartitioner can sample different
+    // boundaries). The cache pins one set of partition boundaries.
+    val sorted = graft.ops.CacheScope.persist(
+      docs.select(col(idCol), col(lenCol).cast("long").as("n_tokens"))
+        .repartitionByRange(col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .withColumn("__pid", spark_partition_id()))
     val partOffsets = sorted.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__ptotal"))
       .withColumn("__poffset",

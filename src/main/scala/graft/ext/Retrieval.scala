@@ -43,12 +43,16 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     val toks = TextStats.tokens(lower(col(textCol)))
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).as(s"tf$i")
     }
-    val withTf = docs.select(
-      col(idCol) +: size(toks).as("dl") +: tfCols: _*)
+    // persisted: the tokenize+tf projection feeds BOTH the stats
+    // aggregate and the scoring pass — uncached it would run twice,
+    // doubling the dominant cost of the whole query
+    val withTf = graft.ops.CacheScope.persist(docs.select(
+      col(idCol) +: size(toks).as("dl") +: tfCols: _*))
     val stats = withTf.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).as("sum_dl") +:

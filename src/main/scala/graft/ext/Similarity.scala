@@ -231,9 +231,11 @@ object Similarity {
     * the full pipeline replays in the DuckDB oracle. */
   def int8TopK(emb: DataFrame, queryPred: Column, k: Int,
       oversample: Int = 4): DataFrame = {
-    val coded = emb.select(col("vec_id"),
-      int8Scale(col("embedding")).as("scale"),
-      quantizeInt8(col("embedding")).as("q"))
+    val coded = emb
+      .select(col("vec_id"), col("embedding"),
+        int8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        quantizeInt8(col("embedding"), col("scale")).as("q"))
     val queries = coded.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),
         col("q").as("q_codes"))
@@ -267,11 +269,14 @@ object Similarity {
     * on int8 codes, exact re-rank on the float originals — the same
     * two-tier shape as [[PqIndex]]). Zero vectors quantize to zeros
     * (guarded on both engines rather than dividing by a zero scale).
-    * Pure projection: no shuffle, embarrassingly parallel. */
-  def quantizeInt8(emb: Column): Column = {
-    val s = int8Scale(emb)
+    * Pure projection: no shuffle, embarrassingly parallel.
+    *
+    * `scale` must be a PRE-PROJECTED column ([[int8Scale]]): HOF lambdas
+    * run interpreted with no common-subexpression elimination, so
+    * inlining the O(d) scale fold inside the per-element lambda would
+    * make quantization O(d²) per vector. */
+  def quantizeInt8(emb: Column, scale: Column): Column =
     transform(emb, x =>
-      when(s === 0.0, lit(0))
-        .otherwise(round(x.cast("double") / s).cast("int")))
-  }
+      when(scale === 0.0, lit(0))
+        .otherwise(round(x.cast("double") / scale).cast("int")))
 }

@@ -137,7 +137,13 @@ object TextDedup {
     * thousands of docs, so the set is ~corpus/minDocs rows — and joins
     * back as a broadcast-able left-anti on the fingerprint. Reassembly
     * is one shuffle on the doc id. No stage is all-pairs, and only
-    * fingerprints cross the frequency shuffle, never line text. */
+    * fingerprints cross the frequency shuffle, never line text.
+    *
+    * Blank/whitespace-only lines are EXEMPT from the frequency rule
+    * (C4 does the same): they are structure, not boilerplate — without
+    * the exemption any corpus with paragraph breaks would classify the
+    * empty-line fingerprint as boilerplate and silently delete every
+    * paragraph separator. */
   def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
       minDocs: Int): DataFrame = {
     val lines = df
@@ -145,6 +151,7 @@ object TextDedup {
       .select(col(idCol), col("pos"), col("col").as("line"),
         TextStats.fingerprint(col("line")).as("line_fp"))
     val boilerplate = lines
+      .filter(length(trim(col("line"))) > 0)
       .select(col("line_fp"), col(idCol)).distinct()
       .groupBy("line_fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

@@ -498,6 +498,16 @@ class ExtSpec extends SparkSpec {
     assert(out(32L) == (("keep me", 2)))
   }
 
+  test("boilerplate line removal: blank lines are structure, never removed") {
+    val corpus = (1 to 30).map(i =>
+      (i.toLong, s"para one $i\n\npara two $i")).toDF("doc_id", "text")
+    val out = TextDedup.removeBoilerplateLines(corpus, "text", "doc_id", 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    // every doc has a blank separator line; it must survive everywhere
+    assert(out(3L) == (("para one 3\n\npara two 3", 0)))
+  }
+
   test("boilerplate line removal: below-threshold lines untouched") {
     val corpus = (1 to 5).map(i => (i.toLong, s"a $i\nrare shared line"))
       .toDF("doc_id", "text")
@@ -552,10 +562,14 @@ class ExtSpec extends SparkSpec {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
       (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
-    val rows = vecs.select(col("vec_id"),
-      Similarity.int8Scale(col("embedding")).as("s"),
-      Similarity.quantizeInt8(col("embedding")).as("q"),
-      col("embedding")).collect()
+    val rows = vecs
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("s"))
+      .select(col("vec_id"), col("s"),
+        Similarity.quantizeInt8(col("embedding"), col("s")).as("q"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"), col("q"), col("embedding"))
+      .collect()
     rows.foreach { r =>
       val s = r.getDouble(1)
       val q = r.getSeq[Int](2)
