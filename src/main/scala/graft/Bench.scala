@@ -37,20 +37,14 @@ object Bench {
       finally graft.ops.CacheScope.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
-    val warm = headline.map { q =>
+    def attempt(q: Q, tag: String): (String, Double) =
       q.name -> (try runOnce(q) catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} warm-up FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] ${q.name}$tag FAILED: ${e.getMessage}")
         -1.0
       })
-    }.toMap
-    val rounds: Seq[Map[String, Double]] = (1 to reps).map { _ =>
-      headline.map { q =>
-        q.name -> (try runOnce(q) catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-          -1.0
-        })
-      }.toMap
-    }
+    val warm = headline.map(attempt(_, " warm-up")).toMap
+    val rounds: Seq[Map[String, Double]] =
+      (1 to reps).map(_ => headline.map(attempt(_, "")).toMap)
     val results = headline.map { q =>
       val times = rounds.map(_(q.name)).filter(_ >= 0).sorted
       System.err.println(f"[bench] ${q.name}: warm=${warm(q.name)}%.2f " +

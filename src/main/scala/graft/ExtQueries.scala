@@ -124,6 +124,10 @@ object ExtQueries {
               regexp_replace(t, '$p', '<${tag.toUpperCase}>', 'g') AS t
             FROM $prev)"""
       }.mkString(",\n        ")
+      // final stage + count sum derived from the pattern list, so a
+      // pattern added to piiPatterns cannot silently desync the oracle
+      val nStages = TextStats.piiPatterns.length
+      val countSum = (1 to nStages).map(i => s"c$i").mkString(" + ")
       s"""WITH raw AS (
           SELECT doc_id, text || ' contact u' || doc_id
             || '@example.com or +1 (555) 867-'
@@ -133,8 +137,8 @@ object ExtQueries {
           FROM documents),
         $stages
         SELECT doc_id, t AS redacted,
-          CAST(c1 + c2 + c3 + c4 AS INT) AS n_redacted
-        FROM s4"""
+          CAST($countSum AS INT) AS n_redacted
+        FROM s$nStages"""
     })
 
   /** C4-style boilerplate line removal over a deterministically salted
@@ -859,11 +863,16 @@ object ExtQueries {
       s"SELECT doc_id, ${(0 until 4).map(f).mkString(", ")} FROM documents"
     })
 
+  // The operator slices the payload by BYTES (it is binary); the oracle
+  // can only slice VARCHAR by characters (DuckDB 1.0 has no BLOB
+  // substring), so the text-derived payload is pinned to ASCII first —
+  // bytes ≡ chars on both engines for ANY corpus, not just ASCII ones.
   val mmFrames = Q(
     "ext_multimodal_frames",
     (s, d) => Multimodal.explodeFrames(
       Tables.documents(s, d)
-        .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload")),
+        .select(col("doc_id"), Multimodal.asPayload(
+          regexp_replace(col("text"), "[^\\x00-\\x7F]", "")).as("payload")),
       "doc_id", "payload", chunkLen = 32, stride = 64, maxChunks = 4)
       .select(col("doc_id"), col("frame_idx"), col("frame_digest"),
         element_at(col("frame_features"), 1).as("f0"),
@@ -874,10 +883,14 @@ object ExtQueries {
       def f(i: Int) =
         s"""round(CAST(('0x' || substring(md5(chunk), ${i * 8 + 1}, 8)) AS BIGINT)
            / 4294967296.0, 6) AS f$i"""
-      s"""WITH fr AS (
+      s"""WITH a AS (
+          SELECT doc_id,
+            regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+          FROM documents),
+        fr AS (
           SELECT doc_id, CAST(i AS INT) AS frame_idx,
             substring(text, CAST(i * 64 + 1 AS INT), 32) AS chunk
-          FROM documents CROSS JOIN range(0, 4) t(i)
+          FROM a CROSS JOIN range(0, 4) t(i)
           WHERE length(substring(text, CAST(i * 64 + 1 AS INT), 32)) > 0)
         SELECT doc_id, frame_idx, md5(chunk) AS frame_digest,
           ${(0 until 4).map(f).mkString(", ")}

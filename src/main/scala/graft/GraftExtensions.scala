@@ -36,28 +36,45 @@ object GraftExtensions {
     new ExpressionInfo(getClass.getName, null, name, usage, "", "", "", "",
       "", "", "built-in")
 
+  /** Arity guard: positional args(i) on a wrong-arity call would surface
+    * an internal IndexOutOfBoundsException instead of an analysis error. */
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${args.length}")
+
   /** (identifier, info, builder) rows in `injectFunction` shape. */
   val entries: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_dot"),
       info("float_dot",
         "float_dot(a, b) - codegen'd double dot product of two ARRAY<FLOAT>"),
-      (args: Seq[Expression]) => functions.FloatVecDot(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        arity("float_dot", args, 2)
+        functions.FloatVecDot(args(0), args(1))
+      }),
     (FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
         "shingle_hashes(text, n) - distinct 32-bit hashes of word n-grams"),
-      (args: Seq[Expression]) => functions.ShingleHashes(args(0),
-        intLit(args(1), "shingle_hashes", "n"))),
+      (args: Seq[Expression]) => {
+        arity("shingle_hashes", args, 2)
+        functions.ShingleHashes(args(0),
+          intLit(args(1), "shingle_hashes", "n"))
+      }),
     (FunctionIdentifier("top_k"),
       info("top_k",
         "top_k(score, id, k) - bounded-heap top-k aggregate, map-side partial"),
-      (args: Seq[Expression]) => functions.TopKAgg(args(0), args(1),
-        intLit(args(2), "top_k", "k"))),
+      (args: Seq[Expression]) => {
+        arity("top_k", args, 3)
+        functions.TopKAgg(args(0), args(1), intLit(args(2), "top_k", "k"))
+      }),
     (FunctionIdentifier("kmv_sketch"),
       info("kmv_sketch",
         "kmv_sketch(hash, k) - k smallest distinct hashes (KMV distinct sketch)"),
-      (args: Seq[Expression]) => functions.KmvAgg(args(0),
-        intLit(args(1), "kmv_sketch", "k"))))
+      (args: Seq[Expression]) => {
+        arity("kmv_sketch", args, 2)
+        functions.KmvAgg(args(0), intLit(args(1), "kmv_sketch", "k"))
+      }))
 
   /** Register on a live session (same builders as the extension path). */
   def register(spark: SparkSession): Unit =

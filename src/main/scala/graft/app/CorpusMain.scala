@@ -61,13 +61,19 @@ object CorpusMain {
         src, "text", "doc_id", boilerplateMinDocs)
       .join(src.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
-    val annotated = CacheScope.persist(deBoiler.select(
-      col("doc_id"), col("lang"),
-      TextStats.redactPii(col("text")).as("text"),
-      TextStats.tokenCount(col("text")).as("n_tokens"),
-      TextStats.qualityScore(col("text")).as("quality"),
-      TextStats.dupTokenFrac(col("text")).as("dup_frac"),
-      TextStats.fingerprint(col("text")).as("fp")))
+    // redact FIRST, then annotate the redacted text: the landed `text`
+    // is redacted, so stats computed on the raw text would ship as stale
+    // metadata (a PII-heavy doc would over-count n_tokens and gate on
+    // text that is then rewritten). Only `fp` deliberately stays
+    // pre-redaction (see the dedup comment below).
+    val annotated = CacheScope.persist(deBoiler
+      .select(col("doc_id"), col("lang"),
+        TextStats.fingerprint(col("text")).as("fp"),
+        TextStats.redactPii(col("text")).as("text"))
+      .select(col("doc_id"), col("lang"), col("fp"), col("text"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("quality"),
+        TextStats.dupTokenFrac(col("text")).as("dup_frac")))
     val total = annotated.count()
 
     val gated = annotated.filter(

@@ -54,18 +54,23 @@ object PqIndex {
       if (n > maxTrainVectors)
         emb.sample(withReplacement = false, maxTrainVectors.toDouble / n, seed)
       else emb
-    // one cached pass feeds all m sub-trainings
-    val subs = graft.ops.CacheScope.persist(sampled.select(
+    // one cached pass feeds all m sub-trainings; managed directly (not
+    // via CacheScope) because train() completes its own actions here —
+    // a CacheScope.releaseAll() would also drain caches the CALLER
+    // registered on this thread and still expects alive
+    val subs = sampled.select(
       (0 until m).map(i =>
-        slice(col("embedding"), i * subDim + 1, subDim).as(s"sub_$i")): _*))
-    val books = (0 until m).map { i =>
-      val feats = subs.select(
-        array_to_vector(col(s"sub_$i").cast("array<double>")).as("features"))
-      new KMeans().setK(k).setSeed(seed + i).setMaxIter(maxIter)
-        .fit(feats).clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
-    graft.ops.CacheScope.releaseAll()
-    Model(books, dim)
+        slice(col("embedding"), i * subDim + 1, subDim).as(s"sub_$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = (0 until m).map { i =>
+        val feats = subs.select(
+          array_to_vector(col(s"sub_$i").cast("array<double>")).as("features"))
+        new KMeans().setK(k).setSeed(seed + i).setMaxIter(maxIter)
+          .fit(feats).clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+      Model(books, dim)
+    } finally { subs.unpersist(); () }
   }
 
   private def centroidLit(c: Array[Float]): Column =

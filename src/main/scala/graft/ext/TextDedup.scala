@@ -106,18 +106,27 @@ object TextDedup {
     * bucketed sink) joins exchange-free on the index side. */
   def incrementalDedup(incoming: DataFrame, textCol: String, idCol: String,
       index: DataFrame): (DataFrame, DataFrame) = {
-    val withFp = incoming.withColumn("fp",
+    // internal working columns use reserved names: silently overwriting
+    // (and then dropping) a caller's own `fp` column would corrupt the
+    // batch with no error
+    Seq("__graft_fp", "__graft_keep").foreach { c =>
+      require(!incoming.columns.contains(c),
+        s"incoming batch may not carry reserved column $c")
+    }
+    val withFp = incoming.withColumn("__graft_fp",
       TextStats.fingerprint(col(textCol)))
-    val novel = withFp.groupBy(col("fp"))
+    val novel = withFp.groupBy(col("__graft_fp"))
       .agg(min(col(idCol)).as("representative_id"))
-      .join(index.select("fp"), Seq("fp"), "left_anti")
+      .join(index.select(col("fp").as("__graft_fp")), Seq("__graft_fp"),
+        "left_anti")
     val survivors = withFp
-      .join(novel.select(col("fp"),
-        col("representative_id").as("__keep")), Seq("fp"))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__keep", "fp")
+      .join(novel.select(col("__graft_fp"),
+        col("representative_id").as("__graft_keep")), Seq("__graft_fp"))
+      .filter(col(idCol) === col("__graft_keep"))
+      .drop("__graft_keep", "__graft_fp")
     (survivors, index.select("fp", "representative_id")
-      .unionByName(novel.select("fp", "representative_id")))
+      .unionByName(novel.select(col("__graft_fp").as("fp"),
+        col("representative_id"))))
   }
 
   /** C4-style boilerplate-line removal (Raffel et al. 2020 §2.2: lines

@@ -170,12 +170,16 @@ object StreamPipeline {
       minTokens: Int = 10, minQuality: Double = 0.2,
       maxDupTokenFrac: Double = 0.9): DataFrame = {
     import graft.ext.TextStats
-    val annotated = docs.select(col("doc_id"), col(tsCol),
-      TextStats.redactPii(col("text")).as("text"),
-      TextStats.tokenCount(col("text")).as("n_tokens"),
-      TextStats.qualityScore(col("text")).as("quality"),
-      TextStats.dupTokenFrac(col("text")).as("dup_frac"),
-      TextStats.fingerprint(col("text")).as("fp"))
+    // same annotate order as CorpusMain: fp on the raw text (dedup key),
+    // stats on the REDACTED text that actually ships
+    val annotated = docs
+      .select(col("doc_id"), col(tsCol),
+        TextStats.fingerprint(col("text")).as("fp"),
+        TextStats.redactPii(col("text")).as("text"))
+      .select(col("doc_id"), col(tsCol), col("fp"), col("text"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("quality"),
+        TextStats.dupTokenFrac(col("text")).as("dup_frac"))
     val gated = annotated.filter(
       col("n_tokens") >= minTokens && col("quality") >= minQuality &&
         col("dup_frac") <= maxDupTokenFrac)

@@ -199,7 +199,7 @@ class ExtSpec extends SparkSpec {
     val model = graft.ext.PqIndex.train(emb, dim = 64, m = 8, k = 32)
     assert(model.m == 8 && model.k == 32 && model.subDim == 8)
     val coded = graft.ext.PqIndex.encode(emb, model)
-    // every vector encodes to 4 codes in [0, 16)
+    // every vector encodes to m=8 codes in [0, k=32)
     assert(coded.filter(size(col("codes")) =!= 8).count() == 0)
     assert(coded.filter(exists(col("codes"),
       c => c < 0 || c >= 32)).count() == 0)
