@@ -256,7 +256,9 @@ object PgLoad {
     if (!Projections.isEmpty(international2))
       insertInto("international_sales",
         prepareInternational(international2, "part2", loadedAt))
-    written.result()
+    // distinct: both international parts target one table, and
+    // loadAllStaged already reports it once — keep the contracts equal
+    written.result().distinct
   }
 
   // ---- K6: single-transaction variant ----------------------------------
@@ -342,7 +344,12 @@ object PgLoad {
     // promote transaction below (this probe alone would race).
     if (ledgerKey.exists(ledgerHas(connect, _))) return Nil
 
-    // (target, conflictCols, prepared frame), reference order
+    // (target, conflictCols, prepared frame), reference order. Each
+    // frame is persisted (CacheScope — released by the caller's
+    // per-batch releaseAll) BEFORE the emptiness probe: the probe's
+    // limit(1).count() and the later stage write would otherwise each
+    // execute the full cleaning lineage — a duplicated shuffle+scan per
+    // micro-batch in the streaming hot path.
     val loads: Seq[(String, Seq[String], DataFrame)] = Seq(
       ("amazon_sale", Seq("order_id", "date"),
         prepareStamped(amazonClean, loadedAt)),
@@ -353,7 +360,9 @@ object PgLoad {
         prepareInternational(international1, "part1", loadedAt)),
       ("international_sales", Nil,
         prepareInternational(international2, "part2", loadedAt))
-    ).filter { case (_, _, df) => !Projections.isEmpty(df) }
+    ).map { case (t, cc, df) =>
+      (t, cc, graft.ops.CacheScope.persist(df))
+    }.filter { case (_, _, df) => !Projections.isEmpty(df) }
 
     val stageNames = loads.indices.map(i =>
       s"${loads(i)._1}_stage_${runTag}_$i")

@@ -57,9 +57,18 @@ object Sinks {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(filesPerPartition > 0, "filesPerPartition must be positive")
     val pcols = partitionCols.map(graft.ops.qcol)
+    // salt source: the sort keys when given, else every non-partition
+    // column — hash() with zero args is an analysis error, and hashing
+    // the full row also spreads a partition skewed onto ONE sort-key
+    // value across its salt buckets
+    val saltCols = {
+      val cs = if (sortCols.nonEmpty) sortCols
+        else df.columns.toSeq.filterNot(partitionCols.contains)
+      if (cs.nonEmpty) cs else partitionCols
+    }
     val distKeys =
       if (filesPerPartition == 1) pcols
-      else pcols :+ pmod(hash(sortCols.map(graft.ops.qcol): _*),
+      else pcols :+ pmod(hash(saltCols.map(graft.ops.qcol): _*),
         lit(filesPerPartition))
     df.repartition(distKeys: _*)
       .sortWithinPartitions(

@@ -54,23 +54,45 @@ object StreamPipeline {
       }
       .start()
 
+  /** The international cleaner's embedded-header split is POSITIONAL
+    * within one file, but a file-source micro-batch may concatenate
+    * several files — the global first all-alphabetic row would then
+    * re-header every file with file 1's embedded header. Split the batch
+    * per source file, clean each alone, and union the parts
+    * (allowMissingColumns: files of the same class share a layout, but a
+    * drifted column falls back to O2-style null padding instead of an
+    * error). Non-file inputs (tests, memory streams) have a single empty
+    * file name and take the direct path. */
+  private def internationalParts(df: DataFrame): (DataFrame, DataFrame) = {
+    val files = df.select(input_file_name().as("__f")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (files.length <= 1) Cleaners.international(df)
+    else {
+      val parts = files.toSeq.map(fn =>
+        Cleaners.international(df.filter(input_file_name() === fn)))
+      (parts.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true)),
+        parts.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
+  }
+
   /** Class dispatch → cleaner → cleaned-CSV sinks (K2). Shared by the
-    * streaming foreachBatch and the batch driver. */
+    * streaming foreachBatch and the batch driver. Every sink carries the
+    * reference's if-not-empty guard (P7) — no phantom empty table dirs. */
   def cleanAndWrite(df: DataFrame, cls: CsvSource.FileClass,
       outDir: String): Unit = try {
+    def writeNonEmpty(frame: DataFrame, path: String): Unit =
+      if (!Projections.isEmpty(frame)) Sinks.writeCsv(frame, path)
     cls match {
       case CsvSource.AmazonSale =>
         val (clean, flagged) = Cleaners.amazon(df, cacheSplit = true)
-        Sinks.writeCsv(clean, s"$outDir/amazon_sale")
-        if (!Projections.isEmpty(flagged))
-          Sinks.writeCsv(flagged, s"$outDir/amazon_sale_duplicates")
+        writeNonEmpty(clean, s"$outDir/amazon_sale")
+        writeNonEmpty(flagged, s"$outDir/amazon_sale_duplicates")
       case CsvSource.PlainSale =>
-        Sinks.writeCsv(Cleaners.sale(df), s"$outDir/sale")
+        writeNonEmpty(Cleaners.sale(df), s"$outDir/sale")
       case CsvSource.InternationalSale =>
-        val (p1, p2) = Cleaners.international(df)
-        Sinks.writeCsv(p1, s"$outDir/international_1")
-        if (!Projections.isEmpty(p2))
-          Sinks.writeCsv(p2, s"$outDir/international_2")
+        val (p1, p2) = internationalParts(df)
+        writeNonEmpty(p1, s"$outDir/international_1")
+        writeNonEmpty(p2, s"$outDir/international_2")
       case CsvSource.Unrecognized => () // reference skips (:721-722)
     }
   } finally graft.ops.CacheScope.releaseAll() // per-batch: no leak
@@ -101,7 +123,7 @@ object StreamPipeline {
       case CsvSource.PlainSale =>
         load(empty, empty, Cleaners.sale(df), empty, empty)
       case CsvSource.InternationalSale =>
-        val (p1, p2) = Cleaners.international(df)
+        val (p1, p2) = internationalParts(df)
         load(empty, empty, empty, p1, p2)
       case CsvSource.Unrecognized => Nil
     }
@@ -114,22 +136,36 @@ object StreamPipeline {
     * a replayed already-committed batch is a no-op even for the
     * append-only tables, strictly stronger than the reference's
     * ON CONFLICT-only mitigation (README.md:119-127). `loadedAtFor`
-    * keeps the F10 stamp deterministic per batch. */
+    * keeps the F10 stamp deterministic per batch.
+    *
+    * Ledger keys and stage-table names are namespaced by a hash of the
+    * CHECKPOINT directory: batch ids restart at 0 whenever the
+    * checkpoint changes, and without the namespace a new checkpoint (or
+    * a second parallel query on the same class) would collide with old
+    * ledger rows — batches silently skipped as "already committed" — and
+    * with the other query's in-flight stage tables. Deleting a
+    * checkpoint but keeping its exact path intentionally keeps the keys:
+    * the ledger then (correctly) refuses to re-load data it already
+    * committed. */
   def loadClassStream(
       raw: DataFrame, cls: CsvSource.FileClass,
       connect: () => java.sql.Connection, checkpointDir: String,
       loadedAtFor: Long => java.sql.Timestamp,
       promoteSqlFor: (String, String, Seq[String], Seq[String]) => String =
-        graft.sinks.PgLoad.promoteSql): StreamingQuery =
+        graft.sinks.PgLoad.promoteSql): StreamingQuery = {
+    val sid = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cleanAndLoad(batch, cls, connect, loadedAtFor(batchId),
-          promoteSqlFor, runTag = s"b$batchId",
-          ledgerKey = Some(s"$cls#$batchId")): Unit
+          promoteSqlFor, runTag = s"${sid}_b$batchId",
+          ledgerKey = Some(s"$cls#$sid#$batchId")): Unit
       }
       .start()
+  }
 
   /** Event-time windowed aggregation with watermarking over the events
     * stream — the §2.8 extension surface (absent in the reference). */

@@ -114,7 +114,7 @@ class PgLoadSpec extends SparkSpec {
       upsertSqlFor = quotedUpsert, insertSqlFor = quotedInsert,
       createTables = false)
     assert(written == Seq("amazon_sale", "amazon_sale_version", "sale",
-      "international_sales", "international_sales"))
+      "international_sales"))
     assert(queryLong(connect, s"SELECT count(*) FROM ${q("amazon_sale")}") == 2)
     assert(queryLong(connect,
       s"SELECT count(*) FROM ${q("amazon_sale_version")}") == 2)
@@ -227,7 +227,7 @@ class PgLoadSpec extends SparkSpec {
       upsertSqlFor = quotedUpsert, insertSqlFor = quotedInsert,
       createTables = false)
     assert(written == Seq("amazon_sale", "amazon_sale_version", "sale",
-      "international_sales", "international_sales"))
+      "international_sales"))
     // same counts as the CSV zone (StreamingSpec golden numbers)
     assert(queryLong(connect, s"SELECT count(*) FROM ${q("amazon_sale")}") == 8)
     assert(queryLong(connect,

@@ -198,6 +198,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: multi-file international batch splits per source file") {
+    val landing = Files.createTempDirectory("multiint").toFile
+    val out = Files.createTempDirectory("multiint_out").toString
+    val ckpt = Files.createTempDirectory("multiint_ckpt").toString
+    val fx = new java.io.File(
+      TestSpark.fixture("International Sale Report_2022-04-30_10-00-00.csv"))
+    Seq("International Sale Report_A.csv", "International Sale Report_B.csv")
+      .foreach { n =>
+        java.nio.file.Files.copy(fx.toPath,
+          new java.io.File(landing, n).toPath)
+      }
+    val schema = graft.sources.CsvSource.read(spark, fx.getPath).schema
+    val q = StreamPipeline.cleanClassStream(
+      StreamPipeline.fileStream(spark, landing.toString, schema,
+        glob = "International*.csv"),
+      graft.sources.CsvSource.InternationalSale, out, ckpt)
+    q.awaitTermination(120000)
+    // both files must split around their OWN embedded header: 4 part1 +
+    // 3 part2 rows each. The pre-fix global split re-headered file B's
+    // part1 rows into part2 using file A's embedded header.
+    def readAll(sub: String) = spark.read.option("header", "true")
+      .csv(s"$out/batch_*/$sub")
+    assert(readAll("international_1").count() == 8)
+    assert(readAll("international_2").count() == 6)
+  }
+
   test("BatchMain: routes all three classes + skips unrecognized") {
     val landing = Files.createTempDirectory("landing2").toFile
     val out = Files.createTempDirectory("out2").toString
