@@ -541,9 +541,93 @@ object AnalyticsQueries {
           ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS last_seen_revenue
       FROM spine s LEFT JOIN daily d USING (day)"""))
 
+  /** Rolling 7-row moving average of daily event value per type (the
+    * time-series smoothing shape). The daily aggregate shrinks the fact
+    * table FIRST (one shuffle on (type, day)); the ordered window then
+    * runs over days — bounded by calendar length per type, never corpus
+    * size. Determinism: the window SUM runs over exact decimals (window
+    * frames are summed in different orders by different engines — DuckDB
+    * uses a segment tree — so a double window-sum would drift), cast to
+    * double only at the end. ROWS 6 PRECEDING = last 7 OBSERVED days,
+    * matching on both engines. */
+  val qMovingAvg = Q(
+    "q_moving_avg_daily",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("rev_dec"),
+          count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily.select(col("event_type"), col("day"),
+        col("rev_dec").cast("double").as("day_value"),
+        col("n_events"),
+        (sum(col("rev_dec")).over(w).cast("double")
+          / count(lit(1)).over(w)).as("ma7"))
+    },
+    Some(s"""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          sum(CAST("value" AS DECIMAL(18,2))) AS rev_dec,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, day, CAST(rev_dec AS DOUBLE) AS day_value,
+        n_events,
+        CAST(sum(rev_dec) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS 6 PRECEDING)"""))
+
+  /** Z-order curve values ([[graft.sinks.Sinks.zorderValue]]) over
+    * (customer, order-day): the multi-dimensional clustering key behind
+    * [[graft.sinks.Sinks.writeZOrdered]], verified bit-for-bit — bucket
+    * rescale is integer arithmetic (integral divide, never a double
+    * rescale) and the interleave is pure shifts, so the oracle replays
+    * both exactly. The min/max rescale inputs ride a broadcast 1-row
+    * aggregate (the tiny-stats pattern). */
+  val qZorder = Q(
+    "q_zorder_value",
+    (s, d) => {
+      import graft.sinks.Sinks
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day_i"))
+      val mm = ord.agg(min(col("o_custkey")).as("mn_c"),
+        max(col("o_custkey")).as("mx_c"),
+        min(col("day_i")).as("mn_d"), max(col("day_i")).as("mx_d"))
+      ord.crossJoin(broadcast(mm))
+        .select(col("o_orderkey"),
+          Sinks.zBucket(col("o_custkey"), col("mn_c"), col("mx_c"), 8)
+            .as("zb_cust"),
+          Sinks.zBucket(col("day_i"), col("mn_d"), col("mx_d"), 8)
+            .as("zb_day"))
+        .select(col("o_orderkey"), col("zb_cust"), col("zb_day"),
+          Sinks.zorderValue(Seq(col("zb_cust"), col("zb_day")), 8)
+            .as("zvalue"))
+    },
+    Some {
+      val terms = (0 until 8).flatMap(b => Seq(
+        s"(((zb_cust >> $b) & 1) << ${2 * b})",
+        s"(((zb_day >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH o AS (
+          SELECT o_orderkey, o_custkey,
+            CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+              AS day_i
+          FROM orders),
+        mm AS (SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+          min(day_i) AS mn_d, max(day_i) AS mx_d FROM o),
+        b AS (
+          SELECT o_orderkey,
+            ((o_custkey - mn_c) * 256) // (mx_c - mn_c + 1) AS zb_cust,
+            ((day_i - mn_d) * 256) // (mx_d - mn_d + 1) AS zb_day
+          FROM o, mm)
+        SELECT o_orderkey, zb_cust, zb_day, $terms AS zvalue FROM b"""
+    })
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
     qAsof, qBandJoin, qCorr, qCube,
-    qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill)
+    qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder)
 }

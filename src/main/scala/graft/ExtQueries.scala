@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, PqIndex, Retrieval, Similarity, TextDedup, TextStats}
+import graft.ext.{Multimodal, PqIndex, Retrieval, Similarity, Sketches, TextDedup, TextStats}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.10): dedup family,
   * similarity search, text analysis, multimodal plumbing — each with a
@@ -261,25 +261,46 @@ object ExtQueries {
     (2, "pack my box with five dozen liquor jugs before noon tomorrow arrives"),
     (3, "sphinx of black quartz judge my vow under bright evening skies"))
 
-  /** Benchmark decontamination over a corpus deterministically salted
-    * with two of the three benchmark snippets (the third is the
-    * negative control): docs ≡ 7 (mod 50) embed snippet 1, ≡ 23 embed
-    * snippet 2 — exactly those (doc, bench) pairs must surface. */
+  /** Corpus deterministically salted with two of the three benchmark
+    * snippets (the third is the negative control): docs ≡ 7 (mod 50)
+    * embed snippet 1, ≡ 23 embed snippet 2 — exactly those (doc, bench)
+    * pairs must surface. Shared by both contamination variants. */
+  private def saltedForContamination(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 50 === 7,
+        concat(col("text"), lit(" " + benchSnippets(0)._2)))
+        .when(col("doc_id") % 50 === 23,
+          concat(col("text"), lit(" " + benchSnippets(1)._2)))
+        .otherwise(col("text")).as("text"))
+
   val contamination = Q(
     "ext_contamination",
     (s, d) => {
       import s.implicits._
       val bench = benchSnippets.toDF("bench_id", "text")
-      val salted = Tables.documents(s, d).select(col("doc_id"),
-        when(col("doc_id") % 50 === 7,
-          concat(col("text"), lit(" " + benchSnippets(0)._2)))
-          .when(col("doc_id") % 50 === 23,
-            concat(col("text"), lit(" " + benchSnippets(1)._2)))
-          .otherwise(col("text")).as("text"))
       TextDedup.benchmarkContamination(
-        salted, bench, "text", "doc_id", "bench_id")
+        saltedForContamination(s, d), bench, "text", "doc_id", "bench_id")
     },
-    Some(s"""WITH bench(bench_id, btext) AS (VALUES
+    Some(contaminationOracleSql))
+
+  /** Same scan through the Bloom-filter pre-filter
+    * ([[graft.ext.TextDedup.benchmarkContaminationBloom]]) — result is
+    * identical by the no-false-negatives contract, and the oracle is the
+    * SAME naive containment SQL, so the equivalence is hash-gated, not
+    * just spec-asserted. */
+  val contaminationBloom = Q(
+    "ext_contamination_bloom",
+    (s, d) => {
+      import s.implicits._
+      val bench = benchSnippets.toDF("bench_id", "text")
+      TextDedup.benchmarkContaminationBloom(
+        saltedForContamination(s, d), bench, "text", "doc_id", "bench_id")
+    },
+    Some(contaminationOracleSql))
+
+  private lazy val contaminationOracleSql: String =
+    s"""WITH bench(bench_id, btext) AS (VALUES
         ${benchSnippets.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
       salted AS (
         SELECT doc_id,
@@ -301,7 +322,7 @@ object ExtQueries {
               FROM bench))
       SELECT d.doc_id, b.bench_id, count(*) AS n_shared
       FROM dsh d JOIN bsh b USING (sh)
-      GROUP BY 1, 2 HAVING count(*) >= 5"""))
+      GROUP BY 1, 2 HAVING count(*) >= 5"""
 
   /** Symmetric int8 embedding quantization (4× compression), scalarized
     * to one row per (vector, dimension) for the hash compare — the codes
@@ -1086,9 +1107,83 @@ object ExtQueries {
       WHERE l.rep = s.doc_id"""),
     bench = true)
 
+  /** Count-Min-Sketch heavy hitters ([[graft.ext.Sketches]]): approximate
+    * term frequencies from a d×w counter matrix (d·w longs total,
+    * corpus-size-independent) next to the exact counts. The narrow w=64
+    * width forces real bucket collisions at this vocabulary, so the
+    * no-false-negatives overestimate property is load-bearing in the
+    * oracle compare, not vacuous. */
+  val cmsHeavy = Q(
+    "ext_heavy_hitters_cms",
+    (s, d) => Sketches.cmsHeavyHitters(
+      Tables.documents(s, d), "text", d = 4, w = 64, minCount = 900),
+    Some {
+      val rows = (0 until 4).map { r =>
+        s"""SELECT tok, $r AS r,
+          ((${TextDedup.minhashA(r)} * base + ${TextDedup.minhashB(r)})
+            % ${TextDedup.minhashP}) % 64 AS bucket FROM h"""
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents),
+        h AS (SELECT tok,
+          ('0x' || substring(md5(tok), 1, 8))::BIGINT AS base FROM tok),
+        buck AS ($rows),
+        counters AS (SELECT r, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
+        vocab AS (SELECT tok, count(*) AS exact_count FROM tok GROUP BY 1),
+        probes AS (SELECT DISTINCT tok, r, bucket FROM buck),
+        est AS (SELECT p.tok, min(c.c) AS cms_count
+                FROM probes p JOIN counters c USING (r, bucket) GROUP BY 1)
+        SELECT v.tok, e.cms_count, v.exact_count
+        FROM vocab v JOIN est e USING (tok)
+        WHERE e.cms_count >= 900"""
+    })
+
+  /** Deterministic weighted sampling (sequential Poisson order sampling,
+    * [[graft.ext.Sketches.weightedSample]]): 20 documents drawn with
+    * probability ≈ proportional to length, reproducibly — priorities are
+    * pure IEEE arithmetic over md5 uniforms, so the DuckDB oracle draws
+    * the IDENTICAL sample. */
+  val weightedSample = Q(
+    "ext_weighted_sample",
+    (s, d) => Sketches.weightedSample(
+      Tables.documents(s, d).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", 20),
+    Some("""SELECT CAST(rn AS INT) AS rank, doc_id, pri AS priority FROM (
+        SELECT doc_id, pri,
+          row_number() OVER (ORDER BY pri ASC, doc_id ASC) AS rn
+        FROM (SELECT doc_id,
+          ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            + 1) / 4294967296.0) / n_chars AS pri
+          FROM documents) t) s
+      WHERE rn <= 20"""))
+
+  /** Unigram LM quality scoring ([[graft.ext.TextStats.lmScore]]): mean
+    * token log-prob per document under a corpus-trained unigram model —
+    * the CCNet-style perplexity gate. Log-probs 6-dp-rounded, mean via
+    * exact decimal sum, so the composite hash-matches. */
+  val lmScore = Q(
+    "ext_lm_score",
+    (s, d) => graft.ext.TextStats.lmScore(
+      Tables.documents(s, d), "text", "doc_id"),
+    Some("""WITH it AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, count(*) AS c FROM it GROUP BY 1),
+      tot AS (SELECT sum(c) AS n FROM cnt),
+      lp AS (SELECT tok, round(ln(c / n), 6) AS logp FROM cnt, tot)
+      SELECT doc_id,
+        CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+          AS avg_logprob,
+        count(*) AS n_tokens
+      FROM it JOIN lp USING (tok)
+      GROUP BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
-    hybridRrf, repetition, hashSplit, contamination, quantize, packOffsets,
+    hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
+    quantize, packOffsets,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
     dedupNgram, dedupSimhash,
@@ -1096,5 +1191,5 @@ object ExtQueries {
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
-    langidTrigram)
+    langidTrigram, cmsHeavy, weightedSample, lmScore)
 }

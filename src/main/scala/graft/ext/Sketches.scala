@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size sketch operators for corpus statistics at 100 TB scale —
+  * companions to the KMV distinct sketch ([[graft.functions.KmvAgg]]).
+  *
+  * Everything is md5-based / integer-arithmetic so each sketch is
+  * engine-reproducible: the DuckDB oracle rebuilds the SAME counters and
+  * the SAME estimates, hash-matched exactly (no engine-private hash, no
+  * RNG).
+  */
+object Sketches {
+
+  /** Count-Min-Sketch bucket indices for one key under `d` universal
+    * hash rows of width `w`: h_r(x) = ((a_r·md5_32(x) + b_r) mod p) mod w,
+    * reusing the MinHash coefficient family (products stay inside int64:
+    * a < 2^30, md5_32 < 2^32). */
+  private[graft] def cmsBuckets(key: Column, d: Int, w: Int): Seq[Column] = {
+    require(d <= TextDedup.minhashA.length, s"at most ${TextDedup.minhashA.length} rows")
+    val base = TextDedup.baseHash(key)
+    (0 until d).map { r =>
+      pmod(pmod(lit(TextDedup.minhashA(r)) * base + lit(TextDedup.minhashB(r)),
+        lit(TextDedup.minhashP)), lit(w.toLong))
+    }
+  }
+
+  /** Count-Min-Sketch frequency counters over one key column: a d×w
+    * counter matrix as (r, bucket, c) rows — at most d·w rows TOTAL
+    * regardless of corpus size, built by one hash aggregate with map-side
+    * partials (counter matrices merge by addition, which IS partial
+    * aggregation). This is the 100 TB shape for "approximate term
+    * frequencies": the full exact vocabulary count shuffles every
+    * distinct term; the sketch shuffles d·w longs. */
+  def cmsCounters(keyed: DataFrame, keyCol: String, d: Int, w: Int): DataFrame =
+    keyed.select(posexplode(array(cmsBuckets(col(keyCol), d, w): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** CMS point estimate per probe key: min over the d counters the key
+    * hashes into. The counter matrix is broadcast (≤ d·w rows), so the
+    * probe side streams map-side — no shuffle beyond the final tiny
+    * per-key agg. Estimates NEVER undercount (each counter ≥ the true
+    * count); overcount is bounded by collisions (≤ e/w · N with prob
+    * 1 − e^−d, Cormode & Muthukrishnan 2005). */
+  def cmsEstimate(probes: DataFrame, keyCol: String, counters: DataFrame,
+      d: Int, w: Int): DataFrame = {
+    val others = probes.columns.filterNot(_ == keyCol).map(col).toSeq
+    probes.select((col(keyCol) +: others) :+
+        posexplode(array(cmsBuckets(col(keyCol), d, w): _*))
+          .as(Seq("r", "bucket")): _*)
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy((col(keyCol) +: others): _*)
+      .agg(min(col("c")).as("cms_count"))
+  }
+
+  /** Heavy-hitter scan over document tokens: CMS estimate next to the
+    * exact count for every vocabulary term, keeping terms whose estimate
+    * reaches `minCount`. CMS guarantees the result is a SUPERSET of the
+    * true heavy hitters (no false negatives — estimates only overcount),
+    * which is the useful direction for candidate generation. The exact
+    * count rides along here to exhibit that bound; a production probe
+    * would skip it and verify only the survivors. */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String,
+      d: Int = 4, w: Int = 64, minCount: Long = 900): DataFrame = {
+    val toks = graft.ops.CacheScope.persist(
+      docs.select(explode(TextStats.tokens(lower(col(textCol)))).as("tok")))
+    val counters = cmsCounters(toks, "tok", d, w)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+    cmsEstimate(vocab, "tok", counters, d, w)
+      .filter(col("cms_count") >= minCount)
+      .select(col("tok"), col("cms_count"), col("exact_count"))
+  }
+
+  /** Deterministic weighted sampling without replacement (sequential
+    * Poisson / order sampling, Ohlsson 1998): priority = u / weight with
+    * u = (md5_32(id)+1)/2^32, keep the k smallest priorities. Inclusion
+    * probability is approximately proportional to weight, and — unlike
+    * `rand()`-based sampling — the sample is stable across runs, engines,
+    * and cluster layouts, so downstream training subsets are
+    * reproducible. Priorities are pure IEEE arithmetic (no ln/exp), so
+    * they are bit-identical in any engine.
+    *
+    * Scale: reuses the bounded-heap [[graft.functions.TopKAgg]] — each
+    * map task keeps k rows, the exchange carries k rows per partition,
+    * never a global sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = (TextDedup.baseHash(col(idCol).cast("string")) + 1)
+      .cast("double") / lit(4294967296.0)
+    val pri = u / col(weightCol).cast("double")
+    df.select(col(idCol).cast("long").as("id"), pri.as("pri"))
+      .agg(graft.functions.TopKAgg.top_k(negate(col("pri")), col("id"), k)
+        .as("picks"))
+      .select(explode(col("picks")).as("p"))
+      .select(col("p.rank").as("rank"), col("p.id").as(idCol),
+        negate(col("p.score")).as("priority"))
+  }
+}

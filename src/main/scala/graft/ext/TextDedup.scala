@@ -221,6 +221,60 @@ object TextDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[benchmarkContamination]] with a Bloom-filter pre-filter: the
+    * benchmark shingle set is compressed to an `mBits`-bit bitmap
+    * (`numHashes` universal hashes per shingle — the MinHash coefficient
+    * family via [[Sketches.cmsBuckets]]), collected once (≤ mBits/64
+    * longs — 8 KB at the default m, the tiny-stats exception to the
+    * no-collect rule) and shipped to every task as ONE array literal.
+    * Corpus shingles test `numHashes` bits before touching the verify
+    * join.
+    *
+    * Returns EXACTLY what [[benchmarkContamination]] returns: Bloom
+    * filters have no false negatives (every benchmark shingle's bits are
+    * set), and false positives only add candidates the exact verify join
+    * then drops.
+    *
+    * Why at 100 TB: the exact path must build a hash relation of the
+    * full benchmark SHINGLE STRINGS per task. When the combined
+    * benchmark suite outgrows the broadcast budget, that join degrades
+    * to a corpus-wide shuffle — while the bitmap stays a few KB
+    * regardless, prunes the corpus side map-side to actual near-matches,
+    * and only the pruned remainder enters the join. */
+  def benchmarkContaminationBloom(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, benchIdCol: String,
+      n: Int = 3, minShared: Int = 5,
+      mBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val bsh = graft.ops.CacheScope.persist(
+      bench.select(col(benchIdCol), explode(shingles(col(textCol), n)).as("sh")))
+    val words = bsh
+      .select(explode(array(
+        Sketches.cmsBuckets(col("sh"), numHashes, mBits): _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val bitmap = Array.fill(mBits / 64)(0L)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val dsh = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      .select((col(idCol) +: col("sh") +:
+        Sketches.cmsBuckets(col("sh"), numHashes, mBits)
+          .zipWithIndex.map { case (c, i) => c.as(s"__p$i") }): _*)
+      .withColumn("__bm", typedLit(bitmap.toSeq))
+    val member = (0 until numHashes).map { i =>
+      expr(s"""(shiftright(
+        element_at(__bm, CAST(shiftright(__p$i, 6) AS INT) + 1),
+        CAST(__p$i % 64 AS INT)) & 1) = 1""")
+    }.reduce(_ && _)
+    dsh.filter(member).select(col(idCol), col("sh"))
+      .join(broadcast(bsh), Seq("sh"))
+      .groupBy(col(idCol), col(benchIdCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash+LSH candidate pairs with exact Jaccard verification.
     * Returns (id_a, id_b, jaccard) for verified pairs ≥ `threshold`.
     *

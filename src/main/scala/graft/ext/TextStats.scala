@@ -225,4 +225,38 @@ object TextStats {
         coalesce(col("lang"), lit("und")).as("lang_pred"),
         coalesce(col("score"), lit(0L)).as("score"))
   }
+
+  /** Unigram language-model scoring (the CCNet-style perplexity quality
+    * signal with a unigram stand-in for KenLM): train token log-probs on
+    * the corpus itself — one (token → count) hash aggregate plus a 1-row
+    * total broadcast — then score each document by its mean token
+    * log-prob. Low scores flag boilerplate-free but improbable text
+    * (OCR noise, wrong-language fragments, codes) the rule-based quality gates
+    * miss.
+    *
+    * Scale: the vocabulary aggregate shuffles one row per DISTINCT term
+    * (not per occurrence, map-side partials); scoring is a hash join on
+    * the term key and one (doc) aggregate. Nothing global except the
+    * 1-row total.
+    *
+    * Determinism: log-probs are 6-dp-rounded before the per-doc mean (so
+    * libm ln ulp divergence cannot survive — the BM25 idf rule), and the
+    * mean is an exact decimal sum over those rounded values divided by
+    * the token count. */
+  def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val idToks = graft.ops.CacheScope.persist(
+      docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("tok")))
+    val counts = idToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    val logProbs = counts.crossJoin(broadcast(total))
+      .select(col("tok"), round(log(col("c") / col("n")), 6).as("logp"))
+    idToks.join(logProbs, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(
+        (sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("id").as(idCol), col("avg_logprob"), col("n_tokens"))
+  }
 }

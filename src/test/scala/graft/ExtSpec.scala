@@ -711,4 +711,91 @@ class ExtSpec extends SparkSpec {
     // doc 3 has zero query terms -> scores 0, must rank last
     assert(out.last.getLong(0) == 3L && out.last.getDouble(1) == 0.0)
   }
+
+  test("cms heavy hitters: never undercounts, surfaces the heavy term") {
+    try {
+    // skewed corpus: 'alpha' dominates; tiny width forces collisions
+    val corpus = (1 to 40).map(i => (i.toLong, "alpha beta alpha")) ++
+      Seq((100L, "gamma delta epsilon zeta"), (101L, "eta theta iota"))
+    val out = graft.ext.Sketches.cmsHeavyHitters(
+      corpus.toDF("doc_id", "text"), "text", d = 2, w = 4, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // CMS estimates only overcount — est >= exact for EVERY term
+    out.foreach { case (t, est, exact) =>
+      assert(est >= exact, s"$t: est $est < exact $exact") }
+    val alpha = out.find(_._1 == "alpha").get
+    assert(alpha._3 == 80L && alpha._2 >= 80L)
+    // at w=4 with 9 distinct terms, someone must have collided
+    assert(out.exists { case (_, est, exact) => est > exact })
+    // the counter matrix is d*w rows max, corpus-size-independent
+    val toks = corpus.toDF("doc_id", "text")
+      .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
+    assert(graft.ext.Sketches.cmsCounters(toks, "tok", 2, 4).count() <= 8)
+    } finally graft.ops.CacheScope.releaseAll()
+  }
+
+  test("weighted sample: deterministic, layout-invariant, weight-biased") {
+    val df = docs.select(col("doc_id"), col("n_chars"))
+    val a = graft.ext.Sketches.weightedSample(df, "doc_id", "n_chars", 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val b = graft.ext.Sketches.weightedSample(
+      df.repartition(17), "doc_id", "n_chars", 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(a == b) // partitioning cannot change the sample
+    // matches the naive sequential definition: k smallest u/weight
+    val naive = df.select(col("doc_id"),
+      ((TextDedup.baseHash(col("doc_id").cast("string")) + 1)
+        .cast("double") / lit(4294967296.0) / col("n_chars")).as("pri"))
+      .orderBy(col("pri"), col("doc_id")).limit(10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.map(_._2).toSet == naive)
+    // weight bias: with weight=doc length, the sampled docs' mean length
+    // should exceed the corpus mean (inclusion prob ~ weight)
+    val sampledMean = df.join(
+      graft.ext.Sketches.weightedSample(df, "doc_id", "n_chars", 50)
+        .select("doc_id"), Seq("doc_id"))
+      .agg(avg("n_chars")).head().getDouble(0)
+    val corpusMean = df.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampledMean > corpusMean * 0.9,
+      s"sampled mean $sampledMean vs corpus $corpusMean")
+  }
+
+  test("lm score: improbable tokens score lower than common ones") {
+    try {
+      val corpus = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat")) :+
+        (99L, "zyzzyva qwerty")).toDF("doc_id", "text")
+      val out = TextStats.lmScore(corpus, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out(99L) < out(1L)) // rare-token doc is less probable
+      // n_tokens rides along correctly
+      val n = TextStats.lmScore(corpus, "text", "doc_id")
+        .filter(col("doc_id") === 99L).select("n_tokens").head().getLong(0)
+      assert(n == 2L)
+    } finally graft.ops.CacheScope.releaseAll()
+  }
+
+  test("bloom contamination: identical to exact scan, filter prunes") {
+    try {
+    val snippet = "the quick brown fox jumps over the lazy dog today"
+    val bench = Seq((1, snippet),
+      (2, "completely unrelated benchmark text here with many words"))
+      .toDF("bench_id", "text")
+    val corpus = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" " + snippet)))
+        .otherwise(col("text")).as("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val exact = rows(TextDedup.benchmarkContamination(
+      corpus, bench, "text", "doc_id", "bench_id"))
+    val bloom = rows(TextDedup.benchmarkContaminationBloom(
+      corpus, bench, "text", "doc_id", "bench_id"))
+    assert(exact.nonEmpty && bloom == exact)
+    // tiny filters do collide: with m=256 bits the FP rate is near 1 and
+    // the result must STILL be exact (false positives only add verify work)
+    val tiny = rows(TextDedup.benchmarkContaminationBloom(
+      corpus, bench, "text", "doc_id", "bench_id", mBits = 256))
+    assert(tiny == exact)
+    } finally graft.ops.CacheScope.releaseAll()
+  }
 }

@@ -285,6 +285,52 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == docs.count())
   }
 
+  test("zorder: interleave matches reference bits, bucket is monotone") {
+    // reference interleave (dim i bit b -> position b*ndims+i)
+    def zref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (127L, 127L), (3L, 5L),
+      (64L, 2L))
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Sinks.zorderValue(Seq(col("x"), col("y")), 7).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (x, y, z) => assert(z == zref(x, y, 7), s"($x,$y)") }
+    // zBucket: integer rescale into [0, 2^bits), monotone, endpoints hit
+    val b = spark.range(0, 1000)
+      .select(Sinks.zBucket(col("id"), lit(0L), lit(999L), 8).as("b"))
+      .as[Long].collect()
+    assert(b.head == 0L && b.last == 255L && b.min == 0L && b.max == 255L)
+    assert(b.sameElements(b.sorted))
+  }
+
+  test("zorder sink: every file covers a small box in BOTH dimensions") {
+    val grid = spark.range(128L * 128L)
+      .select((col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Sinks.writeZOrdered(grid, dir, Seq("x", "y"), bits = 7, numFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 4) // range partitioner may merge a few
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      ((r.getLong(1) - r.getLong(0)) / 128.0,
+        (r.getLong(3) - r.getLong(2)) / 128.0)
+    }
+    val (mx, my) = (spans.map(_._1).sum / spans.length,
+      spans.map(_._2).sum / spans.length)
+    // a single-key sort layout leaves the OTHER dimension's span at ~1.0
+    // per file; the z-curve bounds both, so min/max file skipping works
+    // for filters on either column
+    assert(mx < 0.6 && my < 0.6, s"mean spans x=$mx y=$my")
+    // round-trip completeness, helper columns dropped
+    val back = spark.read.parquet(dir)
+    assert(back.columns.sorted.sameElements(Array("x", "y")))
+    assert(back.count() == 128L * 128L)
+  }
+
   test("BandJoin: exact-once pairs at/inside tolerance, none outside") {
     val l = Seq((1L, 100L), (2L, 250L)).toDF("lid", "lk")
     val r = Seq((10L, 100L), (11L, 199L), (12L, 201L), (13L, 0L),
