@@ -625,9 +625,38 @@ object AnalyticsQueries {
         SELECT o_orderkey, zb_cust, zb_day, $terms AS zvalue FROM b"""
     })
 
+  /** Salted skew join ([[graft.ops.SkewJoin]]): half of lineitem is
+    * remapped onto ONE hot part key (the synthetic skew), then joined to
+    * part through an 8-way salt — the hot key's rows spread across 8
+    * tasks instead of one straggler. The oracle states the PLAIN join:
+    * salting must cancel out of the result exactly. */
+  val qSkewJoin = Q(
+    "q_skew_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 2 === 0, lit(1L))
+          .otherwise(col("l_partkey")).as("k"),
+        col("l_orderkey"), col("l_quantity"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("k"), col("p_brand"))
+      graft.ops.SkewJoin.saltedJoin(li, p, Seq("k"),
+          saltBuckets = 8, leftSaltCols = Seq("l_orderkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_quantity")).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""SELECT p_brand, ${dsumSql("l_quantity")} AS total_qty,
+      count(*) AS n_lines
+      FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                        ELSE l_partkey END AS k,
+              l_quantity FROM lineitem) li
+      JOIN part ON p_partkey = li.k
+      GROUP BY p_brand"""))
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
     qAsof, qBandJoin, qCorr, qCube,
-    qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder)
+    qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder,
+    qSkewJoin)
 }

@@ -1107,6 +1107,108 @@ object ExtQueries {
       WHERE l.rep = s.doc_id"""),
     bench = true)
 
+  /** Per-(lang, source) corpus quality report — the fused "dashboard"
+    * aggregate a curation run consults before gating: doc count, token
+    * and char volume, mean quality score, mean stopword ratio, exact
+    * duplicate count — ALL in one scan + one shuffle (every metric is a
+    * column in the same groupBy.agg; the dup count reuses the exact-dedup
+    * fingerprint as a distinct count). The naive form runs one job per
+    * metric — linear in metrics at 100 TB. */
+  val corpusReport = Q(
+    "ext_corpus_report",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        TextStats.tokenCount(col("text")).as("n_tok"),
+        length(col("text")).as("n_chr"),
+        TextStats.qualityScore(col("text")).as("q"),
+        TextStats.stopwordRatio(col("text")).as("sr"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chr")).as("total_chars"),
+        Det.davg(col("q"), 6).as("avg_quality"),
+        Det.davg(col("sr"), 6).as("avg_stopword_ratio"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups")),
+    Some {
+      val stop = TextStats.enStopwords.map(w => s"'$w'").mkString(",")
+      s"""WITH c AS (
+        SELECT lang, source,
+          len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+          length(text) AS n_chr,
+          round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> t IN ($stop)))
+            / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+            AS sr,
+          round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+            / CAST(length(text) AS DOUBLE), 6) AS pr,
+          round(len(regexp_extract_all(text, '[0-9]'))
+            / CAST(length(text) AS DOUBLE), 6) AS dr,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents),
+      q AS (
+        SELECT lang, source, n_tok, n_chr, sr, fp,
+          round(least(1.0, n_tok / 20.0) * 0.4
+            + least(1.0, sr * 4.0) * 0.3
+            + greatest(0.0, 1.0 - pr * 5.0) * 0.2
+            + greatest(0.0, 1.0 - dr * 5.0) * 0.1, 6) AS qs
+        FROM c)
+      SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        CAST(sum(n_chr) AS BIGINT) AS total_chars,
+        ${Det.davgSql("qs", 6)} AS avg_quality,
+        ${Det.davgSql("sr", 6)} AS avg_stopword_ratio,
+        count(*) - count(DISTINCT fp) AS n_exact_dups
+      FROM q GROUP BY lang, source"""
+    })
+
+  /** Duplicate n-gram coverage (Gopher/RefinedWeb gate,
+    * [[graft.ext.TextDedup.dupNgramCoverage]]): fraction of each doc
+    * covered by 8-grams occurring in another doc. The corpus is salted
+    * with prefix-tagged copies of every 9th doc, so the shared-passage
+    * path (high-but-<1 coverage on both members, 0 on the rest) is
+    * load-bearing for the hash to match. */
+  val dupNgramCov = Q(
+    "ext_dup_ngram_coverage",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("prefix"), col("doc_id").cast("string"),
+            lit(" marker start "), col("text")).as("text"))
+      TextDedup.dupNgramCoverage(docs.unionByName(copies), "text", "doc_id")
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+          'prefix' || CAST(doc_id AS VARCHAR) || ' marker start ' || text
+            AS text
+        FROM documents WHERE doc_id % 9 = 0),
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+            FROM corpus),
+      ex AS (SELECT doc_id, len(tk) AS n_tok, tk,
+               unnest(CASE WHEN len(tk) >= 8
+                 THEN generate_series(1, len(tk) - 7)
+                 ELSE CAST([] AS BIGINT[]) END) AS i
+             FROM t),
+      ghx AS (SELECT doc_id, n_tok, i,
+               ('0x' || substring(md5(array_to_string(tk[i:i+7], ' ')),
+                 1, 8))::BIGINT AS gh
+             FROM ex),
+      dup AS (SELECT gh FROM ghx
+              GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT doc_id, tp FROM (
+                SELECT g.doc_id,
+                  unnest(generate_series(g.i, g.i + 7)) AS tp
+                FROM ghx g JOIN dup USING (gh)) u),
+      c AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+      base AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+      SELECT b.doc_id, b.n_tokens,
+        round(coalesce(c.n_cov, 0) / CAST(b.n_tokens AS DOUBLE), 6)
+          AS dup_ngram_frac
+      FROM base b LEFT JOIN c USING (doc_id)"""))
+
   /** Count-Min-Sketch heavy hitters ([[graft.ext.Sketches]]): approximate
     * term frequencies from a d×w counter matrix (d·w longs total,
     * corpus-size-independent) next to the exact counts. The narrow w=64
@@ -1191,5 +1293,6 @@ object ExtQueries {
     dedupComponents, cosineNearDup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
-    langidTrigram, cmsHeavy, weightedSample, lmScore)
+    langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov,
+    corpusReport)
 }

@@ -275,6 +275,50 @@ object TextDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Duplicate n-gram coverage (the Gopher / RefinedWeb "dup n-gram
+    * fraction" gate): per document, the fraction of its tokens covered
+    * by word n-grams that also occur in at least one OTHER document.
+    * Documents over a threshold are boilerplate/mirror suspects that
+    * whole-document dedup (exact or MinHash) misses because the
+    * SURROUNDING text differs.
+    *
+    * Returns (idCol, n_tokens, dup_ngram_frac) for every input doc.
+    *
+    * Plan shape: positional gram hashes (one md5 per gram, position
+    * kept), cross-doc duplicated grams via a (hash → distinct-doc count)
+    * aggregate, join back on the hash, then distinct covered token
+    * positions per doc. Every shuffle keys on a high-cardinality column
+    * (gram hash / doc id) with map-side partials — no windows, no
+    * all-pairs; the n× position explode is bounded by n·grams. */
+  def dupNgramCoverage(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val emptyGrams = array().cast("array<struct<i:int,gh:bigint>>")
+    val withG = docs.select(col(idCol).as("id"), size(toks).as("n_tok"),
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => struct(i.as("i"),
+            baseHash(concat_ws(" ", slice(toks, i, lit(n)))).as("gh"))))
+        .otherwise(emptyGrams).as("grams"))
+    val exploded = graft.ops.CacheScope.persist(
+      withG.select(col("id"), col("n_tok"), explode(col("grams")).as("g"))
+        .select(col("id"), col("n_tok"), col("g.i").as("i"),
+          col("g.gh").as("gh")))
+    val dupGrams = exploded.groupBy(col("gh"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val covered = exploded.join(dupGrams, Seq("gh"))
+      .select(col("id"), col("n_tok"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("tp"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_cov"))
+    withG.select(col("id"), col("n_tok"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tok").as("n_tokens"),
+        round(coalesce(col("n_cov"), lit(0L)) / col("n_tok").cast("double"),
+          6).as("dup_ngram_frac"))
+  }
+
   /** MinHash+LSH candidate pairs with exact Jaccard verification.
     * Returns (id_a, id_b, jaccard) for verified pairs ≥ `threshold`.
     *

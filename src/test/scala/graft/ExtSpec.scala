@@ -774,6 +774,25 @@ class ExtSpec extends SparkSpec {
     } finally graft.ops.CacheScope.releaseAll()
   }
 
+  test("dup ngram coverage: shared passage counted, unique text not") {
+    try {
+      val passage = "one two three four five six seven eight"
+      val corpus = Seq(
+        (1L, s"$passage alpha beta"), // grams 1-3 dup'd with doc 2
+        (2L, s"x y $passage"), // gram 3 dup'd with doc 1
+        (3L, "p q r s t u v w z0 z1"), // all unique
+        (4L, "short doc here")) // < 8 tokens -> no grams
+        .toDF("doc_id", "text")
+      val out = TextDedup.dupNgramCoverage(corpus, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      // doc 1: tokens 1..8 covered (the shared 8-gram) of 10 -> 0.8
+      // doc 2: tokens 3..10 covered of 10 -> 0.8
+      assert(out == Seq((1L, 10, 0.8), (2L, 10, 0.8),
+        (3L, 10, 0.0), (4L, 3, 0.0)))
+    } finally graft.ops.CacheScope.releaseAll()
+  }
+
   test("bloom contamination: identical to exact scan, filter prunes") {
     try {
     val snippet = "the quick brown fox jumps over the lazy dog today"

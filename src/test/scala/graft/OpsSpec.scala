@@ -285,6 +285,29 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == docs.count())
   }
 
+  test("salted join: equals the plain join, joins on the salt key") {
+    val left = (1 to 100)
+      .map(i => (if (i % 2 == 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "rid")
+    val right = Seq((1L, "hot"), (3L, "a"), (5L, "b")).toDF("k", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("rid", "v").as[(Long, String)].collect().sorted.toSeq
+    val plain = rows(left.join(right, Seq("k")))
+    val salted = rows(SkewJoin.saltedJoin(left, right, Seq("k"), 4,
+      leftSaltCols = Seq("rid")))
+    // 50 evens + i=1 itself hit the hot key, plus the 2 singletons
+    assert(salted == plain && plain.size == 53)
+    // the physical join really keys on (k, __salt) — the hot key is
+    // spread across salt buckets, not funneled to one task
+    val plan = SkewJoin.saltedJoin(left, right, Seq("k"), 4, Seq("rid"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"))
+    // reserved-name collision is rejected
+    intercept[IllegalArgumentException](SkewJoin.saltedJoin(
+      left.withColumnRenamed("rid", "__salt"), right, Seq("k"), 4,
+      Seq("k")))
+  }
+
   test("zorder: interleave matches reference bits, bucket is monotone") {
     // reference interleave (dim i bit b -> position b*ndims+i)
     def zref(x: Long, y: Long, bits: Int): Long =
