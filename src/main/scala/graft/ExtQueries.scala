@@ -36,6 +36,29 @@ object ExtQueries {
       FROM documents"""),
     bench = true)
 
+  // ---- shared DuckDB fragments for the quality-score components ----------
+  // (one definition, used by BOTH the ext_quality_score and
+  // ext_corpus_report oracles — two hand-maintained copies would be the
+  // oracle-drift bug class)
+
+  private def qcTokSql = """len(string_split_regex(trim(text), '\s+'))"""
+  private def qcSrSql =
+    s"""round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+          t -> t IN (${TextStats.enStopwords.map(w => s"'$w'").mkString(",")})))
+        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)"""
+  private def qcPrSql =
+    """round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        / CAST(length(text) AS DOUBLE), 6)"""
+  private def qcDrSql =
+    """round(len(regexp_extract_all(text, '[0-9]'))
+        / CAST(length(text) AS DOUBLE), 6)"""
+  private def qualityCompositeSql(tc: String, sr: String, pr: String,
+      dr: String) =
+    s"""round(least(1.0, $tc / 20.0) * 0.4
+          + least(1.0, $sr * 4.0) * 0.3
+          + greatest(0.0, 1.0 - $pr * 5.0) * 0.2
+          + greatest(0.0, 1.0 - $dr * 5.0) * 0.1, 6)"""
+
   val quality = Q(
     "ext_quality_score",
     (s, d) => Tables.documents(s, d).select(
@@ -45,22 +68,11 @@ object ExtQueries {
     // same component order on both engines, so the doubles are
     // bit-identical (left-assoc sums, identical rounding)
     Some(s"""WITH c AS (
-        SELECT doc_id,
-          len(string_split_regex(trim(text), '\\s+')) AS tc,
-          round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-              t -> t IN (${TextStats.enStopwords.map(w => s"'$w'").mkString(",")})))
-            / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
-            AS sr,
-          round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-            / CAST(length(text) AS DOUBLE), 6) AS pr,
-          round(len(regexp_extract_all(text, '[0-9]'))
-            / CAST(length(text) AS DOUBLE), 6) AS dr
+        SELECT doc_id, $qcTokSql AS tc, $qcSrSql AS sr,
+          $qcPrSql AS pr, $qcDrSql AS dr
         FROM documents)
       SELECT doc_id,
-        round(least(1.0, tc / 20.0) * 0.4
-          + least(1.0, sr * 4.0) * 0.3
-          + greatest(0.0, 1.0 - pr * 5.0) * 0.2
-          + greatest(0.0, 1.0 - dr * 5.0) * 0.1, 6) AS quality
+        ${qualityCompositeSql("tc", "sr", "pr", "dr")} AS quality
       FROM c"""))
 
   val langid = Q(
@@ -1131,27 +1143,16 @@ object ExtQueries {
         Det.davg(col("sr"), 6).as("avg_stopword_ratio"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups")),
     Some {
-      val stop = TextStats.enStopwords.map(w => s"'$w'").mkString(",")
       s"""WITH c AS (
         SELECT lang, source,
-          len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+          $qcTokSql AS n_tok,
           length(text) AS n_chr,
-          round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-              t -> t IN ($stop)))
-            / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
-            AS sr,
-          round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-            / CAST(length(text) AS DOUBLE), 6) AS pr,
-          round(len(regexp_extract_all(text, '[0-9]'))
-            / CAST(length(text) AS DOUBLE), 6) AS dr,
+          $qcSrSql AS sr, $qcPrSql AS pr, $qcDrSql AS dr,
           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents),
       q AS (
         SELECT lang, source, n_tok, n_chr, sr, fp,
-          round(least(1.0, n_tok / 20.0) * 0.4
-            + least(1.0, sr * 4.0) * 0.3
-            + greatest(0.0, 1.0 - pr * 5.0) * 0.2
-            + greatest(0.0, 1.0 - dr * 5.0) * 0.1, 6) AS qs
+          ${qualityCompositeSql("n_tok", "sr", "pr", "dr")} AS qs
         FROM c)
       SELECT lang, source, count(*) AS n_docs,
         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
@@ -1172,8 +1173,11 @@ object ExtQueries {
     "ext_dup_ngram_coverage",
     (s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
+      // copies live in the NEGATIVE id space — disjoint from real ids at
+      // any scale factor (an additive offset would collide once real ids
+      // exceed it, corrupting the fixture identically on both engines)
       val copies = docs.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select((negate(col("doc_id")) - 1).as("doc_id"),
           concat(lit("prefix"), col("doc_id").cast("string"),
             lit(" marker start "), col("text")).as("text"))
       TextDedup.dupNgramCoverage(docs.unionByName(copies), "text", "doc_id")
@@ -1181,7 +1185,7 @@ object ExtQueries {
     Some("""WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 3000000 AS doc_id,
+        SELECT -doc_id - 1 AS doc_id,
           'prefix' || CAST(doc_id AS VARCHAR) || ' marker start ' || text
             AS text
         FROM documents WHERE doc_id % 9 = 0),

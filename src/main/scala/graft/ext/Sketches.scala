@@ -51,9 +51,14 @@ object Sketches {
     probes.select((col(keyCol) +: others) :+
         posexplode(array(cmsBuckets(col(keyCol), d, w): _*))
           .as(Seq("r", "bucket")): _*)
-      .join(broadcast(counters), Seq("r", "bucket"))
+      // LEFT join: a probe key absent from the corpus can hash into a
+      // bucket no corpus key touched — that counter row doesn't exist,
+      // and an inner join would silently drop it, turning the true CMS
+      // estimate of 0 into min-over-the-nonempty-subset (or losing the
+      // key entirely when all d buckets are empty)
+      .join(broadcast(counters), Seq("r", "bucket"), "left")
       .groupBy((col(keyCol) +: others): _*)
-      .agg(min(col("c")).as("cms_count"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
   }
 
   /** Heavy-hitter scan over document tokens: CMS estimate next to the
@@ -91,7 +96,12 @@ object Sketches {
     val u = (TextDedup.baseHash(col(idCol).cast("string")) + 1)
       .cast("double") / lit(4294967296.0)
     val pri = u / col(weightCol).cast("double")
-    df.select(col(idCol).cast("long").as("id"), pri.as("pri"))
+    // weight <= 0 is excluded EXPLICITLY: a negative weight would flip
+    // the priority sign and hijack rank 1, and weight = 0 divides to
+    // NULL under non-ANSI Spark but +inf in other engines — both
+    // meaningless under "inclusion probability proportional to weight"
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol).cast("long").as("id"), pri.as("pri"))
       .agg(graft.functions.TopKAgg.top_k(negate(col("pri")), col("id"), k)
         .as("picks"))
       .select(explode(col("picks")).as("p"))

@@ -246,6 +246,9 @@ object TextDedup {
       n: Int = 3, minShared: Int = 5,
       mBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val reserved = "__bm" +: (0 until numHashes).map(i => s"__p$i")
+    require(!docs.columns.exists(reserved.contains),
+      s"columns ${reserved.mkString(", ")} are reserved")
     val bsh = graft.ops.CacheScope.persist(
       bench.select(col(benchIdCol), explode(shingles(col(textCol), n)).as("sh")))
     val words = bsh

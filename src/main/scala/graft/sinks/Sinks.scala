@@ -127,6 +127,9 @@ object Sinks {
       bits: Int = 8, numFiles: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
     require(zCols.nonEmpty, "need at least one z-order column")
+    val reserved = "__z" +: zCols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c"))
+    require(!df.columns.exists(reserved.contains),
+      s"columns ${reserved.mkString(", ")} are reserved by writeZOrdered")
     val aggs = zCols.flatMap(c =>
       Seq(min(graft.ops.qcol(c)).as(s"__mn_$c"),
         max(graft.ops.qcol(c)).as(s"__mx_$c")))

@@ -731,6 +731,13 @@ class ExtSpec extends SparkSpec {
     val toks = corpus.toDF("doc_id", "text")
       .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
     assert(graft.ext.Sketches.cmsCounters(toks, "tok", 2, 4).count() <= 8)
+    // a probe key absent from the corpus estimates 0 through a WIDE
+    // sketch (its buckets are empty — the left join must not drop it)
+    val wide = graft.ext.Sketches.cmsCounters(toks, "tok", 2, 65536)
+    val est = graft.ext.Sketches.cmsEstimate(
+      Seq(Tuple1("neverseen")).toDF("tok"), "tok", wide, 2, 65536)
+      .head()
+    assert(est.getString(0) == "neverseen" && est.getLong(1) == 0L)
     } finally graft.ops.CacheScope.releaseAll()
   }
 
