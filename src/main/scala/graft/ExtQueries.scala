@@ -796,10 +796,11 @@ object ExtQueries {
         FROM ranked WHERE rank <= 5"""
     })
 
-  val cosineNearDup = Q(
-    "ext_dedup_embedding_cosine",
-    (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d), 0.5, bits = 4),
-    Some(s"""WITH b AS (
+  /** Shared CTE chain for sign-bucket cosine candidate pairs (4-bit
+    * buckets; `p` exposes id_a/id_b with a_emb/b_emb) — used by the
+    * embedding-cosine and semantic-dedup oracles so the candidate
+    * generation cannot drift between them. */
+  private def cosinePairsCte: String = s"""b AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
                (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
@@ -810,9 +811,33 @@ object ExtQueries {
       p AS (
         SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
                a.emb AS a_emb, b2.emb AS b_emb
-        FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+        FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)"""
+
+  val cosineNearDup = Q(
+    "ext_dedup_embedding_cosine",
+    (s, d) => Similarity.cosineNearDups(Tables.embeddings(s, d), 0.5, bits = 4),
+    Some(s"""WITH $cosinePairsCte
       SELECT id_a, id_b, $dkCos AS cos FROM p
       WHERE $dkCos >= 0.5"""))
+
+  /** SemDeDup ([[graft.ext.Similarity.semanticDedup]]): cosine ≥ 0.5
+    * pairs → connected components → one representative per component.
+    * The oracle replays candidate pairs through the SAME shared CTE and
+    * takes the min reachable id via a recursive-CTE closure (the exact
+    * fixpoint the iterative min-label propagation converges to). */
+  val semanticDedup = Q(
+    "ext_dedup_semantic",
+    (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.5, bits = 4),
+    Some(s"""WITH RECURSIVE $cosinePairsCte,
+      prs AS (SELECT id_a, id_b FROM p WHERE $dkCos >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs),
+      reach(a, b) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS vec_id, min(b) AS rep_id, (a = min(b)) AS keep
+      FROM reach GROUP BY a"""))
 
   /** IVF ANN: kmeans-trained, cluster-pruned top-k. Training is seeded but
     * engine-specific → rows-only gate here; ExtSpec checks recall + score
@@ -1161,7 +1186,8 @@ object ExtQueries {
         ${Det.davgSql("sr", 6)} AS avg_stopword_ratio,
         count(*) - count(DISTINCT fp) AS n_exact_dups
       FROM q GROUP BY lang, source"""
-    })
+    },
+    bench = true)
 
   /** Duplicate n-gram coverage (Gopher/RefinedWeb gate,
     * [[graft.ext.TextDedup.dupNgramCoverage]]): fraction of each doc
@@ -1211,7 +1237,8 @@ object ExtQueries {
       SELECT b.doc_id, b.n_tokens,
         round(coalesce(c.n_cov, 0) / CAST(b.n_tokens AS DOUBLE), 6)
           AS dup_ngram_frac
-      FROM base b LEFT JOIN c USING (doc_id)"""))
+      FROM base b LEFT JOIN c USING (doc_id)"""),
+    bench = true)
 
   /** Count-Min-Sketch heavy hitters ([[graft.ext.Sketches]]): approximate
     * term frequencies from a d×w counter matrix (d·w longs total,
@@ -1294,7 +1321,7 @@ object ExtQueries {
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
-    dedupComponents, cosineNearDup,
+    dedupComponents, cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov,

@@ -215,6 +215,28 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): group
+    * embeddings whose cosine similarity reaches `threshold` into
+    * connected components and keep one representative (the minimum id)
+    * per component — the embedding-space analogue of the MinHash →
+    * components → representatives chain for text.
+    *
+    * Returns (vec_id, rep_id, keep) for every input vector.
+    *
+    * Candidate generation inherits [[cosineNearDups]]'s contract: pairs
+    * are found within sign buckets (first-`bits` coordinate hyperplanes,
+    * skew-salted) — deterministic and join-pruned, with the same
+    * bucket-boundary recall caveat, and the same n² upper bound INSIDE a
+    * bucket. Components then run on the bounded pair set
+    * ([[TextDedup.connectedComponents]], min-label propagation). */
+  def semanticDedup(emb: DataFrame, threshold: Double, bits: Int = 8,
+      maxBucketRows: Long = 100000L): DataFrame = {
+    val pairs = cosineNearDups(emb, threshold, bits, maxBucketRows)
+    TextDedup.connectedComponents(emb.select(col("vec_id")), "vec_id", pairs)
+      .select(col("vec_id"), col("rep_id"),
+        (col("vec_id") === col("rep_id")).as("keep"))
+  }
+
   /** Exact integer dot product of two int8 code arrays (≤ 127² per term,
     * sums exact in long for any realistic dimensionality). */
   def intDot(a: Column, b: Column): Column =

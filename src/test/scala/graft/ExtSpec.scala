@@ -781,6 +781,21 @@ class ExtSpec extends SparkSpec {
     } finally graft.ops.CacheScope.releaseAll()
   }
 
+  test("semantic dedup: near-identical vectors collapse, others kept") {
+    try {
+      val vecs = Seq(
+        (5L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+        (2L, Array(0.99f, 0.11f, 0.0f, 0.0f)), // cos ~ 1 with vec 5
+        (9L, Array(0.0f, -1.0f, 0.3f, 0.0f))) // own bucket, kept
+        .toDF("vec_id", "embedding")
+      val out = graft.ext.Similarity.semanticDedup(vecs, 0.9, bits = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      // the near-identical pair collapses onto min id 2; 9 is singleton
+      assert(out == Seq((2L, 2L, true), (5L, 2L, false), (9L, 9L, true)))
+    } finally graft.ops.CacheScope.releaseAll()
+  }
+
   test("dup ngram coverage: shared passage counted, unique text not") {
     try {
       val passage = "one two three four five six seven eight"
