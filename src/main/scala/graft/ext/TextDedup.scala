@@ -289,10 +289,15 @@ object TextDedup {
     *
     * Plan shape: positional gram hashes (one md5 per gram, position
     * kept), cross-doc duplicated grams via a (hash → distinct-doc count)
-    * aggregate, join back on the hash, then distinct covered token
-    * positions per doc. Every shuffle keys on a high-cardinality column
-    * (gram hash / doc id) with map-side partials — no windows, no
-    * all-pairs; the n× position explode is bounded by n·grams. */
+    * aggregate, join back on the hash, then per doc an interval-union
+    * fold over the SORTED duplicated-gram start positions (each gram
+    * covers [i, i+n-1]; the union length is exactly the distinct covered
+    * position count, without materializing n rows per gram and
+    * distinct-shuffling them). Every shuffle keys on a high-cardinality
+    * column (gram hash / doc id) with map-side partials — no windows, no
+    * all-pairs. The final (id, n_tok) base re-derives token counts from
+    * the raw docs rather than reusing the gram projection: a split+size
+    * re-scan is far cheaper than re-running one md5 per gram. */
   def dupNgramCoverage(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
@@ -304,18 +309,30 @@ object TextDedup {
             baseHash(concat_ws(" ", slice(toks, i, lit(n)))).as("gh"))))
         .otherwise(emptyGrams).as("grams"))
     val exploded = graft.ops.CacheScope.persist(
-      withG.select(col("id"), col("n_tok"), explode(col("grams")).as("g"))
-        .select(col("id"), col("n_tok"), col("g.i").as("i"),
-          col("g.gh").as("gh")))
+      withG.select(col("id"), explode(col("grams")).as("g"))
+        .select(col("id"), col("g.i").as("i"), col("g.gh").as("gh")))
     val dupGrams = exploded.groupBy(col("gh"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2).select("gh")
+    // covered tokens = |union of [s, s+n-1]| over sorted starts: one
+    // (id)-keyed agg + a codegen fold; (i) is unique per (id, gram) so
+    // the fold sees each start once
     val covered = exploded.join(dupGrams, Seq("gh"))
-      .select(col("id"), col("n_tok"),
-        explode(sequence(col("i"), col("i") + (n - 1))).as("tp"))
-      .distinct()
-      .groupBy(col("id")).agg(count(lit(1)).as("n_cov"))
-    withG.select(col("id"), col("n_tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+      .select(col("id"),
+        aggregate(col("starts"),
+          struct(lit(0L).as("cov"), lit(-1L).as("end")),
+          (acc, s) => {
+            val hi = (s + (n - 1)).cast("long")
+            struct(
+              (acc.getField("cov") + greatest(lit(0L),
+                hi - greatest(acc.getField("end"), (s - 1).cast("long"))))
+                .as("cov"),
+              greatest(acc.getField("end"), hi).as("end"))
+          },
+          acc => acc.getField("cov")).as("n_cov"))
+    docs.select(col(idCol).as("id"), size(toks).as("n_tok"))
       .join(covered, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tok").as("n_tokens"),
         round(coalesce(col("n_cov"), lit(0L)) / col("n_tok").cast("double"),
