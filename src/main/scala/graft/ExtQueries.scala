@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, PqIndex, Retrieval, Similarity, Sketches, TextDedup, TextStats}
+import graft.ext.{Curation, Multimodal, PqIndex, Retrieval, Similarity, Sketches, TextDedup, TextStats}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.10): dedup family,
   * similarity search, text analysis, multimodal plumbing — each with a
@@ -615,6 +615,20 @@ object ExtQueries {
        SELECT id_a, id_b, containment FROM cscored
        WHERE containment >= 0.3"""))
 
+  /** Transitive-closure components CTE over the MinHash near-dup pairs
+    * (one definition, shared by the ext_dedup_components and
+    * ext_dedup_keep_best oracles): ends in `comp(doc_id, rep_id)`. */
+  private def componentsCte: String =
+    s"""RECURSIVE $minhashCteBody,
+        pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.2),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a)"""
+
   /** Connected components over the MinHash near-dup pairs: every doc
     * labeled with its component's min id (self for singletons). The
     * oracle computes the transitive closure with a recursive CTE and
@@ -628,15 +642,61 @@ object ExtQueries {
         n = 3, k = 8, bands = 4, threshold = 0.2)
       TextDedup.connectedComponents(docs, "doc_id", pairs)
     },
-    Some(s"""WITH RECURSIVE $minhashCteBody,
-        pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.2),
-        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-        reach(a, b) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a"""))
+    Some(s"""WITH $componentsCte
+      SELECT doc_id, rep_id FROM comp"""))
+
+  /** Canonical-doc selection per near-dup cluster
+    * ([[graft.ext.Curation.keepBestInComponent]]): one row per component
+    * with the highest-quality member (ties → lowest doc id). The oracle
+    * replays the same max-then-argmin on the recursive-CTE components —
+    * deterministic because quality is 6-dp-rounded on both engines. */
+  val dedupKeepBest = Q(
+    "ext_dedup_keep_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "text", "doc_id",
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+      Curation.keepBestInComponent(docs, "text", "doc_id", pairs)
+    },
+    Some(s"""WITH $componentsCte,
+        c AS (SELECT doc_id, $qcTokSql AS tc, $qcSrSql AS sr,
+                $qcPrSql AS pr, $qcDrSql AS dr
+              FROM documents),
+        scoredq AS (SELECT doc_id,
+            ${qualityCompositeSql("tc", "sr", "pr", "dr")} AS q
+          FROM c),
+        labeled AS (SELECT comp.rep_id, comp.doc_id, scoredq.q
+                    FROM comp JOIN scoredq USING (doc_id)),
+        best AS (SELECT rep_id, max(q) AS quality,
+                   count(*) AS n_members
+                 FROM labeled GROUP BY rep_id)
+      SELECT l.rep_id, min(l.doc_id) AS keep_id, b.quality,
+        b.n_members
+      FROM labeled l JOIN best b ON l.rep_id = b.rep_id
+        AND l.q = b.quality
+      GROUP BY l.rep_id, b.quality, b.n_members"""))
+
+  /** Per-source quality cap ([[graft.ext.Curation.sourceCap]], the
+    * RefinedWeb-style per-domain cap): top 10 docs per source by quality
+    * desc / doc_id asc, via the bounded-heap top-k aggregate (map-side
+    * partials — a hot domain never funnels through one reducer). The
+    * oracle is the window-rank statement the aggregate replaces. */
+  val sourceCap = Q(
+    "ext_source_cap",
+    (s, d) => Curation.sourceCap(
+      Tables.documents(s, d), "text", "doc_id", "source", k = 10),
+    Some(s"""WITH c AS (
+        SELECT doc_id, source, $qcTokSql AS tc, $qcSrSql AS sr,
+          $qcPrSql AS pr, $qcDrSql AS dr
+        FROM documents),
+      scoredq AS (SELECT doc_id, source,
+          ${qualityCompositeSql("tc", "sr", "pr", "dr")} AS quality
+        FROM c),
+      r AS (SELECT source, doc_id, quality,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id) AS INT) AS rank
+            FROM scoredq)
+      SELECT source, doc_id, quality, rank FROM r WHERE rank <= 10"""))
 
   val dedupNgram = Q(
     "ext_dedup_ngram_jaccard",
@@ -1321,7 +1381,7 @@ object ExtQueries {
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
-    dedupComponents, cosineNearDup, semanticDedup,
+    dedupComponents, dedupKeepBest, sourceCap, cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov,

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation selection operators: per-domain caps and canonical-doc
+  * selection inside near-duplicate clusters. Both are selection policies a
+  * large-scale training-data pipeline applies AFTER the signal/cluster
+  * stages ([[TextStats]] quality, [[TextDedup]] components) — kept here so
+  * the policies stay separate from the signals they rank on.
+  */
+object Curation {
+
+  /** Per-source document cap (the RefinedWeb/C4 per-domain cap): keep at
+    * most `k` documents per `sourceCol`, ranked by quality score
+    * descending with id ascending as the tie-break.
+    *
+    * Scale shape: `groupBy(source).agg(top_k(...))` rides the bounded-heap
+    * [[graft.functions.TopKAgg]] — each map task keeps a k-element heap
+    * per source, so the exchange carries ≤ k rows per (source, partition)
+    * no matter how many documents a hot domain has. The window-rank form
+    * (`row_number().over(partitionBy(source))`) would funnel every row of
+    * a hot domain through one reducer — the skew this cap exists to tame
+    * is exactly the skew that kills that plan.
+    *
+    * Returns (source, id, quality, rank), rank 1 = best kept doc.
+    */
+  def sourceCap(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, k: Int): DataFrame = {
+    val scored = docs.select(col(sourceCol), col(idCol).cast("long").as("id"),
+      TextStats.qualityScore(col(textCol)).as("quality"))
+    scored.groupBy(col(sourceCol))
+      .agg(graft.functions.TopKAgg.top_k(
+        col("quality"), col("id"), k).as("top"))
+      .select(col(sourceCol), explode(col("top")).as("t"))
+      .select(col(sourceCol), col("t.id").as(idCol),
+        col("t.score").as("quality"), col("t.rank").as("rank"))
+  }
+
+  /** Canonical-document selection per near-duplicate cluster: label the
+    * corpus with [[TextDedup.connectedComponents]] over MinHash-LSH pairs,
+    * then keep the highest-quality member of every component (ties → the
+    * lowest doc id; quality is 6-dp-rounded so ties are exact, not
+    * float-fuzzy).
+    *
+    * Returns one row per component: (rep_id, keep_id, quality,
+    * n_members). `keep_id` is the doc to retain; every other member is
+    * the near-dup discard set.
+    *
+    * Scale shape: both aggregations and the filter-back join key on
+    * `rep_id` — one shuffle partitioning reused across the max, the
+    * argmin and the member count (exchange reuse); no windows. The
+    * max-then-argmin pair is the deterministic replacement for
+    * `max_by` (whose tie behavior is undefined).
+    */
+  def keepBestInComponent(docs: DataFrame, textCol: String, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = TextDedup.connectedComponents(docs, idCol, pairs)
+    val scored = docs.select(col(idCol),
+      TextStats.qualityScore(col(textCol)).as("q"))
+    val labeled = comps.join(scored, Seq(idCol))
+    val best = labeled.groupBy(col("rep_id"))
+      .agg(max(col("q")).as("quality"), count(lit(1)).as("n_members"))
+    labeled.join(best, Seq("rep_id"))
+      .filter(col("q") === col("quality"))
+      .groupBy(col("rep_id"), col("quality"), col("n_members"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select(col("rep_id"), col("keep_id"), col("quality"),
+        col("n_members"))
+  }
+}

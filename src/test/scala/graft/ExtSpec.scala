@@ -839,4 +839,41 @@ class ExtSpec extends SparkSpec {
     assert(tiny == exact)
     } finally graft.ops.CacheScope.releaseAll()
   }
+
+  test("source cap: top-k per source by quality desc, id asc; rank dense") {
+    val k = 3
+    val capped = graft.ext.Curation.sourceCap(docs, "text", "doc_id",
+      "source", k)
+    // independent reference: full scoring sorted in Scala
+    val scored = docs.select(col("source"), col("doc_id"),
+      TextStats.qualityScore(col("text")).as("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (_, id, q) => (-q, id) }.take(k).zipWithIndex
+        .map { case ((_, id, q), i) => (src, id, q, i + 1) }
+    }.toSet
+    val got = capped.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("keep best in component: max quality wins, ties -> lowest id") {
+    try {
+      val good = "the quick brown fox and the lazy dog is in that it for"
+      val corpus = Seq(
+        (1L, good),                        // tied best with doc 2
+        (2L, good),
+        (3L, "111 222 333 $$$ %%% ^^^"),   // worst in component
+        (4L, "another standalone document that is quite fine to read"))
+        .toDF("doc_id", "text")
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val out = graft.ext.Curation
+        .keepBestInComponent(corpus, "text", "doc_id", pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // component {1,2,3}: docs 1 and 2 tie on quality -> keep 1
+      assert(out == Seq((1L, 1L, 3L), (4L, 4L, 1L)))
+    } finally graft.ops.CacheScope.releaseAll()
+  }
 }
