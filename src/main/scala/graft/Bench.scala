@@ -45,8 +45,30 @@ object Bench {
     val warm = headline.map(attempt(_, " warm-up")).toMap
     val rounds: Seq[Map[String, Double]] =
       (1 to reps).map(_ => headline.map(attempt(_, "")).toMap)
+    // Retry pass: a throttle window (hypervisor pause) can swallow EVERY
+    // timed round of a heavy query — with reps=2, two inflated runs make
+    // the min itself a 5-10x artifact. A query whose observed runs spread
+    // by > 1.5x is flagged unstable and re-timed up to two more times;
+    // stable queries never re-run, so the extra cost is bounded by the
+    // noisy subset. The min over ALL observations is reported.
+    val retried: Map[String, Seq[Double]] = headline.map { q =>
+      val times = rounds.map(_(q.name)).filter(_ >= 0)
+      val unstable = times.nonEmpty &&
+        times.max > 1.5 * times.min
+      val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
+      if (unstable) {
+        var i = 0
+        // stop early once a retry beats the prior floor (quiet window)
+        while (i < 2 && (extra.isEmpty || extra.min > times.min)) {
+          val t = attempt(q, " retry")._2
+          if (t >= 0) extra += t
+          i += 1
+        }
+      }
+      q.name -> (times ++ extra)
+    }.toMap
     val results = headline.map { q =>
-      val times = rounds.map(_(q.name)).filter(_ >= 0).sorted
+      val times = retried(q.name).sorted
       System.err.println(f"[bench] ${q.name}: warm=${warm(q.name)}%.2f " +
         s"runs=${times.mkString(",")}")
       // min, not median: throttle windows inflate individual runs by up

@@ -1373,8 +1373,28 @@ object ExtQueries {
       FROM it JOIN lp USING (tok)
       GROUP BY doc_id"""))
 
+  /** Character entropy ([[graft.ext.TextStats.charEntropy]]): Shannon
+    * entropy of the per-doc character histogram. Oracle replays the
+    * ln(n) − Σ c·ln(c)/n identity with the same 6-dp/decimal-sum
+    * determinism recipe as ext_lm_score. */
+  val charEntropy = Q(
+    "ext_char_entropy",
+    (s, d) => graft.ext.TextStats.charEntropy(
+      Tables.documents(s, d), "text", "doc_id"),
+    Some("""WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents),
+      hist AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                sum(CAST(c * round(ln(c), 6) AS DECIMAL(18,6))) AS s
+              FROM hist GROUP BY 1)
+      SELECT doc_id,
+        round(ln(n) - CAST(s AS DOUBLE) / n, 6) AS char_entropy,
+        n AS n_chars
+      FROM agg"""))
+
   def all: Seq[Q] = Seq(
-    textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
+    textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
     quantize, packOffsets,
     chunkDocs, simInt8, keywords,

@@ -259,4 +259,33 @@ object TextStats {
         count(lit(1)).as("n_tokens"))
       .select(col("id").as(idCol), col("avg_logprob"), col("n_tokens"))
   }
+
+  /** Character-entropy quality signal (Shannon entropy of the per-doc
+    * character histogram, in nats): near-zero entropy flags degenerate
+    * text (repeated fills, single-char spam) that token-level gates can
+    * rate as fine; unusually high entropy flags binary-ish noise.
+    * Uses the identity H = ln(n) − (Σ_c c·ln c)/n over character counts.
+    *
+    * Scale: one explode to (doc, char) — bounded by corpus characters —
+    * then two hash aggregates keyed on (doc, char) and (doc); no
+    * windows, no global state at all.
+    *
+    * Determinism (DuckDB-oracle parity): ln(c) is 6-dp-rounded per
+    * DISTINCT count before the weighted term (the BM25-idf/lmScore
+    * rule), each term is cast to exact DECIMAL(18,6) before summing, and
+    * the final entropy rounds to 6 dp. */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val hist = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col("id"), col("ch")).agg(count(lit(1)).as("c"))
+    hist.groupBy(col("id"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * round(log(col("c")), 6))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("s"))
+      .select(col("id").as(idCol),
+        round(log(col("n")) - col("s").cast("double") / col("n"), 6)
+          .as("char_entropy"),
+        col("n").as("n_chars"))
+  }
 }

@@ -840,6 +840,15 @@ class ExtSpec extends SparkSpec {
     } finally graft.ops.CacheScope.releaseAll()
   }
 
+  test("char entropy: zero for single-char runs, ln 2 for 50/50 mix") {
+    val out = Seq((1L, "aaaa"), (2L, "aabb"), (3L, "ab"))
+      .toDF("doc_id", "text")
+      .transform(TextStats.charEntropy(_, "text", "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, 0.0, 4L), (2L, 0.693147, 4L), (3L, 0.693147, 2L)))
+  }
+
   test("source cap: top-k per source by quality desc, id asc; rank dense") {
     val k = 3
     val capped = graft.ext.Curation.sourceCap(docs, "text", "doc_id",
