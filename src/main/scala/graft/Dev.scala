@@ -19,9 +19,11 @@ object Dev {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // noop write, NOT count(): count lets Catalyst eliminate
+      // row-preserving joins/projections and time a hollowed-out plan
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       graft.ops.CacheScope.releaseAll()
-      println(f"[dev] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      println(f"[dev] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     fn(spark, sfDir).explain("formatted")
     graft.ops.CacheScope.releaseAll() // the explain build persists too

@@ -31,9 +31,10 @@ object DevStages {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // noop write, NOT count() — see Dev.scala
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       graft.ops.CacheScope.releaseAll()
-      println(f"[dev] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      println(f"[dev] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -295,22 +295,36 @@ object TextDedup {
     * position count, without materializing n rows per gram and
     * distinct-shuffling them). Every shuffle keys on a high-cardinality
     * column (gram hash / doc id) with map-side partials — no windows, no
-    * all-pairs. The final (id, n_tok) base re-derives token counts from
-    * the raw docs rather than reusing the gram projection: a split+size
-    * re-scan is far cheaper than re-running one md5 per gram. */
+    * all-pairs. The tokenize+hash projection (the dominant CPU cost)
+    * runs exactly once: repartitioned for parallelism, persisted, and
+    * eagerly built before its independent consumer stages. */
   def dupNgramCoverage(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
     val emptyGrams = array().cast("array<struct<i:int,gh:bigint>>")
-    val withG = docs.select(col(idCol).as("id"), size(toks).as("n_tok"),
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => struct(i.as("i"),
-            baseHash(concat_ws(" ", slice(toks, i, lit(n)))).as("gh"))))
-        .otherwise(emptyGrams).as("grams"))
-    val exploded = graft.ops.CacheScope.persist(
-      withG.select(col("id"), explode(col("grams")).as("g"))
-        .select(col("id"), col("g.i").as("i"), col("g.gh").as("gh")))
+    // Repartition BEFORE the gram projection: one md5 per gram is the
+    // dominant CPU cost, and a small input (one parquet file → 1-2 scan
+    // partitions) would otherwise run it near-serially regardless of
+    // cores. The shuffle moves only raw (id, text) rows — far cheaper
+    // than serializing the hashed gram arrays it unlocks parallelism for.
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    // ONE tokenize+hash pass for everything: (id, n_tok, grams) is
+    // persisted, and the gram explode, the dup-gram aggregate and the
+    // final (id, n_tok) base all read the cache. Eager count(): the
+    // downstream consumers are INDEPENDENT stages that AQE submits
+    // concurrently — both would race to compute the not-yet-materialized
+    // cache and the hashing would run twice.
+    val withG = graft.ops.CacheScope.persist(
+      spread.select(col(idCol).as("id"), size(toks).as("n_tok"),
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => struct(i.as("i"),
+              baseHash(concat_ws(" ", slice(toks, i, lit(n)))).as("gh"))))
+          .otherwise(emptyGrams).as("grams")))
+    withG.count()
+    val exploded = withG.select(col("id"), explode(col("grams")).as("g"))
+      .select(col("id"), col("g.i").as("i"), col("g.gh").as("gh"))
     val dupGrams = exploded.groupBy(col("gh"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2).select("gh")
@@ -332,7 +346,7 @@ object TextDedup {
               greatest(acc.getField("end"), hi).as("end"))
           },
           acc => acc.getField("cov")).as("n_cov"))
-    docs.select(col(idCol).as("id"), size(toks).as("n_tok"))
+    withG.select(col("id"), col("n_tok"))
       .join(covered, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tok").as("n_tokens"),
         round(coalesce(col("n_cov"), lit(0L)) / col("n_tok").cast("double"),
