@@ -1393,7 +1393,200 @@ object ExtQueries {
         n AS n_chars
       FROM agg"""))
 
+  /** Gopher rule-based gates ([[graft.ext.TextStats.gopherGates]]) over a
+    * corpus deterministically salted so every gate fires both ways:
+    * doc_id%7 docs gain `#`/ellipsis noise (symbol gate), doc_id%11 docs
+    * gain numeric words (alpha-ratio gate), doc_id%3 docs gain the
+    * stopwords the raw vocabulary lacks (stopword gate); word-count
+    * bounds 25..80 straddle the corpus's 10..99 distribution. */
+  val gopherGates = Q(
+    "ext_gopher_gates",
+    (s, d) => graft.ext.TextStats.gopherGates(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" # ## ... #")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" 12 3 456 78 90 1 2 3 4 5 6 7"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" and that with have"))
+            .otherwise(lit(""))).as("text")),
+      "text", "doc_id", minWords = 25, maxWords = 80),
+    Some {
+      val stopList = graft.ext.TextStats.gopherStopwords
+        .map(w => s"'$w'").mkString(",")
+      """WITH raw AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 0 THEN ' # ## ... #' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN ' 12 3 456 78 90 1 2 3 4 5 6 7' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' and that with have' ELSE '' END AS t
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+            len(string_split_regex(trim(t), '\s+')) AS n_words,
+            round(length(regexp_replace(t, '\s+', '', 'g'))
+              / CAST(len(string_split_regex(trim(t), '\s+')) AS DOUBLE), 6)
+              AS mean_word_len,
+            round(len(regexp_extract_all(t, '#|\.\.\.'))
+              / CAST(len(string_split_regex(trim(t), '\s+')) AS DOUBLE), 6)
+              AS symbol_word_ratio,
+            round(len(list_filter(string_split_regex(trim(t), '\s+'),
+                w -> regexp_matches(w, '[A-Za-z]')))
+              / CAST(len(string_split_regex(trim(t), '\s+')) AS DOUBLE), 6)
+              AS alpha_word_ratio,
+            len(list_intersect(
+              list_distinct(string_split_regex(trim(lower(t)), '\s+')),
+              [""" + stopList + """])) AS stop_hits
+          FROM raw)
+        SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+          alpha_word_ratio, stop_hits,
+          CAST(n_words BETWEEN 25 AND 80 AS INT) AS gate_words,
+          CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS gate_mwl,
+          CAST(symbol_word_ratio <= 0.1 AS INT) AS gate_symbol,
+          CAST(alpha_word_ratio >= 0.8 AS INT) AS gate_alpha,
+          CAST(stop_hits >= 2 AS INT) AS gate_stop,
+          CAST(n_words BETWEEN 25 AND 80
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND alpha_word_ratio >= 0.8
+            AND stop_hits >= 2 AS INT) AS keep
+        FROM sig"""
+    })
+
+  /** HTML stripping ([[graft.ext.Markup.stripHtml]]) over a corpus
+    * deterministically wrapped in realistic markup: head/style block,
+    * entity-bearing headline, the text inside `<p>`, an entity-rich
+    * trailer div, and a script block whose body contains a bare `<` —
+    * so block removal (content and all), tag stripping, single-pass
+    * entity decoding, and whitespace collapse are each load-bearing. */
+  val htmlStrip = Q(
+    "ext_html_strip",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style type=\"text/css\">p { color: #fff; }</style>"
+          + "</head><body><h1>Header &amp; intro</h1><p>"),
+        col("text"),
+        lit("</p><div class=\"x\">tail &lt;escaped&gt; &quot;q&quot;"
+          + " &#39;s&#39; one&nbsp;two</div>"
+          + "<script>var i = 1; if (i < 2) { i = 3; }</script>"
+          + "</body></html>")).as("t"))
+      .select(col("doc_id"),
+        graft.ext.Markup.stripHtml(col("t")).as("cleaned"))
+      .select(col("doc_id"), col("cleaned"),
+        length(col("cleaned")).as("n_chars_clean")),
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || doc_id
+          || '</title><style type="text/css">p { color: #fff; }</style>'
+          || '</head><body><h1>Header &amp; intro</h1><p>' || text
+          || '</p><div class="x">tail &lt;escaped&gt; &quot;q&quot;'
+          || ' &#39;s&#39; one&nbsp;two</div>'
+          || '<script>var i = 1; if (i < 2) { i = 3; }</script>'
+          || '</body></html>' AS t
+        FROM documents),
+      stripped AS (
+        SELECT doc_id,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '<[^>]*>', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+            '\s+', ' ', 'g')) AS cleaned
+        FROM raw)
+      SELECT doc_id, cleaned, length(cleaned) AS n_chars_clean
+      FROM stripped"""))
+
+  /** URL→domain provenance report ([[graft.ext.Markup.domainReport]])
+    * over a corpus salted with 1-3 URLs per doc: a mixed-case primary
+    * (lowercasing load-bearing), an ad-tracker URL on doc_id%4 (blocklist
+    * hit), and a same-domain second URL on doc_id%10 (distinct-count
+    * load-bearing). */
+  val urlDomains = Q(
+    "ext_url_domains",
+    (s, d) => graft.ext.Markup.domainReport(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" see https://Site"), col("doc_id") % 13,
+          lit(".Example.com/p/"), col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" http://ads.tracker"), col("doc_id") % 3,
+              lit(".net/x?q="), col("doc_id"))).otherwise(lit("")),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" https://site"), col("doc_id") % 13,
+              lit(".example.com/other"))).otherwise(lit(""))).as("text")),
+      "text", "doc_id",
+      blocklist = Seq("ads.tracker0.net", "ads.tracker1.net",
+        "ads.tracker2.net")),
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          text || ' see https://Site' || CAST(doc_id % 13 AS VARCHAR)
+          || '.Example.com/p/' || doc_id
+          || CASE WHEN doc_id % 4 = 0
+               THEN ' http://ads.tracker' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.net/x?q=' || doc_id ELSE '' END
+          || CASE WHEN doc_id % 10 = 0
+               THEN ' https://site' || CAST(doc_id % 13 AS VARCHAR)
+                 || '.example.com/other' ELSE '' END AS t
+        FROM documents),
+      hosts AS (
+        SELECT doc_id,
+          list_transform(
+            regexp_extract_all(t, 'https?://([^/\s?#]+)', 1),
+            h -> lower(h)) AS hs
+        FROM raw)
+      SELECT doc_id,
+        len(hs) AS n_urls,
+        len(list_distinct(hs)) AS n_domains,
+        len(list_filter(hs, h -> h IN
+          ('ads.tracker0.net', 'ads.tracker1.net', 'ads.tracker2.net')))
+          AS n_blocked,
+        CAST(len(list_filter(hs, h -> h IN
+          ('ads.tracker0.net', 'ads.tracker1.net', 'ads.tracker2.net'))) = 0
+          AS INT) AS keep
+      FROM hosts"""))
+
+  /** Deterministic source mixing ([[graft.ext.Curation.mixSources]]):
+    * target weights proportional to (src index % 4 + 1), normalized in
+    * Scala and interpolated into BOTH engines from the same doubles
+    * (shortest-round-trip — the BM25 constant rule); char budget 100k so
+    * the rate cap at 1.0 engages for high-weight low-supply sources at
+    * sf0.01. */
+  val sourceMix = Q(
+    "ext_source_mix",
+    (s, d) => graft.ext.Curation.mixSources(
+      Tables.documents(s, d), "doc_id", "source", "n_chars",
+      targets = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap,
+      budget = 100000L),
+    Some {
+      val rateCases = (0 until 20).map { i =>
+        s"WHEN source = 'src$i' THEN ${(i % 4 + 1) / 50.0}"
+      }.mkString("\n            ")
+      s"""WITH avail AS (
+          SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail
+          FROM documents GROUP BY 1),
+        rates AS (
+          SELECT source,
+            round(least(1.0, 100000 * (CASE
+            $rateCases
+            ELSE 0.0 END) / avail), 6) AS rate
+          FROM avail)
+        SELECT doc_id, source, n_chars, rate
+        FROM documents JOIN rates USING (source)
+        WHERE (('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)),
+            1, 8))::BIGINT + 1) / 4294967296.0 < rate"""
+    })
+
   def all: Seq[Q] = Seq(
+    gopherGates, htmlStrip, urlDomains, sourceMix,
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
     quantize, packOffsets,

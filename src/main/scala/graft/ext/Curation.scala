@@ -37,6 +37,44 @@ object Curation {
         col("t.score").as("quality"), col("t.rank").as("rank"))
   }
 
+  /** Deterministic source mixing (the static-weights half of
+    * DoReMi/Pile-style domain reweighting): given target mixture weights
+    * per source and a global budget (in `weightCol` units — tokens,
+    * chars), compute each source's acceptance rate
+    * `min(1, budget·w_s / available_s)` and keep documents by a
+    * deterministic per-doc coin: `u(id) < rate`, with
+    * `u = (md5_32("mix:" || id) + 1) / 2^32` — the [[Sketches]] uniform,
+    * salted so the coin is independent of every other md5-keyed decision
+    * in the pipeline (an unsalted hash would correlate mixing with hash
+    * splits and dedup keys).
+    *
+    * Undersupplied sources (rate capped at 1) keep everything —
+    * upweighting beyond availability is epoch repetition, a trainer
+    * concern, not a selection one.
+    *
+    * Scale shape: one per-source aggregate (20-ish rows), broadcast back,
+    * then a stateless filter — no global sort, no window, layout- and
+    * run-stable output. Rates are 6-dp-rounded so the accept verdicts
+    * hash-match across engines. */
+  def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
+      weightCol: String, targets: Map[String, Double], budget: Long)
+      : DataFrame = {
+    val rates = docs.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).cast("double").as("avail"))
+      .select(col(sourceCol),
+        round(least(lit(1.0),
+          targets.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+            when(col(sourceCol) === src, lit(budget) * lit(w) / col("avail"))
+              .otherwise(acc)
+          }), 6).as("rate"))
+    val u = (TextDedup.baseHash(
+      concat(lit("mix:"), col(idCol).cast("string"))) + 1)
+      .cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(u < col("rate"))
+      .select(col(idCol), col(sourceCol), col(weightCol), col("rate"))
+  }
+
   /** Canonical-document selection per near-duplicate cluster: label the
     * corpus with [[TextDedup.connectedComponents]] over MinHash-LSH pairs,
     * then keep the highest-quality member of every component (ties → the

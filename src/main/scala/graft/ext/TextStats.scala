@@ -260,6 +260,71 @@ object TextStats {
       .select(col("id").as(idCol), col("avg_logprob"), col("n_tokens"))
   }
 
+  // ---- Gopher quality gates (Rae et al. 2021, Appendix A) ------------------
+
+  /** Gopher's required-stopword list ("contains at least two of ...");
+    * distinct-word membership, not occurrence count. */
+  val gopherStopwords: Seq[String] = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Symbol-to-word ratio numerator: `#` and ellipsis occurrences. The
+    * alternation is match-identical under leftmost-greedy (Java) and
+    * leftmost-longest (RE2) because the branches cannot overlap. */
+  val symbolPattern = "#|\\.\\.\\."
+
+  def symbolWordRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit(symbolPattern), lit(0)))
+      / tokenCount(text).cast("double"), 6)
+
+  /** Fraction of words containing at least one alphabetic character. */
+  def alphaWordRatio(text: Column): Column =
+    round(size(filter(tokens(text), t => t.rlike("[A-Za-z]")))
+      / tokenCount(text).cast("double"), 6)
+
+  /** Count of DISTINCT Gopher stopwords present. */
+  def gopherStopwordHits(text: Column): Column =
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      array(gopherStopwords.map(lit): _*)))
+
+  /** The Gopher rule-based document gates: word count bounds, mean word
+    * length bounds, symbol-to-word ratio cap, alphabetic-word floor, and
+    * the ≥2-distinct-stopwords requirement. Emits every signal, each
+    * gate's verdict (INT 0/1 — booleans hash differently across
+    * engines), and the conjunction `keep`.
+    *
+    * Every gate compares against its 6-dp-ROUNDED signal, so borderline
+    * documents resolve identically on any engine re-deriving the flags
+    * from the emitted signals.
+    *
+    * Pure projection — no shuffle, no state; at 100 TB this is one
+    * codegen'd pass reading only (id, text). */
+  def gopherGates(docs: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val gWords = col("n_words").between(minWords, maxWords)
+    val gMwl = col("mean_word_len").between(minMeanWordLen, maxMeanWordLen)
+    val gSym = col("symbol_word_ratio") <= maxSymbolWordRatio
+    val gAlpha = col("alpha_word_ratio") >= minAlphaWordRatio
+    val gStop = col("stop_hits") >= minStopwordHits
+    docs.select(
+      col(idCol),
+      tokenCount(t).as("n_words"),
+      meanWordLen(t).as("mean_word_len"),
+      symbolWordRatio(t).as("symbol_word_ratio"),
+      alphaWordRatio(t).as("alpha_word_ratio"),
+      gopherStopwordHits(t).as("stop_hits"))
+    .select(col("*"),
+      gWords.cast("int").as("gate_words"),
+      gMwl.cast("int").as("gate_mwl"),
+      gSym.cast("int").as("gate_symbol"),
+      gAlpha.cast("int").as("gate_alpha"),
+      gStop.cast("int").as("gate_stop"),
+      (gWords && gMwl && gSym && gAlpha && gStop).cast("int").as("keep"))
+  }
+
   /** Character-entropy quality signal (Shannon entropy of the per-doc
     * character histogram, in nats): near-zero entropy flags degenerate
     * text (repeated fills, single-char spam) that token-level gates can

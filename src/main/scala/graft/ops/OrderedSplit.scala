@@ -26,8 +26,11 @@ object OrderedSplit {
     * the pivot row's cell values. No pivot → everything is part1
     * (ecommerce_s3_to_pg.py:381-382).
     *
-    * Two tiny driver actions (min index + one pivot row); the row data
-    * itself never leaves the executors.
+    * ONE tiny driver action: `min` of the index and `min_by` of the row
+    * struct come back in the same aggregate (a second pass to re-fetch
+    * the pivot row would re-execute the upstream lineage once more per
+    * call — measurable in the per-micro-batch streaming path). The row
+    * data itself never leaves the executors.
     */
   def embeddedHeaderSplit(
       dfWithIdx: DataFrame,
@@ -35,14 +38,15 @@ object OrderedSplit {
       pivotPred: Column,
       idxCol: String = "__row_idx"): (DataFrame, Option[DataFrame]) = {
     val pivotIdxRow = dfWithIdx.filter(pivotPred)
-      .agg(min(qcol(idxCol)).as("k")).head()
+      .agg(min(qcol(idxCol)).as("k"),
+        min_by(struct(dataCols.map(qcol): _*), qcol(idxCol)).as("row"))
+      .head()
     if (pivotIdxRow.isNullAt(0)) {
       (dfWithIdx.drop(idxCol), None)
     } else {
       val k = pivotIdxRow.getLong(0)
       val part1 = dfWithIdx.filter(qcol(idxCol) < k).drop(idxCol)
-      val pivotRow = dfWithIdx.filter(qcol(idxCol) === k)
-        .select(dataCols.map(qcol).toSeq: _*).head()
+      val pivotRow = pivotIdxRow.getStruct(1)
       val newNames = dataCols.indices.map { i =>
         Option(pivotRow.get(i)).map(_.toString)
           .map(Projections.normalizeName)

@@ -885,4 +885,77 @@ class ExtSpec extends SparkSpec {
       assert(out == Seq((1L, 1L, 3L), (4L, 4L, 1L)))
     } finally graft.ops.CacheScope.releaseAll()
   }
+
+  test("gopher gates: each rule fires on its targeted fixture") {
+    val base = Seq.fill(30)("the and of words").mkString(" ") // 120 words
+    val corpus = Seq(
+      (1L, base),                                  // passes everything
+      (2L, "the and short"),                       // word-count floor
+      (3L, base + " ### ### ### ... ... ... # # # # # # # # #"), // symbols
+      (4L, base.replace("words", "1234")),         // alpha ratio floor
+      (5L, Seq.fill(40)("sparkly processing").mkString(" ")), // no stopwords
+      (6L, Seq.fill(60)("a b") .mkString(" ")))    // mean word len < 3
+      .toDF("doc_id", "text")
+    val out = TextStats.gopherGates(corpus, "text", "doc_id",
+        minWords = 10, maxWords = 1000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("gate_words"), r.getAs[Int]("gate_mwl"),
+          r.getAs[Int]("gate_symbol"), r.getAs[Int]("gate_alpha"),
+          r.getAs[Int]("gate_stop"), r.getAs[Int]("keep"))).toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1, 1)))
+    assert(out(2L)._1 == 0 && out(2L)._6 == 0)
+    assert(out(3L)._3 == 0 && out(3L)._6 == 0)
+    assert(out(4L)._4 == 0 && out(4L)._6 == 0)
+    assert(out(5L)._5 == 0 && out(5L)._6 == 0)
+    assert(out(6L)._2 == 0 && out(6L)._6 == 0)
+  }
+
+  test("stripHtml: blocks removed whole, tags spaced, entities single-pass") {
+    val html = "<html><body><h1>A &amp; B</h1><p>one</p><p>two</p>" +
+      "<script>if (1 < 2) { alert('x'); }</script>" +
+      "<style>p{}</style>C &amp;lt; D&nbsp;E</body></html>"
+    val out = Seq(html).toDF("t")
+      .select(graft.ext.Markup.stripHtml(col("t"))).head().getString(0)
+    // adjacent-tag word boundary kept ("one two"); script/style content
+    // gone entirely; "&amp;lt;" decodes ONCE to "&lt;" (never to "<")
+    assert(out == "A & B one two C &lt; D E")
+  }
+
+  test("domainReport: lowercased hosts, distinct count, blocklist verdict") {
+    val corpus = Seq(
+      (1L, "x https://A.example.com/p http://a.example.com/q y"),
+      (2L, "see http://ads.bad.net/z and https://ok.org"),
+      (3L, "no links here")).toDF("doc_id", "text")
+    val out = graft.ext.Markup
+      .domainReport(corpus, "text", "doc_id", Seq("ads.bad.net"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == ((2, 1, 0, 1))) // same domain after lowercasing
+    assert(out(2L) == ((2, 2, 1, 0))) // blocked
+    assert(out(3L) == ((0, 0, 0, 1)))
+  }
+
+  test("mixSources: rates capped at 1, zero-weight dropped, deterministic") {
+    try {
+      val docs = (1L to 200L).map(i =>
+        (i, if (i <= 100) "big" else if (i <= 180) "small" else "other", 10L))
+        .toDF("doc_id", "source", "w")
+      // budget 500 @ big w=0.5 -> rate 250/1000=0.25; small w=0.5 over
+      // 800 avail -> 250/800 capped? no: 0.3125; other absent from targets
+      val out = graft.ext.Curation.mixSources(docs, "doc_id", "source", "w",
+        Map("big" -> 0.5, "small" -> 0.5), budget = 500L)
+      val bySrc = out.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(!bySrc.contains("other"))
+      // deterministic: second run identical
+      val again = graft.ext.Curation.mixSources(docs, "doc_id", "source", "w",
+        Map("big" -> 0.5, "small" -> 0.5), budget = 500L)
+      assert(out.collect().toSet == again.collect().toSet)
+      // cap: a budget far above availability keeps EVERYTHING in-target
+      val capped = graft.ext.Curation.mixSources(docs, "doc_id", "source", "w",
+        Map("big" -> 0.5, "small" -> 0.5), budget = 1000000L)
+      assert(capped.filter(col("source") === "big").count() == 100L)
+      assert(capped.filter(col("source") === "small").count() == 80L)
+    } finally graft.ops.CacheScope.releaseAll()
+  }
 }
