@@ -1540,7 +1540,7 @@ object ExtQueries {
       hosts AS (
         SELECT doc_id,
           list_transform(
-            regexp_extract_all(t, 'https?://([^/\s?#]+)', 1),
+            regexp_extract_all(t, 'https?://([^/\s?#"'']+)', 1),
             h -> lower(h)) AS hs
         FROM raw)
       SELECT doc_id,

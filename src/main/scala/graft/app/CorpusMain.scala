@@ -3,7 +3,7 @@ package graft.app
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{TextDedup, TextStats}
+import graft.ext.{Markup, TextDedup, TextStats}
 import graft.ops.CacheScope
 import graft.sinks.Sinks
 
@@ -12,11 +12,16 @@ import graft.sinks.Sinks
   * layout-optimized corpus plus a load report. Stages (each an operator
   * this library ships, composed in the order a production ingest runs):
   *
+  *   0. provenance gate: drop docs linking blocklisted domains (checked
+  *      on the RAW text so attribute-quoted hrefs are still visible),
+  *      then strip HTML/markup (script/style blocks, tags, entities);
   *   1. boilerplate-line removal (lines recurring across ≥ minDocs
   *      docs stripped corpus-wide);
   *   2. annotate: token counts, quality score, repetition, fingerprints;
   *   3. PII redaction (staged URL→email→IP→phone);
-  *   4. gate: minimum tokens + quality floor + repetition ceiling;
+  *   4. gate: minimum tokens + quality floor + repetition ceiling
+  *      (+ the Gopher rule gates when `gopher = true` — off by default:
+  *      the required-stopword rule assumes natural-language prose);
   *   5. exact dedup keep-first by fingerprint;
   *   6. MinHash-LSH near-dup mining → connected components → keep each
   *      component's representative;
@@ -52,11 +57,19 @@ object CorpusMain {
     * `outDir/corpus`. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       minTokens: Int = 10, minQuality: Double = 0.2,
-      boilerplateMinDocs: Int = 25, maxDupTokenFrac: Double = 0.9): String = {
+      boilerplateMinDocs: Int = 25, maxDupTokenFrac: Double = 0.9,
+      stripMarkup: Boolean = true, domainBlocklist: Seq[String] = Nil,
+      gopher: Boolean = false): String = {
+    val provenanced =
+      if (domainBlocklist.isEmpty) docs
+      else docs.filter(Markup.domainKeep(col("text"), domainBlocklist))
+    val demarked =
+      if (!stripMarkup) provenanced
+      else provenanced.withColumn("text", Markup.stripHtml(col("text")))
     // the raw corpus is read by the line explode, the n_lines re-select,
     // and the lang join — persist once instead of three full scans of
     // the largest table in the pipeline
-    val src = CacheScope.persist(docs.select("doc_id", "lang", "text"))
+    val src = CacheScope.persist(demarked.select("doc_id", "lang", "text"))
     val deBoiler = TextDedup.removeBoilerplateLines(
         src, "text", "doc_id", boilerplateMinDocs)
       .join(src.select("doc_id", "lang"), Seq("doc_id"))
@@ -76,9 +89,12 @@ object CorpusMain {
         TextStats.dupTokenFrac(col("text")).as("dup_frac")))
     val total = annotated.count()
 
-    val gated = annotated.filter(
+    val baseGate =
       col("n_tokens") >= minTokens && col("quality") >= minQuality &&
-        col("dup_frac") <= maxDupTokenFrac)
+        col("dup_frac") <= maxDupTokenFrac
+    val gated = annotated.filter(
+      if (gopher) baseGate && TextStats.gopherKeep(col("text"))
+      else baseGate)
     val nGated = gated.count()
 
     // exact dedup keep-first on the PRE-redaction fingerprint (two docs

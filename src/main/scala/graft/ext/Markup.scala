@@ -56,8 +56,11 @@ object Markup {
 
   /** URL host extraction: group 1 of the scheme+host pattern, lowercased.
     * Hosts keep any port suffix; path/query/fragment are excluded by the
-    * `[^/\s?#]` class. */
-  val urlHostPattern = "https?://([^/\\s?#]+)"
+    * `[^/\s?#]` class, and quote chars are excluded so an
+    * attribute-delimited `href="https://x.com"` yields `x.com`, not
+    * `x.com"` — the pattern must work on RAW markup (provenance gating
+    * runs before [[stripHtml]], which erases hrefs with their tags). */
+  val urlHostPattern = "https?://([^/\\s?#\"']+)"
 
   def urlHosts(text: Column): Column =
     transform(
@@ -80,4 +83,9 @@ object Markup {
       size(blocked).as("n_blocked"),
       (size(blocked) === 0).cast("int").as("keep"))
   }
+
+  /** Boolean form of the blocklist verdict for pipeline gating: true iff
+    * the doc links NO blocked domain. */
+  def domainKeep(text: Column, blocklist: Seq[String]): Column =
+    size(filter(urlHosts(text), h => h.isin(blocklist: _*))) === 0
 }

@@ -483,7 +483,9 @@ object TextDedup {
     var labels = docs
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labels.agg(sum("rep")).head().getLong(0)
+    // coalesce: sum over an EMPTY corpus is NULL — an upstream gate that
+    // drops every document must converge to an empty label set, not throw
+    var prevSum = labels.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -496,7 +498,7 @@ object TextDedup {
         .select(col("id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = next.agg(sum("rep")).head().getLong(0)
+      val newSum = next.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
       labels.unpersist(blocking = false)
       labels = next
       converged = newSum == prevSum

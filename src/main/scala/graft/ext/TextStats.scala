@@ -286,6 +286,20 @@ object TextStats {
     size(array_intersect(array_distinct(tokens(lower(text))),
       array(gopherStopwords.map(lit): _*)))
 
+  /** Column form of the full Gopher conjunction for inline pipeline
+    * gating (same rounded signals as [[gopherGates]], no intermediate
+    * frame). */
+  def gopherKeep(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2): Column =
+    tokenCount(text).between(minWords, maxWords) &&
+      meanWordLen(text).between(minMeanWordLen, maxMeanWordLen) &&
+      symbolWordRatio(text) <= maxSymbolWordRatio &&
+      alphaWordRatio(text) >= minAlphaWordRatio &&
+      gopherStopwordHits(text) >= minStopwordHits
+
   /** The Gopher rule-based document gates: word count bounds, mean word
     * length bounds, symbol-to-word ratio cap, alphabetic-word floor, and
     * the ≥2-distinct-stopwords requirement. Emits every signal, each

@@ -204,11 +204,21 @@ object StreamPipeline {
     * because they need corpus-global context a stream cannot hold. */
   def corpusCleanStream(docs: DataFrame, tsCol: String, watermark: String,
       minTokens: Int = 10, minQuality: Double = 0.2,
-      maxDupTokenFrac: Double = 0.9): DataFrame = {
-    import graft.ext.TextStats
+      maxDupTokenFrac: Double = 0.9,
+      stripMarkup: Boolean = true, domainBlocklist: Seq[String] = Nil,
+      gopher: Boolean = false): DataFrame = {
+    import graft.ext.{Markup, TextStats}
+    // same head order as CorpusMain: provenance gate on RAW text (hrefs
+    // visible), then markup strip — both stateless, stream-safe
+    val provenanced =
+      if (domainBlocklist.isEmpty) docs
+      else docs.filter(Markup.domainKeep(col("text"), domainBlocklist))
+    val demarked =
+      if (!stripMarkup) provenanced
+      else provenanced.withColumn("text", Markup.stripHtml(col("text")))
     // same annotate order as CorpusMain: fp on the raw text (dedup key),
     // stats on the REDACTED text that actually ships
-    val annotated = docs
+    val annotated = demarked
       .select(col("doc_id"), col(tsCol),
         TextStats.fingerprint(col("text")).as("fp"),
         TextStats.redactPii(col("text")).as("text"))
@@ -216,9 +226,12 @@ object StreamPipeline {
         TextStats.tokenCount(col("text")).as("n_tokens"),
         TextStats.qualityScore(col("text")).as("quality"),
         TextStats.dupTokenFrac(col("text")).as("dup_frac"))
-    val gated = annotated.filter(
+    val baseGate =
       col("n_tokens") >= minTokens && col("quality") >= minQuality &&
-        col("dup_frac") <= maxDupTokenFrac)
+        col("dup_frac") <= maxDupTokenFrac
+    val gated = annotated.filter(
+      if (gopher) baseGate && TextStats.gopherKeep(col("text"))
+      else baseGate)
     dedupStream(gated, Seq("fp"), tsCol, watermark)
       .select("doc_id", tsCol, "text", "n_tokens", "quality")
   }

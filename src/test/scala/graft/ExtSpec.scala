@@ -935,6 +935,39 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) == ((0, 0, 0, 1)))
   }
 
+  test("urlHosts: attribute-quoted hrefs yield clean hosts") {
+    val out = Seq("""<a href="https://X.com/p">x</a> <img src='http://y.org'>""")
+      .toDF("t").select(graft.ext.Markup.urlHosts(col("t"))).head()
+      .getSeq[String](0)
+    assert(out == Seq("x.com", "y.org"))
+  }
+
+  test("CorpusMain: blocklist + markup strip + gopher gate wired in") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_out2").toString
+    // varied vocabulary: the repetition gate (dup_frac <= 0.9) must not
+    // be the thing dropping these docs
+    val prose = (1 to 60).map(i => s"the wordy$i and").mkString(" ")
+    val noStop = (1 to 100).map(i => s"alpha$i bravo$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "en", s"<p>$prose</p>"),                       // survives
+      (2L, "en", s"$prose <a href='http://spam.bad.net/x'>z</a>"), // blocked
+      (3L, "en", noStop))  // passes base gate, fails gopher stopword rule
+      .toDF("doc_id", "lang", "text")
+    val summary = graft.app.CorpusMain.run(
+      TestSpark.spark, corpus, out, minTokens = 5, minQuality = 0.0,
+      boilerplateMinDocs = 99, domainBlocklist = Seq("spam.bad.net"),
+      gopher = true)
+    def field(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(summary).get.group(1).toLong
+    assert(field("total") == 2)   // doc 2 blocked before annotate
+    assert(field("gated") == 1)   // doc 3 fails the gopher stopword gate
+    val landed = TestSpark.spark.read.parquet(s"$out/corpus")
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    // markup was stripped before landing
+    assert(!landed.select("text").head().getString(0).contains("<p>"))
+  }
+
   test("mixSources: rates capped at 1, zero-weight dropped, deterministic") {
     try {
       val docs = (1L to 200L).map(i =>
