@@ -1585,8 +1585,36 @@ object ExtQueries {
             1, 8))::BIGINT + 1) / 4294967296.0 < rate"""
     })
 
+  /** Global top-k vocabulary ([[graft.ext.Vocab.topK]]): corpus word
+    * counts → TakeOrderedAndProject under the (c desc, tok asc) total
+    * order — per-partition bounded top-k, no single-reducer sort. */
+  val vocabTopk = Q(
+    "ext_vocab_topk",
+    (s, d) => graft.ext.Vocab.topK(Tables.documents(s, d), "text", 50),
+    Some("""WITH t AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+      SELECT tok, count(*) AS c FROM t GROUP BY 1
+      ORDER BY c DESC, tok ASC LIMIT 50"""))
+
+  /** BPE merge learning ([[graft.ext.Vocab.bpeTrain]]): first 10 learned
+    * merge rules over the corpus vocabulary. Rows-only by design — the
+    * iterative argmax/merge loop has no tractable single-query SQL
+    * replay; the algebra is pinned by the hand-computed Sennrich fixture
+    * in ExtSpec instead. */
+  val bpeMerges = Q(
+    "ext_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      graft.ext.Vocab.bpeTrain(Tables.documents(s, d), "text", nMerges = 10)
+        .zipWithIndex
+        .map { case ((l, r, n), i) => (i + 1, l, r, n) }
+        .toDF("rank", "lhs", "rhs", "pair_count")
+    },
+    None)
+
   def all: Seq[Q] = Seq(
-    gopherGates, htmlStrip, urlDomains, sourceMix,
+    gopherGates, htmlStrip, urlDomains, sourceMix, vocabTopk, bpeMerges,
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
     quantize, packOffsets,

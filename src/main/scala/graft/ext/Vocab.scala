@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary + BPE tokenizer induction (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-training half of an LLM data pipeline.
+  *
+  * The 100 TB shape: every per-corpus pass here reduces the corpus to its
+  * WORD VOCABULARY first (one explode + one hash aggregate with map-side
+  * partials — the shuffle carries one row per distinct word, not per
+  * occurrence). The BPE merge loop then iterates over that
+  * vocabulary-sized frame only: per merge, one bounded aggregate to find
+  * the best pair and one codegen'd/HOF projection to apply it. Corpus
+  * size enters exactly once.
+  */
+object Vocab {
+
+  /** (token, c) corpus word counts — lowercased whitespace tokens. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextStats.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
+  /** Global top-k vocabulary by frequency. `orderBy.limit` compiles to
+    * TakeOrderedAndProject — per-partition bounded top-k merged on the
+    * driver, never a single-reducer global sort. Total order
+    * (c desc, tok asc) makes the boundary deterministic. */
+  def topK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    wordCounts(docs, textCol)
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(k)
+
+  /** End-of-word marker (the Sennrich `</w>`): merges cannot cross word
+    * boundaries, and word-final subwords stay distinct from word-internal
+    * ones. */
+  val endToken = "</w>"
+
+  /** A word as its initial BPE symbol sequence: characters + end marker. */
+  private def initialSymbols(tok: Column): Column =
+    concat(split(tok, ""), array(lit(endToken)))
+
+  /** All ADJACENT symbol pairs (multiset — counts weight the merge
+    * choice). */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("l"),
+          element_at(syms, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** Replace every non-overlapping (l, r) adjacency with the merged
+    * symbol, left to right in ONE pass (the BPE apply rule: a symbol
+    * produced by this merge does not re-merge until a later pass). A
+    * fold with (emitted, pending) state — `pending` holds the previous
+    * symbol so the lookahead never re-reads the array. */
+  private def mergeSeq(syms: Column, l: String, r: String): Column = {
+    val empty = array().cast("array<string>")
+    aggregate(
+      syms,
+      struct(empty.as("out"), lit(null).cast("string").as("pend")),
+      (st, x) => {
+        val out = st.getField("out")
+        val pend = st.getField("pend")
+        when(pend.isNull, struct(out.as("out"), x.as("pend")))
+          .when(pend === l && x === r,
+            struct(concat(out, array(lit(l + r))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(
+            struct(concat(out, array(pend)).as("out"), x.as("pend")))
+      },
+      st => when(st.getField("pend").isNull, st.getField("out"))
+        .otherwise(concat(st.getField("out"),
+          array(st.getField("pend")))))
+  }
+
+  /** Learn `nMerges` BPE merge rules over the corpus. Returns the rules
+    * in application order as (left, right, pair_count).
+    *
+    * Driver loop, but NOT a driver bottleneck: each iteration runs one
+    * vocabulary-sized aggregate (pair → summed word count, map-side
+    * partials) whose argmax — a single row — is all that ever reaches
+    * the driver, then one projection applying the merge. The vocab frame
+    * is re-persisted per iteration and the previous cache released, so
+    * lineage stays one merge deep (without that, iteration k would
+    * re-execute all k−1 earlier merges per job). Ties break on
+    * (count desc, l asc, r asc) — a total order, so the learned
+    * tokenizer is run- and layout-stable.
+    *
+    * Stops early when no pair occurs twice (every remaining pair count
+    * ≤ 1 means merging memorizes hapax words, the standard cutoff). */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    import org.apache.spark.storage.StorageLevel
+    var vocab = wordCounts(docs, textCol)
+      .select(initialSymbols(col("tok")).as("syms"), col("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val best = vocab
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("c"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < 2) done = true
+      else {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((l, r, n))
+        val next = vocab
+          .select(mergeSeq(col("syms"), l, r).as("syms"), col("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent cache
+        vocab.unpersist(blocking = false)
+        vocab = next
+      }
+      i += 1
+    }
+    vocab.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** Apply learned merges to text: each whitespace word → its subword
+    * symbols under the merge rules IN ORDER. One interpreted HOF chain
+    * per merge — sized for modest rule counts (the demo regime); a
+    * production tokenizer would compile the rules into a native
+    * Expression. */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(TextStats.tokens(lower(text)), tok =>
+      merges.foldLeft(initialSymbols(tok)) { case (syms, (l, r)) =>
+        mergeSeq(syms, l, r)
+      }))
+}

@@ -968,6 +968,31 @@ class ExtSpec extends SparkSpec {
     assert(!landed.select("text").head().getString(0).contains("<p>"))
   }
 
+  test("bpeTrain: reproduces the hand-computed Sennrich merge sequence") {
+    // low:5 lower:2 newest:6 widest:3 — the classic BPE worked example
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val corpus = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = graft.ext.Vocab.bpeTrain(corpus, "text", nMerges = 6)
+    assert(merges == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L), ("e", "w", 6L)))
+  }
+
+  test("bpeSegment: applies merges in order, one non-overlapping pass") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w"))
+    val seg = Seq("newest low").toDF("t")
+      .select(graft.ext.Vocab.bpeSegment(col("t"), merges))
+      .head().getSeq[String](0)
+    assert(seg == Seq("n", "ew", "est</w>", "low", "</w>"))
+    // non-overlap within a pass: aaa + (a,a) -> [aa, a], never [aa, aa]
+    val tri = Seq("aaa").toDF("t")
+      .select(graft.ext.Vocab.bpeSegment(col("t"), Seq(("a", "a"))))
+      .head().getSeq[String](0)
+    assert(tri == Seq("aa", "a", "</w>"))
+  }
+
   test("mixSources: rates capped at 1, zero-weight dropped, deterministic") {
     try {
       val docs = (1L to 200L).map(i =>
