@@ -522,8 +522,12 @@ object AnalyticsQueries {
           expr("interval 1 day"))).as("day"))
       val w = org.apache.spark.sql.expressions.Window.orderBy("day")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // day emitted as a STRING: Spark writes parquet DATE, DuckDB's
+      // fetch renders DATE as midnight timestamps — same value, different
+      // cell rendering under the driver's hash (the Det timestamp rule
+      // applies to DATEs too).
       spine.join(daily, Seq("day"), "left")
-        .select(col("day"),
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           last(col("revenue"), ignoreNulls = true).over(w)
             .as("last_seen_revenue"))
@@ -536,7 +540,8 @@ object AnalyticsQueries {
         SELECT CAST(unnest(generate_series(
           (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
           INTERVAL 1 DAY)) AS DATE) AS day)
-      SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+      SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        coalesce(d.n_orders, 0) AS n_orders,
         last_value(d.revenue IGNORE NULLS) OVER (
           ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS last_seen_revenue
       FROM spine s LEFT JOIN daily d USING (day)"""))
@@ -560,7 +565,9 @@ object AnalyticsQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(-6, 0)
-      daily.select(col("event_type"), col("day"),
+      // day as a STRING — see q_gap_fill_daily's rendering note.
+      daily.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("rev_dec").cast("double").as("day_value"),
         col("n_events"),
         (sum(col("rev_dec")).over(w).cast("double")
@@ -571,7 +578,8 @@ object AnalyticsQueries {
           sum(CAST("value" AS DECIMAL(18,2))) AS rev_dec,
           count(*) AS n_events
         FROM events GROUP BY 1, 2)
-      SELECT event_type, day, CAST(rev_dec AS DOUBLE) AS day_value,
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        CAST(rev_dec AS DOUBLE) AS day_value,
         n_events,
         CAST(sum(rev_dec) OVER w AS DOUBLE) / count(*) OVER w AS ma7
       FROM daily

@@ -358,7 +358,13 @@ object ParityQueries {
   val amazonE2e = Q(
     "amazon_pipeline_e2e",
     (s, d) => {
-      val o = Tables.orders(s, d)
+      // The testdata parquet is one row group per table, so the scan is ONE
+      // split and the whole messy derivation + dedup map side would run in
+      // 1-2 tasks on a 32-core box. Real input at this pipeline's scale
+      // arrives in many splits; the round-robin repartition of the narrow
+      // base restores that shape (measured: the cache-materialization stage
+      // drops from ~2 tasks to full parallelism).
+      val o = Tables.orders(s, d).repartition(32)
       val k = col("o_orderkey")
       def messy(src: org.apache.spark.sql.DataFrame) = src.select(
         k.cast("int").as("index"),
@@ -478,7 +484,10 @@ object ParityQueries {
     * idx, D1 keep-first), blank rows (P4), sentinel months, currency
     * rates, unparseable dates included. */
   private def intlRaw(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val o = Tables.orders(s, d)
+    // Single-split testdata scan → repartition the narrow base so the heavy
+    // derivation + keep-first dedup parallelize (see amazonE2e). Safe here:
+    // `__row_idx` is derived from o_orderkey, not from partition order.
+    val o = Tables.orders(s, d).repartition(32)
     val k = col("o_orderkey")
     def messy(src: org.apache.spark.sql.DataFrame, idxOffset: Long) = src.select(
       k.cast("int").as("index"),

@@ -50,9 +50,12 @@ object IvfIndex {
     Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 
-  /** Literal column for one centroid. */
-  private def centroidLit(c: Array[Float]): Column =
-    array(c.map(v => lit(v)): _*)
+  /** Literal column for one centroid — one ARRAY<FLOAT> Literal (a single
+    * referenced object in generated code), never `array(lit, lit, ...)`
+    * whose inline CreateArray stores grow codegen linearly in nlist·dim
+    * (see [[PqIndex]]: the IVFPQ composition crossed janino's 64 KB
+    * method limit and silently fell back to interpreted execution). */
+  private def centroidLit(c: Array[Float]): Column = typedLit(c)
 
   /** Index of the centroid with max cosine (≡ min angular distance) —
     * argmax over nlist codegen'd dot products. */

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.FloatVecDot.float_dot
+import graft.functions.PqOps
 
 /** Product-quantization (PQ) approximate-nearest-neighbor index — the
   * memory-side scale path next to [[IvfIndex]]'s cluster pruning
@@ -73,51 +74,51 @@ object PqIndex {
     } finally { subs.unpersist(); () }
   }
 
-  private def centroidLit(c: Array[Float]): Column =
-    array(c.map(v => lit(v)): _*)
-
-  /** argmin_j |sub - c_j|² = argmin_j (|c_j|² − 2·sub·c_j), codegen'd. */
-  private def nearestCode(sub: Column, book: Array[Array[Float]]): Column = {
-    val dists = book.map { c =>
-      val n2 = c.map(v => v.toDouble * v).sum
-      lit(n2) - lit(2.0) * float_dot(sub, centroidLit(c))
-    }
-    val arr = array(dists: _*)
-    (array_position(arr, array_min(arr)) - 1).cast("int")
-  }
-
   /** Encode: add `codes` (array<int>, one per subspace) and the
     * reconstruction norm `recon_norm` (computable from the codes alone —
-    * stored so search never touches the raw vector). */
+    * stored so search never touches the raw vector). The per-subspace
+    * argmin runs inside [[graft.functions.PqOps.PqCodes]] — one native
+    * codegen'd kernel with CONSTANT generated-code size. The previous
+    * compositional form (m·k inlined `float_dot(slice, literal)` loops)
+    * pushed the whole-stage `processNext()` past janino's 64 KB method
+    * limit at m=8, k=32 and the entire stage silently fell back to
+    * interpreted execution. */
   def encode(emb: DataFrame, model: Model): DataFrame = {
-    val coded = emb.withColumn("codes", array(
-      (0 until model.m).map { i =>
-        nearestCode(
-          slice(col("embedding"), i * model.subDim + 1, model.subDim),
-          model.codebooks(i))
-      }: _*))
+    val fb = PqOps.flatten(model.codebooks)
+    val coded = emb.withColumn("codes",
+      PqOps.pqCodes(col("embedding"), fb))
+    // |ĉ|² = Σ_i |c_i,code_i|² from the flattened norms table; m
+    // element_at lookups, tiny codegen.
     val normSq = (0 until model.m).map { i =>
-      val norms = model.codebooks(i).map(c => c.map(v => v.toDouble * v).sum)
-      element_at(array(norms.map(lit(_)): _*),
-        element_at(col("codes"), i + 1) + 1)
+      element_at(typedLit(fb.norms), lit(i * model.k)
+        + element_at(col("codes"), i + 1) + 1)
     }.reduce(_ + _)
     coded.withColumn("recon_norm", sqrt(normSq))
   }
 
-  /** ADC approximate cosine of a query embedding vs a candidate's codes:
-    * Σ_i dot(q_sub_i, codebook_i[code_i]) / (|q| · recon_norm). The
-    * per-subspace lookup is an `element_at` into the literal array of
-    * the 16 possible dot products — each computed once per (query,
-    * subspace) by codegen, not per candidate pair. */
-  private def adcCosine(qEmb: Column, codes: Column, reconNorm: Column,
-      model: Model): Column = {
+  /** Per-QUERY ADC lookup table + query norm, computed once on the tiny
+    * broadcast side (the table-precompute half of the PQ paper's ADC):
+    * `__lut`[i·k + j] = dot(q_sub_i, c_ij), `__qn` = |q|. Scoring a
+    * candidate is then m array lookups — nothing per (query, candidate)
+    * pair recomputes a dot product. */
+  private def withQueryLut(queries: DataFrame, qEmb: Column,
+      model: Model): DataFrame = {
+    val fb = PqOps.flatten(model.codebooks)
+    queries
+      .withColumn("__lut", PqOps.pqLut(qEmb, fb))
+      .withColumn("__qn", sqrt(float_dot(qEmb, qEmb)))
+  }
+
+  /** ADC approximate cosine from the precomputed query LUT:
+    * Σ_i lut[i·k + code_i] / (|q| · recon_norm). Summation order matches
+    * the previous per-pair compositional form (ascending i, left-assoc),
+    * so scores are bit-identical. */
+  private def adcCosine(lut: Column, qn: Column, codes: Column,
+      reconNorm: Column, model: Model): Column = {
     val dotApprox = (0 until model.m).map { i =>
-      val sub = slice(qEmb, i * model.subDim + 1, model.subDim)
-      val lookups = array(model.codebooks(i).map(c =>
-        float_dot(sub, centroidLit(c))): _*)
-      element_at(lookups, element_at(codes, i + 1) + 1)
+      element_at(lut, lit(i * model.k) + element_at(codes, i + 1) + 1)
     }.reduce(_ + _)
-    round(dotApprox / (sqrt(float_dot(qEmb, qEmb)) * reconNorm), 6)
+    round(dotApprox / (qn * reconNorm), 6)
   }
 
   /** IVF+PQ combined search — the full FAISS IVFPQ shape: coarse cluster
@@ -132,14 +133,16 @@ object PqIndex {
     val coded = encode(IvfIndex.index(emb, ivf), pq)
       .select(col("vec_id").as("neighbor_id"), col("cluster"),
         col("codes"), col("recon_norm"))
-    val queries = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(IvfIndex.probeCentroids(col("embedding"), ivf, nprobe))
-          .as("cluster"))
+    val queries = withQueryLut(
+      emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(IvfIndex.probeCentroids(col("embedding"), ivf, nprobe))
+            .as("cluster")),
+      col("q_emb"), pq)
     val approx = coded.join(broadcast(queries), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        adcCosine(col("q_emb"), col("codes"), col("recon_norm"), pq))
+      .withColumn("cos", adcCosine(col("__lut"), col("__qn"),
+        col("codes"), col("recon_norm"), pq))
     val shortlist = Similarity.topKPerQuery(approx, k * oversample)
       .select(col("query_id"), col("neighbor_id"))
     val exact = shortlist
@@ -162,12 +165,14 @@ object PqIndex {
     val coded = encode(emb, model)
       .select(col("vec_id").as("neighbor_id"), col("codes"),
         col("recon_norm"))
-    val queries = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val queries = withQueryLut(
+      emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      col("q_emb"), model)
     val approx = coded.join(broadcast(queries),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        adcCosine(col("q_emb"), col("codes"), col("recon_norm"), model))
+      .withColumn("cos", adcCosine(col("__lut"), col("__qn"),
+        col("codes"), col("recon_norm"), model))
     val shortlist = Similarity.topKPerQuery(approx, k * oversample)
       .select(col("query_id"), col("neighbor_id"))
     val exact = shortlist

@@ -100,8 +100,7 @@ object Similarity {
     * list_dot_product, so bucket signs agree bit-for-bit. */
   private def planeDot(emb: Column, plane: Array[Double]): Column =
     aggregate(
-      zip_with(emb, array(plane.map(lit).toSeq: _*),
-        (x, y) => x.cast("double") * y),
+      zip_with(emb, typedLit(plane), (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
 
   def hyperplaneBucket(emb: Column, planes: Array[Array[Double]]): Column =

@@ -1,65 +1,77 @@
 #!/usr/bin/env python3
-"""Dev-only oracle pre-check (NOT part of the shipped library).
+"""Local replica of the driver's correctness gate (dev tool, not shipped
+code): reads Verify's parquet dumps + oracle_sql.json, runs each oracle in
+DuckDB over the same testdata parquet, and compares rows / schema / a
+column-name-sorted value hash — the driver's documented methodology.
 
-Mimics the driver's correctness gate: for each query output parquet written
-by `graft.Verify`, run the matching DuckDB oracle SQL over the same sf dir,
-sort columns by name, sort rows, and compare values exactly.
-
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [name ...]
 """
-import json
-import sys
+import sys, json, os, hashlib
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df):
-    import pandas as pd
+def norm(df):
+    # sort columns by name, normalize cell rendering, sort rows
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify everything (driver hashes values) with stable float repr
+
     def cell(v):
-        if v is None or v != v:
-            return "<NULL>"
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "<null>"
         if isinstance(v, float):
             return repr(v)
+        if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, bytes):
+            return v.hex()
         return str(v)
-    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
-    return list(df.columns), rows
+
+    rows = sorted("|".join(cell(v) for v in row)
+                  for row in df.itertuples(index=False, name=None))
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    return h
 
 
-def main(sf_dir, out_dir):
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:]) or None
+    oracles = json.load(open(os.path.join(out, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
-    for name, sql in sorted(oracle.items()):
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    names = sorted(n for n in os.listdir(out) if n != "oracle_sql.json")
+    fails = []
+    for name in names:
+        if only and name not in only:
+            continue
+        spark_df = pd.read_parquet(os.path.join(out, name))
+        if name not in oracles:
+            print(f"{name}: rows={len(spark_df)} (no oracle)")
+            continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
-            want = con.execute(sql).df()
-            gc, gr = canon(got)
-            wc, wr = canon(want)
-            if gc != wc:
-                print(f"FAIL {name}: columns {gc} != {wc}")
-                n_bad += 1
-            elif gr != wr:
-                diff = [(a, b) for a, b in zip(gr, wr) if a != b]
-                print(f"FAIL {name}: {len(gr)} vs {len(wr)} rows; "
-                      f"first diffs: {diff[:3] if diff else (gr[:2], wr[:2])}")
-                n_bad += 1
-            else:
-                print(f"ok   {name} ({len(gr)} rows)")
-                n_ok += 1
+            ora = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            print(f"ERR  {name}: {e}")
-            n_bad += 1
-    print(f"== {n_ok} ok, {n_bad} bad ==")
-    return 1 if n_bad else 0
+            print(f"{name}: ORACLE ERROR {e}")
+            fails.append(name)
+            continue
+        rows_ok = len(spark_df) == len(ora)
+        schema_ok = sorted(spark_df.columns) == sorted(ora.columns)
+        hash_ok = schema_ok and norm(spark_df) == norm(ora)
+        status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        if status == "FAIL":
+            fails.append(name)
+        print(f"{name}: {status} rows={len(spark_df)}/{len(ora)} "
+              f"schema={schema_ok} hash={hash_ok}")
+    print(f"\n{len(fails)} failures" + (": " + ", ".join(fails) if fails else ""))
+    sys.exit(1 if fails else 0)
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
