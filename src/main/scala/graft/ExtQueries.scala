@@ -1355,23 +1355,54 @@ object ExtQueries {
     * token log-prob per document under a corpus-trained unigram model —
     * the CCNet-style perplexity gate. Log-probs 6-dp-rounded, mean via
     * exact decimal sum, so the composite hash-matches. */
-  val lmScore = Q(
-    "ext_lm_score",
-    (s, d) => graft.ext.TextStats.lmScore(
-      Tables.documents(s, d), "text", "doc_id"),
-    Some("""WITH it AS (
+  /** lmScore oracle CTEs, shared by `ext_lm_score` and
+    * `ext_ccnet_buckets` (one copy — two would be the oracle-drift bug
+    * class). `scored` ends with (doc_id, avg_logprob, n_tokens). */
+  private val lmScoreCtes = """it AS (
         SELECT doc_id,
           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         FROM documents),
       cnt AS (SELECT tok, count(*) AS c FROM it GROUP BY 1),
       tot AS (SELECT sum(c) AS n FROM cnt),
-      lp AS (SELECT tok, round(ln(c / n), 6) AS logp FROM cnt, tot)
-      SELECT doc_id,
-        CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-          AS avg_logprob,
-        count(*) AS n_tokens
-      FROM it JOIN lp USING (tok)
-      GROUP BY doc_id"""))
+      lp AS (SELECT tok, round(ln(c / n), 6) AS logp FROM cnt, tot),
+      scored AS (
+        SELECT doc_id,
+          CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+            AS avg_logprob,
+          count(*) AS n_tokens
+        FROM it JOIN lp USING (tok)
+        GROUP BY doc_id)"""
+
+  val lmScore = Q(
+    "ext_lm_score",
+    (s, d) => graft.ext.TextStats.lmScore(
+      Tables.documents(s, d), "text", "doc_id"),
+    Some(s"""WITH $lmScoreCtes
+      SELECT doc_id, avg_logprob, n_tokens FROM scored"""))
+
+  /** CCNet-style per-language perplexity buckets
+    * ([[graft.ext.Curation.perplexityBuckets]]): head/middle/tail by
+    * per-LANGUAGE LM-score terciles. The oracle replays the shared
+    * lmScore CTEs, DuckDB `quantile_cont` ≡ Spark exact `percentile`
+    * (both 6-dp-rounded), and the same >= cut CASE. */
+  val ccnetBuckets = Q(
+    "ext_ccnet_buckets",
+    (s, d) => graft.ext.Curation.perplexityBuckets(
+      Tables.documents(s, d), "text", "doc_id", "lang"),
+    Some(s"""WITH $lmScoreCtes,
+      j AS (
+        SELECT s.doc_id, d.lang, round(s.avg_logprob, 6) AS avg_logprob
+        FROM scored s JOIN documents d USING (doc_id)),
+      cuts AS (
+        SELECT lang,
+          round(quantile_cont(avg_logprob, 1.0/3), 6) AS cut_low,
+          round(quantile_cont(avg_logprob, 2.0/3), 6) AS cut_high
+        FROM j GROUP BY lang)
+      SELECT doc_id, lang, avg_logprob, cut_low, cut_high,
+        CASE WHEN avg_logprob >= cut_high THEN 'head'
+             WHEN avg_logprob >= cut_low THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM j JOIN cuts USING (lang)"""))
 
   /** Character entropy ([[graft.ext.TextStats.charEntropy]]): Shannon
     * entropy of the per-doc character histogram. Oracle replays the
@@ -1504,6 +1535,44 @@ object ExtQueries {
       SELECT doc_id, cleaned, length(cleaned) AS n_chars_clean
       FROM stripped"""))
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]]) over a
+    * corpus salted with DECOMPOSED sequences (e + U+0301 combining acute,
+    * A + U+030A combining ring) next to their precomposed twins — the
+    * canonical-composition step every dedup/fingerprint pipeline needs
+    * (visually identical strings must hash identically). Emits the
+    * normalized text, code-point lengths before/after (each combining
+    * pair shrinks by one), whether the normalized form equals the
+    * precomposed variant, and the fingerprint prefix that downstream
+    * exact-dedup would key on. Oracle: DuckDB `nfc_normalize` is the same
+    * Unicode canonical composition; salts built from `chr()` code points
+    * match the Scala escapes exactly. */
+  val nfcNormalize = Q(
+    "ext_nfc_normalize",
+    (s, d) => {
+      import graft.functions.NfcNormalize.nfc
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 A\u030A")).as("t_dec"),
+        concat(col("text"), lit(" caf\u00E9 \u00C5")).as("t_pre"))
+        .select(col("doc_id"),
+          nfc(col("t_dec")).as("nfc_text"),
+          length(col("t_dec")).as("n_raw"),
+          length(nfc(col("t_dec"))).as("n_nfc"),
+          (nfc(col("t_dec")) === col("t_pre")).cast("int").as("forms_match"),
+          substring(md5(nfc(col("t_dec"))), 1, 8).as("fp8"))
+    },
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          text || ' cafe' || chr(769) || ' A' || chr(778) AS t_dec,
+          text || ' caf' || chr(233) || ' ' || chr(197) AS t_pre
+        FROM documents)
+      SELECT doc_id, nfc_normalize(t_dec) AS nfc_text,
+        length(t_dec) AS n_raw,
+        length(nfc_normalize(t_dec)) AS n_nfc,
+        CAST(nfc_normalize(t_dec) = t_pre AS INT) AS forms_match,
+        substring(md5(nfc_normalize(t_dec)), 1, 8) AS fp8
+      FROM raw"""))
+
   /** URL→domain provenance report ([[graft.ext.Markup.domainReport]])
     * over a corpus salted with 1-3 URLs per doc: a mixed-case primary
     * (lowercasing load-bearing), an ad-tracker URL on doc_id%4 (blocklist
@@ -1614,7 +1683,8 @@ object ExtQueries {
     None)
 
   def all: Seq[Q] = Seq(
-    gopherGates, htmlStrip, urlDomains, sourceMix, vocabTopk, bpeMerges,
+    gopherGates, htmlStrip, nfcNormalize, urlDomains, sourceMix,
+    vocabTopk, bpeMerges, ccnetBuckets,
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
     quantize, packOffsets,

@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for the library's native expressions/aggregates: register
-  * `float_dot`, `shingle_hashes`, `top_k`, `kmv_sketch` in the function
-  * registry, so `spark.sql("SELECT top_k(score, id, 5) ...")` works the
-  * same as the Column API. Two entry points:
+  * `float_dot`, `shingle_hashes`, `nfc`, `top_k`, `kmv_sketch` in the
+  * function registry, so `spark.sql("SELECT top_k(score, id, 5) ...")`
+  * works the same as the Column API. Two entry points:
   *
   *  - `spark.sql.extensions=graft.GraftExtensions` (the standard
   *    `SparkSessionExtensions` injection at session build time);
@@ -67,6 +67,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("top_k", args, 3)
         functions.TopKAgg(args(0), args(1), intLit(args(2), "top_k", "k"))
+      }),
+    (FunctionIdentifier("nfc"),
+      info("nfc",
+        "nfc(str) - Unicode NFC canonical composition, codegen'd"),
+      (args: Seq[Expression]) => {
+        arity("nfc", args, 1)
+        functions.NfcNormalize(args(0))
       }),
     (FunctionIdentifier("kmv_sketch"),
       info("kmv_sketch",

@@ -66,6 +66,12 @@ object CorpusMain {
     val demarked =
       if (!stripMarkup) provenanced
       else provenanced.withColumn("text", Markup.stripHtml(col("text")))
+        // NFC canonical composition right after markup strip (entity
+        // decode can emit combining sequences): decomposed and
+        // precomposed spellings must fingerprint identically or every
+        // downstream dedup stage silently misses duplicates. Codegen'd
+        // expression, no-op (no copy) on already-NFC text.
+        .withColumn("text", graft.functions.NfcNormalize.nfc(col("text")))
     // the raw corpus is read by the line explode, the n_lines re-select,
     // and the lang join — persist once instead of three full scans of
     // the largest table in the pipeline

@@ -106,4 +106,42 @@ object Curation {
       .select(col("rep_id"), col("keep_id"), col("quality"),
         col("n_members"))
   }
+
+  /** CCNet-style per-language perplexity bucketing: score every document
+    * with the corpus-trained unigram LM ([[TextStats.lmScore]]), compute
+    * per-LANGUAGE score quantile cut points, and tag each document
+    * `head` / `middle` / `tail` (head = best-scoring `1−highQ` fraction
+    * of its language — CCNet trains on head+middle and drops tail).
+    * Per-language cuts matter: absolute log-prob scales differ by
+    * language, so one global threshold would keep everything from one
+    * language and nothing from another.
+    *
+    * Scale shape: the LM score is one vocab aggregate + one token join
+    * (see lmScore); the cut points are ONE exact-percentile aggregate
+    * over (language, score) — output rows = number of languages —
+    * broadcast back, then a stateless CASE. No window over documents, no
+    * global sort. Determinism: scores AND cuts are 6-dp-rounded before
+    * the comparison (Spark `percentile` ≡ DuckDB `quantile_cont`
+    * interpolation, but a tied top group interpolates to within one ulp
+    * of the tie value — comparing a rounded cut against an UNROUNDED
+    * score would flip boundary docs on that ulp), so the bucket verdicts
+    * hash-match and ties land on the head side on both engines.
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, lowQ: Double = 1.0 / 3, highQ: Double = 2.0 / 3)
+      : DataFrame = {
+    val scored = TextStats.lmScore(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol),
+        round(col("avg_logprob"), 6).as("avg_logprob"))
+    val cuts = scored.groupBy(col(langCol)).agg(
+      round(percentile(col("avg_logprob"), lit(lowQ)), 6).as("cut_low"),
+      round(percentile(col("avg_logprob"), lit(highQ)), 6).as("cut_high"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("avg_logprob"),
+        col("cut_low"), col("cut_high"),
+        when(col("avg_logprob") >= col("cut_high"), lit("head"))
+          .when(col("avg_logprob") >= col("cut_low"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

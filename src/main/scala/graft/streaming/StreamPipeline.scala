@@ -216,6 +216,10 @@ object StreamPipeline {
     val demarked =
       if (!stripMarkup) provenanced
       else provenanced.withColumn("text", Markup.stripHtml(col("text")))
+        // NFC before fingerprinting, like CorpusMain: decomposed vs
+        // precomposed spellings must dedup as one key (stateless,
+        // stream-safe)
+        .withColumn("text", graft.functions.NfcNormalize.nfc(col("text")))
     // same annotate order as CorpusMain: fp on the raw text (dedup key),
     // stats on the REDACTED text that actually ships
     val annotated = demarked

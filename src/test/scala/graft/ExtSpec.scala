@@ -1016,4 +1016,44 @@ class ExtSpec extends SparkSpec {
       assert(capped.filter(col("source") === "small").count() == 80L)
     } finally graft.ops.CacheScope.releaseAll()
   }
+
+  test("perplexityBuckets: per-language terciles, head = best scores") {
+    // two languages with disjoint vocabularies: 'en' docs repeat common
+    // tokens (high unigram log-prob), except one junk doc of singletons;
+    // 'xx' docs are all middling. Per-language cuts mean the junk doc is
+    // 'en' tail even though 'xx' scores sit between.
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "en", "the cat sat on the mat " +
+        (if (i % 2 == 0) "the end" else "a cat"))) ++
+      Seq((7L, "en", "zq7 xv9 qqj wkk pzl mmx")) ++
+      // three score levels (0/1/3 singleton tokens) so terciles split
+      (11 to 16).map(i => (i.toLong, "xx", "uno dos tres uno dos" +
+        (i % 3 match {
+          case 0 => ""
+          case 1 => s" t$i"
+          case _ => s" t$i q$i v$i"
+        })))
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.ext.Curation.perplexityBuckets(
+      docs, "text", "doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(5))).toMap
+    // the all-singletons doc is the worst of its OWN language
+    assert(out(7L) == ("en", "tail"))
+    // every language has at least one head and one tail (cuts are
+    // per-language, not global)
+    for (l <- Seq("en", "xx")) {
+      val buckets = out.values.filter(_._1 == l).map(_._2).toSet
+      assert(buckets.contains("head") && buckets.contains("tail"), l)
+    }
+    // bucket boundaries: score >= cut_high <=> head (spot-check via the
+    // returned cut columns)
+    val rows = graft.ext.Curation.perplexityBuckets(
+      docs, "text", "doc_id", "lang").collect()
+    rows.foreach { r =>
+      val (s, lo, hi, b) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5))
+      val expect = if (s >= hi) "head" else if (s >= lo) "middle" else "tail"
+      assert(b == expect)
+    }
+  }
 }

@@ -262,6 +262,33 @@ class OpsSpec extends SparkSpec {
         .head())
     assert(err.getMessage.contains("INT literal")
       || Option(err.getCause).exists(_.getMessage.contains("INT literal")))
+    // nfc: decomposed e+U+0301 composes to precomposed U+00E9; already-
+    // normalized and NULL inputs pass through
+    val nfcRow = spark.sql(
+      "SELECT nfc('cafe\\u0301'), nfc('abc'), nfc(CAST(NULL AS STRING))")
+      .head()
+    assert(nfcRow.getString(0) == "caf\u00E9")
+    assert(nfcRow.getString(1) == "abc")
+    assert(nfcRow.isNullAt(2))
+  }
+
+  test("NfcNormalize: codegen'd (not CodegenFallback), both paths agree") {
+    import graft.functions.NfcNormalize
+    assert(!NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x"),
+      org.apache.spark.sql.types.StringType)).isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    val df = spark.range(3).select(
+      concat(lit("A\u030A e\u0301 x"), col("id").cast("string")).as("t"))
+    val expected = (0 until 3).map(i => "\u00C5 \u00E9 x" + i)
+    for (flag <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", flag)
+      try {
+        val got = df.select(NfcNormalize.nfc(col("t")))
+          .collect().map(_.getString(0)).toSeq
+        assert(got == expected, s"wholeStage=$flag")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
   }
 
   test("clustered parquet sink: one file per partition, sorted within") {
