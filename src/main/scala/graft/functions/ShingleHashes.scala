@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -22,16 +22,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * chain, which evaluates interpreted per element. This is the MinHash
   * hot loop: at 100 TB every document passes through here once.
   *
+  * Codegen: one static call into [[ShingleHashes.compute]] (shared with
+  * the interpreted path, so both are bit-identical), keeping the whole
+  * enclosing projection inside whole-stage codegen — as a
+  * `CodegenFallback` this expression forced every operator fused around
+  * it out of generated code.
+  *
   * Short documents (< n tokens) yield an empty array — also the DuckDB
   * `generate_series(1, len-n+1)` semantics.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString.trim
     val toks = text.split("\\s+")
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     if (!(toks.length == 1 && toks(0).isEmpty) && toks.length >= n) {
@@ -61,11 +80,6 @@ case class ShingleHashes(child: Expression, n: Int)
     ArrayData.toArrayData(arr)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-}
-
-object ShingleHashes {
   def shingle_hashes(text: Column, n: Int): Column =
     Bridge.toCol(ShingleHashes(Bridge.toExpr(text), n))
 }

@@ -310,6 +310,27 @@ class ExtSpec extends SparkSpec {
     assert(sig.length == 5)
   }
 
+  test("ShingleHashes: codegen'd (not CodegenFallback), both paths agree") {
+    import graft.functions.ShingleHashes
+    assert(!ShingleHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("x"),
+        org.apache.spark.sql.types.StringType), 2).isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    val df = Seq((1L, "a b c d a b c"), (2L, ""), (3L, "one two"))
+      .toDF("id", "t")
+    def run(): Map[Long, Seq[Long]] = df.select(col("id"),
+      ShingleHashes.shingle_hashes(col("t"), 2).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try run()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(gen == interp)
+    assert(gen(1L).size == 4) // "a b","b c","c d","d a" distinct of 6
+    assert(gen(2L).isEmpty && gen(3L).size == 1)
+  }
+
   test("connected components: chain, pair, singletons → min-id labels") {
     // chain 0–1–2–3 (diameter 3 forces multi-round propagation),
     // pair 5–6 (listed twice, reversed), singletons 4 and 7
