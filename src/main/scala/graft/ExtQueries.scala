@@ -1380,6 +1380,49 @@ object ExtQueries {
     Some(s"""WITH $lmScoreCtes
       SELECT doc_id, avg_logprob, n_tokens FROM scored"""))
 
+  /** Corpus snapshot diff ([[graft.ext.Curation.snapshotDiff]]): the
+    * current snapshot is derived from `documents` with every diff class
+    * load-bearing — doc_id%13 docs edited (changed), doc_id%17 docs
+    * dropped (removed), a shifted-id tranche appended (added), the rest
+    * byte-identical (unchanged). Oracle replays the fingerprint FULL
+    * OUTER JOIN. */
+  val snapshotDiff = Q(
+    "ext_snapshot_diff",
+    (s, d) => {
+      val prev = Tables.documents(s, d)
+      val cur = prev.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" edited v2"))).otherwise(col("text"))
+            .as("text"))
+        .unionAll(prev.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.ext.Curation.snapshotDiff(prev, cur, "text", "doc_id")
+    },
+    Some("""WITH fp_prev AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_prev
+        FROM documents),
+      cur AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0 THEN text || ' edited v2'
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 17 != 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 11 = 0),
+      fp_cur AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_cur
+        FROM cur)
+      SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        CASE WHEN p.doc_id IS NULL THEN 'added'
+             WHEN c.doc_id IS NULL THEN 'removed'
+             WHEN p.fp_prev != c.fp_cur THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        p.fp_prev, c.fp_cur
+      FROM fp_prev p FULL OUTER JOIN fp_cur c ON p.doc_id = c.doc_id"""))
+
   /** CCNet-style per-language perplexity buckets
     * ([[graft.ext.Curation.perplexityBuckets]]): head/middle/tail by
     * per-LANGUAGE LM-score terciles. The oracle replays the shared
@@ -1692,7 +1735,8 @@ object ExtQueries {
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
-    dedupComponents, dedupKeepBest, sourceCap, cosineNearDup, semanticDedup,
+    dedupComponents, dedupKeepBest, sourceCap, snapshotDiff,
+    cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov,

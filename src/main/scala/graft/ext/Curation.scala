@@ -107,6 +107,32 @@ object Curation {
         col("n_members"))
   }
 
+  /** Corpus snapshot diff — the incremental-ingest planning step: given
+    * the previous snapshot and the current one, classify every doc_id as
+    * `added` / `removed` / `changed` / `unchanged` by content
+    * fingerprint ([[TextStats.fingerprint]]: whitespace-normalized
+    * lowercase md5, the same key every dedup stage uses). Downstream,
+    * only `added`+`changed` re-enter the cleaning pipeline and
+    * `removed` ids retire from the index — the 100 TB alternative to
+    * re-cleaning the whole corpus per crawl ([[TextDedup.incrementalDedup]]
+    * is the next stage over exactly this frame).
+    *
+    * Scale shape: two fingerprint projections (codegen), one full outer
+    * hash join on the id — no windows, no global state. Output:
+    * (id, status, fp_prev, fp_cur). */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String) = df.select(
+      col(idCol), TextStats.fingerprint(col(textCol)).as(out))
+    fp(prev, "fp_prev").join(fp(cur, "fp_cur"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_prev").isNull, lit("added"))
+          .when(col("fp_cur").isNull, lit("removed"))
+          .when(col("fp_prev") =!= col("fp_cur"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("fp_prev"), col("fp_cur"))
+  }
+
   /** CCNet-style per-language perplexity bucketing: score every document
     * with the corpus-trained unigram LM ([[TextStats.lmScore]]), compute
     * per-LANGUAGE score quantile cut points, and tag each document

@@ -1038,6 +1038,18 @@ class ExtSpec extends SparkSpec {
     } finally graft.ops.CacheScope.releaseAll()
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged by fingerprint") {
+    val prev = Seq((1L, "same text"), (2L, "old text"), (3L, "going away"),
+      (4L, "  Same   WHITESPACE variant  ")).toDF("doc_id", "text")
+    val cur = Seq((1L, "same text"), (2L, "new text"), (5L, "brand new"),
+      (4L, "same whitespace variant")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.snapshotDiff(prev, cur, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", // fingerprint normalizes case + whitespace
+      5L -> "added"))
+  }
+
   test("perplexityBuckets: per-language terciles, head = best scores") {
     // two languages with disjoint vocabularies: 'en' docs repeat common
     // tokens (high unigram log-prob), except one junk doc of singletons;

@@ -44,6 +44,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PqOps.codes/lut == scalar reference model on random codebooks") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(99)
+    (1 to 50).foreach { trial =>
+      val m = 1 + rnd.nextInt(4)
+      val k = 1 + rnd.nextInt(8)
+      val subDim = 1 + rnd.nextInt(5)
+      val books = Array.fill(m, k, subDim)(rnd.between(-1f, 1f))
+      // occasional duplicate centroid so the first-tie rule is exercised
+      if (k > 1 && trial % 3 == 0) books(0)(k - 1) = books(0)(0).clone()
+      val fb = graft.functions.PqOps.flatten(books)
+      val emb = Array.fill(m * subDim)(rnd.between(-1f, 1f))
+      val arr = ArrayData.toArrayData(emb)
+      // reference model: same argmin/dot definitions, written naively
+      def dot(sub: Array[Float], c: Array[Float]): Double =
+        sub.zip(c).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val expCodes = (0 until m).map { i =>
+        val sub = emb.slice(i * subDim, (i + 1) * subDim)
+        val dists = books(i).map(c =>
+          c.map(v => v.toDouble * v).sum - 2.0 * dot(sub, c))
+        dists.indexOf(dists.min)
+      }
+      val gotCodes = graft.functions.PqOps.codes(arr, fb)
+      assert((0 until m).forall(i => gotCodes.getInt(i) == expCodes(i)),
+        s"trial=$trial codes")
+      val gotLut = graft.functions.PqOps.lut(arr, fb)
+      (0 until m).foreach { i =>
+        val sub = emb.slice(i * subDim, (i + 1) * subDim)
+        (0 until k).foreach { j =>
+          assert(gotLut.getDouble(i * k + j) == dot(sub, books(i)(j)),
+            s"trial=$trial lut($i,$j)")
+        }
+      }
+    }
+  }
+
   test("packOffsets == sequential fold for random lengths and layouts") {
     val rnd = new scala.util.Random(13)
     (1 to 5).foreach { trial =>
