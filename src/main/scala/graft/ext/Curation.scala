@@ -156,10 +156,15 @@ object Curation {
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
       langCol: String, lowQ: Double = 1.0 / 3, highQ: Double = 2.0 / 3)
       : DataFrame = {
-    val scored = TextStats.lmScore(docs, textCol, idCol)
-      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-      .select(col(idCol), col(langCol),
-        round(col("avg_logprob"), 6).as("avg_logprob"))
+    // scope-cached: `scored` feeds BOTH the cuts aggregate and the final
+    // join — uncached, the whole LM-scoring lineage (corpus tokenization
+    // + vocab join) executes twice in one plan (seen in the formatted
+    // plan as a duplicated subtree)
+    val scored = graft.ops.CacheScope.persist(
+      TextStats.lmScore(docs, textCol, idCol)
+        .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+        .select(col(idCol), col(langCol),
+          round(col("avg_logprob"), 6).as("avg_logprob")))
     val cuts = scored.groupBy(col(langCol)).agg(
       round(percentile(col("avg_logprob"), lit(lowQ)), 6).as("cut_low"),
       round(percentile(col("avg_logprob"), lit(highQ)), 6).as("cut_high"))
