@@ -96,7 +96,10 @@ object Curation {
     val comps = TextDedup.connectedComponents(docs, idCol, pairs)
     val scored = docs.select(col(idCol),
       TextStats.qualityScore(col(textCol)).as("q"))
-    val labeled = comps.join(scored, Seq(idCol))
+    // scope-cached: feeds both the per-component max aggregate and the
+    // final join — uncached, the docs scan + quality projection + label
+    // join would execute twice in one plan
+    val labeled = graft.ops.CacheScope.persist(comps.join(scored, Seq(idCol)))
     val best = labeled.groupBy(col("rep_id"))
       .agg(max(col("q")).as("quality"), count(lit(1)).as("n_members"))
     labeled.join(best, Seq("rep_id"))
