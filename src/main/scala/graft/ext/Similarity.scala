@@ -195,7 +195,12 @@ object Similarity {
   def cosineNearDups(
       emb: DataFrame, threshold: Double, bits: Int = 8,
       maxBucketRows: Long = 100000L): DataFrame = {
-    val withBucket = emb.withColumn("bucket", signBucket(col("embedding"), bits))
+    // scope-cached: three consumers (the salt-count aggregate and BOTH
+    // self-join sides, whose projections differ so no exchange reuse
+    // applies) — uncached, the full embedding column is scanned and
+    // sign-bucketed three times in one plan
+    val withBucket = graft.ops.CacheScope.persist(
+      emb.withColumn("bucket", signBucket(col("embedding"), bits)))
     val salts = withBucket.groupBy("bucket")
       .agg(ceil(count(lit(1)).cast("double") / maxBucketRows)
         .cast("int").as("nsalt"))
