@@ -1300,6 +1300,54 @@ object ExtQueries {
       FROM base b LEFT JOIN c USING (doc_id)"""),
     bench = true)
 
+  /** Winnowing fingerprints ([[graft.ext.TextDedup.winnowFingerprint]],
+    * the MOSS algorithm) over a corpus salted three ways: doc_id%6 docs
+    * share an appended 8-token passage (≥ k+w−1 = 8, so the winnowing
+    * guarantee forces a common fingerprint), doc_id%29 docs are replaced
+    * by a 6-token text (fewer than w grams → the single-minimum boundary
+    * rule), doc_id%31 docs by a 2-token text (< k tokens → no
+    * fingerprints, the doc disappears). Oracle replays gram hashing,
+    * window minima and the per-doc distinct with DuckDB list functions. */
+  val winnow = Q(
+    "ext_winnow_fingerprint",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 31 === 0, lit("too short now"))
+          .when(col("doc_id") % 29 === 0,
+            lit("six little tokens of shared text"))
+          .when(col("doc_id") % 6 === 0,
+            concat(col("text"),
+              lit(" the shared passage marker spans eight tokens")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.TextDedup.winnowFingerprint(base, "text", "doc_id")
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 31 = 0 THEN 'too short now'
+               WHEN doc_id % 29 = 0 THEN 'six little tokens of shared text'
+               WHEN doc_id % 6 = 0 THEN text
+                 || ' the shared passage marker spans eight tokens'
+               ELSE text END AS text
+        FROM documents),
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+            FROM corpus),
+      g AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 5 THEN
+                list_transform(generate_series(1, len(tk) - 4), i ->
+                  ('0x' || substring(
+                    md5(array_to_string(tk[i:i+4], ' ')), 1, 8))::BIGINT)
+              ELSE CAST([] AS BIGINT[]) END AS gh
+            FROM t),
+      m AS (SELECT doc_id,
+              CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+                   WHEN len(gh) <= 4 THEN [list_min(gh)]
+                   ELSE list_transform(generate_series(1, len(gh) - 3),
+                     j -> list_min(gh[j:j+3])) END AS mins
+            FROM g)
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, unnest(mins) AS fp FROM m)"""))
+
   /** Count-Min-Sketch heavy hitters ([[graft.ext.Sketches]]): approximate
     * term frequencies from a d×w counter matrix (d·w longs total,
     * corpus-size-independent) next to the exact counts. The narrow w=64
@@ -1739,6 +1787,6 @@ object ExtQueries {
     cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
-    langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov,
+    langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov, winnow,
     corpusReport)
 }

@@ -574,4 +574,44 @@ object TextDedup {
           .otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm): hash every token `k`-gram, slide a window of
+    * `w` consecutive gram hashes, keep each window's MINIMUM, emit the
+    * distinct kept hashes per document as (id, fp) rows.
+    *
+    * The winnowing guarantee: any shared passage of at least `k + w - 1`
+    * tokens contributes at least one IDENTICAL fingerprint to both
+    * documents — unlike MinHash (whole-document similarity) this finds
+    * shared passages with a bounded fingerprint density (≈ 2/(w+1) of
+    * grams kept), and unlike [[dupNgramCoverage]] it never materializes
+    * every gram into the shuffle: fingerprints are selected per row
+    * BEFORE the explode, shrinking the exchanged data ~w-fold.
+    *
+    * Scale shape: one pure projection per document (tokenize → gram
+    * hashes → window minima → distinct, all inside higher-order
+    * functions over the token array — per-doc bounded, no window
+    * operator, no shuffle until the caller aggregates fingerprints).
+    * Documents shorter than `k` tokens emit nothing; docs with fewer
+    * than `w` grams emit the single minimum (the MOSS boundary rule for
+    * short inputs).
+    *
+    * Determinism: gram hash = the portable 32-bit md5 prefix
+    * ([[baseHash]]), window minima are exact integer comparisons — the
+    * DuckDB oracle replays every step bit-for-bit. */
+  def winnowFingerprint(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(!docs.columns.contains("__gh"), "column __gh is reserved")
+    val toks = TextStats.tokens(col(textCol))
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => baseHash(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val mins = when(size(col("__gh")) === 0, array().cast("array<bigint>"))
+      .when(size(col("__gh")) <= w, array(array_min(col("__gh"))))
+      .otherwise(transform(sequence(lit(1), size(col("__gh")) - (w - 1)),
+        j => array_min(slice(col("__gh"), j, lit(w)))))
+    docs.select(col(idCol), grams.as("__gh"))
+      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
 }

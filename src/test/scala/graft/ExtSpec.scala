@@ -1038,6 +1038,31 @@ class ExtSpec extends SparkSpec {
     } finally graft.ops.CacheScope.releaseAll()
   }
 
+  test("winnowFingerprint: MOSS guarantee, boundary rules, density") {
+    val shared = "the shared passage marker spans eight tokens x"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta opening words then $shared"),
+      (2L, s"completely different preamble tokens here $shared"),
+      (3L, "tiny doc"), // < k tokens → no fingerprints
+      (4L, "one two three four five six"), // 2 grams ≤ w → single min
+      (5L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15 z16")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextDedup
+      .winnowFingerprint(docs, "text", "doc_id", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: an 8-token (k+w-1) shared passage forces a
+    // common fingerprint between otherwise-different docs
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).size == 1)
+    // density: 16 tokens → 12 grams → 9 windows, but distinct minima
+    // ≈ 2/(w+1) of grams — far fewer than 9
+    assert(byDoc(5L).size < 9 && byDoc(5L).nonEmpty)
+    // per-doc rows are distinct (no repeated (id, fp))
+    assert(out.length == out.distinct.length)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged by fingerprint") {
     val prev = Seq((1L, "same text"), (2L, "old text"), (3L, "going away"),
       (4L, "  Same   WHITESPACE variant  ")).toDF("doc_id", "text")
