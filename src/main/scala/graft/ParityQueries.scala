@@ -364,7 +364,8 @@ object ParityQueries {
       // arrives in many splits; the round-robin repartition of the narrow
       // base restores that shape (measured: the cache-materialization stage
       // drops from ~2 tasks to full parallelism).
-      val o = Tables.orders(s, d).repartition(32)
+      val o = Tables.orders(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
       val k = col("o_orderkey")
       def messy(src: org.apache.spark.sql.DataFrame) = src.select(
         k.cast("int").as("index"),
@@ -487,7 +488,8 @@ object ParityQueries {
     // Single-split testdata scan → repartition the narrow base so the heavy
     // derivation + keep-first dedup parallelize (see amazonE2e). Safe here:
     // `__row_idx` is derived from o_orderkey, not from partition order.
-    val o = Tables.orders(s, d).repartition(32)
+    val o = Tables.orders(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
     val k = col("o_orderkey")
     def messy(src: org.apache.spark.sql.DataFrame, idxOffset: Long) = src.select(
       k.cast("int").as("index"),
