@@ -1300,6 +1300,63 @@ object ExtQueries {
       FROM base b LEFT JOIN c USING (doc_id)"""),
     bench = true)
 
+  /** Duplicate-span removal ([[graft.ext.TextDedup.removeDupSpans]]) over
+    * the same salted corpus as `ext_dup_ngram_coverage` (negative-id
+    * copies share their originals' text, so every copied passage is cut
+    * from BOTH sides while the unique prefixes survive). The oracle
+    * replays gram hashing, the ≥2-distinct-docs gate, covered-position
+    * expansion, and the ordered token re-join. */
+  val removeSpans = Q(
+    "ext_remove_dup_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") % 9 === 0)
+        .select((negate(col("doc_id")) - 1).as("doc_id"),
+          concat(lit("prefix"), col("doc_id").cast("string"),
+            lit(" marker start "), col("text")).as("text"))
+      graft.ext.TextDedup.removeDupSpans(
+        docs.unionByName(copies), "text", "doc_id")
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id,
+          'prefix' || CAST(doc_id AS VARCHAR) || ' marker start ' || text
+            AS text
+        FROM documents WHERE doc_id % 9 = 0),
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+            FROM corpus),
+      ex AS (SELECT doc_id, tk,
+               unnest(CASE WHEN len(tk) >= 8
+                 THEN generate_series(1, len(tk) - 7)
+                 ELSE CAST([] AS BIGINT[]) END) AS i
+             FROM t),
+      ghx AS (SELECT doc_id, i,
+               ('0x' || substring(md5(array_to_string(tk[i:i+7], ' ')),
+                 1, 8))::BIGINT AS gh
+             FROM ex),
+      dup AS (SELECT gh FROM ghx
+              GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT doc_id, tp FROM (
+                SELECT g.doc_id,
+                  unnest(generate_series(g.i, g.i + 7)) AS tp
+                FROM ghx g JOIN dup USING (gh)) u),
+      tokrows AS (SELECT t.doc_id, u.i AS pos, t.tk[u.i] AS tok
+                  FROM t, unnest(generate_series(1, len(t.tk))) AS u(i)),
+      kept AS (SELECT tr.doc_id, tr.pos, tr.tok
+               FROM tokrows tr LEFT JOIN cov c
+                 ON c.doc_id = tr.doc_id AND c.tp = tr.pos
+               WHERE c.tp IS NULL),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id),
+      ncov AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+      base AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+      SELECT b.doc_id, coalesce(a.text, '') AS text, b.n_tokens,
+        CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed
+      FROM base b
+      LEFT JOIN agg a USING (doc_id)
+      LEFT JOIN ncov n USING (doc_id)"""))
+
   /** Winnowing fingerprints ([[graft.ext.TextDedup.winnowFingerprint]],
     * the MOSS algorithm) over a corpus salted three ways: doc_id%6 docs
     * share an appended 8-token passage (≥ k+w−1 = 8, so the winnowing
@@ -1788,5 +1845,6 @@ object ExtQueries {
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov, winnow,
+    removeSpans,
     corpusReport)
 }

@@ -575,6 +575,100 @@ object TextDedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Duplicate-span REMOVAL (the excision half of duplicate-passage
+    * handling — Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better", RefinedWeb's exact-substring step, adapted
+    * to whitespace tokens like [[dupNgramCoverage]], which is the
+    * matching detector): every token covered by an `n`-gram that occurs
+    * in ≥ `minDocs` DISTINCT documents is cut from the text; the
+    * surviving tokens re-join with single spaces (output text is
+    * whitespace-normalized by construction).
+    *
+    * Returns (id, text, n_tokens, n_removed) — `text` cleaned,
+    * `n_tokens` the pre-removal count.
+    *
+    * Scale shape: the tokenize+hash projection runs once (repartitioned,
+    * scope-cached, eagerly built — the [[dupNgramCoverage]] notes apply);
+    * the dup-gram set is a (hash → distinct-doc count) aggregate; each
+    * doc's covered-START list comes back through one (id)-keyed
+    * aggregate. Reconstruction is then per-row HOF work: sorted starts
+    * fold into DISJOINT merged intervals first (so the per-token
+    * membership test is O(intervals), not O(starts) — a fully duplicated
+    * document merges to ONE interval), then a position filter + rebuild.
+    * No window operator; shuffles carry gram hashes and start indices,
+    * never expanded per-position rows. */
+  def removeDupSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val reserved = Seq("__toks", "__grams", "__starts", "id")
+    require(!docs.columns.exists(c => reserved.contains(c) && c != idCol),
+      s"columns ${reserved.mkString(", ")} are reserved")
+    val toksC = TextStats.tokens(col(textCol))
+    val emptyGrams = array().cast("array<struct<i:int,gh:bigint>>")
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val withT = graft.ops.CacheScope.persist(
+      spread.select(col(idCol).as("id"), toksC.as("__toks"),
+        when(size(toksC) >= n,
+          transform(sequence(lit(1), size(toksC) - (n - 1)),
+            i => struct(i.as("i"),
+              baseHash(concat_ws(" ", slice(toksC, i, lit(n)))).as("gh"))))
+          .otherwise(emptyGrams).as("__grams")))
+    withT.count() // eager: see dupNgramCoverage's AQE race note
+    val exploded = withT.select(col("id"), explode(col("__grams")).as("g"))
+      .select(col("id"), col("g.i").as("i"), col("g.gh").as("gh"))
+    val dupGrams = exploded.groupBy(col("gh"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("gh")
+    val starts = exploded.join(dupGrams, Seq("gh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("i"))).as("__starts"))
+
+    // sorted starts → disjoint merged [lo, hi] intervals (token positions,
+    // 1-based, inclusive; gram at start s covers [s, s+n-1])
+    val ivsT = "array<struct<lo:bigint,hi:bigint>>"
+    val merged = {
+      val st = coalesce(col("__starts"), array().cast("array<int>"))
+      val folded = aggregate(st,
+        struct(array().cast(ivsT).as("ivs"),
+          lit(-1L).as("lo"), lit(-1L).as("hi")),
+        (acc, s) => {
+          val sL = s.cast("long")
+          val hiL = (s + (n - 1)).cast("long")
+          val open = acc.getField("lo") >= 0L
+          val overlaps = open && sL <= acc.getField("hi") + 1L
+          struct(
+            when(overlaps || !open, acc.getField("ivs"))
+              .otherwise(concat(acc.getField("ivs"),
+                array(struct(acc.getField("lo").as("lo"),
+                  acc.getField("hi").as("hi"))))).as("ivs"),
+            when(overlaps, acc.getField("lo")).otherwise(sL).as("lo"),
+            when(overlaps, greatest(acc.getField("hi"), hiL))
+              .otherwise(hiL).as("hi"))
+        },
+        acc => when(acc.getField("lo") >= 0L,
+          concat(acc.getField("ivs"), array(struct(
+            acc.getField("lo").as("lo"), acc.getField("hi").as("hi")))))
+          .otherwise(acc.getField("ivs")))
+      folded
+    }
+
+    withT.select(col("id"), col("__toks"))
+      .join(starts, Seq("id"), "left")
+      .select(col("id"), col("__toks"), merged.as("__ivs"))
+      .select(
+        col("id").as(idCol),
+        concat_ws(" ", transform(
+          filter(sequence(lit(1), size(col("__toks"))), p =>
+            !exists(col("__ivs"), iv =>
+              p.cast("long") >= iv.getField("lo")
+                && p.cast("long") <= iv.getField("hi"))),
+          p => element_at(col("__toks"), p))).as(textCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__ivs"), lit(0L),
+          (acc, iv) => acc + iv.getField("hi") - iv.getField("lo") + 1L)
+          .as("n_removed"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
     * the MOSS algorithm): hash every token `k`-gram, slide a window of
     * `w` consecutive gram hashes, keep each window's MINIMUM, emit the

@@ -1038,6 +1038,26 @@ class ExtSpec extends SparkSpec {
     } finally graft.ops.CacheScope.releaseAll()
   }
 
+  test("removeDupSpans: cuts shared passages, merges overlaps, keeps rest") {
+    val c8 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val docs = Seq(
+      (1L, s"u1 u2 $c8 u3"),      // covered [3,10] → "u1 u2 u3"
+      (2L, s"v1 v2 $c8 v3"),
+      (3L, s"w0 $c8 c9"),          // 9-token shared run with doc 4:
+      (4L, s"z0 $c8 c9"),          //   grams [2] and [3] overlap → [2,10]
+      (5L, "e1 e2 e3")             // < n tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextDedup.removeDupSpans(docs, "text", "doc_id")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("u1 u2 u3", 11L, 8L))
+    assert(out(2L) == ("v1 v2 v3", 11L, 8L))
+    assert(out(3L) == ("w0", 10L, 9L)) // overlapping grams merged, not 16
+    assert(out(4L) == ("z0", 10L, 9L))
+    assert(out(5L) == ("e1 e2 e3", 3L, 0L))
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("winnowFingerprint: MOSS guarantee, boundary rules, density") {
     val shared = "the shared passage marker spans eight tokens x"
     val docs = Seq(
