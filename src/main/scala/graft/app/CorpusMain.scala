@@ -16,7 +16,9 @@ import graft.sinks.Sinks
   *      on the RAW text so attribute-quoted hrefs are still visible),
   *      then strip HTML/markup (script/style blocks, tags, entities);
   *   1. boilerplate-line removal (lines recurring across ≥ minDocs
-  *      docs stripped corpus-wide);
+  *      docs stripped corpus-wide), plus opt-in duplicate-span excision
+  *      (`excideDupSpans` — cross-document repeated n-gram passages cut
+  *      from the text itself);
   *   2. annotate: token counts, quality score, repetition, fingerprints;
   *   3. PII redaction (staged URL→email→IP→phone);
   *   4. gate: minimum tokens + quality floor + repetition ceiling
@@ -59,7 +61,7 @@ object CorpusMain {
       minTokens: Int = 10, minQuality: Double = 0.2,
       boilerplateMinDocs: Int = 25, maxDupTokenFrac: Double = 0.9,
       stripMarkup: Boolean = true, domainBlocklist: Seq[String] = Nil,
-      gopher: Boolean = false): String = {
+      gopher: Boolean = false, excideDupSpans: Boolean = false): String = {
     val provenanced =
       if (domainBlocklist.isEmpty) docs
       else docs.filter(Markup.domainKeep(col("text"), domainBlocklist))
@@ -76,10 +78,19 @@ object CorpusMain {
     // and the lang join — persist once instead of three full scans of
     // the largest table in the pipeline
     val src = CacheScope.persist(demarked.select("doc_id", "lang", "text"))
-    val deBoiler = TextDedup.removeBoilerplateLines(
+    val deBoiler0 = TextDedup.removeBoilerplateLines(
         src, "text", "doc_id", boilerplateMinDocs)
       .join(src.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
+    // opt-in (text-rewriting) duplicate-span excision after line-level
+    // boilerplate: cross-document repeated n-gram passages are cut
+    // before stats/fingerprints are computed, so the fp reflects the
+    // text that actually ships
+    val deBoiler =
+      if (!excideDupSpans) deBoiler0
+      else TextDedup.removeDupSpans(deBoiler0, "text", "doc_id")
+        .join(src.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "text")
     // redact FIRST, then annotate the redacted text: the landed `text`
     // is redacted, so stats computed on the raw text would ship as stale
     // metadata (a PII-heavy doc would over-count n_tokens and gate on

@@ -36,9 +36,15 @@ object TextStats {
     round(length(regexp_replace(text, "\\s+", ""))
       / tokenCount(text).cast("double"), 6)
 
+  /** NULL on empty text, not an ANSI divide-by-zero crash: an upstream
+    * rewriting stage (PII redaction, duplicate-span excision) can
+    * legitimately empty a document, and a NULL ratio makes the composite
+    * score NULL so quality gates drop the doc — exactly what DuckDB's
+    * NULL-on-double-division-by-zero produces on the oracle side. */
   private def ratioOf(text: Column, pattern: String): Column =
-    round(size(regexp_extract_all(text, lit(pattern), lit(0)))
-      / length(text).cast("double"), 6)
+    when(length(text) > 0,
+      round(size(regexp_extract_all(text, lit(pattern), lit(0)))
+        / length(text).cast("double"), 6))
 
   def punctRatio(text: Column): Column = ratioOf(text, "[^A-Za-z0-9\\s]")
   def digitRatio(text: Column): Column = ratioOf(text, "[0-9]")

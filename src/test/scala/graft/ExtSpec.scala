@@ -396,6 +396,24 @@ class ExtSpec extends SparkSpec {
       .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("CorpusMain: excideDupSpans cuts cross-doc passages before stats") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_spans").toString
+    // two long docs sharing a 10-token passage; span excision must cut it
+    // from both, so the landed text for those ids no longer contains it
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val salted = docs.unionByName(Seq(
+      (97001L, s"unique left words here $passage", "en", "spec", 1L),
+      (97002L, s"other distinct opening tokens $passage", "en", "spec", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    graft.app.CorpusMain.run(TestSpark.spark, salted, out,
+      minTokens = 3, minQuality = 0.0, excideDupSpans = true)
+    val landed = TestSpark.spark.read.parquet(s"$out/corpus")
+      .filter(col("doc_id") >= 97001L)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(landed.nonEmpty)
+    landed.values.foreach(t => assert(!t.contains("p1 p2"), t))
+  }
+
   test("incremental dedup: batch dedups against index without old corpus") {
     val batch1 = Seq((1L, "alpha beta"), (2L, "gamma delta"))
       .toDF("doc_id", "text")
