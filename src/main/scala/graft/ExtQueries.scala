@@ -1355,7 +1355,8 @@ object ExtQueries {
         CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed
       FROM base b
       LEFT JOIN agg a USING (doc_id)
-      LEFT JOIN ncov n USING (doc_id)"""))
+      LEFT JOIN ncov n USING (doc_id)"""),
+    bench = true)
 
   /** Winnowing fingerprints ([[graft.ext.TextDedup.winnowFingerprint]],
     * the MOSS algorithm) over a corpus salted three ways: doc_id%6 docs

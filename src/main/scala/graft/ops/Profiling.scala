@@ -56,7 +56,17 @@ object Profiling {
     * Sample std (ddof=1, pandas semantics) via the sum-of-squares
     * identity — one pass, no re-scan.
     */
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame): DataFrame = profile(df, exactQuantiles = true)
+
+  /** As [[profile]], with the quartile strategy explicit.
+    * `exactQuantiles = true` (the oracle-checked default) uses exact
+    * interpolating `percentile` — a per-column sort-based aggregate,
+    * fine at report scale but the dominant cost profiling a 100 TB fact
+    * table. `false` swaps in `approx_percentile` (Greenwald-Khanna,
+    * mergeable map-side sketches, no sort): same schema, quartiles
+    * within the sketch's rank-error bound — spec-checked against the
+    * exact path, not oracle-hashable (the sketch is engine-internal). */
+  def profile(df: DataFrame, exactQuantiles: Boolean): DataFrame = {
     require(df.columns.nonEmpty, "profile of a zero-column frame")
     val aggs: Seq[Column] = df.columns.zipWithIndex.toSeq.flatMap {
       case (c, i) =>
@@ -82,7 +92,11 @@ object Profiling {
               when(n > 1,
                 round(sqrt(greatest(lit(0.0), (sq - s * s / n) / (n - 1))), 6))
                 .as(s"std_$i"),
-              percentile(qcol(c), array(lit(0.25), lit(0.5), lit(0.75)))
+              (if (exactQuantiles)
+                percentile(qcol(c), array(lit(0.25), lit(0.5), lit(0.75)))
+              else
+                approx_percentile(qcol(c).cast("double"),
+                  array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)))
                 .as(s"q_$i"))
           } else Seq(
             lit(null).cast("double").as(s"mean_$i"),

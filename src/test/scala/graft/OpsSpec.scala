@@ -272,6 +272,32 @@ class OpsSpec extends SparkSpec {
     assert(nfcRow.isNullAt(2))
   }
 
+  test("profile(approx): sketch quartiles track exact within rank error") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+    def quartiles(exact: Boolean): Map[String, (Double, Double, Double)] =
+      Profiling.profile(df, exactQuantiles = exact)
+        .filter(col("q25").isNotNull)
+        .select("column", "q25", "median", "q75").collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ex = quartiles(exact = true)
+    val ap = quartiles(exact = false)
+    assert(ex.keySet == ap.keySet && ex.keySet == Set(
+      "l_quantity", "l_extendedprice"))
+    for (c <- ex.keys) {
+      val ((a1, a2, a3), (b1, b2, b3)) = (ex(c), ap(c))
+      // GK accuracy 10000 on ~6k rows: rank error < 1 row, but values
+      // land on actual data points vs interpolation — allow 2% relative
+      def close(x: Double, y: Double) = math.abs(x - y) <= 0.02 * math.abs(x)
+      assert(close(a1, b1) && close(a2, b2) && close(a3, b3), c)
+    }
+    // non-numeric column stays all-null in both
+    assert(Profiling.profile(df, exactQuantiles = false)
+      .filter(col("column") === "l_returnflag")
+      .select("q25").head().isNullAt(0))
+  }
+
   test("NfcNormalize: codegen'd (not CodegenFallback), both paths agree") {
     import graft.functions.NfcNormalize
     assert(!NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal(
