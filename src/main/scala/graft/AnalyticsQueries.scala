@@ -241,6 +241,56 @@ object AnalyticsQueries {
       FROM sess GROUP BY user_id, seq"""),
     bench = true)
 
+  /** Funnel conversion (view → purchase within 7 days of the user's
+    * FIRST view) — the product-analytics staple. Shape: one conditional
+    * aggregate per user (min view ts, min/count of purchases after it) —
+    * two passes expressed as one self-join of per-user aggregates, both
+    * keyed on user_id (exchange reuse), no windows, no event-order
+    * shuffle. Timestamps compare in epoch micros (integer) and render as
+    * strings (Det rule). */
+  val qFunnel = Q(
+    "q_funnel_view_purchase",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("first_view_us"))
+      val horizon = 7L * 24 * 3600 * 1000000L
+      ev.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter(col("us") > col("first_view_us")
+          && col("us") <= col("first_view_us") + horizon)
+        .groupBy(col("user_id"), col("first_view_us"))
+        .agg(count(lit(1)).as("n_purchases"),
+          min(col("us")).as("first_purchase_us"),
+          dsum(col("value")).as("purchase_value"))
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("first_view_us")),
+            "yyyy-MM-dd HH:mm:ss").as("first_view"),
+          date_format(timestamp_micros(col("first_purchase_us")),
+            "yyyy-MM-dd HH:mm:ss").as("first_purchase"),
+          expr("(first_purchase_us - first_view_us) div 3600000000")
+            .as("hours_to_convert"),
+          col("n_purchases"), col("purchase_value"))
+    },
+    Some(s"""WITH fv AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_view_us
+        FROM events WHERE event_type = 'view' GROUP BY 1)
+      SELECT e.user_id,
+        strftime(make_timestamp(f.first_view_us), '%Y-%m-%d %H:%M:%S')
+          AS first_view,
+        strftime(make_timestamp(min(epoch_us(e.ts))), '%Y-%m-%d %H:%M:%S')
+          AS first_purchase,
+        CAST((min(epoch_us(e.ts)) - f.first_view_us) // 3600000000
+          AS BIGINT) AS hours_to_convert,
+        count(*) AS n_purchases, ${dsumSql("e.value")} AS purchase_value
+      FROM events e JOIN fv f USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > f.first_view_us
+        AND epoch_us(e.ts) <= f.first_view_us + 604800000000
+      GROUP BY e.user_id, f.first_view_us"""))
+
   /** As-of join ([[graft.ops.AsofJoin]]): each purchase event joined to
     * the SAME user's most recent click at-or-before it — the canonical
     * event-attribution shape. The right side is pre-aggregated unique per
@@ -664,7 +714,7 @@ object AnalyticsQueries {
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
-    qAsof, qBandJoin, qCorr, qCube,
+    qAsof, qFunnel, qBandJoin, qCorr, qCube,
     qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder,
     qSkewJoin)
 }
