@@ -80,6 +80,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDupSpans == naive positional reference on random corpora") {
+    val rnd = new scala.util.Random(21)
+    (1 to 8).foreach { trial =>
+      val n = 3 // small gram width so duplicates actually occur
+      // vocabulary small enough that cross-doc n-gram collisions happen
+      val docs = (0 until 12).map { id =>
+        val len = 3 + rnd.nextInt(12)
+        (id.toLong,
+          Seq.fill(len)("w" + rnd.nextInt(6)).mkString(" "))
+      }
+      // naive reference: covered = union of [s, s+n-1] for every gram
+      // occurring in >= 2 distinct docs
+      val grams = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ")
+        (0 to tk.length - n).map(s => (id, s, tk.slice(s, s + n).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+        .keySet
+      val expected = docs.map { case (id, text) =>
+        val tk = text.split(" ")
+        val covered = (0 to tk.length - n)
+          .filter(s => dup(tk.slice(s, s + n).mkString(" ")))
+          .flatMap(s => s until s + n).toSet
+        val kept = tk.zipWithIndex.collect {
+          case (t, p) if !covered(p) => t }
+        (id, (kept.mkString(" "), tk.length.toLong, covered.size.toLong))
+      }.toMap
+      val got = graft.ext.TextDedup.removeDupSpans(
+        docs.toDF("doc_id", "text"), "text", "doc_id", n = n)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      graft.ops.CacheScope.releaseAll()
+      assert(got == expected, s"trial=$trial")
+    }
+  }
+
   test("packOffsets == sequential fold for random lengths and layouts") {
     val rnd = new scala.util.Random(13)
     (1 to 5).foreach { trial =>
