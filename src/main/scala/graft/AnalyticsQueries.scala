@@ -291,6 +291,55 @@ object AnalyticsQueries {
         AND epoch_us(e.ts) <= f.first_view_us + 604800000000
       GROUP BY e.user_id, f.first_view_us"""))
 
+  /** Weekly cohort retention — users cohorted by their signup week,
+    * counted as active in every later week they produce any event (the
+    * other product-analytics staple next to [[qFunnel]]). Shape: one
+    * per-user min aggregate, one distinct (user, week) aggregate, an
+    * equi-join on user_id, and the final (cohort, offset) count — no
+    * windows, every shuffle keyed high-cardinality. Weeks truncate to
+    * Monday on both engines; offsets are integer day-diffs div 7. */
+  val qCohort = Q(
+    "q_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(date_trunc("week", col("ts")))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .distinct()
+      activity.join(cohorts, Seq("user_id"))
+        // filter BEFORE dividing: Spark's int division truncates toward
+        // zero while DuckDB's // floors, so a negative (pre-signup) day
+        // diff would land at offset 0 here and offset -1 in the oracle
+        .filter(col("week") >= col("cohort_week"))
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7)
+            .cast("int").as("week_offset"))
+        .groupBy(
+          date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+    Some("""WITH cohorts AS (
+        SELECT user_id,
+          CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events),
+      offsets AS (
+        SELECT a.user_id, c.cohort_week,
+          CAST(date_diff('day', c.cohort_week, a.week) // 7 AS INT)
+            AS week_offset
+        FROM activity a JOIN cohorts c USING (user_id)
+        WHERE a.week >= c.cohort_week)
+      SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+        count(DISTINCT user_id) AS n_active
+      FROM offsets
+      GROUP BY 1, 2"""))
+
   /** As-of join ([[graft.ops.AsofJoin]]): each purchase event joined to
     * the SAME user's most recent click at-or-before it — the canonical
     * event-attribution shape. The right side is pre-aggregated unique per
@@ -714,7 +763,7 @@ object AnalyticsQueries {
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
-    qAsof, qFunnel, qBandJoin, qCorr, qCube,
+    qAsof, qFunnel, qCohort, qBandJoin, qCorr, qCube,
     qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder,
     qSkewJoin)
 }
