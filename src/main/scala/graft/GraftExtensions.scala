@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.IntegerType
   * generated code and cannot vary per row.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(ext.injectFunction)
+    // opt-in all-pairs-join guard (no-op unless
+    // spark.graft.guard.cartesian=true — it never rewrites, only vetoes)
+    ext.injectOptimizerRule(_ => graft.plans.CartesianGuard)
+  }
 }
 
 object GraftExtensions {

@@ -272,6 +272,37 @@ class OpsSpec extends SparkSpec {
     assert(nfcRow.isNullAt(2))
   }
 
+  test("CartesianGuard: vetoes big all-pairs joins, passes safe plans") {
+    import graft.plans.CartesianGuard
+    CartesianGuard.register(spark)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val ev2 = ev.select(col("event_id").as("e2"), col("user_id").as("u2"),
+      col("value").as("v2"))
+    def nonEqui = ev.join(ev2, abs(col("value") - col("v2")) < 0.001)
+    try {
+      spark.conf.set(CartesianGuard.enabledKey, "true")
+      spark.conf.set(CartesianGuard.thresholdKey, "1024") // events >> 1KB
+      // the optimizer wraps rule exceptions; check the cause chain
+      val err = intercept[Exception](nonEqui.queryExecution.executedPlan)
+      val msgs = Iterator.iterate[Throwable](err)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(msgs.contains("BandJoin"), msgs.take(500))
+      // a small broadcast side is a legitimate nested loop: passes
+      val tiny = spark.range(3).select(col("id").cast("double").as("v2"))
+      assert(ev.join(broadcast(tiny), abs(col("value") - col("v2")) < 0.001)
+        .count() >= 0)
+      // equi-joins of any size pass
+      assert(ev.join(ev2, col("event_id") === col("e2")).count() > 0)
+      // guard off (the default): the same non-equi join plans fine
+      spark.conf.set(CartesianGuard.enabledKey, "false")
+      nonEqui.queryExecution.executedPlan
+    } finally {
+      spark.conf.set(CartesianGuard.enabledKey, "false")
+      spark.conf.unset(CartesianGuard.thresholdKey)
+    }
+  }
+
   test("profile(approx): sketch quartiles track exact within rank error") {
     val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
