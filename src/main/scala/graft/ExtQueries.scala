@@ -173,7 +173,7 @@ object ExtQueries {
             (col("doc_id") % 3 + 1).cast("int")),
           concat(lit("ref id "), col("doc_id"))).as("text")),
       "text", "doc_id", minDocs = 10),
-    Some("""WITH raw AS (
+    Some(s"""WITH raw AS (
         SELECT doc_id,
           'cookie notice: accept all cookies' || chr(10) || text || chr(10)
           || ['nav: home | about | contact','subscribe to our newsletter',
@@ -186,7 +186,7 @@ object ExtQueries {
         FROM raw),
       fp AS (
         SELECT doc_id, pos, line,
-          md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS line_fp
+          ${fpSql("line")} AS line_fp
         FROM ln),
       bp AS (
         SELECT line_fp FROM (
@@ -481,13 +481,20 @@ object ExtQueries {
             ORDER BY tfidf DESC, term) AS rn
         FROM scored) WHERE rn <= 5"""))
 
+  /** The content-fingerprint oracle fragment — ONE definition shared by
+    * every fp-keyed oracle (ext_fingerprint, exact/incremental dedup,
+    * line dedup, snapshot diff, the corpus pipelines). Mirrors
+    * [[graft.ext.TextStats.fingerprint]] exactly. */
+  private def fpSql(c: String = "text"): String =
+    "md5(regexp_replace(lower(trim(" + c + ")), '\\s+', ' ', 'g'))"
+
   val fingerprint = Q(
     "ext_fingerprint",
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       TextStats.fingerprint(col("text")).as("fp")),
-    Some("""SELECT doc_id,
-      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    Some(s"""SELECT doc_id,
+      ${fpSql()} AS fp
       FROM documents"""))
 
   // ---- dedup family --------------------------------------------------------
@@ -495,7 +502,7 @@ object ExtQueries {
   val dedupExact = Q(
     "ext_dedup_exact",
     (s, d) => TextDedup.exactDedup(Tables.documents(s, d), "text", "doc_id"),
-    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+    Some(s"""SELECT ${fpSql()} AS fp,
       min(doc_id) AS representative_id, count(*) AS n_copies
       FROM documents GROUP BY 1"""),
     bench = true)
@@ -520,8 +527,8 @@ object ExtQueries {
         TextDedup.incrementalDedup(incoming, "text", "doc_id", index)
       survivors.select("doc_id")
     },
-    Some("""WITH old_idx AS (
-        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    Some(s"""WITH old_idx AS (
+        SELECT DISTINCT ${fpSql()} AS fp
         FROM documents WHERE doc_id % 2 = 0),
       incoming AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
@@ -529,7 +536,7 @@ object ExtQueries {
         SELECT doc_id + 500000, text FROM documents WHERE doc_id % 10 = 0),
       wf AS (
         SELECT doc_id,
-          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          ${fpSql()} AS fp
         FROM incoming),
       firsts AS (SELECT fp, min(doc_id) AS doc_id FROM wf GROUP BY fp)
       SELECT f.doc_id FROM firsts f
@@ -1187,7 +1194,7 @@ object ExtQueries {
           AND len(string_split_regex(trim(text), '\\s+')) >= 30),
       firsts AS (
         SELECT min(doc_id) AS doc_id FROM filtered
-        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+        GROUP BY ${fpSql()}),
       survivors AS (
         SELECT f.* FROM filtered f JOIN firsts USING (doc_id)),
       ${minhashCteBodyFrom("survivors")},
@@ -1233,7 +1240,7 @@ object ExtQueries {
           $qcTokSql AS n_tok,
           length(text) AS n_chr,
           $qcSrSql AS sr, $qcPrSql AS pr, $qcDrSql AS dr,
-          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          ${fpSql()} AS fp
         FROM documents),
       q AS (
         SELECT lang, source, n_tok, n_chr, sr, fp,
@@ -1505,9 +1512,9 @@ object ExtQueries {
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       graft.ext.Curation.snapshotDiff(prev, cur, "text", "doc_id")
     },
-    Some("""WITH fp_prev AS (
+    Some(s"""WITH fp_prev AS (
         SELECT doc_id,
-          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_prev
+          ${fpSql()} AS fp_prev
         FROM documents),
       cur AS (
         SELECT doc_id,
@@ -1519,7 +1526,7 @@ object ExtQueries {
         FROM documents WHERE doc_id % 11 = 0),
       fp_cur AS (
         SELECT doc_id,
-          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_cur
+          ${fpSql()} AS fp_cur
         FROM cur)
       SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
         CASE WHEN p.doc_id IS NULL THEN 'added'
