@@ -291,6 +291,61 @@ object AnalyticsQueries {
         AND epoch_us(e.ts) <= f.first_view_us + 604800000000
       GROUP BY e.user_id, f.first_view_us"""))
 
+  /** Market-basket pair lift over order line items — co-occurrence
+    * analysis, the classic association shape. The self-join keys on
+    * l_orderkey and the pair explosion is bounded by ORDER size (≤ 7
+    * items in TPC-H-ish data, and small in any real basket), never
+    * corpus size; item supports broadcast back onto the pair counts.
+    * lift = P(a,b) / (P(a)·P(b)) over order-presence probabilities,
+    * computed with exact integer counts and rounded once at the end.
+    * Top-25 by (lift, pair) total order → TakeOrderedAndProject. */
+  val qBasketLift = Q(
+    "q_basket_pair_lift",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val nOrders = Tables.orders(s, d).agg(
+        count(lit(1)).as("n_orders"))
+      val supp = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.okey") === col("b.okey")
+          && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 3)
+      pairs
+        .join(supp.select(col("part").as("part_a"),
+          col("n_part").as("n_a")), Seq("part_a"))
+        .join(supp.select(col("part").as("part_b"),
+          col("n_part").as("n_b")), Seq("part_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_pair"),
+          round(col("n_pair") * col("n_orders")
+            / (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+        .limit(25)
+    },
+    Some("""WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      n AS (SELECT count(*) AS n_orders FROM orders),
+      supp AS (SELECT part, count(*) AS n_part FROM items GROUP BY 1),
+      pairs AS (
+        SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_pair
+        FROM items a JOIN items b
+          ON a.okey = b.okey AND a.part < b.part
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+      SELECT part_a, part_b, n_pair,
+        round(n_pair * n.n_orders
+          / (CAST(sa.n_part AS DOUBLE) * sb.n_part), 6) AS lift
+      FROM pairs
+      JOIN supp sa ON sa.part = pairs.part_a
+      JOIN supp sb ON sb.part = pairs.part_b
+      CROSS JOIN n
+      ORDER BY lift DESC, part_a, part_b
+      LIMIT 25"""))
+
   /** Weekly cohort retention — users cohorted by their signup week,
     * counted as active in every later week they produce any event (the
     * other product-analytics staple next to [[qFunnel]]). Shape: one
@@ -763,7 +818,7 @@ object AnalyticsQueries {
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
-    qAsof, qFunnel, qCohort, qBandJoin, qCorr, qCube,
+    qAsof, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
     qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder,
     qSkewJoin)
 }
