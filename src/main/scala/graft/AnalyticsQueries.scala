@@ -815,10 +815,175 @@ object AnalyticsQueries {
       JOIN part ON p_partkey = li.k
       GROUP BY p_brand"""))
 
+  /** Per-group robust outlier detection (Tukey IQR fences) over the
+    * event stream: per-type quartiles via ONE grouped exact-percentile
+    * aggregate (groups = event types, a handful of rows — broadcast
+    * back), then a stateless fence filter. The 100 TB path swaps
+    * percentile_disc for approx_percentile (mergeable sketches, same as
+    * [[graft.ops.Profiling]]'s approx variant); percentile_disc keeps
+    * the oracle exact — a DISC cut IS a data value, so no interpolation
+    * arithmetic can diverge across engines. Fences are the same IEEE
+    * double ops on identical inputs on both sides. */
+  val qOutlierIqr = Q(
+    "q_outlier_iqr",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cuts = ev.groupBy(col("event_type")).agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("q1"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("q3"))
+      val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+      val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .filter(col("value") < lo || col("value") > hi)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(lo, 6).as("lo_fence"), round(hi, 6).as("hi_fence"))
+    },
+    Some("""WITH cuts AS (
+        SELECT event_type,
+          CAST(quantile_disc(value, 0.25) AS DOUBLE) AS q1,
+          CAST(quantile_disc(value, 0.75) AS DOUBLE) AS q3
+        FROM events GROUP BY event_type)
+      SELECT event_id, event_type, value,
+        round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+        round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+      FROM events JOIN cuts USING (event_type)
+      WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)"""))
+
+  /** SCD2 / change-data-capture compaction: per user, collapse runs of
+    * consecutive same-type events and emit one validity interval
+    * [valid_from, valid_to) per regime — the dimension-history build
+    * step. Both windows partition by the natural key (user_id), so
+    * per-task state is one user's history — never a global sort.
+    * (ts, event_id) is a total order, so lag/lead are deterministic
+    * under equal timestamps; timestamps emit as strings (Det rule),
+    * and the open interval's valid_to stays NULL. */
+  val qScd2 = Q(
+    "q_scd2_intervals",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changes = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+    },
+    Some("""WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS prev_type
+        FROM events),
+      changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(lead(ts) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC), '%Y-%m-%d %H:%M:%S') AS valid_to
+      FROM changes"""))
+
+  /** Fused data-quality / constraint report: every row-local check plus
+    * the dimension referential check in ONE scan per fact table — the
+    * naive form (one job per constraint) is linear in constraints at
+    * 100 TB. Row-local checks fuse into a single conditional aggregate;
+    * the orphan check rides the same scan via a broadcast dimension
+    * join; the duplicate-PK check shares the aggregate (count −
+    * distinct). Fact↔fact referential checks would need a shuffle join
+    * and deliberately stay out of the fused report. The base testdata is
+    * clean, so violations are salted in deterministically (key-derived
+    * corrupt copies — one corrupted field per copy, replayed verbatim by
+    * the oracle) to make every counter load-bearing. */
+  val qDqReport = Q(
+    "q_dq_report",
+    (s, d) => {
+      val baseO = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val ordersS = baseO
+        .unionAll(baseO.filter(col("o_orderkey") % 997 === 0)
+          .withColumn("o_totalprice", -col("o_totalprice")))
+        .unionAll(baseO.filter(col("o_orderkey") % 991 === 0)
+          .withColumn("o_custkey", lit(null).cast("long")))
+        .unionAll(baseO.filter(col("o_orderkey") % 983 === 0)
+          .withColumn("o_custkey", col("o_custkey") + lit(1000000000L)))
+      val baseL = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))
+      val lineS = baseL
+        .unionAll(baseL.filter(col("l_orderkey") % 997 === 0)
+          .withColumn("l_quantity", -col("l_quantity")))
+        .unionAll(baseL.filter(col("l_orderkey") % 991 === 0)
+          .withColumn("l_discount", col("l_discount") + lit(2.0)))
+      val custKeys = Tables.customer(s, d).select(col("c_custkey"))
+      val oAgg = ordersS
+        .join(broadcast(custKeys),
+          ordersS("o_custkey") === custKeys("c_custkey"), "left")
+        .agg(
+          count(when(col("o_custkey").isNull, 1)).as("o_null_custkey"),
+          count(when(col("o_totalprice") <= 0, 1)).as("o_nonpos_price"),
+          count(when(col("o_custkey").isNotNull &&
+            col("c_custkey").isNull, 1)).as("o_orphan_custkey"),
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("o_duplicate_pk"))
+      val lAgg = lineS.agg(
+        count(when(col("l_quantity") <= 0, 1)).as("l_nonpos_qty"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+          .as("l_discount_range"))
+      oAgg.crossJoin(lAgg).selectExpr(
+        """stack(6,
+          'orders_null_custkey', o_null_custkey,
+          'orders_nonpositive_totalprice', o_nonpos_price,
+          'orders_orphan_custkey', o_orphan_custkey,
+          'orders_duplicate_orderkey', o_duplicate_pk,
+          'lineitem_nonpositive_quantity', l_nonpos_qty,
+          'lineitem_discount_out_of_range', l_discount_range)
+          AS (check_name, violations)""")
+    },
+    Some("""WITH orders_s AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        UNION ALL SELECT o_orderkey, o_custkey, -o_totalprice
+          FROM orders WHERE o_orderkey % 997 = 0
+        UNION ALL SELECT o_orderkey, CAST(NULL AS BIGINT), o_totalprice
+          FROM orders WHERE o_orderkey % 991 = 0
+        UNION ALL SELECT o_orderkey, o_custkey + 1000000000, o_totalprice
+          FROM orders WHERE o_orderkey % 983 = 0),
+      line_s AS (
+        SELECT l_orderkey, l_quantity, l_discount FROM lineitem
+        UNION ALL SELECT l_orderkey, -l_quantity, l_discount
+          FROM lineitem WHERE l_orderkey % 997 = 0
+        UNION ALL SELECT l_orderkey, l_quantity, l_discount + 2.0
+          FROM lineitem WHERE l_orderkey % 991 = 0),
+      o AS (
+        SELECT
+          count(*) FILTER (WHERE o_custkey IS NULL) AS o_null_custkey,
+          count(*) FILTER (WHERE o_totalprice <= 0) AS o_nonpos_price,
+          count(*) FILTER (WHERE o_custkey IS NOT NULL
+            AND c_custkey IS NULL) AS o_orphan_custkey,
+          count(*) - count(DISTINCT o_orderkey) AS o_duplicate_pk
+        FROM orders_s LEFT JOIN customer ON o_custkey = c_custkey),
+      l AS (
+        SELECT
+          count(*) FILTER (WHERE l_quantity <= 0) AS l_nonpos_qty,
+          count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+            AS l_discount_range
+        FROM line_s)
+      SELECT 'orders_null_custkey' AS check_name,
+        o_null_custkey AS violations FROM o
+      UNION ALL SELECT 'orders_nonpositive_totalprice', o_nonpos_price FROM o
+      UNION ALL SELECT 'orders_orphan_custkey', o_orphan_custkey FROM o
+      UNION ALL SELECT 'orders_duplicate_orderkey', o_duplicate_pk FROM o
+      UNION ALL SELECT 'lineitem_nonpositive_quantity', l_nonpos_qty FROM l
+      UNION ALL SELECT 'lineitem_discount_out_of_range', l_discount_range
+        FROM l"""))
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
     qAsof, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
     qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder,
-    qSkewJoin)
+    qSkewJoin, qOutlierIqr, qScd2, qDqReport)
 }
