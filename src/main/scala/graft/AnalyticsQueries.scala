@@ -534,6 +534,30 @@ object AnalyticsQueries {
       ${dsumSql("o_totalprice", 6)} AS total_price, count(*) AS n_orders
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
 
+  /** GROUPING SETS — the general form of ROLLUP/CUBE (both are sugar
+    * over it): an explicitly chosen level list, still ONE Expand + one
+    * shuffle (row count multiplies by the number of sets, not 2^cols —
+    * cheaper than CUBE when only some levels matter at 100 TB).
+    * GROUPING() flags disambiguate "rolled-up" from a genuine NULL group
+    * value, per the SQL standard in both engines. */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        dsum(col("o_totalprice"), 6).as("total_price"),
+        count(lit(1)).as("n_orders")),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      ${dsumSql("o_totalprice", 6)} AS total_price, count(*) AS n_orders
+      FROM orders GROUP BY GROUPING SETS
+        ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"""))
+
   /** PIVOT: order counts and exact-decimal revenue per priority, one
     * column pair per status. Values are enumerated explicitly, so the
     * pivot is a single-pass conditional aggregation (no extra
@@ -984,6 +1008,7 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
     qAsof, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
+    qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder,
     qSkewJoin, qOutlierIqr, qScd2, qDqReport)
 }

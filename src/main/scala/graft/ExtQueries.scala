@@ -1810,6 +1810,91 @@ object ExtQueries {
             1, 8))::BIGINT + 1) / 4294967296.0 < rate"""
     })
 
+  /** URL-level dedup ([[graft.ext.Markup.urlDedup]]) over per-doc URLs
+    * salted so every canonicalization rule is load-bearing: host case
+    * flips with doc parity, a trailing slash appears on even ids, pure
+    * tracking queries (dropped whole) vs mixed queries (`color=red`
+    * survives, `utm_medium` dropped) rotate on id%3, and fragments on
+    * id%4. Group key moduli (host %3, path %7) are small enough that
+    * sf0.01 collapses ~12 raw spellings per canonical URL —
+    * `n_raw_forms > 1` proves normalization, not string equality, formed
+    * the groups. */
+  val urlDedup = Q(
+    "ext_url_dedup",
+    (s, d) => graft.ext.Markup.urlDedup(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(
+          lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("Shop")).otherwise(lit("shop")),
+          col("doc_id") % 3, lit(".Example.COM/item/"), col("doc_id") % 7,
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=news&utm_campaign=c"), col("doc_id")))
+            .when(col("doc_id") % 3 === 1, lit("?color=red&utm_medium=email"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("#sec"), col("doc_id"))).otherwise(lit("")))
+          .as("url")),
+      "url", "doc_id"),
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          'https://'
+          || CASE WHEN doc_id % 2 = 0 THEN 'Shop' ELSE 'shop' END
+          || CAST(doc_id % 3 AS VARCHAR) || '.Example.COM/item/'
+          || CAST(doc_id % 7 AS VARCHAR)
+          || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+          || CASE WHEN doc_id % 3 = 0
+               THEN '?utm_source=news&utm_campaign=c' || doc_id
+               WHEN doc_id % 3 = 1 THEN '?color=red&utm_medium=email'
+               ELSE '' END
+          || CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id ELSE '' END
+            AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id, url,
+          regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '')
+            AS base,
+          regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1)
+            AS query
+        FROM raw),
+      canon AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(base, '^(https?://[^/]*)', 1))
+          || regexp_replace(
+               regexp_replace(base, '^https?://[^/]*', ''), '/+$', '')
+          || CASE WHEN len(list_filter(string_split(query, '&'),
+               p -> NOT regexp_matches(p,
+                 '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$') AND p <> '')) > 0
+             THEN '?' || array_to_string(list_filter(string_split(query, '&'),
+               p -> NOT regexp_matches(p,
+                 '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$') AND p <> ''), '&')
+             ELSE '' END AS url_canon
+        FROM parts)
+      SELECT url_canon, min(doc_id) AS representative_id,
+        count(*) AS n_copies, count(DISTINCT url) AS n_raw_forms
+      FROM canon GROUP BY 1"""))
+
+  /** Token-length histogram ([[graft.ext.TextStats.lengthHistogram]]):
+    * fixed-width integer buckets (floating log2 would put boundary
+    * lengths in different buckets per engine), cumulative token coverage
+    * over the bounded bucket list — the max_seq_len planning table. */
+  val lengthHistogram = Q(
+    "ext_length_histogram",
+    (s, d) => graft.ext.TextStats.lengthHistogram(
+      Tables.documents(s, d), "text", width = 32),
+    Some("""WITH t AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents),
+      b AS (
+        SELECT n_tok - (n_tok % 32) AS bucket_lo, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM t GROUP BY 1)
+      SELECT bucket_lo, n_docs, n_tokens,
+        round(CAST(sum(n_tokens) OVER (ORDER BY bucket_lo) AS DOUBLE)
+          / sum(n_tokens) OVER (), 6) AS cum_token_frac
+      FROM b"""))
+
   /** Global top-k vocabulary ([[graft.ext.Vocab.topK]]): corpus word
     * counts → TakeOrderedAndProject under the (c desc, tok asc) total
     * order — per-partition bounded top-k, no single-reducer sort. */
@@ -1854,5 +1939,6 @@ object ExtQueries {
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov, winnow,
     removeSpans,
+    urlDedup, lengthHistogram,
     corpusReport)
 }

@@ -88,4 +88,56 @@ object Markup {
     * the doc links NO blocked domain. */
   def domainKeep(text: Column, blocklist: Seq[String]): Column =
     size(filter(urlHosts(text), h => h.isin(blocklist: _*))) === 0
+
+  /** Query parameters that carry no content identity — standard crawl
+    * canonicalization set (Google/Facebook click ids + utm campaign
+    * tags). A param is dropped when its NAME matches; `utm_` is a
+    * prefix class. */
+  val trackingParamPattern = "^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
+
+  /** Canonical URL for URL-level deduplication (the step web-crawl
+    * pipelines run BEFORE fetching/content-dedup: two raw URLs that
+    * canonicalize equal are the same page):
+    *
+    *   1. fragment stripped (`#...` is client-side only),
+    *   2. scheme+host lowercased (case-insensitive per RFC 3986) — the
+    *      path keeps its case (it is case-sensitive),
+    *   3. tracking params removed ([[trackingParamPattern]]), remaining
+    *      params kept IN ORDER (reordering would conflate genuinely
+    *      different server semantics), `?` dropped when none survive,
+    *   4. trailing `/` runs trimmed from the path.
+    *
+    * Pure codegen regexp/HOF chain — no shuffle; at 100 TB this is a
+    * projection ahead of one dedup aggregate. Every pattern is RE2-safe
+    * so the DuckDB oracle matches identical spans.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val schemeHost = lower(regexp_extract(base, "^(https?://[^/]*)", 1))
+    val path = regexp_replace(
+      regexp_replace(base, "^https?://[^/]*", ""), "/+$", "")
+    val kept = filter(split(query, "&"),
+      p => !p.rlike(trackingParamPattern) && p =!= "")
+    concat(schemeHost, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** URL-level dedup: group documents by [[canonicalizeUrl]], keep the
+    * lowest id as representative. `n_raw_forms` counts DISTINCT raw
+    * spellings collapsed into the group — direct evidence the
+    * canonicalization (not mere string equality) did the work.
+    *
+    * One hash shuffle on the canonical string (high cardinality, no
+    * skew); the map side is the pure projection above. */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), col(urlCol),
+      canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(
+        min(col(idCol)).as("representative_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col(urlCol)).as("n_raw_forms"))
 }

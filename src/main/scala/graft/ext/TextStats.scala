@@ -373,4 +373,33 @@ object TextStats {
           .as("char_entropy"),
         col("n").as("n_chars"))
   }
+
+  /** Token-length histogram with cumulative token coverage — the
+    * planning table for sequence-length/truncation decisions ("what
+    * max_seq_len covers 99% of tokens?"). Buckets are fixed-width
+    * `[lo, lo+width)` with `lo = n_tok − n_tok % width` — pure integer
+    * arithmetic, so both engines bucket identically (no floating log2
+    * boundary risk).
+    *
+    * Scale: one projection + one hash aggregate keyed on the bucket.
+    * The cumulative window runs over the BUCKET LIST (bounded by
+    * max_len/width, not corpus size) — a single-task window over ~tens
+    * of rows, after the data has already collapsed. */
+  def lengthHistogram(docs: DataFrame, textCol: String,
+      width: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = tokenCount(col(textCol))
+    val agg = docs
+      .select((n - pmod(n, lit(width))).cast("long").as("bucket_lo"),
+        n.cast("long").as("n_tok"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    agg.select(col("bucket_lo"), col("n_docs"), col("n_tokens"),
+      round(sum(col("n_tokens")).over(w).cast("double")
+        / sum(col("n_tokens")).over(tot), 6).as("cum_token_frac"))
+  }
 }

@@ -1152,4 +1152,57 @@ class ExtSpec extends SparkSpec {
       assert(b == expect)
     }
   }
+
+  test("canonicalizeUrl: each rule fires exactly where intended") {
+    val cases = Seq(
+      // host+scheme lowercased, path case preserved
+      ("https://WWW.Example.COM/Path/To", "https://www.example.com/Path/To"),
+      // fragment stripped
+      ("https://x.com/a#sec2", "https://x.com/a"),
+      // trailing slash runs trimmed (root collapses to bare host)
+      ("https://x.com/a///", "https://x.com/a"),
+      ("https://x.com/", "https://x.com"),
+      // tracking-only query dropped entirely, '?' and all
+      ("https://x.com/a?utm_source=n&utm_campaign=c9&gclid=z", "https://x.com/a"),
+      // mixed query keeps non-tracking params IN ORDER
+      ("https://x.com/a?b=2&utm_medium=m&a=1", "https://x.com/a?b=2&a=1"),
+      // bare tracking name without '=' still dropped; 'ref' exact-match
+      ("https://x.com/a?ref&real=1", "https://x.com/a?real=1"),
+      // 'reference=' is NOT the tracking param 'ref'
+      ("https://x.com/a?reference=2", "https://x.com/a?reference=2"),
+      // query survives when fragment follows it
+      ("http://x.com/a?k=v#frag", "http://x.com/a?k=v"))
+    val out = cases.toDF("url", "expected")
+      .select(graft.ext.Markup.canonicalizeUrl(col("url")), col("expected"),
+        col("url")).collect()
+    out.foreach(r =>
+      assert(r.getString(0) == r.getString(1), s"url='${r.getString(2)}'"))
+  }
+
+  test("urlDedup: raw spelling variants collapse with n_raw_forms > 1") {
+    val df = Seq(
+      (1L, "https://Shop.example.com/item/7/"),
+      (2L, "https://shop.example.com/item/7?utm_source=x"),
+      (3L, "https://shop.example.com/item/7#top"),
+      (4L, "https://shop.example.com/other")).toDF("doc_id", "url")
+    val out = graft.ext.Markup.urlDedup(df, "url", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("https://shop.example.com/item/7") == ((1L, 3L, 3L)))
+    assert(out("https://shop.example.com/other") == ((4L, 1L, 1L)))
+  }
+
+  test("lengthHistogram: integer buckets, cumulative fraction ends at 1") {
+    // token counts: 3, 31, 32, 40, 70 with width 32 → buckets 0,0,32,32,64
+    val df = Seq(3, 31, 32, 40, 70)
+      .map(n => (n, Seq.fill(n)("w").mkString(" "))).toDF("n", "text")
+    val out = TextStats.lengthHistogram(df, "text", width = 32)
+      .orderBy("bucket_lo").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 32L, 64L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L)) // n_docs
+    assert(out.map(_.getLong(2)).toSeq == Seq(34L, 72L, 70L)) // n_tokens
+    val fr = out.map(_.getDouble(3))
+    assert(fr.last == 1.0 && fr.sameElements(fr.sorted))
+    assert(math.abs(fr(0) - 34.0 / 176.0) < 1e-6)
+  }
 }
