@@ -679,6 +679,47 @@ object AnalyticsQueries {
              WHEN spend <= q3 THEN 3 ELSE 4 END AS spend_quartile
       FROM spend, cuts"""))
 
+  /** Winsorized robust stats: per-status order-value mean with values
+    * clipped to the [p05, p95] cuts of their OWN group — the standard
+    * outlier-robust companion to the IQR DROP rule (`q_outlier_iqr`
+    * removes rows; winsorizing keeps them at the boundary, preserving
+    * counts).
+    *
+    * percentile_disc (a DATA value, no interpolation) keeps the cuts
+    * bit-identical across engines; the clip is then pure comparisons on
+    * exact doubles. Cuts broadcast back (one row per status); at 100 TB
+    * the exact per-group sort-aggregate would swap to approx_percentile
+    * (the [[graft.ops.Profiling]] pattern) with the same plan shape. */
+  val qWinsorize = Q(
+    "q_winsorized_stats",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cuts = o.groupBy(col("o_orderstatus")).agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("hi"))
+      o.join(broadcast(cuts), Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(col("lo")).as("lo_cut"), min(col("hi")).as("hi_cut"),
+          count(lit(1)).as("n_orders"),
+          davg(col("o_totalprice"), 6).as("mean_raw"),
+          davg(least(greatest(col("o_totalprice"), col("lo")), col("hi")), 6)
+            .as("mean_winsorized"))
+    },
+    Some(s"""WITH cuts AS (
+        SELECT o_orderstatus,
+          quantile_disc(o_totalprice, 0.05) AS lo,
+          quantile_disc(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY 1)
+      SELECT o_orderstatus, min(lo) AS lo_cut, min(hi) AS hi_cut,
+        count(*) AS n_orders,
+        ${davgSql("o_totalprice", 6)} AS mean_raw,
+        ${davgSql("least(greatest(o_totalprice, lo), hi)", 6)}
+          AS mean_winsorized
+      FROM orders JOIN cuts USING (o_orderstatus)
+      GROUP BY o_orderstatus"""))
+
   /** Date-spine gap fill + forward fill: daily counts/revenue of 'P'
     * orders with missing days materialized at 0 and the last seen
     * revenue carried forward. The ordered window runs over the SPINE
@@ -1009,6 +1050,7 @@ object AnalyticsQueries {
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
     qAsof, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
     qGroupingSets,
-    qPivot, qSetOps, qNtile, qQuartileAssign, qGapFill, qMovingAvg, qZorder,
+    qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize,
+    qGapFill, qMovingAvg, qZorder,
     qSkewJoin, qOutlierIqr, qScd2, qDqReport)
 }

@@ -1493,6 +1493,39 @@ object ExtQueries {
     Some(s"""WITH $lmScoreCtes
       SELECT doc_id, avg_logprob, n_tokens FROM scored"""))
 
+  /** Bigram LM scoring ([[graft.ext.TextStats.bigramLmScore]]): add-one
+    * smoothed P(w2|w1) trained on the corpus itself, exact-decimal
+    * per-doc mean of 6-dp-rounded logs (the lmScore determinism rules,
+    * one model order up). */
+  val bigramLm = Q(
+    "ext_bigram_lm",
+    (s, d) => graft.ext.TextStats.bigramLmScore(
+      Tables.documents(s, d), "text", "doc_id"),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      bi AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> array_to_string(t[i:i+1], ' '))) AS bg
+        FROM toks WHERE len(t) >= 2),
+      cb AS (SELECT bg, count(*) AS cb FROM bi GROUP BY 1),
+      cw AS (
+        SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cw
+        FROM cb GROUP BY 1),
+      v AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+          SELECT unnest(t) AS tok FROM toks)),
+      lp AS (
+        SELECT bg, round(ln((cb + 1) / CAST(cw + v AS DOUBLE)), 6) AS logp
+        FROM cb JOIN cw ON string_split(bg, ' ')[1] = cw.w1, v)
+      SELECT doc_id,
+        CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+          AS avg_bigram_logprob,
+        count(*) AS n_bigrams
+      FROM bi JOIN lp USING (bg)
+      GROUP BY doc_id"""))
+
   /** Corpus snapshot diff ([[graft.ext.Curation.snapshotDiff]]): the
     * current snapshot is derived from `documents` with every diff class
     * load-bearing — doc_id%13 docs edited (changed), doc_id%17 docs
@@ -1937,7 +1970,8 @@ object ExtQueries {
     cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
-    langidTrigram, cmsHeavy, weightedSample, lmScore, dupNgramCov, winnow,
+    langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
+    dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram,
     corpusReport)

@@ -266,6 +266,50 @@ object TextStats {
       .select(col("id").as(idCol), col("avg_logprob"), col("n_tokens"))
   }
 
+  /** Bigram LM quality score with add-one smoothing — the next step up
+    * from [[lmScore]]'s unigram model (CCNet/KenLM shape): score(doc) =
+    * mean log P(w2|w1) over the doc's bigram multiset, with
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V). Word order now matters:
+    * shuffled-word salami that fools a unigram model scores low.
+    *
+    * Scale: bigram counts shuffle one row per DISTINCT bigram (map-side
+    * partials); context counts aggregate the bigram VOCABULARY, not the
+    * corpus; scoring is one hash join on the bigram key. Global state is
+    * a single broadcast row (V). Docs with < 2 tokens have no bigrams
+    * and are absent from the output (a bigram model has no opinion).
+    *
+    * Determinism: (c+1)/(ctx+V) divides exact integers (bit-identical
+    * across engines); ln is 6-dp-rounded before the exact-decimal mean
+    * (the BM25-idf/lmScore rule). */
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val idBi = graft.ops.CacheScope.persist(
+      docs.select(col(idCol).as("id"),
+        explode(rawBigrams(col(textCol))).as("bg")))
+    val biCounts = graft.ops.CacheScope.persist(
+      idBi.groupBy(col("bg")).agg(count(lit(1)).as("cb")))
+    val ctxCounts = biCounts
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("cb")).as("cw"))
+    val vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val logProbs = biCounts
+      .join(ctxCounts, split(col("bg"), " ").getItem(0) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        round(log((col("cb") + 1).cast("double")
+          / (col("cw") + col("v")).cast("double")), 6).as("logp"))
+    idBi.join(logProbs, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(
+        (sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("avg_bigram_logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("id").as(idCol), col("avg_bigram_logprob"),
+        col("n_bigrams"))
+  }
+
   // ---- Gopher quality gates (Rae et al. 2021, Appendix A) ------------------
 
   /** Gopher's required-stopword list ("contains at least two of ...");
