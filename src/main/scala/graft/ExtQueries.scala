@@ -652,6 +652,24 @@ object ExtQueries {
     Some(s"""WITH $componentsCte
       SELECT doc_id, rep_id FROM comp"""))
 
+  /** Cluster-size histogram ([[graft.ext.TextDedup.clusterSizeHistogram]])
+    * over the MinHash components — dedup observability (share of corpus
+    * in clusters of each size). Shares the components CTE. */
+  val dedupClusterSizes = Q(
+    "ext_dedup_cluster_sizes",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "text", "doc_id",
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+      TextDedup.clusterSizeHistogram(
+        TextDedup.connectedComponents(docs, "doc_id", pairs))
+    },
+    Some(s"""WITH $componentsCte,
+        sizes AS (
+          SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT cluster_size, count(*) AS n_clusters
+      FROM sizes GROUP BY 1"""))
+
   /** Canonical-doc selection per near-dup cluster
     * ([[graft.ext.Curation.keepBestInComponent]]): one row per component
     * with the highest-quality member (ties → lowest doc id). The oracle
@@ -1908,6 +1926,41 @@ object ExtQueries {
         count(*) AS n_copies, count(DISTINCT url) AS n_raw_forms
       FROM canon GROUP BY 1"""))
 
+  /** Control-char scrub + decode-health signals
+    * ([[graft.ext.Markup.scrubControlChars]]) over a corpus salted with
+    * BEL/US control bytes (doc_id%3 — scrubbed) and U+FFFD replacement
+    * chars (doc_id%5 — counted, doc dropped via keep=0: replacement
+    * chars mean the upstream DECODE corrupted the bytes; patching the
+    * symptom would keep a mangled doc). */
+  val ctrlScrub = Q(
+    "ext_ctrl_scrub",
+    (s, d) => graft.ext.Markup.scrubControlChars(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" a\u0007b\u001Fc"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" x\uFFFDy"))
+            .otherwise(lit(""))).as("text")),
+      "text", "doc_id"),
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          text || CASE WHEN doc_id % 3 = 0
+              THEN ' a' || chr(7) || 'b' || chr(31) || 'c' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+              THEN ' x' || chr(65533) || 'y' ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+          AS text_clean,
+        length(text) - length(regexp_replace(text,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_ctrl_removed,
+        length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+          AS n_replacement,
+        CAST(length(text) = length(regexp_replace(text, chr(65533), '', 'g'))
+          AS INT) AS keep
+      FROM raw"""))
+
   /** Token-length histogram ([[graft.ext.TextStats.lengthHistogram]]):
     * fixed-width integer buckets (floating log2 would put boundary
     * lengths in different buckets per engine), cumulative token coverage
@@ -1966,13 +2019,14 @@ object ExtQueries {
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
-    dedupComponents, dedupKeepBest, sourceCap, snapshotDiff,
+    dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,
+    snapshotDiff,
     cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
     dupNgramCov, winnow,
     removeSpans,
-    urlDedup, lengthHistogram,
+    urlDedup, lengthHistogram, ctrlScrub,
     corpusReport)
 }

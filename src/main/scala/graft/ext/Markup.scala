@@ -125,6 +125,33 @@ object Markup {
         .otherwise(lit("")))
   }
 
+  /** C0/C1-ish control characters (minus \t \n \r, which are legitimate
+    * whitespace) plus DEL — bytes that survive bad decoding and break
+    * downstream tokenizers. */
+  val controlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Unicode replacement char — its presence means the original bytes
+    * were NOT valid in the decode encoding (the C4 bad-unicode signal). */
+  val replacementChar = "\uFFFD"
+
+  /** Control-character scrub + decode-health signals: cleaned text with
+    * control chars removed, how many were removed, and how many U+FFFD
+    * replacement chars remain (those are evidence of upstream decode
+    * corruption — the usual policy is to DROP such docs, not patch them,
+    * so they are counted, not scrubbed). Pure codegen projection. */
+  def scrubControlChars(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val cleaned = regexp_replace(col(textCol), controlCharPattern, "")
+    val nBad = length(col(textCol)) -
+      length(regexp_replace(col(textCol), replacementChar, ""))
+    docs.select(
+      col(idCol),
+      cleaned.as("text_clean"),
+      (length(col(textCol)) - length(cleaned)).as("n_ctrl_removed"),
+      nBad.as("n_replacement"),
+      (nBad === 0).cast("int").as("keep"))
+  }
+
   /** URL-level dedup: group documents by [[canonicalizeUrl]], keep the
     * lowest id as representative. `n_raw_forms` counts DISTINCT raw
     * spellings collapsed into the group — direct evidence the

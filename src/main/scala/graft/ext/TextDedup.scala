@@ -708,4 +708,16 @@ object TextDedup {
     docs.select(col(idCol), grams.as("__gh"))
       .select(col(idCol), explode(array_distinct(mins)).as("fp"))
   }
+
+  /** Cluster-size histogram over a [[connectedComponents]] labeling —
+    * the dedup-observability table (how much of the corpus sits in
+    * near-dup clusters of what size; a sudden mass at large sizes means
+    * a template/boilerplate source entered the crawl). Two hash
+    * aggregates with map-side partials (rep_id, then size) — nothing
+    * proportional to pair count survives the first. */
+  def clusterSizeHistogram(components: DataFrame): DataFrame =
+    components.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
 }

@@ -1153,6 +1153,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bigramLmScore: hand-computed add-one probabilities, order matters") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"), (4L, "b a"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextStats.bigramLmScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // corpus bigrams: "a b"×3, "b a"×2, "x y"×1; contexts a=3, b=2, x=1;
+    // V = 4 → P(b|a)=(3+1)/(3+4), P(a|b)=(2+1)/(2+4), P(y|x)=(1+1)/(1+4)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val lab = r6(math.log(4.0 / 7.0))
+    val lba = r6(math.log(3.0 / 6.0))
+    val lxy = r6(math.log(2.0 / 5.0))
+    assert(out(2L)._2 == 1L && math.abs(out(2L)._1 - lab) < 1e-9)
+    assert(math.abs(out(3L)._1 - lxy) < 1e-9)
+    assert(math.abs(out(4L)._1 - lba) < 1e-9)
+    // doc 1 = mean of (lab, lba, lab) as exact decimals
+    assert(math.abs(out(1L)._1 - (2 * lab + lba) / 3) < 1e-9)
+    // the common-phrase doc outscores the rare-phrase doc
+    assert(out(2L)._1 > out(3L)._1)
+  }
+
+  test("scrubControlChars: removes C0/DEL, counts U+FFFD, keeps flag") {
+    val df = Seq(
+      (1L, "ok text"),
+      (2L, "abc"),
+      (3L, "x�y"),
+      (4L, "tab\tand\nnewline kept")).toDF("doc_id", "text")
+    val out = graft.ext.Markup.scrubControlChars(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == (("ok text", 0, 0, 1)))
+    assert(out(2L) == (("abc", 3, 0, 1)))
+    assert(out(3L) == (("x�y", 0, 1, 0))) // counted, NOT scrubbed
+    assert(out(4L) == (("tab\tand\nnewline kept", 0, 0, 1)))
+  }
+
+  test("clusterSizeHistogram: sizes over components fixture") {
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = TextDedup.connectedComponents(docs, "doc_id", pairs)
+    val hist = TextDedup.clusterSizeHistogram(comps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   test("canonicalizeUrl: each rule fires exactly where intended") {
     val cases = Seq(
       // host+scheme lowercased, path case preserved
