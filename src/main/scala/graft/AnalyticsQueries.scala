@@ -720,6 +720,37 @@ object AnalyticsQueries {
       FROM orders JOIN cuts USING (o_orderstatus)
       GROUP BY o_orderstatus"""))
 
+  /** Median absolute deviation per status — the robust spread measure
+    * completing the outlier family (IQR drop → `q_outlier_iqr`, clip →
+    * `q_winsorized_stats`, spread → MAD). Two percentile_disc
+    * aggregates (median, then median of |x − median|), cuts broadcast
+    * between them; |x − m| subtracts exact doubles so both engines rank
+    * identical values — percentile_disc then picks the same DATA value,
+    * no interpolation drift. */
+  val qMad = Q(
+    "q_mad_by_status",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val med = o.groupBy(col("o_orderstatus")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("med"))
+      o.join(broadcast(med), Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(col("med")).as("median_price"),
+          expr("percentile_disc(0.5) WITHIN GROUP " +
+            "(ORDER BY abs(o_totalprice - med))").as("mad"),
+          count(lit(1)).as("n_orders"))
+    },
+    Some("""WITH med AS (
+        SELECT o_orderstatus,
+          quantile_disc(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1)
+      SELECT o_orderstatus, min(med) AS median_price,
+        quantile_disc(abs(o_totalprice - med), 0.5) AS mad,
+        count(*) AS n_orders
+      FROM orders JOIN med USING (o_orderstatus)
+      GROUP BY o_orderstatus"""))
+
   /** Date-spine gap fill + forward fill: daily counts/revenue of 'P'
     * orders with missing days materialized at 0 and the last seen
     * revenue carried forward. The ordered window runs over the SPINE
@@ -1050,7 +1081,7 @@ object AnalyticsQueries {
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
     qAsof, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
     qGroupingSets,
-    qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize,
+    qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,
     qSkewJoin, qOutlierIqr, qScd2, qDqReport)
 }
