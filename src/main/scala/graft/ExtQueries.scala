@@ -1981,6 +1981,91 @@ object ExtQueries {
           / sum(n_tokens) OVER (), 6) AS cum_token_frac
       FROM b"""))
 
+  /** Quality-signal correlation matrix — `q_corr_matrix`'s fused
+    * one-pass shape applied to the curation signals themselves (quality
+    * composite, stopword ratio, punct ratio, dup-token fraction): which
+    * signals are redundant decides which gates are worth their scan cost
+    * at 100 TB. All four signals are pure projections, so the whole
+    * matrix is ONE scan + one wide aggregate; DECIMAL(38,6) sums +
+    * identical parenthesization keep the cancellation-sensitive corr
+    * bits hash-identical (the q_corr_matrix rules). */
+  val signalCorr = Q(
+    "ext_signal_corr",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val sigs = Seq(
+        "quality" -> TextStats.qualityScore(col("text")),
+        "stopword_ratio" -> TextStats.stopwordRatio(col("text")),
+        "punct_ratio" -> TextStats.punctRatio(col("text")),
+        "dup_token_frac" -> TextStats.dupTokenFrac(col("text")),
+        "n_tok" -> TextStats.tokenCount(col("text")).cast("double"))
+      val names = sigs.map(_._1)
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      // signals are 6-dp, so their PRODUCTS carry 12 decimal digits —
+      // summing at scale 6 rounds them, and Spark (HALF_UP) and DuckDB
+      // disagree on ties; scale 12 represents every product exactly
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val base = Tables.documents(s, d)
+        .select(sigs.map { case (n, c) => c.as(n) }: _*)
+      val aggs =
+        Seq(count(lit(1)).as("n")) ++
+          names.map(c => sum(dec(col(c))).cast("double").as(s"s_$c")) ++
+          names.map(c =>
+            sum(dec(col(c) * col(c))).cast("double").as(s"ss_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(dec(col(a) * col(b))).cast("double").as(s"sp_${a}_$b") }
+      val w = base.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = pairs.flatMap { case (a, b) =>
+        // zero-variance guard: corr is UNDEFINED for a constant signal
+        // (the synthetic corpus has no punctuation, so punct_ratio is
+        // exactly that) — emit NULL, not a div-by-zero error; CASE WHEN
+        // short-circuits, so the division never executes on that branch
+        val d = sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+          sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+        Seq(lit(a), lit(b), when(d > 0, round(
+          (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) / d,
+          6)))
+      }
+      w.select(stack((lit(pairs.length) +: stackArgs): _*)
+        .as(Seq("col_a", "col_b", "corr")))
+    },
+    Some {
+      val dtSql = """round(1.0 -
+        CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+          AS DOUBLE)
+        / len(string_split_regex(trim(lower(text)), '\s+')), 6)"""
+      val names = Seq("quality", "stopword_ratio", "punct_ratio",
+        "dup_token_frac", "n_tok")
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      def ds(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+      val stats =
+        names.map(c => s"${ds(c)} AS s_$c") ++
+          names.map(c => s"${ds(s"$c * $c")} AS ss_$c") ++
+          pairs.map { case (a, b) => s"${ds(s"$a * $b")} AS sp_${a}_$b" }
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+          round((n * sp_${a}_$b - s_$a * s_$b)
+            / nullif(sqrt(n * ss_$a - s_$a * s_$a)
+               * sqrt(n * ss_$b - s_$b * s_$b), 0), 6) AS corr FROM w"""
+      }.mkString(" UNION ALL ")
+      s"""WITH c0 AS (
+          SELECT doc_id, $qcTokSql AS tc, $qcSrSql AS sr, $qcPrSql AS pr,
+            $qcDrSql AS dr, $dtSql AS dt
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+            ${qualityCompositeSql("tc", "sr", "pr", "dr")} AS quality,
+            sr AS stopword_ratio, pr AS punct_ratio, dt AS dup_token_frac,
+            CAST(tc AS DOUBLE) AS n_tok
+          FROM c0),
+        w AS (SELECT count(*) AS n, ${stats.mkString(", ")} FROM c)
+      $rows"""
+    })
+
   /** Global top-k vocabulary ([[graft.ext.Vocab.topK]]): corpus word
     * counts → TakeOrderedAndProject under the (c desc, tok asc) total
     * order — per-partition bounded top-k, no single-reducer sort. */
@@ -2027,6 +2112,6 @@ object ExtQueries {
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
     dupNgramCov, winnow,
     removeSpans,
-    urlDedup, lengthHistogram, ctrlScrub,
+    urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     corpusReport)
 }

@@ -249,7 +249,8 @@ object StreamPipeline {
     * survives an unbounded feed. Columns are prefixed to keep the output
     * unambiguous. */
   def clickAttributionStream(clicks: DataFrame, purchases: DataFrame,
-      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      window: String = "1 hour", watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user_id"),
       col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", watermark)
@@ -257,9 +258,13 @@ object StreamPipeline {
       col("event_id").as("purchase_id"), col("ts").as("p_ts"),
       col("value").as("purchase_value"))
       .withWatermark("p_ts", watermark)
-    c.join(p, expr(s"""c_user_id = p_user_id
-        AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $window"""))
-      .select(col("c_user_id").as("user_id"), col("click_id"),
+    // purchases are the preserved side: with joinType = "leftOuter" an
+    // unattributed purchase still emits (click_id NULL) — but only once
+    // the watermark passes its join window, when Spark can PROVE no
+    // matching click can still arrive; until then it waits in state.
+    p.join(c, expr(s"""c_user_id = p_user_id
+        AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $window"""), joinType)
+      .select(col("p_user_id").as("user_id"), col("click_id"),
         col("purchase_id"), col("purchase_value"))
   }
 }

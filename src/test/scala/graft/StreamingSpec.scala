@@ -198,6 +198,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched purchase emits " +
+      "with NULL click only after the watermark closes its window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Long, java.sql.Timestamp)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Long, java.sql.Timestamp, Double)]
+    val q = StreamPipeline.clickAttributionStream(
+      clicks.toDF.toDF("user_id", "event_id", "ts"),
+      purchases.toDF.toDF("user_id", "event_id", "ts", "value"),
+      window = "1 hour", watermark = "2 hours", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 attributes; u3 has NO click — an inner join drops it
+      clicks.addData((1L, 100L, at(0)))
+      purchases.addData((1L, 200L, at(1800), 9.99), (3L, 202L, at(60), 1.0))
+      q.processAllAvailable()
+      val early = spark.table("attr_outer_out")
+        .select(col("purchase_id")).as[Long].collect().toSet
+      // u3's outer row may NOT emit yet: its click window is still open
+      assert(early == Set(200L))
+
+      // batch 2: both feeds advance to t=+6h → watermark ≈ +4h, past
+      // u3's (ts + window) — the unmatched row must now emit
+      clicks.addData((9L, 900L, at(21600)))
+      purchases.addData((9L, 901L, at(21600), 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_out")
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((3L, -1L, 202L))) // outer row, NULL click
+      assert(rows.contains((1L, 100L, 200L)))
+      // the batch-2 dummy purchase's window is still open — not emitted
+      assert(!rows.exists(_._3 == 901L) ||
+        rows.contains((9L, 900L, 901L))) // (it may match its own click)
+    } finally q.stop()
+  }
+
   test("streaming: multi-file international batch splits per source file") {
     val landing = Files.createTempDirectory("multiint").toFile
     val out = Files.createTempDirectory("multiint_out").toString
