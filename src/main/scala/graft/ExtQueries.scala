@@ -1006,6 +1006,33 @@ object ExtQueries {
       s"SELECT doc_id, ${(0 until 4).map(f).mkString(", ")} FROM documents"
     })
 
+  /** Resize / block-mean pooling ([[graft.ext.Multimodal.resizePooled]]):
+    * payload byte grid pooled to 16 buckets. Both engines index the SAME
+    * byte sequence via its hex rendering (hex(payload) / hex(encode(text))
+    * — DuckDB 1.0 has no BLOB substring, but hex-pair slicing is
+    * byte-exact for any encoding, no ASCII pinning needed). */
+  val mmResize = Q(
+    "ext_multimodal_resize",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        Multimodal.asPayload(col("text")).as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        Multimodal.resizePooled(col("payload"), 16).as("pooled")),
+    Some("""WITH h AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS n
+        FROM documents)
+      SELECT doc_id, n AS byte_len,
+        list_transform(generate_series(0, 15), j ->
+          CASE WHEN ((j + 1) * n) // 16 > (j * n) // 16 THEN
+            round(list_sum(list_transform(
+              generate_series((j * n) // 16 + 1, ((j + 1) * n) // 16),
+              p -> ('0x' || substring(hx, 2 * p - 1, 2))::INT))
+              / CAST(((j + 1) * n) // 16 - (j * n) // 16 AS DOUBLE), 6)
+          END) AS pooled
+      FROM h"""))
+
   // The operator slices the payload by BYTES (it is binary); the oracle
   // can only slice VARCHAR by characters (DuckDB 1.0 has no BLOB
   // substring), so the text-derived payload is pinned to ASCII first —
@@ -2108,7 +2135,7 @@ object ExtQueries {
     snapshotDiff,
     cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
-    mmMeta, mmFeatures, mmFrames, kmvDistinct, detSample, llmCorpus,
+    mmMeta, mmFeatures, mmFrames, mmResize, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
     dupNgramCov, winnow,
     removeSpans,

@@ -73,6 +73,34 @@ object Multimodal {
     }: _*)
   }
 
+  /** "Resize" — block-mean pooling of the payload's byte grid down to
+    * `k` buckets (the 1-D shape of image downsampling: average each
+    * block of source samples into one target cell; a real codec path
+    * would pool decoded pixels instead of raw bytes, around the same
+    * plumbing). Bucket j covers byte positions
+    * [floor(j·n/k), floor((j+1)·n/k)) — the standard partition, exact
+    * for any n/k ratio. Buckets with no bytes (payload shorter than k)
+    * are NULL.
+    *
+    * Pure codegen HOF projection, no shuffle. Determinism: byte values
+    * are exact small ints, block sums are exact in doubles, and the
+    * mean's divisor is ≤ the block length — a 7th-decimal rounding tie
+    * is impossible for denominators this small (2^a·5^b with a,b ≤ 6),
+    * so the 6-dp round is engine-identical. */
+  def resizePooled(payload: Column, k: Int): Column = {
+    val hx = hex(payload)
+    val n = length(payload)
+    transform(sequence(lit(0), lit(k - 1)), j => {
+      val start = floor(j * n / lit(k)).cast("int")
+      val end = floor((j + 1) * n / lit(k)).cast("int")
+      val block = transform(sequence(start, end - 1),
+        p => conv(hx.substr(p * 2 + 1, lit(2)), 16, 10).cast("double"))
+      when(end > start,
+        round(aggregate(block, lit(0.0), (acc, x) => acc + x)
+          / (end - start).cast("double"), 6))
+    })
+  }
+
   /** Batched partition-level extraction: the mapPartitions twin of an
     * Arrow-batch UDF — groups rows into `batchSize` chunks, "decodes" each
     * batch, emits (id, features). A real implementation swaps

@@ -1198,6 +1198,22 @@ class ExtSpec extends SparkSpec {
     assert(hist == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
   }
 
+  test("resizePooled: block boundaries, exact means, short-payload NULLs") {
+    val df = Seq(
+      (1L, "ab"), // n=2, k=2 → one byte per bucket
+      (2L, "abcd"), // n=4, k=2 → means of (97,98) and (99,100)
+      (3L, "abc"), // n=3, k=2 → blocks [0,1) and [1,3)
+      (4L, "a")) // n=1 < k → floor partition puts the byte in bucket 1
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      Multimodal.resizePooled(Multimodal.asPayload(col("text")), 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(out(1L) == Seq(97.0, 98.0))
+    assert(out(2L) == Seq(97.5, 99.5))
+    assert(out(3L) == Seq(97.0, 98.5)) // floor boundaries: [a], [b,c]
+    assert(out(4L) == Seq(null, 97.0))
+  }
+
   test("canonicalizeUrl: each rule fires exactly where intended") {
     val cases = Seq(
       // host+scheme lowercased, path case preserved
