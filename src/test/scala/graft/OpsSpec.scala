@@ -190,6 +190,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ORC round-trip: schema and rows survive the columnar sink") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    try {
+      val orders = Tables.orders(spark, sf)
+      orders.write.mode("overwrite").orc(dir)
+      val back = spark.read.orc(dir)
+      assert(back.schema == orders.schema)
+      assert(back.count() == orders.count())
+      assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+      // ORC scans take pushed filters too — same contract as parquet
+      val plan = back.filter(col("o_totalprice") > 1000.0)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: ["), plan)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bucketed tables: co-located key join plans with NO shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
     Sinks.writeBucketed(Tables.orders(spark, sf), "orders_bkt",
