@@ -622,6 +622,55 @@ object ExtQueries {
        SELECT id_a, id_b, containment FROM cscored
        WHERE containment >= 0.3"""))
 
+  /** Jaccard threshold-sweep curve over ALL MinHash candidate pairs
+    * (threshold 0 keeps every banded collision): pairs per 0.1-wide
+    * similarity bucket plus the cumulative pairs-at-or-above count —
+    * the tuning table for picking a dedup threshold (how many pairs
+    * does 0.8 vs 0.7 merge?). The cumulative window runs over the ≤ 11
+    * bucket rows, never over pairs. floor(jaccard·10) on the identical
+    * 6-dp doubles buckets identically in both engines. */
+  val thresholdSweep = Q(
+    "ext_dedup_threshold_sweep",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = TextDedup.minhashNearDups(Tables.documents(s, d),
+        "text", "doc_id", n = 3, k = 8, bands = 4, threshold = 0.0)
+      val buckets = pairs
+        .groupBy(floor(col("jaccard") * 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets.select(col("bucket"), col("n_pairs"),
+        sum(col("n_pairs")).over(w).as("pairs_at_or_above"))
+    },
+    Some(s"""WITH $minhashCteBody,
+        b AS (
+          SELECT CAST(floor(jaccard * 10) AS INT) AS bucket,
+            count(*) AS n_pairs
+          FROM scored GROUP BY 1)
+      SELECT bucket, n_pairs,
+        CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+          AS pairs_at_or_above
+      FROM b"""))
+
+  /** Shard manifest ([[graft.ext.Curation.shardManifest]]): stable
+    * id-hash shard assignment + per-shard volume stats — the job-start
+    * planning table. */
+  val shardManifest = Q(
+    "ext_shard_manifest",
+    (s, d) => graft.ext.Curation.shardManifest(
+      Tables.documents(s, d), "doc_id", "text", nShards = 8),
+    Some("""WITH t AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 8 AS shard_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_tok,
+          length(text) AS n_ch
+        FROM documents)
+      SELECT shard_id, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(sum(n_ch) AS BIGINT) AS n_chars
+      FROM t GROUP BY 1"""))
+
   /** Transitive-closure components CTE over the MinHash near-dup pairs
     * (one definition, shared by the ext_dedup_components and
     * ext_dedup_keep_best oracles): ends in `comp(doc_id, rep_id)`. */
@@ -2132,7 +2181,7 @@ object ExtQueries {
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,
-    snapshotDiff,
+    snapshotDiff, thresholdSweep, shardManifest,
     cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, kmvDistinct, detSample, llmCorpus,

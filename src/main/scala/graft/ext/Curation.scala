@@ -178,4 +178,23 @@ object Curation {
           .when(col("avg_logprob") >= col("cut_low"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
+
+  /** Shard manifest — the planning table a training run reads instead of
+    * the corpus: deterministic id-hash shard assignment (same md5 bucket
+    * family as [[TextDedup.hashSplit]], so shards are stable under
+    * re-layout) with per-shard doc/token/char volume. One projection +
+    * one `nShards`-row aggregate; the manifest is what makes token-count
+    * budgeting and balanced data-loader striping possible without
+    * scanning 100 TB at job-start. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int = 8): DataFrame =
+    docs.select(
+        (TextDedup.baseHash(col(idCol).cast("string")) % nShards)
+          .as("shard_id"),
+        TextStats.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        length(col(textCol)).cast("long").as("n_ch"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_ch")).as("n_chars"))
 }
