@@ -132,4 +132,56 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("canonicalizeUrl is idempotent over random URL shapes") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val hosts = Seq("X.com", "shop.Example.COM", "a.b.co:8080")
+    val paths = Seq("", "/", "/p/Q", "/p/Q/", "/a//")
+    val queries = Seq("", "?utm_source=x", "?a=1&utm_medium=m&b=2",
+      "?ref&z=9", "?reference=2&gclid=g")
+    val frags = Seq("", "#top", "#s/2?x=1")
+    val urls = List.fill(200)(
+      s"https://${hosts(rnd.nextInt(hosts.size))}" +
+        paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size)))
+    val out = urls.toDF("url").select(
+      graft.ext.Markup.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"),
+        graft.ext.Markup.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
+  test("resizePooled: k cells, weighted cell means reproduce global mean") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val texts = List.fill(60)(
+      (1 to (1 + rnd.nextInt(90))).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString)
+    for (k <- Seq(2, 7, 16)) {
+      val rows = texts.toDF("text").select(col("text"),
+        graft.ext.Multimodal.resizePooled(
+          graft.ext.Multimodal.asPayload(col("text")), k).as("p"))
+        .collect()
+      rows.foreach { r =>
+        val text = r.getString(0)
+        val cells = r.getSeq[Any](1)
+        assert(cells.length == k)
+        val n = text.length
+        // block j weight = block length; weighted mean of non-null cells
+        // must equal the exact byte mean (cells are rounded to 6 dp, so
+        // allow k rounding quanta of drift)
+        val weighted = (0 until k).map { j =>
+          val len = ((j + 1) * n / k) - (j * n / k)
+          if (len == 0) 0.0
+          else cells(j).asInstanceOf[Double] * len
+        }.sum / n
+        val exact = text.map(_.toInt).sum.toDouble / n
+        assert(math.abs(weighted - exact) <= k * 5e-7 + 1e-9,
+          s"k=$k n=$n weighted=$weighted exact=$exact")
+      }
+    }
+  }
 }
