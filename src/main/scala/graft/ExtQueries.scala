@@ -2154,6 +2154,36 @@ object ExtQueries {
       SELECT tok, count(*) AS c FROM t GROUP BY 1
       ORDER BY c DESC, tok ASC LIMIT 50"""))
 
+  /** Corpus tokenization to id sequences
+    * ([[graft.ext.Vocab.tokenizeToIds]]): frequency-rank ids over the
+    * top-200 vocabulary, UNK = 0. The oracle rebuilds the same ranking
+    * (identical total order) and restores order with `list(... ORDER BY
+    * pos)`; exact integers end to end. */
+  val tokenizeIds = Q(
+    "ext_tokenize_ids",
+    (s, d) => graft.ext.Vocab.tokenizeToIds(
+      Tables.documents(s, d), "text", "doc_id", vocabSize = 200),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      ex AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)),
+            i -> struct_pack(pos := i, tok := t[i]))) AS s
+        FROM toks),
+      flat AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM ex),
+      cnt AS (SELECT tok, count(*) AS c FROM flat GROUP BY 1),
+      ranked AS (
+        SELECT tok, id FROM (
+          SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS id
+          FROM cnt) WHERE id <= 200)
+      SELECT f.doc_id,
+        list(coalesce(r.id, 0) ORDER BY f.pos) AS token_ids,
+        count(*) AS n_tokens,
+        CAST(count(*) FILTER (r.id IS NULL) AS BIGINT) AS n_unk
+      FROM flat f LEFT JOIN ranked r USING (tok)
+      GROUP BY f.doc_id"""))
+
   /** BPE merge learning ([[graft.ext.Vocab.bpeTrain]]): first 10 learned
     * merge rules over the corpus vocabulary. Rows-only by design — the
     * iterative argmax/merge loop has no tractable single-query SQL
@@ -2172,7 +2202,7 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     gopherGates, htmlStrip, nfcNormalize, urlDomains, sourceMix,
-    vocabTopk, bpeMerges, ccnetBuckets,
+    vocabTopk, tokenizeIds, bpeMerges, ccnetBuckets,
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
     quantize, packOffsets,

@@ -31,6 +31,40 @@ object Vocab {
       .orderBy(col("c").desc, col("tok").asc)
       .limit(k)
 
+  /** Tokenize the corpus to vocabulary-id SEQUENCES — the id arrays a
+    * training data loader actually consumes: ids are frequency ranks
+    * (1 = most frequent) over the top-`vocabSize` vocabulary under the
+    * (count desc, token asc) total order; out-of-vocabulary tokens map
+    * to 0 (UNK) and are counted per doc.
+    *
+    * Scale: the ranked vocabulary is `vocabSize` rows (its rank window
+    * is bounded by V, never the corpus) and BROADCASTS to the token
+    * join; order is restored per doc with `array_sort` over (pos, id)
+    * structs — one hash aggregate keyed on doc id, no window over
+    * corpus-sized data. */
+  def tokenizeToIds(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = topK(docs, textCol, vocabSize).select(col("tok"),
+      row_number().over(Window.orderBy(col("c").desc, col("tok").asc))
+        .as("id"))
+    val toks = docs.select(col(idCol),
+      posexplode(TextStats.tokens(lower(col(textCol))))
+        .as(Seq("pos", "tok")))
+    toks.join(broadcast(ranked), Seq("tok"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("id"), lit(0)).as("id"))
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("id"))))
+          .as("_ordered"),
+        count(lit(1)).as("n_tokens"),
+        sum((col("id") === 0).cast("long")).as("n_unk"))
+      .select(col(idCol),
+        transform(col("_ordered"), s => s.getField("id")).as("token_ids"),
+        col("n_tokens"), col("n_unk"))
+  }
+
   /** End-of-word marker (the Sennrich `</w>`): merges cannot cross word
     * boundaries, and word-final subwords stay distinct from word-internal
     * ones. */

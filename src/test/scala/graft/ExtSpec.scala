@@ -1198,6 +1198,19 @@ class ExtSpec extends SparkSpec {
     assert(hist == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
   }
 
+  test("tokenizeToIds: frequency ranks, order restored, OOV → 0") {
+    val df = Seq(
+      (1L, "b a b c b a"), // b×3, a×2, c×1
+      (2L, "a zz b")) // zz is out of the top-2 vocabulary
+      .toDF("doc_id", "text")
+    val out = graft.ext.Vocab.tokenizeToIds(df, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getLong(2), r.getLong(3))).toMap
+    // vocab: b (3) → id 1, a (2) → id 2; c and zz → UNK 0
+    assert(out(1L) == ((Seq(1, 2, 1, 0, 1, 2), 6L, 1L)))
+    assert(out(2L) == ((Seq(2, 0, 1), 3L, 1L)))
+  }
+
   test("resizePooled: block boundaries, exact means, short-payload NULLs") {
     val df = Seq(
       (1L, "ab"), // n=2, k=2 → one byte per bucket
