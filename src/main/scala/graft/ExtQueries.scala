@@ -671,6 +671,48 @@ object ExtQueries {
         CAST(sum(n_ch) AS BIGINT) AS n_chars
       FROM t GROUP BY 1"""))
 
+  /** Cross-source overlap matrix: for each source pair, how many
+    * DISTINCT contents (by fingerprint) appear in BOTH — the table that
+    * tells a curation team which feeds mirror each other (and which
+    * union is actually additive). Distinct (source, fp) projection
+    * first (the shuffle carries one row per source-content pair, not
+    * per doc), then a self-equi-join on the fingerprint: a content in k
+    * sources contributes C(k,2) ≤ C(|sources|,2) rows — bounded by the
+    * source count squared, never corpus size. */
+  val sourceOverlap = Q(
+    "ext_source_overlap",
+    (s, d) => {
+      // salt: every 10th doc is mirrored into a 'mirrorN' feed — the
+      // cross-feed syndication pattern the matrix exists to expose
+      // (without it the synthetic corpus has no cross-source dups at
+      // sf0.01 and the query would be verified against an empty frame)
+      val docs = Tables.documents(s, d)
+      val salted = docs.select(col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(concat(lit("mirror"), col("doc_id") % 3).as("source"),
+            col("text")))
+      val fps = graft.ops.CacheScope.persist(
+        salted.select(col("source"),
+          TextStats.fingerprint(col("text")).as("fp")).distinct())
+      fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some(s"""WITH salted AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror' || CAST(doc_id % 3 AS VARCHAR) AS source, text
+        FROM documents WHERE doc_id % 10 = 0),
+      fps AS (
+        SELECT DISTINCT source, ${fpSql()} AS fp
+        FROM salted)
+      SELECT a.source AS source_a, b.source AS source_b,
+        count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2"""))
+
   /** Transitive-closure components CTE over the MinHash near-dup pairs
     * (one definition, shared by the ext_dedup_components and
     * ext_dedup_keep_best oracles): ends in `comp(doc_id, rep_id)`. */
@@ -2211,7 +2253,7 @@ object ExtQueries {
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,
-    snapshotDiff, thresholdSweep, shardManifest,
+    snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, kmvDistinct, detSample, llmCorpus,
