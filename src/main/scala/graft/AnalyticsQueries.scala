@@ -983,6 +983,69 @@ object AnalyticsQueries {
           ORDER BY ts ASC, event_id ASC), '%Y-%m-%d %H:%M:%S') AS valid_to
       FROM changes"""))
 
+  /** Point-in-time (temporal) lookup against the SCD2 dimension built by
+    * `q_scd2_intervals`: each purchase joins the regime interval active
+    * AT its timestamp — `key equal AND valid_from <= ts < valid_to`, the
+    * textbook SCD2 fact-to-dimension join. The equi key (user_id) keeps
+    * it a hash/sort-merge join (never a cartesian); the interval
+    * predicate multiplies each fact by that USER'S version count before
+    * filtering — bounded by history depth per key, not corpus size.
+    * Exactly one interval matches per purchase (intervals partition each
+    * user's timeline; an empty [t, t) interval from equal-timestamp
+    * changes can never match). */
+  val qScd2Lookup = Q(
+    "q_scd2_lookup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      // the dimension is built from NON-purchase activity (building it
+      // from all events would be degenerate: every purchase would sit in
+      // the regime it itself opens)
+      val changes = Tables.events(s, d)
+        .filter(col("event_type") =!= "purchase")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val intervals = changes
+        .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+        .select(col("user_id").as("i_user"), col("event_type").as("regime"),
+          col("ts").as("valid_from"), col("next_ts").as("valid_to"))
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+        .join(intervals,
+          col("user_id") === col("i_user") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .groupBy(col("regime"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some(s"""WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS prev_type
+        FROM events WHERE event_type <> 'purchase'),
+      changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type),
+      iv AS (
+        SELECT user_id AS i_user, event_type AS regime, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS valid_to
+        FROM changes),
+      p AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase')
+      SELECT regime, count(*) AS n_purchases,
+        ${dsumSql("value")} AS total_value,
+        count(DISTINCT user_id) AS n_users
+      FROM p JOIN iv ON p.user_id = iv.i_user
+        AND p.ts >= iv.valid_from
+        AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+      GROUP BY regime"""))
+
   /** Fused data-quality / constraint report: every row-local check plus
     * the dimension referential check in ONE scan per fact table — the
     * naive form (one job per constraint) is linear in constraints at
@@ -1083,5 +1146,5 @@ object AnalyticsQueries {
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,
-    qSkewJoin, qOutlierIqr, qScd2, qDqReport)
+    qSkewJoin, qOutlierIqr, qScd2, qScd2Lookup, qDqReport)
 }
