@@ -622,6 +622,58 @@ object ExtQueries {
        SELECT id_a, id_b, containment FROM cscored
        WHERE containment >= 0.3"""))
 
+  /** Edit-distance near-dup ([[TextDedup.editDistancePairs]]): LSH
+    * candidates verified with exact Levenshtein. Salt: every 25th doc
+    * gains a negative-id copy with char 11 substituted (distance 1) and
+    * every 50th additionally a copy with chars 11 and 31 substituted
+    * (distance 2) — copy ids are −3·doc_id−{1,2}, injective and outside
+    * the non-negative real id space at every scale factor. The verify
+    * filter is load-bearing both ways: salted pairs survive, while
+    * band-colliding random doc pairs (similar token sets, large char
+    * distance) are cut. The oracle states the PLAIN
+    * distance-then-filter form — proving the thresholded early-exit DP
+    * on the Spark side changes nothing. */
+  val dedupEditDistance = Q(
+    "ext_dedup_editdistance",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      def sub(at: Int, mark: String,
+          from: org.apache.spark.sql.Column) = concat(
+        from.substr(lit(1), lit(at - 1)), lit(mark),
+        from.substr(lit(at + 1), length(from)))
+      val d1 = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") * -3 - 1).as("doc_id"),
+          sub(11, "#", col("text")).as("text"))
+      val d2 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") * -3 - 2).as("doc_id"),
+          sub(31, "%", sub(11, "#", col("text"))).as("text"))
+      TextDedup.editDistancePairs(
+        docs.unionByName(d1).unionByName(d2), "text", "doc_id",
+        n = 3, k = 8, bands = 4, maxDist = 4)
+    },
+    Some {
+      val subSql = "substring(text,1,10) || '#' || substring(text,12,length(text))"
+      val sub2Sql = "substring(t2,1,30) || '%' || substring(t2,32,length(t2))"
+      s"""WITH salted AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT -3*doc_id - 1, $subSql FROM documents WHERE doc_id % 25 = 0
+          UNION ALL
+          SELECT -3*doc_id - 2, $sub2Sql FROM (
+            SELECT doc_id, $subSql AS t2 FROM documents WHERE doc_id % 50 = 0)),
+        ${minhashCteBodyFrom("salted")},
+        verified AS (
+          SELECT id_a, id_b,
+            levenshtein(ta.text, tb.text) AS dist,
+            round(1.0 - levenshtein(ta.text, tb.text)
+              / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE), 6)
+              AS edit_sim
+          FROM cand
+          JOIN salted ta ON cand.id_a = ta.doc_id
+          JOIN salted tb ON cand.id_b = tb.doc_id)
+        SELECT id_a, id_b, dist, edit_sim FROM verified WHERE dist <= 4"""
+    })
+
   /** Jaccard threshold-sweep curve over ALL MinHash candidate pairs
     * (threshold 0 keeps every banded collision): pairs per 0.1-wide
     * similarity bucket plus the cumulative pairs-at-or-above count —
@@ -2250,6 +2302,7 @@ object ExtQueries {
     quantize, packOffsets,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
+    dedupEditDistance,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,

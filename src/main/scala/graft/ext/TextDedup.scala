@@ -422,6 +422,41 @@ object TextDedup {
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
 
+  /** Edit-distance near-dup pairs: MinHash-LSH candidate generation
+    * (bucketed band self-join — never all-pairs) verified with exact
+    * character-level Levenshtein distance. The standard fuzzy-dedup
+    * composition at scale: banding bounds the candidate set by band
+    * collisions while the O(|a|·|b|) DP verify runs only on pairs that
+    * already share signature bands. Genuinely-close strings (a few char
+    * edits) share almost all shingles, so they band-collide with
+    * probability ≈ 1 and recall tracks the Jaccard banding bound; the
+    * caveat is inherited from [[minhashNearDups]] and documented, not
+    * hidden.
+    *
+    * The Spark side uses the THRESHOLDED Levenshtein (early-exit DP,
+    * added in Spark 3.5): a pair whose distance exceeds `maxDist`
+    * abandons the DP after the band of width 2·maxDist+1 diverges,
+    * so the verify cost per candidate is O(maxDist · max(|a|,|b|)),
+    * not O(|a|·|b|). `-1` marks "exceeded" and is filtered; results are
+    * provably identical to plain-distance-then-filter (the oracle states
+    * that naive form).
+    *
+    * Returns (id_a, id_b, dist, edit_sim) with dist ≤ maxDist and
+    * edit_sim = 1 − dist / max(len_a, len_b) rounded 6 dp. */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4, maxDist: Int = 8): DataFrame = {
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    lshCandidates(df, textCol, idCol, n, k, bands)
+      .select("id_a", "id_b")
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .withColumn("edit_sim", round(lit(1.0) - col("dist") /
+        greatest(length(col("t_a")), length(col("t_b"))).cast("double"), 6))
+      .select("id_a", "id_b", "dist", "edit_sim")
+  }
+
   /** All-pairs n-gram Jaccard over an inverted shingle index — the exact
     * baseline used to verify LSH recall (quadratic per shared shingle;
     * not the 100 TB path).

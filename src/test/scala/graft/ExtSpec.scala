@@ -291,6 +291,36 @@ class ExtSpec extends SparkSpec {
     if (exact.nonEmpty) assert(lsh.size.toDouble / exact.size > 0.5)
   }
 
+  test("edit-distance pairs: sound vs naive all-pairs; near-identical recall") {
+    val base = "the quick brown fox jumps over the lazy dog near the river today"
+    val fixture = Seq(
+      (1L, base),
+      (2L, base.replace('q', 'Q')), // dist 1
+      (3L, base + " x"), // dist 2 (append " x")
+      (4L, "completely different words entirely unrelated content written here"),
+      (5L, base.replace("fox", "cat"))) // dist 3
+      .toDF("doc_id", "text")
+    val got = TextDedup.editDistancePairs(fixture, "text", "doc_id",
+      n = 3, k = 8, bands = 4, maxDist = 4)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // naive reference: all pairs, plain (unthresholded) levenshtein
+    val naive = fixture.as("a").crossJoin(fixture.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")).as("dist"))
+      .filter(col("dist") <= 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // soundness: every emitted pair is a true ≤ maxDist pair
+    assert(got.subsetOf(naive))
+    // recall on near-identical strings (1-2 char edits share almost all
+    // shingles, so they band-collide): the dist-1/2 pairs must be found
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 2)))
+    // the far doc pairs with nothing
+    assert(got.forall { case (a, b, _) => a != 4L && b != 4L })
+    // thresholded-DP parity: emitted distances match the plain DP's
+    got.foreach(p => assert(naive.contains(p)))
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
