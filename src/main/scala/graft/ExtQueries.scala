@@ -674,6 +674,76 @@ object ExtQueries {
         SELECT id_a, id_b, dist, edit_sim FROM verified WHERE dist <= 4"""
     })
 
+  /** PageRank ([[graft.ext.Graph.pageRank]]) over a deterministically
+    * salted link graph: every doc links to 3 md5-derived targets (mod
+    * the corpus size — doc_ids are dense by driver construction), docs
+    * with id % 10 == 7 have NO outlinks so the dangling-mass
+    * redistribution term is load-bearing, self-loops excluded. The
+    * oracle unrolls all 5 iterations as chained CTEs with the identical
+    * decimal-sum / double-op shape; constants are interpolated from the
+    * same Scala doubles wrapped in CAST(.. AS DOUBLE) (a bare long
+    * decimal literal stays DECIMAL in DuckDB and would diverge from
+    * IEEE arithmetic). */
+  val pagerank = Q(
+    "ext_pagerank",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def h(j: Int) = conv(substring(md5(concat(
+        lit("edge:"), col("doc_id").cast("string"), lit(s":$j"))), 1, 8),
+        16, 10).cast("long") % n
+      val edges = (1 to 3).map { j =>
+        docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id").as("src"), h(j).as("dst"))
+      }.reduce(_.unionByName(_))
+        .filter(col("dst") =!= col("src"))
+        .distinct()
+      graft.ext.Graph.pageRank(
+        docs.select(col("doc_id").as("node")), edges,
+        iters = 5, damping = 0.85)
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+    },
+    Some {
+      val damping = 0.85
+      def dbl(v: Double) = s"CAST($v AS DOUBLE)"
+      val cnt = "(SELECT cnt FROM nn)"
+      val iters = (1 to 5).map { i =>
+        val prev = s"r${i - 1}"
+        s"""d$i AS (
+            SELECT CAST(coalesce(sum(CAST(rank AS DECIMAL(38,18))), 0)
+              AS DOUBLE) AS dang
+            FROM $prev WHERE node NOT IN (SELECT src FROM outdeg)),
+          c$i AS (
+            SELECT e.dst AS node,
+              CAST(sum(CAST(r.rank / o.outdeg AS DECIMAL(38,18)))
+                AS DOUBLE) AS inflow
+            FROM $prev r
+            JOIN edges e ON r.node = e.src
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY 1),
+          r$i AS (
+            SELECT n.node,
+              ${dbl(1 - damping)} / $cnt + ${dbl(damping)}
+                * (coalesce(c.inflow, ${dbl(0.0)}) + d.dang / $cnt) AS rank
+            FROM nodes n
+            LEFT JOIN c$i c ON n.node = c.node
+            CROSS JOIN d$i d)"""
+      }.mkString(",\n        ")
+      s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+        nn AS (SELECT count(*) AS cnt FROM nodes),
+        eraw AS (
+          SELECT doc_id AS src,
+            ('0x' || substring(md5('edge:' || CAST(doc_id AS VARCHAR)
+              || ':' || j), 1, 8))::BIGINT % $cnt AS dst
+          FROM documents, (SELECT unnest([1, 2, 3]) AS j)
+          WHERE doc_id % 10 != 7),
+        edges AS (SELECT DISTINCT src, dst FROM eraw WHERE dst != src),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        r0 AS (SELECT node, ${dbl(1.0)} / $cnt AS rank FROM nodes),
+        $iters
+        SELECT node, round(rank, 12) AS rank FROM r5"""
+    })
+
   /** Jaccard threshold-sweep curve over ALL MinHash candidate pairs
     * (threshold 0 keeps every banded collision): pairs per 0.1-wide
     * similarity bucket plus the cumulative pairs-at-or-above count —
@@ -2302,7 +2372,7 @@ object ExtQueries {
     quantize, packOffsets,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
-    dedupEditDistance,
+    dedupEditDistance, pagerank,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,

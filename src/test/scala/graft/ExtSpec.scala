@@ -321,6 +321,23 @@ class ExtSpec extends SparkSpec {
     got.foreach(p => assert(naive.contains(p)))
   }
 
+  test("pageRank: mass conserved, hubs rank highest, isolated gets teleport") {
+    import graft.ext.Graph
+    // star: 1..4 all link to 0; 0 itself is dangling; 9 is isolated
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 9L).toDF("node")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, iters = 10, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    // total rank mass is conserved by teleport + dangling redistribution
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // the hub all spokes point at dominates everything else
+    assert(r(0L) > r(1L) * 3)
+    // spokes and the isolated node both hold only teleport-derived mass;
+    // the isolated node additionally receives its dangling share
+    assert(Seq(1L, 2L, 3L, 4L, 9L).map(r).forall(_ > 0))
+    assert(math.abs(r(1L) - r(2L)) < 1e-15)
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
