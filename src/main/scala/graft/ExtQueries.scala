@@ -744,6 +744,74 @@ object ExtQueries {
         SELECT node, round(rank, 12) AS rank FROM r5"""
     })
 
+  /** HITS hubs & authorities ([[graft.ext.Graph.hits]]) on a second
+    * salted graph (2 outlinks per doc, docs with id % 7 == 3 are pure
+    * authorities — no outlinks). L1 normalization keeps every
+    * normalizer an exact decimal sum (no per-iteration sqrt to pin);
+    * the oracle unrolls 3 iterations = 6 half-steps, each a raw-sum
+    * CTE + a 1-row total CTE + a normalize CTE with the guard shape
+    * matching the Spark `when`. */
+  val hitsQ = Q(
+    "ext_hits",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def h(j: Int) = conv(substring(md5(concat(
+        lit("hedge:"), col("doc_id").cast("string"), lit(s":$j"))), 1, 8),
+        16, 10).cast("long") % n
+      val edges = (1 to 2).map { j =>
+        docs.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id").as("src"), h(j).as("dst"))
+      }.reduce(_.unionByName(_))
+        .filter(col("dst") =!= col("src"))
+        .distinct()
+      graft.ext.Graph.hits(
+        docs.select(col("doc_id").as("node")), edges, iters = 3)
+        .select(col("node"), round(col("hub"), 12).as("hub"),
+          round(col("auth"), 12).as("auth"))
+    },
+    Some {
+      val cnt = "(SELECT cnt FROM nn)"
+      // one L1-normalized half-step: raw sums of `fromCol` pulled across
+      // edges (joinSide = src pulls hub mass forward onto dst; dst pulls
+      // auth mass back onto src), then total, then guarded divide
+      def half(out: String, i: Int, from: String, fromCol: String,
+          joinSide: String, groupSide: String) =
+        s"""${out}r$i AS (
+            SELECT e.$groupSide AS node,
+              CAST(sum(CAST(p.$fromCol AS DECIMAL(38,18))) AS DOUBLE) AS v
+            FROM $from p JOIN edges e ON p.node = e.$joinSide
+            GROUP BY 1),
+          ${out}t$i AS (
+            SELECT CAST(coalesce(sum(CAST(coalesce(r.v, 0.0)
+              AS DECIMAL(38,18))), 0) AS DOUBLE) AS tot
+            FROM nodes n LEFT JOIN ${out}r$i r ON n.node = r.node),
+          $out$i AS (
+            SELECT n.node,
+              CASE WHEN t.tot != 0 THEN coalesce(r.v, 0.0) / t.tot
+                ELSE 0.0 END AS ${if (out == "a") "auth" else "hub"}
+            FROM nodes n
+            LEFT JOIN ${out}r$i r ON n.node = r.node
+            CROSS JOIN ${out}t$i t)"""
+      val iters = (1 to 3).map { i =>
+        half("a", i, s"h${i - 1}", "hub", "src", "dst") + ",\n          " +
+          half("h", i, s"a$i", "auth", "dst", "src")
+      }.mkString(",\n        ")
+      s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+        nn AS (SELECT count(*) AS cnt FROM nodes),
+        eraw AS (
+          SELECT doc_id AS src,
+            ('0x' || substring(md5('hedge:' || CAST(doc_id AS VARCHAR)
+              || ':' || j), 1, 8))::BIGINT % $cnt AS dst
+          FROM documents, (SELECT unnest([1, 2]) AS j)
+          WHERE doc_id % 7 != 3),
+        edges AS (SELECT DISTINCT src, dst FROM eraw WHERE dst != src),
+        h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+        $iters
+        SELECT h.node, round(h.hub, 12) AS hub, round(a.auth, 12) AS auth
+        FROM h3 h JOIN a3 a ON h.node = a.node"""
+    })
+
   /** Jaccard threshold-sweep curve over ALL MinHash candidate pairs
     * (threshold 0 keeps every banded collision): pairs per 0.1-wide
     * similarity bucket plus the cumulative pairs-at-or-above count —
@@ -2372,7 +2440,7 @@ object ExtQueries {
     quantize, packOffsets,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
-    dedupEditDistance, pagerank,
+    dedupEditDistance, pagerank, hitsQ,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,

@@ -90,4 +90,75 @@ object Graph {
     }
     CacheScope.track(ranks)
   }
+
+  /** HITS (Kleinberg hubs & authorities) with L1 normalization.
+    *
+    * T iterations of the mutual recurrence over edges (src → dst):
+    *
+    *   a'(v) = Σ_{(u,v)∈E} h(u)   then a ← a / Σ a
+    *   h'(u) = Σ_{(u,v)∈E} a(v)   then h ← h / Σ h
+    *
+    * Nodes outside the edge set keep score 0 (they neither point nor are
+    * pointed at); the node frame fixes the output universe. L1 (not the
+    * textbook L2) normalization is deliberate: the normalizer is then a
+    * plain sum of non-negative doubles, which goes through the exact
+    * DECIMAL path — no per-iteration sqrt whose rounding would have to be
+    * pinned on both engines. Ranking order is identical under any
+    * p-norm (positive scalar rescale).
+    *
+    * Scale shape: identical to [[pageRank]] — the persisted edge list is
+    * reused every iteration; one equi-join + one hash aggregate per
+    * half-step, normalizers ride a 1-row broadcast, per-iteration
+    * `localCheckpoint` truncates the (here mutually recursive, so
+    * doubly exploding) lineage. Swap for reliable `checkpoint` + an
+    * edge list bucketed on BOTH src and dst copies on a real cluster.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 4)
+      : DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    val nodeF = CacheScope.persist(nodes.select(col("node")).distinct())
+    val edgeF = CacheScope.persist(edges.select(col("src"), col("dst")))
+
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 18))).cast("double")
+    // L1-normalize `valueCol` over the whole frame via a 1-row broadcast;
+    // the all-zero guard keeps the expression shape identical to the
+    // oracle's CASE (double 0/0 would be NaN, not an ANSI error)
+    def l1norm(df: DataFrame, valueCol: String): DataFrame = {
+      val tot = df.agg(coalesce(decSum(col(valueCol)), lit(0.0)).as("tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("tot") =!= 0.0, col(valueCol) / col("tot"))
+            .otherwise(lit(0.0)).as(valueCol))
+    }
+
+    var hubs =
+      nodeF.select(col("node"), lit(1.0).as("hub")).localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val authRaw = hubs
+        .join(edgeF, hubs("node") === edgeF("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(decSum(col("hub")).as("auth"))
+      val nextAuth = l1norm(
+        nodeF.join(authRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth").localCheckpoint()
+      if (auths != null) auths.unpersist(blocking = false)
+      auths = nextAuth
+      val hubRaw = auths
+        .join(edgeF, auths("node") === edgeF("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(decSum(col("auth")).as("hub"))
+      val nextHub = l1norm(
+        nodeF.join(hubRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub").localCheckpoint()
+      hubs.unpersist(blocking = false)
+      hubs = nextHub
+    }
+    CacheScope.track(
+      hubs.join(auths, Seq("node"))
+        .select(col("node"), col("hub"), col("auth")))
+  }
 }

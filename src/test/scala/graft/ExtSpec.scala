@@ -338,6 +338,26 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(1L) - r(2L)) < 1e-15)
   }
 
+  test("hits: authorities land on pointed-at nodes, L1 mass sums to 1") {
+    import graft.ext.Graph
+    // bipartite-ish: 1,2,3 all point at 8 and 9; nothing points back
+    val nodes = Seq(1L, 2L, 3L, 8L, 9L, 5L).toDF("node")
+    val edges = Seq((1L, 8L), (2L, 8L), (3L, 8L), (1L, 9L))
+      .toDF("src", "dst")
+    val r = Graph.hits(nodes, edges, iters = 4)
+      .as[(Long, Double, Double)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-9) // hub mass
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9) // auth mass
+    // 8 has 3 in-links from the best hubs; 9 has 1; isolated 5 has none
+    assert(r(8L)._2 > r(9L)._2 && r(9L)._2 > 0)
+    assert(r(5L) == ((0.0, 0.0)))
+    // hub 1 points at both authorities, hub 2 at one — 1 must out-hub 2
+    assert(r(1L)._1 > r(2L)._1)
+    // pure authorities are not hubs
+    assert(r(8L)._1 == 0.0 && r(9L)._1 == 0.0)
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
