@@ -1852,6 +1852,49 @@ object ExtQueries {
       FROM bi JOIN lp USING (bg)
       GROUP BY doc_id"""))
 
+  /** Hashed-n-gram linear quality classifier
+    * ([[graft.ext.TextStats.hashedLinearScore]]): fastText-style
+    * hashing-trick scoring — unigram+bigram bag hashed into 4096
+    * buckets, md5-derived stand-in weight vector (broadcast), margin =
+    * exact-decimal mean weight, sigmoid score, keep gate. The oracle
+    * rebuilds the weight table from `generate_series` with the same
+    * hash arithmetic. */
+  val qualityClassifier = Q(
+    "ext_quality_classifier",
+    (s, d) => graft.ext.TextStats.hashedLinearScore(
+      Tables.documents(s, d), "text", "doc_id"),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(t) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> array_to_string(t[i:i+1], ' '))) AS gram
+        FROM toks WHERE len(t) >= 2),
+      hashed AS (
+        SELECT doc_id,
+          ('0x' || substring(md5('qclf:g:' || gram), 1, 8))::BIGINT % 4096
+            AS bucket
+        FROM grams),
+      w AS (
+        SELECT g AS bucket,
+          (('0x' || substring(md5('qclf:w:' || CAST(g AS VARCHAR)), 1, 8))
+            ::BIGINT % 2001 - 1000) / CAST(1000 AS DOUBLE) AS weight
+        FROM generate_series(0, 4095) s(g)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_features,
+          round(CAST(sum(CAST(weight AS DECIMAL(38,6))) AS DOUBLE)
+            / count(*), 6) AS margin
+        FROM hashed JOIN w USING (bucket)
+        GROUP BY 1)
+      SELECT doc_id, n_features, margin,
+        round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-margin)), 6)
+          AS score,
+        CAST(margin >= 0 AS INT) AS keep
+      FROM agg"""))
+
   /** Corpus snapshot diff ([[graft.ext.Curation.snapshotDiff]]): the
     * current snapshot is derived from `documents` with every diff class
     * load-bearing — doc_id%13 docs edited (changed), doc_id%17 docs
@@ -2449,6 +2492,7 @@ object ExtQueries {
     simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
+    qualityClassifier,
     dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,

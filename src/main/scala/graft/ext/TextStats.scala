@@ -446,4 +446,55 @@ object TextStats {
       round(sum(col("n_tokens")).over(w).cast("double")
         / sum(col("n_tokens")).over(tot), 6).as("cum_token_frac"))
   }
+
+  // ---- hashed-n-gram linear classifier (fastText-style) -------------------
+
+  /** The classifier's weight vector as a (bucket, weight) table. Real
+    * deployments ship trained weights (fastText / logistic regression
+    * over hashed bag-of-n-grams); here the stand-in weights are
+    * md5-derived in [-1, 1] with 3 exact decimals — deterministic,
+    * public, and reproducible on the oracle side. The table is
+    * `buckets` rows regardless of corpus size, so it always broadcasts. */
+  def hashedClassifierWeights(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int, salt: String): DataFrame =
+    spark.range(buckets.toLong).select(col("id").as("bucket"),
+      ((conv(substring(md5(concat(lit(s"$salt:w:"),
+        col("id").cast("string"))), 1, 8), 16, 10).cast("long")
+        % 2001 - 1000) / 1000.0).as("weight"))
+
+  /** Quality classification via the hashing trick: features are word
+    * unigrams + bigrams (a bag WITH multiplicity), hashed into
+    * `buckets`; score = sigmoid(mean feature weight); `keep` = margin
+    * ≥ 0. This is the standard shape of a fastText-style corpus
+    * quality filter — swap [[hashedClassifierWeights]] for a trained
+    * vector and nothing else changes.
+    *
+    * Scale: explode → ONE broadcast join (the weight table is fixed
+    * size) → one hash aggregate keyed on the doc id with map-side
+    * partials. No window, no driver-side model state; cost is linear
+    * in corpus token count.
+    *
+    * Determinism: weights are k/1000 doubles (identical IEEE values in
+    * both engines), summed through exact DECIMAL(38,6); the margin is
+    * rounded to 6 dp BEFORE the transcendental sigmoid and the score
+    * rounded after (the lmScore rules). */
+  def hashedLinearScore(docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 4096, salt: String = "qclf"): DataFrame = {
+    val weights = hashedClassifierWeights(docs.sparkSession, buckets, salt)
+    val grams = docs.select(col(idCol),
+      explode(concat(tokens(lower(col(textCol))),
+        rawBigrams(col(textCol)))).as("gram"))
+    val hashed = grams.select(col(idCol),
+      (conv(substring(md5(concat(lit(s"$salt:g:"), col("gram"))), 1, 8),
+        16, 10).cast("long") % buckets).as("bucket"))
+    val margin = round(
+      sum(col("weight").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double") / count(lit(1)), 6)
+    hashed.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), margin.as("margin"))
+      .select(col(idCol), col("n_features"), col("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6).as("score"),
+        (col("margin") >= 0).cast("int").as("keep"))
+  }
 }

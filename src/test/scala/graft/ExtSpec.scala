@@ -358,6 +358,27 @@ class ExtSpec extends SparkSpec {
     assert(r(8L)._1 == 0.0 && r(9L)._1 == 0.0)
   }
 
+  test("hashedLinearScore: 2n-1 features, sigmoid bounds, sign gate") {
+    import graft.ext.TextStats
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // 4 uni + 3 bi = 7
+      (2L, "alpha beta gamma delta"), // identical → identical score
+      (3L, "solo"),                   // 1 uni, no bigrams
+      (4L, "totally different words here indeed")
+    ).toDF("doc_id", "text")
+    val r = TextStats.hashedLinearScore(docs, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getInt(4)))).toMap
+    assert(r(1L)._1 == 7 && r(3L)._1 == 1)
+    assert(r(1L) == r(2L)) // pure function of text
+    r.values.foreach { case (_, margin, score, keep) =>
+      assert(score > 0.0 && score < 1.0)
+      assert(keep == (if (margin >= 0) 1 else 0))
+      // sigmoid orientation: positive margin ⇒ score above ½
+      assert((margin >= 0) == (score >= 0.5))
+    }
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
