@@ -2212,6 +2212,52 @@ object ExtQueries {
             1, 8))::BIGINT + 1) / 4294967296.0 < rate"""
     })
 
+  /** Temperature-scaled source resampling
+    * ([[graft.ext.Curation.temperatureResample]], alpha-sampling): the
+    * corpus is pre-thinned per source (doc_id ≡ 0 mod (srcIdx%4 + 1))
+    * so supplies spread 4× and the p^0.3 flattening is load-bearing —
+    * starved sources come back with rate > 1 (epoch repetition via
+    * n_copies ≥ 2 rows), oversupplied ones drop docs (coin discards).
+    * The oracle replays the two 1-row reductions with the same
+    * decimal-sum shape and the salted md5 coin. */
+  val temperatureMix = Q(
+    "ext_temperature_resample",
+    (s, d) => graft.ext.Curation.temperatureResample(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .filter(col("doc_id") %
+          (regexp_extract(col("source"), "\\d+", 0).cast("int") % 4 + 1)
+          === 0),
+      "doc_id", "source", "n_chars", alpha = 0.3, budgetFraction = 1.0),
+    Some("""WITH base AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id %
+          (CAST(regexp_extract(source, '[0-9]+', 0) AS INT) % 4 + 1) = 0),
+      sup AS (
+        SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail
+        FROM base GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(CAST(avail AS DECIMAL(38,6))) AS DOUBLE) AS tot
+        FROM sup),
+      w0 AS (
+        SELECT source, avail, tot, round(pow(avail / tot, 0.3), 6) AS w0
+        FROM sup, tot),
+      ws AS (
+        SELECT CAST(sum(CAST(w0 AS DECIMAL(38,6))) AS DOUBLE) AS wsum
+        FROM w0),
+      rates AS (
+        SELECT source,
+          round(CAST(1.0 AS DOUBLE) * tot * (w0 / wsum) / avail, 6) AS rate
+        FROM w0, ws)
+      SELECT * FROM (
+        SELECT b.doc_id, b.source, r.rate,
+          CAST(floor(r.rate) + CASE WHEN
+            (('0x' || substring(md5('tmix:' || CAST(b.doc_id AS VARCHAR)),
+              1, 8))::BIGINT + 1) / 4294967296.0 < r.rate - floor(r.rate)
+            THEN 1 ELSE 0 END AS INT) AS n_copies
+        FROM base b JOIN rates r USING (source))
+      WHERE n_copies > 0"""))
+
   /** URL-level dedup ([[graft.ext.Markup.urlDedup]]) over per-doc URLs
     * salted so every canonicalization rule is load-bearing: host case
     * flips with doc parity, a trailing slash appears on even ids, pure
@@ -2496,5 +2542,6 @@ object ExtQueries {
     dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
+    temperatureMix,
     corpusReport)
 }

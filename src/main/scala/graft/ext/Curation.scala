@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation selection operators: per-domain caps and canonical-doc
   * selection inside near-duplicate clusters. Both are selection policies a
@@ -73,6 +74,55 @@ object Curation {
     docs.join(broadcast(rates), Seq(sourceCol))
       .filter(u < col("rate"))
       .select(col(idCol), col(sourceCol), col(weightCol), col("rate"))
+  }
+
+  /** Temperature-scaled source resampling — the dynamic-weights half of
+    * domain reweighting (the multilingual-LM "alpha sampling" rule):
+    * source weights are derived FROM the corpus itself as
+    * `w_s ∝ p_s^alpha` (p_s = source share of `weightCol` supply), then
+    * materialized at a token budget of `budgetFraction` × total supply.
+    * `alpha < 1` flattens the distribution — low-resource sources
+    * resample above 1 epoch, high-resource ones below.
+    *
+    * Unlike [[mixSources]] (user-given weights, rate capped at 1, pure
+    * selection), rates here EXCEED 1 and materialize as epoch
+    * repetition: `n_copies = floor(rate) + [u < frac(rate)]` with the
+    * salted md5 coin, so expected copies = rate exactly. Rows with
+    * n_copies = 0 are the downsampled discards and are dropped.
+    *
+    * Scale shape: one per-source aggregate (source-cardinality rows) →
+    * two 1-row reductions ride along → broadcast back → stateless
+    * per-doc projection. No window, no global sort; a trainer expands
+    * `n_copies` downstream (sequence packing already handles repeats).
+    *
+    * Determinism: p and rate divisions are IEEE on bit-identical
+    * inputs; `pow` output and the final rate are 6-dp-rounded; the
+    * weight normalizer sums 6-dp values through exact DECIMAL(38,6). */
+  def temperatureResample(docs: DataFrame, idCol: String, sourceCol: String,
+      weightCol: String, alpha: Double = 0.3,
+      budgetFraction: Double = 1.0): DataFrame = {
+    val sup = docs.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).cast("double").as("avail"))
+    val tot = sup.agg(
+      sum(col("avail").cast(DecimalType(38, 6))).cast("double").as("tot"))
+    val w0 = sup.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("avail"), col("tot"),
+        round(pow(col("avail") / col("tot"), lit(alpha)), 6).as("w0"))
+    val wsum = w0.agg(
+      sum(col("w0").cast(DecimalType(38, 6))).cast("double").as("wsum"))
+    val rates = w0.crossJoin(broadcast(wsum))
+      .select(col(sourceCol),
+        round(lit(budgetFraction) * col("tot") * (col("w0") / col("wsum"))
+          / col("avail"), 6).as("rate"))
+    val u = (TextDedup.baseHash(
+      concat(lit("tmix:"), col(idCol).cast("string"))) + 1)
+      .cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("rate"),
+        (floor(col("rate")) +
+          when(u < col("rate") - floor(col("rate")), 1).otherwise(0))
+          .cast("int").as("n_copies"))
+      .filter(col("n_copies") > 0)
   }
 
   /** Canonical-document selection per near-duplicate cluster: label the

@@ -379,6 +379,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("temperatureResample: alpha<1 upsamples starved sources, budget holds") {
+    import graft.ext.Curation
+    // big: 90 docs × 100 chars; small: 10 docs × 100 chars
+    val docs = ((0 until 90).map(i => (i.toLong, "big", 100L)) ++
+      (100 until 110).map(i => (i.toLong, "small", 100L)))
+      .toDF("doc_id", "source", "n_chars")
+    val r = Curation.temperatureResample(
+      docs, "doc_id", "source", "n_chars", alpha = 0.3, budgetFraction = 1.0)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getInt(3)))
+    val rateBy = r.groupBy(_._2).map { case (s, xs) => s -> xs.head._3 }
+    // p_small^0.3 / p_big^0.3 ≫ p_small / p_big: the flattening upsamples
+    assert(rateBy("small") > 1.5 && rateBy("big") < 1.0)
+    // every small-source doc repeats at least floor(rate) times
+    assert(r.filter(_._2 == "small").forall(_._4 >= rateBy("small").toInt))
+    // materialized volume stays within coin noise of the budget (=supply)
+    val sampled = r.map(_._4.toLong * 100).sum
+    assert(math.abs(sampled - 10000L) < 2000)
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
