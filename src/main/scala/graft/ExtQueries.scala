@@ -2258,6 +2258,33 @@ object ExtQueries {
         FROM base b JOIN rates r USING (source))
       WHERE n_copies > 0"""))
 
+  /** Percentile-bin score calibration
+    * ([[graft.ext.Curation.percentileBins]]) of the composite quality
+    * score into 8 equal-population bins. bins = 8 is deliberate: every
+    * cut fraction i/8 is binary-EXACT, so `q × n` carries no
+    * representation error and both engines select the same
+    * percentile_disc rank even when it lands on an integer boundary
+    * (0.1-style decile fractions would gamble on engine-internal
+    * rounding). Cuts are data values; binning is `|{cuts ≤ v}|`. */
+  val scoreBins = Q(
+    "ext_score_percentile_bins",
+    (s, d) => graft.ext.Curation.percentileBins(
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.ext.TextStats.qualityScore(col("text")).as("quality")),
+      "quality", "doc_id", bins = 8),
+    Some {
+      val score = qualityCompositeSql(qcTokSql, qcSrSql, qcPrSql, qcDrSql)
+      val qs = (1 until 8).map(i => (i.toDouble / 8).toString)
+      s"""WITH scored AS (
+          SELECT doc_id, $score AS quality FROM documents),
+        cuts AS (
+          SELECT quantile_disc(quality, [${qs.mkString(", ")}]) AS cuts
+          FROM scored)
+        SELECT doc_id, quality,
+          len(list_filter(cuts, c -> c <= quality)) AS bin
+        FROM scored, cuts"""
+    })
+
   /** URL-level dedup ([[graft.ext.Markup.urlDedup]]) over per-doc URLs
     * salted so every canonicalization rule is load-bearing: host case
     * flips with doc parity, a trailing slash appears on even ids, pure
@@ -2542,6 +2569,6 @@ object ExtQueries {
     dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
-    temperatureMix,
+    temperatureMix, scoreBins,
     corpusReport)
 }

@@ -125,6 +125,41 @@ object Curation {
       .filter(col("n_copies") > 0)
   }
 
+  /** Rank calibration: map a raw per-document score onto `bins`
+    * equal-population percentile bins (bin 0 = bottom decile at the
+    * default 10). Raw classifier margins are incomparable across model
+    * versions; percentile bins are the stable currency quality gates
+    * and mixture policies are written in ("drop the bottom 20%").
+    *
+    * Cut points use percentile_disc — actual DATA values, so the cuts
+    * are bit-identical cross-engine with no interpolation arithmetic —
+    * and `bin(v) = |{cuts ≤ v}|`, a pure function of (v, cuts): ties
+    * collapse into the same bin deterministically (equal-population is
+    * approximate under heavy ties, exact without them).
+    *
+    * Scale shape: ONE aggregate produces all bins-1 cuts, broadcast
+    * back as a single array row; binning is a stateless codegen'd
+    * projection. `exactCuts = false` swaps percentile_disc for
+    * approx_percentile (mergeable Greenwald-Khanna sketches, map-side
+    * partials) — at 100 TB the exact variant's final reducer would
+    * buffer the full value set, the sketch never does; same schema,
+    * cuts within the sketch's rank-error bound. */
+  def percentileBins(scored: DataFrame, valueCol: String, idCol: String,
+      bins: Int = 10, exactCuts: Boolean = true): DataFrame = {
+    require(bins >= 2, "percentileBins: need at least 2 bins")
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val cuts =
+      if (exactCuts) scored.agg(array(qs.map(q =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $valueCol)")): _*)
+        .as("cuts"))
+      else scored.agg(
+        approx_percentile(col(valueCol).cast("double"),
+          array(qs.map(lit): _*), lit(10000)).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col(valueCol),
+        size(filter(col("cuts"), c => c <= col(valueCol))).as("bin"))
+  }
+
   /** Canonical-document selection per near-duplicate cluster: label the
     * corpus with [[TextDedup.connectedComponents]] over MinHash-LSH pairs,
     * then keep the highest-quality member of every component (ties → the

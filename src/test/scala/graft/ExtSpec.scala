@@ -399,6 +399,25 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(sampled - 10000L) < 2000)
   }
 
+  test("percentileBins: equal populations without ties, approx ≈ exact") {
+    import graft.ext.Curation
+    // 100 distinct values 1..100 → deciles of exactly 10 each
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val exact = Curation.percentileBins(df, "v", "id", bins = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // bin(v) = |{cuts ≤ v}| puts each cut VALUE in the upper bin, so edge
+    // bins flex by one around n/bins; all 10 bins exist and balance
+    val sizes = exact.values.groupBy(identity).values.map(_.size)
+    assert(sizes.size == 10 && sizes.forall(s => s >= 9 && s <= 11))
+    // monotone: higher value never gets a lower bin
+    assert(exact.toSeq.sortBy(_._1).map(_._2) ==
+      exact.toSeq.sortBy(_._1).map(_._2).sorted)
+    // the sketch path agrees on all but boundary-adjacent rows
+    val approx = Curation.percentileBins(df, "v", "id", bins = 10,
+      exactCuts = false).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(exact.keys.count(k => exact(k) != approx(k)) <= 5)
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
