@@ -861,6 +861,38 @@ object ExtQueries {
         CAST(sum(n_ch) AS BIGINT) AS n_chars
       FROM t GROUP BY 1"""))
 
+  /** Compaction plan ([[graft.ext.Curation.compactionPlan]]) over the
+    * 64-shard manifest at a 40 kB target: offset packing
+    * `out_file = floor(start_off / target)` — multiple shards collapse
+    * per output file at sf0.01 (load-bearing: a too-small target would
+    * make the plan the identity map and prove nothing). Integer sizes →
+    * exact cumsums; the window runs over 64 manifest rows, not the
+    * corpus. */
+  val compaction = Q(
+    "ext_compaction_plan",
+    (s, d) => graft.ext.Curation.compactionPlan(
+      graft.ext.Curation.shardManifest(
+        Tables.documents(s, d), "doc_id", "text", nShards = 64)
+        .select(col("shard_id"), col("n_chars")),
+      "shard_id", "n_chars", targetSize = 40000L),
+    Some("""WITH t AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 64 AS shard_id,
+          length(text) AS n_ch
+        FROM documents),
+      m AS (
+        SELECT shard_id, CAST(sum(n_ch) AS BIGINT) AS n_chars
+        FROM t GROUP BY 1),
+      plan AS (
+        SELECT shard_id, n_chars,
+          CAST(sum(n_chars) OVER (ORDER BY shard_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            - n_chars AS start_off
+        FROM m)
+      SELECT shard_id, n_chars, start_off,
+        CAST(floor(start_off / CAST(40000 AS DOUBLE)) AS INT) AS out_file
+      FROM plan"""))
+
   /** Cross-source overlap matrix: for each source pair, how many
     * DISTINCT contents (by fingerprint) appear in BOTH — the table that
     * tells a curation team which feeds mirror each other (and which
@@ -2569,6 +2601,6 @@ object ExtQueries {
     dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
-    temperatureMix, scoreBins,
+    temperatureMix, scoreBins, compaction,
     corpusReport)
 }

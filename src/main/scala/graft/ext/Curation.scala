@@ -271,6 +271,36 @@ object Curation {
     * one `nShards`-row aggregate; the manifest is what makes token-count
     * budgeting and balanced data-loader striping possible without
     * scanning 100 TB at job-start. */
+  /** Compaction plan: assign ordered shards to output files of
+    * ~`targetSize` (the small-files answer — a 100 TB table written by
+    * thousands of tasks fragments into millions of under-sized files;
+    * the rewrite job needs a deterministic shard → output-file map, not
+    * a guess). A shard lands in the file its cumulative START offset
+    * falls in: `out_file = floor((cumsum − size) / targetSize)`. Files
+    * never exceed `targetSize` plus one overhanging shard — the
+    * standard bound for offset packing; a bin-search "perfect" packing
+    * would be sequential and no better in practice.
+    *
+    * Scale: the window runs over the MANIFEST (shard rows, typically
+    * thousands), never the data — that is the entire point of planning
+    * on [[shardManifest]] output. With `partitionCols` the window
+    * parallelizes per partition; without, it is one task over the
+    * manifest — acceptable because the manifest is small by
+    * construction. Sizes are integers, so cumsums are exact. */
+  def compactionPlan(manifest: DataFrame, keyCol: String, sizeCol: String,
+      targetSize: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(targetSize > 0, "compactionPlan: targetSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*).orderBy(col(keyCol))
+    manifest
+      .withColumn("start_off",
+        sum(col(sizeCol)).over(w).cast("long") - col(sizeCol))
+      .select((partitionCols :+ keyCol).map(col) ++ Seq(
+        col(sizeCol), col("start_off"),
+        floor(col("start_off") / lit(targetSize)).cast("int")
+          .as("out_file")): _*)
+  }
+
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int = 8): DataFrame =
     docs.select(

@@ -418,6 +418,33 @@ class ExtSpec extends SparkSpec {
     assert(exact.keys.count(k => exact(k) != approx(k)) <= 5)
   }
 
+  test("compactionPlan: bounded overfill, per-partition reset, monotone") {
+    import graft.ext.Curation
+    val m = Seq(
+      ("a", 1L, 30L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 90L),
+      ("b", 1L, 10L), ("b", 2L, 10L)
+    ).toDF("part", "shard", "bytes")
+    val plan = Curation.compactionPlan(m, "shard", "bytes",
+      targetSize = 50L, partitionCols = Seq("part"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val byPart = plan.groupBy(_._1)
+    // partition b restarts at offset 0 and fits one file
+    assert(byPart("b").forall(_._5 == 0))
+    // a: starts 0,30,60,90 → files 0,0,1,1
+    assert(byPart("a").sortBy(_._2).map(_._5).toSeq == Seq(0, 0, 1, 1))
+    // no file exceeds target + one overhanging shard
+    val maxShard = plan.map(_._3).max
+    plan.groupBy(p => (p._1, p._5)).values.foreach { f =>
+      assert(f.map(_._3).sum <= 50 + maxShard)
+    }
+    // out_file is monotone in shard order within a partition
+    byPart.values.foreach { xs =>
+      val files = xs.sortBy(_._2).map(_._5).toSeq
+      assert(files == files.sorted)
+    }
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
