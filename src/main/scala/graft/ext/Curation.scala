@@ -101,8 +101,11 @@ object Curation {
   def temperatureResample(docs: DataFrame, idCol: String, sourceCol: String,
       weightCol: String, alpha: Double = 0.3,
       budgetFraction: Double = 1.0): DataFrame = {
-    val sup = docs.groupBy(col(sourceCol))
-      .agg(sum(col(weightCol)).cast("double").as("avail"))
+    // source-cardinality rows, but its LINEAGE is a full corpus scan and
+    // four downstream branches (tot, w0, wsum, rates) consume it — without
+    // the persist each broadcast branch re-scans the corpus
+    val sup = graft.ops.CacheScope.persist(docs.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).cast("double").as("avail")))
     val tot = sup.agg(
       sum(col("avail").cast(DecimalType(38, 6))).cast("double").as("tot"))
     val w0 = sup.crossJoin(broadcast(tot))
