@@ -213,6 +213,36 @@ object AnalyticsQueries {
       FROM events GROUP BY 1, 2"""),
     bench = true)
 
+  /** Semi-structured extraction through Spark 4's VARIANT type: the
+    * `events.props` JSON column is parsed once (`parse_json` → binary
+    * variant, NOT per-field string re-parsing) and `variant_get` pulls
+    * the typed field — the log-ingestion pattern where schema isn't
+    * known at write time. Stats per event_type over the extracted
+    * value prove the parse is lossless end-to-end (oracle reads the
+    * same JSON with DuckDB's native ->> extraction).
+    *
+    * Scale: parse+extract is a pure codegen-adjacent projection (no
+    * shuffle) feeding one hash aggregate; the JSON column is pruned to
+    * exactly `props` + group key at the scan. */
+  val qJsonProps = Q(
+    "q_events_json_props",
+    (s, d) => {
+      val k = variant_get(parse_json(col("props")), "$.k", "int")
+      Tables.events(s, d)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+          round(davg(col("k").cast("double"), 6), 6).as("k_avg"))
+    },
+    Some(s"""SELECT event_type, count(*) AS n_events,
+      count(CAST(props ->> 'k' AS INT)) AS n_with_k,
+      min(CAST(props ->> 'k' AS INT)) AS k_min,
+      max(CAST(props ->> 'k' AS INT)) AS k_max,
+      round(${davgSql("CAST(props ->> 'k' AS INT)", 6)}, 6) AS k_avg
+      FROM events GROUP BY 1"""))
+
   /** Per-user session windows via the native `session_window` aggregate
     * (graft.streaming.SessionWindows; §2.8 extension). Oracle replicates
     * the gap-merge with the standard lag + cumulative-sum rewrite: a new
@@ -1141,7 +1171,8 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
-    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qSessions,
+    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qJsonProps,
+    qSessions,
     qAsof, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,

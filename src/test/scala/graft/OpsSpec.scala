@@ -525,4 +525,22 @@ class OpsSpec extends SparkSpec {
     val r = Seq((1L, 1L, "y")).toDF("k", "ts", "v")
     intercept[IllegalArgumentException](AsofJoin(l, r, Seq("k"), "ts", "ts"))
   }
+
+  test("variant extraction: typed get, missing key → NULL, = from_json") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, """{"k": 42}"""), (2L, """{"k": 0}"""),
+      (3L, """{"other": 7}"""), (4L, """{"k": -5, "extra": [1,2]}"""))
+      .toDF("id", "props")
+    val viaVariant = df.select(col("id"),
+      variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(viaVariant == Map(1L -> Some(42), 2L -> Some(0),
+      3L -> None, 4L -> Some(-5)))
+    // the schema-ful classic path agrees with the schemaless variant path
+    val viaFromJson = df.select(col("id"),
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").as("k"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(viaFromJson == viaVariant)
+  }
 }
