@@ -1107,11 +1107,11 @@ object ExtQueries {
       / (sqrt(list_dot_product(a_emb, a_emb))
          * sqrt(list_dot_product(b_emb, b_emb))), 6)"""
 
-  val simBrute = Q(
-    "ext_sim_bruteforce_topk",
-    (s, d) => Similarity.bruteForceTopK(
-      Tables.embeddings(s, d), col("vec_id") < 8, k = 5),
-    Some(s"""WITH q AS (
+  /** Shared brute-force ranked CTE chain (vec_id < 8 queries, cosine,
+    * (cos DESC, id ASC) tie-break) — one definition used by BOTH the
+    * `ext_sim_bruteforce_topk` oracle and the ranking-metrics oracle so
+    * the two cannot drift. */
+  private def bfRankedCtes = s"""q AS (
         SELECT vec_id AS query_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb
         FROM embeddings WHERE vec_id < 8),
@@ -1126,10 +1126,62 @@ object ExtQueries {
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id ASC) AS rank
-        FROM scored)
+        FROM scored)"""
+
+  val simBrute = Q(
+    "ext_sim_bruteforce_topk",
+    (s, d) => Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5),
+    Some(s"""WITH $bfRankedCtes
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""),
     bench = true)
+
+  /** Ranking-quality eval ([[graft.ext.Retrieval.rankingMetrics]]):
+    * recall@5 / precision@5 / reciprocal rank of the brute-force cosine
+    * top-k against same-label relevance (the embeddings table's `label`
+    * column as ground truth). Turns the spec-only ANN recall checks
+    * into an oracle-checked table. */
+  val simEval = Q(
+    "ext_sim_eval_metrics",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val ranked = Similarity.bruteForceTopK(e, col("vec_id") < 8, k = 5)
+      val truth = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label"))
+        .join(e.select(col("vec_id").as("doc_id"), col("label")), "label")
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.ext.Retrieval.rankingMetrics(ranked, truth, k = 5)
+    },
+    Some(s"""WITH $bfRankedCtes,
+      truth AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS doc_id
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND b.vec_id != a.vec_id
+        WHERE a.vec_id < 8),
+      nrel AS (
+        SELECT query_id, count(*) AS n_relevant FROM truth GROUP BY 1),
+      j AS (
+        SELECT r.query_id, r.rank,
+          CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM ranked r
+        LEFT JOIN truth t
+          ON r.query_id = t.query_id AND r.neighbor_id = t.doc_id
+        WHERE r.rank <= 5),
+      perq AS (
+        SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits_at_k,
+          min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank
+        FROM j GROUP BY 1)
+      SELECT n.query_id, n.n_relevant,
+        coalesce(p.hits_at_k, 0) AS hits_at_k,
+        round(coalesce(p.hits_at_k, 0) / CAST(n.n_relevant AS DOUBLE), 6)
+          AS recall_at_k,
+        round(coalesce(p.hits_at_k, 0) / CAST(5 AS DOUBLE), 6)
+          AS precision_at_k,
+        coalesce(round(CAST(1 AS DOUBLE) / p.first_rel_rank, 6),
+          CAST(0 AS DOUBLE)) AS reciprocal_rank
+      FROM nrel n LEFT JOIN perq p USING (query_id)"""))
 
   val simLsh = Q(
     "ext_sim_lsh_topk",
@@ -2594,7 +2646,8 @@ object ExtQueries {
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
-    simBrute, simLsh, simLshRh, simIvf, simPq, simIvfPq, simCentroids,
+    simBrute, simEval, simLsh, simLshRh, simIvf, simPq, simIvfPq,
+    simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, kmvDistinct, detSample, llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
     qualityClassifier,

@@ -193,4 +193,42 @@ object Retrieval {
         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
       FROM sc ORDER BY score DESC, doc_id LIMIT $k"""
   }
+
+  /** Ranking-quality evaluation: per-query hits@k / recall@k /
+    * precision@k / reciprocal rank against a relevance set — the eval
+    * harness that closes the similarity/retrieval loop (an ANN index
+    * without a recall number is a guess; the ExtSpec recall checks
+    * become a first-class, oracle-checked table).
+    *
+    * `ranked` carries (query_id, neighbor_id, rank); `truth` carries
+    * (query_id, doc_id) relevant pairs. Queries with relevant docs but
+    * no ranked rows still appear (right-join via the truth aggregate);
+    * recall divides by |relevant|, precision by k, and RR is
+    * 1/first-relevant-rank (0.0 when nothing relevant was retrieved —
+    * the MRR convention).
+    *
+    * Scale: one equi-join keyed (query_id, doc_id) + two hash
+    * aggregates on query_id — truth and ranked are both top-k-sized
+    * per query, never corpus-sized; no windows. Divisions are IEEE on
+    * exact integer counts, 6-dp-rounded. */
+  def rankingMetrics(ranked: DataFrame, truth: DataFrame, k: Int)
+      : DataFrame = {
+    val nRel = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_relevant"))
+    val perQ = ranked.filter(col("rank") <= k)
+      .join(truth.withColumnRenamed("doc_id", "neighbor_id")
+        .withColumn("rel", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("rel"), lit(0))).as("hits_at_k"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"))
+    nRel.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        round(coalesce(col("hits_at_k"), lit(0L))
+          / col("n_relevant").cast("double"), 6).as("recall_at_k"),
+        round(coalesce(col("hits_at_k"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        coalesce(round(lit(1.0) / col("first_rel_rank"), 6), lit(0.0))
+          .as("reciprocal_rank"))
+  }
 }

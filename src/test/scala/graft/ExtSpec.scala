@@ -445,6 +445,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("rankingMetrics: known hits/recall/precision/RR, unretrieved query") {
+    import graft.ext.Retrieval
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),   // hits at rank 1 and 3
+      (3L, 98L, 1), (3L, 97L, 2))                  // no relevant retrieved
+      .toDF("query_id", "neighbor_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 50L), (3L, 96L)).toDF("query_id", "doc_id")
+    val m = Retrieval.rankingMetrics(ranked, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    // q1: 3 relevant, 2 hit, first at rank 1
+    assert(m(1L) == ((3L, 2L, Some(0.666667), 0.666667, 1.0)))
+    // q2: relevant exists but nothing ranked → all-zero row still present
+    assert(m(2L) == ((1L, 0L, Some(0.0), 0.0, 0.0)))
+    // q3: ranked rows but no hits → RR 0
+    assert(m(3L) == ((1L, 0L, Some(0.0), 0.0, 0.0)))
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
