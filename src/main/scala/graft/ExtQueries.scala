@@ -2350,24 +2350,76 @@ object ExtQueries {
     * percentile_disc rank even when it lands on an integer boundary
     * (0.1-style decile fractions would gamble on engine-internal
     * rounding). Cuts are data values; binning is `|{cuts ≤ v}|`. */
+  /** Shared 8-bin quality-binning CTE chain (scored → cuts → binned) —
+    * one definition for the `ext_score_percentile_bins` and
+    * `ext_preference_pairs` oracles. */
+  private def binnedCtes = {
+    val score = qualityCompositeSql(qcTokSql, qcSrSql, qcPrSql, qcDrSql)
+    val qs = (1 until 8).map(i => (i.toDouble / 8).toString)
+    s"""scored AS (
+        SELECT doc_id, $score AS quality FROM documents),
+      cuts AS (
+        SELECT quantile_disc(quality, [${qs.mkString(", ")}]) AS cuts
+        FROM scored),
+      binned AS (
+        SELECT doc_id, quality,
+          len(list_filter(cuts, c -> c <= quality)) AS bin
+        FROM scored, cuts)"""
+  }
+
   val scoreBins = Q(
     "ext_score_percentile_bins",
     (s, d) => graft.ext.Curation.percentileBins(
       Tables.documents(s, d).select(col("doc_id"),
         graft.ext.TextStats.qualityScore(col("text")).as("quality")),
       "quality", "doc_id", bins = 8),
-    Some {
-      val score = qualityCompositeSql(qcTokSql, qcSrSql, qcPrSql, qcDrSql)
-      val qs = (1 until 8).map(i => (i.toDouble / 8).toString)
-      s"""WITH scored AS (
-          SELECT doc_id, $score AS quality FROM documents),
-        cuts AS (
-          SELECT quantile_disc(quality, [${qs.mkString(", ")}]) AS cuts
-          FROM scored)
-        SELECT doc_id, quality,
-          len(list_filter(cuts, c -> c <= quality)) AS bin
-        FROM scored, cuts"""
-    })
+    Some(s"""WITH $binnedCtes
+      SELECT doc_id, quality, bin FROM binned"""))
+
+  /** Preference-pair mining ([[graft.ext.Curation.preferencePairs]]):
+    * per-source (chosen, rejected) doc pairs from the top quartile
+    * (bins 6-7) vs bottom quartile (bins 0-1) of the 8-bin quality
+    * calibration, 4 hash slots per source, struct-min representative
+    * election. The oracle replays the binning CTEs plus the same
+    * salted-md5 slot/uniform hashes and `min(struct_pack(...))`. */
+  val prefPairs = Q(
+    "ext_preference_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val binned = graft.ext.Curation.percentileBins(
+        docs.select(col("doc_id"),
+          graft.ext.TextStats.qualityScore(col("text")).as("quality")),
+        "quality", "doc_id", bins = 8)
+      graft.ext.Curation.preferencePairs(
+        binned.join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        "doc_id", "source", "bin", "quality", hiMin = 6, loMax = 1,
+        pairsPerSource = 4)
+    },
+    Some(s"""WITH $binnedCtes,
+      base AS (
+        SELECT b.doc_id, s.source, b.quality, b.bin,
+          (('0x' || substring(md5('pref:u:' || CAST(b.doc_id AS VARCHAR)),
+            1, 8))::BIGINT + 1) / 4294967296.0 AS u,
+          ('0x' || substring(md5('pref:b:' || CAST(b.doc_id AS VARCHAR)),
+            1, 8))::BIGINT % 4 AS pair_slot
+        FROM binned b JOIN documents s USING (doc_id)),
+      hi AS (
+        SELECT source, pair_slot,
+          (min(struct_pack(u := u, id := doc_id, q := quality))).id
+            AS chosen_id,
+          (min(struct_pack(u := u, id := doc_id, q := quality))).q
+            AS chosen_q
+        FROM base WHERE bin >= 6 GROUP BY 1, 2),
+      lo AS (
+        SELECT source, pair_slot,
+          (min(struct_pack(u := u, id := doc_id, q := quality))).id
+            AS rejected_id,
+          (min(struct_pack(u := u, id := doc_id, q := quality))).q
+            AS rejected_q
+        FROM base WHERE bin <= 1 GROUP BY 1, 2)
+      SELECT source, pair_slot, chosen_id, chosen_q,
+        rejected_id, rejected_q
+      FROM hi JOIN lo USING (source, pair_slot)"""))
 
   /** URL-level dedup ([[graft.ext.Markup.urlDedup]]) over per-doc URLs
     * salted so every canonicalization rule is load-bearing: host case
@@ -2654,6 +2706,6 @@ object ExtQueries {
     dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
-    temperatureMix, scoreBins, compaction,
+    temperatureMix, scoreBins, compaction, prefPairs,
     corpusReport)
 }

@@ -274,6 +274,48 @@ object Curation {
     * one `nShards`-row aggregate; the manifest is what makes token-count
     * budgeting and balanced data-loader striping possible without
     * scanning 100 TB at job-start. */
+  /** Preference-pair mining: deterministic (chosen, rejected) document
+    * pairs per source from opposite ends of a quality binning — the
+    * selection shape of DPO/RLHF-style preference data built from
+    * heuristic signals (chosen from bins ≥ `hiMin`, rejected from bins
+    * ≤ `loMax`, e.g. the [[percentileBins]] output).
+    *
+    * Pairing is windowless: each doc hashes into one of
+    * `pairsPerSource` pair slots (salted md5, independent of every
+    * other hash decision), and each (source, slot, side) elects ONE
+    * representative by `min(struct(u, id, q))` — a hash aggregate with
+    * map-side partials whose output is ≤ sources × slots × 2 rows, so
+    * no reducer ever sees more than its group's candidates and nothing
+    * scales with corpus size except the scan. A slot missing either
+    * side yields no pair (inner join), so output is ≤ sources × slots.
+    *
+    * Determinism: u is the salted md5 uniform; ties fall through the
+    * struct to (id, q) — total order, no `max_by` undefined-tie risk. */
+  def preferencePairs(scored: DataFrame, idCol: String, sourceCol: String,
+      binCol: String, valueCol: String, hiMin: Int, loMax: Int,
+      pairsPerSource: Int = 4, salt: String = "pref"): DataFrame = {
+    require(hiMin > loMax, "preferencePairs: hiMin must exceed loMax")
+    val idStr = col(idCol).cast("string")
+    val u = (TextDedup.baseHash(concat(lit(s"$salt:u:"), idStr)) + 1)
+      .cast("double") / lit(4294967296.0)
+    val slot = TextDedup.baseHash(concat(lit(s"$salt:b:"), idStr)) %
+      pairsPerSource
+    def side(pred: org.apache.spark.sql.Column, tag: String) =
+      scored.filter(pred)
+        .select(col(sourceCol), slot.as("pair_slot"),
+          struct(u.as("u"), col(idCol).as("id"), col(valueCol).as("q"))
+            .as("s"))
+        .groupBy(col(sourceCol), col("pair_slot"))
+        .agg(min(col("s")).as(tag))
+    side(col(binCol) >= hiMin, "chosen")
+      .join(side(col(binCol) <= loMax, "rejected"),
+        Seq(sourceCol, "pair_slot"))
+      .select(col(sourceCol), col("pair_slot"),
+        col("chosen.id").as("chosen_id"), col("chosen.q").as("chosen_q"),
+        col("rejected.id").as("rejected_id"),
+        col("rejected.q").as("rejected_q"))
+  }
+
   /** Compaction plan: assign ordered shards to output files of
     * ~`targetSize` (the small-files answer — a 100 TB table written by
     * thousands of tasks fragments into millions of under-sized files;

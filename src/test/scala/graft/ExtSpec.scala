@@ -465,6 +465,48 @@ class ExtSpec extends SparkSpec {
     assert(m(3L) == ((1L, 0L, Some(0.0), 0.0, 0.0)))
   }
 
+  test("pageRank: lineage truncation keeps the plan flat across iterations") {
+    import graft.ext.Graph
+    val nodes = (0L to 20L).toDF("node")
+    val edges = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    // without per-iteration localCheckpoint the optimized plan would grow
+    // ~3× per iteration (ranks referenced thrice); with it, the final
+    // frame's plan hangs off ONE truncated scan regardless of iters
+    def planSize(iters: Int) =
+      Graph.pageRank(nodes, edges, iters = iters)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    val p2 = planSize(2)
+    val p8 = planSize(8)
+    assert(p8 == p2, s"plan grew with iterations: $p2 -> $p8")
+    assert(p8 < 20, s"plan unexpectedly deep: $p8 nodes")
+  }
+
+  test("preferencePairs: sides from opposite bins, slot-bounded, no overlap") {
+    import graft.ext.Curation
+    val scored = (0 until 40).map { i =>
+      (i.toLong, s"src${i % 2}", i % 8, i % 8 / 10.0 + 0.1)
+    }.toDF("doc_id", "source", "bin", "quality")
+    val pairs = Curation.preferencePairs(scored, "doc_id", "source",
+      "bin", "quality", hiMin = 6, loMax = 1, pairsPerSource = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(pairs.nonEmpty && pairs.length <= 2 * 4) // ≤ sources × slots
+    // a doc never appears on both sides, and sides honor the bin gates
+    val byId = scored.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    pairs.foreach { case (_, _, cid, _, rid, _) =>
+      assert(cid != rid)
+      assert(byId(cid) >= 6 && byId(rid) <= 1)
+    }
+    // deterministic: a second run elects identical representatives
+    val again = Curation.preferencePairs(scored, "doc_id", "source",
+      "bin", "quality", hiMin = 6, loMax = 1, pairsPerSource = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(pairs.sortBy(p => (p._1, p._2)).toSeq ==
+      again.sortBy(p => (p._1, p._2)).toSeq)
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
