@@ -80,12 +80,24 @@ object StreamPipeline {
     * reference's if-not-empty guard (P7) — no phantom empty table dirs. */
   def cleanAndWrite(df: DataFrame, cls: CsvSource.FileClass,
       outDir: String): Unit = try {
-    def writeNonEmpty(frame: DataFrame, path: String): Unit =
-      if (!Projections.isEmpty(frame)) Sinks.writeCsv(frame, path)
+    // post-clean audit counters ride the CSV write itself
+    // (Profiling.withQualityCounters — observe metrics, zero extra scan);
+    // null counts in cleaned-critical columns should be 0 after P5, so a
+    // non-zero count in this log line is a cleaner-regression alarm
+    def writeNonEmpty(frame: DataFrame, path: String,
+        critical: Seq[String] = Nil): Unit =
+      if (!Projections.isEmpty(frame)) {
+        val (observed, obs) = graft.ops.Profiling.withQualityCounters(
+          frame, critical.filter(frame.columns.contains))
+        Sinks.writeCsv(observed, path)
+        System.err.println(s"[dq] $path ${obs.get.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(" ")}")
+      }
     cls match {
       case CsvSource.AmazonSale =>
         val (clean, flagged) = Cleaners.amazon(df, cacheSplit = true)
-        writeNonEmpty(clean, s"$outDir/amazon_sale")
+        writeNonEmpty(clean, s"$outDir/amazon_sale",
+          critical = Seq("order_id", "amount", "date"))
         writeNonEmpty(flagged, s"$outDir/amazon_sale_duplicates")
       case CsvSource.PlainSale =>
         writeNonEmpty(Cleaners.sale(df), s"$outDir/sale")
