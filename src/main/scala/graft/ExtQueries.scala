@@ -893,6 +893,58 @@ object ExtQueries {
         CAST(floor(start_off / CAST(40000 AS DOUBLE)) AS INT) AS out_file
       FROM plan"""))
 
+  /** PSI distribution-drift report
+    * ([[graft.ext.Curation.distributionDrift]]) on token-count
+    * distribution between the corpus and a deliberately drifted
+    * snapshot (every 5th doc dropped, every 7th re-appended with
+    * doubled text — both tails of the length distribution move, so
+    * several buckets carry non-trivial PSI contributions). Laplace
+    * smoothing over the full-joined bucket set; 6-dp rounds before and
+    * after the ln per the lmScore rules. */
+  val driftPsi = Q(
+    "ext_signal_drift_psi",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val nTok = graft.ext.TextStats.tokenCount(col("text"))
+      val ref = docs.select(nTok.as("n_tok"))
+      val cur = docs.filter(col("doc_id") % 5 =!= 0).select(nTok.as("n_tok"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select(graft.ext.TextStats.tokenCount(
+            concat(col("text"), lit(" "), col("text"))).as("n_tok")))
+      graft.ext.Curation.distributionDrift(ref, cur, "n_tok", width = 32)
+    },
+    Some("""WITH ref AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS v
+        FROM documents),
+      cur AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS v
+        FROM documents WHERE doc_id % 5 != 0
+        UNION ALL
+        SELECT len(string_split_regex(trim(text || ' ' || text), '\s+')) AS v
+        FROM documents WHERE doc_id % 7 = 0),
+      hr AS (SELECT v - v % 32 AS bucket_lo, count(*) AS n_ref
+             FROM ref GROUP BY 1),
+      hc AS (SELECT v - v % 32 AS bucket_lo, count(*) AS n_cur
+             FROM cur GROUP BY 1),
+      h AS (
+        SELECT coalesce(hr.bucket_lo, hc.bucket_lo) AS bucket_lo,
+          coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        FROM hr FULL JOIN hc ON hr.bucket_lo = hc.bucket_lo),
+      t AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+          CAST(sum(n_cur) AS BIGINT) AS tot_cur,
+          count(*) AS n_buckets
+        FROM h),
+      shares AS (
+        SELECT bucket_lo, n_ref, n_cur,
+          round((n_ref + 1) / CAST(tot_ref + n_buckets AS DOUBLE), 6) AS p_ref,
+          round((n_cur + 1) / CAST(tot_cur + n_buckets AS DOUBLE), 6) AS p_cur
+        FROM h, t)
+      SELECT bucket_lo, n_ref, n_cur, p_ref, p_cur,
+        round((p_ref - p_cur) * round(ln(p_ref / p_cur), 6), 6)
+          AS psi_contrib
+      FROM shares"""))
+
   /** Cross-source overlap matrix: for each source pair, how many
     * DISTINCT contents (by fingerprint) appear in BOTH — the table that
     * tells a curation team which feeds mirror each other (and which
@@ -2706,6 +2758,6 @@ object ExtQueries {
     dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
-    temperatureMix, scoreBins, compaction, prefPairs,
+    temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
     corpusReport)
 }

@@ -274,6 +274,50 @@ object Curation {
     * one `nShards`-row aggregate; the manifest is what makes token-count
     * budgeting and balanced data-loader striping possible without
     * scanning 100 TB at job-start. */
+  /** Distribution-drift report (Population Stability Index) between a
+    * reference and a current snapshot of an integer signal (token
+    * count, byte length, …): per fixed-width bucket, the two
+    * Laplace-smoothed shares and the PSI contribution
+    * `(p − q) · ln(p / q)`. Σ contrib is the PSI; the standard alarm
+    * thresholds (0.1 warn / 0.25 act) apply to the total. The monitor
+    * that catches a silently-changed upstream feed before it trains.
+    *
+    * Fixed-width integer buckets (the [[TextStats.lengthHistogram]]
+    * rule) make bucketing pure integer arithmetic; Laplace add-one over
+    * the FULL-JOINED bucket set handles empty-on-one-side buckets
+    * without dropping them (where drift lives) and is computed against
+    * the same bucket count on both sides.
+    *
+    * Scale: two histogram aggregates (bucket-cardinality output), one
+    * full outer join on bucket, totals on a 1-row broadcast — nothing
+    * scales with corpus size except the two scans.
+    *
+    * Determinism: shares are 6-dp-rounded before the ln; ln output is
+    * 6-dp-rounded before the product (the lmScore rules); counts are
+    * exact integers throughout. */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, "distributionDrift: width must be positive")
+    def hist(df: DataFrame, tag: String) = df
+      .select((col(valueCol) - pmod(col(valueCol), lit(width)))
+        .cast("long").as("bucket_lo"))
+      .groupBy(col("bucket_lo")).agg(count(lit(1)).as(s"n_$tag"))
+    val h = hist(ref, "ref").join(hist(cur, "cur"), Seq("bucket_lo"), "full")
+      .select(col("bucket_lo"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = h.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("n_buckets"))
+    val p = round((col("n_ref") + 1) /
+      (col("tot_ref") + col("n_buckets")).cast("double"), 6)
+    val q = round((col("n_cur") + 1) /
+      (col("tot_cur") + col("n_buckets")).cast("double"), 6)
+    h.crossJoin(broadcast(tot))
+      .select(col("bucket_lo"), col("n_ref"), col("n_cur"),
+        p.as("p_ref"), q.as("p_cur"),
+        round((p - q) * round(log(p / q), 6), 6).as("psi_contrib"))
+  }
+
   /** Preference-pair mining: deterministic (chosen, rejected) document
     * pairs per source from opposite ends of a quality binning — the
     * selection shape of DPO/RLHF-style preference data built from

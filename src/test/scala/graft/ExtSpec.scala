@@ -507,6 +507,25 @@ class ExtSpec extends SparkSpec {
       again.sortBy(p => (p._1, p._2)).toSeq)
   }
 
+  test("distributionDrift: zero PSI on identity, positive on a real shift") {
+    import graft.ext.Curation
+    val ref = (1 to 100).map(i => Tuple1(i % 50)).toDF("v")
+    // identical snapshot → every contribution is exactly 0
+    val same = Curation.distributionDrift(ref, ref, "v", width = 10)
+      .collect()
+    assert(same.forall(_.getDouble(5) == 0.0))
+    // shifted snapshot: all mass moved up one bucket → total PSI large
+    val cur = (1 to 100).map(i => Tuple1(i % 50 + 20)).toDF("v")
+    val drift = Curation.distributionDrift(ref, cur, "v", width = 10)
+      .collect()
+    val totalPsi = drift.map(_.getDouble(5)).sum
+    assert(totalPsi > 0.25, s"expected alarm-level PSI, got $totalPsi")
+    // contributions are individually non-negative (p−q and ln share sign)
+    assert(drift.forall(_.getDouble(5) >= 0.0))
+    // empty-on-one-side buckets survive the full join with n=0
+    assert(drift.exists(r => r.getLong(1) == 0L || r.getLong(2) == 0L))
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
