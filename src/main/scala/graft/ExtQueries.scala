@@ -1450,6 +1450,50 @@ object ExtQueries {
           END) AS pooled
       FROM h"""))
 
+  /** Perceptual-hash near-dup pairs ([[Multimodal.phashPairs]]): aHash
+    * over the payload byte grid (global-byte-mean threshold — exact
+    * integer sum, no fold-order float risk), two 8-bit bands for
+    * candidates, Hamming ≤ 3 verification on collisions only. The
+    * multimodal twin of the SimHash pair miner. */
+  val mmPhash = Q(
+    "ext_multimodal_phash_pairs",
+    (s, d) => Multimodal.phashPairs(
+      Tables.documents(s, d).select(col("doc_id"),
+        Multimodal.asPayload(col("text")).as("payload")),
+      "doc_id", "payload", k = 16, maxHamming = 3),
+    Some("""WITH h AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS n
+        FROM documents),
+      sig AS (
+        SELECT doc_id,
+          CASE WHEN n > 0 THEN
+            CAST(list_sum(list_transform(generate_series(0, 15), j ->
+              CASE WHEN (CASE WHEN ((j + 1) * n) // 16 > (j * n) // 16 THEN
+                round(list_sum(list_transform(
+                  generate_series((j * n) // 16 + 1, ((j + 1) * n) // 16),
+                  p -> ('0x' || substring(hx, 2 * p - 1, 2))::INT))
+                  / CAST(((j + 1) * n) // 16 - (j * n) // 16 AS DOUBLE), 6)
+                END)
+                >= round(list_sum(list_transform(generate_series(1, n),
+                    p -> ('0x' || substring(hx, 2 * p - 1, 2))::INT))
+                  / CAST(n AS DOUBLE), 6)
+              THEN CAST(pow(2, 15 - j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+          ELSE 0 END AS ph
+        FROM h),
+      bands AS (
+        SELECT doc_id, ph, 0 AS band, ph // 256 AS bv FROM sig
+        UNION ALL
+        SELECT doc_id, ph, 1 AS band, ph % 256 AS bv FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.ph AS ph_a, b.ph AS ph_b
+        FROM bands a JOIN bands b USING (band, bv)
+        WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3"""))
+
   // The operator slices the payload by BYTES (it is binary); the oracle
   // can only slice VARCHAR by characters (DuckDB 1.0 has no BLOB
   // substring), so the text-derived payload is pinned to ASCII first —
@@ -2752,7 +2796,8 @@ object ExtQueries {
     cosineNearDup, semanticDedup,
     simBrute, simEval, simLsh, simLshRh, simIvf, simPq, simIvfPq,
     simCentroids,
-    mmMeta, mmFeatures, mmFrames, mmResize, kmvDistinct, detSample, llmCorpus,
+    mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
+    llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
     qualityClassifier,
     dupNgramCov, winnow,

@@ -101,6 +101,72 @@ object Multimodal {
     })
   }
 
+  /** Perceptual hash (aHash family) over an opaque payload: the
+    * [[resizePooled]] k-cell block-mean profile, thresholded into one
+    * bit per cell, packed MSB-first into a long. The threshold is the
+    * GLOBAL byte mean (an exact integer sum / n — bit-identical on any
+    * engine), not the textbook mean-of-cells: cell means are 6-dp
+    * doubles whose 16-element float sum would be fold-order-dependent,
+    * while the integer byte total is order-free. Same invariance
+    * properties (brightness profile), deterministic everywhere.
+    *
+    * Near-identical payloads (crops, re-encodes, small edits in the
+    * stub's byte-level analogue) differ in few cells → small Hamming
+    * distance between hashes. Empty payloads hash to 0 (the Spark
+    * `sequence(1, 0)` DESCENDING pitfall is guarded). Pure codegen'd
+    * projection — no shuffle, no UDF. */
+  def perceptualHash(payload: Column, k: Int = 16): Column = {
+    val hx = hex(payload)
+    val n = length(payload)
+    val byteTotal = aggregate(
+      transform(sequence(lit(1), n),
+        p => conv(hx.substr(p * 2 - 1, lit(2)), 16, 10).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val thr = round(byteTotal / n.cast("double"), 6)
+    val pooled = resizePooled(payload, k)
+    val bits = transform(sequence(lit(0), lit(k - 1)),
+      j => when(element_at(pooled, j + 1) >= thr,
+        pow(lit(2.0), lit((k - 1).toDouble) - j).cast("long"))
+        .otherwise(lit(0L)))
+    when(n > 0, aggregate(bits, lit(0L), (acc, x) => acc + x))
+      .otherwise(lit(0L))
+  }
+
+  /** Multimodal near-dup candidate pairs by perceptual hash: band the
+    * k-bit hash into two halves, self-join on either half (a pair
+    * within Hamming ≤ k/2−1 of a half must agree exactly on the other
+    * half — the pigeonhole guarantee for distance ≤ maxHamming < k/2
+    * whenever one band stays clean), verify `bit_count(xor) ≤
+    * maxHamming` on candidates only. The SimHash banding argument
+    * applied to payload bytes instead of token sets.
+    *
+    * Scale: the join keys on (band index, band value) — bucketed
+    * equi-join, never all-pairs; verification touches only collisions.
+    * Same shape as the MinHash/SimHash pair miners. */
+  def phashPairs(df: DataFrame, idCol: String, payloadCol: String,
+      k: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val sig = graft.ops.CacheScope.persist(
+      df.select(col(idCol).cast("long").as("id"),
+        perceptualHash(col(payloadCol), k).as("ph")))
+    val bands = sig.select(col("id"), col("ph"),
+        explode(array(
+          struct(lit(0).as("band"), shiftright(col("ph"), k / 2).as("bv")),
+          struct(lit(1).as("band"),
+            col("ph").bitwiseAND(lit((1L << (k / 2)) - 1)).as("bv"))))
+          .as("b"))
+      .select(col("id"), col("ph"), col("b.band"), col("b.bv"))
+    val a = bands.select(col("id").as("id_a"), col("ph").as("ph_a"),
+      col("band"), col("bv"))
+    val b = bands.select(col("id").as("id_b"), col("ph").as("ph_b"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b")).distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Batched partition-level extraction: the mapPartitions twin of an
     * Arrow-batch UDF — groups rows into `batchSize` chunks, "decodes" each
     * batch, emits (id, features). A real implementation swaps

@@ -526,6 +526,24 @@ class ExtSpec extends SparkSpec {
     assert(drift.exists(r => r.getLong(1) == 0L || r.getLong(2) == 0L))
   }
 
+  test("phashPairs: exact dup at hamming 0, small edit near, disjoint out") {
+    import graft.ext.Multimodal
+    val lowHigh = "aaaaaaaaaaaaaaaa" * 4 + "zzzzzzzzzzzzzzzz" * 4
+    val docs = Seq(
+      (1L, lowHigh), (2L, lowHigh),                    // exact dup
+      (3L, lowHigh.updated(0, 'b').toString),          // one-byte edit
+      (4L, "az" * 64)                                  // alternating: far
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
+    val pairs = Multimodal.phashPairs(docs, "doc_id", "payload",
+      k = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))                // identical payloads
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 1))
+    assert(!pairs.exists(p => p._2 == 4L))             // far profile absent
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
