@@ -1169,6 +1169,61 @@ object AnalyticsQueries {
       UNION ALL SELECT 'lineitem_discount_out_of_range', l_discount_range
         FROM l"""))
 
+  /** CDC merge ([[graft.ops.Cdc.applyChanges]]): apply an ordered
+    * change log (upserts, deletes, new keys) onto the orders snapshot —
+    * the lakehouse `MERGE INTO` shape. The log is derived
+    * deterministically from the snapshot so the oracle replays it
+    * verbatim: every 5th key gets a seq-1 status/price update, keys
+    * ≡3 (mod 7) a seq-2 delete (keys like 10 carry BOTH, so the
+    * seq-ordered election is load-bearing), and every 11th key an
+    * insert under a fresh (negated) key. Latest-wins is one hash
+    * aggregate on `max(struct(seq, …))` — windowless, map-side
+    * partials, no per-key reducer funnel; delete winners drop out. */
+  val qCdcApply = Q(
+    "q_cdc_apply",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val upd = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("U1").as("o_orderstatus"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+      // delete payloads are placeholders (struct comparison is total);
+      // they never reach the output
+      val del = o.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+          lit("").as("o_orderstatus"), lit(0.0).as("o_totalprice"))
+      val ins = o.filter(col("o_orderkey") % 11 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"), lit(2L).as("seq"),
+          lit("U").as("op"), lit("NEW").as("o_orderstatus"),
+          col("o_totalprice"))
+      graft.ops.Cdc.applyChanges(
+        base, upd.unionByName(del).unionByName(ins),
+        keyCols = Seq("o_orderkey"), seqCol = "seq", opCol = "op",
+        payloadCols = Seq("o_orderstatus", "o_totalprice"))
+    },
+    Some("""WITH log AS (
+        SELECT o_orderkey AS k, 0 AS seq, 'U' AS op,
+          o_orderstatus AS st, o_totalprice AS pr
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 1, 'U', 'U1', o_totalprice + 100.0
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'D', '', 0.0
+        FROM orders WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT -o_orderkey, 2, 'U', 'NEW', o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0),
+      w AS (
+        SELECT k,
+          max(struct_pack(seq := seq, op := op, st := st, pr := pr)) AS m
+        FROM log GROUP BY k)
+      SELECT k AS o_orderkey, (m).st AS o_orderstatus,
+        (m).pr AS o_totalprice
+      FROM w WHERE (m).op <> 'D'"""))
+
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qJsonProps,
@@ -1177,5 +1232,5 @@ object AnalyticsQueries {
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,
-    qSkewJoin, qOutlierIqr, qScd2, qScd2Lookup, qDqReport)
+    qSkewJoin, qOutlierIqr, qScd2, qScd2Lookup, qDqReport, qCdcApply)
 }

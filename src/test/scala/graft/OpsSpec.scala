@@ -554,4 +554,24 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Option[Int])].collect().toMap
     assert(viaFromJson == viaVariant)
   }
+
+  test("Cdc.applyChanges: latest-wins, deletes drop, inserts land, no window") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "st", "pr")
+    val changes = Seq(
+      (1L, 1L, "U", "a2", 11.0),  // plain update
+      (2L, 1L, "U", "b2", 21.0),  // update then delete: delete wins by seq
+      (2L, 2L, "D", "", 0.0),
+      (3L, 2L, "U", "c3", 33.0),  // out-of-order arrival: seq 2 beats seq 1
+      (3L, 1L, "U", "c2", 32.0),
+      (9L, 1L, "U", "new", 99.0)) // insert under a fresh key
+      .toDF("k", "seq", "op", "st", "pr")
+    val out = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op",
+      Seq("st", "pr"))
+    val got = out.as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a2", 11.0), (3L, "c3", 33.0), (9L, "new", 99.0)))
+    // windowless: one hash aggregate, no Window/Sort in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
 }
