@@ -953,6 +953,110 @@ object ExtQueries {
     * per doc), then a self-equi-join on the fingerprint: a content in k
     * sources contributes C(k,2) ≤ C(|sources|,2) rows — bounded by the
     * source count squared, never corpus size. */
+  /** Grouped distribution-shape profile
+    * ([[graft.ops.Profiling.moments]]): population mean/std/skewness/
+    * excess-kurtosis of the per-source token-count distribution from
+    * exact DECIMAL power sums — the describe() extension that tells a
+    * doc-length budget whether a source is head-heavy or symmetric.
+    * Both engines combine identical doubles through the identical
+    * expression tree, so 6-dp rounds hash-match. */
+  val momentsProfile = Q(
+    "ext_moments_profile",
+    (s, d) => graft.ops.Profiling.moments(
+      Tables.documents(s, d).select(col("source"),
+        TextStats.tokenCount(col("text")).as("n_tok")),
+      "n_tok", Seq("source")),
+    Some("""WITH t AS (
+        SELECT source,
+          len(string_split_regex(trim(text), '\s+')) AS x
+        FROM documents),
+      w AS (
+        SELECT source, count(*) AS n,
+          CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+          CAST(sum(CAST(x*x*x AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+          CAST(sum(CAST(x*x*x*x AS DECIMAL(38,6))) AS DOUBLE) AS s4
+        FROM t GROUP BY source),
+      r AS (
+        SELECT source, n, s1 / n AS m, s2 / n AS r2, s3 / n AS r3,
+          s4 / n AS r4
+        FROM w),
+      c AS (
+        SELECT source, n, m, r2, r3, r4, r2 - m * m AS m2 FROM r)
+      SELECT source, n AS n_rows, round(m, 6) AS mean,
+        CASE WHEN m2 > 0 THEN round(sqrt(m2), 6) ELSE NULL END AS std,
+        CASE WHEN m2 > 0 THEN
+          round((r3 - 3.0 * m * r2 + 2.0 * m * m * m)
+            / (m2 * sqrt(m2)), 6)
+        ELSE NULL END AS skewness,
+        CASE WHEN m2 > 0 THEN
+          round((r4 - 4.0 * m * r3 + 6.0 * m * m * r2
+              - 3.0 * m * m * m * m) / (m2 * m2) - 3.0, 6)
+        ELSE NULL END AS kurt_excess
+      FROM c"""))
+
+  /** k-anonymity audit ([[graft.ext.Curation.kAnonymity]]) over the
+    * customer table's quasi-identifier tuple (nation, market segment,
+    * account-balance bucket) — the release-review table: any group with
+    * `is_anon = 0` re-identifies its members to ≤ k−1 candidates. The
+    * 25-row nation dimension broadcasts; the bucket is integer-floored
+    * from an identical double division in both engines. */
+  val kAnon = Q(
+    "ext_k_anonymity",
+    (s, d) => {
+      val joined = Tables.customer(s, d).join(
+        broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(6000.0)).as("bal_bucket"))
+      graft.ext.Curation.kAnonymity(
+        joined, Seq("n_name", "c_mktsegment", "bal_bucket"), k = 5)
+    },
+    Some("""SELECT n_name, c_mktsegment,
+        CAST(floor(c_acctbal / 6000.0) AS BIGINT) AS bal_bucket,
+        count(*) AS n_rows,
+        CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS is_anon
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3"""))
+
+  /** Cell-suppression k-anonymization
+    * ([[graft.ext.Curation.suppressSmallGroups]]): quasi-groups below k
+    * get the WHOLE quasi tuple masked to '*', then the released table is
+    * re-aggregated — the verification view: every surviving unmasked
+    * tuple must appear ≥ k times, the masked remainder pools under
+    * ('*','*','*'). */
+  val kAnonSuppress = Q(
+    "ext_k_anon_suppress",
+    (s, d) => {
+      val joined = Tables.customer(s, d).join(
+        broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(6000.0)).as("bal_bucket"),
+          col("c_custkey"))
+      graft.ext.Curation.suppressSmallGroups(
+          joined, Seq("n_name", "c_mktsegment", "bal_bucket"), k = 5)
+        .groupBy(col("n_name"), col("c_mktsegment"), col("bal_bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+    Some("""WITH q AS (
+        SELECT n_name, c_mktsegment,
+          CAST(floor(c_acctbal / 6000.0) AS BIGINT) AS bal_bucket
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      g AS (
+        SELECT n_name, c_mktsegment, bal_bucket, count(*) AS n
+        FROM q GROUP BY 1, 2, 3),
+      m AS (
+        SELECT
+          CASE WHEN n >= 5 THEN q.n_name ELSE '*' END AS n_name,
+          CASE WHEN n >= 5 THEN q.c_mktsegment ELSE '*' END
+            AS c_mktsegment,
+          CASE WHEN n >= 5 THEN CAST(q.bal_bucket AS VARCHAR) ELSE '*' END
+            AS bal_bucket
+        FROM q JOIN g USING (n_name, c_mktsegment, bal_bucket))
+      SELECT n_name, c_mktsegment, bal_bucket, count(*) AS n_rows
+      FROM m GROUP BY 1, 2, 3"""))
+
   val sourceOverlap = Q(
     "ext_source_overlap",
     (s, d) => {
@@ -2804,5 +2908,6 @@ object ExtQueries {
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
+    kAnon, kAnonSuppress, momentsProfile,
     corpusReport)
 }

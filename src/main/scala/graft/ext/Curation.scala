@@ -401,4 +401,44 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         sum(col("n_ch")).as("n_chars"))
+
+  // ---- k-anonymity (Sweeney 2002) privacy audit -----------------------------
+
+  /** k-anonymity audit over a quasi-identifier combination: group sizes
+    * plus the INT 0/1 verdict `is_anon = (n_rows >= k)` — the table a
+    * release review reads before publishing row-level data (every group
+    * below k re-identifies its members down to ≤ k−1 candidates).
+    *
+    * Scale: ONE hash aggregate on the quasi-identifier tuple with
+    * map-side partials; output cardinality is the quasi-combination
+    * count, never row count. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, "kAnonymity: k must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("is_anon", (col("n_rows") >= k).cast("int"))
+  }
+
+  /** k-anonymization by cell suppression: rows in quasi-groups smaller
+    * than `k` get EVERY quasi-identifier masked to `'*'` (full-tuple
+    * suppression — masking single cells can still leak through the
+    * remaining combination), all other columns pass through. Quasi
+    * columns come back as strings (the mask shares a column with
+    * values).
+    *
+    * Scale: the group-size aggregate plus one equi-join back on the
+    * same quasi keys — both sides hash-partition identically, so the
+    * aggregate-side exchange is reused; no window, no broadcast of
+    * row-level data. */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k > 0, "suppressSmallGroups: k must be positive")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val masked = quasiCols.map(c =>
+      when(col("__n") >= k, col(c).cast("string"))
+        .otherwise(lit("*")).as(c))
+    val rest = df.columns.filterNot(quasiCols.contains).map(col)
+    df.join(sizes, quasiCols).select(masked ++ rest: _*)
+  }
 }

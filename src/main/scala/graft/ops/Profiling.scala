@@ -135,4 +135,54 @@ object Profiling {
       .as(Seq("column", "non_null", "nulls", "distinct", "min", "max",
         "mean", "std", "q25", "median", "q75")))
   }
+
+  /** Grouped higher-moment profile of an INTEGER measure: population
+    * mean, std, skewness and excess kurtosis per group — the
+    * distribution-shape row `describe()` lacks (a length distribution
+    * with skew 4 and a symmetric one can share mean/std; the trainer
+    * doc-length budget cares which it is).
+    *
+    * One hash aggregate computing the exact power sums s1..s4 (integer
+    * powers summed as DECIMAL(38,6), so the sums carry no float
+    * rounding and no overflow up to |x| ≲ 1e8), then a stateless
+    * projection combines them into central moments IN DOUBLE — both
+    * engines evaluate the identical expression tree on identical
+    * inputs, so the 6-dp-rounded outputs hash-match. Constant groups
+    * (m2 = 0) emit NULL shape stats explicitly (the ANSI-divide rule).
+    *
+    * Caller guarantees `valueCol` is integral and |x|^4 · rows fits
+    * DECIMAL(38,6) — token/char counts and other pipeline measures do
+    * with 10+ digits to spare. */
+  def moments(df: DataFrame, valueCol: String,
+      byCols: Seq[String]): DataFrame = {
+    val x = qcol(valueCol).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 6))
+    val g = df
+      .groupBy(byCols.map(qcol): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(x)).cast("double").as("s1"),
+        sum(dec(x * x)).cast("double").as("s2"),
+        sum(dec(x * x * x)).cast("double").as("s3"),
+        sum(dec(x * x * x * x)).cast("double").as("s4"))
+    val nd = col("n").cast("double")
+    val r = g.select(byCols.map(qcol) ++ Seq(col("n").as("n_rows"),
+      (col("s1") / nd).as("m"), (col("s2") / nd).as("r2"),
+      (col("s3") / nd).as("r3"), (col("s4") / nd).as("r4")): _*)
+    val m = col("m")
+    val m2 = col("r2") - m * m
+    val m3 = col("r3") - lit(3.0) * m * col("r2") +
+      lit(2.0) * m * m * m
+    val m4 = col("r4") - lit(4.0) * m * col("r3") +
+      lit(6.0) * m * m * col("r2") - lit(3.0) * m * m * m * m
+    r.select(byCols.map(qcol) ++ Seq(
+      col("n_rows"),
+      round(m, 6).as("mean"),
+      when(m2 > 0, round(sqrt(m2), 6))
+        .otherwise(lit(null).cast("double")).as("std"),
+      when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 6))
+        .otherwise(lit(null).cast("double")).as("skewness"),
+      when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6))
+        .otherwise(lit(null).cast("double")).as("kurt_excess")): _*)
+  }
 }

@@ -1532,4 +1532,46 @@ class ExtSpec extends SparkSpec {
     assert(fr.last == 1.0 && fr.sameElements(fr.sorted))
     assert(math.abs(fr(0) - 34.0 / 176.0) < 1e-6)
   }
+
+  test("kAnonymity + suppressSmallGroups: verdicts, full-tuple masking") {
+    // group (US, A): 3 rows — anonymous at k=3; (US, B): 1; (FR, A): 2
+    val df = Seq(
+      ("US", "A", 1L), ("US", "A", 2L), ("US", "A", 3L),
+      ("US", "B", 4L), ("FR", "A", 5L), ("FR", "A", 6L))
+      .toDF("country", "seg", "id")
+    val audit = graft.ext.Curation
+      .kAnonymity(df, Seq("country", "seg"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(audit(("US", "A")) == ((3L, 1)))
+    assert(audit(("US", "B")) == ((1L, 0)))
+    assert(audit(("FR", "A")) == ((2L, 0)))
+    val sup = graft.ext.Curation
+      .suppressSmallGroups(df, Seq("country", "seg"), k = 3)
+    // non-quasi column survives unmasked; small groups mask BOTH cells
+    assert(sup.columns.toSeq == Seq("country", "seg", "id"))
+    val rows = sup.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.count { case (c, s, _) => c == "US" && s == "A" } == 3)
+    assert(rows.count { case (c, s, _) => c == "*" && s == "*" } == 3)
+    // the masked rows are exactly ids 4,5,6
+    assert(rows.filter(_._1 == "*").map(_._3).sorted.toSeq == Seq(4L, 5L, 6L))
+  }
+
+  test("moments: hand-checked skew/kurtosis, constant group → NULL shape") {
+    // group a: values 1,2,3,4,10 — right-skewed; group b: constant
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 10L),
+      ("b", 7L), ("b", 7L)).toDF("g", "x")
+    val out = graft.ops.Profiling.moments(df, "x", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 5L && a.getDouble(2) == 4.0) // n, mean
+    // population central moments for (1,2,3,4,10): m2=10, m3=36, m4=278.8
+    assert(math.abs(a.getDouble(3) - math.sqrt(10.0)) < 1e-6) // std
+    assert(math.abs(a.getDouble(4) - 36.0 / (10.0 * math.sqrt(10.0))) < 1e-6)
+    assert(math.abs(a.getDouble(5) - (278.8 / 100.0 - 3.0)) < 1e-6)
+    val b = out("b")
+    assert(b.getDouble(2) == 7.0 && b.isNullAt(3) && b.isNullAt(4) &&
+      b.isNullAt(5))
+  }
 }
