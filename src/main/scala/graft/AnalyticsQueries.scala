@@ -1169,6 +1169,110 @@ object AnalyticsQueries {
       UNION ALL SELECT 'lineitem_discount_out_of_range', l_discount_range
         FROM l"""))
 
+  /** Scan-prune estimator for the z-order layout: how many files a
+    * 2-D range predicate touches under key-ordered files (the default
+    * "insertion order" layout) vs z-prefix files (what
+    * [[graft.sinks.Sinks.writeZOrdered]]'s range-repartition
+    * produces — a file per z-curve block). Each simulated file gets a
+    * per-file min/max manifest (exactly the parquet footer stats the
+    * engine's file skipping reads), and a file is scanned iff its
+    * [min,max] box overlaps the predicate box on BOTH dimensions.
+    * Key-ordered files span the full range of both value dimensions, so
+    * nothing prunes; z-prefix files cover small hyper-rectangles, so
+    * most files drop. This is the manifest-level number that justifies
+    * paying the zorder shuffle at 100 TB.
+    *
+    * File assignment is STATELESS (top-5 z-bits / 5-bit key bucket —
+    * no global row_number), all arithmetic integer, so both engines
+    * agree bit-for-bit. Two grouped aggregates: per-file stats (≤ 64
+    * rows out), then the 2-row per-layout report. */
+  val qScanPrune = Q(
+    "q_scan_prune_zorder",
+    (s, d) => {
+      import graft.sinks.Sinks
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day_i"))
+      val mm = ord.agg(min(col("o_custkey")).as("mn_c"),
+        max(col("o_custkey")).as("mx_c"),
+        min(col("day_i")).as("mn_d"), max(col("day_i")).as("mx_d"),
+        min(col("o_orderkey")).as("mn_k"), max(col("o_orderkey")).as("mx_k"))
+      val files = ord.crossJoin(broadcast(mm))
+        .select(col("o_custkey"), col("day_i"),
+          Sinks.zBucket(col("o_custkey"), col("mn_c"), col("mx_c"), 8)
+            .as("zb_cust"),
+          Sinks.zBucket(col("day_i"), col("mn_d"), col("mx_d"), 8)
+            .as("zb_day"),
+          Sinks.zBucket(col("o_orderkey"), col("mn_k"), col("mx_k"), 5)
+            .as("file_nat"))
+        .withColumn("file_z", shiftright(
+          Sinks.zorderValue(Seq(col("zb_cust"), col("zb_day")), 8), 11))
+        .select(expr(
+          "stack(2, 'natural', file_nat, 'zorder', file_z)")
+          .as(Seq("layout", "file_id")), col("o_custkey"), col("day_i"))
+      val perFile = files.groupBy(col("layout"), col("file_id"))
+        .agg(min(col("o_custkey")).as("f_mn_c"),
+          max(col("o_custkey")).as("f_mx_c"),
+          min(col("day_i")).as("f_mn_d"), max(col("day_i")).as("f_mx_d"),
+          count(lit(1)).as("n"))
+      val box = mm.selectExpr(
+        "mn_c + ((mx_c - mn_c) * 3) div 8 AS lo_c",
+        "mn_c + ((mx_c - mn_c) * 4) div 8 AS hi_c",
+        "mn_d + ((mx_d - mn_d) * 3) div 8 AS lo_d",
+        "mn_d + ((mx_d - mn_d) * 4) div 8 AS hi_d")
+      val hit = col("f_mn_c") <= col("hi_c") && col("f_mx_c") >= col("lo_c") &&
+        col("f_mn_d") <= col("hi_d") && col("f_mx_d") >= col("lo_d")
+      perFile.crossJoin(broadcast(box))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(hit.cast("long")).as("n_files_scanned"),
+          sum(when(hit, col("n")).otherwise(lit(0L))).as("n_rows_scanned"))
+    },
+    Some {
+      val terms = (0 until 8).flatMap(b => Seq(
+        s"(((zb_cust >> $b) & 1) << ${2 * b})",
+        s"(((zb_day >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH o AS (
+          SELECT o_orderkey, o_custkey,
+            CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+              AS day_i
+          FROM orders),
+        mm AS (SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+          min(day_i) AS mn_d, max(day_i) AS mx_d,
+          min(o_orderkey) AS mn_k, max(o_orderkey) AS mx_k FROM o),
+        b AS (
+          SELECT o_custkey, day_i,
+            ((o_custkey - mn_c) * 256) // (mx_c - mn_c + 1) AS zb_cust,
+            ((day_i - mn_d) * 256) // (mx_d - mn_d + 1) AS zb_day,
+            ((o_orderkey - mn_k) * 32) // (mx_k - mn_k + 1) AS file_nat
+          FROM o, mm),
+        u AS (
+          SELECT 'natural' AS layout, file_nat AS file_id, o_custkey, day_i
+          FROM b
+          UNION ALL
+          SELECT 'zorder', ($terms) >> 11, o_custkey, day_i FROM b),
+        g AS (
+          SELECT layout, file_id,
+            min(o_custkey) AS f_mn_c, max(o_custkey) AS f_mx_c,
+            min(day_i) AS f_mn_d, max(day_i) AS f_mx_d, count(*) AS n
+          FROM u GROUP BY 1, 2),
+        box AS (
+          SELECT mn_c + ((mx_c - mn_c) * 3) // 8 AS lo_c,
+            mn_c + ((mx_c - mn_c) * 4) // 8 AS hi_c,
+            mn_d + ((mx_d - mn_d) * 3) // 8 AS lo_d,
+            mn_d + ((mx_d - mn_d) * 4) // 8 AS hi_d
+          FROM mm)
+        SELECT layout, count(*) AS n_files,
+          CAST(sum(CASE WHEN f_mn_c <= hi_c AND f_mx_c >= lo_c
+            AND f_mn_d <= hi_d AND f_mx_d >= lo_d THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_files_scanned,
+          CAST(sum(CASE WHEN f_mn_c <= hi_c AND f_mx_c >= lo_c
+            AND f_mn_d <= hi_d AND f_mx_d >= lo_d THEN n ELSE 0 END)
+            AS BIGINT) AS n_rows_scanned
+        FROM g, box GROUP BY layout"""
+    })
+
   /** CDC merge ([[graft.ops.Cdc.applyChanges]]): apply an ordered
     * change log (upserts, deletes, new keys) onto the orders snapshot —
     * the lakehouse `MERGE INTO` shape. The log is derived
@@ -1232,5 +1336,6 @@ object AnalyticsQueries {
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,
-    qSkewJoin, qOutlierIqr, qScd2, qScd2Lookup, qDqReport, qCdcApply)
+    qSkewJoin, qOutlierIqr, qScd2, qScd2Lookup, qDqReport, qCdcApply,
+    qScanPrune)
 }
