@@ -228,6 +228,12 @@ class OpsSpec extends SparkSpec {
         Tables.lineitem(spark, sf),
         col("o_orderkey") === col("l_orderkey")).count()
       assert(joined.count() == expected)
+      // grouped aggregation on the bucket key rides the bucketing too:
+      // the catalog's output partitioning satisfies the agg's
+      // distribution requirement, so there is no Exchange either
+      val agg = spark.table("orders_bkt").groupBy("o_orderkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(agg.count() == Tables.orders(spark, sf).count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
@@ -574,4 +580,5 @@ class OpsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"))
   }
+
 }
