@@ -1696,9 +1696,7 @@ object ExtQueries {
             TextDedup.baseHash(col("text")), k).as("sk"),
           countDistinct(col("text")).as("exact_distinct"))
         .select(col("lang"),
-          when(size(col("sk")) < k, size(col("sk")).cast("double"))
-            .otherwise(round(lit((k - 1).toDouble) /
-              ((element_at(col("sk"), k) + 1) / lit(4294967296.0)), 6))
+          graft.ops.IncrementalAgg.kmvEstimate(col("sk"), k)
             .as("kmv_distinct"),
           col("exact_distinct"))
     },
@@ -1724,6 +1722,103 @@ object ExtQueries {
         END AS kmv_distinct,
         x.exact_distinct
       FROM e JOIN x USING (lang)"""))
+
+  /** Missing-value imputation ([[graft.ops.Impute]]): deterministic
+    * holes are punched into the orders snapshot (every 13th key loses
+    * its price, every 17th its priority — the oracle replays the same
+    * corruption), then the price holes fill with the per-status MEAN
+    * (exact-decimal, 6-dp) and the priority holes with the per-status
+    * MODE (windowless struct-max election), every filled cell flagged
+    * INT 0/1. Row-grained output so the oracle checks each fill, not
+    * just the fill values. */
+  val imputeMissing = Q(
+    "ext_impute_missing",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 13 === 1, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("o_orderkey") % 17 === 2, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("prio"))
+      val filled = graft.ops.Impute.modeFill(
+        graft.ops.Impute.meanFill(o, "price", Seq("o_orderstatus")),
+        "prio", Seq("o_orderstatus"))
+      filled.select(col("o_orderkey"), col("o_orderstatus"),
+        col("price"), col("price_filled"), col("price_imputed"),
+        col("prio"), col("prio_filled"), col("prio_imputed"))
+    },
+    Some("""WITH o AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 13 = 1 THEN NULL
+               ELSE o_totalprice END AS price,
+          CASE WHEN o_orderkey % 17 = 2 THEN NULL
+               ELSE o_orderpriority END AS prio
+        FROM orders),
+      m AS (
+        SELECT o_orderstatus,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+            / count(price), 6) AS price_fill
+        FROM o GROUP BY 1),
+      pc AS (
+        SELECT o_orderstatus, prio, count(*) AS c
+        FROM o WHERE prio IS NOT NULL GROUP BY 1, 2),
+      md AS (
+        SELECT o_orderstatus,
+          (max(struct_pack(c := c, v := prio))).v AS prio_fill
+        FROM pc GROUP BY 1)
+      SELECT o_orderkey, o.o_orderstatus, price,
+        coalesce(price, price_fill) AS price_filled,
+        CASE WHEN price IS NULL THEN 1 ELSE 0 END AS price_imputed,
+        prio, coalesce(prio, prio_fill) AS prio_filled,
+        CASE WHEN prio IS NULL THEN 1 ELSE 0 END AS prio_imputed
+      FROM o
+      JOIN m USING (o_orderstatus)
+      LEFT JOIN md USING (o_orderstatus)"""))
+
+  /** Incremental-ETL merge ([[graft.ops.IncrementalAgg]]): orders are
+    * split into two "epochs" (o_orderkey parity — the stand-in for
+    * daily partitions), per-(status, epoch) PARTIAL states are computed,
+    * then folded per status. The oracle computes the same report
+    * DIRECTLY from the raw table, so the green hash PROVES
+    * merge(partials) ≡ recompute: counts/min/max associative, sums
+    * exact via DECIMAL partials, distinct via lossless KMV sketch
+    * union. At 100 TB this is the difference between scanning one day
+    * and scanning all history for a daily rollup. */
+  val aggMerge = Q(
+    "ext_agg_merge_incremental",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderstatus"), col("o_totalprice").as("v"),
+        TextDedup.baseHash(col("o_custkey").cast("string")).as("ch"),
+        (col("o_orderkey") % 2).as("epoch"))
+      val p = graft.ops.IncrementalAgg.partials(
+        o, Seq("o_orderstatus"), "epoch", "v", "ch", k = 128)
+      graft.ops.IncrementalAgg.merge(p, Seq("o_orderstatus"), k = 128)
+    },
+    Some("""WITH h AS (
+        SELECT DISTINCT o_orderstatus,
+          ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+            AS hv
+        FROM orders),
+      r AS (
+        SELECT o_orderstatus, hv,
+          row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
+          count(*) OVER (PARTITION BY o_orderstatus) AS nd
+        FROM h),
+      e AS (
+        SELECT o_orderstatus, max(nd) AS nd,
+          max(CASE WHEN rn = 128 THEN hv END) AS hk
+        FROM r GROUP BY 1),
+      s AS (
+        SELECT o_orderstatus, count(*) AS n_rows,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          min(o_totalprice) AS v_min, max(o_totalprice) AS v_max
+        FROM orders GROUP BY 1)
+      SELECT s.o_orderstatus, n_rows, total, v_min, v_max,
+        CASE WHEN e.nd < 128 THEN CAST(e.nd AS DOUBLE)
+             ELSE round(127.0 / ((e.hk + 1) / 4294967296.0), 6)
+        END AS kmv_distinct
+      FROM s JOIN e USING (o_orderstatus)"""))
 
   /** Deterministic per-group sampling: the 5 rows with the smallest
     * md5(doc_id) per source — a seeded uniform sample that is stable
@@ -2908,6 +3003,6 @@ object ExtQueries {
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
-    kAnon, kAnonSuppress, momentsProfile,
+    kAnon, kAnonSuppress, momentsProfile, aggMerge, imputeMissing,
     corpusReport)
 }

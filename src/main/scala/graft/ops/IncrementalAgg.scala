@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental (mergeable-state) aggregation: compute per-epoch PARTIAL
+  * states once, persist them, and fold new epochs in by merging states —
+  * never rescanning history. This is the materialized-rollup pattern
+  * every long-lived 100 TB pipeline ends up needing: day N's report is
+  * `merge(stored partials, today's partial)` over key-grained rows,
+  * while the naive form rescans N days of raw data.
+  *
+  * Every stat carried is chosen to be EXACTLY mergeable:
+  *  - count/min/max — trivially associative;
+  *  - sum — kept as DECIMAL(18,2) in the partial (decimal addition is
+  *    exact and order-free; a double partial sum would make the merged
+  *    total depend on epoch grouping);
+  *  - distinct count — a [[graft.functions.KmvAgg]] KMV sketch (k
+  *    smallest distinct hash values). KMV merges losslessly: the k
+  *    smallest of a union are a subset of the union of per-epoch k
+  *    smallest, so merged-sketch == direct-sketch, not approximately
+  *    but identically. Spark's own HLL++ merges too but is
+  *    implementation-defined; KMV is engine-reproducible.
+  */
+object IncrementalAgg {
+
+  /** Per-(key, epoch) partial state for `valueCol` (numeric) and
+    * `distinctHashCol` (pre-hashed values to distinct-count, e.g.
+    * [[graft.ext.TextDedup.baseHash]] output). One hash aggregate;
+    * output cardinality = keys × epochs. */
+  def partials(df: DataFrame, keyCols: Seq[String], epochCol: String,
+      valueCol: String, distinctHashCol: String, k: Int): DataFrame = {
+    val v = qcol(valueCol)
+    df.groupBy((keyCols :+ epochCol).map(qcol): _*)
+      .agg(
+        count(lit(1)).as("p_n"),
+        sum(v.cast(DecimalType(18, 2))).as("p_sum"),
+        min(v).as("p_min"), max(v).as("p_max"),
+        graft.functions.KmvAgg.kmv_sketch(qcol(distinctHashCol), k)
+          .as("p_kmv"))
+  }
+
+  /** Fold partial states down to per-key totals: exact n/sum/min/max,
+    * KMV-estimated distinct count (`(k−1)/U(k)` on the merged sketch,
+    * 6-dp rounded; exact size below k). Two small aggregates over the
+    * partial frame (scalar fold + sketch re-fold over exploded sketch
+    * values) joined on the keys — all key-grained, never row-grained. */
+  def merge(partialFrame: DataFrame, keyCols: Seq[String],
+      k: Int): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(qcol)
+    val scalars = partialFrame.groupBy(keys: _*)
+      .agg(
+        sum(col("p_n")).as("n_rows"),
+        sum(col("p_sum")).cast("double").as("total"),
+        min(col("p_min")).as("v_min"), max(col("p_max")).as("v_max"))
+    val sketches = partialFrame
+      .select((keys :+ explode(col("p_kmv")).as("hv")): _*)
+      .groupBy(keys: _*)
+      .agg(graft.functions.KmvAgg.kmv_sketch(col("hv"), k).as("sk"))
+      .select((keys :+ kmvEstimate(col("sk"), k).as("kmv_distinct")): _*)
+    scalars.join(sketches, keyCols)
+  }
+
+  /** KMV estimate from a sketch column: exact size when the sketch never
+    * filled, else `(k−1)/U(k)` with the k-th minimum rescaled to (0,1]
+    * over the 32-bit hash space. Mirrors the `ext_kmv_distinct` oracle
+    * expression term-for-term. */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) /
+        ((element_at(sk, k) + 1) / lit(4294967296.0)), 6))
+}

@@ -1574,4 +1574,57 @@ class ExtSpec extends SparkSpec {
     assert(b.getDouble(2) == 7.0 && b.isNullAt(3) && b.isNullAt(4) &&
       b.isNullAt(5))
   }
+
+  test("IncrementalAgg: merge(partials) == direct aggregate, sketch included") {
+    import graft.ops.IncrementalAgg
+    val df = (1 to 400).map { i =>
+      (if (i % 3 == 0) "x" else "y", i * 1.01, (i % 37).toString, i % 4)
+    }.toDF("g", "v", "u", "epoch")
+    val hashed = df.withColumn("h",
+      graft.ext.TextDedup.baseHash(col("u")))
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.partials(hashed, Seq("g"), "epoch", "v", "h", k = 16),
+      Seq("g"), k = 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // direct single-shot over the same rows (one "epoch")
+    val direct = IncrementalAgg.merge(
+      IncrementalAgg.partials(
+        hashed.withColumn("epoch", lit(0)), Seq("g"), "epoch", "v", "h",
+        k = 16),
+      Seq("g"), k = 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("x", "y"); i <- 1 to 5)
+      assert(merged(g).get(i) == direct(g).get(i), s"$g col $i")
+    // 37 distinct u values overflow k=16 → the estimate path ran
+    assert(merged("y").getDouble(5) != 37.0d ||
+      merged("x").getDouble(5) != 37.0d)
+    assert(merged("y").getLong(1) + merged("x").getLong(1) == 400L)
+  }
+
+  test("Impute: mean fill ignores nulls, mode ties break high, all-null " +
+      "group survives unfilled") {
+    import graft.ops.Impute
+    val df = Seq(
+      ("a", Some(10.0), Some("p")), ("a", Some(20.0), Some("q")),
+      ("a", None, Some("q")), ("a", Some(30.0), None),
+      ("b", None, None), ("b", None, None))
+      .toDF("g", "v", "c")
+    // columns: g, v, c, v_filled, v_imputed, c_filled, c_imputed
+    val out = Impute.modeFill(Impute.meanFill(df, "v", Seq("g")), "c",
+      Seq("g")).collect()
+      .map(r => (r.getString(0), r.isNullAt(1), r.get(3), r.getInt(4),
+        r.get(2), r.get(5), r.getInt(6)))
+    // a's null v fills with mean(10,20,30)=20.0; non-null rows untouched
+    val aFilled = out.filter(t => t._1 == "a" && t._2)
+    assert(aFilled.map(_._3).toSeq == Seq(20.0) &&
+      aFilled.head._4 == 1)
+    assert(out.filter(t => t._1 == "a" && !t._2).forall(_._4 == 0))
+    // a's null c fills with mode q (count 2 beats p's 1)
+    assert(out.filter(t => t._1 == "a" && t._5 == null)
+      .map(_._6).toSeq == Seq("q"))
+    // b: all-null in BOTH columns — rows survive, stay null, flagged
+    val b = out.filter(_._1 == "b")
+    assert(b.length == 2 && b.forall(t => t._3 == null && t._4 == 1 &&
+      t._6 == null && t._7 == 1))
+  }
 }
