@@ -1169,6 +1169,60 @@ object AnalyticsQueries {
       UNION ALL SELECT 'lineitem_discount_out_of_range', l_discount_range
         FROM l"""))
 
+  /** UNPIVOT/melt — the wide→long reshape (inverse of `q_pivot_*`):
+    * per-status metrics fold into (status, metric, value) rows. Spark's
+    * native `unpivot` is a zero-shuffle Expand over the already-grouped
+    * frame; values share one DOUBLE type (the unpivot contract). The
+    * oracle spells the same reshape as a UNION ALL ladder. */
+  val qUnpivot = Q(
+    "q_unpivot_metrics",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        round(davg(col("o_totalprice")), 6).as("avg_price"))
+      .unpivot(Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("total_price"), col("avg_price")),
+        "metric", "value"),
+    Some(s"""WITH a AS (
+        SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n_orders,
+          ${dsumSql("o_totalprice")} AS total_price,
+          round(${davgSql("o_totalprice")}, 6) AS avg_price
+        FROM orders GROUP BY 1)
+      SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM a
+      UNION ALL
+      SELECT o_orderstatus, 'total_price', total_price FROM a
+      UNION ALL
+      SELECT o_orderstatus, 'avg_price', avg_price FROM a"""))
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    * quantity sits under 20% of their PART's average quantity — "small
+    * order" revenue. Catalyst de-correlates the subquery into a
+    * per-part aggregate joined back on the key (the only scalable
+    * plan: per-row subquery execution would be O(rows) scans); the
+    * oracle states the same de-correlated form. The avg threshold is
+    * 6-dp-pinned before the comparison so borderline rows resolve
+    * identically on both engines. */
+  val qCorrelatedSub = Q(
+    "q_small_qty_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(round(lit(0.2) * davg(col("l_quantity")), 6).as("qty_cap"))
+      li.join(thresh, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"),
+          count(lit(1)).as("n_small"))
+    },
+    Some(s"""WITH t AS (
+        SELECT l_partkey AS t_partkey,
+          round(0.2 * ${davgSql("l_quantity")}, 6) AS qty_cap
+        FROM lineitem GROUP BY 1)
+      SELECT ${dsumSql("l_extendedprice")} AS small_qty_revenue,
+        count(*) AS n_small
+      FROM lineitem JOIN t ON l_partkey = t_partkey
+      WHERE l_quantity < qty_cap"""))
+
   /** Scan-prune estimator for the z-order layout: how many files a
     * 2-D range predicate touches under key-ordered files (the default
     * "insertion order" layout) vs z-prefix files (what
@@ -1337,5 +1391,5 @@ object AnalyticsQueries {
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,
     qSkewJoin, qOutlierIqr, qScd2, qScd2Lookup, qDqReport, qCdcApply,
-    qScanPrune)
+    qScanPrune, qUnpivot, qCorrelatedSub)
 }

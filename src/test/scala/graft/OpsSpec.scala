@@ -581,4 +581,37 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("runtime bloom filter: selective dim filter reaches the fact scan") {
+    // the 100 TB story: a selective filter on the dimension side of a
+    // shuffle join sows a bloom filter onto the fact side, so the big
+    // scan drops non-joining rows BEFORE the exchange
+    val sf = "/root/testdata/sf0.001"
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        "100MB",
+      // the injection rule requires a LARGE application side; the prod
+      // default (10GB) is exactly right at 100 TB and excludes the tiny
+      // test table, so drop it to 0 for the plan assertion only
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, sf)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
 }
