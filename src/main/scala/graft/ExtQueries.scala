@@ -1019,6 +1019,34 @@ object ExtQueries {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1, 2, 3"""))
 
+  /** ε-DP noisy per-nation counts
+    * ([[graft.ext.Curation.dpNoisyCounts]], ε = 0.5): the release-side
+    * companion to the k-anonymity audit — counts leave with Laplace
+    * noise instead of leaving exact. The md5-keyed uniform makes the
+    * draw reproducible, so the oracle replays the identical
+    * inverse-CDF arithmetic (6-dp ln round per the transcendental
+    * rule). */
+  val dpHistogram = Q(
+    "ext_dp_histogram",
+    (s, d) => graft.ext.Curation.dpNoisyCounts(
+      Tables.customer(s, d).join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey")),
+      "n_name", epsilon = 0.5),
+    Some("""WITH g AS (
+        SELECT n_name, count(*) AS n_true
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1),
+      n AS (
+        SELECT n_name, n_true,
+          least(greatest(
+            (('0x' || substring(md5('dp:' || n_name), 1, 8))::BIGINT + 1)
+              / 4294967296.0, 0.000001), 0.999999) AS u
+        FROM g)
+      SELECT n_name, n_true,
+        round(n_true + -sign(u - 0.5) * 2.0
+          * round(ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS n_noisy
+      FROM n"""))
+
   /** Cell-suppression k-anonymization
     * ([[graft.ext.Curation.suppressSmallGroups]]): quasi-groups below k
     * get the WHOLE quasi tuple masked to '*', then the released table is
@@ -3003,6 +3031,7 @@ object ExtQueries {
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
-    kAnon, kAnonSuppress, momentsProfile, aggMerge, imputeMissing,
+    kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
+    imputeMissing,
     corpusReport)
 }

@@ -419,6 +419,33 @@ object Curation {
       .withColumn("is_anon", (col("n_rows") >= k).cast("int"))
   }
 
+  /** ε-differentially-private noisy counts (the Laplace mechanism,
+    * Dwork et al. 2006): per-group counts (sensitivity 1) plus
+    * inverse-CDF Laplace noise with scale 1/ε. The uniform driving the
+    * noise is an md5-derived, salt-keyed deterministic stand-in — a
+    * real release draws it from a private RNG; everything the engine is
+    * responsible for (one hash aggregate, stateless noise projection,
+    * the clamp keeping ln off its singularity, 6-dp cross-engine
+    * rounding of the transcendental) is identical either way and is
+    * what the oracle pins.
+    *
+    * Output keeps the true count alongside (audit/test view — a
+    * production release would project it away). */
+  def dpNoisyCounts(df: DataFrame, keyCol: String, epsilon: Double,
+      salt: String = "dp"): DataFrame = {
+    require(epsilon > 0, "dpNoisyCounts: epsilon must be positive")
+    val h = TextDedup.baseHash(concat(lit(s"$salt:"), col(keyCol)))
+    // u ∈ (0,1], clamped off both ends so ln(1-2|u-0.5|) stays finite
+    val u = least(greatest((h + lit(1L)) / lit(4294967296.0),
+      lit(0.000001)), lit(0.999999))
+    val x = u - lit(0.5)
+    val noise = -signum(x) * lit(1.0 / epsilon) *
+      round(log(lit(1.0) - lit(2.0) * abs(x)), 6)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("n_noisy", round(col("n_true") + noise, 6))
+  }
+
   /** k-anonymization by cell suppression: rows in quasi-groups smaller
     * than `k` get EVERY quasi-identifier masked to `'*'` (full-tuple
     * suppression — masking single cells can still leak through the

@@ -1627,4 +1627,18 @@ class ExtSpec extends SparkSpec {
     assert(b.length == 2 && b.forall(t => t._3 == null && t._4 == 1 &&
       t._6 == null && t._7 == 1))
   }
+
+  test("dpNoisyCounts: reproducible, bounded by the clamp, mostly nonzero") {
+    val df = (1 to 300).map(i => ("k" + i % 20, i)).toDF("g", "i")
+    def run() = graft.ext.Curation.dpNoisyCounts(df, "g", epsilon = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val a = run()
+    assert(a == run()) // keyed-hash noise: identical draw every run
+    assert(a.values.forall(_._1 == 15L))
+    // |noise| <= (1/eps)*(-ln(2e-6)) ~ 26.3 under the clamp
+    assert(a.values.forall { case (t, n) => math.abs(n - t) <= 27.0 })
+    // the mechanism actually perturbs: most groups move off the truth
+    assert(a.values.count { case (t, n) => n != t } >= 15)
+  }
 }
