@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Registry-wide physical-plan lint: every registered query is planned
+  * (not run) at sf0.001 and swept for the two patterns that are
+  * invisible at test scale and fatal at 100 TB —
+  *
+  *  - a non-broadcast cartesian join (both sides row-grained, row-count
+  *    product blow-up). BroadcastNestedLoopJoin is deliberately NOT
+  *    flagged: every registry use is `crossJoin(broadcast(agg))` of a
+  *    1-row/bounded aggregate (the scalar-broadcast pattern), and the
+  *    broadcast itself bounds that side or the job fails loudly;
+  *  - a Window with an EMPTY partition spec (every row funnels through
+  *    one reducer task).
+  *
+  * Ops that are justified carry an explicit whitelist entry with the
+  * reason; anything new that trips the sweep fails the build until it
+  * is either re-planned or consciously whitelisted. This is the
+  * regression fence for the scale-shape claims the per-op scaladocs
+  * make.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Unpartitioned windows that are fine because they run over
+    * KEY-GRAINED frames (manifests / aggregates whose cardinality is
+    * bounded by construction), never over row-grained data. */
+  private val windowWhitelist: Map[String, String] = Map(
+    "ext_compaction_plan" ->
+      "offset window over the shard manifest (64 rows by construction)",
+    "ext_length_histogram" ->
+      "cumulative fraction over the bucket histogram (buckets, not rows)",
+    "ext_dedup_threshold_sweep" ->
+      "cumulative pair counts over the threshold grid (21 rows)",
+    "q_gap_fill_daily" ->
+      "lag over the daily calendar spine (one row per day)",
+    "ext_pack_offsets" ->
+      "prefix-sum over per-partition totals (one row per partition)",
+    "ext_tokenize_ids" ->
+      "rank over the bounded-heap top-vocabSize vocabulary")
+
+  test("no registered query plans a cartesian join or a row-grained " +
+      "unpartitioned window") {
+    val sf = "/root/testdata/sf0.001"
+    val offenders = Seq.newBuilder[String]
+    Registry.all.foreach { q =>
+      try {
+        val plan = q.run(spark, sf).queryExecution.sparkPlan
+        if (plan.collect { case c: CartesianProductExec => c }.nonEmpty)
+          offenders += s"${q.name}: CartesianProduct"
+        val badWin = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (badWin.nonEmpty && !windowWhitelist.contains(q.name))
+          offenders += s"${q.name}: unpartitioned Window"
+      } finally graft.ops.CacheScope.releaseAll()
+    }
+    assert(offenders.result().isEmpty,
+      s"scale-killer plan shapes:\n${offenders.result().mkString("\n")}")
+  }
+}
