@@ -1751,6 +1751,38 @@ object ExtQueries {
         x.exact_distinct
       FROM e JOIN x USING (lang)"""))
 
+  /** Per-source n-gram diversity ([[TextStats.ngramDiversity]]):
+    * unigram/bigram type-token ratios — the boilerplate-flood detector
+    * (per-doc gates can all pass while a source repeats one template;
+    * its TTR collapses). Exact distinct counts in both engines. */
+  val ngramDiversity = Q(
+    "ext_ngram_diversity",
+    (s, d) => TextStats.ngramDiversity(
+      Tables.documents(s, d), "text", "source"),
+    Some("""WITH t AS (
+        SELECT source,
+          string_split_regex(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      u AS (
+        SELECT source, count(*) AS n_tokens,
+          count(DISTINCT tok) AS n_unigrams
+        FROM (SELECT source, unnest(tk) AS tok FROM t) GROUP BY source),
+      bp AS (
+        SELECT source, tk[i] || ' ' || tk[i + 1] AS bg
+        FROM (SELECT source, tk, unnest(range(1, len(tk))) AS i FROM t)),
+      b AS (
+        SELECT source, count(*) AS n_bigrams_total,
+          count(DISTINCT bg) AS n_bigrams
+        FROM bp GROUP BY source)
+      SELECT u.source, n_tokens, n_unigrams,
+        coalesce(n_bigrams_total, 0) AS n_bigrams_total,
+        coalesce(n_bigrams, 0) AS n_bigrams,
+        round(CAST(n_unigrams AS DOUBLE) / n_tokens, 6) AS ttr_unigram,
+        CASE WHEN coalesce(n_bigrams_total, 0) > 0 THEN
+          round(CAST(n_bigrams AS DOUBLE) / n_bigrams_total, 6)
+        ELSE NULL END AS ttr_bigram
+      FROM u LEFT JOIN b ON u.source = b.source"""))
+
   /** Missing-value imputation ([[graft.ops.Impute]]): deterministic
     * holes are punched into the orders snapshot (every 13th key loses
     * its price, every 17th its priority — the oracle replays the same
@@ -3032,6 +3064,6 @@ object ExtQueries {
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
     kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
-    imputeMissing,
+    imputeMissing, ngramDiversity,
     corpusReport)
 }

@@ -497,4 +497,46 @@ object TextStats {
         round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6).as("score"),
         (col("margin") >= 0).cast("int").as("keep"))
   }
+
+  /** Per-source n-gram diversity (type-token ratios over unigrams and
+    * bigrams): the corpus-health number that catches template farms and
+    * boilerplate floods — a source can pass every per-doc quality gate
+    * and still be 5 pages repeated 100k times; its TTR collapses while
+    * a healthy crawl's stays flat.
+    *
+    * Two token-grained aggregates (unigram explode, index-explode
+    * bigrams) joined on the source key — the same shuffle shape as the
+    * vocabulary ops: one row per token, map-side partial
+    * count-distinct, output cardinality = |sources|. Tokens are
+    * lowercased whitespace splits (the [[tokens]] definition). */
+  def ngramDiversity(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    val base = docs.select(col(sourceCol), t.as("t"))
+    val uni = base.select(col(sourceCol), explode(col("t")).as("tok"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_unigrams"))
+    // bigram at 1-based index i joins token i with token i+1; docs with
+    // a single token contribute none (sequence(1, 0) would DESCEND in
+    // Spark, hence the explicit size guard)
+    val bi = base.filter(size(col("t")) >= 2)
+      .select(col(sourceCol),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col(sourceCol),
+        concat(element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1)).as("bg"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_bigrams_total"),
+        countDistinct(col("bg")).as("n_bigrams"))
+    uni.join(bi, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_tokens"), col("n_unigrams"),
+        coalesce(col("n_bigrams_total"), lit(0L)).as("n_bigrams_total"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("n_unigrams").cast("double") / col("n_tokens"), 6)
+          .as("ttr_unigram"),
+        when(coalesce(col("n_bigrams_total"), lit(0L)) > 0,
+          round(col("n_bigrams").cast("double") / col("n_bigrams_total"), 6))
+          .otherwise(lit(null).cast("double")).as("ttr_bigram"))
+  }
 }

@@ -1641,4 +1641,16 @@ class ExtSpec extends SparkSpec {
     // the mechanism actually perturbs: most groups move off the truth
     assert(a.values.count { case (t, n) => n != t } >= 15)
   }
+
+  test("ngramDiversity: hand-counted TTRs, single-token doc adds no bigram") {
+    val df = Seq(("s", "a b a b"), ("s", "c d"), ("s", "e"))
+      .toDF("src", "text")
+    val r = TextStats.ngramDiversity(df, "text", "src").collect()(0)
+    // tokens: a b a b | c d | e → 7 total, 5 distinct
+    assert(r.getLong(1) == 7L && r.getLong(2) == 5L)
+    // bigrams: (a b)(b a)(a b) + (c d) → 4 total, 3 distinct; 'e' none
+    assert(r.getLong(3) == 4L && r.getLong(4) == 3L)
+    assert(math.abs(r.getDouble(5) - 5.0 / 7.0) < 1e-6)
+    assert(math.abs(r.getDouble(6) - 0.75) < 1e-6)
+  }
 }
