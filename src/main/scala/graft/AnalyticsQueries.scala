@@ -467,6 +467,47 @@ object AnalyticsQueries {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""),
     bench = true)
 
+  /** Same query through the NATIVE as-of operator
+    * ([[graft.plans.AsofJoinNative]]: custom LogicalPlan → Strategy →
+    * sort-merge SparkPlan) — sharing the composed version's exact oracle
+    * proves the two implementations are interchangeable end-to-end. */
+  val qAsofNative = Q(
+    "q_asof_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+        .select(col("user_id"), col("ts").as("click_raw_ts"), col("click_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("click_value"))
+      graft.plans.AsofJoinNative
+        .join(purchases, clicks, Seq("user_id"), "ts", "click_raw_ts")
+        .select(col("user_id"), col("purchase_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("purchase_value"), col("click_id"), col("click_ts"),
+          col("click_value"))
+    },
+    Some("""WITH r AS (
+        SELECT user_id, ts, max(event_id) AS click_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          arg_max("value", event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      l AS (
+        SELECT user_id, ts, event_id AS purchase_id,
+          "value" AS purchase_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT l.user_id, l.purchase_id,
+        strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        l.purchase_value, r.click_id, r.click_ts, r.click_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""),
+    bench = true)
+
   /** Band join ([[graft.ops.BandJoin]]): for each event, how many events
     * other users produced within ±30 minutes, and their total value — the
     * time-proximity join shape (co-occurrence, correlation windows) that
@@ -1386,7 +1427,7 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qJsonProps,
     qSessions,
-    qAsof, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
+    qAsof, qAsofNative, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,

@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in all-pairs-join guard (no-op unless
     // spark.graft.guard.cartesian=true — it never rewrites, only vetoes)
     ext.injectOptimizerRule(_ => graft.plans.CartesianGuard)
+    // whole-operator surface: plans AsofJoinNode (matches nothing else)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
 
 /** Minimal bridge to the `private[sql]` Column↔Expression converters —
   * the documented escape hatch for libraries registering custom Catalyst
@@ -12,4 +14,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toCol(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point a
+    * library needs to hand Catalyst a custom [[LogicalPlan]] node (e.g.
+    * [[graft.plans.AsofJoinNode]]) that the DataFrame DSL cannot spell. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 }

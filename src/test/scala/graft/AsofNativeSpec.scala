@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsofJoinNative
+
+/** The native (LogicalPlan + Strategy + SparkPlan) as-of join: result
+  * parity with the composed rewrite, its own NULL semantics, and the
+  * physical-plan contract (exec present, sort-merge shape, partitioning
+  * reuse downstream). */
+class AsofNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic mixed workload: keys 0..6, left-only key 100,
+  // right-only key 200, in-partition duplicates, tie timestamps
+  private lazy val leftDf = ((1 to 200).map(i =>
+    (i % 7, (i * 37) % 97, s"L$i")) ++ Seq((100, 50, "Lonly")))
+    .toDF("k", "t", "lv")
+  private lazy val rightDf = ((1 to 80).map(i =>
+    (i % 7, (i * 13) % 89, i * 10)) ++ Seq((200, 1, -1)))
+    .groupBy(x => (x._1, x._2)).map(_._2.head) // unique (k, t): determinism
+    .toSeq.sorted
+    .toDF("k", "t", "rv")
+
+  test("native asof ≡ composed asof on a mixed workload") {
+    val l = leftDf
+    val r = rightDf.withColumnRenamed("t", "rt")
+    val native = AsofJoinNative.join(l, r, Seq("k"), "t", "rt")
+      .select("k", "t", "lv", "rv")
+    val composed = graft.ops.AsofJoin(l, r, Seq("k"), "t", "rt")
+      .select("k", "t", "lv", "rv")
+    val n = native.collect().map(_.toSeq).sortBy(_.toString)
+    val c = composed.collect().map(_.toSeq).sortBy(_.toString)
+    assert(n.length == 201 && n.toSeq == c.toSeq)
+  }
+
+  test("inclusive tie: a right row at exactly the left time matches") {
+    val l = Seq((1, 10, "a")).toDF("k", "t", "lv")
+    val r = Seq((1, 10, "hit"), (1, 9, "miss")).toDF("k", "rt", "rv")
+    val out = AsofJoinNative.join(l, r, Seq("k"), "t", "rt").collect()
+    assert(out.length == 1 && out(0).getString(3) == "hit")
+  }
+
+  test("NULL keys and NULL times never match (either side)") {
+    val l = Seq((Some(1), Some(10), "ok"), (None, Some(10), "nullkey"),
+      (Some(1), None, "nulltime")).toDF("k", "t", "lv")
+    val r = Seq((Some(1), Some(5), "m"), (None, Some(1), "rnullkey"),
+      (Some(1), None, "rnulltime")).toDF("k", "rt", "rv")
+    val out = AsofJoinNative.join(l, r, Seq("k"), "t", "rt")
+      .collect().map(x => (x.getString(2), x.getString(3))).toMap
+    // only the fully-non-null left row matches, and only the
+    // fully-non-null right row can be its match
+    assert(out == Map("ok" -> "m", "nullkey" -> null, "nulltime" -> null))
+  }
+
+  test("plan: AsofJoinExec, sort-merge shape, exactly one Exchange per side") {
+    val df = AsofJoinNative.join(
+      leftDf, rightDf.withColumnRenamed("t", "rt"), Seq("k"), "t", "rt")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsofJoin"), s)
+    assert("(?i)sort".r.findAllIn(s).length >= 2, s)
+    assert("Exchange hashpartitioning".r.findAllIn(s).length == 2, s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoop"), s)
+  }
+
+  test("plan: output partitioning is reused — groupBy(keys) after asof adds no Exchange") {
+    val joined = AsofJoinNative.join(
+      leftDf, rightDf.withColumnRenamed("t", "rt"), Seq("k"), "t", "rt")
+    val agg = joined.groupBy("k").agg(sum("rv").as("s"))
+    val s = agg.queryExecution.executedPlan.toString
+    // two input shuffles only; the aggregation rides the asof's
+    // hash partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(s).length == 2, s)
+  }
+
+  test("left rows with no right partner (and empty right partitions) get NULLs") {
+    val l = Seq((1, 10, "a"), (2, 5, "b")).toDF("k", "t", "lv")
+    val r = Seq((1, 20, "late")).toDF("k", "rt", "rv") // only AFTER left times
+    val out = AsofJoinNative.join(l, r, Seq("k"), "t", "rt")
+      .collect().map(x => (x.getString(2), x.getString(3))).toMap
+    assert(out == Map("a" -> null, "b" -> null))
+  }
+}
