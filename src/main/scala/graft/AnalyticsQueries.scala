@@ -508,6 +508,84 @@ object AnalyticsQueries {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""),
     bench = true)
 
+  private def asofSides(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+      .select(col("user_id"), col("ts").as("click_raw_ts"), col("click_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("click_value"))
+    (purchases, clicks)
+  }
+
+  private val asofSelect: DataFrame => DataFrame = df => df.select(
+    col("user_id"), col("purchase_id"),
+    date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+    col("purchase_value"), col("click_id"), col("click_ts"),
+    col("click_value"))
+
+  /** FORWARD as-of through the native operator: the first click at or
+    * after each purchase (follow-up attribution). Oracle: DuckDB ASOF
+    * with the inequality flipped. */
+  val qAsofForward = Q(
+    "q_asof_forward",
+    (s, d) => {
+      val (purchases, clicks) = asofSides(s, d)
+      asofSelect(graft.plans.AsofJoinNative.join(
+        purchases, clicks, Seq("user_id"), "ts", "click_raw_ts",
+        forward = true))
+    },
+    Some("""WITH r AS (
+        SELECT user_id, ts, max(event_id) AS click_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          arg_max("value", event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      l AS (
+        SELECT user_id, ts, event_id AS purchase_id,
+          "value" AS purchase_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT l.user_id, l.purchase_id,
+        strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        l.purchase_value, r.click_id, r.click_ts, r.click_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts"""))
+
+  /** Toleranced as-of: the attribution-window shape — only a click
+    * within the 30 minutes BEFORE the purchase counts. Tolerance is
+    * micros (TIMESTAMP internal unit). Oracle: band left-join + arg_max
+    * (exact because the right side is unique per (user_id, ts)). */
+  val qAsofTolerance = Q(
+    "q_asof_tolerance",
+    (s, d) => {
+      val (purchases, clicks) = asofSides(s, d)
+      asofSelect(graft.plans.AsofJoinNative.join(
+        purchases, clicks, Seq("user_id"), "ts", "click_raw_ts",
+        tolerance = Some(30L * 60 * 1000000)))
+    },
+    Some("""WITH r AS (
+        SELECT user_id, ts, max(event_id) AS click_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          arg_max("value", event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      l AS (
+        SELECT user_id, ts, event_id AS purchase_id,
+          "value" AS purchase_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT l.user_id, l.purchase_id,
+        strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        l.purchase_value,
+        arg_max(r.click_id, r.ts) AS click_id,
+        arg_max(r.click_ts, r.ts) AS click_ts,
+        arg_max(r.click_value, r.ts) AS click_value
+      FROM l LEFT JOIN r ON l.user_id = r.user_id
+        AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 30 MINUTE
+      GROUP BY l.user_id, l.purchase_id, l.ts, l.purchase_value"""))
+
   /** Band join ([[graft.ops.BandJoin]]): for each event, how many events
     * other users produced within ±30 minutes, and their total value — the
     * time-proximity join shape (co-occurrence, correlation windows) that
@@ -1427,7 +1505,7 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qJsonProps,
     qSessions,
-    qAsof, qAsofNative, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
+    qAsof, qAsofNative, qAsofForward, qAsofTolerance, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,

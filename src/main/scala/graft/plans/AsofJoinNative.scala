@@ -58,7 +58,9 @@ case class AsofJoinNode(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryNode {
+    rightValues: Seq[Attribute],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -74,14 +76,25 @@ case class AsofJoinNode(
   * [[AsofJoinNative.join]] for already-built sessions. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, rv) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, rv, fwd, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv,
+        fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical sort-merge as-of join. See [[AsofJoinNode]] for semantics
-  * and the scale contract. */
+  * and the scale contract.
+  *
+  * `forward = true` flips the direction: the match is the EARLIEST right
+  * row with `rightTime >= leftTime` (pandas direction='forward'); ties
+  * on duplicate right (keys, time) then pick the first in sort order.
+  * `tolerance` (in the time column's internal units — MICROSECONDS for
+  * TIMESTAMP, days for DATE, the raw value for integers) bounds the
+  * match window: |rightTime - leftTime| must be <= tolerance or the row
+  * gets NULLs. Both knobs leave the merge O(n+m) — direction only
+  * changes which side of the pointer the match is read from, tolerance
+  * is an emit-time bound check. */
 case class AsofJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -89,7 +102,9 @@ case class AsofJoinExec(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryExecNode {
+    rightValues: Seq[Attribute],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -126,6 +141,9 @@ case class AsofJoinExec(
     val rTime = rightTime
     val rVals = rightValues
     val outAttrs = output
+    val fwd = forward
+    val tol = tolerance
+    val timeType = leftTime.dataType
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -144,6 +162,14 @@ case class AsofJoinExec(
         lOut ++ rVals.map(_.withNullability(true)))
       val nullVals = new GenericInternalRow(rVals.length)
       val joined = new JoinedRow
+      // tolerance needs time arithmetic, not just ordering: extract the
+      // underlying numeric (micros for TIMESTAMP, days for DATE)
+      val timeGet: InternalRow => Long = timeType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType =>
+          (r: InternalRow) => r.getInt(0).toLong
+        case _ => (r: InternalRow) => r.getLong(0)
+      }
 
       new Iterator[InternalRow] {
         // lookahead right row, split into its three projections. The
@@ -160,6 +186,7 @@ case class AsofJoinExec(
         // compare equal again.
         private var matchKey: UnsafeRow = _
         private var matchVals: UnsafeRow = _
+        private var matchTime: Long = 0L
 
         advanceRight()
 
@@ -189,18 +216,34 @@ case class AsofJoinExec(
           numOutputRows += 1
           if (lKey.anyNull || lTimeRow.isNullAt(0))
             return outProj(joined(l, nullVals))
-          while (!rExhausted && keyOrd.compare(rKey, lKey) < 0)
-            advanceRight()
-          while (!rExhausted && keyOrd.compare(rKey, lKey) == 0 &&
-              timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
-            matchKey = rKey
-            matchVals = rValRow
-            advanceRight()
-          }
-          val rv =
-            if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0)
+          val rv = if (fwd) {
+            // consume right rows that can never match this or any later
+            // left row (left times only ascend within the key)
+            while (!rExhausted && (keyOrd.compare(rKey, lKey) < 0 ||
+                (keyOrd.compare(rKey, lKey) == 0 &&
+                  timeOrd.compare(rTimeRow, lTimeRow) < 0)))
+              advanceRight()
+            // rHead is now the earliest right row with time >= left's
+            if (!rExhausted && keyOrd.compare(rKey, lKey) == 0 &&
+                tol.forall(t =>
+                  timeGet(rTimeRow) - timeGet(lTimeRow) <= t))
+              rValRow
+            else nullVals
+          } else {
+            while (!rExhausted && keyOrd.compare(rKey, lKey) < 0)
+              advanceRight()
+            while (!rExhausted && keyOrd.compare(rKey, lKey) == 0 &&
+                timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+              matchKey = rKey
+              matchVals = rValRow
+              matchTime = timeGet(rTimeRow)
+              advanceRight()
+            }
+            if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0 &&
+                tol.forall(t => timeGet(lTimeRow) - matchTime <= t))
               matchVals
             else nullVals
+          }
           outProj(joined(l, rv))
         }
       }
@@ -224,10 +267,19 @@ object AsofJoinNative {
   }
 
   /** `left` keeps all its columns; `right`'s non-key, non-ts columns
-    * are appended (NULL where no right row precedes). Right value
-    * column names must not collide with left's — rename first. */
+    * are appended (NULL where no right row precedes/follows). Right
+    * value column names must not collide with left's — rename first.
+    *
+    * `forward = true` matches the earliest right row at-or-after the
+    * left time instead of the latest at-or-before. `tolerance` bounds
+    * |rightTime - leftTime| in the time column's INTERNAL units:
+    * microseconds for TIMESTAMP, days for DATE, the raw value for
+    * integer columns. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0), "asof join: tolerance must be >= 0")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -256,6 +308,12 @@ object AsofJoinNative {
     val rt = attr(rPlan.output, rightTs, "right")
     require(lt.dataType == rt.dataType,
       s"asof join: time type mismatch: ${lt.dataType} vs ${rt.dataType}")
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      require(Seq(IntegerType, LongType, DateType, TimestampType,
+          TimestampNTZType).contains(lt.dataType),
+        s"asof join: tolerance unsupported for time type ${lt.dataType}")
+    }
     val rv = rPlan.output.filterNot(a =>
       keys.contains(a.name) || a.name == rightTs)
     val collide = rv.map(_.name).toSet intersect
@@ -263,6 +321,6 @@ object AsofJoinNative {
     require(collide.isEmpty,
       s"right value columns collide with left: $collide")
     Bridge.ofRows(spark,
-      AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt, rv))
+      AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt, rv, forward, tolerance))
   }
 }

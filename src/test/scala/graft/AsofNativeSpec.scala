@@ -73,6 +73,45 @@ class AsofNativeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(s).length == 2, s)
   }
 
+  test("forward direction: earliest right row at-or-after, inclusive") {
+    val l = Seq((1, 10, "a"), (1, 21, "b"), (2, 5, "c")).toDF("k", "t", "lv")
+    val r = Seq((1, 9, "old"), (1, 10, "now"), (1, 20, "next"), (1, 30, "far"))
+      .toDF("k", "rt", "rv")
+    val out = AsofJoinNative.join(l, r, Seq("k"), "t", "rt", forward = true)
+      .collect().map(x => (x.getString(2), x.getString(3))).toMap
+    // a: rt=10 (inclusive tie); b: rt=30 (20 already passed); c: none
+    assert(out == Map("a" -> "now", "b" -> "far", "c" -> null))
+  }
+
+  test("tolerance bounds the window in both directions") {
+    val l = Seq((1, 100, "x"), (1, 200, "y")).toDF("k", "t", "lv")
+    val r = Seq((1, 95, "near"), (1, 120, "after")).toDF("k", "rt", "rv")
+    val back = AsofJoinNative.join(l, r, Seq("k"), "t", "rt",
+        tolerance = Some(10L))
+      .collect().map(x => (x.getString(2), x.getString(3))).toMap
+    // x: 95 within 5; y: latest at-or-before is 120<=200 at distance 80 > 10
+    assert(back == Map("x" -> "near", "y" -> null))
+    val fwd = AsofJoinNative.join(l, r, Seq("k"), "t", "rt",
+        forward = true, tolerance = Some(25L))
+      .collect().map(x => (x.getString(2), x.getString(3))).toMap
+    // x: next-at-or-after is 120, distance 20 <= 25; y: nothing after
+    assert(fwd == Map("x" -> "after", "y" -> null))
+  }
+
+  test("forward ≡ reversed backward on the mixed workload (negated time)") {
+    val l = leftDf
+    val r = rightDf.withColumnRenamed("t", "rt")
+    val fwd = AsofJoinNative.join(l, r, Seq("k"), "t", "rt", forward = true)
+      .select("k", "t", "lv", "rv")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val revBack = AsofJoinNative.join(
+        l.withColumn("t", -col("t")), r.withColumn("rt", -col("rt")),
+        Seq("k"), "t", "rt")
+      .select(col("k"), (-col("t")).as("t"), col("lv"), col("rv"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(fwd.toSeq == revBack.toSeq)
+  }
+
   test("left rows with no right partner (and empty right partitions) get NULLs") {
     val l = Seq((1, 10, "a"), (2, 5, "b")).toDF("k", "t", "lv")
     val r = Seq((1, 20, "late")).toDF("k", "rt", "rv") // only AFTER left times
