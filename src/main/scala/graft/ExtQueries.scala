@@ -1976,6 +1976,124 @@ object ExtQueries {
       WHERE l.rep = s.doc_id"""),
     bench = true)
 
+  /** Shared Spark side for the classifier-eval queries: hashed-trick
+    * scores joined to a reference label (Gopher gates re-thresholded to
+    * this corpus's signal range: words >= 50 splits at the median,
+    * stop_hits >= 1 is the attainable stopword gate). */
+  private def evalScoredLabeled(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val scored = graft.ext.TextStats
+      .hashedLinearScore(docs, "text", "doc_id")
+      .select(col("doc_id"), col("score"))
+    val labels = graft.ext.TextStats
+      .gopherGates(docs, "text", "doc_id", minStopwordHits = 1)
+      .select(col("doc_id"), col("keep").as("pos"))
+    scored.join(labels, Seq("doc_id"))
+  }
+
+  /** Oracle CTEs producing (doc_id, score) and (doc_id, pos) — the SQL
+    * mirrors of [[evalScoredLabeled]], reusing the verified
+    * `ext_quality_classifier` / `ext_gopher_gates` expression shapes. */
+  private def evalScoreLabelCtes: String = {
+    val stopList = graft.ext.TextStats.gopherStopwords
+      .map(w => s"'$w'").mkString(",")
+    s"""toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(t) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> array_to_string(t[i:i+1], ' '))) AS gram
+        FROM toks WHERE len(t) >= 2),
+      hashed AS (
+        SELECT doc_id,
+          ('0x' || substring(md5('qclf:g:' || gram), 1, 8))::BIGINT % 4096
+            AS bucket
+        FROM grams),
+      wt AS (
+        SELECT g AS bucket,
+          (('0x' || substring(md5('qclf:w:' || CAST(g AS VARCHAR)), 1, 8))
+            ::BIGINT % 2001 - 1000) / CAST(1000 AS DOUBLE) AS weight
+        FROM generate_series(0, 4095) s(g)),
+      sc AS (
+        SELECT doc_id,
+          round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(
+            -round(CAST(sum(CAST(weight AS DECIMAL(38,6))) AS DOUBLE)
+              / count(*), 6))), 6) AS score
+        FROM hashed JOIN wt USING (bucket) GROUP BY 1),
+      lb AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+'))
+              BETWEEN 50 AND 100000
+            AND round(length(regexp_replace(text, '\\s+', '', 'g'))
+              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+              6) BETWEEN 3.0 AND 10.0
+            AND round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+              6) <= 0.1
+            AND round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                w -> regexp_matches(w, '[A-Za-z]')))
+              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+              6) >= 0.8
+            AND len(list_intersect(
+              list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+              [$stopList])) >= 1
+          AS INT) AS pos
+        FROM documents)"""
+  }
+
+  /** Binned ROC-AUC ([[graft.ext.ClassifierEval.binnedAuc]]) of the
+    * hashing-trick classifier against the gate label: histogram
+    * Mann-Whitney, exact-integer arithmetic to one final division. */
+  val classifierAuc = Q(
+    "ext_classifier_auc",
+    (s, d) => graft.ext.ClassifierEval.binnedAuc(
+      evalScoredLabeled(s, d), "score", "pos"),
+    Some(s"""WITH $evalScoreLabelCtes,
+      j AS (
+        SELECT least(CAST(floor(sc.score * 1000) AS BIGINT), 999) AS bin,
+          lb.pos
+        FROM sc JOIN lb USING (doc_id)),
+      h AS (
+        SELECT bin, CAST(sum(pos) AS BIGINT) AS pos_n,
+          CAST(count(*) - sum(pos) AS BIGINT) AS neg_n
+        FROM j GROUP BY bin),
+      c AS (
+        SELECT pos_n, neg_n,
+          CAST(coalesce(sum(neg_n) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_neg
+        FROM h)
+      SELECT
+        CASE WHEN sum(pos_n) > 0 AND sum(neg_n) > 0 THEN
+          round((2.0 * CAST(sum(cum_neg * pos_n) AS DOUBLE)
+              + CAST(sum(neg_n * pos_n) AS DOUBLE))
+            / (2.0 * CAST(sum(pos_n) AS DOUBLE)
+              * CAST(sum(neg_n) AS DOUBLE)), 6)
+        ELSE NULL END AS auc,
+        CAST(sum(pos_n) AS BIGINT) AS n_pos,
+        CAST(sum(neg_n) AS BIGINT) AS n_neg
+      FROM c"""))
+
+  /** Calibration / reliability deciles
+    * ([[graft.ext.ClassifierEval.calibrationBins]]): mean predicted
+    * score vs observed positive rate per score decile. */
+  val classifierCalibration = Q(
+    "ext_classifier_calibration",
+    (s, d) => graft.ext.ClassifierEval.calibrationBins(
+      evalScoredLabeled(s, d), "score", "pos"),
+    Some(s"""WITH $evalScoreLabelCtes
+      SELECT least(CAST(floor(sc.score * 10) AS BIGINT), 9) AS bin,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(lb.pos) AS BIGINT) AS n_pos,
+        round(CAST(sum(CAST(sc.score AS DECIMAL(18,6))) AS DOUBLE)
+          / count(*), 6) AS mean_score,
+        round(CAST(sum(lb.pos) AS DOUBLE) / count(*), 6) AS pos_rate
+      FROM sc JOIN lb USING (doc_id)
+      GROUP BY 1"""))
+
   /** Per-(lang, source) corpus quality report — the fused "dashboard"
     * aggregate a curation run consults before gating: doc count, token
     * and char volume, mean quality score, mean stopword ratio, exact
@@ -3064,6 +3182,6 @@ object ExtQueries {
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
     kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
-    imputeMissing, ngramDiversity,
+    imputeMissing, ngramDiversity, classifierAuc, classifierCalibration,
     corpusReport)
 }

@@ -1642,6 +1642,40 @@ class ExtSpec extends SparkSpec {
     assert(a.values.count { case (t, n) => n != t } >= 15)
   }
 
+  test("binnedAuc: hand-computed U with and without cross-class ties") {
+    import graft.ext.ClassifierEval
+    // ranks asc: 0.2(-), 0.6(+), 0.7(-), 0.85(+), 0.95(+) → U = 5,
+    // n+·n- = 6 → AUC 5/6
+    val a = ClassifierEval.binnedAuc(
+      Seq((0.95, 1), (0.85, 1), (0.7, 0), (0.6, 1), (0.2, 0))
+        .toDF("score", "pos"), "score", "pos").collect()(0)
+    assert(math.abs(a.getDouble(0) - 5.0 / 6.0) < 1e-6)
+    assert(a.getLong(1) == 3 && a.getLong(2) == 2)
+    // add a positive tied with the 0.7 negative: U = 5 + 1 + 0.5 = 6.5
+    // over 4·2 = 8 → 0.8125
+    val t = ClassifierEval.binnedAuc(
+      Seq((0.95, 1), (0.85, 1), (0.7, 0), (0.7, 1), (0.6, 1), (0.2, 0))
+        .toDF("score", "pos"), "score", "pos").collect()(0)
+    assert(math.abs(t.getDouble(0) - 0.8125) < 1e-6)
+    // degenerate single-class input → NULL, not a crash or Infinity
+    val z = ClassifierEval.binnedAuc(
+      Seq((0.9, 1), (0.1, 1)).toDF("score", "pos"), "score", "pos")
+      .collect()(0)
+    assert(z.isNullAt(0) && z.getLong(1) == 2 && z.getLong(2) == 0)
+  }
+
+  test("calibrationBins: counts, decimal mean, edge score 1.0 clamps to top bin") {
+    import graft.ext.ClassifierEval
+    val r = ClassifierEval.calibrationBins(
+      Seq((0.05, 0), (0.08, 1), (1.0, 1), (0.95, 1)).toDF("score", "pos"),
+      "score", "pos")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.keySet == Set(0L, 9L))
+    assert(r(0L) == ((2L, 1L, 0.065, 0.5)))
+    assert(r(9L) == ((2L, 2L, 0.975, 1.0)))
+  }
+
   test("ngramDiversity: hand-counted TTRs, single-token doc adds no bigram") {
     val df = Seq(("s", "a b a b"), ("s", "c d"), ("s", "e"))
       .toDF("src", "text")

@@ -38,7 +38,9 @@ class PlanGuardSpec extends SparkSpec {
     "ext_pack_offsets" ->
       "prefix-sum over per-partition totals (one row per partition)",
     "ext_tokenize_ids" ->
-      "rank over the bounded-heap top-vocabSize vocabulary")
+      "rank over the bounded-heap top-vocabSize vocabulary",
+    "ext_classifier_auc" ->
+      "cumulative negatives over the score-bin histogram (<= 1000 rows)")
 
   test("no registered query plans a cartesian join or a row-grained " +
       "unpartitioned window") {
