@@ -2094,6 +2094,33 @@ object ExtQueries {
       FROM sc JOIN lb USING (doc_id)
       GROUP BY 1"""))
 
+  /** One-row classifier fit report
+    * ([[graft.ext.ClassifierEval.fitReport]]): Brier + ECE. */
+  val classifierFit = Q(
+    "ext_classifier_fit",
+    (s, d) => graft.ext.ClassifierEval.fitReport(
+      evalScoredLabeled(s, d), "score", "pos"),
+    Some(s"""WITH $evalScoreLabelCtes,
+      j AS (
+        SELECT sc.score, lb.pos,
+          least(CAST(floor(sc.score * 10) AS BIGINT), 9) AS bin
+        FROM sc JOIN lb USING (doc_id)),
+      b AS (
+        SELECT round(CAST(sum((CAST(score AS DECIMAL(18,6)) - pos)
+              * (CAST(score AS DECIMAL(18,6)) - pos)) AS DOUBLE)
+            / count(*), 6) AS brier,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM j),
+      e AS (
+        SELECT round(CAST(sum(abs(CAST(n_pos AS DECIMAL(38,6)) - sum_score))
+            AS DOUBLE) / sum(n_docs), 6) AS ece
+        FROM (
+          SELECT bin, sum(pos) AS n_pos,
+            sum(CAST(score AS DECIMAL(18,6))) AS sum_score,
+            count(*) AS n_docs
+          FROM j GROUP BY bin))
+      SELECT b.brier, e.ece, b.n_docs FROM b, e"""))
+
   /** Per-(lang, source) corpus quality report — the fused "dashboard"
     * aggregate a curation run consults before gating: doc count, token
     * and char volume, mean quality score, mean stopword ratio, exact
@@ -3183,5 +3210,6 @@ object ExtQueries {
     temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
     kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
     imputeMissing, ngramDiversity, classifierAuc, classifierCalibration,
+    classifierFit,
     corpusReport)
 }

@@ -56,6 +56,42 @@ object ClassifierEval {
         col("n_pos"), col("n_neg"))
   }
 
+  /** One-row fit report: Brier score (mean squared probability error)
+    * and expected calibration error (ECE over `bins` equal-width score
+    * buckets), plus the doc count. Everything stays EXACT until the
+    * final divisions: scores are 6-dp decimals, so (score − label)² is
+    * an exact DECIMAL(·,12), and the ECE numerator Σ_b |n_pos_b −
+    * Σscore_b| is an exact DECIMAL(·,6) — no order-dependent double
+    * summation anywhere (the [[graft.Det]] discipline). Scale shape:
+    * two bounded-key aggregates over one scan each (Brier global, ECE
+    * per-bucket) joined as 1×1 rows. */
+  def fitReport(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "fitReport: bins must be positive")
+    val s = col(scoreCol).cast(DecimalType(18, 6))
+    val posL = col(labelCol).cast("long")
+    val err = s - posL.cast(DecimalType(18, 6))
+    val brier = scored
+      .select((err * err).as("sq"), lit(1L).as("one"))
+      .agg(sum(col("sq")).as("sq_sum"), sum(col("one")).as("n"))
+      .select(
+        round(col("sq_sum").cast("double") / col("n"), 6).as("brier"),
+        col("n").as("n_docs"))
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1))
+      .cast("long").as("bin")
+    val ece = scored
+      .select(bin, s.as("s"), posL.as("pos"))
+      .groupBy(col("bin"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("s")).as("sum_score"),
+        count(lit(1)).as("n_docs"))
+      .agg(
+        sum(abs(col("n_pos").cast(DecimalType(38, 6)) - col("sum_score")))
+          .as("ece_num"),
+        sum(col("n_docs")).as("n"))
+      .select(round(col("ece_num").cast("double") / col("n"), 6).as("ece"))
+    brier.crossJoin(ece).select(col("brier"), col("ece"), col("n_docs"))
+  }
+
   /** Reliability table: one row per score decile (or `bins`-ile) with
     * document count, positive count, mean predicted score (exact
     * decimal mean) and observed positive rate — the calibration curve's

@@ -1676,6 +1676,17 @@ class ExtSpec extends SparkSpec {
     assert(r(9L) == ((2L, 2L, 0.975, 1.0)))
   }
 
+  test("fitReport: hand-computed Brier and ECE") {
+    import graft.ext.ClassifierEval
+    val r = ClassifierEval.fitReport(
+      Seq((1.0, 1), (0.5, 0), (0.0, 0), (0.75, 1)).toDF("score", "pos"),
+      "score", "pos").collect()(0)
+    // Brier = (0 + 0.25 + 0 + 0.0625)/4; ECE = (0 + 0.5 + 0 + 0.25)/4
+    assert(math.abs(r.getDouble(0) - 0.078125) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 0.1875) < 1e-6)
+    assert(r.getLong(2) == 4L)
+  }
+
   test("ngramDiversity: hand-counted TTRs, single-token doc adds no bigram") {
     val df = Seq(("s", "a b a b"), ("s", "c d"), ("s", "e"))
       .toDF("src", "text")
