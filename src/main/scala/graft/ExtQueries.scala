@@ -605,6 +605,33 @@ object ExtQueries {
        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2"""),
     bench = true)
 
+  /** Cross-split near-dup leakage ([[TextDedup.splitLeakage]]): LSH
+    * near-dup pairs that straddle the train/val/test hash split —
+    * paraphrase leakage into eval. Oracle composes the shared MinHash
+    * CTE chain with the `ext_hash_split` bucket rule. */
+  val splitLeakage = Q(
+    "ext_split_leakage",
+    (s, d) => TextDedup.splitLeakage(
+      Tables.documents(s, d), "text", "doc_id",
+      n = 3, k = 8, bands = 4, threshold = 0.2),
+    Some(s"""WITH $minhashCteBody,
+       pairs AS (SELECT id_a, id_b, jaccard FROM scored
+                 WHERE jaccard >= 0.2),
+       sp AS (
+         SELECT doc_id,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 100 AS b
+         FROM documents))
+       SELECT p.id_a, p.id_b, p.jaccard,
+         a.split AS split_a, b.split AS split_b
+       FROM pairs p
+       JOIN sp a ON p.id_a = a.doc_id
+       JOIN sp b ON p.id_b = b.doc_id
+       WHERE a.split <> b.split"""))
+
   /** Containment (asymmetric Jaccard) over the same LSH candidates —
     * partial-duplication detection. The oracle reuses the shared CTE
     * chain's `cand` stage with the asymmetric denominator. */
@@ -3210,6 +3237,6 @@ object ExtQueries {
     temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
     kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
     imputeMissing, ngramDiversity, classifierAuc, classifierCalibration,
-    classifierFit,
+    classifierFit, splitLeakage,
     corpusReport)
 }

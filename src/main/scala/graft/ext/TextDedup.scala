@@ -401,6 +401,33 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Cross-split near-duplicate leakage — the split-hygiene audit every
+    * training pipeline needs AFTER a random split: a hash split assigns
+    * near-identical documents to different splits, so the eval set
+    * silently contains paraphrases of training rows and eval scores
+    * inflate. Reports every MinHash-LSH near-dup pair whose two sides
+    * land in DIFFERENT [[hashSplit]] buckets, with both split labels.
+    *
+    * Scale: exactly the [[minhashNearDups]] plan (banded LSH self-join,
+    * never all-pairs) plus two broadcast-sized hash joins onto the tiny
+    * (id, split) projection; the split labels attach AFTER the pair
+    * filter, so only surviving pairs are joined. */
+  def splitLeakage(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val pairs = minhashNearDups(df, textCol, idCol, n, k, bands, threshold)
+    val splits = hashSplit(df.select(col(idCol)), idCol, trainPct, valPct)
+    pairs
+      .join(splits.select(col(idCol).as("id_a"), col("split").as("split_a")),
+        Seq("id_a"))
+      .join(splits.select(col(idCol).as("id_b"), col("split").as("split_b")),
+        Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   /** Containment (asymmetric Jaccard) pairs: |A∩B| / min(|A|,|B|) —
     * flags PARTIAL duplication (one doc quoting or embedding most of a
     * smaller one) that the symmetric Jaccard misses once sizes diverge.

@@ -1676,6 +1676,30 @@ class ExtSpec extends SparkSpec {
     assert(r(9L) == ((2L, 2L, 0.975, 1.0)))
   }
 
+  test("splitLeakage: cross-split near-dups reported, same-split suppressed") {
+    import graft.ext.TextDedup
+    val splits = TextDedup.hashSplit((1L to 60L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainIds = splits.collect { case (i, "train") => i }.toSeq.sorted
+    val evalId = splits.collectFirst {
+      case (i, s) if s != "train" => i }.get
+    val txt = "the quick brown fox jumps over the lazy dog in the park today"
+    val docs = Seq(
+      (trainIds(0), txt), (evalId, txt + " tomorrow"), // cross-split pair
+      (trainIds(1), txt + " quietly"), // train-train near-dup with (0)
+      (trainIds(2), "completely unrelated content with different words entirely"))
+      .toDF("id", "text")
+    val pairs = TextDedup.splitLeakage(docs, "text", "id", threshold = 0.3)
+      .collect().map(r => (r.getLong(1).min(r.getLong(0)),
+        r.getLong(1).max(r.getLong(0))))
+    // the cross-split pair is caught
+    assert(pairs.contains(
+      (trainIds(0).min(evalId), trainIds(0).max(evalId))))
+    // the train-train near-dup is NOT a leak
+    assert(!pairs.contains((trainIds(0).min(trainIds(1)),
+      trainIds(0).max(trainIds(1)))))
+  }
+
   test("fitReport: hand-computed Brier and ECE") {
     import graft.ext.ClassifierEval
     val r = ClassifierEval.fitReport(
