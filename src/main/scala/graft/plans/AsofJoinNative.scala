@@ -145,7 +145,16 @@ case class AsofJoinExec(
     val tol = tolerance
     val timeType = leftTime.dataType
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions silently mis-pairs nothing — it throws on unequal
+    // counts — but surface the co-partitioning contract with an
+    // operator-level message instead of an RDD internals error
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"asof join children not co-partitioned: ${lRdd.getNumPartitions} " +
+        s"vs ${rRdd.getNumPartitions} partitions (EnsureRequirements " +
+        "should have aligned these)")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)

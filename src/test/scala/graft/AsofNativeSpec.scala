@@ -112,6 +112,19 @@ class AsofNativeSpec extends SparkSpec {
     assert(fwd.toSeq == revBack.toSeq)
   }
 
+  test("pre-partitioned children with mismatched counts are re-aligned") {
+    val l = leftDf.repartition(7, col("k"))
+    val r = rightDf.withColumnRenamed("t", "rt").repartition(3, col("k"))
+    val out = AsofJoinNative.join(l, r, Seq("k"), "t", "rt")
+      .select("k", "t", "lv", "rv")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val ref = AsofJoinNative.join(
+        leftDf, rightDf.withColumnRenamed("t", "rt"), Seq("k"), "t", "rt")
+      .select("k", "t", "lv", "rv")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(out.toSeq == ref.toSeq)
+  }
+
   test("streaming: foreachBatch stream-static enrichment through the native exec") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("asofstream")
