@@ -1322,6 +1322,67 @@ object AnalyticsQueries {
     * oracle states the same de-correlated form. The avg threshold is
     * 6-dp-pinned before the comparison so borderline rows resolve
     * identically on both engines. */
+  /** TPC-H Q21-shaped "waiting supplier" report: suppliers whose line
+    * shipped late (>60 days after order date) on finished multi-supplier
+    * orders where NO other supplier was late — the sole cause of the
+    * wait. Exercises the semi-join + anti-join composition with an
+    * extra non-equi residual on the anti side.
+    *
+    * Plan shape: both the EXISTS and NOT-EXISTS subqueries become hash
+    * semi/anti joins keyed on `l_orderkey` — the same shuffle key as the
+    * base order join, so the exchanges line up; the 100-row supplier
+    * dimension broadcasts. Top-10 is tie-broken on name for
+    * determinism. */
+  val qWaitingSupplier = Q(
+    "q_waiting_supplier",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val base = li
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(late)
+      val others = li.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val lateOthers = li.select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
+      base
+        .join(others,
+          col("l2_orderkey") === col("l_orderkey") &&
+            col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers,
+          col("l3_orderkey") === col("l_orderkey") &&
+            col("l3_suppkey") =!= col("l_suppkey") &&
+            col("l3_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name
+      LIMIT 10"""))
+
   val qCorrelatedSub = Q(
     "q_small_qty_revenue",
     (s, d) => {
@@ -1510,5 +1571,5 @@ object AnalyticsQueries {
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,
     qSkewJoin, qOutlierIqr, qScd2, qScd2Lookup, qDqReport, qCdcApply,
-    qScanPrune, qUnpivot, qCorrelatedSub)
+    qScanPrune, qUnpivot, qCorrelatedSub, qWaitingSupplier)
 }

@@ -145,6 +145,18 @@ class OpsSpec extends SparkSpec {
     assert(!Projections.isEmpty(Seq((1, "x")).toDF("a", "b")))
   }
 
+  test("q_waiting_supplier: EXISTS/NOT-EXISTS plan as hash semi/anti joins") {
+    val df = AnalyticsQueries.qWaitingSupplier.run(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // the non-equi residual must ride a HASH join on l_orderkey, not
+    // degrade to an all-pairs nested loop
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("parquet scan: predicates push down, projection prunes columns") {
     val sf = "/root/testdata/sf0.001"
     val df = Tables.lineitem(spark, sf)
