@@ -20,4 +20,13 @@ object Bridge {
     * [[graft.plans.AsofJoinNode]]) that the DataFrame DSL cannot spell. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** True when the session's CacheManager holds no cached plans — the
+    * leak probe behind the registry-wide persist-hygiene lint. */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[CSparkSession].sharedState.cacheManager.isEmpty
+
+  /** Drop every cached plan (test hygiene between lint iterations). */
+  def clearCache(spark: SparkSession): Unit =
+    spark.asInstanceOf[CSparkSession].sharedState.cacheManager.clearCache()
 }

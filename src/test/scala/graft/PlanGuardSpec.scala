@@ -61,4 +61,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.result().isEmpty,
       s"scale-killer plan shapes:\n${offenders.result().mkString("\n")}")
   }
+
+  test("no registered query leaks a cached plan after CacheScope release") {
+    // the round-1 bench pathology (persist-and-never-unpersist slowly
+    // evicting the executor store) made structural: after building each
+    // query and releasing its CacheScope, the session-wide CacheManager
+    // must be empty again
+    val sf = "/root/testdata/sf0.001"
+    val leakers = Seq.newBuilder[String]
+    Registry.all.foreach { q =>
+      try {
+        q.run(spark, sf).queryExecution.sparkPlan
+        ()
+      } finally {
+        graft.ops.CacheScope.releaseAll()
+        if (!org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark))
+          leakers += q.name
+        org.apache.spark.sql.graftbridge.Bridge.clearCache(spark)
+      }
+    }
+    assert(leakers.result().isEmpty,
+      s"queries leaving cached plans behind:\n${leakers.result().mkString("\n")}")
+  }
 }
