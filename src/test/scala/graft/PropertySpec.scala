@@ -44,6 +44,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native as-of == sequential reference model on random workloads " +
+      "(directions, tolerance, nulls)") {
+    val rnd = new scala.util.Random(2024)
+    def gen(n: Int): Seq[(Option[Int], Option[Int], String)] =
+      (1 to n).map(i => (
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5)),
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(30)),
+        s"v$i"))
+    (1 to 6).foreach { trial =>
+      val fwd = trial % 2 == 0
+      val tol = if (trial % 3 == 0) Some(5L) else None
+      val left = gen(60 + rnd.nextInt(60))
+      // right unique per (key, time): the operator's tie contract
+      val right = gen(40 + rnd.nextInt(40))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expected = left.map { case (k, t, lv) =>
+        val rv = (for { kk <- k; tt <- t } yield {
+          val cands = right.filter(r =>
+            r._1.contains(kk) && r._2.exists(rt =>
+              (if (fwd) rt >= tt else rt <= tt) &&
+                tol.forall(x => math.abs(rt.toLong - tt) <= x)))
+          if (cands.isEmpty) "null"
+          else if (fwd) cands.minBy(_._2.get)._3
+          else cands.maxBy(_._2.get)._3
+        }).getOrElse("null")
+        (k.fold("null")(_.toString), t.fold("null")(_.toString), lv, rv)
+      }
+      val l = left.toDF("k", "t", "lv")
+      val r = right.toDF("k", "rt", "rv")
+      val got = graft.plans.AsofJoinNative
+        .join(l, r, Seq("k"), "t", "rt", forward = fwd, tolerance = tol)
+        .collect().map(x => (
+          if (x.isNullAt(0)) "null" else x.getInt(0).toString,
+          if (x.isNullAt(1)) "null" else x.getInt(1).toString,
+          x.getString(2), Option(x.getString(3)).getOrElse("null")))
+      assert(got.sortBy(_.toString).toSeq ==
+        expected.sortBy(_.toString).toSeq,
+        s"trial=$trial fwd=$fwd tol=$tol")
+    }
+  }
+
   test("PqOps.codes/lut == scalar reference model on random codebooks") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val rnd = new scala.util.Random(99)
