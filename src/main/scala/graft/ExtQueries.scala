@@ -1394,6 +1394,34 @@ object ExtQueries {
           CAST(0 AS DOUBLE)) AS reciprocal_rank
       FROM nrel n LEFT JOIN perq p USING (query_id)"""))
 
+  /** Hard-negative mining ([[graft.ext.Similarity.hardNegatives]]):
+    * top-5 most-similar different-label vectors per query — the
+    * contrastive-training counterpart of the eval query above. Oracle
+    * is the brute-force ranked chain with the label inequality in the
+    * score join. */
+  val simHardNegatives = Q(
+    "ext_sim_hard_negatives",
+    (s, d) => Similarity.hardNegatives(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5),
+    Some(s"""WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb
+        FROM embeddings WHERE vec_id < 8),
+      c AS (
+        SELECT vec_id AS neighbor_id, label AS n_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b_emb
+        FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id, $dkCos AS cos
+        FROM q JOIN c ON query_id != neighbor_id AND q_label != n_label),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5"""))
+
   val simLsh = Q(
     "ext_sim_lsh_topk",
     (s, d) => Similarity.lshTopK(
@@ -3225,7 +3253,7 @@ object ExtQueries {
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
-    simBrute, simEval, simLsh, simLshRh, simIvf, simPq, simIvfPq,
+    simBrute, simEval, simHardNegatives, simLsh, simLshRh, simIvf, simPq, simIvfPq,
     simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
     llmCorpus,

@@ -68,6 +68,28 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the `k` MOST similar corpus vectors with a DIFFERENT
+    * label — the near-misses that teach a margin, where random negatives
+    * teach nothing. Identical plan to [[bruteForceTopK]] (broadcast
+    * queries × corpus scan → bounded-heap top-k, map-side partials, no
+    * per-query reducer funnel); the label inequality rides the join
+    * condition so mismatched pairs never score. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col(labelCol).as("q_label"))
+    val corpus = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col(labelCol).as("n_label"))
+    val scored = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("n_label"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    topKPerQuery(scored, k)
+  }
+
   /** Sign-bucket key from the first `bits` dimensions: the trivial,
     * fully-deterministic LSH family (hyperplanes = coordinate axes). */
   def signBucket(emb: Column, bits: Int): Column =

@@ -1676,6 +1676,30 @@ class ExtSpec extends SparkSpec {
     assert(r(9L) == ((2L, 2L, 0.975, 1.0)))
   }
 
+  test("hardNegatives: different-label only, and they are the nearest such") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.hardNegatives(e, col("vec_id") < 4, k = 3)
+    val labels = e.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // no returned neighbor shares its query's label
+    assert(rows.forall(r =>
+      labels(r.getLong(0)) != labels(r.getLong(1))))
+    // rank-1 hard negative == best different-label hit in the full
+    // brute-force ranking (hard negatives are a filter of it, so the
+    // first surviving brute-force row must match)
+    val brute = Similarity.bruteForceTopK(e, col("vec_id") < 4, k = 50)
+      .collect().groupBy(_.getLong(0))
+    rows.filter(_.getInt(3) == 1).foreach { r =>
+      val q = r.getLong(0)
+      val bestDiff = brute(q).sortBy(_.getInt(3))
+        .find(b => labels(b.getLong(1)) != labels(q)).get
+      assert(bestDiff.getLong(1) == r.getLong(1), s"query $q")
+    }
+  }
+
   test("splitLeakage: cross-split near-dups reported, same-split suppressed") {
     import graft.ext.TextDedup
     val splits = TextDedup.hashSplit((1L to 60L).toDF("id"), "id")
