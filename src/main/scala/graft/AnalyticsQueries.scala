@@ -586,6 +586,69 @@ object AnalyticsQueries {
         AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 30 MINUTE
       GROUP BY l.user_id, l.purchase_id, l.ts, l.purchase_value"""))
 
+  /** Point-in-time (feature-store) join: each purchase enriched with
+    * the latest click, view, AND signup known at purchase time — three
+    * CHAINED native as-ofs. The chain is the scale story: the exec's
+    * `outputPartitioning`/`outputOrdering` pass the left side through,
+    * so as-of #2 and #3 add NO new Exchange and NO new Sort for the
+    * accumulating left — the whole 3-table enrichment shuffles the left
+    * exactly once (spec-pinned: 4 exchanges total, 1 left + 3 rights;
+    * the union+window rewrite would pay 3 full re-shuffles). Oracle:
+    * chained DuckDB ASOF LEFT JOINs. */
+  val qAsofPit = Q(
+    "q_asof_pointintime",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // repartition by user_id BEFORE the (user_id, ts) aggregate:
+      // HashPartitioning(user_id) satisfies both the agg's clustering
+      // AND the as-of's required distribution, so each side shuffles
+      // once instead of twice (agg shuffle + re-cluster shuffle)
+      def side(tp: String) = ev.filter(col("event_type") === tp)
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as(s"${tp}_id"))
+        .select(col("user_id"), col("ts").as(s"${tp}_raw_ts"),
+          col(s"${tp}_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as(s"${tp}_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"))
+      val pit = Seq("click", "view", "signup").foldLeft(purchases) {
+        (acc, tp) => graft.plans.AsofJoinNative.join(
+          acc, side(tp), Seq("user_id"), "ts", s"${tp}_raw_ts")
+      }
+      pit.select(col("user_id"), col("purchase_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"),
+        col("signup_id"), col("signup_ts"))
+    },
+    Some("""WITH ck AS (
+        SELECT user_id, ts, max(event_id) AS click_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      vw AS (
+        SELECT user_id, ts, max(event_id) AS view_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      sg AS (
+        SELECT user_id, ts, max(event_id) AS signup_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+      l AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT l.user_id, l.purchase_id,
+        strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        ck.click_id, ck.click_ts,
+        vw.view_id, vw.view_ts,
+        sg.signup_id, sg.signup_ts
+      FROM l
+      ASOF LEFT JOIN ck ON l.user_id = ck.user_id AND l.ts >= ck.ts
+      ASOF LEFT JOIN vw ON l.user_id = vw.user_id AND l.ts >= vw.ts
+      ASOF LEFT JOIN sg ON l.user_id = sg.user_id AND l.ts >= sg.ts"""),
+    bench = true)
+
   /** Band join ([[graft.ops.BandJoin]]): for each event, how many events
     * other users produced within ±30 minutes, and their total value — the
     * time-proximity join shape (co-occurrence, correlation windows) that
@@ -1566,7 +1629,7 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qJsonProps,
     qSessions,
-    qAsof, qAsofNative, qAsofForward, qAsofTolerance, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
+    qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,

@@ -112,6 +112,15 @@ class AsofNativeSpec extends SparkSpec {
     assert(fwd.toSeq == revBack.toSeq)
   }
 
+  test("chained as-ofs shuffle the accumulating left exactly once") {
+    val df = AnalyticsQueries.qAsofPit.run(spark, "/root/testdata/sf0.001")
+    val s = df.queryExecution.executedPlan.toString
+    assert("AsofJoin".r.findAllIn(s).length == 3, s)
+    // 1 left + 3 right-side exchanges; NOT 6 (each chained as-of reuses
+    // the previous exec's output partitioning and ordering)
+    assert("Exchange hashpartitioning".r.findAllIn(s).length == 4, s)
+  }
+
   test("pre-partitioned children with mismatched counts are re-aligned") {
     val l = leftDf.repartition(7, col("k"))
     val r = rightDf.withColumnRenamed("t", "rt").repartition(3, col("k"))
