@@ -288,6 +288,9 @@ object AsofJoinNative {
       leftTs: String, rightTs: String,
       forward: Boolean = false,
       tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty,
+      "asof join: at least one equi key required (a keyless as-of would " +
+        "need a single global time order — sort and window instead)")
     require(tolerance.forall(_ >= 0), "asof join: tolerance must be >= 0")
     val spark = left.sparkSession
     ensureStrategy(spark)
