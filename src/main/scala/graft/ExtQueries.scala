@@ -1422,6 +1422,50 @@ object ExtQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
+  /** Bitext-style margin alignment
+    * ([[graft.ext.Similarity.bitextMarginPairs]]): mutual-best
+    * cross-side cosine pairs with the ratio-margin criterion. Sides are
+    * the even/odd vec_id halves; threshold 1.0 keeps pairs at or above
+    * their local similarity floor. */
+  val simBitextMargin = Q(
+    "ext_bitext_margin_pairs",
+    (s, d) => Similarity.bitextMarginPairs(
+      Tables.embeddings(s, d), col("vec_id") % 2 === 0, k = 4,
+      marginThreshold = 1.0),
+    Some(s"""WITH av AS (
+        SELECT vec_id AS a_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb
+        FROM embeddings WHERE vec_id % 2 = 0),
+      bv AS (
+        SELECT vec_id AS b_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b_emb
+        FROM embeddings WHERE vec_id % 2 <> 0),
+      scored AS (
+        SELECT a_id, b_id, $dkCos AS cos FROM av CROSS JOIN bv),
+      ra AS (
+        SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
+          ORDER BY cos DESC, b_id ASC) AS r FROM scored),
+      rb AS (
+        SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY b_id
+          ORDER BY cos DESC, a_id ASC) AS r FROM scored),
+      da AS (
+        SELECT a_id, round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+          / count(*), 6) AS da
+        FROM ra WHERE r <= 4 GROUP BY a_id),
+      db AS (
+        SELECT b_id, round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+          / count(*), 6) AS db
+        FROM rb WHERE r <= 4 GROUP BY b_id),
+      best AS (
+        SELECT ra.a_id, ra.b_id, ra.cos
+        FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
+          AND rb.r = 1
+        WHERE ra.r = 1)
+      SELECT t.a_id, t.b_id, t.cos,
+        round(t.cos / ((da.da + db.db) / 2.0), 6) AS margin
+      FROM best t JOIN da USING (a_id) JOIN db USING (b_id)
+      WHERE round(t.cos / ((da.da + db.db) / 2.0), 6) >= 1.0"""))
+
   val simLsh = Q(
     "ext_sim_lsh_topk",
     (s, d) => Similarity.lshTopK(
@@ -3253,7 +3297,7 @@ object ExtQueries {
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
-    simBrute, simEval, simHardNegatives, simLsh, simLshRh, simIvf, simPq, simIvfPq,
+    simBrute, simEval, simHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
     simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
     llmCorpus,

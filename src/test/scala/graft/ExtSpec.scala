@@ -1676,6 +1676,23 @@ class ExtSpec extends SparkSpec {
     assert(r(9L) == ((2L, 2L, 0.975, 1.0)))
   }
 
+  test("bitextMarginPairs: mutual-best election and hand-computed margins") {
+    import graft.ext.Similarity
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (2L, Array(0f, 1f)), // side A (even)
+      (1L, Array(1f, 0f)), (3L, Array(0.8f, 0.6f)), (5L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bitextMarginPairs(
+      emb, col("vec_id") % 2 === 0, k = 2, marginThreshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    // mutual bests: (0,1) and (2,5); (0,3) is b3's best but not a0's
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L), (2L, 5L)))
+    // margins: 1/((0.9+0.5)/2) and 1/((0.8+0.5)/2)
+    assert(math.abs(out(0)._3 - 1.428571) < 1e-6)
+    assert(math.abs(out(1)._3 - 1.538462) < 1e-6)
+  }
+
   test("hardNegatives: different-label only, and they are the nearest such") {
     import graft.ext.Similarity
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
