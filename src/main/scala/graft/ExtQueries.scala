@@ -1422,6 +1422,40 @@ object ExtQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
+  /** Semi-hard negative mining
+    * ([[graft.ext.Similarity.semiHardNegatives]]): nearest
+    * different-label vectors still below the query's best same-label
+    * cosine — the triplet-loss band. */
+  val simSemiHardNegatives = Q(
+    "ext_sim_semihard_negatives",
+    (s, d) => Similarity.semiHardNegatives(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5),
+    Some(s"""WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb
+        FROM embeddings WHERE vec_id < 8),
+      c AS (
+        SELECT vec_id AS neighbor_id, label AS n_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b_emb
+        FROM embeddings),
+      scored AS (
+        SELECT query_id, q_label, neighbor_id, n_label, $dkCos AS cos
+        FROM q JOIN c ON query_id != neighbor_id),
+      pos AS (
+        SELECT query_id, max(cos) AS pos_cos
+        FROM scored WHERE q_label = n_label GROUP BY query_id),
+      neg AS (
+        SELECT s.query_id, s.neighbor_id, s.cos
+        FROM scored s JOIN pos USING (query_id)
+        WHERE s.q_label <> s.n_label AND s.cos < pos.pos_cos),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM neg)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5"""))
+
   /** Bitext-style margin alignment
     * ([[graft.ext.Similarity.bitextMarginPairs]]): mutual-best
     * cross-side cosine pairs with the ratio-margin criterion. Sides are
@@ -3297,7 +3331,7 @@ object ExtQueries {
     dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
-    simBrute, simEval, simHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
+    simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
     simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
     llmCorpus,

@@ -90,6 +90,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Semi-hard negative mining (the FaceNet triplet criterion): the
+    * `k` most-similar DIFFERENT-label vectors that are still LESS
+    * similar than the query's best same-label match — inside the margin
+    * but not "harder than the positive" (those often encode label noise
+    * and destabilize training; [[hardNegatives]] returns them, this
+    * filters them). The positive bar per query is one `max(cos)`
+    * aggregate over same-label pairs — map-side partials, one tiny
+    * (query_id, pos_cos) frame joined back before the bounded-heap
+    * top-k; queries with no same-label partner drop (no bar defined). */
+  def semiHardNegatives(emb: DataFrame, queryPred: Column, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col(labelCol).as("q_label"))
+    val corpus = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col(labelCol).as("n_label"))
+    val scored = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val posBar = scored.filter(col("q_label") === col("n_label"))
+      .groupBy(col("query_id")).agg(max(col("cos")).as("pos_cos"))
+    val semiHard = scored.filter(col("q_label") =!= col("n_label"))
+      .join(broadcast(posBar), Seq("query_id"))
+      .filter(col("cos") < col("pos_cos"))
+    topKPerQuery(semiHard, k)
+  }
+
   /** Margin-scored mutual-best alignment (bitext-mining shape, the
     * LASER/CCMatrix criterion): split the corpus into two sides, score
     * cross-side cosine, and keep pairs that are each other's BEST match

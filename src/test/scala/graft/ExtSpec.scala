@@ -1676,6 +1676,35 @@ class ExtSpec extends SparkSpec {
     assert(r(9L) == ((2L, 2L, 0.975, 1.0)))
   }
 
+  test("semiHardNegatives: below the positive bar, top of what remains") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labels = e.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // per-query positive bar from a brute-force ranking over everything
+    val all = Similarity.bruteForceTopK(e, col("vec_id") < 4, k = 499)
+      .collect().groupBy(_.getLong(0))
+    val semi = Similarity.semiHardNegatives(e, col("vec_id") < 4, k = 3)
+      .collect()
+    assert(semi.nonEmpty)
+    semi.foreach { r =>
+      val q = r.getLong(0)
+      val bar = all(q).filter(b => labels(b.getLong(1)) == labels(q))
+        .map(_.getDouble(2)).max
+      assert(labels(r.getLong(1)) != labels(q))
+      assert(r.getDouble(2) < bar, s"query $q: ${r.getDouble(2)} !< $bar")
+    }
+    // rank-1 semi-hard == best different-label hit strictly below the bar
+    semi.filter(_.getInt(3) == 1).foreach { r =>
+      val q = r.getLong(0)
+      val bar = all(q).filter(b => labels(b.getLong(1)) == labels(q))
+        .map(_.getDouble(2)).max
+      val expect = all(q).sortBy(_.getInt(3)).find(b =>
+        labels(b.getLong(1)) != labels(q) && b.getDouble(2) < bar).get
+      assert(expect.getLong(1) == r.getLong(1), s"query $q")
+    }
+  }
+
   test("bitextMarginPairs: mutual-best election and hand-computed margins") {
     import graft.ext.Similarity
     val emb = Seq(
