@@ -1692,7 +1692,14 @@ object ExtQueries {
     * payload byte grid pooled to 16 buckets. Both engines index the SAME
     * byte sequence via its hex rendering (hex(payload) / hex(encode(text))
     * — DuckDB 1.0 has no BLOB substring, but hex-pair slicing is
-    * byte-exact for any encoding, no ASCII pinning needed). */
+    * byte-exact for any encoding, no ASCII pinning needed).
+    *
+    * The pooled vector is emitted as a comma-joined FIXED-POINT string
+    * (round(mean·1e6) per cell, 'n' for empty cells), not an array
+    * column: the driver's compare sorts result values through pandas,
+    * which cannot hash ndarray cells. The 6-dp means are within 1e-4 of
+    * an integer after ·1e6, so the final round is exact on both engines
+    * (identical IEEE doubles, never near a .5 tie). */
   val mmResize = Q(
     "ext_multimodal_resize",
     (s, d) => Tables.documents(s, d)
@@ -1700,19 +1707,24 @@ object ExtQueries {
         Multimodal.asPayload(col("text")).as("payload"))
       .select(col("doc_id"),
         length(col("payload")).as("byte_len"),
-        Multimodal.resizePooled(col("payload"), 16).as("pooled")),
+        concat_ws(",",
+          transform(Multimodal.resizePooled(col("payload"), 16),
+            v => coalesce(
+              round(v * 1000000).cast("long").cast("string"), lit("n"))))
+          .as("pooled_fp")),
     Some("""WITH h AS (
         SELECT doc_id, hex(encode(text)) AS hx,
           octet_length(encode(text)) AS n
         FROM documents)
       SELECT doc_id, n AS byte_len,
-        list_transform(generate_series(0, 15), j ->
-          CASE WHEN ((j + 1) * n) // 16 > (j * n) // 16 THEN
-            round(list_sum(list_transform(
+        array_to_string(list_transform(generate_series(0, 15), j ->
+          coalesce(CASE WHEN ((j + 1) * n) // 16 > (j * n) // 16 THEN
+            CAST(round(round(list_sum(list_transform(
               generate_series((j * n) // 16 + 1, ((j + 1) * n) // 16),
               p -> ('0x' || substring(hx, 2 * p - 1, 2))::INT))
               / CAST(((j + 1) * n) // 16 - (j * n) // 16 AS DOUBLE), 6)
-          END) AS pooled
+              * 1000000) AS BIGINT)::VARCHAR
+          END, 'n')), ',') AS pooled_fp
       FROM h"""))
 
   /** Perceptual-hash near-dup pairs ([[Multimodal.phashPairs]]): aHash
