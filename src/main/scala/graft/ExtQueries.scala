@@ -1606,18 +1606,64 @@ object ExtQueries {
       SELECT a AS vec_id, min(b) AS rep_id, (a = min(b)) AS keep
       FROM reach GROUP BY a"""))
 
-  /** IVF ANN: kmeans-trained, cluster-pruned top-k. Training is seeded but
-    * engine-specific → rows-only gate here; ExtSpec checks recall + score
-    * agreement against the exact path. */
+  /** IVF ANN, oracle-checked end to end: deterministic seed centroids
+    * ([[graft.ext.IvfIndex.seedModel]] — the 8 vectors with smallest
+    * md5(vec_id)) + 6-dp-ranked assignment/probing
+    * ([[graft.ext.IvfIndex.searchDeterministic]]). The DuckDB oracle
+    * rebuilds the identical centroid set and replays assign → probe →
+    * score → top-k hash-exactly. The ml.KMeans-trained variant (engine-
+    * internal iterations) remains the quality path, covered by ExtSpec
+    * recall checks and exercised via `ext_sim_ivfpq_topk`. */
   val simIvf = Q(
     "ext_sim_ivf_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = graft.ext.IvfIndex.train(emb, nlist = 8)
-      graft.ext.IvfIndex.search(emb, model, col("vec_id") < 8, k = 5,
-        nprobe = 2)
+      val model = graft.ext.IvfIndex.seedModel(emb, nlist = 8)
+      graft.ext.IvfIndex.searchDeterministic(emb, model,
+        col("vec_id") < 8, k = 5, nprobe = 2)
     },
-    None)
+    Some("""WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      seeds AS (
+        SELECT vec_id, emb FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS idx,
+               emb
+        FROM seeds),
+      sims AS (
+        SELECT v.vec_id, c.idx,
+          round(list_dot_product(v.emb, c.emb)
+            / (sqrt(list_dot_product(v.emb, v.emb))
+               * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+        FROM v CROSS JOIN cent c),
+      rsims AS (
+        SELECT vec_id, idx,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, idx ASC) AS rk
+        FROM sims),
+      assign AS (SELECT vec_id, idx AS cluster FROM rsims WHERE rk = 1),
+      probes AS (
+        SELECT vec_id, idx AS cluster FROM rsims
+        WHERE rk <= 2 AND vec_id < 8),
+      scored AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+          round(list_dot_product(q.emb, n.emb)
+            / (sqrt(list_dot_product(q.emb, q.emb))
+               * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+        FROM probes p
+        JOIN assign a ON a.cluster = p.cluster AND a.vec_id != p.vec_id
+        JOIN v q ON q.vec_id = p.vec_id
+        JOIN v n ON n.vec_id = a.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5"""))
 
   val simPq = Q(
     "ext_sim_pq_topk",
@@ -1710,9 +1756,10 @@ object ExtQueries {
         concat_ws(",",
           transform(Multimodal.resizePooled(col("payload"), 16),
             v => coalesce(
-              round(v * 1000000).cast("long").cast("string"), lit("n"))))
+              round(v * Multimodal.pooledFpScale).cast("long")
+                .cast("string"), lit("n"))))
           .as("pooled_fp")),
-    Some("""WITH h AS (
+    Some(s"""WITH h AS (
         SELECT doc_id, hex(encode(text)) AS hx,
           octet_length(encode(text)) AS n
         FROM documents)
@@ -1722,8 +1769,9 @@ object ExtQueries {
             CAST(round(round(list_sum(list_transform(
               generate_series((j * n) // 16 + 1, ((j + 1) * n) // 16),
               p -> ('0x' || substring(hx, 2 * p - 1, 2))::INT))
-              / CAST(((j + 1) * n) // 16 - (j * n) // 16 AS DOUBLE), 6)
-              * 1000000) AS BIGINT)::VARCHAR
+              / CAST(((j + 1) * n) // 16 - (j * n) // 16 AS DOUBLE),
+              ${Multimodal.pooledRoundDp})
+              * ${Multimodal.pooledFpScale}) AS BIGINT)::VARCHAR
           END, 'n')), ',') AS pooled_fp
       FROM h"""))
 
@@ -3287,11 +3335,21 @@ object ExtQueries {
     * ([[graft.ext.Vocab.tokenizeToIds]]): frequency-rank ids over the
     * top-200 vocabulary, UNK = 0. The oracle rebuilds the same ranking
     * (identical total order) and restores order with `list(... ORDER BY
-    * pos)`; exact integers end to end. */
+    * pos)`; exact integers end to end.
+    *
+    * The id sequence is emitted as a comma-joined STRING, not an array
+    * column (same reason as `ext_multimodal_resize`): the driver's
+    * compare sorts result values through pandas, which cannot hash
+    * ndarray cells. */
   val tokenizeIds = Q(
     "ext_tokenize_ids",
     (s, d) => graft.ext.Vocab.tokenizeToIds(
-      Tables.documents(s, d), "text", "doc_id", vocabSize = 200),
+        Tables.documents(s, d), "text", "doc_id", vocabSize = 200)
+      .select(col("doc_id"),
+        concat_ws(",",
+          transform(col("token_ids"), i => i.cast("string")))
+          .as("token_ids_csv"),
+        col("n_tokens"), col("n_unk")),
     Some("""WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
         FROM documents),
@@ -3307,7 +3365,9 @@ object ExtQueries {
           SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS id
           FROM cnt) WHERE id <= 200)
       SELECT f.doc_id,
-        list(coalesce(r.id, 0) ORDER BY f.pos) AS token_ids,
+        array_to_string(
+          list(CAST(coalesce(r.id, 0) AS VARCHAR) ORDER BY f.pos), ',')
+          AS token_ids_csv,
         count(*) AS n_tokens,
         CAST(count(*) FILTER (r.id IS NULL) AS BIGINT) AS n_unk
       FROM flat f LEFT JOIN ranked r USING (tok)

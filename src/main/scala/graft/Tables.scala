@@ -24,16 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default — read nanos as long and rebuild a micros timestamp. Integer
-    * `div` (not `/`): epoch-nanos ≈ 1.7e18 exceeds double's 2^53 mantissa.
+  /** events.parquet's `ts` physical type has drifted across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark 4 reads as long only under
+    * `nanosAsLong`), then plain timestamp[us] (read as TIMESTAMP_NTZ). Adapt
+    * on the loaded schema so every generation normalizes to the same
+    * session-UTC TimestampType the downstream queries and oracles expect.
+    * Nanos path uses integer `div` (not `/`): epoch-nanos ≈ 1.7e18 exceeds
+    * double's 2^53 mantissa.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -50,6 +50,29 @@ object IvfIndex {
     Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 
+  /** Deterministic seed "training": centroids are the `nlist` corpus
+    * vectors with the smallest `md5(vec_id)` (a deterministic,
+    * engine-replayable sample — the repo's standard md5 coin), ordered by
+    * vec_id. No arithmetic happens at train time, so a DuckDB oracle can
+    * rebuild the IDENTICAL centroid set and the whole IVF pipeline
+    * becomes hash-checkable ([[train]]'s ml.KMeans stays the quality
+    * path; its iteration internals are engine-specific). Seed-vector
+    * Voronoi partitions are the zero-iteration limit of k-means — recall
+    * degrades gracefully, the index/search contract is unchanged.
+    *
+    * The driver-side collect is `nlist` rows — bounded, never the
+    * corpus. */
+  def seedModel(emb: DataFrame, nlist: Int): Model = {
+    val seeds = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nlist)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    Model(seeds)
+  }
+
   /** Literal column for one centroid — one ARRAY<FLOAT> Literal (a single
     * referenced object in generated code), never `array(lit, lit, ...)`
     * whose inline CreateArray stores grow codegen linearly in nlist·dim
@@ -82,6 +105,49 @@ object IvfIndex {
   /** Assign every corpus vector its cluster id (the indexing pass). */
   def index(emb: DataFrame, m: Model): DataFrame =
     emb.withColumn("cluster", nearestCentroid(col("embedding"), m))
+
+  /** Centroid ids ranked by (cosine 6-dp DESC, idx ASC) as one sorted
+    * struct array — the deterministic core shared by the oracle-checked
+    * assignment and probe paths. Rounding BEFORE the comparison makes the
+    * ranking a pure function of 6-dp cosines, which are the quantities the
+    * DuckDB oracle reproduces hash-exactly (same dot/norm evaluation
+    * order); ties then break on the centroid index in both engines.
+    * `array_sort` on struct(negSim, idx) is ascending-lexicographic =
+    * (sim desc, idx asc). */
+  private def rankedCentroidIdx(emb: Column, m: Model): Column = {
+    val entries = m.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-round(centroidSim(emb, c), 6)).as("neg"), lit(i).as("idx"))
+    }
+    transform(array_sort(array(entries: _*)), s => s.getField("idx"))
+  }
+
+  /** Deterministic nearest-centroid id (6-dp round + idx tie-break). */
+  def nearestCentroidDet(emb: Column, m: Model): Column =
+    element_at(rankedCentroidIdx(emb, m), 1)
+
+  /** Deterministic `nprobe` probe list (6-dp round + idx tie-break). */
+  def probeCentroidsDet(emb: Column, m: Model, nprobe: Int): Column =
+    slice(rankedCentroidIdx(emb, m), 1, nprobe)
+
+  /** IVF top-k search with the DETERMINISTIC assignment/probe ranking —
+    * same plan shape as [[search]] (broadcast probes, cluster-key join,
+    * bounded-heap top-k), but every engine-sensitive comparison goes
+    * through 6-dp rounded cosines so a DuckDB oracle can replay the whole
+    * pipeline hash-exactly. Pair with [[seedModel]]. */
+  def searchDeterministic(emb: DataFrame, m: Model, queryPred: Column,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val indexed =
+      emb.withColumn("cluster", nearestCentroidDet(col("embedding"), m))
+    val corpus = indexed.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("cluster"))
+    val queries = indexed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeCentroidsDet(col("embedding"), m, nprobe)).as("cluster"))
+    val scored = corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+    Similarity.topKPerQuery(scored, k)
+  }
 
   /** IVF top-k search: queries probe `nprobe` clusters, cosine-rank within
     * the probed candidates (6-dp rounding + vec_id tie-break, like the

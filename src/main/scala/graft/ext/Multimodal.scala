@@ -73,6 +73,17 @@ object Multimodal {
     }: _*)
   }
 
+  /** Decimal places [[resizePooled]] rounds each cell mean to. The
+    * fixed-point rendering in ExtQueries (`round(v·10^dp)`) is exact ONLY
+    * because cells are pre-rounded to this scale — a coarser inner scale
+    * could put `v·10^dp` on a .5 tie where Spark/DuckDB final rounds
+    * diverge. Both sides (and the oracle SQL) derive from this constant,
+    * so changing it breaks loudly instead of as a 1-ulp oracle drift. */
+  val pooledRoundDp = 6
+
+  /** 10^[[pooledRoundDp]], the matching fixed-point scale. */
+  val pooledFpScale: Long = math.pow(10.0, pooledRoundDp).toLong
+
   /** "Resize" — block-mean pooling of the payload's byte grid down to
     * `k` buckets (the 1-D shape of image downsampling: average each
     * block of source samples into one target cell; a real codec path
@@ -97,7 +108,7 @@ object Multimodal {
         p => conv(hx.substr(p * 2 + 1, lit(2)), 16, 10).cast("double"))
       when(end > start,
         round(aggregate(block, lit(0.0), (acc, x) => acc + x)
-          / (end - start).cast("double"), 6))
+          / (end - start).cast("double"), pooledRoundDp))
     })
   }
 

@@ -46,8 +46,17 @@ def main():
         if os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    names = sorted(n for n in os.listdir(out) if n != "oracle_sql.json")
+    # query dumps are directories; skip metadata files (oracle_sql.json,
+    # failed.json)
+    names = sorted(n for n in os.listdir(out)
+                   if os.path.isdir(os.path.join(out, n)))
     fails = []
+    failed_path = os.path.join(out, "failed.json")
+    if os.path.exists(failed_path):
+        failed = json.load(open(failed_path))
+        for name, err in failed.items():
+            print(f"{name}: VERIFY FAILED {err[:200]}")
+        fails = list(failed)
     for name in names:
         if only and name not in only:
             continue
