@@ -1685,6 +1685,52 @@ object ExtQueries {
     },
     None) // ml.KMeans internals; ScalaTest proves full-probe == PQ-only
 
+  /** Cluster-balanced subsample
+    * ([[graft.ext.IvfIndex.clusterBalancedSample]]): at most 40 vectors
+    * per deterministic Voronoi cell (the [[graft.ext.IvfIndex.seedModel]]
+    * cells of `ext_sim_ivf_topk`), drawn by a 52-bit md5 coin — the
+    * diversity-preserving downsampling pass of a curation pipeline. The
+    * oracle replays cell assignment via the shared seed-centroid CTEs,
+    * then QUALIFY-caps each cell ordering by the same md5 prefix. */
+  val clusterBalanced = Q(
+    "ext_cluster_balanced_sample",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ext.IvfIndex.seedModel(emb, nlist = 8)
+      graft.ext.IvfIndex.clusterBalancedSample(emb, model, cap = 40)
+    },
+    Some("""WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      seeds AS (
+        SELECT vec_id, emb FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS idx,
+               emb
+        FROM seeds),
+      sims AS (
+        SELECT v.vec_id, c.idx,
+          round(list_dot_product(v.emb, c.emb)
+            / (sqrt(list_dot_product(v.emb, v.emb))
+               * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+        FROM v CROSS JOIN cent c),
+      rsims AS (
+        SELECT vec_id, idx,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, idx ASC) AS rk
+        FROM sims),
+      assign AS (SELECT vec_id, idx AS cluster FROM rsims WHERE rk = 1),
+      sel AS (
+        SELECT cluster, vec_id,
+          row_number() OVER (PARTITION BY cluster
+            ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT,
+                     vec_id) AS rank
+        FROM assign)
+      SELECT cluster, vec_id, CAST(rank AS INT) AS rank
+      FROM sel WHERE rank <= 40"""))
+
   val simCentroids = Q(
     "ext_label_centroids",
     (s, d) => Similarity.labelCentroids(Tables.embeddings(s, d)),
@@ -3404,7 +3450,7 @@ object ExtQueries {
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
-    simCentroids,
+    clusterBalanced, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
     llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,

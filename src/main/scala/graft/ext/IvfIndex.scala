@@ -149,6 +149,33 @@ object IvfIndex {
     Similarity.topKPerQuery(scored, k)
   }
 
+  /** Cluster-balanced subsample — diversity-preserving downsampling for
+    * curation (the SemDeDup-adjacent "don't let one dense region dominate
+    * the corpus" pass): assign every vector its deterministic Voronoi
+    * cell ([[nearestCentroidDet]]), then keep at most `cap` vectors per
+    * cell, chosen by an md5 coin so the draw is uniform, reproducible,
+    * and engine-replayable.
+    *
+    * The coin is the first 13 hex digits of md5(vec_id) as an integer —
+    * 52 bits, exactly representable in the double score
+    * [[graft.functions.TopKAgg]] ranks on, so Spark's bounded-heap
+    * ordering and an oracle's ORDER BY over the same prefix agree
+    * bit-for-bit (ties, if 52-bit prefixes ever collide, break on
+    * vec_id in both engines). Per-cell selection is the map-side
+    * partial top-k aggregate — never a row-grained window; at corpus
+    * scale `nlist` grows with the data so cells stay executor-sized. */
+  def clusterBalancedSample(emb: DataFrame, m: Model, cap: Int): DataFrame = {
+    val coin = conv(substring(md5(col("vec_id").cast("string")), 1, 13),
+      16, 10).cast("long")
+    emb.withColumn("cluster", nearestCentroidDet(col("embedding"), m))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TopKAgg.top_k(
+        -coin.cast("double"), col("vec_id"), cap).as("tk"))
+      .select(col("cluster"), explode(col("tk")).as("t"))
+      .select(col("cluster"), col("t.id").as("vec_id"),
+        col("t.rank").as("rank"))
+  }
+
   /** IVF top-k search: queries probe `nprobe` clusters, cosine-rank within
     * the probed candidates (6-dp rounding + vec_id tie-break, like the
     * exact path). */

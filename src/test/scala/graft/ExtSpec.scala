@@ -195,6 +195,46 @@ class ExtSpec extends SparkSpec {
     assert(r4 == 1.0, s"full-probe recall $r4 != 1.0")
   }
 
+  test("IVF deterministic: seed model replays; full probe equals brute force") {
+    val m1 = graft.ext.IvfIndex.seedModel(emb, nlist = 4)
+    val m2 = graft.ext.IvfIndex.seedModel(emb, nlist = 4)
+    assert(m1.nlist == 4)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq,
+      "seedModel is not replay-deterministic")
+    // probing every cell = no pruning; same rounding + tie-break as the
+    // exact path, so the deterministic search degenerates to brute force
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    val full = graft.ext.IvfIndex
+      .searchDeterministic(emb, m1, col("vec_id") < 4, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    assert(full == brute)
+  }
+
+  test("cluster-balanced sample: caps every cell, deterministic, no window") {
+    val model = graft.ext.IvfIndex.seedModel(emb, nlist = 4)
+    val df = graft.ext.IvfIndex.clusterBalancedSample(emb, model, cap = 5)
+    val rows = df.select("cluster", "vec_id", "rank")
+      .as[(Int, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val perCell = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 5), s"cap exceeded: ${perCell.toMap}")
+    assert(rows.forall { case (c, _, r) => c >= 0 && c < 4 && r >= 1 && r <= 5 })
+    // sampled ids are distinct corpus ids
+    val ids = rows.map(_._2)
+    assert(ids.distinct.length == ids.length)
+    // replay-deterministic
+    val again = graft.ext.IvfIndex.clusterBalancedSample(emb, model, cap = 5)
+      .select("cluster", "vec_id", "rank").as[(Int, Long, Int)]
+      .collect().sorted.toSeq
+    assert(again == rows.sorted.toSeq)
+    // bounded-heap aggregate, not a row-grained window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+
   test("PQ: codes compress, re-rank scores are exact, recall beats floor") {
     val model = graft.ext.PqIndex.train(emb, dim = 64, m = 8, k = 32)
     assert(model.m == 8 && model.k == 32 && model.subDim == 8)

@@ -62,6 +62,26 @@ class PlanGuardSpec extends SparkSpec {
       s"scale-killer plan shapes:\n${offenders.result().mkString("\n")}")
   }
 
+  test("events ts range filter reaches the parquet scan as a pushed filter") {
+    // The events loader normalizes ts on top of the scan (nanos rebuild
+    // or NTZ→LTZ cast, Tables.scala). At 100 TB, time-range pruning on
+    // the events table is THE critical scan optimization — this pins
+    // that Catalyst still rewrites a ts predicate onto the scan column
+    // (verified for the NTZ path: UnwrapCastInBinaryComparison), so a
+    // future loader change that breaks pushdown fails here, not in a
+    // production profile.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("ts") > lit("2024-06-01").cast("timestamp"))
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(_.contains("GreaterThan(ts")),
+      s"ts range predicate no longer pushes to the events parquet scan: " +
+        s"PushedFilters=$pushed")
+  }
+
   test("no registered query leaks a cached plan after CacheScope release") {
     // the round-1 bench pathology (persist-and-never-unpersist slowly
     // evicting the executor store) made structural: after building each
