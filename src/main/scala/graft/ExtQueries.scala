@@ -3035,6 +3035,34 @@ object ExtQueries {
             1, 8))::BIGINT + 1) / 4294967296.0 < rate"""
     })
 
+  /** Quality-prioritized token-budget selection
+    * ([[graft.ext.Curation.tokenBudgetSelect]]): keep the best-quality
+    * documents until a 10k-token budget fills — an exact global cutoff
+    * computed with the two-phase distributed prefix sum (range-partition
+    * on the ranking key; never `Window.orderBy` over the corpus). The
+    * oracle replays the same (quality desc, doc_id) cumulative sum with
+    * a plain global window — fine at oracle scale, the exact plan the
+    * Spark side exists to avoid. */
+  val tokenBudget = Q(
+    "ext_token_budget_select",
+    (s, d) => graft.ext.Curation.tokenBudgetSelect(
+      Tables.documents(s, d), "text", "doc_id", budget = 10000L),
+    Some(s"""WITH c AS (
+        SELECT doc_id, $qcTokSql AS tc, $qcSrSql AS sr,
+          $qcPrSql AS pr, $qcDrSql AS dr
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(tc AS BIGINT) AS n_tokens,
+          ${qualityCompositeSql("tc", "sr", "pr", "dr")} AS quality
+        FROM c),
+      sel AS (
+        SELECT doc_id, quality, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM q)
+      SELECT doc_id, quality, n_tokens, cum_tokens
+      FROM sel WHERE cum_tokens <= 10000"""))
+
   /** Temperature-scaled source resampling
     * ([[graft.ext.Curation.temperatureResample]], alpha-sampling): the
     * corpus is pre-thinned per source (doc_id ≡ 0 mod (srcIdx%4 + 1))
@@ -3458,7 +3486,7 @@ object ExtQueries {
     dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
-    temperatureMix, scoreBins, compaction, prefPairs, driftPsi,
+    temperatureMix, tokenBudget, scoreBins, compaction, prefPairs, driftPsi,
     kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
     imputeMissing, ngramDiversity, classifierAuc, classifierCalibration,
     classifierFit, splitLeakage,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -467,5 +468,61 @@ object Curation {
         .otherwise(lit("*")).as(c))
     val rest = df.columns.filterNot(quasiCols.contains).map(col)
     df.join(sizes, quasiCols).select(masked ++ rest: _*)
+  }
+
+  /** Quality-prioritized token-budget selection (the FineWeb/DCLM-style
+    * "keep the best N tokens" pruning rule): documents are ranked by
+    * ([[TextStats.qualityScore]] desc, id asc) and kept while the
+    * running token total stays within `budget` — an EXACT global budget,
+    * unlike [[mixSources]]' expected-rate coin.
+    *
+    * The cutoff needs a corpus-wide cumulative sum in quality order; the
+    * naive `sum().over(Window.orderBy(quality))` funnels every row
+    * through one reducer. Same two-phase distributed prefix sum as
+    * [[Packing.packOffsets]], range-partitioned on the ranking key
+    * instead of the id: per-partition totals (one row per partition) get
+    * their offsets on the only sequential step, then every partition
+    * computes its local prefix in parallel. The persist pins one set of
+    * RangePartitioner boundaries (its sampling would otherwise re-draw
+    * per consumer).
+    *
+    * Returns (idCol, quality, n_tokens, cum_tokens) for kept docs —
+    * `cum_tokens` (inclusive) ≤ budget. Deterministic: quality is
+    * 6-dp-rounded, ids break ties totally, token counts are integral. */
+  def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "tokenBudgetSelect: budget must be positive")
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextStats.qualityScore(col(textCol)).as("quality"))
+    val sorted = graft.ops.CacheScope.persist(
+      scored.repartitionByRange(col("quality").desc, col("id"))
+        .sortWithinPartitions(col("quality").desc, col("id"))
+        .withColumn("__pid", spark_partition_id()))
+    // Eager materialization, not just persist: the per-partition-offsets
+    // branch and the final window join are INDEPENDENT consumers, and a
+    // not-yet-materialized cache lets each trigger its own
+    // RangePartitioner sample — two boundary draws would hand the two
+    // branches inconsistent __pid assignments (observed as a broken
+    // cumulative chain). One count() pins one set of boundaries.
+    sorted.count()
+    val partOffsets = sorted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptotal"))
+      .withColumn("__poffset",
+        coalesce(
+          sum(col("__ptotal")).over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__poffset"))
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col("quality").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sorted.join(broadcast(partOffsets), Seq("__pid"))
+      .withColumn("cum_tokens",
+        col("__poffset") + sum(col("n_tokens")).over(localW))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("id").as(idCol), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
   }
 }

@@ -934,6 +934,33 @@ class ExtSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("token budget select: exact greedy prefix, layout-invariant") {
+    val docs = Tables.documents(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Curation.tokenBudgetSelect(df, "text", "doc_id", 2000L)
+        .select("doc_id", "n_tokens", "cum_tokens")
+        .as[(Long, Long, Long)].collect().toSet
+    val got = run(docs)
+    assert(got.nonEmpty)
+    // budget is exact and inclusive
+    assert(got.forall(_._3 <= 2000L))
+    // toSeq first — mapping the Set would dedup equal token counts
+    assert(got.toSeq.map(_._2).sum == got.toSeq.map(_._3).max)
+    // sequential reference: same (quality desc, id) greedy fill
+    val ranked = docs.select(col("doc_id"),
+        graft.ext.TextStats.tokenCount(col("text")).cast("long").as("n"),
+        graft.ext.TextStats.qualityScore(col("text")).as("q"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, q) => (-q, id) }
+    var off = 0L
+    val expected = ranked.iterator.map { case (id, n, _) =>
+      off += n; (id, n, off)
+    }.takeWhile(_._3 <= 2000L).toSet
+    assert(got == expected)
+    // partition layout must not change the selection
+    assert(run(docs.repartition(13)) == got)
+  }
+
   test("containment: embedded doc flagged even when jaccard is low") {
     val small = "alpha beta gamma delta epsilon zeta eta theta"
     val big = small + " filler1 filler2 filler3"
