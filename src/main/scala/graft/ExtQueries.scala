@@ -1665,25 +1665,230 @@ object ExtQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
+  /** PQ ANN, oracle-checked end to end: deterministic seed codebooks
+    * ([[graft.ext.PqIndex.seedModel]] — subvectors of the 32 md5-smallest
+    * vectors) drive the NATIVE encode/LUT kernels
+    * ([[graft.functions.PqOps]]) and the ADC → oversample → exact-re-rank
+    * pipeline. Every floating-point step is a fixed left-assoc double
+    * chain on both engines (codebook norms, |c|²−2·dot argmin with
+    * first-min tie, LUT term sum), so the DuckDB oracle replays the full
+    * pipeline hash-exactly — the codegen'd kernels themselves are under
+    * the oracle gate. The per-subspace k-means variant
+    * ([[graft.ext.PqIndex.train]]) stays the quality path (ExtSpec
+    * recall; exercised via `ext_sim_ivfpq_topk`). */
   val simPq = Q(
     "ext_sim_pq_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val model = PqIndex.train(emb, dim = 64, m = 8, k = 32, maxIter = 10)
+      val model = PqIndex.seedModel(emb, dim = 64, m = 8, k = 32)
       PqIndex.search(emb, model, col("vec_id") < 8, k = 5, oversample = 8)
     },
-    None) // ml.KMeans codebooks are engine-internal; ScalaTest recall spec
+    Some {
+      val (m, kCw, sub) = (8, 32, 8)
+      // subspace i slice of a doubles list column `e` (1-based inclusive)
+      def sl(e: String, i: Int) =
+        s"list_slice($e, ${i * sub + 1}, ${(i + 1) * sub})"
+      // left-assoc chains mirror the Spark side's ascending-i reduce
+      val dotChain = (0 until m)
+        .map(i => s"list_dot_product(${sl("q.emb", i)}, e.cc$i)")
+        .mkString(" + ")
+      val normChain = (0 until m).map(i => s"e.n$i").mkString(" + ")
+      val pivotCodes = (0 until m)
+        .map(i => s"max(CASE WHEN si = $i THEN cj END) AS c$i")
+        .mkString(",\n          ")
+      val bookJoins = (0 until m)
+        .map(i => s"JOIN cwn w$i ON w$i.si = $i AND w$i.cj = e.c$i")
+        .mkString("\n        ")
+      val bookCols = (0 until m)
+        .map(i => s"w$i.cn2 AS n$i, w$i.c AS cc$i").mkString(", ")
+      s"""WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      seeds AS (
+        SELECT vec_id, emb FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kCw),
+      cw AS (
+        SELECT i.i AS si,
+          CAST(row_number() OVER (PARTITION BY i.i ORDER BY s.vec_id) - 1
+            AS INT) AS cj,
+          list_slice(s.emb, i.i * $sub + 1, i.i * $sub + $sub) AS c
+        FROM seeds s CROSS JOIN range(0, $m) i(i)),
+      cwn AS (SELECT si, cj, c, list_dot_product(c, c) AS cn2 FROM cw),
+      subv AS (
+        SELECT v.vec_id, i.i AS si,
+          list_slice(v.emb, i.i * $sub + 1, i.i * $sub + $sub) AS vs
+        FROM v CROSS JOIN range(0, $m) i(i)),
+      dists AS (
+        SELECT s.vec_id, s.si, w.cj,
+          w.cn2 - 2 * list_dot_product(s.vs, w.c) AS d
+        FROM subv s JOIN cwn w ON w.si = s.si),
+      codes AS (
+        SELECT vec_id, si, cj FROM (
+          SELECT vec_id, si, cj,
+            row_number() OVER (PARTITION BY vec_id, si
+              ORDER BY d ASC, cj ASC) AS rn
+          FROM dists) WHERE rn = 1),
+      enc AS (
+        SELECT vec_id,
+          $pivotCodes
+        FROM codes GROUP BY vec_id),
+      encw AS (
+        SELECT e.vec_id, $bookCols
+        FROM enc e
+        $bookJoins),
+      cand AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          round(($dotChain)
+            / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt($normChain)),
+            6) AS cos
+        FROM v q JOIN encw e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < 8),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rn
+          FROM cand) WHERE rn <= 40),
+      exact AS (
+        SELECT s.query_id, s.neighbor_id,
+          round(list_dot_product(q.emb, n.emb)
+            / (sqrt(list_dot_product(q.emb, q.emb))
+               * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+        FROM short s
+        JOIN v q ON q.vec_id = s.query_id
+        JOIN v n ON n.vec_id = s.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM exact)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5"""
+    })
 
+  /** IVFPQ ANN, oracle-checked end to end — the composed FAISS shape
+    * with BOTH stages deterministic: seed centroids prune to `nprobe`
+    * cells, seed-codebook ADC scores the survivors' codes, the
+    * oversampled shortlist re-ranks exactly. The oracle chains the
+    * `ext_sim_ivf_topk` assignment CTEs with the `ext_sim_pq_topk`
+    * encode CTEs and replays the whole thing hash-exactly. The k-means
+    * variants stay the quality path ([[graft.ext.PqIndex.searchWithIvf]],
+    * ExtSpec). */
   val simIvfPq = Q(
     "ext_sim_ivfpq_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val ivf = graft.ext.IvfIndex.train(emb, nlist = 8, maxIter = 10)
-      val pq = PqIndex.train(emb, dim = 64, m = 8, k = 32, maxIter = 10)
-      PqIndex.searchWithIvf(emb, ivf, pq, col("vec_id") < 8,
+      val ivf = graft.ext.IvfIndex.seedModel(emb, nlist = 8)
+      val pq = PqIndex.seedModel(emb, dim = 64, m = 8, k = 32)
+      PqIndex.searchWithIvfDeterministic(emb, ivf, pq, col("vec_id") < 8,
         k = 5, nprobe = 3, oversample = 8)
     },
-    None) // ml.KMeans internals; ScalaTest proves full-probe == PQ-only
+    Some {
+      val (m, kCw, sub, nlist, nprobe) = (8, 32, 8, 8, 3)
+      def sl(e: String, i: Int) =
+        s"list_slice($e, ${i * sub + 1}, ${(i + 1) * sub})"
+      val dotChain = (0 until m)
+        .map(i => s"list_dot_product(${sl("q.emb", i)}, e.cc$i)")
+        .mkString(" + ")
+      val normChain = (0 until m).map(i => s"e.n$i").mkString(" + ")
+      val pivotCodes = (0 until m)
+        .map(i => s"max(CASE WHEN si = $i THEN cj END) AS c$i")
+        .mkString(",\n          ")
+      val bookJoins = (0 until m)
+        .map(i => s"JOIN cwn w$i ON w$i.si = $i AND w$i.cj = e.c$i")
+        .mkString("\n        ")
+      val bookCols = (0 until m)
+        .map(i => s"w$i.cn2 AS n$i, w$i.c AS cc$i").mkString(", ")
+      s"""WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      ivfseeds AS (
+        SELECT vec_id, emb FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+      ivfcent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS idx,
+               emb
+        FROM ivfseeds),
+      ivfsims AS (
+        SELECT v.vec_id, c.idx,
+          round(list_dot_product(v.emb, c.emb)
+            / (sqrt(list_dot_product(v.emb, v.emb))
+               * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+        FROM v CROSS JOIN ivfcent c),
+      ivfrsims AS (
+        SELECT vec_id, idx,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, idx ASC) AS rk
+        FROM ivfsims),
+      assign AS (SELECT vec_id, idx AS cluster FROM ivfrsims WHERE rk = 1),
+      probes AS (
+        SELECT vec_id, idx AS cluster FROM ivfrsims
+        WHERE rk <= $nprobe AND vec_id < 8),
+      pqseeds AS (
+        SELECT vec_id, emb FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kCw),
+      cw AS (
+        SELECT i.i AS si,
+          CAST(row_number() OVER (PARTITION BY i.i ORDER BY s.vec_id) - 1
+            AS INT) AS cj,
+          list_slice(s.emb, i.i * $sub + 1, i.i * $sub + $sub) AS c
+        FROM pqseeds s CROSS JOIN range(0, $m) i(i)),
+      cwn AS (SELECT si, cj, c, list_dot_product(c, c) AS cn2 FROM cw),
+      subv AS (
+        SELECT v.vec_id, i.i AS si,
+          list_slice(v.emb, i.i * $sub + 1, i.i * $sub + $sub) AS vs
+        FROM v CROSS JOIN range(0, $m) i(i)),
+      dists AS (
+        SELECT s.vec_id, s.si, w.cj,
+          w.cn2 - 2 * list_dot_product(s.vs, w.c) AS d
+        FROM subv s JOIN cwn w ON w.si = s.si),
+      codes AS (
+        SELECT vec_id, si, cj FROM (
+          SELECT vec_id, si, cj,
+            row_number() OVER (PARTITION BY vec_id, si
+              ORDER BY d ASC, cj ASC) AS rn
+          FROM dists) WHERE rn = 1),
+      enc AS (
+        SELECT vec_id,
+          $pivotCodes
+        FROM codes GROUP BY vec_id),
+      encw AS (
+        SELECT e.vec_id, $bookCols
+        FROM enc e
+        $bookJoins),
+      cand AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+          round(($dotChain)
+            / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt($normChain)),
+            6) AS cos
+        FROM probes p
+        JOIN assign a ON a.cluster = p.cluster AND a.vec_id != p.vec_id
+        JOIN v q ON q.vec_id = p.vec_id
+        JOIN encw e ON e.vec_id = a.vec_id),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rn
+          FROM cand) WHERE rn <= 40),
+      exact AS (
+        SELECT s.query_id, s.neighbor_id,
+          round(list_dot_product(q.emb, n.emb)
+            / (sqrt(list_dot_product(q.emb, q.emb))
+               * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+        FROM short s
+        JOIN v q ON q.vec_id = s.query_id
+        JOIN v n ON n.vec_id = s.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM exact)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5"""
+    })
 
   /** Cluster-balanced subsample
     * ([[graft.ext.IvfIndex.clusterBalancedSample]]): at most 40 vectors

@@ -74,6 +74,30 @@ object PqIndex {
     } finally { subs.unpersist(); () }
   }
 
+  /** Deterministic seed codebooks — the PQ twin of
+    * [[IvfIndex.seedModel]]: codebook entry j of subspace i is the i-th
+    * subvector of the j-th seed vector, where seeds are the `k` corpus
+    * vectors with smallest md5(vec_id) ordered by vec_id. Zero train-time
+    * arithmetic, so a DuckDB oracle rebuilds the identical codebooks and
+    * the WHOLE PQ pipeline — native [[graft.functions.PqOps.PqCodes]]
+    * argmin encode, ADC LUT scoring, oversample + exact re-rank —
+    * becomes hash-checkable ([[train]]'s per-subspace k-means stays the
+    * quality path; its iterations are engine-specific). */
+  def seedModel(emb: DataFrame, dim: Int, m: Int, k: Int): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val seeds = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    require(seeds.length == k, s"corpus smaller than k=$k seeds")
+    val books = Array.tabulate(m)(i =>
+      seeds.map(s => s.slice(i * subDim, (i + 1) * subDim)))
+    Model(books, dim)
+  }
+
   /** Encode: add `codes` (array<int>, one per subspace) and the
     * reconstruction norm `recon_norm` (computable from the codes alone —
     * stored so search never touches the raw vector). The per-subspace
@@ -137,6 +161,43 @@ object PqIndex {
       emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           explode(IvfIndex.probeCentroids(col("embedding"), ivf, nprobe))
+            .as("cluster")),
+      col("q_emb"), pq)
+    val approx = coded.join(broadcast(queries), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", adcCosine(col("__lut"), col("__qn"),
+        col("codes"), col("recon_norm"), pq))
+    val shortlist = Similarity.topKPerQuery(approx, k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+    Similarity.topKPerQuery(exact, k)
+  }
+
+  /** IVFPQ with the DETERMINISTIC assignment/probe ranking
+    * ([[IvfIndex.nearestCentroidDet]]/[[IvfIndex.probeCentroidsDet]]) —
+    * same plan shape as [[searchWithIvf]], but cluster decisions rank on
+    * 6-dp rounded cosines with index tie-breaks, so paired with
+    * [[IvfIndex.seedModel]] + [[seedModel]] codebooks the full composed
+    * pipeline (coarse pruning → ADC codes → oversample → exact re-rank)
+    * replays hash-exactly in a DuckDB oracle. */
+  def searchWithIvfDeterministic(emb: DataFrame, ivf: IvfIndex.Model,
+      pq: Model, queryPred: Column, k: Int, nprobe: Int = 2,
+      oversample: Int = 4): DataFrame = {
+    val coded = encode(
+      emb.withColumn("cluster",
+        IvfIndex.nearestCentroidDet(col("embedding"), ivf)), pq)
+      .select(col("vec_id").as("neighbor_id"), col("cluster"),
+        col("codes"), col("recon_norm"))
+    val queries = withQueryLut(
+      emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(IvfIndex.probeCentroidsDet(col("embedding"), ivf, nprobe))
             .as("cluster")),
       col("q_emb"), pq)
     val approx = coded.join(broadcast(queries), Seq("cluster"))

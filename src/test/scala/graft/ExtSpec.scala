@@ -235,6 +235,40 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("PQ deterministic: seed codebooks replay; full oversample = brute") {
+    val m1 = graft.ext.PqIndex.seedModel(emb, dim = 64, m = 8, k = 16)
+    val m2 = graft.ext.PqIndex.seedModel(emb, dim = 64, m = 8, k = 16)
+    assert(m1.m == 8 && m1.k == 16 && m1.subDim == 8)
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "seedModel is not replay-deterministic")
+    // oversample*k >= corpus: the shortlist admits every candidate, so
+    // the exact re-rank degenerates to brute force
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    val full = graft.ext.PqIndex.search(emb, m1, col("vec_id") < 4,
+        k = 5, oversample = n / 5 + 1)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    assert(full == brute)
+  }
+
+  test("IVFPQ deterministic: full probe + full oversample = brute force") {
+    val n = emb.count().toInt
+    val ivf = graft.ext.IvfIndex.seedModel(emb, nlist = 4)
+    val pq = graft.ext.PqIndex.seedModel(emb, dim = 64, m = 8, k = 16)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    val full = graft.ext.PqIndex.searchWithIvfDeterministic(emb, ivf, pq,
+        col("vec_id") < 4, k = 5, nprobe = 4, oversample = n / 5 + 1)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    assert(full == brute)
+  }
+
   test("PQ: codes compress, re-rank scores are exact, recall beats floor") {
     val model = graft.ext.PqIndex.train(emb, dim = 64, m = 8, k = 32)
     assert(model.m == 8 && model.k == 32 && model.subDim == 8)
