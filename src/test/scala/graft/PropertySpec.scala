@@ -174,6 +174,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSelect == sequential greedy over random corpora/layouts") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    val words = Vector("the", "cat", "sat", "on", "mat", "and", "a", "dog",
+      "ran", "far", "xyzzy", "qwerty", "12", "lorem!")
+    (1 to 5).foreach { trial =>
+      val n = 40 + rnd.nextInt(80)
+      val docs = (1 to n).map { i =>
+        val len = 1 + rnd.nextInt(60)
+        (i.toLong,
+          Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(8))
+      val budget = 50L + rnd.nextInt(2000)
+      try {
+        val got = graft.ext.Curation
+          .tokenBudgetSelect(df, "text", "doc_id", budget)
+          .select("doc_id", "n_tokens", "cum_tokens")
+          .as[(Long, Long, Long)].collect().toSet
+        // sequential greedy over the SAME Spark-computed signals — the
+        // property isolates the distributed prefix-sum machinery
+        val sig = df.select(col("doc_id"),
+            graft.ext.TextStats.tokenCount(col("text")).cast("long"),
+            graft.ext.TextStats.qualityScore(col("text")))
+          .as[(Long, Long, Double)].collect()
+          .sortBy { case (id, _, q) => (-q, id) }
+        var off = 0L
+        val expected = sig.iterator.map { case (id, nn, _) =>
+          off += nn; (id, nn, off)
+        }.takeWhile(_._3 <= budget).toSet
+        assert(got == expected, s"trial=$trial budget=$budget")
+      } finally graft.ops.CacheScope.releaseAll()
+    }
+  }
+
   test("canonicalizeUrl is idempotent over random URL shapes") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(11)
