@@ -28,8 +28,22 @@ object Verify {
       catch { case e: Throwable =>
         // Record the breakage IN the artifact — a silently-missing dump
         // reads as a shrunken registry, not a red row (round-4 lesson).
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // The marker lives INSIDE the query's own directory: the driver
+        // provably try/excepts per query (the r4 ext_tokenize_ids ERR
+        // row), so a parquet-less dir surfaces as that query's red row;
+        // a NEW top-level file could trip a listing the driver only
+        // guards against oracle_sql.json.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        val dir = new java.io.File(s"$outDir/$name")
+        dir.mkdirs()
+        // clear any stale parquet from a previous successful run first —
+        // a leftover dump would mask this failure as a green row
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .foreach(f => if (f.isFile) { f.delete(); () })
+        Files.writeString(Paths.get(s"$outDir/$name/_VERIFY_ERROR.txt"),
+          msg.take(4000))
       } finally graft.ops.CacheScope.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,10 +61,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val failJson = failed
-      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/failed.json"), failJson)
     if (failed.nonEmpty) {
       System.err.println(
         s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +

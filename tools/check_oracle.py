@@ -46,19 +46,17 @@ def main():
         if os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    # query dumps are directories; skip metadata files (oracle_sql.json,
-    # failed.json)
+    # query dumps are directories; skip metadata files (oracle_sql.json)
     names = sorted(n for n in os.listdir(out)
                    if os.path.isdir(os.path.join(out, n)))
     fails = []
-    failed_path = os.path.join(out, "failed.json")
-    if os.path.exists(failed_path):
-        failed = json.load(open(failed_path))
-        for name, err in failed.items():
-            print(f"{name}: VERIFY FAILED {err[:200]}")
-        fails = list(failed)
     for name in names:
         if only and name not in only:
+            continue
+        marker = os.path.join(out, name, "_VERIFY_ERROR.txt")
+        if os.path.exists(marker):
+            print(f"{name}: VERIFY FAILED {open(marker).read()[:200]}")
+            fails.append(name)
             continue
         spark_df = pd.read_parquet(os.path.join(out, name))
         if name not in oracles:
