@@ -1318,6 +1318,139 @@ object ExtQueries {
       / (sqrt(list_dot_product(a_emb, a_emb))
          * sqrt(list_dot_product(b_emb, b_emb))), 6)"""
 
+  // ---- shared DuckDB fragments for the deterministic ANN oracles ---------
+  // One definition each for the doubles view, the seed-centroid Voronoi
+  // assignment, the seed-codebook PQ encode, and the shortlist/re-rank
+  // tail — used across ext_sim_ivf_topk / ext_cluster_balanced_sample /
+  // ext_sim_pq_topk / ext_sim_ivfpq_topk. Hand-maintained copies would be
+  // the oracle-drift bug class.
+
+  /** 6-dp cosine between two named doubles-list columns. */
+  private def annCos(a: String, b: String) =
+    s"""round(list_dot_product($a, $b)
+          / (sqrt(list_dot_product($a, $a))
+             * sqrt(list_dot_product($b, $b))), 6)"""
+
+  /** `v`: the embeddings table as (vec_id, doubles list). */
+  private def annVCte = """v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings)"""
+
+  /** Seed-centroid Voronoi assignment (mirrors [[graft.ext.IvfIndex]]'s
+    * seedModel + nearestCentroidDet): seeds → indexed centroids →
+    * 6-dp sims → (sim desc, idx) ranking → `assign`; `rsims` stays
+    * visible for probe CTEs. */
+  private def ivfAssignCtes(nlist: Int) = s"""seeds AS (
+        SELECT vec_id, emb FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS idx,
+               emb
+        FROM seeds),
+      sims AS (
+        SELECT v.vec_id, c.idx,
+          ${annCos("v.emb", "c.emb")} AS sim
+        FROM v CROSS JOIN cent c),
+      rsims AS (
+        SELECT vec_id, idx,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, idx ASC) AS rk
+        FROM sims),
+      assign AS (SELECT vec_id, idx AS cluster FROM rsims WHERE rk = 1)"""
+
+  // PQ geometry shared by both PQ oracles and the Spark-side seedModel
+  // calls: m subspaces of subDim dims, k codewords per subspace.
+  private val pqM = 8
+  private val pqK = 32
+  private val pqSub = 8
+
+  /** Seed-codebook PQ encode (mirrors [[graft.ext.PqIndex]]'s seedModel +
+    * PqCodes argmin): codeword (si, cj) = subspace si of the cj-th seed;
+    * per-(vector, subspace) argmin of |c|²−2·dot with first-min tie;
+    * `encw` carries each vector's chosen codewords + their norms pivoted
+    * wide for the left-assoc ADC chains. */
+  private def pqEncodeCtes = {
+    val pivotCodes = (0 until pqM)
+      .map(i => s"max(CASE WHEN si = $i THEN cj END) AS c$i")
+      .mkString(",\n          ")
+    val bookJoins = (0 until pqM)
+      .map(i => s"JOIN cwn w$i ON w$i.si = $i AND w$i.cj = e.c$i")
+      .mkString("\n        ")
+    val bookCols = (0 until pqM)
+      .map(i => s"w$i.cn2 AS n$i, w$i.c AS cc$i").mkString(", ")
+    s"""pqseeds AS (
+        SELECT vec_id, emb FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+      cw AS (
+        SELECT i.i AS si,
+          CAST(row_number() OVER (PARTITION BY i.i ORDER BY s.vec_id) - 1
+            AS INT) AS cj,
+          list_slice(s.emb, i.i * $pqSub + 1, i.i * $pqSub + $pqSub) AS c
+        FROM pqseeds s CROSS JOIN range(0, $pqM) i(i)),
+      cwn AS (SELECT si, cj, c, list_dot_product(c, c) AS cn2 FROM cw),
+      subv AS (
+        SELECT v.vec_id, i.i AS si,
+          list_slice(v.emb, i.i * $pqSub + 1, i.i * $pqSub + $pqSub) AS vs
+        FROM v CROSS JOIN range(0, $pqM) i(i)),
+      dists AS (
+        SELECT s.vec_id, s.si, w.cj,
+          w.cn2 - 2 * list_dot_product(s.vs, w.c) AS d
+        FROM subv s JOIN cwn w ON w.si = s.si),
+      codes AS (
+        SELECT vec_id, si, cj FROM (
+          SELECT vec_id, si, cj,
+            row_number() OVER (PARTITION BY vec_id, si
+              ORDER BY d ASC, cj ASC) AS rn
+          FROM dists) WHERE rn = 1),
+      enc AS (
+        SELECT vec_id,
+          $pivotCodes
+        FROM codes GROUP BY vec_id),
+      encw AS (
+        SELECT e.vec_id, $bookCols
+        FROM enc e
+        $bookJoins)"""
+  }
+
+  /** ADC cosine for a `cand` row joining query `q` to encoded `e` —
+    * left-assoc LUT-term and norm chains, ascending subspace, matching
+    * the Spark side's reduce order. */
+  private def pqAdcCos = {
+    def sl(e: String, i: Int) =
+      s"list_slice($e, ${i * pqSub + 1}, ${(i + 1) * pqSub})"
+    val dotChain = (0 until pqM)
+      .map(i => s"list_dot_product(${sl("q.emb", i)}, e.cc$i)")
+      .mkString(" + ")
+    val normChain = (0 until pqM).map(i => s"e.n$i").mkString(" + ")
+    s"""round(($dotChain)
+            / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt($normChain)),
+            6)"""
+  }
+
+  /** Shortlist cap + exact re-rank + final top-k from a `cand`
+    * (query_id, neighbor_id, cos) CTE — the oversample/re-rank tail both
+    * PQ oracles share. */
+  private def pqShortlistTail(shortK: Int, k: Int) = s"""short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rn
+          FROM cand) WHERE rn <= $shortK),
+      exact AS (
+        SELECT s.query_id, s.neighbor_id,
+          ${annCos("q.emb", "n.emb")} AS cos
+        FROM short s
+        JOIN v q ON q.vec_id = s.query_id
+        JOIN v n ON n.vec_id = s.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM exact)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= $k"""
+
   /** Shared brute-force ranked CTE chain (vec_id < 8 queries, cosine,
     * (cos DESC, id ASC) tie-break) — one definition used by BOTH the
     * `ext_sim_bruteforce_topk` oracle and the ranking-metrics oracle so
@@ -1622,37 +1755,14 @@ object ExtQueries {
       graft.ext.IvfIndex.searchDeterministic(emb, model,
         col("vec_id") < 8, k = 5, nprobe = 2)
     },
-    Some("""WITH v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings),
-      seeds AS (
-        SELECT vec_id, emb FROM v
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-      cent AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS idx,
-               emb
-        FROM seeds),
-      sims AS (
-        SELECT v.vec_id, c.idx,
-          round(list_dot_product(v.emb, c.emb)
-            / (sqrt(list_dot_product(v.emb, v.emb))
-               * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
-        FROM v CROSS JOIN cent c),
-      rsims AS (
-        SELECT vec_id, idx,
-          row_number() OVER (PARTITION BY vec_id
-            ORDER BY sim DESC, idx ASC) AS rk
-        FROM sims),
-      assign AS (SELECT vec_id, idx AS cluster FROM rsims WHERE rk = 1),
+    Some(s"""WITH $annVCte,
+      ${ivfAssignCtes(8)},
       probes AS (
         SELECT vec_id, idx AS cluster FROM rsims
         WHERE rk <= 2 AND vec_id < 8),
       scored AS (
         SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-          round(list_dot_product(q.emb, n.emb)
-            / (sqrt(list_dot_product(q.emb, q.emb))
-               * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+          ${annCos("q.emb", "n.emb")} AS cos
         FROM probes p
         JOIN assign a ON a.cluster = p.cluster AND a.vec_id != p.vec_id
         JOIN v q ON q.vec_id = p.vec_id
@@ -1683,89 +1793,14 @@ object ExtQueries {
       val model = PqIndex.seedModel(emb, dim = 64, m = 8, k = 32)
       PqIndex.search(emb, model, col("vec_id") < 8, k = 5, oversample = 8)
     },
-    Some {
-      val (m, kCw, sub) = (8, 32, 8)
-      // subspace i slice of a doubles list column `e` (1-based inclusive)
-      def sl(e: String, i: Int) =
-        s"list_slice($e, ${i * sub + 1}, ${(i + 1) * sub})"
-      // left-assoc chains mirror the Spark side's ascending-i reduce
-      val dotChain = (0 until m)
-        .map(i => s"list_dot_product(${sl("q.emb", i)}, e.cc$i)")
-        .mkString(" + ")
-      val normChain = (0 until m).map(i => s"e.n$i").mkString(" + ")
-      val pivotCodes = (0 until m)
-        .map(i => s"max(CASE WHEN si = $i THEN cj END) AS c$i")
-        .mkString(",\n          ")
-      val bookJoins = (0 until m)
-        .map(i => s"JOIN cwn w$i ON w$i.si = $i AND w$i.cj = e.c$i")
-        .mkString("\n        ")
-      val bookCols = (0 until m)
-        .map(i => s"w$i.cn2 AS n$i, w$i.c AS cc$i").mkString(", ")
-      s"""WITH v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings),
-      seeds AS (
-        SELECT vec_id, emb FROM v
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kCw),
-      cw AS (
-        SELECT i.i AS si,
-          CAST(row_number() OVER (PARTITION BY i.i ORDER BY s.vec_id) - 1
-            AS INT) AS cj,
-          list_slice(s.emb, i.i * $sub + 1, i.i * $sub + $sub) AS c
-        FROM seeds s CROSS JOIN range(0, $m) i(i)),
-      cwn AS (SELECT si, cj, c, list_dot_product(c, c) AS cn2 FROM cw),
-      subv AS (
-        SELECT v.vec_id, i.i AS si,
-          list_slice(v.emb, i.i * $sub + 1, i.i * $sub + $sub) AS vs
-        FROM v CROSS JOIN range(0, $m) i(i)),
-      dists AS (
-        SELECT s.vec_id, s.si, w.cj,
-          w.cn2 - 2 * list_dot_product(s.vs, w.c) AS d
-        FROM subv s JOIN cwn w ON w.si = s.si),
-      codes AS (
-        SELECT vec_id, si, cj FROM (
-          SELECT vec_id, si, cj,
-            row_number() OVER (PARTITION BY vec_id, si
-              ORDER BY d ASC, cj ASC) AS rn
-          FROM dists) WHERE rn = 1),
-      enc AS (
-        SELECT vec_id,
-          $pivotCodes
-        FROM codes GROUP BY vec_id),
-      encw AS (
-        SELECT e.vec_id, $bookCols
-        FROM enc e
-        $bookJoins),
+    Some(s"""WITH $annVCte,
+      $pqEncodeCtes,
       cand AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-          round(($dotChain)
-            / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt($normChain)),
-            6) AS cos
+          $pqAdcCos AS cos
         FROM v q JOIN encw e ON e.vec_id != q.vec_id
         WHERE q.vec_id < 8),
-      short AS (
-        SELECT query_id, neighbor_id FROM (
-          SELECT query_id, neighbor_id,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id ASC) AS rn
-          FROM cand) WHERE rn <= 40),
-      exact AS (
-        SELECT s.query_id, s.neighbor_id,
-          round(list_dot_product(q.emb, n.emb)
-            / (sqrt(list_dot_product(q.emb, q.emb))
-               * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
-        FROM short s
-        JOIN v q ON q.vec_id = s.query_id
-        JOIN v n ON n.vec_id = s.neighbor_id),
-      ranked AS (
-        SELECT query_id, neighbor_id, cos,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY cos DESC, neighbor_id ASC) AS rank
-        FROM exact)
-      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
-      FROM ranked WHERE rank <= 5"""
-    })
+      ${pqShortlistTail(shortK = 40, k = 5)}"""))
 
   /** IVFPQ ANN, oracle-checked end to end — the composed FAISS shape
     * with BOTH stages deterministic: seed centroids prune to `nprobe`
@@ -1784,111 +1819,20 @@ object ExtQueries {
       PqIndex.searchWithIvfDeterministic(emb, ivf, pq, col("vec_id") < 8,
         k = 5, nprobe = 3, oversample = 8)
     },
-    Some {
-      val (m, kCw, sub, nlist, nprobe) = (8, 32, 8, 8, 3)
-      def sl(e: String, i: Int) =
-        s"list_slice($e, ${i * sub + 1}, ${(i + 1) * sub})"
-      val dotChain = (0 until m)
-        .map(i => s"list_dot_product(${sl("q.emb", i)}, e.cc$i)")
-        .mkString(" + ")
-      val normChain = (0 until m).map(i => s"e.n$i").mkString(" + ")
-      val pivotCodes = (0 until m)
-        .map(i => s"max(CASE WHEN si = $i THEN cj END) AS c$i")
-        .mkString(",\n          ")
-      val bookJoins = (0 until m)
-        .map(i => s"JOIN cwn w$i ON w$i.si = $i AND w$i.cj = e.c$i")
-        .mkString("\n        ")
-      val bookCols = (0 until m)
-        .map(i => s"w$i.cn2 AS n$i, w$i.c AS cc$i").mkString(", ")
-      s"""WITH v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings),
-      ivfseeds AS (
-        SELECT vec_id, emb FROM v
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist),
-      ivfcent AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS idx,
-               emb
-        FROM ivfseeds),
-      ivfsims AS (
-        SELECT v.vec_id, c.idx,
-          round(list_dot_product(v.emb, c.emb)
-            / (sqrt(list_dot_product(v.emb, v.emb))
-               * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
-        FROM v CROSS JOIN ivfcent c),
-      ivfrsims AS (
-        SELECT vec_id, idx,
-          row_number() OVER (PARTITION BY vec_id
-            ORDER BY sim DESC, idx ASC) AS rk
-        FROM ivfsims),
-      assign AS (SELECT vec_id, idx AS cluster FROM ivfrsims WHERE rk = 1),
+    Some(s"""WITH $annVCte,
+      ${ivfAssignCtes(8)},
       probes AS (
-        SELECT vec_id, idx AS cluster FROM ivfrsims
-        WHERE rk <= $nprobe AND vec_id < 8),
-      pqseeds AS (
-        SELECT vec_id, emb FROM v
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kCw),
-      cw AS (
-        SELECT i.i AS si,
-          CAST(row_number() OVER (PARTITION BY i.i ORDER BY s.vec_id) - 1
-            AS INT) AS cj,
-          list_slice(s.emb, i.i * $sub + 1, i.i * $sub + $sub) AS c
-        FROM pqseeds s CROSS JOIN range(0, $m) i(i)),
-      cwn AS (SELECT si, cj, c, list_dot_product(c, c) AS cn2 FROM cw),
-      subv AS (
-        SELECT v.vec_id, i.i AS si,
-          list_slice(v.emb, i.i * $sub + 1, i.i * $sub + $sub) AS vs
-        FROM v CROSS JOIN range(0, $m) i(i)),
-      dists AS (
-        SELECT s.vec_id, s.si, w.cj,
-          w.cn2 - 2 * list_dot_product(s.vs, w.c) AS d
-        FROM subv s JOIN cwn w ON w.si = s.si),
-      codes AS (
-        SELECT vec_id, si, cj FROM (
-          SELECT vec_id, si, cj,
-            row_number() OVER (PARTITION BY vec_id, si
-              ORDER BY d ASC, cj ASC) AS rn
-          FROM dists) WHERE rn = 1),
-      enc AS (
-        SELECT vec_id,
-          $pivotCodes
-        FROM codes GROUP BY vec_id),
-      encw AS (
-        SELECT e.vec_id, $bookCols
-        FROM enc e
-        $bookJoins),
+        SELECT vec_id, idx AS cluster FROM rsims
+        WHERE rk <= 3 AND vec_id < 8),
+      $pqEncodeCtes,
       cand AS (
         SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-          round(($dotChain)
-            / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt($normChain)),
-            6) AS cos
+          $pqAdcCos AS cos
         FROM probes p
         JOIN assign a ON a.cluster = p.cluster AND a.vec_id != p.vec_id
         JOIN v q ON q.vec_id = p.vec_id
         JOIN encw e ON e.vec_id = a.vec_id),
-      short AS (
-        SELECT query_id, neighbor_id FROM (
-          SELECT query_id, neighbor_id,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id ASC) AS rn
-          FROM cand) WHERE rn <= 40),
-      exact AS (
-        SELECT s.query_id, s.neighbor_id,
-          round(list_dot_product(q.emb, n.emb)
-            / (sqrt(list_dot_product(q.emb, q.emb))
-               * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
-        FROM short s
-        JOIN v q ON q.vec_id = s.query_id
-        JOIN v n ON n.vec_id = s.neighbor_id),
-      ranked AS (
-        SELECT query_id, neighbor_id, cos,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY cos DESC, neighbor_id ASC) AS rank
-        FROM exact)
-      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
-      FROM ranked WHERE rank <= 5"""
-    })
+      ${pqShortlistTail(shortK = 40, k = 5)}"""))
 
   /** Cluster-balanced subsample
     * ([[graft.ext.IvfIndex.clusterBalancedSample]]): at most 40 vectors
@@ -1904,29 +1848,8 @@ object ExtQueries {
       val model = graft.ext.IvfIndex.seedModel(emb, nlist = 8)
       graft.ext.IvfIndex.clusterBalancedSample(emb, model, cap = 40)
     },
-    Some("""WITH v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings),
-      seeds AS (
-        SELECT vec_id, emb FROM v
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-      cent AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS idx,
-               emb
-        FROM seeds),
-      sims AS (
-        SELECT v.vec_id, c.idx,
-          round(list_dot_product(v.emb, c.emb)
-            / (sqrt(list_dot_product(v.emb, v.emb))
-               * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
-        FROM v CROSS JOIN cent c),
-      rsims AS (
-        SELECT vec_id, idx,
-          row_number() OVER (PARTITION BY vec_id
-            ORDER BY sim DESC, idx ASC) AS rk
-        FROM sims),
-      assign AS (SELECT vec_id, idx AS cluster FROM rsims WHERE rk = 1),
+    Some(s"""WITH $annVCte,
+      ${ivfAssignCtes(8)},
       sel AS (
         SELECT cluster, vec_id,
           row_number() OVER (PARTITION BY cluster
