@@ -3191,6 +3191,47 @@ object ExtQueries {
       SELECT doc_id, quality, n_tokens, cum_tokens
       FROM sel WHERE cum_tokens <= 10000"""))
 
+  /** DSIR importance weights ([[graft.ext.Curation.dsirWeights]]):
+    * hashed-unigram+bigram log-likelihood ratio of the English subset
+    * over the full corpus — the domain-matching selection score. The
+    * oracle replays the salted bucket hash, the add-0.5 smoothed ratio
+    * (exact half-integer arithmetic into `ln`, 6-dp round), and the
+    * exact decimal per-doc sum. */
+  val dsirWeights = Q(
+    "ext_dsir_weights",
+    (s, d) => graft.ext.Curation.dsirWeights(
+      Tables.documents(s, d), "text", "doc_id",
+      targetPred = col("lang") === "en"),
+    Some("""WITH d AS (
+        SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_t,
+          string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      feats AS (
+        SELECT doc_id, is_t,
+          ('0x' || substring(md5('dsir:' || f), 1, 8))::BIGINT % 4096
+            AS bucket
+        FROM (
+          SELECT doc_id, is_t, unnest(t) AS f FROM d
+          UNION ALL
+          SELECT doc_id, is_t,
+            unnest(list_transform(generate_series(1, len(t) - 1),
+              i -> array_to_string(t[i:i+1], ' '))) AS f
+          FROM d WHERE len(t) >= 2) u),
+      cnts AS (
+        SELECT bucket, count(*) AS cr, sum(is_t) AS ct
+        FROM feats GROUP BY 1),
+      tots AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnts),
+      lr AS (
+        SELECT bucket,
+          round(ln(((ct + 0.5) * (tr + 2048.0))
+            / ((cr + 0.5) * (tt + 2048.0))), 6) AS logr
+        FROM cnts, tots)
+      SELECT f.doc_id,
+        CAST(sum(CAST(logr AS DECIMAL(18,6))) AS DOUBLE) AS dsir_weight,
+        count(*) AS n_feats
+      FROM feats f JOIN lr USING (bucket)
+      GROUP BY 1"""))
+
   /** Temperature-scaled source resampling
     * ([[graft.ext.Curation.temperatureResample]], alpha-sampling): the
     * corpus is pre-thinned per source (doc_id ≡ 0 mod (srcIdx%4 + 1))
@@ -3614,7 +3655,8 @@ object ExtQueries {
     dupNgramCov, winnow,
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
-    temperatureMix, tokenBudget, scoreBins, compaction, prefPairs, driftPsi,
+    temperatureMix, tokenBudget, dsirWeights, scoreBins, compaction,
+    prefPairs, driftPsi,
     kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
     imputeMissing, ngramDiversity, classifierAuc, classifierCalibration,
     classifierFit, splitLeakage,

@@ -470,6 +470,58 @@ object Curation {
     df.join(sizes, quasiCols).select(masked ++ rest: _*)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log-likelihood ratio of a TARGET feature distribution over
+    * the RAW one, under bag-of-hashed-n-gram models — the
+    * domain-matching selection signal between hand weights
+    * ([[mixSources]]) and a trained classifier.
+    *
+    * Features are salted-md5-hashed unigrams + bigrams in `buckets`
+    * bins; the target distribution comes from the `targetPred` subset
+    * (in-corpus stand-in for DSIR's external target corpus). Per-bucket
+    * ratio uses add-`alpha` smoothing; weight = Σ over the doc's feature
+    * MULTISET of round(ln(p̂_t/p̂_r), 6), summed exactly in decimal (the
+    * [[TextStats]] LM determinism recipe — counts and totals are
+    * integers, +0.5 terms are exact half-integers, so the ratio fed to
+    * `ln` is bit-identical cross-engine).
+    *
+    * Scale shape: ONE cached tokenize+hash pass feeds both the bucket
+    * aggregate (`buckets`-bounded) and the per-doc sum; totals ride a
+    * 1-row broadcast; both shuffles key on high-cardinality columns
+    * (bucket, doc id) with map-side partials. */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+      targetPred: org.apache.spark.sql.Column, buckets: Int = 4096,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = TextStats.tokens(lower(col(textCol)))
+    def h(c: org.apache.spark.sql.Column) =
+      pmod(TextDedup.baseHash(concat(lit("dsir:"), c)), lit(buckets.toLong))
+    val unis = transform(toks, t => h(t))
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => h(concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+      .otherwise(array().cast("array<bigint>"))
+    val feats = graft.ops.CacheScope.persist(
+      docs.select(col(idCol).as("id"), targetPred.cast("long").as("is_t"),
+        explode(concat(unis, bis)).as("bucket")))
+    feats.count() // eager: two independent consumers must not hash twice
+    val counts = feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val aB = alpha * buckets
+    val logs = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(((col("ct") + alpha) * (col("tr") + aB))
+          / ((col("cr") + alpha) * (col("tt") + aB))), 6).as("logr"))
+    feats.join(logs, Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("logr").cast(DecimalType(18, 6))).cast("double")
+          .as("dsir_weight"),
+        count(lit(1)).as("n_feats"))
+      .select(col("id").as(idCol), col("dsir_weight"), col("n_feats"))
+  }
+
   /** Quality-prioritized token-budget selection (the FineWeb/DCLM-style
     * "keep the best N tokens" pruning rule): documents are ranked by
     * ([[TextStats.qualityScore]] desc, id asc) and kept while the

@@ -968,6 +968,23 @@ class ExtSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("DSIR weights: target docs score above non-target on average") {
+    val w = graft.ext.Curation.dsirWeights(docs, "text", "doc_id",
+        targetPred = col("lang") === "en")
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("t")),
+        "doc_id")
+    val byT = w.groupBy("t")
+      .agg(avg(col("dsir_weight") / col("n_feats")).as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(byT.keySet == Set(true, false))
+    // the defining DSIR property: the likelihood ratio separates the
+    // target domain from the rest (per-feature mean removes length bias)
+    assert(byT(true) > byT(false),
+      s"no target/raw separation: $byT")
+    assert(w.filter(col("dsir_weight").isNull
+      || isnan(col("dsir_weight"))).count() == 0)
+  }
+
   test("token budget select: exact greedy prefix, layout-invariant") {
     val docs = Tables.documents(spark, sf)
     def run(df: org.apache.spark.sql.DataFrame) =
