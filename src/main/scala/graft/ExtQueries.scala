@@ -41,11 +41,20 @@ object ExtQueries {
   // ext_corpus_report oracles — two hand-maintained copies would be the
   // oracle-drift bug class)
 
-  private def qcTokSql = """len(string_split_regex(trim(text), '\s+'))"""
+  /** DuckDB char-set trim mirroring [[graft.ops.ScalarFns.strip]]
+    * (Java `\s` = [ \t\n\x0B\f\r]): DuckDB's one-arg `trim()` strips
+    * SPACES only, so a tab- or newline-edged document would tokenize to
+    * a different count across engines and break the hash gate. Shared by
+    * the quality fragments (~17 oracles) and the dsir tokenizer. */
+  private def wsTrimSql(e: String): String =
+    s"trim($e, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+
+  private def qcTokSql =
+    s"""len(string_split_regex(${wsTrimSql("text")}, '\\s+'))"""
   private def qcSrSql =
-    s"""round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+    s"""round(len(list_filter(string_split_regex(${wsTrimSql("lower(text)")}, '\\s+'),
           t -> t IN (${TextStats.enStopwords.map(w => s"'$w'").mkString(",")})))
-        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)"""
+        / CAST(len(string_split_regex(${wsTrimSql("text")}, '\\s+')) AS DOUBLE), 6)"""
   private def qcPrSql =
     """round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
         / CAST(length(text) AS DOUBLE), 6)"""
@@ -1590,25 +1599,52 @@ object ExtQueries {
       FROM ranked WHERE rank <= 5"""))
 
   /** Bitext-style margin alignment
-    * ([[graft.ext.Similarity.bitextMarginPairs]]): mutual-best
+    * ([[graft.ext.Similarity.bitextMarginPairsLsh]]): mutual-best
     * cross-side cosine pairs with the ratio-margin criterion. Sides are
     * the even/odd vec_id halves; threshold 1.0 keeps pairs at or above
-    * their local similarity floor. */
+    * their local similarity floor.
+    *
+    * Candidates come from 4-bit sign buckets with one-bit multi-probe on
+    * side A — the scale-bounded stage (no corpus broadcast, no
+    * cross join; both sides shuffle once on the bucket key). The oracle
+    * replays the IDENTICAL bucket/probe candidate generation, so the
+    * approximation is oracle-checked, not oracle-hidden — the exact
+    * all-pairs form stays as the spec-only baseline (ExtSpec), the same
+    * split the IVF/PQ family uses. */
   val simBitextMargin = Q(
     "ext_bitext_margin_pairs",
-    (s, d) => Similarity.bitextMarginPairs(
+    (s, d) => Similarity.bitextMarginPairsLsh(
       Tables.embeddings(s, d), col("vec_id") % 2 === 0, k = 4,
-      marginThreshold = 1.0),
-    Some(s"""WITH av AS (
-        SELECT vec_id AS a_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb
-        FROM embeddings WHERE vec_id % 2 = 0),
+      marginThreshold = 1.0, bits = 4, probeRadius = 1),
+    Some {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      // one-bit probe flips of the 4-char bucket string, position i
+      val probes = "bucket" +: (1 to 4).map { i =>
+        s"""substring(bucket, 1, ${i - 1})
+            || (CASE WHEN substring(bucket, $i, 1) = '1'
+                THEN '0' ELSE '1' END)
+            || substring(bucket, ${i + 1}, ${4 - i})"""
+      }
+      s"""WITH b0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               $bucket AS bucket
+        FROM embeddings),
+      av AS (
+        SELECT vec_id AS a_id, emb AS a_emb, bucket
+        FROM b0 WHERE vec_id % 2 = 0),
+      ap AS (
+        SELECT a_id, a_emb,
+               unnest([${probes.mkString(",\n                 ")}]) AS bucket
+        FROM av),
       bv AS (
-        SELECT vec_id AS b_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b_emb
-        FROM embeddings WHERE vec_id % 2 <> 0),
+        SELECT vec_id AS b_id, emb AS b_emb, bucket
+        FROM b0 WHERE vec_id % 2 <> 0),
       scored AS (
-        SELECT a_id, b_id, $dkCos AS cos FROM av CROSS JOIN bv),
+        SELECT a_id, b_id, $dkCos AS cos
+        FROM ap JOIN bv USING (bucket)),
       ra AS (
         SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
           ORDER BY cos DESC, b_id ASC) AS r FROM scored),
@@ -1616,12 +1652,12 @@ object ExtQueries {
         SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY b_id
           ORDER BY cos DESC, a_id ASC) AS r FROM scored),
       da AS (
-        SELECT a_id, round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-          / count(*), 6) AS da
+        SELECT a_id, sum(CAST(cos AS DECIMAL(18,6))) AS sa,
+          count(*) AS ca
         FROM ra WHERE r <= 4 GROUP BY a_id),
       db AS (
-        SELECT b_id, round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-          / count(*), 6) AS db
+        SELECT b_id, sum(CAST(cos AS DECIMAL(18,6))) AS sb,
+          count(*) AS cb
         FROM rb WHERE r <= 4 GROUP BY b_id),
       best AS (
         SELECT ra.a_id, ra.b_id, ra.cos
@@ -1629,9 +1665,12 @@ object ExtQueries {
           AND rb.r = 1
         WHERE ra.r = 1)
       SELECT t.a_id, t.b_id, t.cos,
-        round(t.cos / ((da.da + db.db) / 2.0), 6) AS margin
+        round(t.cos * 2 * ca * cb
+          / CAST(sa * cb + sb * ca AS DOUBLE), 6) AS margin
       FROM best t JOIN da USING (a_id) JOIN db USING (b_id)
-      WHERE round(t.cos / ((da.da + db.db) / 2.0), 6) >= 1.0"""))
+      WHERE round(t.cos * 2 * ca * cb
+          / CAST(sa * cb + sb * ca AS DOUBLE), 6) >= 1.0"""
+    })
 
   val simLsh = Q(
     "ext_sim_lsh_topk",
@@ -3202,9 +3241,9 @@ object ExtQueries {
     (s, d) => graft.ext.Curation.dsirWeights(
       Tables.documents(s, d), "text", "doc_id",
       targetPred = col("lang") === "en"),
-    Some("""WITH d AS (
+    Some(s"""WITH d AS (
         SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_t,
-          string_split_regex(trim(lower(text)), '\s+') AS t
+          string_split_regex(${wsTrimSql("lower(text)")}, '\\s+') AS t
         FROM documents),
       feats AS (
         SELECT doc_id, is_t,

@@ -37,11 +37,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: $msg")
         failed(name) = msg
         val dir = new java.io.File(s"$outDir/$name")
+        // clear any stale output from a previous run first — a leftover
+        // parquet dump would mask this failure as a green row, and an
+        // aborted write can leave a _temporary/ SUBDIRECTORY with part
+        // files, so the delete must be recursive, not top-level-only
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(dir)
         dir.mkdirs()
-        // clear any stale parquet from a previous successful run first —
-        // a leftover dump would mask this failure as a green row
-        Option(dir.listFiles()).getOrElse(Array.empty)
-          .foreach(f => if (f.isFile) { f.delete(); () })
         Files.writeString(Paths.get(s"$outDir/$name/_VERIFY_ERROR.txt"),
           msg.take(4000))
       } finally graft.ops.CacheScope.releaseAll()

@@ -113,10 +113,21 @@ object IvfIndex {
     * DuckDB oracle reproduces hash-exactly (same dot/norm evaluation
     * order); ties then break on the centroid index in both engines.
     * `array_sort` on struct(negSim, idx) is ascending-lexicographic =
-    * (sim desc, idx asc). */
+    * (sim desc, idx asc).
+    *
+    * Two sort-key guards keep the ranking engine-portable where Spark's
+    * Double TOTAL order diverges from SQL ORDER BY: a NaN cosine (a
+    * zero-norm embedding) is pinned to −1 — ranked like a worst match on
+    * every engine, instead of Spark-last vs DuckDB-first — and the
+    * negation runs as `0.0 - x`, which collapses −0.0/+0.0 to one key
+    * (Spark's struct comparator orders −0.0 < 0.0; SQL engines compare
+    * them equal). */
   private def rankedCentroidIdx(emb: Column, m: Model): Column = {
     val entries = m.centroids.zipWithIndex.map { case (c, i) =>
-      struct((-round(centroidSim(emb, c), 6)).as("neg"), lit(i).as("idx"))
+      struct(
+        (lit(0.0) - nanvl(round(centroidSim(emb, c), 6), lit(-1.0)))
+          .as("neg"),
+        lit(i).as("idx"))
     }
     transform(array_sort(array(entries: _*)), s => s.getField("idx"))
   }

@@ -126,9 +126,11 @@ object Similarity {
     * the margin normalizes by each node's local similarity floor.
     *
     * Scoring here is the EXACT all-pairs baseline (like the n-gram
-    * Jaccard baseline: verification-grade, kept out of bench) — at
-    * corpus scale swap the `scored` input for LSH/IVF candidates; the
-    * ranking, mutual-best election, and margin stages are unchanged and
+    * Jaccard baseline: verification-grade, spec-only, kept out of
+    * bench AND out of the registry) — the registered query is
+    * [[bitextMarginPairsLsh]], whose sign-bucket candidate stage bounds
+    * both shuffle and memory at corpus scale; the ranking, mutual-best
+    * election, and margin stages are shared ([[marginElection]]) and
     * all run on bounded-heap aggregates, never a per-node window. */
   def bitextMarginPairs(emb: DataFrame, sidePred: Column, k: Int = 4,
       marginThreshold: Double = 1.0): DataFrame = {
@@ -139,28 +141,90 @@ object Similarity {
     val scored = b.crossJoin(broadcast(a))
       .select(col("a_id"), col("b_id"),
         cosine(col("a_emb"), col("b_emb")).as("cos"))
+    marginElection(scored, k, marginThreshold)
+  }
+
+  /** Candidate-bounded bitext margin mining — the scale form of
+    * [[bitextMarginPairs]]: cross-side pairs are generated by
+    * [[signBucket]] collision (multi-probe on side A at `probeRadius`=1:
+    * the bucket plus every one-bit flip, so near-boundary pairs still
+    * meet), then ranked/elected/margin-scored identically via
+    * [[marginElection]].
+    *
+    * 100 TB shape: NO side is broadcast and nothing is all-pairs — both
+    * sides shuffle once on the bucket key (side A carries bits+1 rows
+    * after probe explode), candidate volume is bounded by bucket
+    * collisions exactly like [[lshTopK]], and the downstream top-k /
+    * denominators are bounded-heap aggregates. Deterministic buckets, so
+    * a SQL oracle replays the whole pipeline hash-exactly — the same
+    * contract as the IVF/PQ family. Recall caveat (pairs >1 sign bit
+    * apart never score) is the documented LSH trade; the exact all-pairs
+    * form above stays as the spec-only verification baseline. */
+  def bitextMarginPairsLsh(emb: DataFrame, sidePred: Column, k: Int = 4,
+      marginThreshold: Double = 1.0, bits: Int = 4,
+      probeRadius: Int = 1): DataFrame = {
+    val withBucket =
+      emb.withColumn("bucket", signBucket(col("embedding"), bits))
+    val a0 = withBucket.filter(sidePred)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("bucket"))
+    val a =
+      if (probeRadius == 0) a0
+      else a0.withColumn("bucket", explode(probeBuckets(col("bucket"), bits)))
+    val b = withBucket.filter(!sidePred)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("bucket"))
+    // scope-cached: marginElection ranks the scored frame from BOTH ends
+    // (per-a and per-b top-k) — uncached, the bucket join and cosines run
+    // twice in one plan
+    val scored = graft.ops.CacheScope.persist(
+      b.join(a, Seq("bucket"))
+        .select(col("a_id"), col("b_id"),
+          cosine(col("a_emb"), col("b_emb")).as("cos")))
+    marginElection(scored, k, marginThreshold)
+  }
+
+  /** Shared tail of the bitext miners: rank the scored (a_id, b_id, cos)
+    * candidates from both ends, elect mutual-best pairs, and keep those
+    * at or above the ratio margin over the two local top-`k` floors.
+    *
+    * Determinism: the margin `cos / ((sumA/cntA + sumB/cntB) / 2)` is
+    * evaluated as ONE ratio of exact quantities —
+    * `cos·2·cntA·cntB / (sumA·cntB + sumB·cntA)` with decimal sums — and
+    * rounded ONCE at the end. Rounding the per-side averages first (the
+    * previous form) lands exactly on 6-dp halfway values whenever a top-k
+    * sum divides evenly by 2 or 4, where Spark (decimal-string HALF_UP)
+    * and other engines (binary-double rounding) systematically disagree;
+    * a generic ratio's 6-dp halfway hit is measure-rare instead. */
+  private def marginElection(scored: DataFrame, k: Int,
+      marginThreshold: Double): DataFrame = {
     val rankedA = topKPerQuery(scored.select(
       col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
       col("cos")), k)
     val rankedB = topKPerQuery(scored.select(
       col("b_id").as("query_id"), col("a_id").as("neighbor_id"),
       col("cos")), k)
-    def denom(r: DataFrame, idOut: String, dOut: String) =
+    def denom(r: DataFrame, idOut: String, sOut: String, cOut: String) =
       r.groupBy(col("query_id"))
-        .agg(round(sum(col("cos").cast(
-          org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
-          count(lit(1)), 6).as(dOut))
-        .select(col("query_id").as(idOut), col(dOut))
+        .agg(
+          sum(col("cos").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6))).as(sOut),
+          count(lit(1)).as(cOut))
+        .select(col("query_id").as(idOut), col(sOut), col(cOut))
     val bestA = rankedA.filter(col("rank") === 1)
       .select(col("query_id").as("a_id"),
         col("neighbor_id").as("b_id"), col("cos"))
     val bestB = rankedB.filter(col("rank") === 1)
       .select(col("query_id").as("b_id"), col("neighbor_id").as("a_id"))
     bestA.join(bestB, Seq("a_id", "b_id"))
-      .join(denom(rankedA, "a_id", "da"), Seq("a_id"))
-      .join(denom(rankedB, "b_id", "db"), Seq("b_id"))
+      .join(denom(rankedA, "a_id", "sa", "ca"), Seq("a_id"))
+      .join(denom(rankedB, "b_id", "sb", "cb"), Seq("b_id"))
+      // numerator left-to-right in double (each step exact: 6-dp cos,
+      // tiny integer counts); denominator exact in decimal, then one
+      // decimal→nearest-double cast — both engines agree bit-for-bit
       .withColumn("margin",
-        round(col("cos") / ((col("da") + col("db")) / lit(2.0)), 6))
+        round(col("cos") * lit(2) * col("ca") * col("cb") /
+          (col("sa") * col("cb") + col("sb") * col("ca")).cast("double"), 6))
       .filter(col("margin") >= marginThreshold)
       .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
   }

@@ -1840,6 +1840,68 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(out(1)._3 - 1.538462) < 1e-6)
   }
 
+  test("bitextMarginPairsLsh: matches the exact baseline when buckets " +
+      "cover all pairs, and plans no corpus broadcast/cartesian") {
+    import graft.ext.Similarity
+    // every vector has positive first-4 dims → one shared sign bucket →
+    // the LSH candidate set IS the full cross-side pair set, so the
+    // bucketed pipeline must reproduce the exact baseline bit-for-bit
+    val emb = Seq(
+      (0L, Array(1f, 0.1f, 0.1f, 0.1f)), (2L, Array(0.1f, 1f, 0.1f, 0.1f)),
+      (4L, Array(0.1f, 0.1f, 1f, 0.2f)),
+      (1L, Array(1f, 0.1f, 0.1f, 0.1f)), (3L, Array(0.8f, 0.6f, 0.1f, 0.1f)),
+      (5L, Array(0.1f, 1f, 0.1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bitextMarginPairs(
+      emb, col("vec_id") % 2 === 0, k = 2, marginThreshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val lsh = Similarity.bitextMarginPairsLsh(
+      emb, col("vec_id") % 2 === 0, k = 2, marginThreshold = 0.0,
+      bits = 4, probeRadius = 1)
+    val lshRows = lsh.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(lshRows == exact)
+    // the scale claim, pinned on the registry-shaped plan at sf0.001:
+    // no BroadcastNestedLoopJoin (the old crossJoin(broadcast(corpus)))
+    // and no CartesianProduct anywhere in the physical plan
+    val plan = Similarity.bitextMarginPairsLsh(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      col("vec_id") % 2 === 0, k = 4, marginThreshold = 1.0,
+      bits = 4, probeRadius = 1).queryExecution.sparkPlan
+    graft.ops.CacheScope.releaseAll()
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j.nodeName
+      case c: org.apache.spark.sql.execution.joins
+        .CartesianProductExec => c.nodeName
+    }
+    assert(bad.isEmpty, s"all-pairs join shapes in the LSH plan: $bad")
+  }
+
+  test("bitextMarginPairsLsh: multi-probe finds pairs one sign bit apart") {
+    import graft.ext.Similarity
+    // a0/b1 nearly parallel but on opposite sides of the dim-2 hyperplane
+    // (buckets 1000 vs 1100, Hamming distance 1): probeRadius=1 must
+    // score them, probeRadius=0 must not
+    val emb = Seq(
+      (0L, Array(1f, -0.05f, 0.5f, 0.5f)),
+      (1L, Array(1f, 0.05f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    def run(radius: Int) = {
+      val out = Similarity.bitextMarginPairsLsh(
+        emb, col("vec_id") % 2 === 0, k = 2, marginThreshold = 0.0,
+        bits = 4, probeRadius = radius).collect()
+      graft.ops.CacheScope.releaseAll()
+      out
+    }
+    assert(run(0).isEmpty)
+    val hits = run(1)
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L)))
+  }
+
   test("hardNegatives: different-label only, and they are the nearest such") {
     import graft.ext.Similarity
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -538,6 +538,28 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
   }
 
+  test("BandJoin: salted result is identical to unsalted on a hot bucket") {
+    // a deliberately hot bucket: 40 right rows pile into bucket 1
+    // (keys 100..139, tolerance 100), including REPEATED identical keys
+    // so the salt must come from the full row, not the key alone;
+    // left rows straddle the bucket boundary
+    val l = (1L to 12L).map(i => (i, 60L + i * 15L)).toDF("lid", "lk")
+    val r = ((1L to 40L).map(i => (i, 100L + (i % 20))) ++
+      Seq((41L, 250L), (42L, 5L))).toDF("rid", "rk")
+    def pairs(salt: Int) =
+      BandJoin(l, r, "lk", "rk", 100L, saltBuckets = salt)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    val unsalted = pairs(1)
+    val salted = pairs(8)
+    assert(salted == unsalted)
+    // exactly-once still holds under salting
+    assert(salted.distinct == salted)
+    // salted plan stays an equi-join
+    val plan = BandJoin(l, r, "lk", "rk", 100L, saltBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
+
   test("AsofJoin rejects colliding right value column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "ts", "v")

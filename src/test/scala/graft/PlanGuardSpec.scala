@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Registry-wide physical-plan lint: every registered query is planned
@@ -44,8 +45,49 @@ class PlanGuardSpec extends SparkSpec {
     "ext_classifier_auc" ->
       "cumulative negatives over the score-bin histogram (<= 1000 rows)")
 
-  test("no registered query plans a cartesian join or a row-grained " +
-      "unpartitioned window") {
+  /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
+    * aggregate/limit between the scan and the broadcast) but justified:
+    * a QUERY BATCH bounded by the op's calling contract (a handful of
+    * probe vectors selected by predicate), not by plan shape. At scale
+    * the batch size is the caller's knob; the corpus side always
+    * streams. Everything else that broadcasts an unbounded side fails
+    * the lint — that exact shape shipped ext_bitext_margin_pairs'
+    * corpus-sized broadcast in r5 (fixed to LSH candidates in r6). */
+  private val bnlJoinWhitelist: Map[String, String] = Map(
+    "ext_sim_bruteforce_topk" ->
+      "broadcasts the bounded query batch (vec_id < 8 by contract)",
+    "ext_sim_eval_metrics" ->
+      "broadcasts the bounded query batch (vec_id < 8 by contract)",
+    "ext_sim_hard_negatives" ->
+      "broadcasts the bounded query batch (vec_id < 4 by contract)",
+    "ext_sim_semihard_negatives" ->
+      "broadcasts the bounded query batch (vec_id < 8 by contract)",
+    "ext_sim_int8_topk" ->
+      "broadcasts the bounded query batch (vec_id < 8 by contract)",
+    "ext_sim_pq_topk" ->
+      "broadcasts the bounded query batch (vec_id < 8 by contract)",
+    "ext_hybrid_rrf_topk" ->
+      "broadcasts the single semantic query vector (vec_id = 7)")
+
+  /** A broadcast side is row-bounded when every scan-to-root path passes
+    * an aggregate, limit, or driver-side top-k — the shapes that shrink
+    * cardinality to a key domain / constant before the broadcast. A
+    * leaf scan with no such bound above it broadcasts corpus-sized
+    * data. */
+  private def rowBounded(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec |
+         _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec |
+         _: org.apache.spark.sql.execution.aggregate.SortAggregateExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec |
+         _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(rowBounded)
+  }
+
+  test("no registered query plans a cartesian join, a row-grained " +
+      "unpartitioned window, or a corpus-sized nested-loop broadcast") {
     val sf = "/root/testdata/sf0.001"
     val offenders = Seq.newBuilder[String]
     Registry.all.foreach { q =>
@@ -58,6 +100,17 @@ class PlanGuardSpec extends SparkSpec {
         }
         if (badWin.nonEmpty && !windowWhitelist.contains(q.name))
           offenders += s"${q.name}: unpartitioned Window"
+        val badBnl = plan.collect {
+          case j: BroadcastNestedLoopJoinExec =>
+            val broadcastSide = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+            }
+            (j, broadcastSide)
+        }.filterNot { case (_, side) => rowBounded(side) }
+        if (badBnl.nonEmpty && !bnlJoinWhitelist.contains(q.name))
+          offenders += s"${q.name}: BroadcastNestedLoopJoin over a " +
+            "row-grained broadcast side"
       } finally graft.ops.CacheScope.releaseAll()
     }
     assert(offenders.result().isEmpty,
