@@ -3655,11 +3655,66 @@ object ExtQueries {
       FROM flat f LEFT JOIN ranked r USING (tok)
       GROUP BY f.doc_id"""))
 
+  /** One unrolled BPE iteration as chained CTEs (the PageRank-oracle
+    * pattern): count adjacent symbol pairs weighted by word count →
+    * 1-row argmax `b\$i` (n desc, l asc, r asc — bpeTrain's total order)
+    * → apply the merge with Sennrich's greedy LEFT-TO-RIGHT
+    * non-overlapping rule, replayed positionally: matched positions
+    * (sym, nxt) = (l, r) group into runs of consecutive indices
+    * (gaps-and-islands `j − row_number`), a run takes its 1st, 3rd, …
+    * members (exactly the pairs the sequential fold merges — a symbol
+    * produced by this merge never re-merges this pass), and position
+    * j+1 of a taken match is covered (lag window). `MATERIALIZED` on the
+    * multiply-referenced vocab/argmax CTEs: DuckDB inlines CTEs by
+    * default and 10 chained iterations would re-evaluate exponentially. */
+  private def bpeIterSql(i: Int): String = {
+    val p = s"v${i - 1}"
+    s"""p$i AS (
+    SELECT s[j] AS l, s[j+1] AS r, sum(c) AS n
+    FROM $p, unnest(generate_series(1, len(s) - 1)) AS u(j)
+    GROUP BY 1, 2),
+  b$i AS MATERIALIZED (
+    SELECT l, r, n FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+  e$i AS (
+    SELECT wid, c, j, s[j] AS sym, s[j+1] AS nxt
+    FROM $p, unnest(generate_series(1, len(s))) AS u(j)),
+  m$i AS (
+    SELECT e.wid, e.c, e.j, e.sym, e.nxt,
+      CASE WHEN e.nxt IS NOT NULL AND e.sym = b.l AND e.nxt = b.r
+           THEN 1 ELSE 0 END AS matched
+    FROM e$i e, b$i b),
+  g$i AS (
+    SELECT *, j - row_number() OVER (PARTITION BY wid, matched ORDER BY j)
+      AS grp
+    FROM m$i),
+  t$i AS (
+    SELECT wid, c, j, sym, nxt,
+      CASE WHEN matched = 1 AND (row_number() OVER
+        (PARTITION BY wid, matched, grp ORDER BY j)) % 2 = 1
+      THEN 1 ELSE 0 END AS taken
+    FROM g$i),
+  o$i AS (
+    SELECT * FROM (
+      SELECT wid, c, j, sym, nxt, taken,
+        coalesce(lag(taken) OVER (PARTITION BY wid ORDER BY j), 0)
+          AS prevtaken
+      FROM t$i)
+    WHERE taken = 1 OR prevtaken = 0),
+  v$i AS MATERIALIZED (
+    SELECT wid, min(c) AS c,
+      list(CASE WHEN taken = 1 THEN sym || nxt ELSE sym END ORDER BY j) AS s
+    FROM o$i GROUP BY wid)"""
+  }
+
   /** BPE merge learning ([[graft.ext.Vocab.bpeTrain]]): first 10 learned
-    * merge rules over the corpus vocabulary. Rows-only by design — the
-    * iterative argmax/merge loop has no tractable single-query SQL
-    * replay; the algebra is pinned by the hand-computed Sennrich fixture
-    * in ExtSpec instead. */
+    * merge rules over the corpus vocabulary. The oracle unrolls all 10
+    * argmax+apply iterations over the word vocabulary as chained CTEs
+    * ([[bpeIterSql]]) — closing the registry's last rows-only gap; the
+    * hand-computed Sennrich fixture in ExtSpec still pins the Spark-side
+    * merge fold independently. Fixed 10-iteration unroll is valid while
+    * every learned pair count stays ≥ 2 (bpeTrain's early-stop floor) —
+    * true at every test SF; a corpus small enough to stop early would
+    * surface as a row-count mismatch, not silent drift. */
   val bpeMerges = Q(
     "ext_bpe_merges",
     (s, d) => {
@@ -3669,7 +3724,24 @@ object ExtQueries {
         .map { case ((l, r, n), i) => (i + 1, l, r, n) }
         .toDF("rank", "lhs", "rhs", "pair_count")
     },
-    None)
+    Some {
+      val iters = (1 to 10).map(bpeIterSql).mkString(",\n  ")
+      val finals = (1 to 10).map(i =>
+        s"SELECT CAST($i AS INT) AS rank, l AS lhs, r AS rhs, " +
+          s"CAST(n AS BIGINT) AS pair_count FROM b$i")
+        .mkString("\n      UNION ALL ")
+      s"""WITH words AS MATERIALIZED (
+    SELECT tok, count(*) AS c FROM (
+      SELECT unnest(string_split_regex(${wsTrimSql("lower(text)")},
+        '\\s+')) AS tok
+      FROM documents) GROUP BY 1),
+  v0 AS MATERIALIZED (
+    SELECT tok AS wid, c,
+      list_append(string_split_regex(tok, ''), '</w>') AS s
+    FROM words),
+  $iters
+  $finals"""
+    })
 
   def all: Seq[Q] = Seq(
     gopherGates, htmlStrip, nfcNormalize, urlDomains, sourceMix,
