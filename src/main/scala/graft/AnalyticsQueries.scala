@@ -678,6 +678,56 @@ object AnalyticsQueries {
       GROUP BY e1.event_id"""),
     bench = true)
 
+  /** Deliberately SKEWED band join — the flash-sale pileup the uniform
+    * synthetic data never produces: every 64th event's timestamp
+    * collapses onto one hot instant (±1 ms id-derived jitter), so at
+    * sf0.1 one time bucket holds ~1.6k rows and would run its ~2.4M-pair
+    * cross product on ONE task under the plain bucket join. The query
+    * runs [[graft.ops.BandJoin]] with `maxBucketRows = 200`: the
+    * right-side bucket histogram gives the hot bucket salt factor
+    * ⌈|b|/200⌉ (8 at sf0.1) while every uniform bucket stays at 1 —
+    * zero replication off the hot path — and the pair set stays exactly
+    * the unsalted one (OpsSpec pins the equivalence; the oracle here
+    * pins the values through the salted plan). Tolerance is 60 s, so
+    * the uniform background contributes thin pairs and the hot bucket
+    * dominates — the stress is the point. */
+  val qBandJoinSkewed = Q(
+    "q_band_join_skewed",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // 2024-06-01 12:00:00 UTC in epoch micros — inside the events span
+      val hotUs = 1717243200L * 1000000L
+      def skewKey(id: org.apache.spark.sql.Column,
+          ts: org.apache.spark.sql.Column) =
+        when(id % 64 === 0, lit(hotUs) + (id % 1000) * 1000L)
+          .otherwise(unix_micros(ts))
+      val l = ev.select(col("event_id"), col("user_id"),
+        skewKey(col("event_id"), col("ts")).as("l_us"))
+      val r = ev.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"),
+        skewKey(col("event_id"), col("ts")).as("r_us"),
+        col("value").as("r_value"))
+      graft.ops.BandJoin(l, r, "l_us", "r_us", 60L * 1000000,
+          maxBucketRows = 200L)
+        .filter(col("r_event_id") =!= col("event_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby"),
+          dsum(col("r_value")).as("nearby_value"))
+    },
+    Some(s"""WITH k AS (
+        SELECT event_id, user_id, value,
+          CASE WHEN event_id % 64 = 0
+            THEN 1717243200000000 + (event_id % 1000) * 1000
+            ELSE epoch_us(ts) END AS us
+        FROM events)
+      SELECT e1.event_id, count(*) AS n_nearby,
+        ${dsumSql("e2.value")} AS nearby_value
+      FROM k e1 JOIN k e2
+        ON e2.event_id != e1.event_id
+       AND abs(e1.us - e2.us) <= 60000000
+      GROUP BY e1.event_id"""),
+    bench = true)
+
   /** Pairwise Pearson correlation matrix over the lineitem measures in
     * ONE pass — the fused-stats shape ([[graft.ops.Profiling.profile]],
     * Transform's decision pass) applied to second-order statistics: every
@@ -1629,7 +1679,7 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qJsonProps,
     qSessions,
-    qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel, qCohort, qBasketLift, qBandJoin, qCorr, qCube,
+    qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,

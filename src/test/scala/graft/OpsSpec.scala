@@ -542,20 +542,21 @@ class OpsSpec extends SparkSpec {
     // a deliberately hot bucket: 40 right rows pile into bucket 1
     // (keys 100..139, tolerance 100), including REPEATED identical keys
     // so the salt must come from the full row, not the key alone;
-    // left rows straddle the bucket boundary
+    // left rows straddle the bucket boundary. maxBucketRows=5 forces
+    // the hot bucket to salt factor 8 while the thin buckets stay at 1
     val l = (1L to 12L).map(i => (i, 60L + i * 15L)).toDF("lid", "lk")
     val r = ((1L to 40L).map(i => (i, 100L + (i % 20))) ++
       Seq((41L, 250L), (42L, 5L))).toDF("rid", "rk")
-    def pairs(salt: Int) =
-      BandJoin(l, r, "lk", "rk", 100L, saltBuckets = salt)
+    def pairs(maxRows: Long) =
+      BandJoin(l, r, "lk", "rk", 100L, maxBucketRows = maxRows)
         .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
-    val unsalted = pairs(1)
-    val salted = pairs(8)
+    val unsalted = pairs(Long.MaxValue)
+    val salted = pairs(5L)
     assert(salted == unsalted)
     // exactly-once still holds under salting
     assert(salted.distinct == salted)
     // salted plan stays an equi-join
-    val plan = BandJoin(l, r, "lk", "rk", 100L, saltBuckets = 8)
+    val plan = BandJoin(l, r, "lk", "rk", 100L, maxBucketRows = 5L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
   }

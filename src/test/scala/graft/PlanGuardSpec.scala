@@ -117,6 +117,18 @@ class PlanGuardSpec extends SparkSpec {
       s"scale-killer plan shapes:\n${offenders.result().mkString("\n")}")
   }
 
+  test("q_band_join_skewed engages the salted band-join path") {
+    // the skew-hardening claim is structural: the hot time bucket must
+    // be spread across salt partitions, i.e. the join keys carry __salt
+    // alongside __bucket (OpsSpec separately pins salted ≡ unsalted)
+    val q = Registry.all.find(_.name == "q_band_join_skewed").get
+    val plan = q.run(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    graft.ops.CacheScope.releaseAll()
+    assert(plan.contains("__salt"),
+      "salted band join no longer engages for the skewed headline query")
+  }
+
   test("events ts range filter reaches the parquet scan as a pushed filter") {
     // The events loader normalizes ts on top of the scan (nanos rebuild
     // or NTZ→LTZ cast, Tables.scala). At 100 TB, time-range pruning on
