@@ -213,6 +213,22 @@ object AnalyticsQueries {
       FROM events GROUP BY 1, 2"""),
     bench = true)
 
+  /** The hourly rollup as a STRUCTURED STREAM, drained with
+    * `Trigger.AvailableNow` ([[graft.streaming.StreamPipeline
+    * .eventsHourlyAvailableNow]]): the driver's bench now times a real
+    * micro-batch execution (source listing, checkpoint, watermark,
+    * stateful agg, sink) and the DuckDB gate pins the streamed result to
+    * the batch semantics — exactly-once file tracking makes streamed ≡
+    * batch row-for-row, so the oracle is the SAME SQL as
+    * `q_events_hourly`. */
+  val qEventsHourlyStream = Q(
+    "q_stream_events_hourly",
+    (s, d) => graft.streaming.StreamPipeline.eventsHourlyAvailableNow(s, d),
+    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+      FROM events GROUP BY 1, 2"""),
+    bench = true)
+
   /** Semi-structured extraction through Spark 4's VARIANT type: the
     * `events.props` JSON column is parsed once (`parse_json` → binary
     * variant, NOT per-field string re-parsing) and `variant_get` pulls
@@ -1677,7 +1693,8 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
-    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly, qJsonProps,
+    qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
+    qEventsHourlyStream, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

@@ -33,10 +33,16 @@ object Tables {
     * double's 2^53 mantissa.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** The events `ts` normalization alone, schema-adaptive — shared by the
+    * batch loader above and the STREAMING reader (which must build its
+    * frame from `readStream.schema(raw)` and normalize after). */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))

@@ -179,6 +179,52 @@ object StreamPipeline {
       .start()
   }
 
+  /** The full streaming hourly-rollup pipeline executed end to end with
+    * `Trigger.AvailableNow` over the events parquet — the drain-then-stop
+    * micro-batch shape of a Lambda invocation, benchmarked and
+    * oracle-checked against the BATCH hourly rollup: exactly-once file
+    * tracking means the streamed result must equal the batch result
+    * row-for-row, and the DuckDB gate enforces it.
+    *
+    * Sink is memory/complete for the self-contained round trip (the
+    * production shape is append + file/JDBC sink, spec'd in
+    * [[loadClassStream]]); the watermark rides along to keep the plan
+    * the production plan. Checkpoint and sink name are fresh per call so
+    * bench reps re-execute the whole stream. */
+  def eventsHourlyAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.dsum
+    val path = s"$dir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a DIRECTORY; the sf dir holds every table,
+    // so the glob filter narrows the listing to the events file (the S5
+    // routing idiom from fileStream)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev = graft.Tables.normalizeEventsTs(raw)
+    val agg = ev.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+    val qn = "stream_ev_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
   /** Event-time windowed aggregation with watermarking over the events
     * stream — the §2.8 extension surface (absent in the reference). */
   def eventsWindowed(
