@@ -129,6 +129,45 @@ class PlanGuardSpec extends SparkSpec {
       "salted band join no longer engages for the skewed headline query")
   }
 
+  test("AQE splits a runtime-skewed sort-merge join (the no-salt fallback)") {
+    // the OTHER half of the skew story: when a hot key is only known at
+    // runtime, AQE's skew-join split — not salting — is the mitigation.
+    // This pins that the engine's sessions actually get that behavior:
+    // a key with ~100x the median partition size, thresholds lowered to
+    // test scale, must execute as SortMergeJoin(isSkewJoin=true).
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    // 50k left rows, 90% on key 7; right side uniform over 100 keys
+    val left = s.range(0, 50000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100)
+        .as("k"), col("id").as("lv"))
+    val right = s.range(0, 100).select(col("id").as("k"),
+      (col("id") * 2).as("rv"))
+    val joined = left.join(right, "k")
+    // execute THIS queryExecution (collect, not count: count builds a
+    // separate QueryExecution and the adaptive plan here would never
+    // finalize)
+    assert(joined.collect().length == 50000)
+    // string match, not node collect: the final adaptive plan nests the
+    // join inside QueryStageExec wrappers, which are leaf nodes to
+    // collect() — the rendered plan is the reliable surface
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    assert(plan.contains("SortMergeJoin(skew=true)") &&
+      plan.contains("AQEShuffleRead skewed"),
+      "AQE no longer splits the deliberately skewed join — " +
+        s"runtime skew mitigation is off:\n${plan.take(1500)}")
+  }
+
   test("events ts range filter reaches the parquet scan as a pushed filter") {
     // The events loader normalizes ts on top of the scan (nanos rebuild
     // or NTZ→LTZ cast, Tables.scala). At 100 TB, time-range pruning on
