@@ -3725,12 +3725,19 @@ object ExtQueries {
         .toDF("rank", "lhs", "rhs", "pair_count")
     },
     Some {
-      val iters = (1 to 10).map(bpeIterSql).mkString(",\n  ")
       val finals = (1 to 10).map(i =>
         s"SELECT CAST($i AS INT) AS rank, l AS lhs, r AS rhs, " +
           s"CAST(n AS BIGINT) AS pair_count FROM b$i")
         .mkString("\n      UNION ALL ")
-      s"""WITH words AS MATERIALIZED (
+      s"""WITH ${bpeChainSql(10)}
+  $finals"""
+    })
+
+  /** The word-vocab → initial symbols → n unrolled merge iterations CTE
+    * chain, shared by the `ext_bpe_merges` and `ext_bpe_compression`
+    * oracles (one definition — the oracle-drift rule). */
+  private def bpeChainSql(n: Int): String =
+    s"""words AS MATERIALIZED (
     SELECT tok, count(*) AS c FROM (
       SELECT unnest(string_split_regex(${wsTrimSql("lower(text)")},
         '\\s+')) AS tok
@@ -3739,13 +3746,33 @@ object ExtQueries {
     SELECT tok AS wid, c,
       list_append(string_split_regex(tok, ''), '</w>') AS s
     FROM words),
-  $iters
-  $finals"""
-    })
+  ${(1 to n).map(bpeIterSql).mkString(",\n  ")}"""
+
+  /** Tokenizer compression evaluation
+    * ([[graft.ext.Vocab.bpeCompressionStats]]): corpus totals and the
+    * two standard ratios after the 10 learned merges. The oracle reuses
+    * the `ext_bpe_merges` CTE chain and aggregates the final vocabulary
+    * — exact integer totals, ratios rounded once. */
+  val bpeCompression = Q(
+    "ext_bpe_compression",
+    (s, d) => graft.ext.Vocab.bpeCompressionStats(
+      Tables.documents(s, d), "text", nMerges = 10),
+    Some(s"""WITH ${bpeChainSql(10)},
+      agg AS (
+        SELECT CAST(sum(c) AS BIGINT) AS total_words,
+          CAST(sum(c * len(s)) AS BIGINT) AS total_subwords,
+          CAST(sum(c * length(wid)) AS BIGINT) AS total_chars
+        FROM v10)
+      SELECT total_words, total_subwords, total_chars,
+        round(total_subwords / CAST(total_words AS DOUBLE), 6)
+          AS subwords_per_word,
+        round(total_chars / CAST(total_subwords AS DOUBLE), 6)
+          AS chars_per_subword
+      FROM agg"""))
 
   def all: Seq[Q] = Seq(
     gopherGates, htmlStrip, nfcNormalize, urlDomains, sourceMix,
-    vocabTopk, tokenizeIds, bpeMerges, ccnetBuckets,
+    vocabTopk, tokenizeIds, bpeMerges, bpeCompression, ccnetBuckets,
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
     quantize, packOffsets,

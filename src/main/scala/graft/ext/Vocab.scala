@@ -166,4 +166,40 @@ object Vocab {
       merges.foldLeft(initialSymbols(tok)) { case (syms, (l, r)) =>
         mergeSeq(syms, l, r)
       }))
+
+  /** Corpus-level tokenizer evaluation: learn `nMerges` BPE rules, apply
+    * them to the word vocabulary, and report the compression the
+    * tokenizer achieves — total words / subword tokens / characters and
+    * the two ratios every tokenizer paper quotes (subwords per word,
+    * characters per subword). Subword counts INCLUDE the `</w>` end
+    * symbol while it remains unmerged — the count is exactly the length
+    * of the symbol sequence a downstream model would consume.
+    *
+    * Scale shape: everything after [[bpeTrain]] is one vocabulary-sized
+    * projection (the `nMerges`-deep merge fold per DISTINCT word, never
+    * per occurrence) into a single global aggregate — corpus size enters
+    * only through the word-count pass bpeTrain already does. Ratios are
+    * exact-integer divisions rounded once at the end (engine-portable;
+    * no intermediate rounding — the bitext lesson). */
+  def bpeCompressionStats(
+      docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val merges = bpeTrain(docs, textCol, nMerges).map { case (l, r, _) =>
+      (l, r)
+    }
+    val syms = merges.foldLeft(initialSymbols(col("tok"))) {
+      case (s, (l, r)) => mergeSeq(s, l, r)
+    }
+    wordCounts(docs, textCol)
+      .select(col("c"), size(syms).cast("long").as("nsw"),
+        length(col("tok")).cast("long").as("nch"))
+      .agg(
+        sum(col("c")).as("total_words"),
+        sum(col("c") * col("nsw")).as("total_subwords"),
+        sum(col("c") * col("nch")).as("total_chars"))
+      .select(col("total_words"), col("total_subwords"), col("total_chars"),
+        round(col("total_subwords") / col("total_words").cast("double"), 6)
+          .as("subwords_per_word"),
+        round(col("total_chars") / col("total_subwords").cast("double"), 6)
+          .as("chars_per_subword"))
+  }
 }

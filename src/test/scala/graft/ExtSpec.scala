@@ -1902,6 +1902,33 @@ class ExtSpec extends SparkSpec {
       Seq((0L, 1L)))
   }
 
+  test("bpeCompressionStats: zero merges = chars+words exactly; " +
+      "merges only shrink") {
+    import graft.ext.Vocab
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new lower low"),
+      (3L, "the newest newer forms the lowest low"))
+      .toDF("doc_id", "text")
+    // with no merges every word is chars + </w> symbols, so
+    // total_subwords == total_chars + total_words EXACTLY
+    val base = Vocab.bpeCompressionStats(docs, "text", nMerges = 0)
+      .collect()(0)
+    assert(base.getLong(1) == base.getLong(2) + base.getLong(0))
+    // 10 merges can only shrink subword counts, never totals of words
+    // or chars
+    val merged = Vocab.bpeCompressionStats(docs, "text", nMerges = 10)
+      .collect()(0)
+    assert(merged.getLong(0) == base.getLong(0))
+    assert(merged.getLong(2) == base.getLong(2))
+    assert(merged.getLong(1) < base.getLong(1))
+    // ratio consistency with the integer totals (6-dp grain)
+    assert(math.abs(merged.getDouble(3) -
+      merged.getLong(1).toDouble / merged.getLong(0)) < 1e-6)
+    assert(math.abs(merged.getDouble(4) -
+      merged.getLong(2).toDouble / merged.getLong(1)) < 1e-6)
+  }
+
   test("hardNegatives: different-label only, and they are the nearest such") {
     import graft.ext.Similarity
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
