@@ -395,6 +395,63 @@ object ExtQueries {
         global_offset % 512 AS offset_in_chunk
       FROM c"""))
 
+  /** Length-balanced bin packing: minimum bin count, longest-first
+    * serpentine deal (see [[graft.ext.Packing.binPack]]). The oracle
+    * replays the rank/stripe arithmetic with a plain window rank — the
+    * Spark side's two-phase distributed rank must land on the identical
+    * integers. */
+  val packBins = Q(
+    "ext_pack_binpack",
+    (s, d) => graft.ext.Packing.binPack(
+      Tables.documents(s, d).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", ctxTokens = 2048),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      nb AS (
+        SELECT greatest(1, (coalesce(sum(n_tokens), 0) + 2048 - 1) // 2048)
+          AS nbins FROM t),
+      r AS (
+        SELECT doc_id, n_tokens,
+          row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+        FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(CASE WHEN (rn // nbins) % 2 = 0 THEN rn % nbins
+          ELSE nbins - 1 - rn % nbins END AS BIGINT) AS bin_id
+      FROM r, nb"""))
+
+  /** Sharded inverted-index build: doc_id-ordered posting lists split
+    * into ≤32-entry shards, hapax terms dropped (minDf=2). The oracle's
+    * single window rank replays the Spark side's two-phase distributed
+    * rank. */
+  val invertedIndex = Q(
+    "ext_inverted_index",
+    (s, d) => graft.ext.Retrieval.invertedIndexShards(
+      Tables.documents(s, d), "text", "doc_id",
+      shardPostings = 32, minDf = 2),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      p AS (
+        SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
+        FROM toks GROUP BY 1, 2),
+      r AS (
+        SELECT term, doc_id, tf,
+          row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rk,
+          count(*) OVER (PARTITION BY term) AS df
+        FROM p)
+      SELECT term, CAST(rk // 32 AS INT) AS shard_idx, df,
+        count(*) AS n_postings,
+        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk)
+          AS posting_docs,
+        string_agg(CAST(tf AS VARCHAR), ',' ORDER BY rk) AS posting_tfs
+      FROM r WHERE df >= 2
+      GROUP BY term, rk // 32, df"""))
+
   /** Sliding-window doc chunking: 32-token windows, stride 24. */
   val chunkDocs = Q(
     "ext_chunk_docs",
@@ -3775,7 +3832,7 @@ object ExtQueries {
     vocabTopk, tokenizeIds, bpeMerges, bpeCompression, ccnetBuckets,
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
-    quantize, packOffsets,
+    quantize, packOffsets, packBins, invertedIndex,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
     dedupEditDistance, pagerank, hitsQ,

@@ -65,6 +65,62 @@ object Packing {
       .withColumn("offset_in_chunk", col("global_offset") % chunkTokens)
   }
 
+  /** Length-balanced bin packing (the sample-packing shape: fill training
+    * context windows with whole documents so padding waste stays low).
+    * The bin count is fixed up front at `ceil(total_tokens / ctxTokens)`
+    * — the minimum possible — and docs are dealt to bins longest-first in
+    * serpentine (boustrophedon) order: rank docs by tokens descending,
+    * round r hands one doc to each bin, alternating bin order left-to-
+    * right / right-to-left between rounds so a bin that got the largest
+    * doc of one round gets the smallest of the next. One deterministic
+    * pass, no sequential bin state — unlike first-fit-decreasing, whose
+    * "current fill" dependency serializes the whole corpus.
+    *
+    * Scale (100 TB): the global longest-first rank is the SAME two-phase
+    * distributed prefix shape as [[packOffsets]] (range-partition on the
+    * sort key, per-partition counts — one tiny row each — prefix-summed
+    * and broadcast back, local ranks in parallel); bin count comes from a
+    * 1-row aggregate broadcast. Nothing funnels through one reducer.
+    *
+    * Determinism: rank order (n_tokens desc, id) is total, all
+    * arithmetic integral — bit-stable across layouts and engines (the
+    * spec proves repartition invariance).
+    *
+    * Output: (idCol, n_tokens, bin_id). */
+  def binPack(docs: DataFrame, idCol: String, lenCol: String,
+      ctxTokens: Int): DataFrame = {
+    require(ctxTokens > 0, "ctxTokens must be positive")
+    val toks = docs.select(col(idCol), col(lenCol).cast("long").as("n_tokens"))
+    // cache pins one set of range boundaries — see packOffsets' note
+    val sorted = graft.ops.CacheScope.persist(
+      toks.repartitionByRange(col("n_tokens").desc, col(idCol))
+        .sortWithinPartitions(col("n_tokens").desc, col(idCol))
+        .withColumn("__pid", spark_partition_id()))
+    val partOffsets = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pcnt"))
+      .withColumn("__poffset",
+        coalesce(
+          sum(col("__pcnt")).over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__poffset"))
+    val nBins = toks.agg(
+      greatest(lit(1L),
+        expr(s"(coalesce(sum(n_tokens), 0) + $ctxTokens - 1) div $ctxTokens"))
+        .as("__nbins"))
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col("n_tokens").desc, col(idCol))
+    sorted.join(broadcast(partOffsets), Seq("__pid"))
+      .withColumn("__rn", col("__poffset") + row_number().over(localW) - 1)
+      .crossJoin(broadcast(nBins))
+      .withColumn("bin_id",
+        when(expr("__rn div __nbins") % 2 === 0,
+          col("__rn") % col("__nbins"))
+          .otherwise(col("__nbins") - 1 - col("__rn") % col("__nbins")))
+      .select(col(idCol), col("n_tokens"), col("bin_id"))
+  }
+
   /** Sliding-window document chunking (the RAG / long-context training
     * prep shape): token windows of `chunkTokens` advancing by `stride`,
     * final window allowed partial, every doc yields ≥ 1 chunk. Output:

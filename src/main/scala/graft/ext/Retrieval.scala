@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked text retrieval over the corpus: BM25 (Robertson/Spärck Jones
@@ -230,5 +231,71 @@ object Retrieval {
           .as("precision_at_k"),
         coalesce(round(lit(1.0) / col("first_rel_rank"), 6), lit(0.0))
           .as("reciprocal_rank"))
+  }
+
+  /** Materialized inverted index with BOUNDED posting shards (the
+    * offline retrieval-index build: term → doc_id-ordered postings,
+    * split into shards of ≤ `shardPostings` entries each, Lucene-segment
+    * style). `minDf` drops hapax terms (an index over once-only terms is
+    * mostly noise and typically half the vocabulary).
+    *
+    * Scale (100 TB): the naive build — `collect_list` per term — puts a
+    * stopword's ENTIRE corpus-sized posting list in one aggregation
+    * buffer and one output row. Here every materialized array is bounded
+    * by `shardPostings` instead, and the per-term posting rank that
+    * drives sharding is computed with the [[Packing.packOffsets]]
+    * two-phase shape on (term, doc_id) ranges: a hot term's postings
+    * span MANY range partitions, each ranked locally in parallel, with
+    * only the per-(partition, term) counts — one tiny row each —
+    * crossing a prefix-sum window. No single task ever owns a full hot
+    * posting list, which a `Window.partitionBy(term)` rank would force.
+    *
+    * Determinism: posting order (term, doc_id) is total, arithmetic
+    * integral, shard arrays re-sorted by rank before join — bit-stable
+    * across layouts and engines.
+    *
+    * Output: (term, shard_idx, df, n_postings, posting_docs,
+    * posting_tfs) — docs/tfs comma-joined in doc_id order. */
+  def invertedIndexShards(docs: DataFrame, textCol: String, idCol: String,
+      shardPostings: Int, minDf: Long = 2): DataFrame = {
+    require(shardPostings > 0, "shardPostings must be positive")
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    // cache pins one set of range boundaries — see packOffsets' note
+    val sorted = graft.ops.CacheScope.persist(
+      postings.repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val pt = graft.ops.CacheScope.persist(
+      sorted.groupBy(col("__pid"), col("term"))
+        .agg(count(lit(1)).as("__c")))
+    // per-(partition, term) exclusive prefix over partitions; pt is
+    // #partitions-per-term-sized, not postings-sized
+    val off = pt.withColumn("__off",
+      coalesce(
+        sum(col("__c")).over(
+          Window.partitionBy("term").orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("term"), col("__off"))
+    val termDf = pt.groupBy(col("term")).agg(sum(col("__c")).as("df"))
+    val localW = Window.partitionBy("__pid", "term").orderBy("doc_id")
+    sorted.join(off, Seq("__pid", "term"))
+      .withColumn("__rk", col("__off") + row_number().over(localW) - 1)
+      .join(termDf.filter(col("df") >= minDf), Seq("term"))
+      .withColumn("shard_idx", expr(s"__rk div $shardPostings").cast("int"))
+      .groupBy(col("term"), col("shard_idx"), col("df"))
+      .agg(count(lit(1)).as("n_postings"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__rk"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",")
+          .as("posting_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__rk"), col("tf")))),
+          x => x.getField("tf").cast("string")), ",")
+          .as("posting_tfs"))
   }
 }

@@ -968,6 +968,71 @@ class ExtSpec extends SparkSpec {
     assert(a == expected)
   }
 
+  test("bin pack: serpentine deal == naive, layout-invariant, balanced") {
+    val lens = (1L to 97L).map(i => (i, (i * 13 % 29) + 1)).toDF("doc_id", "n")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Packing.binPack(df, "doc_id", "n", 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(lens)
+    val b = run(lens.repartition(11))
+    assert(a == b)
+    // naive single-node reference: rank longest-first, serpentine stripe
+    val rows = (1L to 97L).map(i => (i, (i * 13 % 29) + 1))
+    val total = rows.map(_._2).sum
+    val nb = (total + 63) / 64
+    val expected = rows.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((id, n), rn) =>
+        val bin = if ((rn / nb) % 2 == 0) rn % nb else nb - 1 - rn % nb
+        (id, n, bin.toLong)
+      }.toSet
+    assert(a == expected)
+    // bins number ceil(total/ctx) and the serpentine deal stays balanced:
+    // every bin within (max doc + max per-round spread) of the mean
+    val totals = a.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(totals.keySet == (0L until nb).toSet)
+    val maxDoc = rows.map(_._2).max
+    assert(totals.values.max - totals.values.min <= 2 * maxDoc,
+      s"imbalance ${totals.values.max - totals.values.min}")
+  }
+
+  test("inverted index: two-phase rank == naive window, shards bounded") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog and the cat"),
+      (3L, "a dog ran far"),
+      (4L, "the the the unique"),
+      (5L, "cat dog mat the")).toDF("doc_id", "text")
+    val got = graft.ext.Retrieval
+      .invertedIndexShards(corpus, "text", "doc_id",
+        shardPostings = 2, minDf = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    graft.ops.CacheScope.releaseAll()
+    // naive reference: per-term doc_id-ordered postings, 2-entry shards
+    val naive = Seq(1L -> "the cat sat on the mat", 2L -> "the dog and the cat",
+      3L -> "a dog ran far", 4L -> "the the the unique", 5L -> "cat dog mat the")
+      .flatMap { case (id, t) => t.split("\\s+").map(w => (w, id)) }
+      .groupBy { case (w, id) => (w, id) }.view
+      .mapValues(_.size).toSeq
+      .map { case ((w, id), tf) => (w, id, tf.toLong) }
+      .groupBy(_._1).filter(_._2.size >= 2)
+      .flatMap { case (term, ps) =>
+        val sorted = ps.sortBy(_._2)
+        sorted.zipWithIndex.groupBy(_._2 / 2).map { case (shard, entries) =>
+          (term, shard) -> (sorted.size.toLong, entries.size.toLong,
+            entries.map(_._1._2).mkString(","),
+            entries.map(_._1._3).mkString(","))
+        }
+      }.toMap
+    assert(got == naive)
+    // every shard bounded by shardPostings
+    assert(got.values.forall(_._2 <= 2))
+    // hapax terms (df=1) are absent
+    assert(!got.keySet.exists(_._1 == "unique"))
+  }
+
   test("DSIR weights: target docs score above non-target on average") {
     val w = graft.ext.Curation.dsirWeights(docs, "text", "doc_id",
         targetPred = col("lang") === "en")

@@ -38,6 +38,8 @@ class PlanGuardSpec extends SparkSpec {
       "lag over the daily calendar spine (one row per day)",
     "ext_pack_offsets" ->
       "prefix-sum over per-partition totals (one row per partition)",
+    "ext_pack_binpack" ->
+      "prefix-count over per-partition totals (one row per partition)",
     "ext_token_budget_select" ->
       "prefix-sum over per-partition totals (one row per partition)",
     "ext_tokenize_ids" ->
