@@ -137,6 +137,32 @@ object AnalyticsQueries {
       WHERE rn <= 3"""),
     bench = true)
 
+  /** The SAME per-customer top-3 as [[qWindowRank]], computed with the
+    * bounded-heap [[graft.functions.TopKAgg]] GROUPED BY customer
+    * instead of a ranking window. Scale contrast: the window form
+    * shuffles EVERY order row to its customer's reducer and sorts the
+    * whole group before discarding all but 3; the heap aggregate's
+    * map-side partial keeps ≤3 rows per customer per partition, so the
+    * shuffle carries at most 3×partitions rows per customer and no sort
+    * ever happens. Same (price desc, orderkey asc) total order as the
+    * window — the oracle is the window form, so heap ≡ window is
+    * enforced by the hash gate. */
+  val qGroupTopK = Q(
+    "q_group_topk_heap",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAgg.top_k(
+        col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+      .select(col("o_custkey"), explode(col("tk")).as("t"))
+      .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+        col("t.score").as("o_totalprice"), col("t.rank").as("rn")),
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) t
+      WHERE rn <= 3"""))
+
   /** Anti/semi join pair: orders lacking any lineitem + parts that ship. */
   val qAntiJoin = Q(
     "q_orders_without_lineitems",
@@ -1693,6 +1719,7 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
+    qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
     qEventsHourlyStream, qJsonProps,
     qSessions,

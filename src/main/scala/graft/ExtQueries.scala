@@ -452,6 +452,110 @@ object ExtQueries {
       FROM r WHERE df >= 2
       GROUP BY term, rk // 32, df"""))
 
+  /** Incremental index maintenance: the even-doc_id half of the corpus
+    * plays the prebuilt index (minDf=1 base, per the contract), the odd
+    * half plays the new batch. The oracle is the FULL-corpus rebuild —
+    * incremental merge ≡ rebuild is enforced by the hash gate, while
+    * only the batch's touched terms are ever re-sharded. */
+  val indexDelta = Q(
+    "ext_index_delta",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = graft.ext.Retrieval.invertedIndexShards(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        shardPostings = 32, minDf = 1)
+      graft.ext.Retrieval.invertedIndexDelta(
+        base, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+        shardPostings = 32, minDf = 2)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      p AS (
+        SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
+        FROM toks GROUP BY 1, 2),
+      r AS (
+        SELECT term, doc_id, tf,
+          row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rk,
+          count(*) OVER (PARTITION BY term) AS df
+        FROM p)
+      SELECT term, CAST(rk // 32 AS INT) AS shard_idx, df,
+        count(*) AS n_postings,
+        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk)
+          AS posting_docs,
+        string_agg(CAST(tf AS VARCHAR), ',' ORDER BY rk) AS posting_tfs
+      FROM r WHERE df >= 2
+      GROUP BY term, rk // 32, df"""))
+
+  /** Packing-efficiency report over [[graft.ext.Packing.binPack]]'s
+    * assignment: 1-row corpus summary (bin count, min/max bin tokens,
+    * mean fill vs the context size, overflow fraction) — the metric a
+    * packing change is judged by. All inputs integral; the two ratios
+    * are single long→double divisions rounded 6 dp. */
+  val packFill = Q(
+    "ext_pack_fill_report",
+    (s, d) => graft.ext.Packing.binPack(
+      Tables.documents(s, d).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", ctxTokens = 2048)
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .agg(count(lit(1)).as("n_bins"),
+        min(col("bin_tokens")).as("min_bin_tokens"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        round(sum(col("bin_tokens")).cast("double")
+          / (count(lit(1)) * 2048), 6).as("avg_fill"),
+        round(sum(when(col("bin_tokens") > 2048, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("overflow_frac")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      nb AS (
+        SELECT greatest(1, (coalesce(sum(n_tokens), 0) + 2048 - 1) // 2048)
+          AS nbins FROM t),
+      r AS (
+        SELECT doc_id, n_tokens,
+          row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+        FROM t),
+      b AS (
+        SELECT CAST(CASE WHEN (rn // nbins) % 2 = 0 THEN rn % nbins
+            ELSE nbins - 1 - rn % nbins END AS BIGINT) AS bin_id,
+          count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        FROM r, nb GROUP BY 1)
+      SELECT count(*) AS n_bins,
+        CAST(min(bin_tokens) AS BIGINT) AS min_bin_tokens,
+        CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+        round(CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * 2048), 6)
+          AS avg_fill,
+        round(CAST(sum(CASE WHEN bin_tokens > 2048 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS overflow_frac
+      FROM b"""))
+
+  /** Conjunctive boolean retrieval through the sharded inverted index:
+    * docs containing ALL of {spark, window, vector}, ranked signal =
+    * summed tf. The oracle replays the index semantics (minDf=2 term
+    * drop included) straight from the postings. */
+  val indexLookup = Q(
+    "ext_index_lookup",
+    (s, d) => graft.ext.Retrieval.indexConjunctiveLookup(
+      Tables.documents(s, d), "text", "doc_id",
+      Seq("spark", "window", "vector"), shardPostings = 32, minDf = 2),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      p AS (
+        SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
+        FROM toks GROUP BY 1, 2),
+      d AS (SELECT term, count(*) AS df FROM p GROUP BY 1)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf
+      FROM p JOIN d USING (term)
+      WHERE df >= 2 AND term IN ('spark', 'window', 'vector')
+      GROUP BY 1 HAVING count(*) = 3"""))
+
   /** Sliding-window doc chunking: 32-token windows, stride 24. */
   val chunkDocs = Q(
     "ext_chunk_docs",
@@ -3832,7 +3936,8 @@ object ExtQueries {
     vocabTopk, tokenizeIds, bpeMerges, bpeCompression, ccnetBuckets,
     textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
-    quantize, packOffsets, packBins, invertedIndex,
+    quantize, packOffsets, packBins, packFill, invertedIndex, indexLookup,
+    indexDelta,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
     dedupEditDistance, pagerank, hitsQ,

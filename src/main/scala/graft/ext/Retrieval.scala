@@ -257,13 +257,24 @@ object Retrieval {
     * Output: (term, shard_idx, df, n_postings, posting_docs,
     * posting_tfs) — docs/tfs comma-joined in doc_id order. */
   def invertedIndexShards(docs: DataFrame, textCol: String, idCol: String,
-      shardPostings: Int, minDf: Long = 2): DataFrame = {
-    require(shardPostings > 0, "shardPostings must be positive")
-    val postings = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      shardPostings: Int, minDf: Long = 2): DataFrame =
+    shardFromPostings(postingsOf(docs, textCol, idCol), shardPostings, minDf)
+
+  /** (term, doc_id, tf) posting triples — one hash agg, map-side
+    * combined. */
+  private def postingsOf(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
         explode(TextStats.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+
+  /** Posting triples → bounded shards (the [[invertedIndexShards]]
+    * core, shared with [[invertedIndexDelta]]'s re-shard of touched
+    * terms). */
+  private def shardFromPostings(postings: DataFrame, shardPostings: Int,
+      minDf: Long): DataFrame = {
+    require(shardPostings > 0, "shardPostings must be positive")
     // cache pins one set of range boundaries — see packOffsets' note
     val sorted = graft.ops.CacheScope.persist(
       postings.repartitionByRange(col("term"), col("doc_id"))
@@ -297,5 +308,77 @@ object Retrieval {
           array_sort(collect_list(struct(col("__rk"), col("tf")))),
           x => x.getField("tf").cast("string")), ",")
           .as("posting_tfs"))
+  }
+
+  /** Incremental index maintenance: fold a new APPEND-ONLY doc batch
+    * into a prebuilt sharded index, re-sharding ONLY the terms the
+    * batch touches — the base corpus is never re-read and untouched
+    * terms' shards pass through byte-identical.
+    *
+    * Contract: `index` is [[invertedIndexShards]] output built with
+    * minDf=1 (the index must retain hapax terms or a second occurrence
+    * arriving later could not resurrect the first posting without a
+    * base re-read); `minDf` filtering is applied HERE, on the merged
+    * df. New doc_ids must be disjoint from the base's (append-only),
+    * like the incremental-dedup archive contract.
+    *
+    * Scale (100 TB): the delta's vocabulary is the work bound — old
+    * postings are fetched by a term-keyed join against the touched-term
+    * set (on a term-clustered index file that is shard pruning at the
+    * scan), re-exploded to q·df rows for touched terms only, and
+    * re-ranked with the same two-phase shape. An un-touched stopword
+    * costs nothing; a touched one costs its own postings, never the
+    * corpus. Correctness is oracle-enforced as incremental ≡ full
+    * rebuild over base ∪ batch. */
+  def invertedIndexDelta(index: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, shardPostings: Int,
+      minDf: Long = 2): DataFrame = {
+    val newPostings = postingsOf(newDocs, textCol, idCol)
+    val touched = newPostings.select(col("term")).distinct()
+    val oldTouched = index.join(touched, Seq("term"))
+      .select(col("term"),
+        explode(zip_with(
+          split(col("posting_docs"), ","), split(col("posting_tfs"), ","),
+          (d, t) => struct(d.as("d"), t.as("t")))).as("p"))
+      .select(col("term"), col("p.d").cast("long").as("doc_id"),
+        col("p.t").cast("long").as("tf"))
+    val reSharded = shardFromPostings(
+      oldTouched.unionByName(newPostings), shardPostings, minDf)
+    val untouched = index.join(touched, Seq("term"), "left_anti")
+      .filter(col("df") >= minDf)
+      .select(reSharded.columns.map(col): _*)
+    reSharded.unionByName(untouched)
+  }
+
+  /** Conjunctive (AND) boolean retrieval served FROM the sharded
+    * inverted index: docs containing every query term, with the summed
+    * term frequency as a crude rank signal. Consumes
+    * [[invertedIndexShards]] output — built inline here for the
+    * self-contained registry query; at scale the index is a prebuilt
+    * parquet keyed by term, so the term filter prunes to the query
+    * terms' shards at the scan (predicate pushdown on the sort/cluster
+    * key) and the posting re-explode touches q·df rows, never the
+    * corpus. Matching is one hash aggregate on doc_id (count = #terms);
+    * no self-join per term pair, which the classic posting-intersection
+    * join would cost. A query term dropped by the index's `minDf` makes
+    * the conjunction unsatisfiable through the index, by design — the
+    * oracle replays that semantics. */
+  def indexConjunctiveLookup(docs: DataFrame, textCol: String,
+      idCol: String, queryTerms: Seq[String], shardPostings: Int,
+      minDf: Long = 2): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    invertedIndexShards(docs, textCol, idCol, shardPostings, minDf)
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"),
+        explode(zip_with(
+          split(col("posting_docs"), ","), split(col("posting_tfs"), ","),
+          (d, t) => struct(d.as("d"), t.as("t")))).as("p"))
+      .select(col("term"), col("p.d").cast("long").as("doc_id"),
+        col("p.t").cast("long").as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("sum_tf"))
   }
 }

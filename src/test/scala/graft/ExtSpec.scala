@@ -1033,6 +1033,34 @@ class ExtSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == "unique"))
   }
 
+  test("index delta: incremental merge == full rebuild; hapax resurrects") {
+    val base = Seq(
+      (2L, "the cat sat"),
+      (4L, "the dog and rare the"),
+      (6L, "cat mat dog")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the rare bird"),
+      (13L, "cat the bird")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSet
+    val idx = graft.ext.Retrieval
+      .invertedIndexShards(base, "text", "doc_id", 2, minDf = 1)
+    val merged = rows(graft.ext.Retrieval
+      .invertedIndexDelta(idx, batch, "text", "doc_id", 2, minDf = 2))
+    val rebuilt = rows(graft.ext.Retrieval
+      .invertedIndexShards(base.unionByName(batch), "text", "doc_id", 2,
+        minDf = 2))
+    graft.ops.CacheScope.releaseAll()
+    assert(merged == rebuilt)
+    // 'rare' was hapax in the base (kept only because the base index is
+    // minDf=1); the batch's second occurrence resurrects doc 4's posting
+    assert(merged.exists { case (t, _, df, _, docs, _) =>
+      t == "rare" && df == 2 && docs == "4,11" })
+    // 'mat'/'sat' stay hapax after the merge and are filtered by minDf=2
+    assert(!merged.exists(r => r._1 == "mat" || r._1 == "sat"))
+  }
+
   test("DSIR weights: target docs score above non-target on average") {
     val w = graft.ext.Curation.dsirWeights(docs, "text", "doc_id",
         targetPred = col("lang") === "en")

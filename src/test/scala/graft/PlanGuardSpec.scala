@@ -40,6 +40,8 @@ class PlanGuardSpec extends SparkSpec {
       "prefix-sum over per-partition totals (one row per partition)",
     "ext_pack_binpack" ->
       "prefix-count over per-partition totals (one row per partition)",
+    "ext_pack_fill_report" ->
+      "binPack's prefix-count over per-partition totals (one row each)",
     "ext_token_budget_select" ->
       "prefix-sum over per-partition totals (one row per partition)",
     "ext_tokenize_ids" ->
