@@ -255,6 +255,31 @@ object AnalyticsQueries {
       FROM events GROUP BY 1, 2"""),
     bench = true)
 
+  /** Stream-STREAM interval join as a registered, oracle-checked query
+    * ([[graft.streaming.StreamPipeline.clickAttributionAvailableNow]]):
+    * each purchase attributes to the same user's clicks in the preceding
+    * hour. The DuckDB oracle is the BATCH interval join over the same
+    * events table — exactly-once file tracking plus the single
+    * AvailableNow batch (watermark starts at −∞, so nothing is late)
+    * make streamed ≡ batch row-for-row, and the hash gate enforces it.
+    *
+    * Scale: the interval bound is what lets Spark EVICT join state —
+    * per-side state is O(watermark + window), the only stream-stream
+    * join shape that survives an unbounded feed; the join itself
+    * shuffles both sides on user_id exactly like the batch form. */
+  val qStreamAttribution = Q(
+    "q_stream_attribution",
+    (s, d) => graft.streaming.StreamPipeline
+      .clickAttributionAvailableNow(s, d, window = "1 hour",
+        watermark = "2 hours"),
+    Some("""SELECT p.user_id AS user_id, c.event_id AS click_id,
+        p.event_id AS purchase_id, p.value AS purchase_value
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""),
+    bench = true)
+
   /** Semi-structured extraction through Spark 4's VARIANT type: the
     * `events.props` JSON column is parsed once (`parse_json` → binary
     * variant, NOT per-field string re-parsing) and `variant_get` pulls
@@ -1721,7 +1746,7 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
-    qEventsHourlyStream, qJsonProps,
+    qEventsHourlyStream, qStreamAttribution, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

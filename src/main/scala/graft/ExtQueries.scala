@@ -1896,6 +1896,86 @@ object ExtQueries {
         FROM ranked WHERE rank <= 5"""
     })
 
+  /** DuckDB expression for one [[graft.ext.Similarity.randomProjection]]
+    * output coordinate: the md5-derived plane reconstructed as exact
+    * literals (h/2^31 − 1, exact in double), in-order
+    * list_dot_product, 6-dp round — the simLshRh plane contract with
+    * values kept instead of signs. */
+  private def rpDotSql(i: Int, dim: Int, seed: Int): String = {
+    val lits = (0 until dim).map { dd =>
+      s"(${Similarity.hyperplaneCoeffInt(seed, i, dd)}/2147483648.0 - 1)"
+    }.mkString(", ")
+    s"round(list_dot_product(emb, [$lits]), 6)"
+  }
+
+  /** `red`: vec_id + the dOut-wide reduced vector (depends on $annVCte's
+    * `v`). */
+  private def rpRedCte(dOut: Int, dim: Int, seed: Int): String = {
+    val dots = (0 until dOut).map(rpDotSql(_, dim, seed))
+      .mkString(",\n               ")
+    s"""red AS (
+        SELECT vec_id, [$dots] AS remb
+        FROM v)"""
+  }
+
+  /** Johnson–Lindenstrauss reduction of the embeddings table to 16
+    * dense coordinates ([[graft.ext.Similarity.randomProjection]]),
+    * emitted flat (vec_id, dim, value) — the storage/scoring-cost lever
+    * before any ANN structure: 4× fewer bytes per vector with
+    * JL-bounded geometric distortion, produced by a pure map stage (no
+    * shuffle, no training pass). Oracle rebuilds the identical planes
+    * from the md5 ints and replays the in-order dot. */
+  val rpReduce = Q(
+    "ext_rp_reduce",
+    (s, d) => Similarity.randomProjection(
+      Tables.embeddings(s, d), dOut = 16, dim = 64, seed = 42)
+      .select(col("vec_id"), posexplode(col("reduced")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("value")),
+    Some(s"""WITH $annVCte,
+      ${rpRedCte(16, 64, 42)}
+      SELECT vec_id, CAST(i - 1 AS INT) AS dim, remb[CAST(i AS INT)] AS value
+      FROM red CROSS JOIN range(1, 17) t(i)"""))
+
+  /** Recall@5 of reduced-space (16-dim) brute-force top-k against the
+    * full 64-dim ranking ([[graft.ext.Similarity.rpRecall]]) — the
+    * measured price of the JL trade, per query. The oracle replays BOTH
+    * rankings (shared bfRanked CTE for the exact side, reconstructed
+    * planes for the reduced side) and intersects them, so the recall
+    * numbers themselves are hash-gated, not just spec-asserted. */
+  val rpRecallQ = Q(
+    "ext_rp_recall",
+    (s, d) => Similarity.rpRecall(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5,
+      dOut = 16, dim = 64, seed = 42),
+    Some(s"""WITH $annVCte,
+      ${rpRedCte(16, 64, 42)},
+      $bfRankedCtes,
+      etop AS (
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+      rq AS (
+        SELECT vec_id AS query_id, remb AS ra FROM red WHERE vec_id < 8),
+      rc AS (
+        SELECT vec_id AS neighbor_id, remb AS rb FROM red),
+      rscored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(ra, rb)
+                 / (sqrt(list_dot_product(ra, ra))
+                    * sqrt(list_dot_product(rb, rb))), 6) AS rcos
+        FROM rq JOIN rc ON query_id != neighbor_id),
+      rranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rcos DESC, neighbor_id ASC) AS rank
+        FROM rscored),
+      rtop AS (
+        SELECT query_id, neighbor_id FROM rranked WHERE rank <= 5)
+      SELECT e.query_id,
+        count(r.query_id) AS n_hit,
+        round(count(r.query_id) / 5.0, 6) AS recall
+      FROM etop e LEFT JOIN rtop r
+        ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+      GROUP BY e.query_id"""))
+
   /** Shared CTE chain for sign-bucket cosine candidate pairs (4-bit
     * buckets; `p` exposes id_a/id_b with a_emb/b_emb) — used by the
     * embedding-cosine and semantic-dedup oracles so the candidate
@@ -3947,6 +4027,7 @@ object ExtQueries {
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
+    rpReduce, rpRecallQ,
     clusterBalanced, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
     llmCorpus,

@@ -281,6 +281,68 @@ object Similarity {
         substring(bucket, i + 2, bits - i - 1))
     }): _*)
 
+  /** Johnson–Lindenstrauss random projection: reduce `dim`-wide float
+    * embeddings to `dOut` dense double coordinates by projecting onto
+    * [[randomHyperplanes]]' md5-seeded directions (same deterministic
+    * plane family as the hyperplane LSH, values kept instead of signs).
+    * Each output coordinate is rounded to 6 dp so downstream scoring is
+    * total-ordered and engine-portable.
+    *
+    * Scale: a pure per-row projection — dOut×dim literal multiply-adds,
+    * no shuffle, no data pass to fit anything — so a 100 TB embedding
+    * table reduces in one map stage. At dOut=16 over dim=64 the reduced
+    * table is 4× cheaper to store AND 4× cheaper to score, the standard
+    * first move before brute-force rerank at cluster scale; the JL bound
+    * says pairwise geometry distorts by O(sqrt(log n / dOut)), measured
+    * concretely by [[rpRecall]]. */
+  def randomProjection(emb: DataFrame, dOut: Int, dim: Int = 64,
+      seed: Int = 42): DataFrame = {
+    val planes = randomHyperplanes(dOut, dim, seed)
+    emb.select(col("vec_id"),
+      array(planes.toSeq.map(p =>
+        round(planeDot(col("embedding"), p), 6)): _*).as("reduced"))
+  }
+
+  /** Cosine between two double-array columns (reduced vectors), 6 dp —
+    * the [[cosine]] contract minus the float cast (inputs are already
+    * double). In-order HOF summation keeps it oracle-portable. */
+  private def cosineD(a: Column, b: Column): Column =
+    round(dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))), 6)
+
+  /** Recall@k of brute-force top-k in the [[randomProjection]] space
+    * against full-dimension top-k — the measurement that prices the JL
+    * trade (store/score 4× less vs how many true neighbors survive).
+    * Per query: hits = |reduced top-k ∩ exact top-k|, recall = hits/k.
+    *
+    * Scale: both rankings are broadcast-query-batch × corpus scans with
+    * bounded-heap top-k (the [[bruteForceTopK]] shape); the intersection
+    * joins two k-row-per-query frames — trivially small. The reduced
+    * scan reads dOut doubles per row instead of dim floats, which is the
+    * point. */
+  def rpRecall(emb: DataFrame, queryPred: Column, k: Int, dOut: Int,
+      dim: Int = 64, seed: Int = 42): DataFrame = {
+    val exact = bruteForceTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val red = randomProjection(emb, dOut, dim, seed)
+    val queries = red.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("reduced").as("q_emb"))
+    val corpus = red
+      .select(col("vec_id").as("neighbor_id"), col("reduced").as("n_emb"))
+    val scored = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineD(col("q_emb"), col("n_emb")))
+    val approx = topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall"))
+  }
+
   /** LSH top-k over seeded random-hyperplane buckets — same join/top-k
     * shape as [[lshTopK]], better-distributed buckets. `dim` must match
     * the embedding width (planes are literals; no data pass needed).

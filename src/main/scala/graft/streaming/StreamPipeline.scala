@@ -325,4 +325,47 @@ object StreamPipeline {
       .select(col("p_user_id").as("user_id"), col("click_id"),
         col("purchase_id"), col("purchase_value"))
   }
+
+  /** [[clickAttributionStream]] drained end-to-end over the testdata
+    * events table with `Trigger.AvailableNow` — the registered,
+    * oracle-checked form (`q_stream_attribution`). Both join sides read
+    * the SAME file-source stream (one listing, two filtered branches);
+    * the interval bound + watermarks make the join state bounded, and
+    * because exactly-once file tracking delivers every event exactly
+    * once, the streamed inner-join result must equal the batch interval
+    * join row-for-row — the DuckDB gate enforces streamed ≡ batch.
+    *
+    * Scale: state per side is O(events within watermark + window), not
+    * O(stream length) — the only stream-stream join shape that survives
+    * an unbounded feed. Fresh checkpoint + sink name per call so bench
+    * reps re-execute the full micro-batch (the
+    * [[eventsHourlyAvailableNow]] contract). */
+  def clickAttributionAvailableNow(
+      spark: SparkSession, dir: String,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val path = s"$dir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev = graft.Tables.normalizeEventsTs(raw)
+    val out = clickAttributionStream(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      window, watermark)
+    val qn = "stream_attr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val q = out.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
 }

@@ -158,6 +158,50 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"))
   }
 
+  test("random projection: shuffle-free map stage, deterministic, and " +
+      "recall holds on clustered geometry") {
+    // pure projection: the reduced table must plan with ZERO exchanges —
+    // at 100 TB this is the difference between a map pass and a shuffle
+    val red = Similarity.randomProjection(emb, dOut = 16)
+    val exchanges = red.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty)
+    val row = red.select(size(col("reduced"))).head()
+    assert(row.getInt(0) == 16)
+    // same seed → identical output regardless of input layout
+    val a = red.select(col("vec_id"), col("reduced")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.randomProjection(emb.repartition(7), dOut = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+
+    // recall on data with real structure: 3 well-separated clusters of
+    // near-identical vectors. Full-dim top-k is all cluster-mates; a
+    // 64→16 JL projection must keep them (the iid-random testdata has
+    // no stable neighbors, so the registry's ext_rp_recall measures
+    // distortion there — THIS pins that the op preserves structure
+    // where structure exists).
+    val dim = 64
+    val centers = Seq(
+      Array.tabulate(dim)(i => if (i % 3 == 0) 1.0f else 0.0f),
+      Array.tabulate(dim)(i => if (i % 3 == 1) 1.0f else 0.0f),
+      Array.tabulate(dim)(i => if (i % 3 == 2) 1.0f else 0.0f))
+    // 6 per cluster: each query's exact top-5 is EXACTLY its 5 cluster
+    // mates (intra-cluster cos ≈ 1, inter ≈ 0), so recall measures
+    // cluster preservation, not tie-ordering among surplus mates
+    val pts = for {
+      c <- 0 until 3; j <- 0 until 6
+    } yield (c.toLong * 6 + j,
+      centers(c).zipWithIndex.map { case (v, i) =>
+        v + (if (i == j) 0.01f else 0.0f) })
+    val fix = pts.toDF("vec_id", "embedding")
+    val rec = Similarity.rpRecall(fix, col("vec_id") % 6 === 0, k = 5,
+      dOut = 16, dim = dim)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(rec == 1.0, s"clustered recall@5 = $rec")
+  }
+
   test("IVF: clusters partition the corpus; search scores match exact path") {
     val model = graft.ext.IvfIndex.train(emb, nlist = 4)
     assert(model.nlist == 4)

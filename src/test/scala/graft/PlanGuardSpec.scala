@@ -71,7 +71,10 @@ class PlanGuardSpec extends SparkSpec {
     "ext_sim_pq_topk" ->
       "broadcasts the bounded query batch (vec_id < 8 by contract)",
     "ext_hybrid_rrf_topk" ->
-      "broadcasts the single semantic query vector (vec_id = 7)")
+      "broadcasts the single semantic query vector (vec_id = 7)",
+    "ext_rp_recall" ->
+      ("broadcasts the bounded query batch twice (exact + reduced side, " +
+        "vec_id < 8 by contract)"))
 
   /** A broadcast side is row-bounded when every scan-to-root path passes
     * an aggregate, limit, or driver-side top-k — the shapes that shrink
