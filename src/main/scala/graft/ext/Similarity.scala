@@ -299,6 +299,17 @@ object Similarity {
       seed: Int = 42): DataFrame = {
     val planes = randomHyperplanes(dOut, dim, seed)
     emb.select(col("vec_id"),
+      graft.functions.MatProject.mat_project(col("embedding"), planes)
+        .as("reduced"))
+  }
+
+  /** [[randomProjection]] composed from built-in HOFs (dOut interpreted
+    * folds per row) — the reference implementation [[graft.functions
+    * .MatProject]]'s codegen loop is differential-tested against. */
+  def randomProjectionHof(emb: DataFrame, dOut: Int, dim: Int = 64,
+      seed: Int = 42): DataFrame = {
+    val planes = randomHyperplanes(dOut, dim, seed)
+    emb.select(col("vec_id"),
       array(planes.toSeq.map(p =>
         round(planeDot(col("embedding"), p), 6)): _*).as("reduced"))
   }
