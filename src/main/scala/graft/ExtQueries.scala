@@ -2551,6 +2551,83 @@ object ExtQueries {
               doc_id) AS rn
         FROM documents) t WHERE rn <= 5"""))
 
+  /** Grouped mergeable quantile sketch ([[graft.ext.Sketches
+    * .histogramQuantiles]]): per-source p50/p90/p99 of token length
+    * from a width-8 equi-width histogram with inverse-CDF
+    * interpolation — quantiles of a 100 TB column for the price of a
+    * word-count (one hash agg on (source, bucket); the cumulative
+    * window runs over buckets, never rows). Estimate error is bounded
+    * by the bucket width (spec-pinned vs the exact quantile); the
+    * oracle replays the identical histogram + interpolation, so the
+    * ESTIMATES are hash-gated. */
+  val quantileSketch = Q(
+    "ext_quantile_sketch",
+    (s, d) => Sketches.histogramQuantiles(
+      Tables.documents(s, d),
+      TextStats.tokenCount(col("text")), "source",
+      width = 8, qs = Seq(0.5, 0.9, 0.99)),
+    Some(s"""WITH t AS (
+        SELECT source, CAST($qcTokSql AS BIGINT) AS v FROM documents),
+      h AS (
+        SELECT source, v - (v % 8) AS bucket, count(*) AS cnt
+        FROM t GROUP BY 1, 2),
+      c AS (
+        SELECT source, bucket, cnt,
+          CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket)
+            AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM h),
+      x AS (
+        SELECT source, q, n, bucket, cnt, cum,
+          CAST(q AS DOUBLE) * n AS target,
+          row_number() OVER (PARTITION BY source, q ORDER BY bucket) AS rn
+        FROM c CROSS JOIN (
+          SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+            CAST(0.99 AS DOUBLE)]) AS q) qq
+        WHERE cum >= CAST(q AS DOUBLE) * n)
+      SELECT source, q, n,
+        round(bucket + 8 * (target - (cum - cnt)) / cnt, 6) AS est
+      FROM x WHERE rn = 1"""))
+
+  /** Stratified sample with EXACT total size ([[graft.ext.Curation
+    * .stratifiedSample]]): 97 slots allocated across sources by
+    * largest-remainder (Hamilton) rounding — pure integer quota
+    * arithmetic, md5-priority selection inside each stratum via the
+    * bounded-heap top-k (k = total-n map-side partials, no per-stratum
+    * window funnel). Fraction sampling only hits a target size in
+    * expectation; eval sets and fixed-budget orders need the exact
+    * count. n = 97 is deliberately non-divisible so the remainder
+    * ranking (and its group-asc tie-break — the testdata's strata are
+    * all equal-sized) is what the hash gate checks. */
+  val stratifiedSample = Q(
+    "ext_stratified_sample",
+    (s, d) => Curation.stratifiedSample(
+      Tables.documents(s, d), "doc_id", "source", n = 97),
+    Some("""WITH s AS (
+        SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+      tot AS (SELECT sum(cnt) AS n_tot FROM s),
+      a0 AS (
+        SELECT source, cnt, (97 * cnt) // n_tot AS base,
+          (97 * cnt) % n_tot AS rem
+        FROM s CROSS JOIN tot),
+      lr AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+        FROM a0),
+      lo AS (SELECT 97 - sum(base) AS leftover FROM a0),
+      al AS (
+        SELECT source,
+          base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+        FROM lr CROSS JOIN lo),
+      r AS (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+              doc_id) AS rank
+        FROM documents)
+      SELECT r.source, r.doc_id, CAST(r.rank AS INT) AS rank,
+        CAST(al.quota AS BIGINT) AS quota
+      FROM r JOIN al USING (source) WHERE r.rank <= al.quota"""))
+
   /** Flagship LLM-corpus cleaning pipeline end-to-end, every stage a
     * first-class operator from this module composed the way a real
     * training-data run chains them:
@@ -4030,6 +4107,7 @@ object ExtQueries {
     rpReduce, rpRecallQ,
     clusterBalanced, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
+    quantileSketch, stratifiedSample,
     llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
     qualityClassifier,

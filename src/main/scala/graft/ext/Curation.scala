@@ -577,4 +577,57 @@ object Curation {
       .select(col("id").as(idCol), col("quality"), col("n_tokens"),
         col("cum_tokens"))
   }
+
+  /** Stratified sample with EXACT total size: allocate `n` slots across
+    * `groupCol` strata proportional to stratum size using
+    * largest-remainder (Hamilton) rounding, then take each stratum's
+    * quota by md5-priority. Fraction-based sampling ([[graft.ext
+    * .TextDedup.hashSplit]]-style coins) only hits the target size in
+    * expectation; evaluation sets and fixed-budget data orders need the
+    * exact count, and largest-remainder is the allocation that
+    * minimizes total rounding error.
+    *
+    * Determinism (oracle-portable): quotas are pure INTEGER arithmetic —
+    * base = (n·cnt) div N, remainder = (n·cnt) mod N, the `+1` leftovers
+    * going to the largest remainders (ties → group asc); doc priority is
+    * the md5 base hash with doc_id tie-break.
+    *
+    * Scale: stratum sizes are one hash aggregate (G rows); allocation
+    * windows run over the G-row frame only. Per-stratum selection is
+    * the bounded-heap [[graft.functions.TopKAgg]] with k = n (the
+    * TOTAL sample bound, a caller knob): map-side partials keep ≤ n
+    * rows per (stratum, partition), so no stratum's full membership
+    * ever sorts or funnels through one task — the
+    * `Window.partitionBy(group).orderBy(hash)` form this replaces
+    * would put the largest stratum's 100 TB share in one reducer. */
+  def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "stratifiedSample: n must be positive")
+    val sizes = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = sizes.agg(sum(col("cnt")).as("n_tot"))
+    val alloc0 = sizes.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($n * cnt) div n_tot"))
+      .withColumn("rem", (lit(n.toLong) * col("cnt")) % col("n_tot"))
+    val wRem = Window.orderBy(col("rem").desc, col(groupCol).asc)
+    val alloc = alloc0
+      .withColumn("rr", row_number().over(wRem))
+      .crossJoin(broadcast(
+        alloc0.agg((lit(n.toLong) - sum(col("base"))).as("leftover"))))
+      .withColumn("quota",
+        col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .select(col(groupCol), col("quota"))
+    val pri = TextDedup.baseHash(col(idCol).cast("string"))
+    val picks = docs
+      .select(col(groupCol), col(idCol).cast("long").as("id"), pri.as("pri"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.top_k(
+        (lit(0L) - col("pri")).cast("double"), col("id"), n).as("picks"))
+      .select(col(groupCol), explode(col("picks")).as("p"))
+      .select(col(groupCol), col("p.id").as(idCol),
+        col("p.rank").as("rank"))
+    picks.join(broadcast(alloc), Seq(groupCol))
+      .filter(col("rank") <= col("quota"))
+      .select(col(groupCol), col(idCol), col("rank"), col("quota"))
+  }
 }

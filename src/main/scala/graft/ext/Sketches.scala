@@ -91,6 +91,50 @@ object Sketches {
     * Scale: reuses the bounded-heap [[graft.functions.TopKAgg]] — each
     * map task keeps k rows, the exchange carries k rows per partition,
     * never a global sort. */
+  /** Grouped mergeable quantile estimate from a bounded equi-width
+    * histogram: per `groupCol`, bucket the integer-valued `valCol` at
+    * `width`, then read each requested quantile off the cumulative
+    * histogram with linear interpolation inside the crossing bucket
+    * (inverse-CDF over the histogram — the classic mergeable-quantile
+    * shape: the sketch IS the (bucket, count) map, combined map-side by
+    * the hash aggregate, so no sort of the raw values ever happens).
+    *
+    * Estimate contract: for quantile q over n values, target = q·n;
+    * the crossing bucket is the FIRST with cumulative count ≥ target,
+    * and est = lo + width·(target − cum_before)/cnt — error bounded by
+    * `width` by construction (spec-pinned against the exact quantile).
+    * All arithmetic is integer counts + one double divide, so the
+    * DuckDB oracle replays it exactly.
+    *
+    * Scale: one hash aggregate on (group, bucket) with map-side
+    * combine; the cumulative window runs over BUCKETS per group
+    * (value-range/width rows, bounded by construction), never rows —
+    * quantiles of a 100 TB column for the price of a word-count. */
+  def histogramQuantiles(df: DataFrame, valCol: Column, groupCol: String,
+      width: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol), valCol.cast("long").as("v"))
+      .withColumn("bucket", col("v") - (col("v") % width))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(groupCol).orderBy("bucket")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy(groupCol)))
+    val cand = cum
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .withColumn("target", col("q") * col("n"))
+      .filter(col("cum") >= col("target"))
+    cand.groupBy(col(groupCol), col("q"))
+      .agg(min_by(struct(col("bucket"), col("cnt"), col("cum"), col("n"),
+        col("target")), col("bucket")).as("c"))
+      .select(col(groupCol), col("q"), col("c.n").as("n"),
+        round(col("c.bucket")
+          + lit(width) * (col("c.target") - (col("c.cum") - col("c.cnt")))
+            / col("c.cnt"), 6).as("est"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     val u = (TextDedup.baseHash(col(idCol).cast("string")) + 1)

@@ -175,6 +175,12 @@ class ExtSpec extends SparkSpec {
     val b = Similarity.randomProjection(emb.repartition(7), dOut = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(a == b)
+    // native MatProject loop ≡ the interpreted HOF+round reference,
+    // bit-for-bit over the whole table (same in-order summation, same
+    // BigDecimal HALF_UP rounding)
+    val hof = Similarity.randomProjectionHof(emb, dOut = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == hof)
 
     // recall on data with real structure: 3 well-separated clusters of
     // near-identical vectors. Full-dim top-k is all cluster-mates; a
@@ -1312,6 +1318,57 @@ class ExtSpec extends SparkSpec {
     val corpusMean = df.agg(avg("n_chars")).head().getDouble(0)
     assert(sampledMean > corpusMean * 0.9,
       s"sampled mean $sampledMean vs corpus $corpusMean")
+  }
+
+  test("histogram quantiles: within one bucket width of exact, mergeable " +
+      "across layouts") {
+    val v = graft.ext.TextStats.tokenCount(col("text"))
+    val est = graft.ext.Sketches.histogramQuantiles(
+      docs, v, "source", width = 8, qs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    // exact per-source quantiles (linear interpolation, same q grid)
+    val exact = docs.select(col("source"), v.cast("double").as("v"))
+      .groupBy("source")
+      .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("p"))
+      .collect().flatMap { r =>
+        val ps = r.getSeq[Double](1)
+        Seq(0.5, 0.9, 0.99).zip(ps).map { case (q, x) =>
+          (r.getString(0), q) -> x }
+      }.toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) <= 8.0,
+        s"$k: est $e vs exact ${exact(k)}")
+    }
+    // the sketch is a hash agg: input layout cannot move an estimate
+    val re = graft.ext.Sketches.histogramQuantiles(
+      docs.repartition(13), v, "source", width = 8, qs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    assert(re == est)
+  }
+
+  test("stratified sample: exact total, per-stratum quotas, layout-" +
+      "invariant") {
+    val out = graft.ext.Curation.stratifiedSample(
+      docs, "doc_id", "source", n = 97)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length == 97) // EXACT total — the point of the op
+    // every stratum hits its quota exactly (quota <= stratum size here)
+    val perGroup = rows.groupBy(_._1)
+    perGroup.foreach { case (src, rs) =>
+      assert(rs.length == rs.head._4, s"$src: ${rs.length} vs ${rs.head._4}")
+    }
+    // quotas differ by at most 1 on equal-sized strata (largest
+    // remainder with all-equal remainders → tie-break by source asc)
+    val quotas = perGroup.view.mapValues(_.head._4).toMap
+    assert(quotas.values.max - quotas.values.min <= 1)
+    val again = graft.ext.Curation.stratifiedSample(
+      docs.repartition(11), "doc_id", "source", n = 97)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(again == rows.map(r => (r._1, r._2)).sorted.toSeq)
   }
 
   test("lm score: improbable tokens score lower than common ones") {

@@ -47,7 +47,9 @@ class PlanGuardSpec extends SparkSpec {
     "ext_tokenize_ids" ->
       "rank over the bounded-heap top-vocabSize vocabulary",
     "ext_classifier_auc" ->
-      "cumulative negatives over the score-bin histogram (<= 1000 rows)")
+      "cumulative negatives over the score-bin histogram (<= 1000 rows)",
+    "ext_stratified_sample" ->
+      "remainder ranking over the per-stratum size aggregate (G rows)")
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:
