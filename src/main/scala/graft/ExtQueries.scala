@@ -1976,6 +1976,70 @@ object ExtQueries {
         ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
       GROUP BY e.query_id"""))
 
+  /** MMR diversified rerank ([[graft.ext.Similarity.mmrRerank]]): per
+    * query, greedy `lam·rel − (1−lam)·maxSim-to-selected` selection of
+    * 5 from the brute-force top-10 shortlist. The oracle unrolls the
+    * greedy loop into k chained MATERIALIZED steps (the ext_bpe_merges
+    * precedent): each step anti-joins the already-selected set, takes
+    * the max pairwise 6-dp cosine to it, and argmaxes the mixed score
+    * with the same (score DESC, neighbor_id ASC) tie order the Scala
+    * loop's strict-> comparison over id-sorted candidates produces. */
+  val mmrRerankQ = Q(
+    "ext_mmr_rerank",
+    (s, d) => Similarity.mmrRerank(
+      Tables.embeddings(s, d), col("vec_id") < 8, k = 5, m = 10, lam = 0.5),
+    Some {
+      val steps = (2 to 5).map { t =>
+        s"""p$t AS (
+        SELECT c.query_id, c.neighbor_id, c.rel,
+          max(${annCos("c.b_emb", "s.b_emb")}) AS msim
+        FROM cand c
+        JOIN sel${t - 1} s ON c.query_id = s.query_id
+        LEFT JOIN sel${t - 1} x ON x.query_id = c.query_id
+          AND x.neighbor_id = c.neighbor_id
+        WHERE x.neighbor_id IS NULL
+        GROUP BY 1, 2, 3),
+      s$t AS MATERIALIZED (
+        SELECT p.query_id, p.neighbor_id, c2.b_emb, p.rel,
+          0.5 * p.rel - 0.5 * p.msim AS score, $t AS mmr_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY (0.5 * rel - 0.5 * msim) DESC, neighbor_id) AS r
+              FROM p$t) p
+        JOIN cand c2 ON c2.query_id = p.query_id
+          AND c2.neighbor_id = p.neighbor_id
+        WHERE p.r = 1),
+      sel$t AS (
+        SELECT query_id, neighbor_id, b_emb FROM sel${t - 1}
+        UNION ALL SELECT query_id, neighbor_id, b_emb FROM s$t)"""
+      }.mkString(",\n      ")
+      val finalUnion = (1 to 5).map(t =>
+        s"""SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+          rel, score FROM s$t""").mkString("\n      UNION ALL ")
+      s"""WITH $annVCte,
+      cq AS (SELECT vec_id AS query_id, emb AS a_emb FROM v
+             WHERE vec_id < 8),
+      cc AS (SELECT vec_id AS neighbor_id, emb AS b_emb FROM v),
+      sc AS (
+        SELECT query_id, neighbor_id, b_emb,
+          ${annCos("a_emb", "b_emb")} AS rel
+        FROM cq JOIN cc ON query_id != neighbor_id),
+      cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, b_emb, rel FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, neighbor_id) AS r
+          FROM sc) t WHERE r <= 10),
+      s1 AS MATERIALIZED (
+        SELECT query_id, neighbor_id, b_emb, rel, rel AS score,
+          1 AS mmr_rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, neighbor_id) AS r
+          FROM cand) t WHERE r = 1),
+      sel1 AS (SELECT query_id, neighbor_id, b_emb FROM s1),
+      $steps
+      $finalUnion"""
+    })
+
   /** Shared CTE chain for sign-bucket cosine candidate pairs (4-bit
     * buckets; `p` exposes id_a/id_b with a_emb/b_emb) — used by the
     * embedding-cosine and semantic-dedup oracles so the candidate
@@ -4104,7 +4168,7 @@ object ExtQueries {
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
-    rpReduce, rpRecallQ,
+    rpReduce, rpRecallQ, mmrRerankQ,
     clusterBalanced, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
     quantileSketch, stratifiedSample,

@@ -399,6 +399,102 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** One MMR-selected result row ([[mmrRerank]]). */
+  final case class MmrPick(
+      query_id: Long, neighbor_id: Long, mmr_rank: Int,
+      rel: Double, score: Double)
+
+  /** Exact replica of the oracle cosine ([[cosine]] / dkCos) in local
+    * Scala: in-order double dot products, 6-dp HALF_UP round — used by
+    * the [[mmrRerank]] greedy loop so its pairwise similarities are
+    * bit-identical to the Catalyst/DuckDB values. Non-finite cosines
+    * (zero-norm vectors, outside the embeddings contract) pin to −1,
+    * the [[graft.ext.IvfIndex]] convention. */
+  private def cosRoundLocal(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var sa = 0.0; var sb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      s += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    i = 0
+    while (i < a.length) { sa += a(i).toDouble * a(i).toDouble; i += 1 }
+    i = 0
+    while (i < b.length) { sb += b(i).toDouble * b(i).toDouble; i += 1 }
+    val c = s / (math.sqrt(sa) * math.sqrt(sb))
+    if (java.lang.Double.isFinite(c))
+      java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    else -1.0
+  }
+
+  /** Maximal-marginal-relevance diversified top-k: per query, take the
+    * brute-force top-`m` shortlist, then greedily select `k` results
+    * maximizing `lam·rel(c) − (1−lam)·max_{s∈S} cos(c, s)` — the
+    * classic redundancy-penalized rerank (Carbonell & Goldstein 1998)
+    * that keeps a near-duplicate-heavy corpus from filling all k slots
+    * with one cluster. Rank 1 is pure relevance; ties break on
+    * neighbor_id asc at every step.
+    *
+    * Scale: the candidate stage is [[bruteForceTopK]]'s bounded-heap
+    * shape (swap in LSH/IVF candidates at cluster scale); the greedy
+    * loop is inherently sequential PER QUERY but bounded — m shortlist
+    * rows per group through `flatMapGroups`, O(k·m) local cosines — so
+    * it distributes by query exactly like any grouped aggregate and
+    * holds m rows of state, never the corpus. Determinism: rel comes
+    * from the Catalyst 6-dp cosine; pairwise sims use the bit-identical
+    * local replica; `lam` = 0.5 keeps the mixing arithmetic exact in
+    * binary, and the DuckDB oracle replays the k unrolled greedy steps
+    * hash-exactly. */
+  def mmrRerank(emb: DataFrame, queryPred: Column, k: Int, m: Int,
+      lam: Double = 0.5): DataFrame = {
+    import emb.sparkSession.implicits._
+    val short = bruteForceTopK(emb, queryPred, m)
+    val withEmb = short.join(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+      "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"),
+        col("n_emb"))
+    withEmb.groupByKey(r => r.getLong(r.fieldIndex("query_id")))
+      .flatMapGroups { (q, it) =>
+        final case class C(id: Long, rel: Double, emb: Array[Float])
+        val cand = it.map { r =>
+          C(r.getLong(r.fieldIndex("neighbor_id")),
+            r.getDouble(r.fieldIndex("rel")),
+            r.getSeq[Float](r.fieldIndex("n_emb")).toArray)
+        }.toArray.sortBy(_.id)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[C]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var rank = 1
+        while (rank <= k && selected.length < cand.length) {
+          var best: C = null
+          var bestScore = Double.NegativeInfinity
+          cand.foreach { c =>
+            if (!selected.exists(_.id == c.id)) {
+              val score =
+                if (selected.isEmpty) c.rel
+                else {
+                  var msim = Double.NegativeInfinity
+                  selected.foreach { s =>
+                    val cs = cosRoundLocal(c.emb, s.emb)
+                    if (cs > msim) msim = cs
+                  }
+                  lam * c.rel - (1 - lam) * msim
+                }
+              // strict > : on ties the earlier (smaller-id) candidate
+              // wins, matching the oracle's (score DESC, id ASC) order
+              if (score > bestScore) { best = c; bestScore = score }
+            }
+          }
+          selected += best
+          out += MmrPick(q, best.id, rank, best.rel, bestScore)
+          rank += 1
+        }
+        out
+      }.toDF()
+  }
+
   /** Per-label centroids, emitted flat as (label, dim, value): posexplode →
     * grouped mean — one shuffle on (label, dim), no list-ordering
     * dependence in the result. */

@@ -208,6 +208,36 @@ class ExtSpec extends SparkSpec {
     assert(rec == 1.0, s"clustered recall@5 = $rec")
   }
 
+  test("MMR rerank: diverse results displace near-duplicate cluster mates") {
+    // query 0 at e0; ids 1-3 a tight cluster near the query (the
+    // near-dup flood), ids 4-5 equally relevant but mutually orthogonal
+    def pad(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    val fix = Seq(
+      (0L, pad(1.0)),
+      (1L, pad(0.9, 0.30)),
+      (2L, pad(0.9, 0.31)),
+      (3L, pad(0.9, 0.32)),
+      (4L, pad(0.9, -0.436)),
+      (5L, pad(0.9, 0.0, 0.436))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(fix, col("vec_id") === 0, k = 3, m = 5)
+      .orderBy("mmr_rank")
+      .collect().map(r => (r.getInt(2), r.getLong(1)))
+    // rank 1 = pure relevance (cluster's best); ranks 2-3 = the two
+    // orthogonal candidates — the redundant cluster mates 2 and 3 are
+    // displaced even though THEY have the next-highest raw relevance
+    assert(out.map(_._2).toSeq == Seq(1L, 4L, 5L), out.toSeq.toString)
+    // pure relevance would have returned the whole cluster first
+    val rel = Similarity.bruteForceTopK(fix, col("vec_id") === 0, 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(1L, 2L, 3L))
+    // layout invariance
+    val again = Similarity.mmrRerank(
+      fix.repartition(5), col("vec_id") === 0, k = 3, m = 5)
+      .orderBy("mmr_rank").collect().map(r => (r.getInt(2), r.getLong(1)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("IVF: clusters partition the corpus; search scores match exact path") {
     val model = graft.ext.IvfIndex.train(emb, nlist = 4)
     assert(model.nlist == 4)

@@ -76,7 +76,9 @@ class PlanGuardSpec extends SparkSpec {
       "broadcasts the single semantic query vector (vec_id = 7)",
     "ext_rp_recall" ->
       ("broadcasts the bounded query batch twice (exact + reduced side, " +
-        "vec_id < 8 by contract)"))
+        "vec_id < 8 by contract)"),
+    "ext_mmr_rerank" ->
+      "broadcasts the bounded query batch (vec_id < 8 by contract)")
 
   /** A broadcast side is row-bounded when every scan-to-root path passes
     * an aggregate, limit, or driver-side top-k — the shapes that shrink
