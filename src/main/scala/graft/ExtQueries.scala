@@ -1976,6 +1976,63 @@ object ExtQueries {
         ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
       GROUP BY e.query_id"""))
 
+  /** Sparse TF-IDF cosine top-k ([[graft.ext.Retrieval
+    * .sparseCosineTopK]]): doc-to-doc similarity through the
+    * inverted-index (term-keyed) join — the lexical twin of the dense
+    * ANN family, candidates bounded to docs sharing a surviving term
+    * with stop-term pruning (df/N cap; the testdata's 31-word vocab
+    * makes nearly every term a stopword, so the registered query runs
+    * the permissive 0.9 cap for dense results — production default is
+    * 0.5, pruning exercised in RetrievalSpec). Norms and dots go through
+    * exact DECIMAL(38,12) sums so join-order float summation cannot
+    * break the gate; idf's ln is 6-dp rounded (the Retrieval libm
+    * rule). */
+  val sparseCosine = Q(
+    "ext_sparse_cosine_topk",
+    (s, d) => Retrieval.sparseCosineTopK(
+      Tables.documents(s, d), "text", "doc_id",
+      col("doc_id") < 8, k = 5, maxDfFrac = 0.9),
+    Some(s"""WITH tk AS (
+        SELECT doc_id,
+          unnest(string_split_regex(${wsTrimSql("lower(text)")}, '\\s+'))
+            AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      st AS (SELECT count(*) AS n_docs FROM documents),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      w AS (
+        SELECT tf.doc_id, tf.term,
+          CAST(tf.tf AS DOUBLE)
+            * round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS w
+        FROM tf JOIN dfq USING (term) CROSS JOIN st
+        WHERE CAST(df AS DOUBLE) / n_docs <= 0.9),
+      nr AS (
+        SELECT doc_id,
+          sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM w GROUP BY 1),
+      wn AS (SELECT w.doc_id, w.term, w.w, nr.nrm
+             FROM w JOIN nr USING (doc_id)),
+      q AS (SELECT term, doc_id AS q_id, w AS qw, nrm AS q_nrm
+            FROM wn WHERE doc_id < 8),
+      d AS (SELECT term, doc_id AS d_id, w AS dw, nrm AS d_nrm FROM wn),
+      dots AS (
+        SELECT q_id, d_id, q_nrm, d_nrm,
+          sum(CAST(qw * dw AS DECIMAL(38,12))) AS dot
+        FROM d JOIN q USING (term) WHERE q_id != d_id
+        GROUP BY 1, 2, 3, 4),
+      sc AS (
+        SELECT q_id AS query_id, d_id AS neighbor_id,
+          round(CAST(dot AS DOUBLE) / (q_nrm * d_nrm), 6) AS cos
+        FROM dots),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5"""))
+
   /** MMR diversified rerank ([[graft.ext.Similarity.mmrRerank]]): per
     * query, greedy `lam·rel − (1−lam)·maxSim-to-selected` selection of
     * 5 from the brute-force top-10 shortlist. The oracle unrolls the
@@ -4168,7 +4225,7 @@ object ExtQueries {
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
-    rpReduce, rpRecallQ, mmrRerankQ,
+    rpReduce, rpRecallQ, mmrRerankQ, sparseCosine,
     clusterBalanced, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
     quantileSketch, stratifiedSample,

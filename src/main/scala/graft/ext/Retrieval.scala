@@ -70,6 +70,60 @@ object Retrieval {
         col("t.rank").as("rank"))
   }
 
+  /** Sparse TF-IDF cosine top-k: document-to-document similarity
+    * through the INVERTED-INDEX join — the lexical twin of the dense
+    * ANN family. Per doc-term: w = tf · idf (idf = ln(N/df), 6-dp);
+    * per query doc, cos = Σ_t w_q·w_d / (‖q‖·‖d‖) over shared terms,
+    * computed by joining the query batch's postings to the corpus
+    * postings ON TERM — candidate pairs are exactly the docs sharing a
+    * surviving term, never all pairs.
+    *
+    * Scale: ONE term-keyed shuffle produces the partial products,
+    * combined map-side into (q, d) dots; stop-term pruning
+    * (df/N > `maxDfFrac` dropped) bounds the posting fan-out the way
+    * every sparse retriever must — a stopword term would otherwise
+    * contribute |batch|·df candidate pairs. Norms and dots sum w
+    * products through exact DECIMAL(38,12) (the Det.dsum rule), so the
+    * join-order-dependent float summation cannot break the hash gate;
+    * final top-k is the bounded-heap aggregate.
+    *
+    * `queryPred` filters on `doc_id` (the bounded query batch, the ANN
+    * contract). */
+  def sparseCosineTopK(docs: DataFrame, textCol: String, idCol: String,
+      queryPred: Column, k: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = graft.ops.CacheScope.persist(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfT, "term").crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") / col("n_docs") <= lit(maxDfFrac))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          round(log(col("n_docs").cast("double") / col("df")), 6)).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum((col("w") * col("w")).cast(DecimalType(38, 12)))
+        .cast("double")).as("nrm"))
+    val wn = w.join(norms, "doc_id")
+    val q = wn.filter(queryPred)
+      .select(col("term"), col("doc_id").as("q_id"), col("w").as("qw"),
+        col("nrm").as("q_nrm"))
+    val d = wn.select(col("term"), col("doc_id").as("d_id"),
+      col("w").as("dw"), col("nrm").as("d_nrm"))
+    val dots = d.join(q, "term")
+      .filter(col("q_id") =!= col("d_id"))
+      .groupBy(col("q_id"), col("d_id"), col("q_nrm"), col("d_nrm"))
+      .agg(sum((col("qw") * col("dw")).cast(DecimalType(38, 12))).as("dot"))
+    val scored = dots.select(col("q_id").as("query_id"),
+      col("d_id").as("neighbor_id"),
+      round(col("dot").cast("double") / (col("q_nrm") * col("d_nrm")), 6)
+        .as("cos"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009:
     * score = Σ_legs 1/(rrfK + rank)) of a BM25 lexical leg and an
     * embedding-cosine semantic leg, the standard two-tower RAG retrieval

@@ -1276,6 +1276,45 @@ class ExtSpec extends SparkSpec {
     assert(scores.head <= 2.0 / 61 + 1e-9 && scores.last > 0.0)
   }
 
+  test("sparse cosine: matches dense tf-idf cosine; stop-term cap prunes") {
+    try {
+      // with the 0.5 cap over N=4: 'the' (df 4) and 'alpha' (df 3) are
+      // stopwords and must not contribute; doc 1 shares surviving
+      // 'beta', doc 3 surviving 'gamma', doc 2 shares nothing surviving
+      val corpus = Seq(
+        (0L, "the alpha beta gamma"),
+        (1L, "the alpha beta delta"),
+        (2L, "the epsilon zeta eta"),
+        (3L, "the alpha gamma theta epsilon")).toDF("doc_id", "text")
+      val out = graft.ext.Retrieval.sparseCosineTopK(
+        corpus, "text", "doc_id", col("doc_id") === 0, k = 3,
+        maxDfFrac = 0.5)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(out.map(_._1).toSeq == Seq(1L, 3L))
+      assert(out(0)._2 > out(1)._2)
+      // dense hand reference over the surviving vocabulary:
+      // doc0 {beta ln2, gamma ln2}, doc1 {beta ln2, delta ln4},
+      // doc3 {gamma ln2, theta ln4, epsilon ln2}
+      def idf(df: Int) = BigDecimal(math.log(4.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (l2, l4) = (idf(2), idf(1))
+      val n0 = math.sqrt(2 * l2 * l2)
+      val n1 = math.sqrt(l2 * l2 + l4 * l4)
+      val n3 = math.sqrt(2 * l2 * l2 + l4 * l4)
+      val exp01 = l2 * l2 / (n0 * n1)
+      val exp03 = l2 * l2 / (n0 * n3)
+      assert(math.abs(out(0)._2 - exp01) < 2e-6, s"${out(0)._2} vs $exp01")
+      assert(math.abs(out(1)._2 - exp03) < 2e-6, s"${out(1)._2} vs $exp03")
+      // layout invariance
+      val again = graft.ext.Retrieval.sparseCosineTopK(
+        corpus.repartition(3), "text", "doc_id", col("doc_id") === 0,
+        k = 3, maxDfFrac = 0.5)
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(again.toSeq == out.toSeq)
+    } finally graft.ops.CacheScope.releaseAll()
+  }
+
   test("bm25: term-frequent doc ranks first, scores non-increasing") {
     val corpus = Seq(
       (1L, "spark spark spark join window"),
