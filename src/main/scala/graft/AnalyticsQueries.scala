@@ -280,6 +280,58 @@ object AnalyticsQueries {
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""),
     bench = true)
 
+  /** Linear multi-touch attribution — the BATCH twin of
+    * `q_stream_attribution`: each purchase's value splits EQUALLY over
+    * the same user's clicks in the preceding hour (linear-touch, the
+    * standard alternative to last-touch), then rolls up per click.
+    * Last-touch needs only the as-of join (`q_asof_purchase_click`);
+    * linear needs the full interval join plus a per-purchase count —
+    * expressed as a window PARTITIONED BY purchase_id (bounded by
+    * clicks-per-hour-per-user, never row-grained global).
+    *
+    * Scale: one user_id-keyed equi-join with a residual time band (per
+    * user, events are few — no band bucketing needed), one bounded
+    * window, one hash agg on click_id. Shares go through exact
+    * DECIMAL(18,9) sums (Det rule) so per-click totals are
+    * order-independent. */
+  val qAttributionLinear = Q(
+    "q_attribution_linear",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"), col("value"))
+      val pairs = purchases.join(clicks, Seq("user_id"))
+        .filter(col("p_us") >= col("c_us") &&
+          col("p_us") <= col("c_us") + lit(3600L * 1000000L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+      pairs.withColumn("n_clicks", count(lit(1)).over(w))
+        .withColumn("share", col("value") / col("n_clicks"))
+        .groupBy(col("click_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("share").cast(DecimalType(18, 9))).cast("double")
+            .as("attributed"))
+    },
+    Some("""WITH c AS (
+        SELECT user_id, event_id AS click_id, ts FROM events
+        WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+      pr AS (
+        SELECT p.user_id, c.click_id, p.value,
+          count(*) OVER (PARTITION BY p.purchase_id) AS n_clicks
+        FROM p JOIN c ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      SELECT click_id, user_id, count(*) AS n_purchases,
+        CAST(sum(CAST(value / n_clicks AS DECIMAL(18,9))) AS DOUBLE)
+          AS attributed
+      FROM pr GROUP BY 1, 2"""))
+
   /** Semi-structured extraction through Spark 4's VARIANT type: the
     * `events.props` JSON column is parsed once (`parse_json` → binary
     * variant, NOT per-field string re-parsing) and `variant_get` pulls
@@ -1746,7 +1798,7 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
-    qEventsHourlyStream, qStreamAttribution, qJsonProps,
+    qEventsHourlyStream, qStreamAttribution, qAttributionLinear, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

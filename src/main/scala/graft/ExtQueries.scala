@@ -1976,6 +1976,52 @@ object ExtQueries {
         ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
       GROUP BY e.query_id"""))
 
+  /** nDCG@5 of the brute-force ranking against same-label relevance
+    * ([[graft.ext.Retrieval.ndcgAtK]]) — completes the ranking-metric
+    * set (recall/precision/MRR in `ext_sim_eval_metrics` ignore WHERE
+    * in the top-k a hit lands). The transcendental discounts are
+    * computed once in Scala and interpolated into both engines as the
+    * same literals; DCG sums them in exact DECIMAL(18,6). */
+  val ndcgQ = Q(
+    "ext_ndcg_at_k",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val ranked = Similarity.bruteForceTopK(e, col("vec_id") < 8, k = 5)
+      val truth = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label"))
+        .join(e.select(col("vec_id").as("doc_id"), col("label")), "label")
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.ndcgAtK(ranked, truth, k = 5)
+    },
+    Some {
+      val disc = Retrieval.ndcgDiscounts(5)
+      val cum = disc.scanLeft(BigDecimal(0))(_ + _).tail
+      val dArr = disc.map(_.toDouble).mkString("[", ", ", "]")
+      val cArr = cum.map(_.toDouble).mkString("[", ", ", "]")
+      s"""WITH $bfRankedCtes,
+      truth AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS doc_id
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND b.vec_id != a.vec_id
+        WHERE a.vec_id < 8),
+      nrel AS (
+        SELECT query_id, count(*) AS n_relevant FROM truth GROUP BY 1),
+      h AS (
+        SELECT r.query_id,
+          sum(CAST(($dArr)[r.rank] AS DECIMAL(18,6))) AS dcg_dec
+        FROM ranked r
+        JOIN truth t ON r.query_id = t.query_id
+          AND r.neighbor_id = t.doc_id
+        WHERE r.rank <= 5 GROUP BY 1)
+      SELECT n.query_id, n.n_relevant,
+        coalesce(CAST(h.dcg_dec AS DOUBLE), CAST(0 AS DOUBLE)) AS dcg,
+        ($cArr)[CAST(least(n.n_relevant, 5) AS INT)] AS idcg,
+        round(coalesce(CAST(h.dcg_dec AS DOUBLE), CAST(0 AS DOUBLE))
+          / ($cArr)[CAST(least(n.n_relevant, 5) AS INT)], 6) AS ndcg
+      FROM nrel n LEFT JOIN h USING (query_id)"""
+    })
+
   /** Sparse TF-IDF cosine top-k ([[graft.ext.Retrieval
     * .sparseCosineTopK]]): doc-to-doc similarity through the
     * inverted-index (term-keyed) join — the lexical twin of the dense
@@ -4225,7 +4271,7 @@ object ExtQueries {
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
-    rpReduce, rpRecallQ, mmrRerankQ, sparseCosine,
+    rpReduce, rpRecallQ, mmrRerankQ, sparseCosine, ndcgQ,
     clusterBalanced, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
     quantileSketch, stratifiedSample,

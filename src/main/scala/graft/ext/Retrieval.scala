@@ -287,6 +287,48 @@ object Retrieval {
           .as("reciprocal_rank"))
   }
 
+  /** nDCG@k with binary relevance: DCG = Σ_{hit at rank i} 1/log₂(i+1),
+    * IDCG = the same sum over the first min(n_relevant, k) ranks,
+    * nDCG = DCG/IDCG — the position-discounted ranking metric that
+    * [[rankingMetrics]]' recall/precision/MRR miss (a hit at rank 1 and
+    * a hit at rank k count the same to recall).
+    *
+    * Determinism: the k discount constants (transcendental log₂) are
+    * computed ONCE in Scala, 6-dp rounded, and interpolated as
+    * literals into BOTH the plan and the oracle SQL — libm cannot
+    * diverge on a literal; DCG sums them through exact DECIMAL(18,6);
+    * IDCG is read from the exact cumulative-sum literal array. Scale:
+    * two k-row-per-query frames joined and aggregated — negligible
+    * next to the ranking it evaluates. */
+  def ndcgAtK(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val disc = ndcgDiscounts(k)
+    val cum = disc.scanLeft(BigDecimal(0))(_ + _).tail
+    val discCol = array(disc.map(d => lit(d.toDouble)): _*)
+    val cumCol = array(cum.map(c => lit(c.toDouble)): _*)
+    val nRel = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(truth.withColumnRenamed("doc_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(element_at(discCol, col("rank"))
+        .cast(DecimalType(18, 6))).as("dcg_dec"))
+    nRel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("dcg_dec").cast("double"), lit(0.0)).as("dcg"),
+        element_at(cumCol,
+          least(col("n_relevant"), lit(k.toLong)).cast("int")).as("idcg"))
+      .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
+  }
+
+  /** The k 6-dp-rounded 1/log₂(i+1) discount constants — shared with
+    * the oracle-SQL generator so plan and oracle interpolate the SAME
+    * doubles. */
+  def ndcgDiscounts(k: Int): Seq[BigDecimal] =
+    (1 to k).map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+
   /** Materialized inverted index with BOUNDED posting shards (the
     * offline retrieval-index build: term → doc_id-ordered postings,
     * split into shards of ≤ `shardPostings` entries each, Lucene-segment

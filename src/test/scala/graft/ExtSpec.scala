@@ -1315,6 +1315,54 @@ class ExtSpec extends SparkSpec {
     } finally graft.ops.CacheScope.releaseAll()
   }
 
+  test("ndcg: early hits beat late hits; perfect ranking scores 1") {
+    // two queries, one relevant doc each: q0's hit at rank 1, q1's at
+    // rank 5 — same recall@5 (1.0), but nDCG must separate them
+    val ranked = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 13L, 4), (0L, 14L, 5),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3), (1L, 23L, 4), (1L, 24L, 5))
+      .toDF("query_id", "neighbor_id", "rank")
+    val truth = Seq((0L, 10L), (1L, 24L)).toDF("query_id", "doc_id")
+    val out = graft.ext.Retrieval.ndcgAtK(ranked, truth, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(0L) == 1.0, s"rank-1 hit with n_rel=1 is a perfect ranking")
+    assert(out(1L) < 1.0 && out(1L) > 0.0)
+    assert(out(0L) > out(1L))
+    // n_rel = 1 → idcg = disc(1) = 1; dcg at rank 5 = 1/log2(6)
+    val d5 = graft.ext.Retrieval.ndcgDiscounts(5).last.toDouble
+    assert(math.abs(out(1L) - d5) < 2e-6)
+  }
+
+  test("linear attribution conserves each purchase's value") {
+    try {
+      val ev = Tables.events(spark, sf)
+      val out = Registry.queries("q_attribution_linear")(spark, sf)
+      // total attributed value across clicks = total value of purchases
+      // that HAVE an in-window click (the conservation law linear-touch
+      // promises; unattributed purchases fall outside by construction)
+      val attributed = out.agg(
+        sum(col("attributed").cast(org.apache.spark.sql.types.DecimalType(18, 9)))).head().getDecimal(0)
+      val attributable = {
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("p_us"), col("value"))
+        p.join(c, Seq("user_id"))
+          .filter(col("p_us") >= col("c_us") &&
+            col("p_us") <= col("c_us") + lit(3600L * 1000000L))
+          .select(col("event_id"), col("value")).distinct()
+          .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 9))))
+          .head().getDecimal(0)
+      }
+      // shares are value/n rounded to 9 dp before summing, so the two
+      // exact-decimal totals agree to within n_pairs ulps of 1e-9
+      assert((attributed.subtract(attributable)).abs()
+        .doubleValue() < 1e-6,
+        s"attributed $attributed vs attributable $attributable")
+    } finally graft.ops.CacheScope.releaseAll()
+  }
+
   test("bm25: term-frequent doc ranks first, scores non-increasing") {
     val corpus = Seq(
       (1L, "spark spark spark join window"),

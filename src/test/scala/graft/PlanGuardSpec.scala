@@ -78,6 +78,8 @@ class PlanGuardSpec extends SparkSpec {
       ("broadcasts the bounded query batch twice (exact + reduced side, " +
         "vec_id < 8 by contract)"),
     "ext_mmr_rerank" ->
+      "broadcasts the bounded query batch (vec_id < 8 by contract)",
+    "ext_ndcg_at_k" ->
       "broadcasts the bounded query batch (vec_id < 8 by contract)")
 
   /** A broadcast side is row-bounded when every scan-to-root path passes
