@@ -107,7 +107,11 @@ object Retrieval {
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum((col("w") * col("w")).cast(DecimalType(38, 12)))
         .cast("double")).as("nrm"))
-    val wn = w.join(norms, "doc_id")
+    // persisted: the weighted-postings-with-norms frame IS the sparse
+    // index artifact, and both join sides (query batch + corpus) read
+    // it — uncached, the tokenize→df→weight→norm subtree would build
+    // TWICE, doubling the dominant cost
+    val wn = graft.ops.CacheScope.persist(w.join(norms, "doc_id"))
     val q = wn.filter(queryPred)
       .select(col("term"), col("doc_id").as("q_id"), col("w").as("qw"),
         col("nrm").as("q_nrm"))
