@@ -23,15 +23,15 @@ object ExtQueries {
       TextStats.meanWordLen(col("text")).as("mean_word_len"),
       TextStats.stopwordRatio(col("text")).as("stopword_ratio")),
     Some(s"""SELECT doc_id,
-      len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+      len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS n_tokens,
       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish,
       length(text) AS n_chars_m,
       round(length(regexp_replace(text, '\\s+', '', 'g'))
-        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+        / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE), 6)
         AS mean_word_len,
-      round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      round(len(list_filter(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'),
           t -> t IN (${TextStats.enStopwords.map(w => s"'$w'").mkString(",")})))
-        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+        / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE), 6)
         AS stopword_ratio
       FROM documents"""),
     bench = true)
@@ -46,7 +46,7 @@ object ExtQueries {
     * SPACES only, so a tab- or newline-edged document would tokenize to
     * a different count across engines and break the hash gate. Shared by
     * the quality fragments (~17 oracles) and the dsir tokenizer. */
-  private def wsTrimSql(e: String): String =
+  private[graft] def wsTrimSql(e: String): String =
     s"trim($e, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
 
   private def qcTokSql =
@@ -105,7 +105,7 @@ object ExtQueries {
       }.mkString("\n          ")
       s"""WITH t AS (
           SELECT doc_id,
-            string_split_regex(trim(lower(text)), '\\s+') AS toks
+            string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks
           FROM documents),
         s AS (
           SELECT doc_id,
@@ -240,7 +240,7 @@ object ExtQueries {
       Tables.documents(s, d), "text", "doc_id"),
     Some("""WITH t AS (
         SELECT doc_id,
-          string_split_regex(trim(lower(text)), '\s+') AS tk
+          string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
         FROM documents),
       base AS (
         SELECT doc_id,
@@ -333,13 +333,13 @@ object ExtQueries {
         SELECT doc_id, unnest(list_distinct(list_transform(
           generate_series(1, len(tk) - 2),
           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS sh
-        FROM (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS tk
+        FROM (SELECT doc_id, string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS tk
               FROM salted)),
       bsh AS (
         SELECT bench_id, unnest(list_distinct(list_transform(
           generate_series(1, len(tk) - 2),
           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS sh
-        FROM (SELECT bench_id, string_split_regex(trim(btext), '\\s+') AS tk
+        FROM (SELECT bench_id, string_split_regex(trim(btext, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS tk
               FROM bench))
       SELECT d.doc_id, b.bench_id, count(*) AS n_shared
       FROM dsh d JOIN bsh b USING (sh)
@@ -382,7 +382,7 @@ object ExtQueries {
       "doc_id", "n_tokens", chunkTokens = 512),
     Some("""WITH t AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS BIGINT)
             AS n_tokens
         FROM documents),
       c AS (
@@ -408,7 +408,7 @@ object ExtQueries {
       "doc_id", "n_tokens", ctxTokens = 2048),
     Some("""WITH t AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS BIGINT)
             AS n_tokens
         FROM documents),
       nb AS (
@@ -434,7 +434,7 @@ object ExtQueries {
       shardPostings = 32, minDf = 2),
     Some("""WITH toks AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
         FROM documents),
       p AS (
         SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
@@ -470,7 +470,7 @@ object ExtQueries {
     },
     Some("""WITH toks AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
         FROM documents),
       p AS (
         SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
@@ -510,7 +510,7 @@ object ExtQueries {
           .cast("double") / count(lit(1)), 6).as("overflow_frac")),
     Some("""WITH t AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS BIGINT)
             AS n_tokens
         FROM documents),
       nb AS (
@@ -545,7 +545,7 @@ object ExtQueries {
       Seq("spark", "window", "vector"), shardPostings = 32, minDf = 2),
     Some("""WITH toks AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
         FROM documents),
       p AS (
         SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
@@ -563,7 +563,7 @@ object ExtQueries {
       Tables.documents(s, d), "text", "doc_id",
       chunkTokens = 32, stride = 24),
     Some("""WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
         FROM documents),
       n AS (
         SELECT doc_id, tk, len(tk) AS n,
@@ -634,7 +634,7 @@ object ExtQueries {
       Tables.documents(s, d), "text", "doc_id", m = 5),
     Some("""WITH terms AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
         FROM documents),
       tf AS (
         SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
@@ -739,7 +739,7 @@ object ExtQueries {
       s"'$b' || ',' || CAST(sig[${lo + 1}] AS VARCHAR) || ',' || CAST(sig[${lo + 2}] AS VARCHAR)"
     }
     s"""toks AS (
-         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks
          FROM $src),
        sh AS (
          SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
@@ -1050,7 +1050,7 @@ object ExtQueries {
     Some("""WITH t AS (
         SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             % 8 AS shard_id,
-          len(string_split_regex(trim(text), '\s+')) AS n_tok,
+          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS n_tok,
           length(text) AS n_ch
         FROM documents)
       SELECT shard_id, count(*) AS n_docs,
@@ -1111,10 +1111,10 @@ object ExtQueries {
       graft.ext.Curation.distributionDrift(ref, cur, "n_tok", width = 32)
     },
     Some("""WITH ref AS (
-        SELECT len(string_split_regex(trim(text), '\s+')) AS v
+        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS v
         FROM documents),
       cur AS (
-        SELECT len(string_split_regex(trim(text), '\s+')) AS v
+        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS v
         FROM documents WHERE doc_id % 5 != 0
         UNION ALL
         SELECT len(string_split_regex(trim(text || ' ' || text), '\s+')) AS v
@@ -1165,7 +1165,7 @@ object ExtQueries {
       "n_tok", Seq("source")),
     Some("""WITH t AS (
         SELECT source,
-          len(string_split_regex(trim(text), '\s+')) AS x
+          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS x
         FROM documents),
       w AS (
         SELECT source, count(*) AS n,
@@ -1425,7 +1425,7 @@ object ExtQueries {
     // ShingleHashes), so Spark and the oracle compute the identical
     // Jaccard even in the (astronomically unlikely) collision case
     Some(s"""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks
         FROM documents),
       sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
       hs AS (
@@ -1452,7 +1452,7 @@ object ExtQueries {
           THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"""
     }
     s"""WITH toks AS (
-         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks
          FROM documents),
        sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
        sig AS (SELECT doc_id, ${bitExprs.mkString(" + ")} AS simhash FROM sh)"""
@@ -1483,7 +1483,7 @@ object ExtQueries {
   /** Portable cosine in DuckDB SQL: double dot / norms, rounded 6 dp. */
   // def, not val: referenced by queries declared earlier in the object
   // (val init order would interpolate null into their SQL)
-  private def dkCos =
+  private[graft] def dkCos =
     """round(list_dot_product(a_emb, b_emb)
       / (sqrt(list_dot_product(a_emb, a_emb))
          * sqrt(list_dot_product(b_emb, b_emb))), 6)"""
@@ -2575,7 +2575,7 @@ object ExtQueries {
       Tables.documents(s, d), "text", "source"),
     Some("""WITH t AS (
         SELECT source,
-          string_split_regex(trim(lower(text)), '\s+') AS tk
+          string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
         FROM documents),
       u AS (
         SELECT source, count(*) AS n_tokens,
@@ -2844,10 +2844,10 @@ object ExtQueries {
         FROM documents WHERE doc_id % 11 = 0),
       filtered AS (
         SELECT doc_id, text, lang,
-          len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS n_tokens
         FROM corpus
         WHERE lang = 'en'
-          AND len(string_split_regex(trim(text), '\\s+')) >= 30),
+          AND len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) >= 30),
       firsts AS (
         SELECT min(doc_id) AS doc_id FROM filtered
         GROUP BY ${fpSql()}),
@@ -2889,7 +2889,7 @@ object ExtQueries {
     val stopList = graft.ext.TextStats.gopherStopwords
       .map(w => s"'$w'").mkString(",")
     s"""toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS t
         FROM documents),
       grams AS (
         SELECT doc_id, unnest(t) AS gram FROM toks
@@ -2916,20 +2916,20 @@ object ExtQueries {
         FROM hashed JOIN wt USING (bucket) GROUP BY 1),
       lb AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(text), '\\s+'))
+          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'))
               BETWEEN 50 AND 100000
             AND round(length(regexp_replace(text, '\\s+', '', 'g'))
-              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE),
               6) BETWEEN 3.0 AND 10.0
             AND round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
-              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE),
               6) <= 0.1
-            AND round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            AND round(len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'),
                 w -> regexp_matches(w, '[A-Za-z]')))
-              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE),
               6) >= 0.8
             AND len(list_intersect(
-              list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+              list_distinct(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')),
               [$stopList])) >= 1
           AS INT) AS pos
         FROM documents)"""
@@ -3083,7 +3083,7 @@ object ExtQueries {
           'prefix' || CAST(doc_id AS VARCHAR) || ' marker start ' || text
             AS text
         FROM documents WHERE doc_id % 9 = 0),
-      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
             FROM corpus),
       ex AS (SELECT doc_id, len(tk) AS n_tok, tk,
                unnest(CASE WHEN len(tk) >= 8
@@ -3132,7 +3132,7 @@ object ExtQueries {
           'prefix' || CAST(doc_id AS VARCHAR) || ' marker start ' || text
             AS text
         FROM documents WHERE doc_id % 9 = 0),
-      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
             FROM corpus),
       ex AS (SELECT doc_id, tk,
                unnest(CASE WHEN len(tk) >= 8
@@ -3196,7 +3196,7 @@ object ExtQueries {
                  || ' the shared passage marker spans eight tokens'
                ELSE text END AS text
         FROM documents),
-      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
             FROM corpus),
       g AS (SELECT doc_id,
               CASE WHEN len(tk) >= 5 THEN
@@ -3231,7 +3231,7 @@ object ExtQueries {
             % ${TextDedup.minhashP}) % 64 AS bucket FROM h"""
       }.mkString(" UNION ALL ")
       s"""WITH tok AS (
-          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS tok
           FROM documents),
         h AS (SELECT tok,
           ('0x' || substring(md5(tok), 1, 8))::BIGINT AS base FROM tok),
@@ -3274,7 +3274,7 @@ object ExtQueries {
     * class). `scored` ends with (doc_id, avg_logprob, n_tokens). */
   private val lmScoreCtes = """it AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS tok
         FROM documents),
       cnt AS (SELECT tok, count(*) AS c FROM it GROUP BY 1),
       tot AS (SELECT sum(c) AS n FROM cnt),
@@ -3303,7 +3303,7 @@ object ExtQueries {
     (s, d) => graft.ext.TextStats.bigramLmScore(
       Tables.documents(s, d), "text", "doc_id"),
     Some("""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS t
         FROM documents),
       bi AS (
         SELECT doc_id,
@@ -3339,7 +3339,7 @@ object ExtQueries {
     (s, d) => graft.ext.TextStats.hashedLinearScore(
       Tables.documents(s, d), "text", "doc_id"),
     Some("""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS t
         FROM documents),
       grams AS (
         SELECT doc_id, unnest(t) AS gram FROM toks
@@ -3489,19 +3489,19 @@ object ExtQueries {
           FROM documents),
         sig AS (
           SELECT doc_id,
-            len(string_split_regex(trim(t), '\s+')) AS n_words,
+            len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS n_words,
             round(length(regexp_replace(t, '\s+', '', 'g'))
-              / CAST(len(string_split_regex(trim(t), '\s+')) AS DOUBLE), 6)
+              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS DOUBLE), 6)
               AS mean_word_len,
             round(len(regexp_extract_all(t, '#|\.\.\.'))
-              / CAST(len(string_split_regex(trim(t), '\s+')) AS DOUBLE), 6)
+              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS DOUBLE), 6)
               AS symbol_word_ratio,
-            round(len(list_filter(string_split_regex(trim(t), '\s+'),
+            round(len(list_filter(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+'),
                 w -> regexp_matches(w, '[A-Za-z]')))
-              / CAST(len(string_split_regex(trim(t), '\s+')) AS DOUBLE), 6)
+              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS DOUBLE), 6)
               AS alpha_word_ratio,
             len(list_intersect(
-              list_distinct(string_split_regex(trim(lower(t)), '\s+')),
+              list_distinct(string_split_regex(trim(lower(t), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')),
               [""" + stopList + """])) AS stop_hits
           FROM raw)
         SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
@@ -3990,7 +3990,7 @@ object ExtQueries {
     (s, d) => graft.ext.TextStats.lengthHistogram(
       Tables.documents(s, d), "text", width = 32),
     Some("""WITH t AS (
-        SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok
+        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS n_tok
         FROM documents),
       b AS (
         SELECT n_tok - (n_tok % 32) AS bucket_lo, count(*) AS n_docs,
@@ -4053,9 +4053,9 @@ object ExtQueries {
     },
     Some {
       val dtSql = """round(1.0 -
-        CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+        CAST(len(list_distinct(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')))
           AS DOUBLE)
-        / len(string_split_regex(trim(lower(text)), '\s+')), 6)"""
+        / len(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')), 6)"""
       val names = Seq("quality", "stopword_ratio", "punct_ratio",
         "dup_token_frac", "n_tok")
       val pairs = for {
@@ -4093,7 +4093,7 @@ object ExtQueries {
     "ext_vocab_topk",
     (s, d) => graft.ext.Vocab.topK(Tables.documents(s, d), "text", 50),
     Some("""WITH t AS (
-        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS tok
         FROM documents)
       SELECT tok, count(*) AS c FROM t GROUP BY 1
       ORDER BY c DESC, tok ASC LIMIT 50"""))
@@ -4118,7 +4118,7 @@ object ExtQueries {
           .as("token_ids_csv"),
         col("n_tokens"), col("n_unk")),
     Some("""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS t
         FROM documents),
       ex AS (
         SELECT doc_id,

@@ -230,7 +230,7 @@ object Retrieval {
   def bm25OracleSql(queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {
     val tfDefs = queryTerms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = '$t')) AS tf$i"
+      s"len(list_filter(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'), x -> x = '$t')) AS tf$i"
     }.mkString(",\n          ")
     val dfDefs = queryTerms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
@@ -241,7 +241,7 @@ object Retrieval {
     }.mkString("\n          + ")
     s"""WITH tf AS (
         SELECT doc_id,
-          len(string_split_regex(trim(lower(text)), '\\s+')) AS dl,
+          len(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS dl,
           $tfDefs
         FROM documents),
       st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfDefs FROM tf),
