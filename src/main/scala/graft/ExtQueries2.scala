@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Similarity, TextDedup, Vocab}
+
+/** Second extension-query block (the first grew to its navigable limit):
+  * corpus collocation statistics, frequency-spectrum health, semantic
+  * decontamination, and streaming dedup. Same contract as [[ExtQueries]]:
+  * every entry carries its own DuckDB oracle and a 100 TB scale rationale
+  * on the implementing operator.
+  */
+object ExtQueries2 {
+
+  /** Windowed PMI collocations ([[graft.ext.Vocab.pmiCooccur]], window 2,
+    * min pair count 5): the association statistic behind phrase/collocation
+    * induction. Pair generation is a pure per-doc projection (offset
+    * zip_with slices — no self-join); the oracle replays it as a position
+    * self-join, which is the SAME pair set by construction. */
+  val pmiCooccur = Q(
+    "ext_pmi_cooccur",
+    (s, d) => Vocab.pmiCooccur(
+      Tables.documents(s, d), "text", window = 2, minCount = 5L),
+    Some(s"""WITH toks AS (
+        SELECT doc_id,
+          string_split_regex(${ExtQueries.wsTrimSql("lower(text)")}, '\\s+')
+            AS tk
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(tk) AS tok,
+          generate_subscripts(tk, 1) AS p
+        FROM toks),
+      pairs AS (
+        SELECT p1.tok AS a, p2.tok AS b
+        FROM pos p1 JOIN pos p2
+          ON p1.doc_id = p2.doc_id AND p2.p - p1.p BETWEEN 1 AND 2),
+      cab AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+      pt AS (SELECT sum(c_ab) AS p_total FROM cab),
+      uni AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
+      tt AS (SELECT sum(c) AS t_total FROM uni)
+      SELECT a, b, c_ab,
+        round(ln((CAST(c_ab AS DOUBLE) / CAST(p_total AS DOUBLE))
+          / ((CAST(ua.c AS DOUBLE) / CAST(t_total AS DOUBLE))
+             * (CAST(ub.c AS DOUBLE) / CAST(t_total AS DOUBLE)))), 6) AS pmi
+      FROM cab JOIN uni ua ON ua.tok = cab.a
+        JOIN uni ub ON ub.tok = cab.b, pt, tt
+      WHERE c_ab >= 5"""))
+
+  /** Zipf-law fit ([[graft.ext.Vocab.zipfFit]], top 1000 terms): the
+    * frequency-spectrum slope as a corpus-health scalar. */
+  val zipfFit = Q(
+    "ext_zipf_fit",
+    (s, d) => Vocab.zipfFit(Tables.documents(s, d), "text", topN = 1000),
+    Some {
+      def ds(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+      s"""WITH wc AS (
+        SELECT tok, count(*) AS c FROM (
+          SELECT unnest(
+            string_split_regex(${ExtQueries.wsTrimSql("lower(text)")},
+              '\\s+')) AS tok
+          FROM documents)
+        GROUP BY tok),
+      top AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+        FROM wc ORDER BY c DESC, tok ASC LIMIT 1000),
+      xy AS (
+        SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+          round(ln(CAST(c AS DOUBLE)), 6) AS y
+        FROM top),
+      w AS (
+        SELECT count(*) AS n_terms,
+          ${ds("x")} AS sx, ${ds("y")} AS sy, ${ds("x * y")} AS sxy,
+          ${ds("x * x")} AS sxx, ${ds("y * y")} AS syy
+        FROM xy)
+      SELECT n_terms,
+        round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+          AS zipf_slope,
+        round((sy - ((n_terms * sxy - sx * sy)
+          / (n_terms * sxx - sx * sx)) * sx) / n_terms, 6) AS intercept,
+        round(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
+          / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+          AS r2
+      FROM w"""
+    })
+
+  /** Embedding-level eval contamination
+    * ([[graft.ext.Similarity.semanticContamination]]): corpus vectors
+    * (vec_id % 10 != 0) within cosine 0.15 of any eval vector
+    * (vec_id % 10 = 0), best match per corpus vector. Candidates from
+    * 4-bit sign buckets; the oracle replays the identical bucket join so
+    * the approximation is oracle-checked (the LSH/IVF contract). */
+  val contaminationSemantic = Q(
+    "ext_contamination_semantic",
+    (s, d) => Similarity.semanticContamination(
+      Tables.embeddings(s, d), col("vec_id") % 10 === 0,
+      threshold = 0.15, bits = 4),
+    Some {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH b0 AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+          $bucket AS bucket
+        FROM embeddings),
+      ev AS (
+        SELECT vec_id AS eval_id, emb AS b_emb, bucket
+        FROM b0 WHERE vec_id % 10 = 0),
+      co AS (
+        SELECT vec_id AS corpus_id, emb AS a_emb, bucket
+        FROM b0 WHERE vec_id % 10 <> 0),
+      scored AS (
+        SELECT corpus_id, eval_id, ${ExtQueries.dkCos} AS cos
+        FROM co JOIN ev USING (bucket)),
+      hits AS (SELECT * FROM scored WHERE cos >= 0.15),
+      ranked AS (
+        SELECT corpus_id, eval_id, cos,
+          row_number() OVER (PARTITION BY corpus_id
+            ORDER BY cos DESC, eval_id ASC) AS r
+        FROM hits)
+      SELECT corpus_id, eval_id, cos FROM ranked WHERE r = 1"""
+    })
+
+  /** Streaming exactly-once dedup of an at-least-once feed
+    * ([[graft.streaming.StreamPipeline.dedupStreamAvailableNow]]): the
+    * doubled-source stream must dedup back to the source table
+    * row-for-row, which is exactly what the oracle (a plain projection of
+    * events) asserts hash-exactly. */
+  val streamDedup = Q(
+    "q_stream_dedup_events",
+    (s, d) => graft.streaming.StreamPipeline.dedupStreamAvailableNow(s, d),
+    Some("""SELECT event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        user_id, event_type, value
+      FROM events"""))
+
+  /** HyperLogLog distinct sketch ([[graft.functions.HllAgg]], p=8 →
+    * 256 registers) next to the exact count it approximates: per source,
+    * estimate distinct texts from the register array. Reproducible
+    * across engines by construction — the oracle recomputes the SAME
+    * md5-derived registers and the SAME α·m²/Σ2^(−M) estimator (every
+    * term an exact power of two, so the sum is order-independent), so
+    * even the approximation hash-matches. The KMV companion
+    * (`ext_kmv_distinct`) keeps the k smallest hashes; HLL keeps a
+    * CONSTANT 256-byte mergeable buffer — the shard-manifest sketch. */
+  val hllDistinct = Q(
+    "ext_hll_distinct",
+    (s, d) => {
+      val p = 8
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          graft.functions.HllAgg.hll_sketch(
+            TextDedup.baseHash(col("text")), p).as("sk"),
+          countDistinct(col("text")).as("exact_distinct"))
+        .select(col("source"),
+          graft.ops.IncrementalAgg.hllEstimate(col("sk"), p)
+            .as("hll_distinct"),
+          col("exact_distinct"))
+    },
+    Some {
+      val am2 = graft.ops.IncrementalAgg.hllAlpha(256) * 256 * 256
+      s"""WITH h AS (
+        SELECT DISTINCT source,
+          ('0x' || substring(md5(text), 1, 8))::BIGINT AS hv
+        FROM documents),
+      reg AS (
+        SELECT source, hv // 16777216 AS reg, hv % 16777216 AS w
+        FROM h),
+      mx AS (
+        SELECT source, reg,
+          max(CASE WHEN w = 0 THEN 25
+              ELSE 25 - length(ltrim(bin(w), '0')) END) AS mj
+        FROM reg GROUP BY source, reg),
+      est AS (
+        SELECT source,
+          sum(pow(2.0, -mj)) + (256 - count(*)) * 1.0 AS s,
+          256 - count(*) AS v
+        FROM mx GROUP BY source),
+      x AS (
+        SELECT source, count(DISTINCT text) AS exact_distinct
+        FROM documents GROUP BY source)
+      SELECT e.source,
+        CASE WHEN ($am2 / s) <= 640.0 AND v > 0
+          THEN round(256.0 * round(ln(256.0 / v), 6), 6)
+          ELSE round($am2 / s, 6) END AS hll_distinct,
+        x.exact_distinct
+      FROM est e JOIN x USING (source)"""
+    })
+
+  def all: Seq[Q] = Seq(
+    pmiCooccur, zipfFit, contaminationSemantic, streamDedup, hllDistinct)
+}

@@ -47,7 +47,8 @@ object Det {
 /** Central query inventory. SparkEntry exposes it in the driver's shape. */
 object Registry {
   def all: Seq[Q] =
-    AnalyticsQueries.all ++ ParityQueries.all ++ ExtQueries.all
+    AnalyticsQueries.all ++ RetailQueries.all ++ ParityQueries.all ++
+      ExtQueries.all ++ ExtQueries2.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,462 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Det._
+
+/** Retail / customer-analytics queries over the star schema — the
+  * segmentation, concentration, and elasticity measures an e-commerce
+  * warehouse (the reference's domain: README.md:9-31) computes daily, none
+  * of which the reference's two Lambda scripts attempt (SURVEY.md §2.4 gap).
+  *
+  * All follow the repo's determinism rules ([[Det]]): money through exact
+  * decimal sums, libm outputs 6-dp rounded on BOTH engines, percentile cuts
+  * via percentile_disc (a data value — no interpolation arithmetic).
+  */
+object RetailQueries {
+
+  /** RFM segmentation — the classic customer-value model: per customer,
+    * Recency (days since last order, measured from the corpus' own max
+    * order date so the query is reproducible), Frequency (order count),
+    * Monetary (exact-decimal lifetime spend), each scored 1-4 by quartile
+    * and combined into a coarse segment label.
+    *
+    * Scale shape: one orders-keyed hash aggregate (map-side partial) to
+    * the per-customer grain, then TWO one-row broadcasts — the corpus max
+    * date and the 9 quartile cuts — joined back with `crossJoin(broadcast)`
+    * (the [[AnalyticsQueries.qQuartileAssign]] pattern). Nothing sorts
+    * globally; the percentile_disc cuts are the only sort-aggregate and
+    * run over the CUSTOMER-grain frame (1000× smaller than orders), which
+    * at 100 TB would swap to approx_percentile with the same plan shape
+    * (the q_winsorized_stats note). R-score ascends with staleness
+    * (1 = most recent), F/M-scores ascend with value (4 = best). */
+  val qRfm = Q(
+    "q_rfm_segments",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val perCust = o.groupBy(col("o_custkey")).agg(
+        max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("f"),
+        dsum(col("o_totalprice")).as("m"))
+      val nowRow = o.agg(max(to_date(col("o_orderdate"))).as("now_d"))
+      val rfm = perCust.crossJoin(broadcast(nowRow))
+        .withColumn("r_days",
+          datediff(col("now_d"), col("last_order")).cast("long"))
+      def cut(c: String, p: Double) =
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+          .cast("double")
+      val cuts = rfm.agg(
+        cut("r_days", 0.25).as("r1"), cut("r_days", 0.5).as("r2"),
+        cut("r_days", 0.75).as("r3"),
+        cut("f", 0.25).as("f1"), cut("f", 0.5).as("f2"),
+        cut("f", 0.75).as("f3"),
+        cut("m", 0.25).as("m1"), cut("m", 0.5).as("m2"),
+        cut("m", 0.75).as("m3"))
+      def score(v: String, q1: String, q2: String, q3: String) =
+        when(col(v) <= col(q1), 1).when(col(v) <= col(q2), 2)
+          .when(col(v) <= col(q3), 3).otherwise(4)
+      rfm.crossJoin(broadcast(cuts))
+        .withColumn("r_score", score("r_days", "r1", "r2", "r3"))
+        .withColumn("f_score", score("f", "f1", "f2", "f3"))
+        .withColumn("m_score", score("m", "m1", "m2", "m3"))
+        .withColumn("segment",
+          when(col("r_score") <= 2 && col("f_score") >= 3
+            && col("m_score") >= 3, "champion")
+            .when(col("r_score") >= 3 && col("f_score") >= 3, "at_risk")
+            .when(col("r_score") <= 2 && col("f_score") <= 2, "new_or_light")
+            .otherwise("regular"))
+        .select(col("o_custkey"), col("r_days"), col("f"), col("m"),
+          col("r_score"), col("f_score"), col("m_score"), col("segment"))
+    },
+    Some(s"""WITH per_cust AS (
+        SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+          count(*) AS f, ${dsumSql("o_totalprice")} AS m
+        FROM orders GROUP BY o_custkey),
+      now_row AS (SELECT max(CAST(o_orderdate AS DATE)) AS now_d FROM orders),
+      rfm AS (
+        SELECT o_custkey, CAST(now_d - last_order AS BIGINT) AS r_days, f, m
+        FROM per_cust, now_row),
+      cuts AS (SELECT
+          CAST(quantile_disc(r_days, 0.25) AS DOUBLE) AS r1,
+          CAST(quantile_disc(r_days, 0.5) AS DOUBLE) AS r2,
+          CAST(quantile_disc(r_days, 0.75) AS DOUBLE) AS r3,
+          CAST(quantile_disc(f, 0.25) AS DOUBLE) AS f1,
+          CAST(quantile_disc(f, 0.5) AS DOUBLE) AS f2,
+          CAST(quantile_disc(f, 0.75) AS DOUBLE) AS f3,
+          CAST(quantile_disc(m, 0.25) AS DOUBLE) AS m1,
+          CAST(quantile_disc(m, 0.5) AS DOUBLE) AS m2,
+          CAST(quantile_disc(m, 0.75) AS DOUBLE) AS m3
+        FROM rfm),
+      scored AS (
+        SELECT o_custkey, r_days, f, m,
+          CASE WHEN r_days <= r1 THEN 1 WHEN r_days <= r2 THEN 2
+               WHEN r_days <= r3 THEN 3 ELSE 4 END AS r_score,
+          CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2
+               WHEN f <= f3 THEN 3 ELSE 4 END AS f_score,
+          CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2
+               WHEN m <= m3 THEN 3 ELSE 4 END AS m_score
+        FROM rfm, cuts)
+      SELECT o_custkey, r_days, f, m, r_score, f_score, m_score,
+        CASE WHEN r_score <= 2 AND f_score >= 3 AND m_score >= 3
+               THEN 'champion'
+             WHEN r_score >= 3 AND f_score >= 3 THEN 'at_risk'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'new_or_light'
+             ELSE 'regular' END AS segment
+      FROM scored"""),
+    bench = true)
+
+  /** ABC / Pareto concentration analysis: parts ranked by lifetime
+    * discounted revenue, classed A while the cumulative share is within
+    * 80%, B within 95%, C beyond — the inventory-prioritization 80/20
+    * view every retail warehouse maintains.
+    *
+    * The cumulative share over the revenue-DESC ranking is a global
+    * prefix sum — the naive `sum().over(Window.orderBy(...))` funnels
+    * every part through ONE reducer. This reuses the two-phase
+    * distributed shape from [[graft.ext.Packing.packOffsets]]:
+    * range-partition on (revenue DESC, partkey), per-partition totals
+    * (one tiny row each) prefix-summed on a single bounded task and
+    * broadcast back, intra-partition running sums in parallel. All
+    * accumulation in exact DECIMAL (sums of DECIMAL(18,6) widen exactly);
+    * the share divides as double only at the very end, identically
+    * parenthesized in the oracle, then rounds to 6 dp.
+    *
+    * The cache pins one set of range boundaries (the packOffsets note:
+    * both the totals pass and the final pass re-derive `__pid`, and an
+    * exchange re-materialization could re-sample boundaries). */
+  /** The distributed cumulative-share core of [[qAbcPareto]], reusable
+    * and property-tested (PropertySpec pins it against a sequential fold
+    * across random layouts): given a (key, decimal value) frame, returns
+    * (key, cum_share) with cum_share = running value share under the
+    * (value DESC, key) total order, via the two-phase prefix sum
+    * ([[graft.ext.Packing.packOffsets]] shape — see [[qAbcPareto]] for
+    * the full rationale). */
+  def paretoCumShare(rev: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val sorted = graft.ops.CacheScope.persist(
+      rev.repartitionByRange(col(valCol).desc, col(keyCol))
+        .sortWithinPartitions(col(valCol).desc, col(keyCol))
+        .withColumn("__pid", spark_partition_id()))
+    val partOffsets = sorted.groupBy(col("__pid"))
+      .agg(sum(col(valCol)).as("__ptot"))
+      .withColumn("__poff",
+        coalesce(
+          sum(col("__ptot")).over(Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 6))))
+      .select(col("__pid"), col("__poff"))
+    // totals read the CACHED range-partitioned frame, not the input
+    // lineage — `rev.agg` would re-run the upstream fact-table scan +
+    // aggregate a second time (a full extra corpus pass at 100 TB)
+    val tot = sorted.agg(sum(col(valCol)).as("__tot"))
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col(valCol).desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sorted.join(broadcast(partOffsets), Seq("__pid"))
+      .withColumn("__cum", col("__poff") + sum(col(valCol)).over(localW))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_share",
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6))
+  }
+
+  val qAbcPareto = Q(
+    "q_abc_pareto",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("rev_dec"))
+      paretoCumShare(rev, "l_partkey", "rev_dec")
+        .select(col("l_partkey"), col("rev_dec").cast("double").as("revenue"),
+          col("cum_share"),
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B")
+            .otherwise("C").as("abc_class"))
+    },
+    Some("""WITH rev AS (
+        SELECT l_partkey,
+          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS rev_dec
+        FROM lineitem GROUP BY l_partkey),
+      w AS (
+        SELECT l_partkey, rev_dec,
+          sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(rev_dec) OVER () AS tot
+        FROM rev)
+      SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+        round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+        CASE WHEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) <= 0.80
+               THEN 'A'
+             WHEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) <= 0.95
+               THEN 'B'
+             ELSE 'C' END AS abc_class
+      FROM w"""),
+    bench = true)
+
+  /** Log-log price elasticity per product type: OLS of ln(quantity) on
+    * ln(retail price) across lineitems — slope ≈ % demand change per
+    * % price change, the pricing team's first-order signal. Closed-form
+    * regression AS AGGREGATION (the [[AnalyticsQueries.qCorr]] fused-stat
+    * shape): every Σx/Σy/Σxy/Σxx/Σyy accumulates in ONE hash aggregate
+    * per p_type — one lineitem scan, one shuffle on a 6-key group; no
+    * ml.regression iteration, no per-group collect.
+    *
+    * Determinism: ln() is libm → both engines round the per-row logs to
+    * 6 dp BEFORE the products (the Retrieval libm rule); all sums are
+    * exact DECIMAL(38,12) (per-row double→decimal rounding is identical);
+    * slope/intercept/r² evaluate on the resulting exact doubles with
+    * identical parenthesization, then round to 6 dp. The part join keys
+    * on l_partkey; part is the smaller dimension and AQE/Catalyst
+    * broadcast it below threshold (at 100 TB part shuffles — same plan,
+    * bigger exchange). */
+  val qElasticity = Q(
+    "q_price_elasticity",
+    (s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 0)
+        .select(col("l_partkey"), col("l_quantity"))
+      val pt = Tables.part(s, d)
+        .filter(col("p_retailprice") > 0)
+        .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+      val xy = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .select(col("p_type"),
+          round(log(col("p_retailprice")), 6).as("x"),
+          round(log(col("l_quantity")), 6).as("y"))
+      val w = xy.groupBy(col("p_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(dec(col("y") * col("y"))).cast("double").as("syy"))
+      w.select(col("p_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("elasticity"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n"), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    },
+    Some {
+      def ds(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+      s"""WITH xy AS (
+        SELECT p_type, round(ln(p_retailprice), 6) AS x,
+          round(ln(l_quantity), 6) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity > 0 AND p_retailprice > 0),
+      w AS (
+        SELECT p_type, count(*) AS n,
+          ${ds("x")} AS sx, ${ds("y")} AS sy, ${ds("x * y")} AS sxy,
+          ${ds("x * x")} AS sxx, ${ds("y * y")} AS syy
+        FROM xy GROUP BY p_type)
+      SELECT p_type, n,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+        round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+          AS intercept,
+        round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      FROM w"""
+    })
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): LEFT join
+    * so zero-order customers survive with count 0, then a second
+    * aggregation to the distribution grain. Two shuffles by necessity
+    * (different keys); the first is the only orders-sized one, the second
+    * runs over the customer-grain frame. count(o_orderkey) (not
+    * count(*)) makes the null-extension rows count as zero. */
+  val qOrderCountDist = Q(
+    "q_order_count_distribution",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""WITH per AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      SELECT c_count, count(*) AS custdist FROM per GROUP BY c_count"""))
+
+  /** Promotion revenue share (the TPC-H Q14 shape): what fraction of a
+    * year's discounted revenue came from PROMO-type parts — one
+    * conditional aggregate over the part join, the shipdate predicate
+    * pushed to the lineitem scan. Both the conditional and total sums
+    * ride the SAME hash aggregate (one scan, one 1-row result); the
+    * share divides exact decimals as double and rounds 6 dp. */
+  val qPromoShare = Q(
+    "q_promo_revenue_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01")
+          && col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val pt = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      val j = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      j.agg(
+        dsum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0)), 6).as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_share_pct"))
+    },
+    Some(s"""WITH w AS (
+        SELECT
+          ${dsumSql(
+            "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+            6)} AS promo_revenue,
+          ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      SELECT promo_revenue, total_revenue,
+        round(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+      FROM w"""))
+
+  /** Returned-item revenue by customer (the TPC-H Q10 shape): which
+    * customers drove the most returned revenue in a half-year — the
+    * churn-risk report. Four-way join: lineitem (the only big side,
+    * R-flag + the orders date predicate pushed below the joins) → orders
+    * → customer → nation (broadcast — 25 rows); deterministic top-20 via
+    * the (revenue DESC, custkey) total order, compiled to
+    * TakeOrderedAndProject (bounded per-partition top-k, driver merge —
+    * never a global sort). */
+  val qReturnedItems = Q(
+    "q_returned_items",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01")
+          && col("o_orderdate") < lit("1997-07-01"))
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name,
+        ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** Large-volume customers (the TPC-H Q18 shape): orders whose total
+    * lineitem quantity exceeds the threshold, with their customers — a
+    * HAVING aggregate whose survivors join BACK to the fact tables. The
+    * quantity aggregate runs first (orderkey-grain, map-side partials)
+    * and only the >250 survivors (≈1% of orders) join onward, so the
+    * expensive joins see the filtered frame, not the corpus. */
+  val qLargeVolume = Q(
+    "q_large_volume_customers",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+    },
+    Some(s"""WITH big AS (
+        SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING ${dsumSql("l_quantity")} > 250.0)
+      SELECT c_custkey, c_name, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        o_totalprice, sum_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey"""))
+
+  /** National market share (the TPC-H Q8 shape): per order year, the
+    * share of ASIA-customer revenue supplied by NATION_3 suppliers —
+    * nation joins BOTH roles (customer side via region, supplier side),
+    * the query shape that exercises alias-disambiguated dimension reuse.
+    * Both dimension chains broadcast (region 5, nation 25, supplier is
+    * the smallest fact side and AQE-broadcasts below threshold); the
+    * share is a conditional/total decimal-sum pair in ONE hash aggregate
+    * per year. */
+  val qMarketShare = Q(
+    "q_market_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val cnat = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey").as("cn_region"))
+      val snat = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(cnat), cust("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("cn_region") === reg("r_regionkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(snat), sup("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          dsum(when(col("sn_name") === "NATION_3",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0)), 6).as("nation_revenue"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("total_revenue"))
+        .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+          round(col("nation_revenue") / col("total_revenue"), 6)
+            .as("mkt_share"))
+    },
+    Some(s"""WITH j AS (
+        SELECT year(o_orderdate) AS o_year,
+          l_extendedprice * (1 - l_discount) AS rev,
+          sn.n_name AS sn_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey)
+      SELECT o_year,
+        ${dsumSql("CASE WHEN sn_name = 'NATION_3' THEN rev ELSE 0.0 END", 6)}
+          AS nation_revenue,
+        ${dsumSql("rev", 6)} AS total_revenue,
+        round(${dsumSql("CASE WHEN sn_name = 'NATION_3' THEN rev ELSE 0.0 END",
+          6)} / ${dsumSql("rev", 6)}, 6) AS mkt_share
+      FROM j GROUP BY o_year"""),
+    bench = true)
+
+  def all: Seq[Q] = Seq(
+    qRfm, qAbcPareto, qElasticity, qOrderCountDist, qPromoShare,
+    qReturnedItems, qLargeVolume, qMarketShare)
+}

@@ -571,6 +571,43 @@ object Similarity {
         (col("vec_id") === col("rep_id")).as("keep"))
   }
 
+  /** Embedding-level eval contamination: corpus vectors whose cosine to
+    * ANY eval-set vector reaches `threshold`, each with its best-matching
+    * eval id — the SEMANTIC companion to the lexical n-gram
+    * decontamination (`TextDedup.contamination`), which paraphrased or
+    * re-tokenized benchmark leaks walk straight past.
+    *
+    * Returns (corpus_id, eval_id, cos): one row per contaminated corpus
+    * vector, eval_id = its highest-cosine eval match (ties → smaller id,
+    * the TopKAgg total order).
+    *
+    * Scale shape: candidates come from sign-bucket collision exactly like
+    * [[lshTopK]] — both sides shuffle once on the bucket key, no eval
+    * broadcast required by the plan (Catalyst broadcasts the small eval
+    * side below threshold on its own), no all-pairs; the per-corpus-doc
+    * best match is the bounded-heap [[graft.functions.TopKAgg]] at k=1
+    * (map-side partials, no per-key window). Deterministic buckets and
+    * 6-dp cosine, so the DuckDB oracle replays the pipeline hash-exactly
+    * — the approximation is oracle-checked, not oracle-hidden (the
+    * IVF/PQ contract). Bucket-boundary recall caveat as documented on
+    * [[signBucket]]. */
+  def semanticContamination(emb: DataFrame, evalPred: Column,
+      threshold: Double, bits: Int = 4): DataFrame = {
+    val withBucket = emb.withColumn("bucket", signBucket(col("embedding"), bits))
+    val ev = withBucket.filter(evalPred)
+      .select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_emb"))
+    val corpus = withBucket.filter(!evalPred)
+      .select(col("bucket"), col("vec_id").as("query_id"),
+        col("embedding").as("c_emb"))
+    val scored = corpus.join(ev, Seq("bucket"))
+      .withColumn("cos", cosine(col("c_emb"), col("e_emb")))
+      .filter(col("cos") >= threshold)
+    topKPerQuery(scored, 1)
+      .select(col("query_id").as("corpus_id"),
+        col("neighbor_id").as("eval_id"), col("cos"))
+  }
+
   /** Exact integer dot product of two int8 code arrays (≤ 127² per term,
     * sums exact in long for any realistic dimensionality). */
   def intDot(a: Column, b: Column): Column =

@@ -202,4 +202,101 @@ object Vocab {
         round(col("total_chars") / col("total_subwords").cast("double"), 6)
           .as("chars_per_subword"))
   }
+
+  /** Windowed PMI collocations (Church & Hanks 1990): for ordered token
+    * pairs (a before b) within `window` positions of each other,
+    * `pmi = ln( p(a,b) / (p(a)·p(b)) )` with pair probability over all
+    * emitted pairs and unigram probabilities over all tokens — the
+    * association statistic behind collocation extraction and phrase
+    * induction.
+    *
+    * Scale shape: the pair generation is a PURE PROJECTION — per doc,
+    * `window` zip_with'd self-offset slices of the token array, flattened
+    * and exploded; no self-join, no window function, one corpus pass.
+    * Pair counts hash-aggregate with map-side combine (the shuffle
+    * carries one row per distinct PAIR TYPE, never per occurrence); the
+    * unigram side is [[wordCounts]] (vocab-bounded) and broadcasts onto
+    * the pair frame; totals are 1-row broadcasts derived from the two
+    * count frames, never a third corpus scan. `minCount` prunes the
+    * hapax pair tail before the joins.
+    *
+    * Determinism: counts are integral; the pmi ratio divides exact longs
+    * as double with the SAME parenthesization in the DuckDB oracle, and
+    * ln() rounds to 6 dp (the libm rule). */
+  def pmiCooccur(docs: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val withTk = docs.select(
+      TextStats.tokens(lower(col(textCol))).as("tk"))
+    val pairs = withTk.select(explode(expr(
+      s"""flatten(transform(sequence(1, $window), d ->
+         zip_with(slice(tk, 1, greatest(size(tk) - d, 0)),
+                  slice(tk, d + 1, greatest(size(tk) - d, 0)),
+                  (x, y) -> struct(x AS a, y AS b))))""")).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    val cab = graft.ops.CacheScope.persist(
+      pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab")))
+    val pTotal = cab.agg(sum(col("c_ab")).as("p_total"))
+    val uni = graft.ops.CacheScope.persist(wordCounts(docs, textCol))
+    val tTotal = uni.agg(sum(col("c")).as("t_total"))
+    cab.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(pTotal))
+      .crossJoin(broadcast(tTotal))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") / col("p_total").cast("double")) /
+            ((col("c_a").cast("double") / col("t_total").cast("double")) *
+              (col("c_b").cast("double") / col("t_total").cast("double")))),
+          6).as("pmi"))
+  }
+
+  /** Zipf-law fit of the corpus frequency spectrum: OLS of ln(count) on
+    * ln(rank) over the top-`topN` vocabulary — the slope is the Zipf
+    * exponent (≈ −1 for natural language; a spectrum that departs far
+    * from it flags synthetic, boilerplate-heavy, or truncated corpora).
+    * The corpus-health companion to [[graft.ext.TextStats]]' per-doc
+    * gates, at corpus grain.
+    *
+    * Scale: the corpus reduces to the vocabulary ONCE ([[wordCounts]] —
+    * the shuffle carries distinct words); `orderBy.limit` compiles to
+    * TakeOrderedAndProject (bounded per-partition top-N, driver merge)
+    * and the rank window runs over ≤ topN rows, never the corpus. The
+    * regression is the closed-form fused aggregate (the q_corr_matrix
+    * shape): exact DECIMAL(38,12) sums of the 6-dp-rounded logs, slope
+    * evaluated on exact doubles with oracle-identical parenthesization. */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 12))
+    val ranked = topK(docs, textCol, topN)
+      .select(col("c"),
+        row_number().over(Window.orderBy(col("c").desc, col("tok").asc))
+          .as("rank"))
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("c").cast("double")), 6).as("y"))
+    val w = ranked.agg(
+      count(lit(1)).as("n_terms"),
+      sum(dec(col("x"))).cast("double").as("sx"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+      sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+      sum(dec(col("y") * col("y"))).cast("double").as("syy"))
+    w.select(col("n_terms"),
+      round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+        / (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+        .as("zipf_slope"),
+      round((col("sy")
+        - ((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")))
+          * col("sx")) / col("n_terms"), 6).as("intercept"),
+      round(((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+        * (col("n_terms") * col("sxy") - col("sx") * col("sy")))
+        / ((col("n_terms") * col("sxx") - col("sx") * col("sx"))
+          * (col("n_terms") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("r2"))
+  }
 }

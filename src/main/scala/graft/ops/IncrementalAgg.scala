@@ -70,4 +70,35 @@ object IncrementalAgg {
     when(size(sk) < k, size(sk).cast("double"))
       .otherwise(round(lit((k - 1).toDouble) /
         ((element_at(sk, k) + 1) / lit(4294967296.0)), 6))
+
+  /** The HLL α_m bias constant (Flajolet et al. 2007, Fig. 3). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** HLL estimate from a [[graft.functions.HllAgg]] register array:
+    * raw = α_m·m² / Σ 2^(−M_j), with the standard small-range switch to
+    * linear counting m·ln(m/V) when raw ≤ 2.5m and V (empty registers)
+    * > 0. Mirrors the `ext_hll_distinct` oracle expression term-for-term.
+    *
+    * Portability: every 2^(−M) term is an exact power of two and the sum
+    * spans < 53 bits, so Σ is the SAME double in any accumulation order
+    * (engine-independent); α_m·m² is interpolated from one Scala double
+    * into both engines; ln() (the only libm call, linear-counting branch)
+    * is 6-dp rounded before the multiply. */
+  def hllEstimate(registers: Column, p: Int): Column = {
+    val m = 1 << p
+    val am2 = hllAlpha(m) * m * m
+    val s = aggregate(registers, lit(0.0),
+      (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+    val v = size(filter(registers, _ === 0))
+    val raw = lit(am2) / s
+    when(raw <= lit(2.5 * m) && v > 0,
+      round(lit(m.toDouble) *
+        round(log(lit(m.toDouble) / v.cast("double")), 6), 6))
+      .otherwise(round(raw, 6))
+  }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Similarity, Vocab}
+
+/** Semantics specs for the ExtQueries2 operators — hand-computed fixtures
+  * for PMI and the Zipf OLS, detection/recall behavior for semantic
+  * contamination, and the doubled-feed round trip for streaming dedup.
+  */
+class Ext2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiCooccur: hand-computed counts and PMI on a 2-doc fixture") {
+    // doc1: "a b a b"  doc2: "a b c"
+    // window=2 ordered pairs:
+    //  doc1: (a,b) (b,a) (a,b)  + dist2: (a,a) (b,b)
+    //  doc2: (a,b) (b,c)        + dist2: (a,c)
+    // pair counts: (a,b)=3 (b,a)=1 (a,a)=1 (b,b)=1 (b,c)=1 (a,c)=1 → P=8
+    // unigrams: a=3 b=3 c=1 → T=7
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Vocab.pmiCooccur(docs, "text", window = 2, minCount = 1L)
+      .collect().map(r => ((r.getAs[String]("a"), r.getAs[String]("b")),
+        (r.getAs[Long]("c_ab"), r.getAs[Double]("pmi")))).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(out.size == 6)
+    assert(out(("a", "b"))._1 == 3L)
+    assert(out(("b", "a"))._1 == 1L)
+    def pmi(cab: Long, ca: Long, cb: Long): Double = {
+      val v = math.log((cab.toDouble / 8.0) /
+        ((ca.toDouble / 7.0) * (cb.toDouble / 7.0)))
+      math.rint(v * 1e6) / 1e6
+    }
+    assert(math.abs(out(("a", "b"))._2 - pmi(3, 3, 3)) < 1e-9)
+    assert(math.abs(out(("b", "c"))._2 - pmi(1, 3, 1)) < 1e-9)
+    // minCount prunes: with minCount=2 only (a,b) survives
+    val pruned = Vocab.pmiCooccur(docs, "text", window = 2, minCount = 2L)
+      .collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(pruned.length == 1 && pruned.head.getAs[String]("a") == "a"
+      && pruned.head.getAs[String]("b") == "b")
+  }
+
+  test("pmiCooccur: window=1 emits adjacent pairs only") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val out = Vocab.pmiCooccur(docs, "text", window = 1, minCount = 1L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(out == Set(("x", "y"), ("y", "z")))
+  }
+
+  test("zipfFit: slope matches a from-first-principles OLS on exact ranks") {
+    // engineered frequencies: word w_i appears 12/i times (i = 1..4):
+    // 12, 6, 4, 3 — an exact Zipf spectrum would give slope -1 on
+    // UNROUNDED logs; verify against the textbook formula on the same
+    // 6-dp-rounded points the operator uses
+    val words = Seq("aa" -> 12, "bb" -> 6, "cc" -> 4, "dd" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Vocab.zipfFit(docs, "text", topN = 10).head()
+    assert(r.getAs[Long]("n_terms") == 4)
+    val pts = words.zipWithIndex.map { case ((_, c), i) =>
+      (math.rint(math.log(i + 1.0) * 1e6) / 1e6,
+        math.rint(math.log(c.toDouble) * 1e6) / 1e6)
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-5,
+      s"engine ${r.getAs[Double]("zipf_slope")} vs replay $slope")
+    // 12/6/4/3 is exactly 12/i → slope ≈ -1
+    assert(math.abs(slope + 1.0) < 1e-3)
+    assert(r.getAs[Double]("r2") > 0.999)
+  }
+
+  test("semanticContamination: detects in-bucket leaks, honors threshold, " +
+      "misses cross-bucket (the documented recall trade)") {
+    val ev = (0L, Array(1f, 1f, 1f, 1f))          // eval vector (id%10==0)
+    val nearDup = (11L, Array(0.9f, 1f, 1f, 0.9f)) // same bucket, cos~0.998
+    val inBucketFar = (12L, Array(5f, 0.1f, 0.1f, 0.1f)) // same bucket, low cos
+    val crossBucket = (13L, Array(1f, 1f, 1f, -0.01f)) // cos~0.86 but bucket 1110
+    val emb = Seq(ev, nearDup, inBucketFar, crossBucket)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(
+      emb, col("vec_id") % 10 === 0, threshold = 0.9, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((11L, 0L, out.head._3)))
+    assert(out.head._3 > 0.99)
+    // lower threshold: the in-bucket far vector enters; cross-bucket
+    // still cannot (sign bucket differs) — recall caveat pinned
+    val loose = Similarity.semanticContamination(
+      emb, col("vec_id") % 10 === 0, threshold = 0.3, bits = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose.contains(11L) && loose.contains(12L) === (
+      // cos(ev, inBucketFar) = 5.3/(2*sqrt(25.03)) ≈ 0.53 ≥ 0.3
+      true) && !loose.contains(13L))
+  }
+
+  test("HllAgg: estimate within theoretical error, duplicate-insensitive") {
+    import graft.ext.TextDedup
+    import graft.functions.HllAgg
+    import graft.ops.IncrementalAgg
+    // 2000 distinct values, each duplicated 3x — duplicates must not move
+    // the registers (max is idempotent); rse for m=256 is ~6.5%
+    val n = 2000
+    val df = (0 until n).flatMap(i => Seq.fill(3)(s"value-$i"))
+      .toDF("v")
+    val est = df.agg(HllAgg.hll_sketch(TextDedup.baseHash(col("v")), 8)
+        .as("sk"))
+      .select(IncrementalAgg.hllEstimate(col("sk"), 8).as("e"))
+      .head().getDouble(0)
+    assert(math.abs(est - n) / n < 0.20,
+      s"HLL estimate $est too far from $n (m=256, rse ~6.5%)")
+    val distinctOnly = (0 until n).map(i => s"value-$i").toDF("v")
+      .agg(HllAgg.hll_sketch(TextDedup.baseHash(col("v")), 8).as("sk"))
+      .select(IncrementalAgg.hllEstimate(col("sk"), 8).as("e"))
+      .head().getDouble(0)
+    assert(est == distinctOnly, "duplicates must not change the sketch")
+  }
+
+  test("HllAgg: linear-counting branch is near-exact at tiny cardinality") {
+    import graft.ext.TextDedup
+    import graft.functions.HllAgg
+    import graft.ops.IncrementalAgg
+    val df = Seq("a", "b", "c").toDF("v")
+    val est = df.agg(HllAgg.hll_sketch(TextDedup.baseHash(col("v")), 8)
+        .as("sk"))
+      .select(IncrementalAgg.hllEstimate(col("sk"), 8).as("e"))
+      .head().getDouble(0)
+    assert(math.abs(est - 3.0) < 0.1, s"linear counting gave $est for n=3")
+  }
+
+  test("HllAgg: sketch of a union equals elementwise-max merge of parts") {
+    import graft.ext.TextDedup
+    import graft.functions.HllAgg
+    val a = (0 until 500).map(i => s"a-$i").toDF("v")
+    val b = (0 until 500).map(i => if (i < 100) s"a-$i" else s"b-$i").toDF("v")
+    def sketch(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.agg(HllAgg.hll_sketch(TextDedup.baseHash(col("v")), 8).as("sk"))
+        .head().getSeq[Int](0)
+    val merged = sketch(a).zip(sketch(b)).map { case (x, y) => math.max(x, y) }
+    assert(sketch(a.union(b)) == merged,
+      "HLL must be exactly mergeable (elementwise register max)")
+  }
+
+  test("stream dedup: doubled feed dedups back to the source exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.streaming.StreamPipeline
+      .dedupStreamAvailableNow(spark, sf)
+    val src = Tables.events(spark, sf)
+    assert(out.count() == src.count(),
+      "every duplicate must collapse to exactly one row")
+    assert(out.select(col("event_id")).distinct().count() == src.count())
+  }
+}

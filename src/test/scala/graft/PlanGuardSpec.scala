@@ -49,7 +49,11 @@ class PlanGuardSpec extends SparkSpec {
     "ext_classifier_auc" ->
       "cumulative negatives over the score-bin histogram (<= 1000 rows)",
     "ext_stratified_sample" ->
-      "remainder ranking over the per-stratum size aggregate (G rows)")
+      "remainder ranking over the per-stratum size aggregate (G rows)",
+    "q_abc_pareto" ->
+      "prefix-sum over per-partition totals (one row per partition)",
+    "ext_zipf_fit" ->
+      "rank over the bounded top-N vocabulary (TakeOrdered upstream)")
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:

@@ -174,6 +174,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("paretoCumShare == sequential fold over random values and layouts") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { trial =>
+      val rows = (0 until 50).map(i =>
+        (i.toLong, BigDecimal(rnd.nextInt(1000)) / 100))
+      val parts = 1 + rnd.nextInt(9)
+      val df = rows.toDF("k", "v")
+        .select(col("k"), col("v").cast(DecimalType(18, 6)).as("v"))
+        .repartition(parts)
+      val got = RetailQueries.paretoCumShare(df, "k", "v")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("cum_share")))
+        .toMap
+      graft.ops.CacheScope.releaseAll()
+      val total = rows.map(_._2).sum
+      var cum = BigDecimal(0)
+      rows.sortBy { case (k, v) => (-v, k) }.foreach { case (k, v) =>
+        cum += v
+        // term-for-term replica of the operator's arithmetic: exact
+        // decimal → nearest double, IEEE division, HALF_UP 6-dp round
+        val expect = BigDecimal(cum.toDouble / total.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(k) == expect,
+          s"trial=$trial parts=$parts k=$k: ${got(k)} vs $expect")
+      }
+    }
+  }
+
   test("tokenBudgetSelect == sequential greedy over random corpora/layouts") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(99)

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the retail-analytics queries (RetailQueries) at
+  * sf0.001 — invariants the DuckDB hash gate can't articulate: score
+  * ranges, conservation laws, monotonicity, and a from-first-principles
+  * OLS replay for the elasticity regression.
+  */
+class RetailSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_rfm_segments: scores in 1..4, quartile monotonicity, coverage") {
+    val out = RetailQueries.qRfm.run(spark, sf).cache()
+    try {
+      val nCust = Tables.orders(spark, sf)
+        .select(col("o_custkey")).distinct().count()
+      assert(out.count() == nCust, "one row per ordering customer")
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val bad = out.filter(col(c) < 1 || col(c) > 4).count()
+        assert(bad == 0, s"$c outside 1..4")
+      }
+      // monotonicity: a strictly larger f can never score LOWER
+      val viol = out.as("a").join(out.as("b"),
+          col("a.f") > col("b.f") && col("a.f_score") < col("b.f_score"))
+        .count()
+      assert(viol == 0, "f_score must be monotone in f")
+      // segment label is total (no nulls) and from the closed set
+      val segs = out.select(col("segment")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(segs.subsetOf(
+        Set("champion", "at_risk", "new_or_light", "regular")))
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_abc_pareto: cumulative share monotone to 1.0, classes ordered") {
+    val out = RetailQueries.qAbcPareto.run(spark, sf).cache()
+    try {
+      val rows = out.orderBy(col("revenue").desc, col("l_partkey"))
+        .collect()
+      assert(rows.nonEmpty)
+      var prev = 0.0
+      rows.foreach { r =>
+        val share = r.getAs[Double]("cum_share")
+        assert(share >= prev - 1e-9, "cum_share must be nondecreasing")
+        prev = share
+      }
+      assert(math.abs(prev - 1.0) < 1e-6, s"final share $prev != 1.0")
+      // class boundaries: every A-row share <= every B-row share, etc.
+      val maxA = rows.filter(_.getAs[String]("abc_class") == "A")
+        .map(_.getAs[Double]("cum_share")).maxOption.getOrElse(0.0)
+      val minB = rows.filter(_.getAs[String]("abc_class") == "B")
+        .map(_.getAs[Double]("cum_share")).minOption.getOrElse(1.0)
+      val maxB = rows.filter(_.getAs[String]("abc_class") == "B")
+        .map(_.getAs[Double]("cum_share")).maxOption.getOrElse(0.0)
+      assert(maxA <= 0.80 + 1e-9 && minB > 0.80 - 1e-9 && maxB <= 0.95 + 1e-9)
+      // conservation: class revenues sum to the corpus total
+      val total = rows.map(_.getAs[Double]("revenue")).sum
+      val liTotal = Tables.lineitem(spark, sf)
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          6)).head().getDouble(0)
+      assert(math.abs(total - liTotal) / liTotal < 1e-9)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_price_elasticity: matches a from-first-principles OLS replay") {
+    val out = RetailQueries.qElasticity.run(spark, sf)
+      .collect().map(r => r.getAs[String]("p_type") -> r).toMap
+    // independent replay: collect (x, y) per type (test-only scale) and
+    // run the textbook formula in Scala on the same 6-dp-rounded logs
+    val li = Tables.lineitem(spark, sf).filter(col("l_quantity") > 0)
+    val pt = Tables.part(spark, sf).filter(col("p_retailprice") > 0)
+    val xy = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"),
+        round(log(col("p_retailprice")), 6).as("x"),
+        round(log(col("l_quantity")), 6).as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+    xy.foreach { case (ptype, rows) =>
+      val xs = rows.map(_.getAs[Double]("x"))
+      val ys = rows.map(_.getAs[Double]("y"))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val got = out(ptype).getAs[Double]("elasticity")
+      assert(math.abs(got - slope) < 1e-4,
+        s"$ptype: engine slope $got vs replay $slope")
+      val r2 = out(ptype).getAs[Double]("r2")
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9, s"$ptype r2 $r2 out of [0,1]")
+    }
+    assert(out.size == xy.size, "one row per part type")
+  }
+
+  test("q_order_count_distribution: conserves customers and orders") {
+    val out = RetailQueries.qOrderCountDist.run(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(out.map(_.getAs[Long]("custdist")).sum == nCust,
+      "distribution must cover every customer exactly once")
+    assert(out.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist"))
+      .sum == nOrd, "count-weighted sum must equal total joined orders")
+  }
+
+  test("q_returned_items: top-20 descending, R-flag revenue only") {
+    val rows = RetailQueries.qReturnedItems.run(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "must be ordered by revenue descending")
+    assert(revs.forall(_ > 0))
+  }
+
+  test("q_large_volume_customers: every order exceeds the threshold, " +
+      "and the set matches an independent recount") {
+    val out = RetailQueries.qLargeVolume.run(spark, sf).collect()
+    assert(out.forall(_.getAs[Double]("sum_qty") > 250.0))
+    val expect = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(Det.dsum(col("l_quantity")).as("s"))
+      .filter(col("s") > 250.0).count()
+    assert(out.length.toLong == expect,
+      s"${out.length} rows vs $expect qualifying orders")
+  }
+
+  test("q_market_share: shares interior and components consistent") {
+    val rows = RetailQueries.qMarketShare.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nat = r.getAs[Double]("nation_revenue")
+      val tot = r.getAs[Double]("total_revenue")
+      val share = r.getAs[Double]("mkt_share")
+      assert(nat >= 0 && nat <= tot)
+      assert(math.abs(share - math.rint(nat / tot * 1e6) / 1e6) < 1e-9)
+      val y = r.getAs[Int]("o_year")
+      assert(y >= 1995 && y <= 2001)
+    }
+  }
+
+  test("q_promo_revenue_share: share consistent with its components") {
+    val r = RetailQueries.qPromoShare.run(spark, sf).head()
+    val promo = r.getAs[Double]("promo_revenue")
+    val total = r.getAs[Double]("total_revenue")
+    val share = r.getAs[Double]("promo_share_pct")
+    assert(promo >= 0 && promo <= total)
+    assert(math.abs(share - 100.0 * promo / total) < 1e-6)
+    assert(share > 0 && share < 100,
+      "testdata has PROMO and non-PROMO parts, share must be interior")
+  }
+}
