@@ -456,7 +456,82 @@ object RetailQueries {
       FROM j GROUP BY o_year"""),
     bench = true)
 
+  /** Year-over-year revenue growth per brand: lag window over the
+    * (brand, year) AGGREGATE — the frame the window sorts is
+    * brands × years (bounded by the calendar, not the corpus), so the
+    * per-brand sort is trivially small at any scale; the corpus-sized
+    * work is one hash aggregate. Growth divides exact-decimal-derived
+    * doubles and rounds 6 dp; the first year per brand has no prior and
+    * is dropped (growth undefined). l_shipdate keys the year so no
+    * orders join is needed. */
+  val qYoyBrandGrowth = Q(
+    "q_yoy_brand_growth",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pt = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      val byYear = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("yr"))
+      byYear
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .filter(col("prev_revenue").isNotNull)
+        .select(col("p_brand"), col("yr"), col("revenue"),
+          col("prev_revenue"),
+          round((col("revenue") - col("prev_revenue"))
+            / col("prev_revenue"), 6).as("yoy_growth"))
+    },
+    Some(s"""WITH by_year AS (
+        SELECT p_brand, year(l_shipdate) AS yr,
+          ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, year(l_shipdate)),
+      lagged AS (
+        SELECT p_brand, yr, revenue,
+          lag(revenue) OVER (PARTITION BY p_brand ORDER BY yr)
+            AS prev_revenue
+        FROM by_year)
+      SELECT p_brand, yr, revenue, prev_revenue,
+        round((revenue - prev_revenue) / prev_revenue, 6) AS yoy_growth
+      FROM lagged WHERE prev_revenue IS NOT NULL"""))
+
+  /** Repeat-purchase cadence per customer: mean days between consecutive
+    * orders — the retention metric behind replenishment campaigns.
+    * One lag window PARTITIONED BY customer (bounded by orders per
+    * customer, never row-grained global), gaps as integer day diffs,
+    * mean = exact long sum / count rounded 6 dp. Single-order customers
+    * drop (no interval defined). */
+  val qRepeatInterval = Q(
+    "q_repeat_purchase_interval",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"), col("o_orderkey"))
+      o.withColumn("gap", datediff(col("od"), lag(col("od"), 1).over(w)))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_intervals"),
+          round(sum(col("gap").cast("long")).cast("double")
+            / count(lit(1)), 6).as("avg_gap_days"),
+          max(col("gap").cast("long")).as("max_gap_days"))
+    },
+    Some("""WITH g AS (
+        SELECT o_custkey,
+          CAST(CAST(o_orderdate AS DATE)
+            - lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+            AS BIGINT) AS gap
+        FROM orders)
+      SELECT o_custkey, count(*) AS n_intervals,
+        round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_gap_days,
+        max(gap) AS max_gap_days
+      FROM g WHERE gap IS NOT NULL GROUP BY o_custkey"""))
+
   def all: Seq[Q] = Seq(
     qRfm, qAbcPareto, qElasticity, qOrderCountDist, qPromoShare,
-    qReturnedItems, qLargeVolume, qMarketShare)
+    qReturnedItems, qLargeVolume, qMarketShare, qYoyBrandGrowth,
+    qRepeatInterval)
 }

@@ -140,6 +140,41 @@ class RetailSpec extends SparkSpec {
     }
   }
 
+  test("q_yoy_brand_growth: prev matches the prior year's revenue") {
+    val rows = RetailQueries.qYoyBrandGrowth.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.map(r => (r.getAs[String]("p_brand"),
+      r.getAs[Int]("yr")) -> r).toMap
+    rows.foreach { r =>
+      val growth = r.getAs[Double]("yoy_growth")
+      val rev = r.getAs[Double]("revenue")
+      val prev = r.getAs[Double]("prev_revenue")
+      assert(math.abs(growth -
+        math.rint((rev - prev) / prev * 1e6) / 1e6) < 1e-9)
+      // if the prior year is also in the output, its revenue must equal
+      // this row's prev (chain consistency)
+      byKey.get((r.getAs[String]("p_brand"), r.getAs[Int]("yr") - 1))
+        .foreach(p => assert(p.getAs[Double]("revenue") == prev))
+    }
+  }
+
+  test("q_repeat_purchase_interval: intervals = orders - 1 per customer") {
+    val out = RetailQueries.qRepeatInterval.run(spark, sf)
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r).toMap
+    val perCust = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perCust.foreach { case (ck, n) =>
+      if (n >= 2) {
+        val r = out.getOrElse(ck, fail(s"customer $ck missing"))
+        assert(r.getAs[Long]("n_intervals") == n - 1)
+        assert(r.getAs[Double]("avg_gap_days") >= 0.0)
+        assert(r.getAs[Long]("max_gap_days") >=
+          r.getAs[Double]("avg_gap_days").floor.toLong)
+      } else assert(!out.contains(ck), s"single-order customer $ck present")
+    }
+  }
+
   test("q_promo_revenue_share: share consistent with its components") {
     val r = RetailQueries.qPromoShare.run(spark, sf).head()
     val promo = r.getAs[Double]("promo_revenue")
