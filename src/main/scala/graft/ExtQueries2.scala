@@ -187,6 +187,59 @@ object ExtQueries2 {
       FROM est e JOIN x USING (source)"""
     })
 
+  /** Per-dimension embedding health profile: mean / variance /
+    * zero-fraction / extremes for each of the 64 coordinates — the
+    * diagnostic that catches collapsed dimensions (var ≈ 0), dead ReLU
+    * coordinates (zero_frac ≈ 1), and scale drift between checkpoints,
+    * none of which corpus-level norm stats can localize.
+    *
+    * Scale: ONE pass — posexplode to (dim, v) then a hash aggregate on
+    * the DIMENSION key (64 groups; the shuffle carries 64 rows of
+    * aggregate state per map task, map-side combined). Determinism:
+    * float→double is exact, v·v is one IEEE product, sums run in exact
+    * DECIMAL(38,12), and mean/var evaluate on the resulting doubles with
+    * oracle-identical parenthesization, 6-dp rounded. */
+  val embDimStats = Q(
+    "ext_emb_dim_stats",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), col("v").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("v"))).cast("double").as("sx"),
+          sum(dec(col("v") * col("v"))).cast("double").as("sxx"),
+          sum((col("v") === 0.0).cast("long")).as("n_zero"),
+          min(col("v")).as("v_min"),
+          max(col("v")).as("v_max"))
+        .select(col("dim"),
+          round(col("sx") / col("n"), 6).as("mean"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"),
+            6).as("variance"),
+          round(col("n_zero").cast("double") / col("n"), 6).as("zero_frac"),
+          col("v_min"), col("v_max"))
+    },
+    Some("""WITH x AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      w AS (
+        SELECT dim, count(*) AS n,
+          CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+          sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+          min(v) AS v_min, max(v) AS v_max
+        FROM x GROUP BY dim)
+      SELECT dim, round(sx / n, 6) AS mean,
+        round((sxx - sx * sx / n) / n, 6) AS variance,
+        round(CAST(n_zero AS DOUBLE) / n, 6) AS zero_frac,
+        v_min, v_max
+      FROM w"""))
+
   def all: Seq[Q] = Seq(
-    pmiCooccur, zipfFit, contaminationSemantic, streamDedup, hllDistinct)
+    pmiCooccur, zipfFit, contaminationSemantic, streamDedup, hllDistinct,
+    embDimStats)
 }

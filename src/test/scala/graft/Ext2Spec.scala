@@ -145,6 +145,32 @@ class Ext2Spec extends SparkSpec {
       "HLL must be exactly mergeable (elementwise register max)")
   }
 
+  test("emb dim stats: collapsed and dead dimensions are localized") {
+    // dim0 constant (collapsed: var=0), dim1 mostly zero (dead),
+    // dim2 healthy
+    val emb = Seq(
+      (1L, Array(0.5f, 0f, 1f)), (2L, Array(0.5f, 0f, -1f)),
+      (3L, Array(0.5f, 0f, 2f)), (4L, Array(0.5f, 4f, -2f)))
+      .toDF("vec_id", "embedding")
+    val rows = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sx"),
+        sum(col("v") * col("v")).as("sxx"),
+        sum((col("v") === 0.0).cast("long")).as("n_zero"))
+      .select(col("dim"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 6)
+          .as("variance"),
+        round(col("n_zero").cast("double") / col("n"), 6).as("zero_frac"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Double]("variance"), r.getAs[Double]("zero_frac"))).toMap
+    assert(rows(0)._1 == 0.0 && rows(0)._2 == 0.0)
+    assert(rows(1)._2 == 0.75 && rows(1)._1 > 0)
+    assert(rows(2)._1 > 1.0 && rows(2)._2 == 0.0)
+  }
+
   test("stream dedup: doubled feed dedups back to the source exactly") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.streaming.StreamPipeline
