@@ -530,8 +530,59 @@ object RetailQueries {
         max(gap) AS max_gap_days
       FROM g WHERE gap IS NOT NULL GROUP BY o_custkey"""))
 
+  /** Session-level conversion rate per day: the product-analytics KPI —
+    * of the activity sessions STARTING each day, what fraction contained
+    * a purchase. Sessions are the native `session_window` aggregate
+    * under the repo's session contract
+    * ([[graft.streaming.SessionWindows]]: 4 h gap, an event at exactly
+    * the gap starts a new session), so the oracle replays the SAME
+    * islands the q_sessions_gap oracle uses and adds the conversion
+    * flag. Two bounded shuffles: the session aggregate keyed on user
+    * (state bounded by open sessions per user), then a calendar-grain
+    * day rollup. */
+  val qSessionConversion = Q(
+    "q_session_conversion",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val sess = ev
+        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("converted"))
+        .select(
+          date_format(col("session_window.start"), "yyyy-MM-dd").as("day"),
+          col("converted"))
+      sess.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted").cast("long")).as("n_converting"))
+        .select(col("day"), col("n_sessions"), col("n_converting"),
+          round(col("n_converting").cast("double") / col("n_sessions"), 6)
+            .as("conversion_rate"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, event_type,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS seq
+        FROM g),
+      s2 AS (
+        SELECT user_id, seq, strftime(min(ts), '%Y-%m-%d') AS day,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS converted
+        FROM sess GROUP BY user_id, seq)
+      SELECT day, count(*) AS n_sessions,
+        CAST(sum(converted) AS BIGINT) AS n_converting,
+        round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+          AS conversion_rate
+      FROM s2 GROUP BY day"""))
+
   def all: Seq[Q] = Seq(
     qRfm, qAbcPareto, qElasticity, qOrderCountDist, qPromoShare,
     qReturnedItems, qLargeVolume, qMarketShare, qYoyBrandGrowth,
-    qRepeatInterval)
+    qRepeatInterval, qSessionConversion)
 }

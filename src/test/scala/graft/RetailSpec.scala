@@ -175,6 +175,21 @@ class RetailSpec extends SparkSpec {
     }
   }
 
+  test("q_session_conversion: conserves the q_sessions_gap session count") {
+    val out = RetailQueries.qSessionConversion.run(spark, sf).collect()
+    val totalSessions = graft.streaming.SessionWindows
+      .sessions(Tables.events(spark, sf), "4 hours").count()
+    assert(out.map(_.getAs[Long]("n_sessions")).sum == totalSessions,
+      "daily session counts must sum to the corpus session count")
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_sessions")
+      val c = r.getAs[Long]("n_converting")
+      assert(c >= 0 && c <= n)
+      assert(math.abs(r.getAs[Double]("conversion_rate") -
+        math.rint(c.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
   test("q_promo_revenue_share: share consistent with its components") {
     val r = RetailQueries.qPromoShare.run(spark, sf).head()
     val promo = r.getAs[Double]("promo_revenue")
