@@ -609,8 +609,17 @@ object Similarity {
   }
 
   /** Exact integer dot product of two int8 code arrays (≤ 127² per term,
-    * sums exact in long for any realistic dimensionality). */
+    * sums exact in long for any realistic dimensionality) — the native
+    * codegen'd [[graft.functions.IntVecDot]]; integer addition is
+    * associative-exact so it is identical to the HOF
+    * `aggregate(zip_with(...))` form it replaced (differential-tested in
+    * ExtSpec), just without the per-pair array allocation and
+    * interpreted lambda dispatch in the corpus-scan scoring loop. */
   def intDot(a: Column, b: Column): Column =
+    graft.functions.IntVecDot.int_dot(a, b)
+
+  /** The interpreted HOF reference form of [[intDot]] (spec baseline). */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
       lit(0L), (acc, x) => acc + x)
 

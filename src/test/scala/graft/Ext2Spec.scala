@@ -145,6 +145,36 @@ class Ext2Spec extends SparkSpec {
       "HLL must be exactly mergeable (elementwise register max)")
   }
 
+  test("IntVecDot: bit-identical to the HOF form on real quantized codes") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val coded = emb.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding"),
+        Similarity.int8Scale(col("embedding"))).as("q"))
+    // pair every vector with a rotated copy of itself via a self-join on
+    // adjacent ids — a corpus-wide differential over real code arrays
+    val a = coded.select(col("vec_id"), col("q").as("qa"))
+    val b = coded.select((col("vec_id") - 1).as("vec_id"), col("q").as("qb"))
+    val diff = a.join(b, "vec_id")
+      .select(
+        graft.functions.IntVecDot.int_dot(col("qa"), col("qb")).as("native"),
+        Similarity.intDotHof(col("qa"), col("qb")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, "native and HOF integer dots must agree everywhere")
+  }
+
+  test("IntVecDot: contract edges — empty arrays and known values") {
+    val df = Seq(
+      (Array(1, 2, 3), Array(4, 5, 6), 32L),     // 4+10+18
+      (Array(-127, 127), Array(127, 127), 0L),   // symmetric extremes
+      (Array.empty[Int], Array.empty[Int], 0L))
+      .toDF("a", "b", "expect")
+    val bad = df.filter(
+      graft.functions.IntVecDot.int_dot(col("a"), col("b"))
+        =!= col("expect")).count()
+    assert(bad == 0)
+  }
+
   test("emb dim stats: collapsed and dead dimensions are localized") {
     // dim0 constant (collapsed: var=0), dim1 mostly zero (dead),
     // dim2 healthy
