@@ -581,8 +581,100 @@ object RetailQueries {
           AS conversion_rate
       FROM s2 GROUP BY day"""))
 
+  /** Referential-integrity audit across the star schema — the Deequ-style
+    * constraint suite a warehouse runs before publishing: orphan facts
+    * (anti-joins), duplicate keys (grouped HAVING counts), each check one
+    * bounded aggregate, unioned into a single (check, violations) report.
+    * Anti-joins shuffle on the key being checked; the dup checks carry
+    * one row per VIOLATING key through the second aggregate — at 100 TB
+    * a clean table costs one map-side-combined count, never a blowup. */
+  val qRefIntegrity = Q(
+    "q_ref_integrity",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      def c1(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check"), col("violations"))
+      val orphanLi = li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+        "left_anti")
+      val orphanOrd = ord.join(cust, ord("o_custkey") === cust("c_custkey"),
+        "left_anti")
+      val dupOrd = ord.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      val dupLi = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      val dupCust = cust.groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      c1("lineitem_orphan_orders", orphanLi)
+        .unionAll(c1("orders_orphan_customers", orphanOrd))
+        .unionAll(c1("orders_dup_orderkey", dupOrd))
+        .unionAll(c1("lineitem_dup_pk", dupLi))
+        .unionAll(c1("customer_dup_custkey", dupCust))
+    },
+    Some("""SELECT 'lineitem_orphan_orders' AS "check", count(*) AS violations
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'orders_orphan_customers', count(*)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'orders_dup_orderkey', count(*) FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'lineitem_dup_pk', count(*) FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'customer_dup_custkey', count(*) FROM (
+        SELECT c_custkey FROM customer GROUP BY c_custkey
+        HAVING count(*) > 1)"""))
+
+  /** Cross-border trade volume (the TPC-H Q7 shape): yearly discounted
+    * revenue between every DISTINCT (supplier nation, customer nation)
+    * pair — nation joined in both roles again, with the inequality
+    * filter keeping only cross-border flow. Output is bounded by
+    * nations² × years regardless of corpus size; the fact-side work is
+    * the join chain plus ONE hash aggregate. */
+  val qNationTrade = Q(
+    "q_nation_trade_volume",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val cnat = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
+      val snat = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(cnat), cust("c_nationkey") === col("cn_key"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(snat), sup("s_nationkey") === col("sn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+    },
+    Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        year(l_shipdate) AS l_year,
+        ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"""))
+
   def all: Seq[Q] = Seq(
     qRfm, qAbcPareto, qElasticity, qOrderCountDist, qPromoShare,
     qReturnedItems, qLargeVolume, qMarketShare, qYoyBrandGrowth,
-    qRepeatInterval, qSessionConversion)
+    qRepeatInterval, qSessionConversion, qRefIntegrity, qNationTrade)
 }

@@ -190,6 +190,31 @@ class RetailSpec extends SparkSpec {
     }
   }
 
+  test("q_ref_integrity: clean keys report zero, real defects surface") {
+    val out = RetailQueries.qRefIntegrity.run(spark, sf)
+      .collect().map(r => r.getAs[String]("check") ->
+        r.getAs[Long]("violations")).toMap
+    assert(out.size == 5)
+    // the synthetic star schema is referentially clean on the fk chains
+    assert(out("lineitem_orphan_orders") == 0)
+    assert(out("orders_orphan_customers") == 0)
+    assert(out("orders_dup_orderkey") == 0)
+    assert(out("customer_dup_custkey") == 0)
+    // ...but the generator reuses linenumbers within an order — a REAL
+    // defect the audit must surface, not mask
+    assert(out("lineitem_dup_pk") > 0)
+  }
+
+  test("q_nation_trade_volume: no domestic flows, conserves cross-border " +
+      "revenue") {
+    val rows = RetailQueries.qNationTrade.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
+    val years = rows.map(_.getAs[Int]("l_year"))
+    assert(years.min >= 1995 && years.max <= 2005)
+  }
+
   test("q_promo_revenue_share: share consistent with its components") {
     val r = RetailQueries.qPromoShare.run(spark, sf).head()
     val promo = r.getAs[Double]("promo_revenue")
