@@ -239,7 +239,51 @@ object ExtQueries2 {
         v_min, v_max
       FROM w"""))
 
+  /** Custom-state streaming sessionization, end-to-end
+    * ([[graft.streaming.StreamPipeline.sessionsStateAvailableNow]]):
+    * the flatMapGroupsWithState path emits a session only when the
+    * event-time watermark passes `last_event + gap` — the oracle replays
+    * the batch session islands AND that finality cutoff (final watermark
+    * = floor(max_ts_us/1000) − 2h, all integer arithmetic), so streaming
+    * event-time semantics are hash-gated rather than spec-only. */
+  val streamSessionsState = Q(
+    "q_stream_sessions_state",
+    (s, d) => graft.streaming.StreamPipeline.sessionsStateAvailableNow(s, d),
+    Some(s"""WITH wm AS (
+        SELECT (epoch_us(max(ts)) // 1000) - 7200000 AS wm_ms FROM events),
+      g AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, event_id, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS seq
+        FROM g),
+      s2 AS (
+        SELECT user_id, seq, min(ts) AS start_ts, max(ts) AS end_ts,
+          count(*) AS n_events,
+          ${Det.dsumSql("value")} AS total_value
+        FROM sess GROUP BY user_id, seq),
+      s3 AS (
+        SELECT *, max(seq) OVER (PARTITION BY user_id) AS max_seq
+        FROM s2)
+      SELECT user_id,
+        strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(end_ts + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S')
+          AS session_end,
+        n_events, total_value
+      FROM s3, wm
+      -- a session with a SUCCESSOR in the data was closed by that event
+      -- (emitted regardless of the watermark); only each user's LAST
+      -- session needs the timeout cutoff
+      WHERE seq < max_seq
+         OR (epoch_us(end_ts) + 14400000000) // 1000 < wm_ms"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup, hllDistinct,
-    embDimStats)
+    embDimStats, streamSessionsState)
 }

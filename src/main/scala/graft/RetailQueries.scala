@@ -673,8 +673,57 @@ object RetailQueries {
       WHERE sn.n_name <> cn.n_name
       GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"""))
 
+  /** Hourly error-spike detection: hours whose error-event count exceeds
+    * mean + 3σ of the hourly error distribution — the ops anomaly page.
+    * Two bounded aggregates: hourly counts (calendar-grain), then the
+    * 1-row mean/σ broadcast back; z-scores divide exact-decimal-derived
+    * doubles with oracle-identical parenthesization (σ via the same
+    * (Σx², Σx, n) fused form as q_corr_matrix). Every hour is emitted
+    * with its z-score and spike flag so the downstream consumer sees the
+    * full series, not just alarms. */
+  val qErrorSpikes = Q(
+    "q_error_spike_hours",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n_errors"))
+      val stats = hourly.agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n_errors")).as("sx"),
+        sum(col("n_errors") * col("n_errors")).as("sxx"))
+      hourly.crossJoin(broadcast(stats))
+        .select(col("hour"), col("n_errors"),
+          round((col("n_errors") - col("sx").cast("double") / col("n_hours"))
+            / sqrt((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx") / col("n_hours"))
+              / col("n_hours")), 6).as("z_score"))
+        .withColumn("is_spike", (col("z_score") > 3.0).cast("int"))
+    },
+    Some("""WITH hourly AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+            AS hour,
+          count(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1),
+      stats AS (
+        SELECT count(*) AS n_hours,
+          CAST(sum(n_errors) AS BIGINT) AS sx,
+          CAST(sum(n_errors * n_errors) AS BIGINT) AS sxx
+        FROM hourly)
+      SELECT hour, n_errors,
+        round((n_errors - CAST(sx AS DOUBLE) / n_hours)
+          / sqrt((CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * sx / n_hours) / n_hours), 6) AS z_score,
+        CAST(round((n_errors - CAST(sx AS DOUBLE) / n_hours)
+          / sqrt((CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * sx / n_hours) / n_hours), 6) > 3.0
+          AS INT) AS is_spike
+      FROM hourly, stats"""))
+
   def all: Seq[Q] = Seq(
     qRfm, qAbcPareto, qElasticity, qOrderCountDist, qPromoShare,
     qReturnedItems, qLargeVolume, qMarketShare, qYoyBrandGrowth,
-    qRepeatInterval, qSessionConversion, qRefIntegrity, qNationTrade)
+    qRepeatInterval, qSessionConversion, qRefIntegrity, qNationTrade,
+    qErrorSpikes)
 }

@@ -369,6 +369,58 @@ object StreamPipeline {
     spark.table(qn)
   }
 
+  /** Custom-state sessionization, registered end-to-end: the
+    * `flatMapGroupsWithState` path ([[SessionWindows.sessionizeStream]])
+    * run as an AvailableNow stream over the events table. A session
+    * closes either when a SUCCESSOR event past the gap arrives (emitted
+    * immediately, watermark-independent) or — for each user's last,
+    * still-open session — when the event-time watermark passes
+    * `last_event + gap`: emitted iff
+    * `floor((last_us + gapUs)/1000) < final watermark (ms)`, final
+    * watermark = `floor(max(ts in data)/1000) − delay`. Both rules are
+    * deterministic integer arithmetic, so the DuckDB oracle replays the
+    * batch islands AND the finality cutoff — streaming
+    * event-time semantics themselves are hash-gated, not just spec'd.
+    * (The no-data micro-batch after the last file is what fires the
+    * timeouts; sessions inside the final watermark horizon stay open by
+    * design — on a live feed they close as the watermark advances.)
+    *
+    * Scale: state shuffles on user_id; per-task state = open sessions
+    * per user; timers evict with the watermark. */
+  def sessionsStateAvailableNow(
+      spark: SparkSession, dir: String,
+      gapUs: Long = 4L * 3600 * 1000000,
+      watermark: String = "2 hours"): DataFrame = {
+    val path = s"$dir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev = graft.Tables.normalizeEventsTs(raw)
+    val sess = SessionWindows.sessionizeStream(ev, gapUs, watermark)
+    val out = sess.toDF()
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_micros(col("end_us")),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("total_value"))
+    val qn = "stream_sess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val q = out.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
   /** Streaming exactly-once DEDUP over an at-least-once feed — the
     * streaming upgrade of the reference's duplicate-invocation defect
     * (README.md:119-127) applied to ROW duplicates, not just file
