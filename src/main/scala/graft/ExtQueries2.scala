@@ -283,7 +283,84 @@ object ExtQueries2 {
       WHERE seq < max_seq
          OR (epoch_us(end_ts) + 14400000000) // 1000 < wm_ms"""))
 
+  /** Epoch-incremental distinct counting via HLL sketch MERGE — the
+    * materialized-rollup story ([[graft.ops.IncrementalAgg]]) applied to
+    * a sketch: per-epoch sketches are data (256-int arrays, persistable
+    * in a manifest), and the union estimate comes from merging REGISTERS
+    * (posexplode → max per register → reassemble), never rescanning
+    * epochs. Day N's corpus-wide distinct count = merge(stored sketches,
+    * today's) at register cost. The oracle replays per-epoch registers,
+    * the max-merge, and both estimates; exact counts ride along as the
+    * accuracy reference. */
+  val hllMergeEpochs = Q(
+    "ext_hll_merge_epochs",
+    (s, d) => {
+      val p = 8
+      val docs = Tables.documents(s, d)
+      val withEpoch = docs.withColumn("epoch", (col("doc_id") % 2).cast("int"))
+      val sketches = graft.ops.CacheScope.persist(
+        withEpoch.groupBy(col("epoch"))
+          .agg(graft.functions.HllAgg.hll_sketch(
+            TextDedup.baseHash(col("text")), p).as("sk"),
+            countDistinct(col("text")).as("exact_distinct")))
+      val perEpoch = sketches.select(
+        concat(lit("epoch_"), col("epoch")).as("scope"),
+        graft.ops.IncrementalAgg.hllEstimate(col("sk"), p)
+          .as("hll_distinct"),
+        col("exact_distinct"))
+      val mergedSk = sketches
+        .select(posexplode(col("sk")).as(Seq("reg", "m")))
+        .groupBy(col("reg")).agg(max(col("m")).as("m"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("reg"), col("m")))),
+          x => x.getField("m")).as("sk"))
+      val unionExact = docs.agg(countDistinct(col("text")).as("exact_distinct"))
+      val unionRow = mergedSk.crossJoin(unionExact)
+        .select(lit("union").as("scope"),
+          graft.ops.IncrementalAgg.hllEstimate(col("sk"), p)
+            .as("hll_distinct"),
+          col("exact_distinct"))
+      perEpoch.unionAll(unionRow)
+    },
+    Some {
+      val am2 = graft.ops.IncrementalAgg.hllAlpha(256) * 256 * 256
+      def est(s: String, v: String) =
+        s"""CASE WHEN ($am2 / $s) <= 640.0 AND $v > 0
+          THEN round(256.0 * round(ln(256.0 / $v), 6), 6)
+          ELSE round($am2 / $s, 6) END"""
+      s"""WITH hv AS (
+        SELECT DISTINCT doc_id % 2 AS epoch,
+          ('0x' || substring(md5(text), 1, 8))::BIGINT AS hv
+        FROM documents),
+      reg AS (
+        SELECT epoch, hv // 16777216 AS reg, hv % 16777216 AS w FROM hv),
+      mx AS (
+        SELECT epoch, reg,
+          max(CASE WHEN w = 0 THEN 25
+              ELSE 25 - length(ltrim(bin(w), '0')) END) AS mj
+        FROM reg GROUP BY epoch, reg),
+      est_e AS (
+        SELECT epoch, sum(pow(2.0, -mj)) + (256 - count(*)) * 1.0 AS s,
+          256 - count(*) AS v
+        FROM mx GROUP BY epoch),
+      xm AS (SELECT reg, max(mj) AS mj FROM mx GROUP BY reg),
+      est_u AS (
+        SELECT sum(pow(2.0, -mj)) + (256 - count(*)) * 1.0 AS s,
+          256 - count(*) AS v
+        FROM xm),
+      ex_e AS (
+        SELECT doc_id % 2 AS epoch, count(DISTINCT text) AS exact_distinct
+        FROM documents GROUP BY doc_id % 2),
+      ex_u AS (SELECT count(DISTINCT text) AS exact_distinct FROM documents)
+      SELECT 'epoch_' || e.epoch AS scope,
+        ${est("e.s", "e.v")} AS hll_distinct, x.exact_distinct
+      FROM est_e e JOIN ex_e x USING (epoch)
+      UNION ALL
+      SELECT 'union', ${est("s", "v")}, exact_distinct
+      FROM est_u, ex_u"""
+    })
+
   def all: Seq[Q] = Seq(
-    pmiCooccur, zipfFit, contaminationSemantic, streamDedup, hllDistinct,
-    embDimStats, streamSessionsState)
+    pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
+    hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs)
 }
