@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Similarity, TextDedup, Vocab}
+import graft.ext.{Similarity, TextDedup, TextStats, Vocab}
 
 /** Second extension-query block (the first grew to its navigable limit):
   * corpus collocation statistics, frequency-spectrum health, semantic
@@ -360,7 +360,38 @@ object ExtQueries2 {
       FROM est_u, ex_u"""
     })
 
+  /** Content-type routing ([[graft.ext.TextStats.contentType]]): code /
+    * math / prose labels from character and line evidence in one
+    * shuffle-free projection pass — the curation stage that routes code
+    * to a code pipeline and math to a math-aware tokenizer before the
+    * prose filters run. */
+  val contentType = Q(
+    "ext_content_type",
+    (s, d) => TextStats.contentType(Tables.documents(s, d), "text", "doc_id"),
+    Some("""SELECT doc_id,
+        round(len(regexp_extract_all(text, '[{}()\[\];=]'))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS brace_ratio,
+        round(CAST(len(list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(l, '^( |\t)'))) AS DOUBLE)
+          / CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE),
+          6) AS indent_frac,
+        round(len(regexp_extract_all(text, '[=+*/^<>|~-]'))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS math_ratio,
+        CASE WHEN round(len(regexp_extract_all(text, '[{}()\[\];=]'))
+               / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) > 0.02
+              AND round(CAST(len(list_filter(string_split(text, chr(10)),
+                  l -> regexp_matches(l, '^( |\t)'))) AS DOUBLE)
+                / CAST(greatest(len(string_split(text, chr(10))), 1)
+                  AS DOUBLE), 6) > 0.1
+             THEN 'code'
+             WHEN round(len(regexp_extract_all(text, '[=+*/^<>|~-]'))
+               / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) > 0.05
+             THEN 'math'
+             ELSE 'prose' END AS content_label
+      FROM documents"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
-    hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs)
+    hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
+    contentType)
 }

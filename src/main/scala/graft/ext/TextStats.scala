@@ -539,4 +539,39 @@ object TextStats {
           round(col("n_bigrams").cast("double") / col("n_bigrams_total"), 6))
           .otherwise(lit(null).cast("double")).as("ttr_bigram"))
   }
+
+  /** Content-type detection — separating code and math from prose, a
+    * standard corpus-curation routing stage (code goes to a code
+    * pipeline, math to a math-aware tokenizer, prose to the text
+    * filters). Pure character/line evidence: code = brace/bracket/
+    * semicolon density plus indented-line fraction; math = operator
+    * density. Thresholds are explicit constants; ratios are emitted
+    * alongside the label so downstream can re-threshold without a
+    * rescan.
+    *
+    * Scale: ONE codegen'd projection pass — three regexp counts and a
+    * line-prefix filter per row, no shuffle at all. Determinism: counts
+    * are integral, ratios round at 6 dp, the label CASEs on the rounded
+    * ratios (RE2-compatible character classes evaluate identically in
+    * both engines). */
+  def contentType(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val nChars = greatest(length(col(textCol)).cast("double"), lit(1.0))
+    val brace = size(regexp_extract_all(col(textCol),
+      lit("[{}()\\[\\];=]"), lit(0))).cast("double")
+    val mathy = size(regexp_extract_all(col(textCol),
+      lit("[=+*/^<>|~-]"), lit(0))).cast("double")
+    val lines = split(col(textCol), "\n")
+    val indented = size(filter(lines, l => l.rlike("^( |\t)")))
+      .cast("double")
+    docs.select(col(idCol),
+      round(brace / nChars, 6).as("brace_ratio"),
+      round(indented / greatest(size(lines), lit(1)).cast("double"), 6)
+        .as("indent_frac"),
+      round(mathy / nChars, 6).as("math_ratio"))
+      .withColumn("content_label",
+        when(col("brace_ratio") > 0.02 && col("indent_frac") > 0.1, "code")
+          .when(col("math_ratio") > 0.05, "math")
+          .otherwise("prose"))
+  }
 }

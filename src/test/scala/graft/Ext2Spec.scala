@@ -175,6 +175,22 @@ class Ext2Spec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("contentType: code, math, and prose fixtures route correctly") {
+    import graft.ext.TextStats
+    val code =
+      "def f(x):\n  return g(x);\n  y = [a];\nwhile (i) {\n  j = k(i);\n}"
+    val math = "1 + 2 = 3 and x^2 > y/4 implies x = 5 * z - 2 + q ~ r | s"
+    val prose = "the quick brown fox jumps over the lazy dog near the river"
+    val out = TextStats.contentType(
+      Seq((1L, code), (2L, math), (3L, prose)).toDF("doc_id", "text"),
+      "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("content_label"))
+      .toMap
+    assert(out(1L) == "code", s"code fixture labeled ${out(1L)}")
+    assert(out(2L) == "math", s"math fixture labeled ${out(2L)}")
+    assert(out(3L) == "prose", s"prose fixture labeled ${out(3L)}")
+  }
+
   test("emb dim stats: collapsed and dead dimensions are localized") {
     // dim0 constant (collapsed: var=0), dim1 mostly zero (dead),
     // dim2 healthy
