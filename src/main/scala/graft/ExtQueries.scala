@@ -656,7 +656,7 @@ object ExtQueries {
     * line dedup, snapshot diff, the corpus pipelines). Mirrors
     * [[graft.ext.TextStats.fingerprint]] exactly. */
   private def fpSql(c: String = "text"): String =
-    "md5(regexp_replace(lower(trim(" + c + ")), '\\s+', ' ', 'g'))"
+    "md5(regexp_replace(lower(trim(" + c + ", ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+', ' ', 'g'))"
 
   val fingerprint = Q(
     "ext_fingerprint",
@@ -1117,7 +1117,7 @@ object ExtQueries {
         SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS v
         FROM documents WHERE doc_id % 5 != 0
         UNION ALL
-        SELECT len(string_split_regex(trim(text || ' ' || text), '\s+')) AS v
+        SELECT len(string_split_regex(trim(text || ' ' || text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS v
         FROM documents WHERE doc_id % 7 = 0),
       hr AS (SELECT v - v % 32 AS bucket_lo, count(*) AS n_ref
              FROM ref GROUP BY 1),
@@ -2490,7 +2490,7 @@ object ExtQueries {
     },
     Some("""WITH nt AS (
         SELECT doc_id, lang,
-          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+          regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+', ' ', 'g') AS nt
         FROM documents),
       tg AS (
         SELECT doc_id, lang, unnest(list_distinct(list_transform(
@@ -3563,7 +3563,7 @@ object ExtQueries {
                 '<[^>]*>', ' ', 'g'),
               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-            '\s+', ' ', 'g')) AS cleaned
+            '\s+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS cleaned
         FROM raw)
       SELECT doc_id, cleaned, length(cleaned) AS n_chars_clean
       FROM stripped"""))

@@ -51,7 +51,7 @@ object ExtQueries2 {
     "ext_zipf_fit",
     (s, d) => Vocab.zipfFit(Tables.documents(s, d), "text", topN = 1000),
     Some {
-      def ds(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+      import Det.{dsumWideSql, Ols}
       s"""WITH wc AS (
         SELECT tok, count(*) AS c FROM (
           SELECT unnest(
@@ -68,17 +68,15 @@ object ExtQueries2 {
         FROM top),
       w AS (
         SELECT count(*) AS n_terms,
-          ${ds("x")} AS sx, ${ds("y")} AS sy, ${ds("x * y")} AS sxy,
-          ${ds("x * x")} AS sxx, ${ds("y * y")} AS syy
+          ${dsumWideSql("x")} AS sx, ${dsumWideSql("y")} AS sy,
+          ${dsumWideSql("x * y")} AS sxy, ${dsumWideSql("x * x")} AS sxx,
+          ${dsumWideSql("y * y")} AS syy
         FROM xy)
       SELECT n_terms,
-        round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
-          AS zipf_slope,
-        round((sy - ((n_terms * sxy - sx * sy)
-          / (n_terms * sxx - sx * sx)) * sx) / n_terms, 6) AS intercept,
-        round(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
-          / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
-          AS r2
+        ${Ols.slopeSql("n_terms", "sx", "sy", "sxy", "sxx")} AS zipf_slope,
+        ${Ols.interceptSql("n_terms", "sx", "sy", "sxy", "sxx")}
+          AS intercept,
+        ${Ols.r2Sql("n_terms", "sx", "sy", "sxy", "sxx", "syy")} AS r2
       FROM w"""
     })
 
@@ -202,16 +200,14 @@ object ExtQueries2 {
   val embDimStats = Q(
     "ext_emb_dim_stats",
     (s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
       Tables.embeddings(s, d)
         .select(posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("dim"), col("v").cast("double").as("v"))
         .groupBy(col("dim"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(col("v"))).cast("double").as("sx"),
-          sum(dec(col("v") * col("v"))).cast("double").as("sxx"),
+          Det.dsumWide(col("v")).as("sx"),
+          Det.dsumWide(col("v") * col("v")).as("sxx"),
           sum((col("v") === 0.0).cast("long")).as("n_zero"),
           min(col("v")).as("v_min"),
           max(col("v")).as("v_max"))
@@ -222,14 +218,14 @@ object ExtQueries2 {
           round(col("n_zero").cast("double") / col("n"), 6).as("zero_frac"),
           col("v_min"), col("v_max"))
     },
-    Some("""WITH x AS (
+    Some(s"""WITH x AS (
         SELECT generate_subscripts(embedding, 1) - 1 AS dim,
           CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings),
       w AS (
         SELECT dim, count(*) AS n,
-          CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-          CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+          ${Det.dsumWideSql("v")} AS sx,
+          ${Det.dsumWideSql("v * v")} AS sxx,
           sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS n_zero,
           min(v) AS v_min, max(v) AS v_max
         FROM x GROUP BY dim)

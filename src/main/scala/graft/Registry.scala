@@ -42,6 +42,51 @@ object Det {
 
   def davgSql(expr: String, scale: Int = 2): String =
     s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE) / count(*)"
+
+  /** Wide exact sum for second-order statistics (products of 6-dp logs /
+    * ratios): DECIMAL(38,12) holds the per-row double→decimal rounding
+    * exactly and the sum never overflows at any realistic count. One
+    * definition for every fused-OLS/variance site — hand-maintained
+    * copies were the oracle-drift bug class. */
+  def dsumWide(c: Column): Column =
+    sum(c.cast(DecimalType(38, 12))).cast("double")
+
+  def dsumWideSql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(38,12))) AS DOUBLE)"
+
+  /** Closed-form OLS from fused sums — slope/intercept/r², identical
+    * parenthesization in the Column and SQL forms so the two engines
+    * evaluate the same IEEE tree (shared by q_price_elasticity and
+    * ext_zipf_fit). All inputs are the exact-decimal-derived doubles of
+    * [[dsumWide]]; outputs round 6 dp. */
+  object Ols {
+    def slope(n: Column, sx: Column, sy: Column, sxy: Column,
+        sxx: Column): Column =
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+
+    def intercept(n: Column, sx: Column, sy: Column, sxy: Column,
+        sxx: Column): Column =
+      round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+
+    def r2(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column,
+        syy: Column): Column =
+      round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+
+    def slopeSql(n: String, sx: String, sy: String, sxy: String,
+        sxx: String): String =
+      s"round(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx), 6)"
+
+    def interceptSql(n: String, sx: String, sy: String, sxy: String,
+        sxx: String): String =
+      s"round(($sy - (($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)) " +
+        s"* $sx) / $n, 6)"
+
+    def r2Sql(n: String, sx: String, sy: String, sxy: String, sxx: String,
+        syy: String): String =
+      s"round((($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy)) " +
+        s"/ (($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)), 6)"
+  }
 }
 
 /** Central query inventory. SparkEntry exposes it in the driver's shape. */

@@ -36,11 +36,18 @@ object RetailQueries {
     "q_rfm_segments",
     (s, d) => {
       val o = Tables.orders(s, d)
-      val perCust = o.groupBy(col("o_custkey")).agg(
-        max(to_date(col("o_orderdate"))).as("last_order"),
-        count(lit(1)).as("f"),
-        dsum(col("o_totalprice")).as("m"))
-      val nowRow = o.agg(max(to_date(col("o_orderdate"))).as("now_d"))
+      // persisted: the customer-grain aggregate feeds THREE consumers
+      // (the corpus max date, the quartile cuts, and the final scoring
+      // projection) — uncached, the orders fact scan + aggregate would
+      // run once per consumer (the paretoCumShare lesson)
+      val perCust = graft.ops.CacheScope.persist(
+        o.groupBy(col("o_custkey")).agg(
+          max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("f"),
+          dsum(col("o_totalprice")).as("m")))
+      // corpus max date = max over the customer-grain maxes — no second
+      // fact-table scan
+      val nowRow = perCust.agg(max(col("last_order")).as("now_d"))
       val rfm = perCust.crossJoin(broadcast(nowRow))
         .withColumn("r_days",
           datediff(col("now_d"), col("last_order")).cast("long"))
@@ -215,7 +222,6 @@ object RetailQueries {
   val qElasticity = Q(
     "q_price_elasticity",
     (s, d) => {
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
       val li = Tables.lineitem(s, d)
         .filter(col("l_quantity") > 0)
         .select(col("l_partkey"), col("l_quantity"))
@@ -228,44 +234,35 @@ object RetailQueries {
           round(log(col("l_quantity")), 6).as("y"))
       val w = xy.groupBy(col("p_type")).agg(
         count(lit(1)).as("n"),
-        sum(dec(col("x"))).cast("double").as("sx"),
-        sum(dec(col("y"))).cast("double").as("sy"),
-        sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
-        sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
-        sum(dec(col("y") * col("y"))).cast("double").as("syy"))
+        dsumWide(col("x")).as("sx"),
+        dsumWide(col("y")).as("sy"),
+        dsumWide(col("x") * col("y")).as("sxy"),
+        dsumWide(col("x") * col("x")).as("sxx"),
+        dsumWide(col("y") * col("y")).as("syy"))
       w.select(col("p_type"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+        Ols.slope(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
           .as("elasticity"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
-          / col("n"), 6).as("intercept"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy"))
-          * (col("n") * col("sxy") - col("sx") * col("sy")))
-          / ((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
-          .as("r2"))
+        Ols.intercept(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+          .as("intercept"),
+        Ols.r2(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+          col("syy")).as("r2"))
     },
-    Some {
-      def ds(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
-      s"""WITH xy AS (
+    Some(s"""WITH xy AS (
         SELECT p_type, round(ln(p_retailprice), 6) AS x,
           round(ln(l_quantity), 6) AS y
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_quantity > 0 AND p_retailprice > 0),
       w AS (
         SELECT p_type, count(*) AS n,
-          ${ds("x")} AS sx, ${ds("y")} AS sy, ${ds("x * y")} AS sxy,
-          ${ds("x * x")} AS sxx, ${ds("y * y")} AS syy
+          ${dsumWideSql("x")} AS sx, ${dsumWideSql("y")} AS sy,
+          ${dsumWideSql("x * y")} AS sxy, ${dsumWideSql("x * x")} AS sxx,
+          ${dsumWideSql("y * y")} AS syy
         FROM xy GROUP BY p_type)
       SELECT p_type, n,
-        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
-        round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-          AS intercept,
-        round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-      FROM w"""
-    })
+        ${Ols.slopeSql("n", "sx", "sy", "sxy", "sxx")} AS elasticity,
+        ${Ols.interceptSql("n", "sx", "sy", "sxy", "sxx")} AS intercept,
+        ${Ols.r2Sql("n", "sx", "sy", "sxy", "sxx", "syy")} AS r2
+      FROM w"""))
 
   /** Customer order-count distribution (the TPC-H Q13 shape): LEFT join
     * so zero-order customers survive with count 0, then a second

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dev tool: empirical scaling curves for representative operator shapes.
+  *
+  * Synthesizes N× copies of the sf tables with SHIFTED keys/timestamps
+  * (so key cardinality and join/pair density scale with the data, not
+  * just row count) and times each shape at N = 1, 2, 4, 8. A shape whose
+  * per-copy cost stays flat scales linearly — the local[32] proxy for
+  * the 100× claim; a super-linear curve exposes an all-pairs or
+  * single-reducer term the plan lint cannot see.
+  *
+  * Usage: `runMain graft.ScaleProbe <sfDir> [maxN]` — prints one JSON
+  * line per (shape, N) with seconds.
+  */
+object ScaleProbe {
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val maxN = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scaledLineitem(n: Int): DataFrame = {
+      val li0 = Tables.lineitem(spark, sfDir)
+      (0 until n).map { i =>
+        li0.withColumn("l_orderkey",
+            col("l_orderkey") + lit(i.toLong * 100000000000L))
+          .withColumn("l_partkey",
+            col("l_partkey") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionAll _)
+    }
+
+    def scaledEvents(n: Int): DataFrame = {
+      val ev0 = Tables.events(spark, sfDir)
+      (0 until n).map { i =>
+        // shift each copy 90 days out so band-join pair density per copy
+        // is unchanged (copies never pair with each other)
+        ev0.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 90} DAYS"))
+          .withColumn("event_id",
+            col("event_id") + lit(i.toLong * 100000000000L))
+      }.reduce(_ unionAll _)
+    }
+
+    // warmup: exercise codegen/JIT and the parquet footers before timing
+    scaledLineitem(1).filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1))).collect()
+
+    Seq(1, 2, 4, 8, 16, 32).filter(_ <= maxN).foreach { n =>
+      val li = scaledLineitem(n)
+      val q1 = time {
+        li.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .collect()
+      }
+      val pareto = time {
+        val rev = li.groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 6))).as("rev_dec"))
+        val r = RetailQueries.paretoCumShare(rev, "l_partkey", "rev_dec")
+          .count()
+        graft.ops.CacheScope.releaseAll()
+        r
+      }
+      val ev = scaledEvents(n)
+      val band = time {
+        val l = ev.select(col("event_id"), unix_micros(col("ts")).as("l_us"))
+        val r = ev.select(col("event_id").as("r_event_id"),
+          unix_micros(col("ts")).as("r_us"))
+        graft.ops.BandJoin(l, r, "l_us", "r_us", 1800L * 1000000).count()
+      }
+      val dedup = time {
+        val docs0 = Tables.documents(spark, sfDir)
+        val docs = (0 until n).map { i =>
+          docs0.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * 100000000L))
+        }.reduce(_ unionAll _)
+        val r = graft.ext.TextDedup.exactDedup(docs, "text", "doc_id").count()
+        graft.ops.CacheScope.releaseAll()
+        r
+      }
+      println(s"""{"probe":"scale","n":$n,"q1_agg":$q1,""" +
+        s""""pareto_prefix":$pareto,"band_join":$band,""" +
+        s""""exact_dedup":$dedup}""")
+    }
+    spark.stop()
+  }
+}

@@ -270,8 +270,7 @@ object Vocab {
     * evaluated on exact doubles with oracle-identical parenthesization. */
   def zipfFit(docs: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    def dec(c: Column) = c.cast(DecimalType(38, 12))
+    import graft.Det.{dsumWide, Ols}
     val ranked = topK(docs, textCol, topN)
       .select(col("c"),
         row_number().over(Window.orderBy(col("c").desc, col("tok").asc))
@@ -280,23 +279,17 @@ object Vocab {
         round(log(col("c").cast("double")), 6).as("y"))
     val w = ranked.agg(
       count(lit(1)).as("n_terms"),
-      sum(dec(col("x"))).cast("double").as("sx"),
-      sum(dec(col("y"))).cast("double").as("sy"),
-      sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
-      sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
-      sum(dec(col("y") * col("y"))).cast("double").as("syy"))
+      dsumWide(col("x")).as("sx"),
+      dsumWide(col("y")).as("sy"),
+      dsumWide(col("x") * col("y")).as("sxy"),
+      dsumWide(col("x") * col("x")).as("sxx"),
+      dsumWide(col("y") * col("y")).as("syy"))
     w.select(col("n_terms"),
-      round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
-        / (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
-        .as("zipf_slope"),
-      round((col("sy")
-        - ((col("n_terms") * col("sxy") - col("sx") * col("sy"))
-          / (col("n_terms") * col("sxx") - col("sx") * col("sx")))
-          * col("sx")) / col("n_terms"), 6).as("intercept"),
-      round(((col("n_terms") * col("sxy") - col("sx") * col("sy"))
-        * (col("n_terms") * col("sxy") - col("sx") * col("sy")))
-        / ((col("n_terms") * col("sxx") - col("sx") * col("sx"))
-          * (col("n_terms") * col("syy") - col("sy") * col("sy"))), 6)
-        .as("r2"))
+      Ols.slope(col("n_terms"), col("sx"), col("sy"), col("sxy"),
+        col("sxx")).as("zipf_slope"),
+      Ols.intercept(col("n_terms"), col("sx"), col("sy"), col("sxy"),
+        col("sxx")).as("intercept"),
+      Ols.r2(col("n_terms"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy")).as("r2"))
   }
 }

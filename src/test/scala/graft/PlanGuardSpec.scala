@@ -185,6 +185,40 @@ class PlanGuardSpec extends SparkSpec {
         s"runtime skew mitigation is off:\n${plan.take(1500)}")
   }
 
+  test("oracle lint: every tokenizing trim uses the char-set form") {
+    // DuckDB's one-arg trim() strips SPACES only while the Spark
+    // tokenizer/normalizer side uses ScalarFns.strip (all \s) — a
+    // space-only trim in an oracle is the cross-engine-divergence bug
+    // class the round-6 sweep fixed (and the review then caught three
+    // missed sites: PSI's doubled-text branch, fpSql, the langid
+    // normalizer). This lint walks EVERY registered oracle: each trim(
+    // argument must carry the chr(9)..chr(13) char-set unless it is the
+    // documented space-only pairing `length(trim(x))` (which mirrors
+    // Spark functions.trim exactly) or an l/rtrim.
+    Registry.oracleSql.foreach { case (name, sql) =>
+      var i = sql.indexOf("trim(")
+      while (i >= 0) {
+        val prev = if (i > 0) sql.charAt(i - 1) else ' '
+        if (prev != 'l' && prev != 'r') {
+          var depth = 1
+          var j = i + 5
+          while (depth > 0 && j < sql.length) {
+            if (sql.charAt(j) == '(') depth += 1
+            else if (sql.charAt(j) == ')') depth -= 1
+            j += 1
+          }
+          val arg = sql.substring(i, j)
+          val spaceOnlyOk =
+            sql.substring(math.max(0, i - 7), i).endsWith("length(")
+          assert(arg.contains("chr(9)") || spaceOnlyOk,
+            s"[$name] space-only trim in oracle SQL (diverges from the " +
+              s"Spark side's all-whitespace strip): ${arg.take(80)}")
+        }
+        i = sql.indexOf("trim(", i + 1)
+      }
+    }
+  }
+
   test("events ts range filter reaches the parquet scan as a pushed filter") {
     // The events loader normalizes ts on top of the scan (nanos rebuild
     // or NTZ→LTZ cast, Tables.scala). At 100 TB, time-range pruning on
