@@ -34,7 +34,10 @@ object ExtQueries2 {
         FROM pos p1 JOIN pos p2
           ON p1.doc_id = p2.doc_id AND p2.p - p1.p BETWEEN 1 AND 2),
       cab AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
-      pt AS (SELECT sum(c_ab) AS p_total FROM cab),
+      pt AS (
+        SELECT sum(greatest(len(tk) - 1, 0) + greatest(len(tk) - 2, 0))
+          AS p_total
+        FROM toks),
       uni AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
       tt AS (SELECT sum(c) AS t_total FROM uni)
       SELECT a, b, c_ab,

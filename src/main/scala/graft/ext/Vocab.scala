@@ -216,9 +216,11 @@ object Vocab {
     * Pair counts hash-aggregate with map-side combine (the shuffle
     * carries one row per distinct PAIR TYPE, never per occurrence); the
     * unigram side is [[wordCounts]] (vocab-bounded) and broadcasts onto
-    * the pair frame; totals are 1-row broadcasts derived from the two
-    * count frames, never a third corpus scan. `minCount` prunes the
-    * hapax pair tail before the joins.
+    * the pair frame. `minCount` prunes the hapax pair tail BEFORE the
+    * frame is cached — at web scale hapax pairs dominate pair types and
+    * must never persist; the pair total is recovered exactly from doc
+    * lengths (Σ_d max(len−d,0), a cheap projection aggregate) so the
+    * pruned frame never needs the tail back.
     *
     * Determinism: counts are integral; the pmi ratio divides exact longs
     * as double with the SAME parenthesization in the DuckDB oracle, and
@@ -234,12 +236,23 @@ object Vocab {
                   slice(tk, d + 1, greatest(size(tk) - d, 0)),
                   (x, y) -> struct(x AS a, y AS b))))""")).as("pr"))
       .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    // only the minCount SURVIVORS are kept/cached — at web scale the
+    // hapax pair tail dominates the pair-type frame and must never
+    // persist. The pair TOTAL therefore cannot come from the pruned
+    // frame; it is recovered exactly from doc lengths instead
+    // (each doc emits Σ_{d=1..w} max(len−d, 0) pairs), a cheap
+    // projection aggregate.
     val cab = graft.ops.CacheScope.persist(
-      pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab")))
-    val pTotal = cab.agg(sum(col("c_ab")).as("p_total"))
+      pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= minCount))
+    val pTotal = withTk.select(
+      (1 to window).map(d0 =>
+        greatest(size(col("tk")) - d0, lit(0)).cast("long"))
+        .reduce(_ + _).as("np"))
+      .agg(sum(col("np")).as("p_total"))
     val uni = graft.ops.CacheScope.persist(wordCounts(docs, textCol))
     val tTotal = uni.agg(sum(col("c")).as("t_total"))
-    cab.filter(col("c_ab") >= minCount)
+    cab
       .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))),
         Seq("a"))
       .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))),
