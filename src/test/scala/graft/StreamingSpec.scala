@@ -139,6 +139,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: state EVICTS past the watermark horizon — a " +
+      "far-late duplicate re-emits (the documented bounded-state trade)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, Double)]
+    val q = StreamPipeline.dedupStream(
+      in.toDF.toDF("fp", "ts", "value"), Seq("fp"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_evict_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", at(0), 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past a's time + delay → a's dedup
+      // state is evicted
+      in.addData(("z", at(3600), 2.0))
+      q.processAllAvailable()
+      // the same key arrives again, far late: bounded state CANNOT
+      // remember it — the row re-emits. This is the trade that keeps
+      // state O(watermark window) instead of O(stream); exactly-once
+      // beyond the horizon needs the batch dedup downstream.
+      in.addData(("a", at(3601), 9.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_evict_out").select(col("fp"), col("value"))
+        .as[(String, Double)].collect().sorted
+      assert(out.toSeq == Seq(("a", 1.0), ("a", 9.0), ("z", 2.0)),
+        s"expected the far-late duplicate to re-emit, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming corpus clean: gates drop noise, dedup keeps first copy") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
