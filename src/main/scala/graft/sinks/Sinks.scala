@@ -13,6 +13,20 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC round trip — Spark's second native columnar format (same jars,
+    * same pushdown/pruning machinery through the OrcFileFormat source):
+    * the interchange format a warehouse that standardized on ORC
+    * (Hive-lineage clusters) would hand us. OpsSpec pins the round-trip
+    * identity AND that a filter over the ORC read reaches the scan as a
+    * pushed filter, so the scan-tight properties PLANS.md documents for
+    * parquet hold for ORC too. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.orc(path)
+
   /** K2 batch upload with the P7 empty guard and P8 identity-dup guard
     * (`load_to_s3`, ecommerce_s3_to_pg.py:637-685): a DataFrame OBJECT
     * already written under another name is skipped — reference `id(df)`

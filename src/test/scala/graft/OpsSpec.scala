@@ -649,4 +649,30 @@ class OpsSpec extends SparkSpec {
       prev.foreach { case (k, v) => spark.conf.set(k, v) }
     }
   }
+
+  test("ORC sink: round-trip identity and pushed filters on the read") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_returnflag"))
+    graft.sinks.Sinks.writeOrc(src, dir)
+    val back = graft.sinks.Sinks.readOrc(spark, dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val srcAgg = src.groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val backAgg = back.groupBy(col("l_returnflag"))
+      .agg(Det.dsum(col("l_quantity"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(backAgg == srcAgg, "ORC round trip must preserve every value")
+    // scan-tightness: the predicate must reach the ORC scan
+    val plan = back.filter(col("l_quantity") > 30.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,30.0)]") ||
+      plan.contains("GreaterThan(l_quantity,30.0)"),
+      s"filter not pushed to the ORC scan:\n${plan.take(800)}")
+  }
 }
