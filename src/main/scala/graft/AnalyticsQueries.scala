@@ -874,11 +874,14 @@ object AnalyticsQueries {
             sum(dec(col(a) * col(b))).cast("double").as(s"sp_${a}_$b") }
       val w = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
       val stackArgs = pairs.flatMap { case (a, b) =>
-        Seq(lit(a), lit(b), round(
+        // zero/negative-variance domain guard (cancellation can push an
+        // exactly-zero variance a few ulp negative): NULL, not NaN/error
+        // — mirrored by the oracle's CASE so both engines agree
+        val va = col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+        val vb = col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+        Seq(lit(a), lit(b), when(va > 0 && vb > 0, round(
           (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
-            (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
-              sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))),
-          6))
+            (sqrt(va) * sqrt(vb)), 6)))
       }
       w.select(stack((lit(pairs.length) +: stackArgs): _*)
         .as(Seq("col_a", "col_b", "corr")))
@@ -895,9 +898,12 @@ object AnalyticsQueries {
           pairs.map { case (a, b) => s"${ds(s"$a * $b")} AS sp_${a}_$b" }
       val rows = pairs.map { case (a, b) =>
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
-          round((n * sp_${a}_$b - s_$a * s_$b)
-            / (sqrt(n * ss_$a - s_$a * s_$a)
-               * sqrt(n * ss_$b - s_$b * s_$b)), 6) AS corr FROM w"""
+          round(CASE WHEN (n * ss_$a - s_$a * s_$a) > 0
+                      AND (n * ss_$b - s_$b * s_$b) > 0
+            THEN (n * sp_${a}_$b - s_$a * s_$b)
+              / (sqrt(n * ss_$a - s_$a * s_$a)
+                 * sqrt(n * ss_$b - s_$b * s_$b)) END, 6) AS corr
+          FROM w"""
       }.mkString(" UNION ALL ")
       s"""WITH w AS (SELECT count(*) AS n, ${stats.mkString(", ")}
         FROM lineitem) $rows"""

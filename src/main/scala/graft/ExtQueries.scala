@@ -23,15 +23,15 @@ object ExtQueries {
       TextStats.meanWordLen(col("text")).as("mean_word_len"),
       TextStats.stopwordRatio(col("text")).as("stopword_ratio")),
     Some(s"""SELECT doc_id,
-      len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS n_tokens,
-      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish,
+      len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpeish,
       length(text) AS n_chars_m,
-      round(length(regexp_replace(text, '\\s+', '', 'g'))
-        / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE), 6)
+      round(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'))
+        / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE), 6)
         AS mean_word_len,
-      round(len(list_filter(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'),
+      round(len(list_filter(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+'),
           t -> t IN (${TextStats.enStopwords.map(w => s"'$w'").mkString(",")})))
-        / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE), 6)
+        / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE), 6)
         AS stopword_ratio
       FROM documents"""),
     bench = true)
@@ -50,13 +50,13 @@ object ExtQueries {
     s"trim($e, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
 
   private def qcTokSql =
-    s"""len(string_split_regex(${wsTrimSql("text")}, '\\s+'))"""
+    s"""len(string_split_regex(${wsTrimSql("text")}, '[ \\t\\n\\x0B\\f\\r]+'))"""
   private def qcSrSql =
-    s"""round(len(list_filter(string_split_regex(${wsTrimSql("lower(text)")}, '\\s+'),
+    s"""round(len(list_filter(string_split_regex(${wsTrimSql("lower(text)")}, '[ \\t\\n\\x0B\\f\\r]+'),
           t -> t IN (${TextStats.enStopwords.map(w => s"'$w'").mkString(",")})))
-        / CAST(len(string_split_regex(${wsTrimSql("text")}, '\\s+')) AS DOUBLE), 6)"""
+        / CAST(len(string_split_regex(${wsTrimSql("text")}, '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE), 6)"""
   private def qcPrSql =
-    """round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+    """round(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]'))
         / CAST(length(text) AS DOUBLE), 6)"""
   private def qcDrSql =
     """round(len(regexp_extract_all(text, '[0-9]'))
@@ -105,7 +105,7 @@ object ExtQueries {
       }.mkString("\n          ")
       s"""WITH t AS (
           SELECT doc_id,
-            string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks
+            string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
           FROM documents),
         s AS (
           SELECT doc_id,
@@ -240,7 +240,7 @@ object ExtQueries {
       Tables.documents(s, d), "text", "doc_id"),
     Some("""WITH t AS (
         SELECT doc_id,
-          string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
+          string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS tk
         FROM documents),
       base AS (
         SELECT doc_id,
@@ -333,13 +333,13 @@ object ExtQueries {
         SELECT doc_id, unnest(list_distinct(list_transform(
           generate_series(1, len(tk) - 2),
           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS sh
-        FROM (SELECT doc_id, string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS tk
+        FROM (SELECT doc_id, string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+') AS tk
               FROM salted)),
       bsh AS (
         SELECT bench_id, unnest(list_distinct(list_transform(
           generate_series(1, len(tk) - 2),
           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS sh
-        FROM (SELECT bench_id, string_split_regex(trim(btext, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS tk
+        FROM (SELECT bench_id, string_split_regex(trim(btext, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+') AS tk
               FROM bench))
       SELECT d.doc_id, b.bench_id, count(*) AS n_shared
       FROM dsh d JOIN bsh b USING (sh)
@@ -382,7 +382,7 @@ object ExtQueries {
       "doc_id", "n_tokens", chunkTokens = 512),
     Some("""WITH t AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS BIGINT)
+          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS BIGINT)
             AS n_tokens
         FROM documents),
       c AS (
@@ -408,7 +408,7 @@ object ExtQueries {
       "doc_id", "n_tokens", ctxTokens = 2048),
     Some("""WITH t AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS BIGINT)
+          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS BIGINT)
             AS n_tokens
         FROM documents),
       nb AS (
@@ -434,7 +434,7 @@ object ExtQueries {
       shardPostings = 32, minDf = 2),
     Some("""WITH toks AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS term
         FROM documents),
       p AS (
         SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
@@ -470,7 +470,7 @@ object ExtQueries {
     },
     Some("""WITH toks AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS term
         FROM documents),
       p AS (
         SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
@@ -510,7 +510,7 @@ object ExtQueries {
           .cast("double") / count(lit(1)), 6).as("overflow_frac")),
     Some("""WITH t AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS BIGINT)
+          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS BIGINT)
             AS n_tokens
         FROM documents),
       nb AS (
@@ -545,7 +545,7 @@ object ExtQueries {
       Seq("spark", "window", "vector"), shardPostings = 32, minDf = 2),
     Some("""WITH toks AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS term
         FROM documents),
       p AS (
         SELECT term, CAST(doc_id AS BIGINT) AS doc_id, count(*) AS tf
@@ -563,7 +563,7 @@ object ExtQueries {
       Tables.documents(s, d), "text", "doc_id",
       chunkTokens = 32, stride = 24),
     Some("""WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
+        SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS tk
         FROM documents),
       n AS (
         SELECT doc_id, tk, len(tk) AS n,
@@ -625,7 +625,7 @@ object ExtQueries {
         SELECT query_id, neighbor_id, cos,
           row_number() OVER (PARTITION BY query_id
             ORDER BY cos DESC, neighbor_id) AS rn
-        FROM re) WHERE rn <= 5"""))
+        FROM re WHERE cos IS NOT NULL) WHERE rn <= 5"""))
 
   /** Top-5 TF-IDF keywords per document. */
   val keywords = Q(
@@ -634,7 +634,7 @@ object ExtQueries {
       Tables.documents(s, d), "text", "doc_id", m = 5),
     Some("""WITH terms AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS term
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS term
         FROM documents),
       tf AS (
         SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
@@ -656,7 +656,7 @@ object ExtQueries {
     * line dedup, snapshot diff, the corpus pipelines). Mirrors
     * [[graft.ext.TextStats.fingerprint]] exactly. */
   private def fpSql(c: String = "text"): String =
-    "md5(regexp_replace(lower(trim(" + c + ", ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+', ' ', 'g'))"
+    "md5(regexp_replace(lower(trim(" + c + ", ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
   val fingerprint = Q(
     "ext_fingerprint",
@@ -739,7 +739,7 @@ object ExtQueries {
       s"'$b' || ',' || CAST(sig[${lo + 1}] AS VARCHAR) || ',' || CAST(sig[${lo + 2}] AS VARCHAR)"
     }
     s"""toks AS (
-         SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks
+         SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
          FROM $src),
        sh AS (
          SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
@@ -1050,7 +1050,7 @@ object ExtQueries {
     Some("""WITH t AS (
         SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             % 8 AS shard_id,
-          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS n_tok,
+          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS n_tok,
           length(text) AS n_ch
         FROM documents)
       SELECT shard_id, count(*) AS n_docs,
@@ -1111,13 +1111,13 @@ object ExtQueries {
       graft.ext.Curation.distributionDrift(ref, cur, "n_tok", width = 32)
     },
     Some("""WITH ref AS (
-        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS v
+        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS v
         FROM documents),
       cur AS (
-        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS v
+        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS v
         FROM documents WHERE doc_id % 5 != 0
         UNION ALL
-        SELECT len(string_split_regex(trim(text || ' ' || text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS v
+        SELECT len(string_split_regex(trim(text || ' ' || text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS v
         FROM documents WHERE doc_id % 7 = 0),
       hr AS (SELECT v - v % 32 AS bucket_lo, count(*) AS n_ref
              FROM ref GROUP BY 1),
@@ -1165,7 +1165,7 @@ object ExtQueries {
       "n_tok", Seq("source")),
     Some("""WITH t AS (
         SELECT source,
-          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS x
+          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS x
         FROM documents),
       w AS (
         SELECT source, count(*) AS n,
@@ -1425,7 +1425,7 @@ object ExtQueries {
     // ShingleHashes), so Spark and the oracle compute the identical
     // Jaccard even in the (astronomically unlikely) collision case
     Some(s"""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks
+        SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
         FROM documents),
       sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
       hs AS (
@@ -1452,7 +1452,7 @@ object ExtQueries {
           THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"""
     }
     s"""WITH toks AS (
-         SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS toks
+         SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
          FROM documents),
        sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
        sig AS (SELECT doc_id, ${bitExprs.mkString(" + ")} AS simhash FROM sh)"""
@@ -1480,7 +1480,12 @@ object ExtQueries {
 
   // ---- similarity search ---------------------------------------------------
 
-  /** Portable cosine in DuckDB SQL: double dot / norms, rounded 6 dp. */
+  /** Portable cosine in DuckDB SQL: double dot / norms, rounded 6 dp.
+    * Zero-norm contract (mirrors Similarity.cosine + TopKAgg): a
+    * zero-norm vector yields NULL here and NaN on the Spark side; every
+    * consumer excludes it identically — ranked stages carry an explicit
+    * `cos IS NOT NULL`, threshold stages exclude it by predicate
+    * three-valued logic (NULL fails `>=` exactly as NaN does). */
   // def, not val: referenced by queries declared earlier in the object
   // (val init order would interpolate null into their SQL)
   private[graft] def dkCos =
@@ -1640,7 +1645,7 @@ object ExtQueries {
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id ASC) AS rank
-        FROM scored)"""
+        FROM scored WHERE cos IS NOT NULL)"""
 
   val simBrute = Q(
     "ext_sim_bruteforce_topk",
@@ -1721,7 +1726,7 @@ object ExtQueries {
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id ASC) AS rank
-        FROM scored)
+        FROM scored WHERE cos IS NOT NULL)
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
@@ -1808,10 +1813,10 @@ object ExtQueries {
         FROM ap JOIN bv USING (bucket)),
       ra AS (
         SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
-          ORDER BY cos DESC, b_id ASC) AS r FROM scored),
+          ORDER BY cos DESC, b_id ASC) AS r FROM scored WHERE cos IS NOT NULL),
       rb AS (
         SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY b_id
-          ORDER BY cos DESC, a_id ASC) AS r FROM scored),
+          ORDER BY cos DESC, a_id ASC) AS r FROM scored WHERE cos IS NOT NULL),
       da AS (
         SELECT a_id, sum(CAST(cos AS DECIMAL(18,6))) AS sa,
           count(*) AS ca
@@ -1855,7 +1860,7 @@ object ExtQueries {
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id ASC) AS rank
-        FROM scored)
+        FROM scored WHERE cos IS NOT NULL)
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
@@ -1891,7 +1896,7 @@ object ExtQueries {
           SELECT query_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id ASC) AS rank
-          FROM scored)
+          FROM scored WHERE cos IS NOT NULL)
         SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5"""
     })
@@ -2040,7 +2045,7 @@ object ExtQueries {
       col("doc_id") < 8, k = 5, maxDfFrac = 0.9),
     Some(s"""WITH tk AS (
         SELECT doc_id,
-          unnest(string_split_regex(${wsTrimSql("lower(text)")}, '\\s+'))
+          unnest(string_split_regex(${wsTrimSql("lower(text)")}, '[ \\t\\n\\x0B\\f\\r]+'))
             AS term
         FROM documents),
       tf AS (
@@ -2218,7 +2223,7 @@ object ExtQueries {
         SELECT query_id, neighbor_id, cos,
           row_number() OVER (PARTITION BY query_id
             ORDER BY cos DESC, neighbor_id ASC) AS rank
-        FROM scored)
+        FROM scored WHERE cos IS NOT NULL)
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
@@ -2490,7 +2495,7 @@ object ExtQueries {
     },
     Some("""WITH nt AS (
         SELECT doc_id, lang,
-          regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+', ' ', 'g') AS nt
+          regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
         FROM documents),
       tg AS (
         SELECT doc_id, lang, unnest(list_distinct(list_transform(
@@ -2575,7 +2580,7 @@ object ExtQueries {
       Tables.documents(s, d), "text", "source"),
     Some("""WITH t AS (
         SELECT source,
-          string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
+          string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS tk
         FROM documents),
       u AS (
         SELECT source, count(*) AS n_tokens,
@@ -2844,10 +2849,10 @@ object ExtQueries {
         FROM documents WHERE doc_id % 11 = 0),
       filtered AS (
         SELECT doc_id, text, lang,
-          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS n_tokens
+          len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens
         FROM corpus
         WHERE lang = 'en'
-          AND len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) >= 30),
+          AND len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) >= 30),
       firsts AS (
         SELECT min(doc_id) AS doc_id FROM filtered
         GROUP BY ${fpSql()}),
@@ -2889,7 +2894,7 @@ object ExtQueries {
     val stopList = graft.ext.TextStats.gopherStopwords
       .map(w => s"'$w'").mkString(",")
     s"""toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents),
       grams AS (
         SELECT doc_id, unnest(t) AS gram FROM toks
@@ -2916,20 +2921,20 @@ object ExtQueries {
         FROM hashed JOIN wt USING (bucket) GROUP BY 1),
       lb AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'))
+          CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+'))
               BETWEEN 50 AND 100000
-            AND round(length(regexp_replace(text, '\\s+', '', 'g'))
-              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE),
+            AND round(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'))
+              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE),
               6) BETWEEN 3.0 AND 10.0
             AND round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
-              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE),
+              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE),
               6) <= 0.1
-            AND round(len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'),
+            AND round(len(list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+'),
                 w -> regexp_matches(w, '[A-Za-z]')))
-              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS DOUBLE),
+              / CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE),
               6) >= 0.8
             AND len(list_intersect(
-              list_distinct(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')),
+              list_distinct(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')),
               [$stopList])) >= 1
           AS INT) AS pos
         FROM documents)"""
@@ -3083,7 +3088,7 @@ object ExtQueries {
           'prefix' || CAST(doc_id AS VARCHAR) || ' marker start ' || text
             AS text
         FROM documents WHERE doc_id % 9 = 0),
-      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
+      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS tk
             FROM corpus),
       ex AS (SELECT doc_id, len(tk) AS n_tok, tk,
                unnest(CASE WHEN len(tk) >= 8
@@ -3132,7 +3137,7 @@ object ExtQueries {
           'prefix' || CAST(doc_id AS VARCHAR) || ' marker start ' || text
             AS text
         FROM documents WHERE doc_id % 9 = 0),
-      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
+      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS tk
             FROM corpus),
       ex AS (SELECT doc_id, tk,
                unnest(CASE WHEN len(tk) >= 8
@@ -3196,7 +3201,7 @@ object ExtQueries {
                  || ' the shared passage marker spans eight tokens'
                ELSE text END AS text
         FROM documents),
-      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS tk
+      t AS (SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS tk
             FROM corpus),
       g AS (SELECT doc_id,
               CASE WHEN len(tk) >= 5 THEN
@@ -3231,7 +3236,7 @@ object ExtQueries {
             % ${TextDedup.minhashP}) % 64 AS bucket FROM h"""
       }.mkString(" UNION ALL ")
       s"""WITH tok AS (
-          SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS tok
+          SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
           FROM documents),
         h AS (SELECT tok,
           ('0x' || substring(md5(tok), 1, 8))::BIGINT AS base FROM tok),
@@ -3262,7 +3267,10 @@ object ExtQueries {
         FROM (SELECT doc_id,
           ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             + 1) / 4294967296.0) / n_chars AS pri
-          FROM documents) t) s
+          FROM documents
+          -- mirror weightedSample's weight > 0 filter: a zero-weight doc
+          -- must not occupy a sample slot with a NULL/inf priority
+          WHERE n_chars > 0) t) s
       WHERE rn <= 20"""))
 
   /** Unigram LM quality scoring ([[graft.ext.TextStats.lmScore]]): mean
@@ -3274,7 +3282,7 @@ object ExtQueries {
     * class). `scored` ends with (doc_id, avg_logprob, n_tokens). */
   private val lmScoreCtes = """it AS (
         SELECT doc_id,
-          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS tok
+          unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS tok
         FROM documents),
       cnt AS (SELECT tok, count(*) AS c FROM it GROUP BY 1),
       tot AS (SELECT sum(c) AS n FROM cnt),
@@ -3303,7 +3311,7 @@ object ExtQueries {
     (s, d) => graft.ext.TextStats.bigramLmScore(
       Tables.documents(s, d), "text", "doc_id"),
     Some("""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS t
         FROM documents),
       bi AS (
         SELECT doc_id,
@@ -3339,7 +3347,7 @@ object ExtQueries {
     (s, d) => graft.ext.TextStats.hashedLinearScore(
       Tables.documents(s, d), "text", "doc_id"),
     Some("""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS t
         FROM documents),
       grams AS (
         SELECT doc_id, unnest(t) AS gram FROM toks
@@ -3489,19 +3497,19 @@ object ExtQueries {
           FROM documents),
         sig AS (
           SELECT doc_id,
-            len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS n_words,
-            round(length(regexp_replace(t, '\s+', '', 'g'))
-              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS DOUBLE), 6)
+            len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS n_words,
+            round(length(regexp_replace(t, '[ \t\n\x0B\f\r]+', '', 'g'))
+              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS DOUBLE), 6)
               AS mean_word_len,
             round(len(regexp_extract_all(t, '#|\.\.\.'))
-              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS DOUBLE), 6)
+              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS DOUBLE), 6)
               AS symbol_word_ratio,
-            round(len(list_filter(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+'),
+            round(len(list_filter(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+'),
                 w -> regexp_matches(w, '[A-Za-z]')))
-              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS DOUBLE), 6)
+              / CAST(len(string_split_regex(trim(t, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS DOUBLE), 6)
               AS alpha_word_ratio,
             len(list_intersect(
-              list_distinct(string_split_regex(trim(lower(t), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')),
+              list_distinct(string_split_regex(trim(lower(t), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')),
               [""" + stopList + """])) AS stop_hits
           FROM raw)
         SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
@@ -3563,7 +3571,7 @@ object ExtQueries {
                 '<[^>]*>', ' ', 'g'),
               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-            '\s+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS cleaned
+            '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS cleaned
         FROM raw)
       SELECT doc_id, cleaned, length(cleaned) AS n_chars_clean
       FROM stripped"""))
@@ -3642,7 +3650,7 @@ object ExtQueries {
       hosts AS (
         SELECT doc_id,
           list_transform(
-            regexp_extract_all(t, 'https?://([^/\s?#"'']+)', 1),
+            regexp_extract_all(t, 'https?://([^/ \t\n\x0B\f\r?#"'']+)', 1),
             h -> lower(h)) AS hs
         FROM raw)
       SELECT doc_id,
@@ -3669,17 +3677,21 @@ object ExtQueries {
       targets = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap,
       budget = 100000L),
     Some {
+      // CAST every constant to DOUBLE: Spark evaluates
+      // lit(budget)*lit(w) as a double product (1-ulp rounding), while
+      // a bare `100000 * 0.06` in DuckDB is EXACT decimal arithmetic —
+      // the ulp could flip a 6-dp boundary (the bm25OracleSql rule)
       val rateCases = (0 until 20).map { i =>
-        s"WHEN source = 'src$i' THEN ${(i % 4 + 1) / 50.0}"
+        s"WHEN source = 'src$i' THEN CAST(${(i % 4 + 1) / 50.0} AS DOUBLE)"
       }.mkString("\n            ")
       s"""WITH avail AS (
           SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail
           FROM documents GROUP BY 1),
         rates AS (
           SELECT source,
-            round(least(1.0, 100000 * (CASE
+            round(least(1.0, CAST(100000 AS DOUBLE) * (CASE
             $rateCases
-            ELSE 0.0 END) / avail), 6) AS rate
+            ELSE CAST(0.0 AS DOUBLE) END) / avail), 6) AS rate
           FROM avail)
         SELECT doc_id, source, n_chars, rate
         FROM documents JOIN rates USING (source)
@@ -3728,7 +3740,7 @@ object ExtQueries {
       targetPred = col("lang") === "en"),
     Some(s"""WITH d AS (
         SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_t,
-          string_split_regex(${wsTrimSql("lower(text)")}, '\\s+') AS t
+          string_split_regex(${wsTrimSql("lower(text)")}, '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents),
       feats AS (
         SELECT doc_id, is_t,
@@ -3990,7 +4002,7 @@ object ExtQueries {
     (s, d) => graft.ext.TextStats.lengthHistogram(
       Tables.documents(s, d), "text", width = 32),
     Some("""WITH t AS (
-        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS n_tok
+        SELECT len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS n_tok
         FROM documents),
       b AS (
         SELECT n_tok - (n_tok % 32) AS bucket_lo, count(*) AS n_docs,
@@ -4053,9 +4065,9 @@ object ExtQueries {
     },
     Some {
       val dtSql = """round(1.0 -
-        CAST(len(list_distinct(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')))
+        CAST(len(list_distinct(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')))
           AS DOUBLE)
-        / len(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')), 6)"""
+        / len(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')), 6)"""
       val names = Seq("quality", "stopword_ratio", "punct_ratio",
         "dup_token_frac", "n_tok")
       val pairs = for {
@@ -4067,10 +4079,18 @@ object ExtQueries {
           names.map(c => s"${ds(s"$c * $c")} AS ss_$c") ++
           pairs.map { case (a, b) => s"${ds(s"$a * $b")} AS sp_${a}_$b" }
       val rows = pairs.map { case (a, b) =>
+        // mirror Spark's when(d > 0) guard WITHOUT evaluating sqrt on a
+        // cancellation-negative variance: DuckDB sqrt(neg) hard-errors
+        // where Spark yields NaN -> NULL, so the domain check must come
+        // first (variance > 0 on both sides <=> d > 0 modulo underflow,
+        // which the nullif still catches identically on both engines)
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
-          round((n * sp_${a}_$b - s_$a * s_$b)
-            / nullif(sqrt(n * ss_$a - s_$a * s_$a)
-               * sqrt(n * ss_$b - s_$b * s_$b), 0), 6) AS corr FROM w"""
+          round(CASE WHEN (n * ss_$a - s_$a * s_$a) > 0
+                      AND (n * ss_$b - s_$b * s_$b) > 0
+            THEN (n * sp_${a}_$b - s_$a * s_$b)
+              / nullif(sqrt(n * ss_$a - s_$a * s_$a)
+                 * sqrt(n * ss_$b - s_$b * s_$b), 0) END, 6) AS corr
+          FROM w"""
       }.mkString(" UNION ALL ")
       s"""WITH c0 AS (
           SELECT doc_id, $qcTokSql AS tc, $qcSrSql AS sr, $qcPrSql AS pr,
@@ -4093,7 +4113,7 @@ object ExtQueries {
     "ext_vocab_topk",
     (s, d) => graft.ext.Vocab.topK(Tables.documents(s, d), "text", 50),
     Some("""WITH t AS (
-        SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS tok
+        SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+')) AS tok
         FROM documents)
       SELECT tok, count(*) AS c FROM t GROUP BY 1
       ORDER BY c DESC, tok ASC LIMIT 50"""))
@@ -4118,7 +4138,7 @@ object ExtQueries {
           .as("token_ids_csv"),
         col("n_tokens"), col("n_unk")),
     Some("""WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\x0B\f\r]+') AS t
         FROM documents),
       ex AS (
         SELECT doc_id,
@@ -4225,7 +4245,7 @@ object ExtQueries {
     s"""words AS MATERIALIZED (
     SELECT tok, count(*) AS c FROM (
       SELECT unnest(string_split_regex(${wsTrimSql("lower(text)")},
-        '\\s+')) AS tok
+        '[ \\t\\n\\x0B\\f\\r]+')) AS tok
       FROM documents) GROUP BY 1),
   v0 AS MATERIALIZED (
     SELECT tok AS wid, c,

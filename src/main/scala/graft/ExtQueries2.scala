@@ -22,7 +22,7 @@ object ExtQueries2 {
       Tables.documents(s, d), "text", window = 2, minCount = 5L),
     Some(s"""WITH toks AS (
         SELECT doc_id,
-          string_split_regex(${ExtQueries.wsTrimSql("lower(text)")}, '\\s+')
+          string_split_regex(${ExtQueries.wsTrimSql("lower(text)")}, '[ \\t\\n\\x0B\\f\\r]+')
             AS tk
         FROM documents),
       pos AS (
@@ -59,7 +59,7 @@ object ExtQueries2 {
         SELECT tok, count(*) AS c FROM (
           SELECT unnest(
             string_split_regex(${ExtQueries.wsTrimSql("lower(text)")},
-              '\\s+')) AS tok
+              '[ \\t\\n\\x0B\\f\\r]+')) AS tok
           FROM documents)
         GROUP BY tok),
       top AS (

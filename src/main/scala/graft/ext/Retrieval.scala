@@ -230,18 +230,25 @@ object Retrieval {
   def bm25OracleSql(queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {
     val tfDefs = queryTerms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'), x -> x = '$t')) AS tf$i"
+      s"len(list_filter(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x = '$t')) AS tf$i"
     }.mkString(",\n          ")
     val dfDefs = queryTerms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    // every constant rides through CAST(.. AS DOUBLE): a bare decimal
+    // literal times a BIGINT column evaluates EXACTLY in DuckDB
+    // (DECIMAL arithmetic) while Spark multiplies doubles — a ~1-ulp
+    // divergence that could flip a 6-dp rounding boundary (the pagerank
+    // oracle precedent)
     val terms = queryTerms.indices.map { i =>
       s"""round(round(ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)), 6)
-            * (tf$i * ${k1 + 1}) /
-            (tf$i + $k1 * (${1 - b} + $b * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 6)"""
+            * (tf$i * CAST(${k1 + 1} AS DOUBLE)) /
+            (tf$i + CAST($k1 AS DOUBLE) * (CAST(${1 - b} AS DOUBLE)
+              + CAST($b AS DOUBLE) * dl
+                / (CAST(sum_dl AS DOUBLE) / n_docs))), 6)"""
     }.mkString("\n          + ")
     s"""WITH tf AS (
         SELECT doc_id,
-          len(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) AS dl,
+          len(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS dl,
           $tfDefs
         FROM documents),
       st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfDefs FROM tf),

@@ -34,6 +34,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** 6-dp cosine. Zero-norm contract: a zero-norm vector produces NaN
+    * (IEEE 0/0 — double division never ANSI-errors), which every
+    * downstream excludes — TopKAgg by its NULL/NaN contract, threshold
+    * filters because NaN fails every comparison; the DuckDB oracles'
+    * NULL behaves identically (ranked stages filter it explicitly). */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 

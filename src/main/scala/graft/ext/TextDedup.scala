@@ -533,7 +533,7 @@ object TextDedup {
     */
   def connectedComponents(
       docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // cached: every round's join re-reads the edge set, and the pair
     // mining upstream (LSH/banding) is far too expensive to re-run per
@@ -567,6 +567,16 @@ object TextDedup {
       prevSum = newSum
       iter += 1
     }
+    // non-convergence must FAIL, not return wrong labels: min-label
+    // propagation needs (component diameter) rounds, so a 22-doc chain
+    // of pairwise near-dups would exit a silent cap with the far end
+    // carrying the wrong rep_id — and the recursive-CTE oracle (exact
+    // transitive closure) would expose it as a hash mismatch. maxIter is
+    // a runaway bound, not an answer.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — a " +
+        s"component's diameter exceeds the cap; raise maxIter " +
+        s"(label-propagation rounds needed = component diameter)")
     // the final round stays cached (the result plan reads it) and is
     // scope-released with everything else after the caller's action
     graft.ops.CacheScope.track(labels)

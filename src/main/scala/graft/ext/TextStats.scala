@@ -157,10 +157,14 @@ object TextStats {
     * required terminal class", identical under leftmost-greedy and
     * leftmost-longest semantics. */
   val piiPatterns: Seq[(String, String)] = Seq(
-    "url" -> "https?://\\S+",
+    // \S and \s are spelled as EXPLICIT char classes: Java's \s includes
+    // vertical tab (U+000B) while RE2's does not, and these pattern
+    // strings are interpolated verbatim into the DuckDB oracle — the
+    // explicit class is the one spelling both engines read identically
+    "url" -> "https?://[^ \\t\\n\\x0B\\f\\r]+",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
-    "phone" -> "\\+?\\d[\\d\\s().-]{6,}\\d")
+    "phone" -> "\\+?\\d[\\d \\t\\n\\x0B\\f\\r().-]{6,}\\d")
 
   /** Replace each PII class with its `<TAG>` placeholder (placeholders
     * contain no digits or @, so later stages cannot re-match them). Pure

@@ -48,9 +48,23 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 object ShingleHashes {
+  /** The Java `\s` set (" \t\n\f\r") — the SAME edge-trim contract
+    * as ScalarFns.strip and every tokenizing oracle's char-set trim.
+    * Java String.trim would strip ALL code points <= U+0020 (e.g. a
+    * leading U+0001), which the oracles' 6-char trim keeps — a
+    * control-char-edged doc would shingle differently across engines. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
   /** Shared by interpreted eval and generated code. */
   def compute(input: UTF8String, n: Int): ArrayData = {
-    val text = input.toString.trim
+    val raw = input.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && isWs(raw.charAt(b))) b += 1
+    while (e > b && isWs(raw.charAt(e - 1))) e -= 1
+    val text = raw.substring(b, e)
     val toks = text.split("\\s+")
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     if (!(toks.length == 1 && toks(0).isEmpty) && toks.length >= n) {
