@@ -160,7 +160,10 @@ object AnalyticsQueries {
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        FROM orders) t
+        FROM orders
+        -- mirror TopKAgg's NULL/NaN-score exclusion: a NULL price must
+        -- not occupy a top-3 slot the heap aggregate would never emit
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)) t
       WHERE rn <= 3"""))
 
   /** Anti/semi join pair: orders lacking any lineitem + parts that ship. */
@@ -346,7 +349,10 @@ object AnalyticsQueries {
   val qJsonProps = Q(
     "q_events_json_props",
     (s, d) => {
-      val k = variant_get(parse_json(col("props")), "$.k", "int")
+      // DOUBLE extraction on BOTH engines: an "int" variant_get would
+      // TRUNCATE a non-integer value while DuckDB's text cast ROUNDS it
+      // ('1.5' -> 1 vs 2) — doubles parse identically everywhere
+      val k = variant_get(parse_json(col("props")), "$.k", "double")
       Tables.events(s, d)
         .select(col("event_type"), k.as("k"))
         .groupBy(col("event_type"))
@@ -356,10 +362,10 @@ object AnalyticsQueries {
           round(davg(col("k").cast("double"), 6), 6).as("k_avg"))
     },
     Some(s"""SELECT event_type, count(*) AS n_events,
-      count(CAST(props ->> 'k' AS INT)) AS n_with_k,
-      min(CAST(props ->> 'k' AS INT)) AS k_min,
-      max(CAST(props ->> 'k' AS INT)) AS k_max,
-      round(${davgSql("CAST(props ->> 'k' AS INT)", 6)}, 6) AS k_avg
+      count(CAST(props ->> 'k' AS DOUBLE)) AS n_with_k,
+      min(CAST(props ->> 'k' AS DOUBLE)) AS k_min,
+      max(CAST(props ->> 'k' AS DOUBLE)) AS k_max,
+      round(${davgSql("CAST(props ->> 'k' AS DOUBLE)", 6)}, 6) AS k_avg
       FROM events GROUP BY 1"""))
 
   /** Per-user session windows via the native `session_window` aggregate
@@ -487,7 +493,7 @@ object AnalyticsQueries {
         HAVING count(*) >= 3)
       SELECT part_a, part_b, n_pair,
         round(n_pair * n.n_orders
-          / (CAST(sa.n_part AS DOUBLE) * sb.n_part), 6) AS lift
+          / CAST(sa.n_part * sb.n_part AS DOUBLE), 6) AS lift
       FROM pairs
       JOIN supp sa ON sa.part = pairs.part_a
       JOIN supp sb ON sb.part = pairs.part_b
@@ -1029,7 +1035,7 @@ object AnalyticsQueries {
       round(percent_rank() OVER w, 6) AS pct_rank
       FROM orders
       WINDOW w AS (PARTITION BY o_orderpriority
-                   ORDER BY o_totalprice, o_orderkey)"""))
+                   ORDER BY o_totalprice NULLS FIRST, o_orderkey)"""))
 
   /** Scale-correct global quantile bucketing: instead of a global-sort
     * ntile (one reducer sees every row), the three quartile cut points of
@@ -1634,7 +1640,7 @@ object AnalyticsQueries {
     },
     Some(s"""WITH t AS (
         SELECT l_partkey AS t_partkey,
-          round(0.2 * ${davgSql("l_quantity")}, 6) AS qty_cap
+          round(CAST(0.2 AS DOUBLE) * (${davgSql("l_quantity")}), 6) AS qty_cap
         FROM lineitem GROUP BY 1)
       SELECT ${dsumSql("l_extendedprice")} AS small_qty_revenue,
         count(*) AS n_small

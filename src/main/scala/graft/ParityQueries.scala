@@ -106,7 +106,9 @@ object ParityQueries {
       .select(col("c_custkey"),
         concat(lit("  "), col("c_name"), lit(" ")).as("customer_name"))
       .transform(ScalarFns.upperTrimKeywordCols()),
-    Some("""SELECT c_custkey, upper(c_name) AS customer_name FROM customer"""))
+    Some(s"""SELECT c_custkey,
+      upper(trim(c_name, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) AS customer_name
+      FROM customer"""))
 
   val f2 = Q(
     "f2_lower_trim_cols",
@@ -114,7 +116,9 @@ object ParityQueries {
       .select(col("o_orderkey"),
         concat(lit(" "), col("o_orderpriority"), lit("  ")).as("priority"))
       .transform(ScalarFns.lowerTrimCols(Seq("priority", "absent"))),
-    Some("SELECT o_orderkey, lower(o_orderpriority) AS priority FROM orders"))
+    Some(s"""SELECT o_orderkey,
+      lower(trim(o_orderpriority, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) AS priority
+      FROM orders"""))
 
   val f3 = Q(
     "f3_trim_string_cols",
@@ -126,7 +130,8 @@ object ParityQueries {
     // Spark `trim` strips spaces AND control chars <= U+0020, like
     // Python's str.strip(); DuckDB trim() strips spaces only, so the
     // oracle names the char set explicitly.
-    Some("""SELECT doc_id, trim(lang_pad, ' ' || chr(9)) AS lang_pad, n_chars
+    Some(s"""SELECT doc_id,
+      trim(lang_pad, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS lang_pad, n_chars
       FROM (SELECT doc_id, '  ' || lang || chr(9) AS lang_pad, n_chars
             FROM documents)"""))
 

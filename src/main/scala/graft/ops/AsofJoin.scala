@@ -54,7 +54,17 @@ object AsofJoin {
               rightVals.map(c => right.schema(c)).toArray))
             .as("__rv")) ++
         leftCols.map(qcol): _*)
-    val rightTagged = right.select(
+    // SQL ASOF semantics (and AsofJoinNative's): a right row with a NULL
+    // key or NULL ts can never match — unfiltered, the union-window
+    // rewrite would group NULL keys together and let a NULL-ts right row
+    // (NULLS FIRST under ASC) be carried as a "match" for every left
+    // row. Left-side NULLs need no handling: a NULL-key/NULL-ts left row
+    // lands in a partition/prefix with no surviving right rows and keeps
+    // NULL match columns, exactly like DuckDB's ASOF LEFT JOIN.
+    val rightClean = right.filter(
+      keys.map(k => qcol(k).isNotNull).reduce(_ && _)
+        && qcol(rightTs).isNotNull)
+    val rightTagged = rightClean.select(
       keys.map(qcol) ++
         Seq(qcol(rightTs).as("__ts"), lit(0).as("__side"),
           struct(rightVals.map(qcol): _*).as("__rv")) ++

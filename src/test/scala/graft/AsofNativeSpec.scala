@@ -52,6 +52,20 @@ class AsofNativeSpec extends SparkSpec {
     assert(out == Map("ok" -> "m", "nullkey" -> null, "nulltime" -> null))
   }
 
+  test("composed AsofJoin: NULL keys and NULL times never match — same " +
+      "contract as the native form and DuckDB ASOF") {
+    val l = Seq((Some(1), Some(10), "ok"), (None, Some(10), "nullkey"),
+      (Some(1), None, "nulltime")).toDF("k", "t", "lv")
+    val r = Seq((Some(1), Some(5), "m"), (None, Some(1), "rnullkey"),
+      (Some(1), None, "rnulltime")).toDF("k", "rt", "rv")
+    val out = graft.ops.AsofJoin(l, r, Seq("k"), "t", "rt")
+      .collect().map(x => (x.getAs[String]("lv"), x.getAs[String]("rv")))
+      .toMap
+    // pre-fix, the union-window rewrite grouped NULL keys together and
+    // carried the NULL-ts right row (NULLS FIRST) as a bogus match
+    assert(out == Map("ok" -> "m", "nullkey" -> null, "nulltime" -> null))
+  }
+
   test("plan: AsofJoinExec, sort-merge shape, exactly one Exchange per side") {
     val df = AsofJoinNative.join(
       leftDf, rightDf.withColumnRenamed("t", "rt"), Seq("k"), "t", "rt")
