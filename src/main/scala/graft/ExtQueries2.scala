@@ -266,21 +266,18 @@ object ExtQueries2 {
         SELECT user_id, seq, min(ts) AS start_ts, max(ts) AS end_ts,
           count(*) AS n_events,
           ${Det.dsumSql("value")} AS total_value
-        FROM sess GROUP BY user_id, seq),
-      s3 AS (
-        SELECT *, max(seq) OVER (PARTITION BY user_id) AS max_seq
-        FROM s2)
+        FROM sess GROUP BY user_id, seq)
       SELECT user_id,
         strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
         strftime(end_ts + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S')
           AS session_end,
         n_events, total_value
-      FROM s3, wm
-      -- a session with a SUCCESSOR in the data was closed by that event
-      -- (emitted regardless of the watermark); only each user's LAST
-      -- session needs the timeout cutoff
-      WHERE seq < max_seq
-         OR (epoch_us(end_ts) + 14400000000) // 1000 < wm_ms"""))
+      FROM s2, wm
+      -- a session is FINAL only once the watermark passes last + gap —
+      -- successor closure alone must not emit (an out-of-order but
+      -- above-watermark event could still merge into it), so the
+      -- streamed output is exactly the watermark-finalized subset
+      WHERE (epoch_us(end_ts) + 14400000000) // 1000 < wm_ms"""))
 
   /** Epoch-incremental distinct counting via HLL sketch MERGE — the
     * materialized-rollup story ([[graft.ops.IncrementalAgg]]) applied to

@@ -272,7 +272,11 @@ object PgLoad {
     case org.apache.spark.sql.types.FloatType => "REAL"
     case DateType => "DATE"
     case TimestampType => "TIMESTAMP"
-    case _ => "VARCHAR(4000)"
+    // Derby's VARCHAR ceiling (32672) — the widest portable string type
+    // (Postgres targets use TEXT); a narrower stage would wedge a
+    // streaming batch forever on a long-but-target-legal value, since
+    // every replay re-fails the same stage insert
+    case _ => "VARCHAR(32672)"
   }
 
   /** Lower-case identifiers are quoted in stage/promote SQL: a no-op for
@@ -282,14 +286,13 @@ object PgLoad {
   private[sinks] def qid(id: String): String = "\"" + id + "\""
 
   def stageDdl(stageTable: String, df: DataFrame): String =
-    df.schema.fields
+    (df.schema.fields
       .map(f => s"${qid(f.name)} ${sqlType(f.dataType)}")
+      // __part: the writing task's partition id — what makes the stage
+      // write idempotent under task retry (Sinks.writeStagePartitions
+      // deletes-then-reinserts its own partition atomically)
+      :+ s"${qid("__part")} INTEGER")
       .mkString(s"CREATE TABLE ${qid(stageTable)} (", ", ", ")")
-
-  /** Stage-side batched insert (quoted identifiers). */
-  def stageInsertSql(stageTable: String, columns: Seq[String]): String =
-    s"INSERT INTO ${qid(stageTable)} (${columns.map(qid).mkString(", ")}) " +
-      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
 
   /** Default promotion statement: plain column-matched insert; the
     * amazon_sale target keeps the reference's conflict clause. */
@@ -333,8 +336,14 @@ object PgLoad {
         promoteSql,
       createTables: Boolean = true,
       batchSize: Int = 1000,
-      runTag: String = "r0",
+      runTag: String = "",
       ledgerKey: Option[String] = None): Seq[String] = {
+    // unique per call unless the caller pins one (loadClassStream pins
+    // the checkpoint hash): two concurrent default-tag loads would
+    // otherwise DROP each other's in-flight stage tables
+    val tag =
+      if (runTag.nonEmpty) runTag
+      else java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     if (createTables) runDdl(connect)
     if (ledgerKey.isDefined) execQuietly(connect, Seq(ledgerDdl))
     // Cheap pre-flight: a replayed ALREADY-COMMITTED batch should skip the
@@ -365,14 +374,13 @@ object PgLoad {
     }.filter { case (_, _, df) => !Projections.isEmpty(df) }
 
     val stageNames = loads.indices.map(i =>
-      s"${loads(i)._1}_stage_${runTag}_$i")
+      s"${loads(i)._1}_stage_${tag}_$i")
     try {
       val staged = loads.zipWithIndex.map { case ((target, cc, df), i) =>
         val stage = stageNames(i)
         execQuietly(connect, Seq(s"DROP TABLE ${qid(stage)}")) // stale run
         runDdl(connect, Seq(stageDdl(stage, df)))
-        Sinks.writePartitions(df, stageInsertSql(stage, df.columns.toSeq),
-          connect, batchSize)
+        Sinks.writeStagePartitions(df, stage, connect, batchSize)
         (stage, target, cc, df.columns.toSeq)
       }
 

@@ -227,6 +227,57 @@ object Sinks {
     }
   }
 
+  /** Stage-table writer that stays correct under Spark TASK RETRY:
+    * foreachPartition commits per partition, so a task that dies AFTER
+    * its commit but before reporting success is re-executed and would
+    * duplicate its rows — the ledger key only dedups whole-batch
+    * replays, not intra-batch retries. Each task therefore tags its
+    * rows with its partition id and DELETEs that partition's rows from
+    * any prior attempt inside the SAME transaction as the re-insert:
+    * delete+insert+commit is atomic, so any number of sequential
+    * retries leaves exactly one copy. (Speculative DUPLICATE attempts
+    * running concurrently are the one case this cannot cover — JDBC
+    * sinks require `spark.speculation=false`, the standard contract.)
+    * The `__part` column exists only in the stage; promotion selects
+    * the data columns explicitly and never sees it. */
+  def writeStagePartitions(
+      df: DataFrame,
+      stageTable: String,
+      connect: () => Connection,
+      batchSize: Int = 1000): Unit = {
+    val columns = df.columns.toSeq
+    val q = (id: String) => "\"" + id + "\""
+    val insert =
+      s"INSERT INTO ${q(stageTable)} (${columns.map(q).mkString(", ")}, " +
+        s"${q("__part")}) VALUES (${columns.map(_ => "?").mkString(", ")}, ?)"
+    val delete = s"DELETE FROM ${q(stageTable)} WHERE ${q("__part")} = ?"
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conn = connect()
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(delete)
+          try { del.setInt(1, pid); del.executeUpdate(); () }
+          finally del.close()
+          val st = conn.prepareStatement(insert)
+          var i = 0
+          rows.foreach { row =>
+            columns.indices.foreach(j => st.setObject(j + 1, row.get(j)))
+            st.setInt(columns.size + 1, pid)
+            st.addBatch()
+            i += 1
+            if (i % batchSize == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
   /** K5 — plain append via the built-in JDBC sink. */
   def appendJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties): Unit =

@@ -128,6 +128,62 @@ object SessionWindows {
     out.iterator
   }
 
+  /** Pending (not yet watermark-finalized) sessions for one user —
+    * [[sessionizeStream]]'s state. Kept as a LIST: sessions older than
+    * the open one may still merge with an out-of-order (but
+    * above-watermark) event, so nothing is final until the watermark
+    * passes its `last + gap`. */
+  final case class PendingSessions(sessions: List[OpenSession])
+
+  /** Merge events + prior pending sessions into the canonical disjoint
+    * session list: treat each event as a singleton session, sort
+    * everything by start, and merge adjacent entries whose gap is
+    * `< gapUs` — associative and order-independent, so out-of-order
+    * arrivals (including ones that BRIDGE two previously separate
+    * sessions) land exactly where the batch semantics put them. */
+  private def normalize(
+      pending: List[OpenSession], evs: Array[SessionEvent],
+      gapUs: Long): List[OpenSession] = {
+    val singles = evs.map(e => {
+      val us = micros(e.ts)
+      OpenSession(us, us, 1, cents(e.value))
+    })
+    val all = (pending ++ singles).sortBy(s => (s.start_us, s.last_us))
+    all.foldLeft(List.empty[OpenSession]) {
+      case (acc, s) => acc match {
+        case prev :: rest if s.start_us - prev.last_us < gapUs =>
+          OpenSession(prev.start_us, math.max(prev.last_us, s.last_us),
+            prev.n + s.n, prev.sum_cents + s.sum_cents) :: rest
+        case _ => s :: acc
+      }
+    }.reverse
+  }
+
+  private def streamStateFn(gapUs: Long)(
+      user: Long, it: Iterator[SessionEvent],
+      state: GroupState[PendingSessions]): Iterator[Session] = {
+    val pending0 = state.getOption.map(_.sessions).getOrElse(Nil)
+    val merged =
+      if (state.hasTimedOut) pending0
+      else normalize(pending0, it.toArray, gapUs)
+    // a session is FINAL only once the watermark passes last + gap —
+    // even one closed by a successor event could still merge with an
+    // out-of-order arrival that is above the watermark (legal late
+    // data), so successor closure alone must NOT emit
+    val wm = state.getCurrentWatermarkMs()
+    val (ripe, still) = merged.partition(s => (s.last_us + gapUs) / 1000 < wm)
+    val out = ripe.sortBy(_.start_us).map(close(user, _, gapUs))
+    if (still.isEmpty) state.remove()
+    else {
+      state.update(PendingSessions(still))
+      // earliest pending finality, clamped above the current watermark
+      // (setTimeoutTimestamp rejects timestamps <= watermark)
+      val t = still.map(s => (s.last_us + gapUs) / 1000).min
+      state.setTimeoutTimestamp(math.max(t, wm + 1))
+    }
+    out.iterator
+  }
+
   /** Batch form: each group's whole history arrives in one call, so open
     * sessions are emitted eagerly (`emitOpen`) — differentially equal to
     * [[sessions]]. */
@@ -140,10 +196,15 @@ object SessionWindows {
         stateFn(gapUs, emitOpen = true))
   }
 
-  /** Streaming form: sessions close ONLY when the event-time watermark
-    * passes `last_event + gap` (timeout), so results are final under
-    * late/out-of-order data up to the watermark delay. Input must carry a
-    * watermark on `ts`. */
+  /** Streaming form: a session is emitted ONLY when the event-time
+    * watermark passes `last_event + gap`, so results are final under
+    * late/out-of-order data up to the watermark delay — INCLUDING
+    * out-of-order events that extend, backdate, or BRIDGE sessions the
+    * in-order view would have considered closed (state is the LIST of
+    * pending sessions per user, re-normalized each batch; an early
+    * successor-closure emit would be unmergeable and wrong). State per
+    * user is bounded by pending sessions inside the watermark horizon.
+    * Input must carry a watermark on `ts`. */
   def sessionizeStream(
       events: DataFrame, gapUs: Long, watermark: String): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -152,8 +213,8 @@ object SessionWindows {
         col("value").cast("double").as("value"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[PendingSessions, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        stateFn(gapUs, emitOpen = false))
+        streamStateFn(gapUs))
   }
 }

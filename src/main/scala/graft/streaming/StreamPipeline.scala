@@ -42,17 +42,27 @@ object StreamPipeline {
 
   /** Clean + land each micro-batch of one report class. Batches are
     * idempotent per checkpoint, so event re-delivery cannot double-load —
-    * strictly stronger than the reference's ON CONFLICT mitigation. */
+    * strictly stronger than the reference's ON CONFLICT mitigation.
+    *
+    * Batch dirs are namespaced by a hash of the CHECKPOINT (the
+    * [[loadClassStream]] rule): batch ids restart at 0 whenever the
+    * checkpoint changes, and without the namespace a restarted stream's
+    * new batch 0 would `mode=overwrite` the PREVIOUS run's landed
+    * batch_0 output. */
   def cleanClassStream(
       raw: DataFrame, cls: CsvSource.FileClass, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val sid = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cleanAndWrite(batch, cls, s"$outDir/batch_$batchId")
+        cleanAndWrite(batch, cls, s"$outDir/run_$sid/batch_$batchId")
       }
       .start()
+  }
 
   /** The international cleaner's embedded-header split is POSITIONAL
     * within one file, but a file-source micro-batch may concatenate
@@ -84,8 +94,13 @@ object StreamPipeline {
     // (Profiling.withQualityCounters — observe metrics, zero extra scan);
     // null counts in cleaned-critical columns should be 0 after P5, so a
     // non-zero count in this log line is a cleaner-regression alarm
-    def writeNonEmpty(frame: DataFrame, path: String,
-        critical: Seq[String] = Nil): Unit =
+    def writeNonEmpty(frame0: DataFrame, path: String,
+        critical: Seq[String] = Nil): Unit = {
+      // persisted: the emptiness probe (limit(1).count) and the CSV
+      // write would otherwise EACH execute the full cleaning lineage —
+      // the duplicated shuffle+scan the staged-load path already avoids;
+      // released by this method's own finally releaseAll
+      val frame = graft.ops.CacheScope.persist(frame0)
       if (!Projections.isEmpty(frame)) {
         val (observed, obs) = graft.ops.Profiling.withQualityCounters(
           frame, critical.filter(frame.columns.contains))
@@ -93,6 +108,7 @@ object StreamPipeline {
         System.err.println(s"[dq] $path ${obs.get.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(" ")}")
       }
+    }
     cls match {
       case CsvSource.AmazonSale =>
         val (clean, flagged) = Cleaners.amazon(df, cacheSplit = true)
@@ -120,7 +136,7 @@ object StreamPipeline {
       promoteSqlFor: (String, String, Seq[String], Seq[String]) => String =
         graft.sinks.PgLoad.promoteSql,
       createTables: Boolean = false,
-      runTag: String = "r0",
+      runTag: String = "",
       ledgerKey: Option[String] = None): Seq[String] = try {
     val empty = df.sparkSession.emptyDataFrame
     def load(amC: DataFrame, amF: DataFrame, sa: DataFrame,
@@ -191,6 +207,44 @@ object StreamPipeline {
     * [[loadClassStream]]); the watermark rides along to keep the plan
     * the production plan. Checkpoint and sink name are fresh per call so
     * bench reps re-execute the whole stream. */
+
+  /** Run a (bounded) streaming frame to completion under AvailableNow
+    * through a memory sink and return the result as a SELF-CONTAINED
+    * local DataFrame. The four registered AvailableNow adapters are
+    * re-executed per bench rep / verify run; without this cleanup each
+    * call would leak a full result set in driver memory (memory sinks
+    * retain all rows for the session's lifetime) plus an orphaned
+    * checkpoint directory on disk. Results here are aggregate/
+    * event-table grain (bounded at test SFs); production paths use the
+    * real file/JDBC sinks. */
+  private def runAvailableNow(
+      out: DataFrame, prefix: String, mode: String): DataFrame = {
+    val spark = out.sparkSession
+    val qn = prefix +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt")
+    val q = out.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(mode)
+      .format("memory")
+      .queryName(qn)
+      .start()
+    q.awaitTermination()
+    val sink = spark.table(qn)
+    val rows = sink.collect()
+    val schema = sink.schema
+    spark.catalog.dropTempView(qn)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(ckpt.toFile)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
   def eventsHourlyAvailableNow(
       spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.dsum
@@ -210,19 +264,7 @@ object StreamPipeline {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"))
-    val qn = "stream_ev_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt").toString
-    val q = agg.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qn)
-      .start()
-    q.awaitTermination()
-    spark.table(qn)
+    runAvailableNow(agg, "stream_ev_", "complete")
   }
 
   /** Event-time windowed aggregation with watermarking over the events
@@ -354,30 +396,17 @@ object StreamPipeline {
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "purchase"),
       window, watermark)
-    val qn = "stream_attr_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt").toString
-    val q = out.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .start()
-    q.awaitTermination()
-    spark.table(qn)
+    runAvailableNow(out, "stream_attr_", "append")
   }
 
   /** Custom-state sessionization, registered end-to-end: the
     * `flatMapGroupsWithState` path ([[SessionWindows.sessionizeStream]])
-    * run as an AvailableNow stream over the events table. A session
-    * closes either when a SUCCESSOR event past the gap arrives (emitted
-    * immediately, watermark-independent) or — for each user's last,
-    * still-open session — when the event-time watermark passes
-    * `last_event + gap`: emitted iff
+    * run as an AvailableNow stream over the events table. A session is
+    * emitted ONLY when the event-time watermark passes `last_event +
+    * gap` (successor closure alone never emits — an out-of-order
+    * above-watermark event could still merge into it): emitted iff
     * `floor((last_us + gapUs)/1000) < final watermark (ms)`, final
-    * watermark = `floor(max(ts in data)/1000) − delay`. Both rules are
+    * watermark = `floor(max(ts in data)/1000) − delay`. The rule is
     * deterministic integer arithmetic, so the DuckDB oracle replays the
     * batch islands AND the finality cutoff — streaming
     * event-time semantics themselves are hash-gated, not just spec'd.
@@ -406,19 +435,7 @@ object StreamPipeline {
         date_format(timestamp_micros(col("end_us")),
           "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("total_value"))
-    val qn = "stream_sess_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt").toString
-    val q = out.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .start()
-    q.awaitTermination()
-    spark.table(qn)
+    runAvailableNow(out, "stream_sess_", "append")
   }
 
   /** Streaming exactly-once DEDUP over an at-least-once feed — the
@@ -458,18 +475,6 @@ object StreamPipeline {
       .select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("user_id"), col("event_type"), col("value"))
-    val qn = "stream_dedup_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt").toString
-    val q = deduped.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .start()
-    q.awaitTermination()
-    spark.table(qn)
+    runAvailableNow(deduped, "stream_dedup_", "append")
   }
 }

@@ -288,4 +288,33 @@ class PgLoadSpec extends SparkSpec {
       createTables = false)
     assert(written == Seq("amazon_sale"))
   }
+
+  test("writeStagePartitions: a re-executed task cannot duplicate its " +
+      "partition (delete-then-insert is atomic per attempt)") {
+    import spark.implicits._
+    val connect = freshDb("graftretry")
+    val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4)
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        s"""CREATE TABLE ${q("stg")} (${q("id")} BIGINT,
+           ${q("v")} VARCHAR(32), ${q("__part")} INTEGER)""")
+      st.close()
+    } finally c.close()
+    graft.sinks.Sinks.writeStagePartitions(df, "stg", connect)
+    // simulate every task being retried: the whole write runs AGAIN
+    // against the already-populated stage
+    graft.sinks.Sinks.writeStagePartitions(df, "stg", connect)
+    val n = {
+      val cc = connect()
+      try {
+        val rs = cc.createStatement()
+          .executeQuery(s"SELECT count(*) FROM ${q("stg")}")
+        rs.next(); rs.getLong(1)
+      } finally cc.close()
+    }
+    assert(n == 20, s"retried stage write duplicated rows: $n")
+  }
 }

@@ -28,10 +28,10 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
 
     val cleaned = spark.read.option("header", "true")
-      .csv(s"$out/batch_0/amazon_sale")
+      .csv(s"$out/run_*/batch_0/amazon_sale")
     assert(cleaned.count() == 8)
     val flagged = spark.read.option("header", "true")
-      .csv(s"$out/batch_0/amazon_sale_duplicates")
+      .csv(s"$out/run_*/batch_0/amazon_sale_duplicates")
     assert(flagged.count() == 2)
 
     // restart over the same checkpoint: no new batch output (exactly-once)
@@ -40,7 +40,11 @@ class StreamingSpec extends SparkSpec {
     val q2 = StreamPipeline.cleanClassStream(raw2, CsvSource.AmazonSale,
       out, ckpt)
     q2.awaitTermination(120000)
-    assert(!new java.io.File(s"$out/batch_1").exists())
+    // same checkpoint -> same run namespace; exactly-once means the
+    // single run dir holds only batch_0
+    val runDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("run_"))
+    assert(runDirs.length == 1)
+    assert(!new java.io.File(runDirs.head, "batch_1").exists())
   }
 
   test("events windowed agg with watermark matches batch computation") {
@@ -110,6 +114,52 @@ class StreamingSpec extends SparkSpec {
       assert(u1.head._2 == 2 && u1.head._3 == 3.0)
       // user 2's session is still open (watermark has not passed it)
       assert(!out.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
+  test("session windows stream: an out-of-order (above-watermark) event " +
+      "BRIDGES two pending sessions — nothing emits before finality") {
+    import spark.implicits._
+    import graft.streaming.SessionWindows
+    implicit val sq = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Double)]
+    val q = SessionWindows.sessionizeStream(
+      in.toDF.toDF("user_id", "ts", "value"), gapUs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_bridge_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two sessions 2000s apart (>= 30 min gap) — both pending
+      in.addData((1L, at(0), 1.0), (1L, at(2000), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_bridge_out").count() == 0,
+        "no session may emit before the watermark passes last + gap — " +
+          "an early successor-closure emit would be unmergeable")
+      // batch 2: out-of-order event at 1500s (above the 1400s watermark)
+      // lands within the gap of BOTH pending sessions → they bridge into
+      // one [0s, 2000s] session
+      in.addData((1L, at(1500), 4.0))
+      q.processAllAvailable()
+      // batch 3: far-future event advances the watermark past finality
+      in.addData((2L, at(7200), 9.0))
+      q.processAllAvailable()
+      in.addData((2L, at(7205), 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_bridge_out")
+        .filter(col("user_id") === 1L)
+        .select(col("start_us"), col("end_us"), col("n_events"),
+          col("total_value"))
+        .as[(Long, Long, Long, Double)].collect()
+      assert(out.length == 1, s"expected ONE bridged session, got " +
+        s"${out.toSeq}")
+      val (start, end, n, v) = out.head
+      val base = t0.getTime * 1000L
+      assert(start == base && end == base + 2000L * 1000000 + gapUs)
+      assert(n == 3 && math.abs(v - 7.0) < 1e-9)
     } finally q.stop()
   }
 
@@ -296,7 +346,7 @@ class StreamingSpec extends SparkSpec {
     // 3 part2 rows each. The pre-fix global split re-headered file B's
     // part1 rows into part2 using file A's embedded header.
     def readAll(sub: String) = spark.read.option("header", "true")
-      .csv(s"$out/batch_*/$sub")
+      .csv(s"$out/run_*/batch_*/$sub")
     assert(readAll("international_1").count() == 8)
     assert(readAll("international_2").count() == 6)
   }
