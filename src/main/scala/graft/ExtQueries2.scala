@@ -159,7 +159,6 @@ object ExtQueries2 {
           col("exact_distinct"))
     },
     Some {
-      val am2 = graft.ops.IncrementalAgg.hllAlpha(256) * 256 * 256
       s"""WITH h AS (
         SELECT DISTINCT source,
           ('0x' || substring(md5(text), 1, 8))::BIGINT AS hv
@@ -181,9 +180,8 @@ object ExtQueries2 {
         SELECT source, count(DISTINCT text) AS exact_distinct
         FROM documents GROUP BY source)
       SELECT e.source,
-        CASE WHEN ($am2 / s) <= 640.0 AND v > 0
-          THEN round(256.0 * round(ln(256.0 / v), 6), 6)
-          ELSE round($am2 / s, 6) END AS hll_distinct,
+        ${graft.ops.IncrementalAgg.hllEstimateSql("s", "v", 8)}
+          AS hll_distinct,
         x.exact_distinct
       FROM est e JOIN x USING (source)"""
     })
@@ -319,11 +317,8 @@ object ExtQueries2 {
       perEpoch.unionAll(unionRow)
     },
     Some {
-      val am2 = graft.ops.IncrementalAgg.hllAlpha(256) * 256 * 256
       def est(s: String, v: String) =
-        s"""CASE WHEN ($am2 / $s) <= 640.0 AND $v > 0
-          THEN round(256.0 * round(ln(256.0 / $v), 6), 6)
-          ELSE round($am2 / $s, 6) END"""
+        graft.ops.IncrementalAgg.hllEstimateSql(s, v, 8)
       s"""WITH hv AS (
         SELECT DISTINCT doc_id % 2 AS epoch,
           ('0x' || substring(md5(text), 1, 8))::BIGINT AS hv

@@ -690,12 +690,18 @@ object RetailQueries {
         count(lit(1)).as("n_hours"),
         sum(col("n_errors")).as("sx"),
         sum(col("n_errors") * col("n_errors")).as("sxx"))
+      // Zero-variance guard: a degenerate series (one hour, or all hours
+      // equal) has σ = 0 — emit NULL z-scores rather than engine-dependent
+      // inf/NaN/NULL division results (same divergence class as the
+      // q_corr_matrix guard).
+      val variance = ((col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx") / col("n_hours"))
+        / col("n_hours"))
       hourly.crossJoin(broadcast(stats))
         .select(col("hour"), col("n_errors"),
-          round((col("n_errors") - col("sx").cast("double") / col("n_hours"))
-            / sqrt((col("sxx").cast("double")
-              - col("sx").cast("double") * col("sx") / col("n_hours"))
-              / col("n_hours")), 6).as("z_score"))
+          when(variance > 0d,
+            round((col("n_errors") - col("sx").cast("double") / col("n_hours"))
+              / sqrt(variance), 6)).as("z_score"))
         .withColumn("is_spike", (col("z_score") > 3.0).cast("int"))
     },
     Some("""WITH hourly AS (
@@ -707,16 +713,19 @@ object RetailQueries {
         SELECT count(*) AS n_hours,
           CAST(sum(n_errors) AS BIGINT) AS sx,
           CAST(sum(n_errors * n_errors) AS BIGINT) AS sxx
-        FROM hourly)
-      SELECT hour, n_errors,
-        round((n_errors - CAST(sx AS DOUBLE) / n_hours)
-          / sqrt((CAST(sxx AS DOUBLE)
-            - CAST(sx AS DOUBLE) * sx / n_hours) / n_hours), 6) AS z_score,
-        CAST(round((n_errors - CAST(sx AS DOUBLE) / n_hours)
-          / sqrt((CAST(sxx AS DOUBLE)
-            - CAST(sx AS DOUBLE) * sx / n_hours) / n_hours), 6) > 3.0
-          AS INT) AS is_spike
-      FROM hourly, stats"""))
+        FROM hourly),
+      scored AS (
+        SELECT hour, n_errors,
+          CASE WHEN (CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx / n_hours) / n_hours > 0
+            THEN round((n_errors - CAST(sx AS DOUBLE) / n_hours)
+              / sqrt((CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx / n_hours) / n_hours), 6)
+            ELSE NULL END AS z_score
+        FROM hourly, stats)
+      SELECT hour, n_errors, z_score,
+        CAST(z_score > 3.0 AS INT) AS is_spike
+      FROM scored"""))
 
   def all: Seq[Q] = Seq(
     qRfm, qAbcPareto, qElasticity, qOrderCountDist, qPromoShare,

@@ -31,9 +31,18 @@ import org.apache.spark.sql.types._
   * aggregation runs map-side in ObjectHashAggregate, and merge is an
   * elementwise max — the exchange carries m bytes per (group, partition).
   * Unlike [[KmvAgg]] (k smallest hashes, exact under k distinct), HLL
-  * keeps a CONSTANT-SIZE buffer with ~1.04/√m relative error at every
-  * cardinality — the sketch to persist per shard and merge across a
-  * 100 TB corpus manifest.
+  * keeps a CONSTANT-SIZE buffer with ~1.04/√m relative error — the
+  * sketch to persist per shard and merge across a corpus manifest.
+  *
+  * Cardinality ceiling: the PORTABLE hash is 32-bit, so beyond raw
+  * estimates of 2^32/30 the estimator applies the standard large-range
+  * correction −2^32·ln(1−raw/2^32) (see
+  * [[graft.ops.IncrementalAgg.hllEstimate]]); accuracy still degrades
+  * past ~10^8 distinct values as the hash space itself saturates. At
+  * manifest scale beyond that, shard the sketch by a partition key
+  * (per-source/per-shard sketches whose estimates sum) — portability
+  * across engines is the design trade that pins the hash at 32 bits
+  * (DuckDB's replay arithmetic is exact only in that range).
   *
   * Output: `array<int>` of the m register values (mergeable artifact).
   */

@@ -79,16 +79,31 @@ object IncrementalAgg {
     case _  => 0.7213 / (1 + 1.079 / m)
   }
 
+  /** The 32-bit hash space the portable md5 hash draws from (2^32). */
+  val hllHashSpace: Double = 4294967296.0
+
+  /** Large-range switch point: raw > 2^32/30 (Flajolet et al. 2007 §4,
+    * 32-bit regime) means hash-space birthday collisions bias raw low. */
+  val hllLargeRangeThreshold: Double = hllHashSpace / 30.0
+
   /** HLL estimate from a [[graft.functions.HllAgg]] register array:
     * raw = α_m·m² / Σ 2^(−M_j), with the standard small-range switch to
     * linear counting m·ln(m/V) when raw ≤ 2.5m and V (empty registers)
-    * > 0. Mirrors the `ext_hll_distinct` oracle expression term-for-term.
+    * > 0, and the standard 32-bit LARGE-range correction
+    * −2^32·ln(1 − raw/2^32) when raw > 2^32/30 — beyond that point the
+    * 32-bit hash space itself saturates (birthday collisions), which is
+    * the accuracy ceiling of any estimator over a 32-bit hash: past
+    * ~10^8 distinct values the corrected estimate still degrades as
+    * raw → 2^32. For manifest-scale counts beyond ~10^8, shard the key
+    * space (e.g. per-source sketches summed) or accept ~% -level bias.
+    * Mirrors the `ext_hll_distinct` / `ext_hll_merge_epochs` oracles
+    * term-for-term via [[hllEstimateSql]].
     *
     * Portability: every 2^(−M) term is an exact power of two and the sum
     * spans < 53 bits, so Σ is the SAME double in any accumulation order
     * (engine-independent); α_m·m² is interpolated from one Scala double
-    * into both engines; ln() (the only libm call, linear-counting branch)
-    * is 6-dp rounded before the multiply. */
+    * into both engines; ln() (the only libm call, in the linear-counting
+    * and large-range branches) is 6-dp rounded before the multiply. */
   def hllEstimate(registers: Column, p: Int): Column = {
     val m = 1 << p
     val am2 = hllAlpha(m) * m * m
@@ -99,6 +114,23 @@ object IncrementalAgg {
     when(raw <= lit(2.5 * m) && v > 0,
       round(lit(m.toDouble) *
         round(log(lit(m.toDouble) / v.cast("double")), 6), 6))
-      .otherwise(round(raw, 6))
+      .otherwise(when(raw > lit(hllLargeRangeThreshold),
+        round(lit(-hllHashSpace) *
+          round(log(lit(1.0) - raw / lit(hllHashSpace)), 6), 6))
+        .otherwise(round(raw, 6)))
+  }
+
+  /** The DuckDB replay of [[hllEstimate]], generated from the SAME Scala
+    * constants so the two engines cannot drift: `s` names the register
+    * sum Σ 2^(−M_j) column/expression, `v` the empty-register count. */
+  def hllEstimateSql(s: String, v: String, p: Int): String = {
+    val m = 1 << p
+    val am2 = hllAlpha(m) * m * m
+    s"""CASE WHEN ($am2 / $s) <= ${2.5 * m} AND $v > 0
+      THEN round(${m.toDouble} * round(ln(${m.toDouble} / $v), 6), 6)
+      WHEN ($am2 / $s) > $hllLargeRangeThreshold
+      THEN round(${-hllHashSpace}
+        * round(ln(1.0 - ($am2 / $s) / $hllHashSpace), 6), 6)
+      ELSE round($am2 / $s, 6) END"""
   }
 }

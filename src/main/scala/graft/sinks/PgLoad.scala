@@ -315,7 +315,16 @@ object PgLoad {
     *
     * Crash-safety of the stages themselves: names carry `runTag`, stale
     * same-name stages are dropped before creation, and cleanup runs in a
-    * finally — a failed run can be re-run without manual repair.
+    * finally — a failed run can be re-run without manual repair. Because
+    * the default tag is a fresh UUID per call, a run that dies before the
+    * finally (JVM kill) leaves stage tables a LATER default-tag run would
+    * never name — so when `createTables` is true (the batch "startup"
+    * path; streaming micro-batches pass false) the run first sweeps ALL
+    * leftover `<target>_stage_*` tables via [[sweepStaleStages]]. The
+    * sweep assumes the startup caller is the only writer at that moment
+    * (concurrent loads should pass `createTables = false`, as the
+    * streaming path and the specs do, or pin disjoint `runTag`s and
+    * sweep out-of-band).
     *
     * `ledgerKey` makes the promotion EXACTLY-ONCE for replayed batches
     * (streaming foreachBatch is at-least-once): the key is inserted into
@@ -344,7 +353,7 @@ object PgLoad {
     val tag =
       if (runTag.nonEmpty) runTag
       else java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    if (createTables) runDdl(connect)
+    if (createTables) { sweepStaleStages(connect); runDdl(connect) }
     if (ledgerKey.isDefined) execQuietly(connect, Seq(ledgerDdl))
     // Cheap pre-flight: a replayed ALREADY-COMMITTED batch should skip the
     // whole stage-write fan-out, not rewrite every frame and then discover
@@ -418,5 +427,35 @@ object PgLoad {
       staged.map(_._2).distinct
     } finally execQuietly(connect,
       stageNames.map(s => s"DROP TABLE ${qid(s)}"))
+  }
+
+  /** Stage tables a crashed run can orphan: `<target>_stage_<tag>_<i>`. */
+  private val staleStageName =
+    ("^(amazon_sale|amazon_sale_version|sale|international_sales)" +
+      "_stage_.+_\\d+$").r
+
+  /** Drop leftover `<target>_stage_*` tables from runs that crashed
+    * before their finally-cleanup (the default per-call UUID `runTag`
+    * means a rerun never names — and so never self-heals — a dead run's
+    * stages). Enumerates the catalog via JDBC metadata and drops every
+    * table matching the stage naming scheme, except those carrying
+    * `keepTag`. Single-writer operation: call at startup, not while
+    * another load is staging. Returns the dropped table names. */
+  def sweepStaleStages(
+      connect: () => Connection, keepTag: String = ""): Seq[String] = {
+    val conn = connect()
+    val stale = try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Seq.newBuilder[String]
+      try {
+        while (rs.next()) names += rs.getString("TABLE_NAME")
+      } finally rs.close()
+      names.result().filter { n =>
+        staleStageName.pattern.matcher(n).matches() &&
+          (keepTag.isEmpty || !n.contains(s"_stage_${keepTag}_"))
+      }
+    } finally conn.close()
+    execQuietly(connect, stale.map(n => s"DROP TABLE ${qid(n)}"))
+    stale
   }
 }

@@ -48,13 +48,15 @@ object StreamPipeline {
     * [[loadClassStream]] rule): batch ids restart at 0 whenever the
     * checkpoint changes, and without the namespace a restarted stream's
     * new batch 0 would `mode=overwrite` the PREVIOUS run's landed
-    * batch_0 output. */
+    * batch_0 output. Output lands under `$outDir/run_<hash>/batch_<id>`
+    * (NOT the bare `$outDir/batch_<id>` — consumers glob the run_ level
+    * too). The hash is of the CANONICALIZED checkpoint path
+    * ([[runNamespace]]), so two spellings of the same local checkpoint
+    * (`./ckpt`, `ckpt/`, `a/../ckpt`) land in the same run dir. */
   def cleanClassStream(
       raw: DataFrame, cls: CsvSource.FileClass, outDir: String,
       checkpointDir: String): StreamingQuery = {
-    val sid = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val sid = runNamespace(checkpointDir)
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -62,6 +64,23 @@ object StreamPipeline {
         cleanAndWrite(batch, cls, s"$outDir/run_$sid/batch_$batchId")
       }
       .start()
+  }
+
+  /** The run-dir namespace for a checkpoint: an 8-hex md5 of the
+    * CANONICAL form of the checkpoint location, so equivalent
+    * spellings (relative vs absolute, trailing slash, `..` segments)
+    * key the same run dir. URIs (`hdfs://…`, `s3a://…`) normalize via
+    * `java.net.URI`; bare paths resolve absolute + normalized. */
+  def runNamespace(checkpointDir: String): String = {
+    val canon =
+      if (checkpointDir.contains("://"))
+        new java.net.URI(checkpointDir).normalize()
+          .toString.stripSuffix("/")
+      else java.nio.file.Paths.get(checkpointDir)
+        .toAbsolutePath.normalize().toString.stripSuffix("/")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
   }
 
   /** The international cleaner's embedded-header split is POSITIONAL
@@ -181,9 +200,11 @@ object StreamPipeline {
       loadedAtFor: Long => java.sql.Timestamp,
       promoteSqlFor: (String, String, Seq[String], Seq[String]) => String =
         graft.sinks.PgLoad.promoteSql): StreamingQuery = {
-    val sid = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    // canonicalized ([[runNamespace]]): the ledger key must be STABLE
+    // across restarts — a restart that spells the same checkpoint
+    // differently (cwd-relative vs absolute) would otherwise mint a new
+    // namespace and double-load the one in-flight replayed batch
+    val sid = runNamespace(checkpointDir)
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)

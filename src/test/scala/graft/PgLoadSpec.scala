@@ -317,4 +317,45 @@ class PgLoadSpec extends SparkSpec {
     }
     assert(n == 20, s"retried stage write duplicated rows: $n")
   }
+
+  test("sweepStaleStages drops crashed runs' orphans, keeps the live tag " +
+      "and the target tables") {
+    val connect = freshDb("graftsweep")
+    PgLoad.runDdl(connect, ddls("sweep"))
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      // orphans a JVM-killed default-UUID run would leave behind
+      st.executeUpdate(s"CREATE TABLE ${q("amazon_sale_stage_deadbeef_0")} " +
+        s"(${q("x")} INTEGER)")
+      st.executeUpdate(
+        s"CREATE TABLE ${q("international_sales_stage_deadbeef_4")} " +
+          s"(${q("x")} INTEGER)")
+      // a live concurrent run's stage (keepTag) must survive
+      st.executeUpdate(s"CREATE TABLE ${q("sale_stage_live1234_2")} " +
+        s"(${q("x")} INTEGER)")
+      // unrelated table that merely contains 'stage' must survive
+      st.executeUpdate(s"CREATE TABLE ${q("stage_notes")} " +
+        s"(${q("x")} INTEGER)")
+      st.close()
+    } finally c.close()
+    val dropped = PgLoad.sweepStaleStages(connect, keepTag = "live1234")
+    assert(dropped.toSet == Set("amazon_sale_stage_deadbeef_0",
+      "international_sales_stage_deadbeef_4"))
+    def exists(t: String): Boolean = {
+      val cc = connect()
+      try {
+        val rs = cc.getMetaData.getTables(null, null, t, Array("TABLE"))
+        try rs.next() finally rs.close()
+      } finally cc.close()
+    }
+    assert(!exists("amazon_sale_stage_deadbeef_0"))
+    assert(!exists("international_sales_stage_deadbeef_4"))
+    assert(exists("sale_stage_live1234_2"))
+    assert(exists("stage_notes"))
+    assert(exists("amazon_sale")) // targets untouched
+    // a second sweep with no keepTag clears the remaining stage too
+    assert(PgLoad.sweepStaleStages(connect) == Seq("sale_stage_live1234_2"))
+    assert(!exists("sale_stage_live1234_2"))
+  }
 }

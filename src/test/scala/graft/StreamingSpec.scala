@@ -47,6 +47,25 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(runDirs.head, "batch_1").exists())
   }
 
+  test("runNamespace: equivalent checkpoint spellings key one run dir; " +
+      "distinct checkpoints key distinct dirs") {
+    val abs = Files.createTempDirectory("ckptns").toString
+    val base = StreamPipeline.runNamespace(abs)
+    // spelling variants of the SAME path all collapse to one namespace
+    assert(StreamPipeline.runNamespace(s"$abs/") == base)
+    assert(StreamPipeline.runNamespace(s"$abs/x/..") == base)
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath.toString
+    if (abs.startsWith(cwd + "/"))
+      assert(StreamPipeline.runNamespace(abs.drop(cwd.length + 1)) == base)
+    // a different checkpoint must not collide
+    assert(StreamPipeline.runNamespace(s"$abs-other") != base)
+    // URI form: dot segments and trailing slash normalize away
+    assert(StreamPipeline.runNamespace("hdfs://nn/a/./b/") ==
+      StreamPipeline.runNamespace("hdfs://nn/a/b"))
+    assert(StreamPipeline.runNamespace("hdfs://nn/a/c/../b") ==
+      StreamPipeline.runNamespace("hdfs://nn/a/b"))
+  }
+
   test("events windowed agg with watermark matches batch computation") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // batch form of the same plan (streaming-specific parts removed)
