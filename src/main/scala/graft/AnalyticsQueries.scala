@@ -258,6 +258,23 @@ object AnalyticsQueries {
       FROM events GROUP BY 1, 2"""),
     bench = true)
 
+  /** SLIDING-window rollup as a structured stream
+    * ([[graft.streaming.StreamPipeline.eventsSlidingAvailableNow]],
+    * 1-hour windows every 15 minutes): the trending-metrics shape. The
+    * oracle replays the window fan-out in batch SQL — every event joins
+    * each of the 4 slide-aligned window starts covering it — pinning the
+    * streamed sliding state to batch semantics hash-exactly, the same
+    * contract as the tumbling twin above. */
+  val qStreamSliding = Q(
+    "q_stream_sliding_15m",
+    (s, d) => graft.streaming.StreamPipeline.eventsSlidingAvailableNow(s, d),
+    Some(s"""SELECT strftime(
+        make_timestamp(((epoch_us(ts) // 900000000) - i) * 900000000),
+        '%Y-%m-%d %H:%M:%S') AS win_start,
+      event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+      FROM events CROSS JOIN range(0, 4) t(i)
+      GROUP BY 1, 2"""))
+
   /** Stream-STREAM interval join as a registered, oracle-checked query
     * ([[graft.streaming.StreamPipeline.clickAttributionAvailableNow]]):
     * each purchase attributes to the same user's clicks in the preceding
@@ -1810,7 +1827,8 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
-    qEventsHourlyStream, qStreamAttribution, qAttributionLinear, qJsonProps,
+    qEventsHourlyStream, qStreamSliding, qStreamAttribution,
+    qAttributionLinear, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

@@ -381,8 +381,124 @@ object ExtQueries2 {
              ELSE 'prose' END AS content_label
       FROM documents"""))
 
+  /** CLIP-style cross-modal alignment gate
+    * ([[graft.ext.graft.ext.Multimodal.clipAlignmentGate]]) — the LAION curation
+    * recipe: score every (image, caption) pair by modality-embedding
+    * cosine and keep only pairs above a threshold. The image side is the
+    * md5 stub decoder's 4-dim feature (documents payload); the caption
+    * side is the 64-dim embedding block-pooled to 4 dims
+    * ([[graft.ext.graft.ext.Multimodal.blockPoolEmbedding]]); pairs join on
+    * doc_id = vec_id.
+    *
+    * Scale: one equi-join on the pair id carrying metadata-sized rows
+    * (embeddings, never payload bytes), then a pure codegen projection —
+    * the gate prunes the corpus BEFORE any payload-heavy stage runs.
+    * Determinism: every sum (block pool, dot, norms) is an explicit
+    * left-associated chain over exact float→double values, so both
+    * engines walk the identical IEEE tree; 6-dp round at the end only;
+    * zero-norm pairs yield NULL score + kept=0 on both engines. */
+  val clipAlignGate = Q(
+    "ext_clip_align_gate",
+    (s, d) => {
+      val img = Tables.documents(s, d).select(col("doc_id"),
+        graft.ext.Multimodal.fakeDecodeFeatures(
+          graft.ext.Multimodal.asPayload(col("text"))).as("img_emb"))
+      val txt = Tables.embeddings(s, d).select(
+        col("vec_id").as("doc_id"),
+        graft.ext.Multimodal.blockPoolEmbedding(col("embedding"), 4, 16).as("txt_emb"))
+      graft.ext.Multimodal.clipAlignmentGate(img.join(txt, Seq("doc_id")),
+        "img_emb", "txt_emb", dim = 4, tau = 0.1)
+        .select(col("doc_id"), col("clip_score"), col("kept"))
+    },
+    Some {
+      def f(i: Int) =
+        s"""round(('0x' || substring(md5(text), ${i * 8 + 1}, 8))::BIGINT
+           / 4294967296.0, 6) AS i$i"""
+      def t(b: Int) =
+        "(" + (0 until 16)
+          .map(i => s"CAST(embedding[${b * 16 + i + 1}] AS DOUBLE)")
+          .mkString(" + ") + s") / 16.0 AS t$b"
+      def dot(a: String, b: String) =
+        (0 until 4).map(i => s"$a$i * $b$i").mkString(" + ")
+      s"""WITH img AS (
+        SELECT doc_id, ${(0 until 4).map(f).mkString(", ")}
+        FROM documents),
+      txt AS (
+        SELECT vec_id AS doc_id, ${(0 until 4).map(t).mkString(", ")}
+        FROM embeddings),
+      j AS (SELECT img.doc_id, i0, i1, i2, i3, t0, t1, t2, t3
+            FROM img JOIN txt USING (doc_id)),
+      sc AS (
+        SELECT doc_id,
+          CASE WHEN (${dot("i", "i")}) > 0 AND (${dot("t", "t")}) > 0
+            THEN round((${dot("i", "t")})
+              / (sqrt(${dot("i", "i")}) * sqrt(${dot("t", "t")})), 6)
+          END AS clip_score
+        FROM j)
+      SELECT doc_id, clip_score,
+        CAST(clip_score IS NOT NULL AND clip_score >= 0.1 AS INT) AS kept
+      FROM sc"""
+    })
+
+  /** DoReMi-style domain reweighting
+    * ([[graft.ext.Curation.doremiWeights]]): per-source sampling weights
+    * boosted where the domain's loss exceeds the corpus baseline — the
+    * mixture-optimization step between per-domain stats and the sampler
+    * (`ext_source_mix` takes the resulting multipliers). The loss proxy
+    * here is per-doc character entropy (the `ext_char_entropy` signal);
+    * a production run feeds reference-model NLL through the same API.
+    * Bounded domain-keyed aggregates + two 1-row broadcasts; exact
+    * decimal sums; the exp/ln round-argument-round-result discipline. */
+  val doremiWeights = Q(
+    "ext_doremi_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val loss = TextStats.charEntropy(docs, "text", "doc_id")
+        .select(col("doc_id"), col("char_entropy").as("loss"))
+      graft.ext.Curation.doremiWeights(docs, loss, "doc_id", "source",
+        tau = 0.02, expCap = 10.0)
+    },
+    Some("""WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents),
+      hist AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                sum(CAST(c * round(ln(c), 6) AS DECIMAL(18,6))) AS s
+              FROM hist GROUP BY 1),
+      ent AS (
+        SELECT d.source AS domain,
+          round(ln(a.n) - CAST(a.s AS DOUBLE) / a.n, 6) AS loss
+        FROM agg a JOIN documents d USING (doc_id)),
+      dom AS (
+        SELECT domain, count(*) AS n_docs,
+          sum(CAST(loss AS DECIMAL(18,6))) AS s
+        FROM ent GROUP BY domain),
+      tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, sum(s) AS st
+        FROM dom),
+      base AS (
+        SELECT domain, n_docs,
+          round(CAST(s AS DOUBLE) / n_docs, 6) AS domain_loss,
+          greatest(round(CAST(s AS DOUBLE) / n_docs, 6)
+            - round(CAST(st AS DOUBLE) / n_total, 6), 0.0) AS excess,
+          round(CAST(n_docs AS DOUBLE) / n_total, 6) AS share
+        FROM dom, tot),
+      w AS (
+        SELECT domain, n_docs, domain_loss, excess, share,
+          round(share
+            * round(exp(least(round(excess / 0.02, 6), 10.0)), 6), 6)
+            AS w_raw
+        FROM base),
+      ws AS (SELECT sum(CAST(w_raw AS DECIMAL(18,6))) AS wsum FROM w)
+      SELECT domain, n_docs, domain_loss, round(excess, 6) AS excess,
+        share,
+        round(w_raw / CAST(wsum AS DOUBLE), 6) AS weight,
+        round(round(w_raw / CAST(wsum AS DOUBLE), 6) / share, 6)
+          AS multiplier
+      FROM w, ws"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
-    contentType)
+    contentType, clipAlignGate, doremiWeights)
 }

@@ -630,4 +630,62 @@ object Curation {
       .filter(col("rank") <= col("quota"))
       .select(col(groupCol), col(idCol), col("rank"), col("quota"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to its
+    * one-shot core): boost the sampling weight of domains whose loss
+    * EXCEEDS the corpus baseline — "hard" domains get proportionally
+    * more of the token budget than their natural share, easy domains
+    * less. `lossPerDoc` supplies (idCol, `loss`) from any proxy the
+    * caller trusts (the registered query uses per-doc character entropy;
+    * a production pipeline plugs per-doc reference-model NLL in the same
+    * column). Per domain d:
+    *
+    *   excess_d = max(loss_d − baseline, 0)           (clip at 0)
+    *   boost_d  = exp(min(excess_d / tau, expCap))    (temperature tau)
+    *   weight_d ∝ share_d · boost_d                   (normalized)
+    *
+    * `expCap` bounds the exponent so a pathological outlier domain
+    * cannot overflow the downstream exact-decimal normalization (and
+    * mirrors DoReMi's bounded per-step update).
+    *
+    * Scale: one hash-agg keyed on the domain (bounded: domains number
+    * thousands at most), two 1-row broadcasts (corpus totals, weight
+    * normalizer) — per-doc losses stream through map-side partial sums,
+    * nothing domain-sized ever sits on one reducer. Determinism: domain
+    * sums in exact DECIMAL(18,6) over 6-dp losses; exp/ln discipline =
+    * round the argument, round the result (the lmScore rule).
+    *
+    * Output: (domain, n_docs, domain_loss, excess, share, weight,
+    * multiplier) where multiplier = weight/share is the ready-to-use
+    * up/down-sampling factor per domain. */
+  def doremiWeights(docs: DataFrame, lossPerDoc: DataFrame, idCol: String,
+      domainCol: String, tau: Double = 0.02,
+      expCap: Double = 10.0): DataFrame = {
+    val perDoc = docs.select(col(idCol).as("__id"), col(domainCol).as("domain"))
+      .join(lossPerDoc.select(col(idCol).as("__id"), col("loss")), Seq("__id"))
+    val dom = perDoc.groupBy(col("domain")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("loss").cast(DecimalType(18, 6))).as("s"))
+    val tot = dom.agg(
+      sum(col("n_docs")).as("n_total"),
+      sum(col("s")).as("st"))
+    val base = dom.crossJoin(broadcast(tot)).select(
+      col("domain"), col("n_docs"),
+      round(col("s").cast("double") / col("n_docs"), 6).as("domain_loss"),
+      greatest(
+        round(col("s").cast("double") / col("n_docs"), 6)
+          - round(col("st").cast("double") / col("n_total"), 6),
+        lit(0.0)).as("excess"),
+      round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
+    val w = base.withColumn("w_raw",
+      round(col("share") *
+        round(exp(least(round(col("excess") / tau, 6), lit(expCap))), 6), 6))
+    val norm = w.agg(sum(col("w_raw").cast(DecimalType(18, 6))).as("wsum"))
+    w.crossJoin(broadcast(norm))
+      .select(col("domain"), col("n_docs"), col("domain_loss"),
+        round(col("excess"), 6).as("excess"), col("share"),
+        round(col("w_raw") / col("wsum").cast("double"), 6).as("weight"),
+        round(round(col("w_raw") / col("wsum").cast("double"), 6)
+          / col("share"), 6).as("multiplier"))
+  }
 }

@@ -178,6 +178,66 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** CLIP-style cross-modal alignment gate (the LAION-400M/5B curation
+    * recipe: keep an (image, caption) pair only when the cosine between
+    * the two modality embeddings clears a threshold). Generic over any
+    * two fixed-width embedding columns of EQUAL width `dim` (doubles);
+    * in production the image side comes from the batched decoder
+    * ([[extractFeaturesBatched]] / a real CLIP vision tower) and the
+    * text side from the caption encoder — here the registered query
+    * feeds the md5 stub features and a block-pooled text embedding, so
+    * the gate's plumbing and determinism are oracle-checked end to end.
+    *
+    * Scale: ONE equi-join on the pair id (metadata-sized rows — the
+    * payload bytes are NOT carried through the join), then a pure
+    * codegen projection per pair; the gate prunes before any
+    * downstream packing/tokenization touches payload bytes. No
+    * all-pairs structure anywhere — alignment is per-pair, unlike the
+    * ANN family's candidate generation.
+    *
+    * Determinism: dot and norms are explicit left-associated 4-term (or
+    * `dim`-term) chains over exact float→double values, 6-dp rounded —
+    * the `list_dot_product` discipline of the ANN oracles. Zero-norm
+    * embeddings (all-zero vector) yield NULL score and kept=0, never an
+    * engine-dependent 0/0. */
+  def clipAlignScore(imgEmb: Column, txtEmb: Column, dim: Int): Column = {
+    def dot(a: Column, b: Column): Column =
+      (0 until dim).map(i =>
+        element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
+    val n2a = dot(imgEmb, imgEmb)
+    val n2b = dot(txtEmb, txtEmb)
+    when(n2a > 0d && n2b > 0d,
+      round(dot(imgEmb, txtEmb) / (sqrt(n2a) * sqrt(n2b)), 6))
+  }
+
+  /** Block-mean pooling of a float embedding down to `blocks` doubles
+    * (block b = mean of entries [b·blockLen, (b+1)·blockLen)) — the
+    * dimensionality adapter that lets a wide caption embedding meet a
+    * narrow vision-stub embedding in [[clipAlignScore]]. Determinism:
+    * float→double is exact and each block is an explicit LEFT-ASSOCIATED
+    * addition chain (not a fold whose association an engine may choose),
+    * then one division by the block length — both engines produce the
+    * bit-identical double. Pure codegen projection, no shuffle. */
+  def blockPoolEmbedding(emb: Column, blocks: Int, blockLen: Int): Column =
+    array((0 until blocks).map { b =>
+      (0 until blockLen)
+        .map(i => element_at(emb, b * blockLen + i + 1).cast("double"))
+        .reduce(_ + _) / blockLen.toDouble
+    }: _*)
+
+  /** The alignment gate over a pairs frame: emits the 6-dp `clip_score`
+    * and `kept` (1 when score ≥ tau). Keep/drop stays a FLAG so the
+    * caller can audit the rejected tail — the standard curation report
+    * shape — and filter on `kept = 1` for the surviving corpus. */
+  def clipAlignmentGate(pairs: DataFrame, imgEmbCol: String,
+      txtEmbCol: String, dim: Int, tau: Double): DataFrame =
+    pairs
+      .withColumn("clip_score",
+        clipAlignScore(col(imgEmbCol), col(txtEmbCol), dim))
+      .withColumn("kept",
+        (col("clip_score").isNotNull && col("clip_score") >= tau)
+          .cast("int"))
+
   /** Batched partition-level extraction: the mapPartitions twin of an
     * Arrow-batch UDF — groups rows into `batchSize` chunks, "decodes" each
     * batch, emits (id, features). A real implementation swaps

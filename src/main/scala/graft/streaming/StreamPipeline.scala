@@ -288,6 +288,44 @@ object StreamPipeline {
     runAvailableNow(agg, "stream_ev_", "complete")
   }
 
+  /** SLIDING-window rollup as a structured stream, drained with
+    * `Trigger.AvailableNow` — the trending-metrics shape (every event
+    * counts into the `slide`-spaced windows of length `window` covering
+    * it; window/slide = 4 overlapping windows per event at the
+    * defaults). The oracle replays the window fan-out in batch SQL
+    * (each event joins its window÷slide covering window starts), so the
+    * streamed sliding state is pinned to batch semantics hash-exactly,
+    * like the tumbling twin `q_stream_events_hourly`.
+    *
+    * Scale: Spark expands each event to window/slide state rows BEFORE
+    * the shuffle, so the exchange carries the fan-out — keep
+    * window/slide small (4 here); state is bounded by
+    * (watermark + window)/slide live windows per key, evicted by the
+    * watermark as usual. */
+  def eventsSlidingAvailableNow(
+      spark: SparkSession, dir: String,
+      window: String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.Det.dsum
+    val path = s"$dir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev = graft.Tables.normalizeEventsTs(raw)
+    val agg = ev.withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+    runAvailableNow(agg, "stream_slide_", "complete")
+  }
+
   /** Event-time windowed aggregation with watermarking over the events
     * stream — the §2.8 extension surface (absent in the reference). */
   def eventsWindowed(

@@ -217,6 +217,67 @@ class Ext2Spec extends SparkSpec {
     assert(rows(2)._1 > 1.0 && rows(2)._2 == 0.0)
   }
 
+  test("clipAlignScore: hand-computed cosine, zero-norm guard, gate flag") {
+    import graft.ext.Multimodal
+    val pairs = Seq(
+      // parallel vectors -> cos 1.0
+      (1L, Seq(1.0, 2.0, 3.0, 4.0), Seq(2.0, 4.0, 6.0, 8.0)),
+      // orthogonal -> cos 0.0
+      (2L, Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0)),
+      // anti-parallel -> cos -1.0
+      (3L, Seq(1.0, 1.0, 1.0, 1.0), Seq(-1.0, -1.0, -1.0, -1.0)),
+      // zero-norm image side -> NULL score, kept=0 (no 0/0 anywhere)
+      (4L, Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("id", "img_emb", "txt_emb")
+    val out = Multimodal
+      .clipAlignmentGate(pairs, "img_emb", "txt_emb", dim = 4, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("clip_score")), r.getAs[Int]("kept"))).toMap
+    assert(out(1L) == (Some(1.0), 1))
+    assert(out(2L) == (Some(0.0), 0))
+    assert(out(3L) == (Some(-1.0), 0))
+    assert(out(4L) == (None, 0))
+  }
+
+  test("blockPoolEmbedding: block means over a float embedding") {
+    import graft.ext.Multimodal
+    // 8 floats pooled to 2 blocks of 4: (1+2+3+4)/4=2.5, (5+6+7+8)/4=6.5
+    val df = Seq((1L, Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)))
+      .toDF("id", "embedding")
+    val pooled = df
+      .select(Multimodal.blockPoolEmbedding(col("embedding"), 2, 4).as("p"))
+      .collect().head.getSeq[Double](0)
+    assert(pooled == Seq(2.5, 6.5))
+  }
+
+  test("doremiWeights: hard domains gain weight, easy lose; weights " +
+      "normalize; zero-excess baseline domain keeps its share") {
+    import graft.ext.Curation
+    // three domains with controlled 'losses'; global baseline = 2.0
+    val docs = (1 to 30).map { i =>
+      val dom = if (i <= 10) "hard" else if (i <= 20) "easy" else "mid"
+      (i.toLong, dom)
+    }.toDF("doc_id", "source")
+    val loss = (1 to 30).map { i =>
+      val l = if (i <= 10) 2.6 else if (i <= 20) 1.4 else 2.0
+      (i.toLong, l)
+    }.toDF("doc_id", "loss")
+    val out = Curation
+      .doremiWeights(docs, loss, "doc_id", "source", tau = 0.1)
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Double]("excess"), r.getAs[Double]("weight"),
+          r.getAs[Double]("multiplier"))).toMap
+    // baseline = (2.6+1.4+2.0)/3 = 2.0 → excesses 0.6 / 0 / 0
+    assert(out("hard")._1 == 0.6)
+    assert(out("easy")._1 == 0.0 && out("mid")._1 == 0.0)
+    // only the hard domain boosts; easy and mid share the rest equally
+    assert(out("hard")._2 > out("mid")._2)
+    assert(math.abs(out("easy")._2 - out("mid")._2) < 1e-9)
+    val wsum = out.values.map(_._2).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must normalize: $wsum")
+    assert(out("hard")._3 > 1.0 && out("easy")._3 < 1.0)
+  }
+
   test("stream dedup: doubled feed dedups back to the source exactly") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.streaming.StreamPipeline
