@@ -3893,6 +3893,101 @@ object ExtQueries {
         rejected_id, rejected_q
       FROM hi JOIN lo USING (source, pair_slot)"""))
 
+  /** Bradley-Terry strengths ([[graft.ext.Curation.bradleyTerry]], 5 MM
+    * rounds) fitted to a deterministic preference log: per source, each
+    * doc "plays" its 1- and 2-back doc_id neighbors (bounded per-source
+    * lag window — O(n) matches, a connected per-source comparison
+    * chain) and the higher quality-bin wins; equal-bin matchups are
+    * skipped. The oracle unrolls all 5 MM iterations as chained CTEs
+    * (the PageRank precedent), replaying the virtual-draw
+    * regularization, exact-decimal sums, and the mean-1 rescale
+    * round-for-round. */
+  val btStrengths = Q(
+    "ext_bradley_terry",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val binned = Curation.percentileBins(
+        docs.select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("quality")),
+        "quality", "doc_id", bins = 8)
+      val base = binned.join(docs.select(col("doc_id"), col("source")),
+        "doc_id")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val lagged = base.select(col("doc_id"), col("bin"),
+        lag(col("doc_id"), 1).over(w).as("p1"),
+        lag(col("bin"), 1).over(w).as("b1"),
+        lag(col("doc_id"), 2).over(w).as("p2"),
+        lag(col("bin"), 2).over(w).as("b2"))
+      def side(p: String, b: String) = lagged
+        .filter(col(p).isNotNull && col("bin") =!= col(b))
+        .select(
+          when(col("bin") > col(b), col("doc_id")).otherwise(col(p))
+            .as("winner"),
+          when(col("bin") > col(b), col(p)).otherwise(col("doc_id"))
+            .as("loser"))
+      val matches = side("p1", "b1").unionAll(side("p2", "b2"))
+      Curation.bradleyTerry(matches, "winner", "loser", iters = 5)
+    },
+    Some {
+      val iters = 5
+      val iterCtes = (1 to iters).map { k =>
+        s"""d$k AS MATERIALIZED (
+        SELECT c.i,
+          CAST(sum(CAST(c.n_ij / (wi.s + wj.s) AS DECIMAL(38,18)))
+            AS DOUBLE) AS den
+        FROM contests c
+        JOIN s${k - 1} wi ON wi.i = c.i
+        JOIN s${k - 1} wj ON wj.i = c.j
+        GROUP BY c.i),
+      r$k AS MATERIALIZED (
+        SELECT w.i, w.bt_w / (d.den + 1.0 / (p.s + 1.0)) AS s
+        FROM wins w JOIN d$k d USING (i) JOIN s${k - 1} p USING (i)),
+      t$k AS (
+        SELECT CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) AS ssum
+        FROM r$k),
+      s$k AS MATERIALIZED (
+        SELECT i,
+          s * (SELECT CAST(count(*) AS DOUBLE) FROM items) / ssum AS s
+        FROM r$k, t$k)"""
+      }.mkString(",\n      ")
+      s"""WITH $binnedCtes,
+      base AS (
+        SELECT b.doc_id, b.bin, d.source
+        FROM binned b JOIN documents d USING (doc_id)),
+      lagged AS (
+        SELECT doc_id, bin,
+          lag(doc_id, 1) OVER w AS p1, lag(bin, 1) OVER w AS b1,
+          lag(doc_id, 2) OVER w AS p2, lag(bin, 2) OVER w AS b2
+        FROM base WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      matches AS (
+        SELECT CASE WHEN bin > b1 THEN doc_id ELSE p1 END AS w,
+               CASE WHEN bin > b1 THEN p1 ELSE doc_id END AS l
+        FROM lagged WHERE p1 IS NOT NULL AND bin <> b1
+        UNION ALL
+        SELECT CASE WHEN bin > b2 THEN doc_id ELSE p2 END,
+               CASE WHEN bin > b2 THEN p2 ELSE doc_id END
+        FROM lagged WHERE p2 IS NOT NULL AND bin <> b2),
+      directed AS (SELECT w, l, count(*) AS nwl FROM matches GROUP BY 1, 2),
+      contests AS MATERIALIZED (
+        SELECT i, j, CAST(sum(n) AS BIGINT) AS n_ij FROM (
+          SELECT w AS i, l AS j, nwl AS n FROM directed
+          UNION ALL SELECT l AS i, w AS j, nwl AS n FROM directed) u
+        GROUP BY i, j),
+      items AS MATERIALIZED (SELECT DISTINCT i FROM contests),
+      wins AS MATERIALIZED (
+        SELECT g.i, coalesce(dw.wn, 0) AS n_wins, g.n_games,
+          CAST(coalesce(dw.wn, 0) AS DOUBLE) + 0.5 AS bt_w
+        FROM (SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_games
+              FROM contests GROUP BY i) g
+        LEFT JOIN (SELECT w AS i, CAST(sum(nwl) AS BIGINT) AS wn
+                   FROM directed GROUP BY w) dw USING (i)),
+      s0 AS MATERIALIZED (SELECT i, 1.0 AS s FROM items),
+      $iterCtes
+      SELECT w.i AS item, w.n_wins, w.n_games, round(s.s, 6) AS strength
+      FROM s$iters s JOIN wins w USING (i)"""
+    })
+
   /** URL-level dedup ([[graft.ext.Markup.urlDedup]]) over per-doc URLs
     * salted so every canonicalization rule is load-bearing: host case
     * flips with doc parity, a trailing slash appears on even ids, pure
@@ -4302,7 +4397,7 @@ object ExtQueries {
     removeSpans,
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     temperatureMix, tokenBudget, dsirWeights, scoreBins, compaction,
-    prefPairs, driftPsi,
+    prefPairs, btStrengths, driftPsi,
     kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
     imputeMissing, ngramDiversity, classifierAuc, classifierCalibration,
     classifierFit, splitLeakage,

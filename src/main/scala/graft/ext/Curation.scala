@@ -631,6 +631,84 @@ object Curation {
       .select(col(groupCol), col(idCol), col("rank"), col("quota"))
   }
 
+  /** Bradley-Terry strength fitting over pairwise preference outcomes
+    * (Bradley & Terry 1952; MM iteration per Hunter 2004) — the ranking
+    * step that turns an RLHF preference log (winner, loser) into scalar
+    * completion strengths: P(i beats j) = w_i/(w_i+w_j), fitted by the
+    * fixed-point update w_i ← W_i / Σ_j n_ij/(w_i+w_j) for `iters`
+    * rounds from w=1, rescaled to mean 1 each round (BT is
+    * scale-invariant; the rescale pins the gauge).
+    *
+    * Regularization: every item also plays one virtual DRAW against a
+    * reference player of fixed strength 1 (W_i += 0.5, denominator +=
+    * 1/(w_i+1)) — the standard fix that keeps undefeated items finite
+    * and winless items positive, without which the MM fixed point
+    * diverges on any item with a one-sided record.
+    *
+    * Scale: contests aggregate to one row per (i, j) pair — bounded by
+    * DISTINCT matchups, not log length — and each round is one
+    * (i, j)-keyed join + an item-keyed hash agg + a 1-row broadcast
+    * rescale; `localCheckpoint` truncates lineage per round (the
+    * PageRank discipline). Nothing item-universe-sized ever sits on one
+    * reducer, and the preference LOG streams through one map-side
+    * count.
+    *
+    * Determinism: per-pair terms are IEEE-identical given identical
+    * inputs; per-item and rescale sums run in exact DECIMAL(38,18) so
+    * accumulation order cannot matter — each round's strengths are
+    * bit-identical on any engine (the PageRank contract); round only at
+    * the output edge.
+    *
+    * Output: (item, n_wins, n_games, strength), strength 6-dp. */
+  def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, "bradleyTerry: iters must be >= 1")
+    import graft.ops.CacheScope
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 18))).cast("double")
+    val m = matches.select(col(winnerCol).cast("long").as("w"),
+      col(loserCol).cast("long").as("l"))
+    val directed = CacheScope.persist(
+      m.groupBy(col("w"), col("l")).agg(count(lit(1)).as("nwl")))
+    val contests = CacheScope.persist(
+      directed.select(col("w").as("i"), col("l").as("j"), col("nwl").as("n"))
+        .unionAll(directed.select(col("l").as("i"), col("w").as("j"),
+          col("nwl").as("n")))
+        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n_ij")))
+    val games = contests.groupBy(col("i"))
+      .agg(sum(col("n_ij")).as("n_games"))
+    val wins = CacheScope.persist(games
+      .join(directed.groupBy(col("w").as("i"))
+        .agg(sum(col("nwl")).as("wn")), Seq("i"), "left")
+      .select(col("i"), coalesce(col("wn"), lit(0L)).as("n_wins"),
+        col("n_games"),
+        (coalesce(col("wn"), lit(0L)).cast("double") + 0.5).as("bt_w")))
+    val nItems = wins.count()
+
+    var s = wins.select(col("i"), lit(1.0).as("s")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sj = s.select(col("i").as("j"), col("s").as("sj"))
+      val denom = contests
+        .join(s, Seq("i")).join(sj, Seq("j"))
+        .groupBy(col("i"))
+        .agg(decSum(col("n_ij") / (col("s") + col("sj"))).as("den"))
+      val raw = wins.join(denom, Seq("i")).join(s, Seq("i"))
+        .select(col("i"),
+          (col("bt_w") / (col("den") + lit(1.0) / (col("s") + lit(1.0))))
+            .as("s"))
+      val tot = raw.agg(decSum(col("s")).as("ssum"))
+      val next = raw.crossJoin(broadcast(tot))
+        .select(col("i"),
+          (col("s") * lit(nItems.toDouble) / col("ssum")).as("s"))
+      val promoted = next.localCheckpoint()
+      s.unpersist(blocking = false)
+      s = promoted
+    }
+    wins.join(s, Seq("i"))
+      .select(col("i").as("item"), col("n_wins"), col("n_games"),
+        round(col("s"), 6).as("strength"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to its
     * one-shot core): boost the sampling weight of domains whose loss
     * EXCEEDS the corpus baseline — "hard" domains get proportionally

@@ -278,6 +278,39 @@ class Ext2Spec extends SparkSpec {
     assert(out("hard")._3 > 1.0 && out("easy")._3 < 1.0)
   }
 
+  test("bradleyTerry: stronger record -> higher strength; symmetric " +
+      "records tie; undefeated items stay finite; gauge is mean 1") {
+    import graft.ext.Curation
+    // item 1 beats 2 twice and loses once; 2 and 3 split 1-1; 4 is
+    // UNDEFEATED vs 3 (the case the virtual draw must keep finite)
+    val matches = Seq(
+      (1L, 2L), (1L, 2L), (2L, 1L),
+      (2L, 3L), (3L, 2L),
+      (4L, 3L), (4L, 3L))
+      .toDF("winner", "loser")
+    val out = Curation.bradleyTerry(matches, "winner", "loser", iters = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_wins"), r.getAs[Long]("n_games"),
+          r.getAs[Double]("strength"))).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(out(1L)._1 == 2 && out(1L)._2 == 3)
+    assert(out(4L)._1 == 2 && out(4L)._2 == 2)
+    // winning record beats losing record; undefeated tops everyone
+    assert(out(1L)._3 > out(2L)._3)
+    assert(out(4L)._3 > out(1L)._3)
+    assert(out.values.forall(v => v._3 > 0 && v._3.isFinite))
+    // gauge: strengths rescale to mean 1 each round
+    val mean = out.values.map(_._3).sum / out.size
+    assert(math.abs(mean - 1.0) < 1e-3, s"mean-1 gauge violated: $mean")
+    // symmetry: two items with identical mirrored records tie exactly
+    val sym = Curation.bradleyTerry(
+      Seq((10L, 20L), (20L, 10L)).toDF("winner", "loser"),
+      "winner", "loser", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("strength")).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(sym(10L) == sym(20L))
+  }
+
   test("stream dedup: doubled feed dedups back to the source exactly") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.streaming.StreamPipeline
