@@ -497,8 +497,76 @@ object ExtQueries2 {
           AS multiplier
       FROM w, ws"""))
 
+  /** Tokenizer fertility per language
+    * ([[graft.ext.TextStats.tokenizerFertility]]): subword-tokens-per-
+    * word and chars-per-token by `lang` — the tokenizer-equity
+    * diagnostic run before committing a vocab to a multilingual corpus.
+    * One projection pass + a lang-keyed hash agg; exact long sums,
+    * guarded ratios at the edge. */
+  val tokenizerFertility = Q(
+    "ext_tokenizer_fertility",
+    (s, d) => TextStats.tokenizerFertility(
+      Tables.documents(s, d), "text", "lang"),
+    Some(s"""WITH pd AS (
+        SELECT lang,
+          len(string_split_regex(${ExtQueries.wsTrimSql("text")},
+            '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
+          len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe,
+          length(text) AS n_chars
+        FROM documents),
+      agg AS (
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_words) AS BIGINT) AS t_words,
+          CAST(sum(n_bpe) AS BIGINT) AS t_bpe,
+          CAST(sum(n_chars) AS BIGINT) AS t_chars
+        FROM pd GROUP BY lang)
+      SELECT lang, n_docs, t_words, t_bpe,
+        CASE WHEN t_words > 0
+          THEN round(CAST(t_bpe AS DOUBLE) / t_words, 6) END AS fertility,
+        CASE WHEN t_bpe > 0
+          THEN round(CAST(t_chars AS DOUBLE) / t_bpe, 6) END
+          AS chars_per_token
+      FROM agg"""))
+
+  /** Curriculum ordering ([[graft.ext.Curation.curriculumOrder]]) on
+    * document length as the difficulty signal (short first — the
+    * classic length curriculum): one sortable key per doc encoding
+    * (length bin, source-interleave round, source slot), so the global
+    * training order is a range partition at write time, never a global
+    * row number. The oracle replays the percentile binning, the
+    * (source, bin)-cell md5 rank, and the key arithmetic. */
+  val curriculumOrder = Q(
+    "ext_curriculum_order",
+    (s, d) => graft.ext.Curation.curriculumOrder(
+      Tables.documents(s, d), "doc_id", "source", "n_chars", bins = 8),
+    Some {
+      val qs = (1 until 8).map(i => (i.toDouble / 8).toString)
+      s"""WITH cuts AS (
+        SELECT quantile_disc(n_chars, [${qs.mkString(", ")}]) AS cuts
+        FROM documents),
+      binned AS (
+        SELECT doc_id, source,
+          len(list_filter(cuts, c -> c <= n_chars)) AS bin
+        FROM documents, cuts),
+      rk AS (
+        SELECT doc_id, source, bin,
+          CAST(row_number() OVER (PARTITION BY source, bin
+            ORDER BY ('0x' || substring(
+                md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+              doc_id) - 1 AS BIGINT) AS r,
+          ('0x' || substring(md5('slot:' || source), 1, 8))::BIGINT
+            % 1048576 AS slot
+        FROM binned)
+      SELECT doc_id, source, bin, r, slot,
+        (CAST(bin AS BIGINT) * 4294967296 + r) * 1048576 + slot
+          AS curriculum_key
+      FROM rk"""
+    })
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
-    contentType, clipAlignGate, doremiWeights)
+    contentType, clipAlignGate, doremiWeights, tokenizerFertility,
+    curriculumOrder)
 }

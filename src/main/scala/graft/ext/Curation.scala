@@ -631,6 +631,54 @@ object Curation {
       .select(col(groupCol), col(idCol), col("rank"), col("quota"))
   }
 
+  /** Curriculum ordering WITHOUT a global window: assign every doc a
+    * single sortable `curriculum_key` such that ordering by
+    * (curriculum_key, id) yields easy→hard difficulty bins, and WITHIN
+    * each bin an interleave across sources (round 0 takes one doc from
+    * every source, then round 1, …) — the anti-clumping property a
+    * curriculum sampler needs so no long same-source run appears in
+    * training order.
+    *
+    * key = (bin · maxR + r) · maxSlot + slot, where bin is the
+    * difficulty percentile bin, r the doc's md5-ranked round within its
+    * (source, bin) cell, and slot a per-source md5 slot that shuffles
+    * source order inside each round. All three components are
+    * per-partition or per-cell computations — the ONLY window is
+    * partitioned by (source, bin), a bounded cell, never row-grained
+    * global. The global ORDER materializes at write time via
+    * `repartitionByRange(curriculum_key, id)` +
+    * `sortWithinPartitions` — the scale-safe "global sort is a range
+    * partition, not a row number" rule (the token-budget/packing
+    * prefix-sum discipline applied to ordering).
+    *
+    * Widths: key stays in Long for bins·maxR·maxSlot ≤ 2^63 (defaults:
+    * 8 bins · 2^32 rounds · 2^20 slots ≈ 3.6e16). `maxR` bounds docs
+    * per (source, bin) cell; raise it (and lower maxSlot) for corpora
+    * beyond 4e9 docs per source-bin. */
+  def curriculumOrder(docs: DataFrame, idCol: String, sourceCol: String,
+      difficultyCol: String, bins: Int = 8,
+      maxR: Long = 1L << 32, maxSlot: Long = 1L << 20): DataFrame = {
+    val binned = percentileBins(
+      docs.select(col(idCol), col(difficultyCol)), difficultyCol, idCol,
+      bins)
+    val base = binned.join(docs.select(col(idCol), col(sourceCol)),
+      Seq(idCol))
+    val w = Window.partitionBy(col(sourceCol), col("bin"))
+      .orderBy(
+        TextDedup.baseHash(
+          concat(lit("cur:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    base
+      .withColumn("r", (row_number().over(w) - 1).cast("long"))
+      .withColumn("slot",
+        TextDedup.baseHash(concat(lit("slot:"), col(sourceCol)))
+          % maxSlot)
+      .select(col(idCol), col(sourceCol), col("bin"), col("r"),
+        col("slot"),
+        ((col("bin").cast("long") * maxR + col("r")) * maxSlot
+          + col("slot")).as("curriculum_key"))
+  }
+
   /** Bradley-Terry strength fitting over pairwise preference outcomes
     * (Bradley & Terry 1952; MM iteration per Hunter 2004) — the ranking
     * step that turns an RLHF preference log (winner, loser) into scalar

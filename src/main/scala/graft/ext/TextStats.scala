@@ -578,4 +578,35 @@ object TextStats {
           .when(col("math_ratio") > 0.05, "math")
           .otherwise("prose"))
   }
+
+  /** Tokenizer fertility per language: corpus-level subword-tokens-per-
+    * word and chars-per-subword-token — the standard tokenizer-equity
+    * diagnostic (a language whose fertility is 2× English pays 2× the
+    * sequence length for the same content; chars/token near 1 flags
+    * byte-fallback-ish degradation). Uses the whitespace word count and
+    * the BPE-ish subword count ([[bpeishTokenCount]]); a production run
+    * swaps the real tokenizer's counts into the same per-doc columns.
+    *
+    * Scale: one codegen projection pass + a hash agg keyed on the
+    * bounded language code — exact long sums, ratios at the output edge
+    * only (guarded against empty-language degeneracy on both engines).
+    */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+      langCol: String): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        tokenCount(col(textCol)).as("n_words"),
+        bpeishTokenCount(col(textCol)).as("n_bpe"),
+        length(col(textCol)).as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("t_words"),
+        sum(col("n_bpe")).as("t_bpe"),
+        sum(col("n_chars")).as("t_chars"))
+      .select(col("lang"), col("n_docs"), col("t_words"), col("t_bpe"),
+        when(col("t_words") > 0,
+          round(col("t_bpe").cast("double") / col("t_words"), 6))
+          .as("fertility"),
+        when(col("t_bpe") > 0,
+          round(col("t_chars").cast("double") / col("t_bpe"), 6))
+          .as("chars_per_token"))
 }

@@ -311,6 +311,36 @@ class Ext2Spec extends SparkSpec {
     assert(sym(10L) == sym(20L))
   }
 
+  test("curriculumOrder: keys sort bins ascending, interleave sources " +
+      "round-robin within a bin, and are collision-free") {
+    import graft.ext.Curation
+    // 3 sources x 8 docs with controlled lengths -> 2 clear length bins
+    val docs = (0 until 24).map { i =>
+      (i.toLong, s"s${i % 3}", if (i < 12) 10L + i else 1000L + i)
+    }.toDF("doc_id", "source", "n_chars")
+    val out = Curation
+      .curriculumOrder(docs, "doc_id", "source", "n_chars", bins = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("bin"), r.getAs[Long]("r"),
+        r.getAs[Long]("curriculum_key")))
+      .sortBy(_._5)
+    graft.ops.CacheScope.releaseAll()
+    assert(out.map(_._5).distinct.length == 24, "keys must be unique")
+    // bins ascending along the key order (easy docs strictly first)
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted)
+    // within each bin: round r is non-decreasing, and each round holds
+    // at most one doc per source (the round-robin interleave)
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val rs = rows.sortBy(_._5)
+      assert(rs.map(_._4).toSeq == rs.map(_._4).toSeq.sorted)
+      rs.groupBy(_._4).foreach { case (_, round) =>
+        assert(round.map(_._2).distinct.length == round.length,
+          "a source appeared twice in one interleave round")
+      }
+    }
+  }
+
   test("stream dedup: doubled feed dedups back to the source exactly") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.streaming.StreamPipeline
