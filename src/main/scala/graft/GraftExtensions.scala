@@ -87,6 +87,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("kmv_sketch", args, 2)
         functions.KmvAgg(args(0), intLit(args(1), "kmv_sketch", "k"))
+      }),
+    (FunctionIdentifier("int_dot"),
+      info("int_dot",
+        "int_dot(a, b) - codegen'd BIGINT dot product of two ARRAY<INT> " +
+          "(the int8-code ADC kernel)"),
+      (args: Seq[Expression]) => {
+        arity("int_dot", args, 2)
+        functions.IntVecDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("hll_sketch"),
+      info("hll_sketch",
+        "hll_sketch(hash, p) - HyperLogLog register array (2^p registers) " +
+          "over the portable 32-bit hash; mergeable, constant-size"),
+      (args: Seq[Expression]) => {
+        arity("hll_sketch", args, 2)
+        functions.HllAgg(args(0), intLit(args(1), "hll_sketch", "p"))
       }))
 
   /** Register on a live session (same builders as the extension path). */

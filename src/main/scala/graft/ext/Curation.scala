@@ -740,15 +740,20 @@ object Curation {
         .join(s, Seq("i")).join(sj, Seq("j"))
         .groupBy(col("i"))
         .agg(decSum(col("n_ij") / (col("s") + col("sj"))).as("den"))
+      // materialize the round's join ONCE — `raw` feeds both the rescale
+      // normalizer and the rescaled rows; without the checkpoint the
+      // contests join would execute twice per round
       val raw = wins.join(denom, Seq("i")).join(s, Seq("i"))
         .select(col("i"),
           (col("bt_w") / (col("den") + lit(1.0) / (col("s") + lit(1.0))))
             .as("s"))
+        .localCheckpoint()
       val tot = raw.agg(decSum(col("s")).as("ssum"))
       val next = raw.crossJoin(broadcast(tot))
         .select(col("i"),
           (col("s") * lit(nItems.toDouble) / col("ssum")).as("s"))
       val promoted = next.localCheckpoint()
+      raw.unpersist(blocking = false)
       s.unpersist(blocking = false)
       s = promoted
     }
@@ -789,9 +794,14 @@ object Curation {
       expCap: Double = 10.0): DataFrame = {
     val perDoc = docs.select(col(idCol).as("__id"), col(domainCol).as("domain"))
       .join(lossPerDoc.select(col(idCol).as("__id"), col("loss")), Seq("__id"))
-    val dom = perDoc.groupBy(col("domain")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("loss").cast(DecimalType(18, 6))).as("s"))
+    // persisted: `dom` feeds BOTH the corpus-totals broadcast and the
+    // per-domain rows — without the cache the per-doc loss lineage (the
+    // expensive part: whatever signal the caller computed per document)
+    // would execute once per consumer
+    val dom = graft.ops.CacheScope.persist(
+      perDoc.groupBy(col("domain")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("loss").cast(DecimalType(18, 6))).as("s")))
     val tot = dom.agg(
       sum(col("n_docs")).as("n_total"),
       sum(col("s")).as("st"))
@@ -803,9 +813,11 @@ object Curation {
           - round(col("st").cast("double") / col("n_total"), 6),
         lit(0.0)).as("excess"),
       round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
-    val w = base.withColumn("w_raw",
+    // persisted for the same reason: `w` feeds the normalizer aggregate
+    // AND the final projection (domain-sized — the cache is tiny)
+    val w = graft.ops.CacheScope.persist(base.withColumn("w_raw",
       round(col("share") *
-        round(exp(least(round(col("excess") / tau, 6), lit(expCap))), 6), 6))
+        round(exp(least(round(col("excess") / tau, 6), lit(expCap))), 6), 6)))
     val norm = w.agg(sum(col("w_raw").cast(DecimalType(18, 6))).as("wsum"))
     w.crossJoin(broadcast(norm))
       .select(col("domain"), col("n_docs"), col("domain_loss"),

@@ -352,6 +352,22 @@ class OpsSpec extends SparkSpec {
     assert(nfcRow.getString(0) == "caf\u00E9")
     assert(nfcRow.getString(1) == "abc")
     assert(nfcRow.isNullAt(2))
+    // int_dot: exact integer arithmetic in BIGINT
+    val idot = spark.sql(
+      "SELECT int_dot(array(1, 2, 3), array(4, 5, 6))").head().getLong(0)
+    assert(idot == 32L)
+    // hll_sketch: 2^p registers; estimate matches the Column-API path
+    val sk = spark.sql(
+      "SELECT hll_sketch(id, 4) FROM ext_nums").head().getSeq[Int](0)
+    assert(sk.length == 16)
+    val sqlEst = spark.sql("SELECT hll_sketch(id, 4) AS sk FROM ext_nums")
+      .select(graft.ops.IncrementalAgg.hllEstimate(col("sk"), 4))
+      .head().getDouble(0)
+    val colEst = spark.range(10).toDF("id")
+      .agg(graft.functions.HllAgg.hll_sketch(col("id"), 4).as("sk"))
+      .select(graft.ops.IncrementalAgg.hllEstimate(col("sk"), 4))
+      .head().getDouble(0)
+    assert(sqlEst == colEst, "SQL and Column hll_sketch must agree")
   }
 
   test("CartesianGuard: vetoes big all-pairs joins, passes safe plans") {
