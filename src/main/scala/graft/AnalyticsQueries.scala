@@ -273,7 +273,8 @@ object AnalyticsQueries {
         '%Y-%m-%d %H:%M:%S') AS win_start,
       event_type, count(*) AS n, ${dsumSql("value")} AS total_value
       FROM events CROSS JOIN range(0, 4) t(i)
-      GROUP BY 1, 2"""))
+      GROUP BY 1, 2"""),
+    bench = true)
 
   /** Stream-STREAM interval join as a registered, oracle-checked query
     * ([[graft.streaming.StreamPipeline.clickAttributionAvailableNow]]):

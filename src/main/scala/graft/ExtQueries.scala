@@ -1216,6 +1216,33 @@ object ExtQueries {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1, 2, 3"""))
 
+  /** l-diversity audit ([[graft.ext.Curation.lDiversity]], l = 3) over
+    * the same release table as the k-anonymity query, with the market
+    * segment as the SENSITIVE attribute and (nation, balance bucket) as
+    * the quasi-identifier — the homogeneity check: a (nation, bucket)
+    * cell of 5+ customers that all share one segment is k-anonymous yet
+    * leaks the segment outright. */
+  val lDiversity = Q(
+    "ext_l_diversity",
+    (s, d) => {
+      val joined = Tables.customer(s, d).join(
+        broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          floor(col("c_acctbal") / lit(6000.0)).as("bal_bucket"),
+          col("c_mktsegment"))
+      graft.ext.Curation.lDiversity(
+        joined, Seq("n_name", "bal_bucket"), "c_mktsegment", l = 3)
+    },
+    Some("""SELECT n_name,
+        CAST(floor(c_acctbal / 6000.0) AS BIGINT) AS bal_bucket,
+        count(*) AS n_rows,
+        count(DISTINCT c_mktsegment) AS n_sensitive,
+        CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END
+          AS is_diverse
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2"""))
+
   /** ε-DP noisy per-nation counts
     * ([[graft.ext.Curation.dpNoisyCounts]], ε = 0.5): the release-side
     * companion to the k-anonymity audit — counts leave with Laplace
@@ -3986,7 +4013,8 @@ object ExtQueries {
       $iterCtes
       SELECT w.i AS item, w.n_wins, w.n_games, round(s.s, 6) AS strength
       FROM s$iters s JOIN wins w USING (i)"""
-    })
+    },
+    bench = true)
 
   /** URL-level dedup ([[graft.ext.Markup.urlDedup]]) over per-doc URLs
     * salted so every canonicalization rule is load-bearing: host case
@@ -4398,7 +4426,7 @@ object ExtQueries {
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     temperatureMix, tokenBudget, dsirWeights, scoreBins, compaction,
     prefPairs, btStrengths, driftPsi,
-    kAnon, kAnonSuppress, dpHistogram, momentsProfile, aggMerge,
+    kAnon, kAnonSuppress, lDiversity, dpHistogram, momentsProfile, aggMerge,
     imputeMissing, ngramDiversity, classifierAuc, classifierCalibration,
     classifierFit, splitLeakage,
     corpusReport)

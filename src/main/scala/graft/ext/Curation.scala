@@ -420,6 +420,26 @@ object Curation {
       .withColumn("is_anon", (col("n_rows") >= k).cast("int"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the homogeneity
+    * check k-anonymity misses: a group can be k-anonymous yet leak its
+    * members' sensitive attribute outright when all k rows SHARE one
+    * sensitive value. Each quasi-identifier group must contain at least
+    * `l` distinct sensitive values; the verdict rides alongside the
+    * group size so a release review reads one table for both audits.
+    *
+    * Scale: one distinct-aggregate on (quasi-tuple, sensitive) — Spark
+    * plans countDistinct as the two-phase partial-distinct expand, so
+    * the exchange carries (group, sensitive-value) pairs, never rows;
+    * output cardinality is the quasi-combination count. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l > 0, "lDiversity: l must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("is_diverse", (col("n_sensitive") >= l).cast("int"))
+  }
+
   /** ε-differentially-private noisy counts (the Laplace mechanism,
     * Dwork et al. 2006): per-group counts (sensitivity 1) plus
     * inverse-CDF Laplace noise with scale 1/ε. The uniform driving the
