@@ -86,19 +86,42 @@ object ScaleProbe {
           unix_micros(col("ts")).as("r_us"))
         graft.ops.BandJoin(l, r, "l_us", "r_us", 1800L * 1000000).count()
       }
-      val dedup = time {
+      def scaledDocs(n: Int): DataFrame = {
         val docs0 = Tables.documents(spark, sfDir)
-        val docs = (0 until n).map { i =>
+        (0 until n).map { i =>
           docs0.withColumn("doc_id",
             col("doc_id") + lit(i.toLong * 100000000L))
         }.reduce(_ unionAll _)
-        val r = graft.ext.TextDedup.exactDedup(docs, "text", "doc_id").count()
+      }
+      val dedup = time {
+        val r = graft.ext.TextDedup
+          .exactDedup(scaledDocs(n), "text", "doc_id").count()
+        graft.ops.CacheScope.releaseAll()
+        r
+      }
+      // banded MinHash-LSH candidate mining: EVERY WORD of each copy is
+      // salted with the copy index, so every shingle differs across
+      // copies and near-dup density PER COPY stays constant (copies
+      // never band-collide with each other — the 90-day-shift rationale
+      // applied to shingles); the probe then measures the candidate
+      // machinery, not a synthetic n² pair blowup
+      val lsh = time {
+        val docs0 = Tables.documents(spark, sfDir)
+        val docs = (0 until n).map { i =>
+          docs0.withColumn("doc_id",
+              col("doc_id") + lit(i.toLong * 100000000L))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
+        }.reduce(_ unionAll _)
+        val r = graft.ext.TextDedup
+          .minhashNearDups(docs, "text", "doc_id")
+          .count()
         graft.ops.CacheScope.releaseAll()
         r
       }
       println(s"""{"probe":"scale","n":$n,"q1_agg":$q1,""" +
         s""""pareto_prefix":$pareto,"band_join":$band,""" +
-        s""""exact_dedup":$dedup}""")
+        s""""exact_dedup":$dedup,"minhash_lsh":$lsh}""")
     }
     spark.stop()
   }
