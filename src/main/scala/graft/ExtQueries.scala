@@ -3946,14 +3946,22 @@ object ExtQueries {
         lag(col("bin"), 1).over(w).as("b1"),
         lag(col("doc_id"), 2).over(w).as("p2"),
         lag(col("bin"), 2).over(w).as("b2"))
-      def side(p: String, b: String) = lagged
-        .filter(col(p).isNotNull && col("bin") =!= col(b))
+      // both lag sides in ONE pass (explode, not union): a union of two
+      // selects over `lagged` would execute the binning + window lineage
+      // once per side
+      val matches = lagged
+        .select(col("doc_id"), col("bin"),
+          explode(array(
+            struct(col("p1").as("p"), col("b1").as("b")),
+            struct(col("p2").as("p"), col("b2").as("b")))).as("m"))
+        .select(col("doc_id"), col("bin"),
+          col("m.p").as("p"), col("m.b").as("b"))
+        .filter(col("p").isNotNull && col("bin") =!= col("b"))
         .select(
-          when(col("bin") > col(b), col("doc_id")).otherwise(col(p))
+          when(col("bin") > col("b"), col("doc_id")).otherwise(col("p"))
             .as("winner"),
-          when(col("bin") > col(b), col(p)).otherwise(col("doc_id"))
+          when(col("bin") > col("b"), col("p")).otherwise(col("doc_id"))
             .as("loser"))
-      val matches = side("p1", "b1").unionAll(side("p2", "b2"))
       Curation.bradleyTerry(matches, "winner", "loser", iters = 5)
     },
     Some {

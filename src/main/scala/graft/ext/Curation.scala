@@ -753,31 +753,37 @@ object Curation {
         (coalesce(col("wn"), lit(0L)).cast("double") + 0.5).as("bt_w")))
     val nItems = wins.count()
 
-    var s = wins.select(col("i"), lit(1.0).as("s")).localCheckpoint()
+    // the strengths frame CARRIES bt_w so a round is ONE pair join + one
+    // item-keyed agg + the 1-row rescale — not three item joins (bt_w
+    // and the previous strength ride the contests join and come back out
+    // of the aggregate via first(), identical within each group)
+    var s = wins.select(col("i"), col("bt_w"), lit(1.0).as("s"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val sj = s.select(col("i").as("j"), col("s").as("sj"))
-      val denom = contests
+      // `raw` feeds both the rescale normalizer (a broadcast subtree)
+      // and the rescaled rows; both consumers execute inside the ONE
+      // checkpoint job per round — the round's pair join is re-run once
+      // within the job, which profiles cheaper than a second
+      // materialization job (tiny stages vs fixed job latency)
+      val raw = contests
         .join(s, Seq("i")).join(sj, Seq("j"))
         .groupBy(col("i"))
-        .agg(decSum(col("n_ij") / (col("s") + col("sj"))).as("den"))
-      // materialize the round's join ONCE — `raw` feeds both the rescale
-      // normalizer and the rescaled rows; without the checkpoint the
-      // contests join would execute twice per round
-      val raw = wins.join(denom, Seq("i")).join(s, Seq("i"))
-        .select(col("i"),
-          (col("bt_w") / (col("den") + lit(1.0) / (col("s") + lit(1.0))))
+        .agg(first(col("bt_w")).as("bt_w"),
+          first(col("s")).as("sp"),
+          decSum(col("n_ij") / (col("s") + col("sj"))).as("den"))
+        .select(col("i"), col("bt_w"),
+          (col("bt_w") / (col("den") + lit(1.0) / (col("sp") + lit(1.0))))
             .as("s"))
-        .localCheckpoint()
       val tot = raw.agg(decSum(col("s")).as("ssum"))
       val next = raw.crossJoin(broadcast(tot))
-        .select(col("i"),
+        .select(col("i"), col("bt_w"),
           (col("s") * lit(nItems.toDouble) / col("ssum")).as("s"))
       val promoted = next.localCheckpoint()
-      raw.unpersist(blocking = false)
       s.unpersist(blocking = false)
       s = promoted
     }
-    wins.join(s, Seq("i"))
+    wins.join(s.select(col("i"), col("s")), Seq("i"))
       .select(col("i").as("item"), col("n_wins"), col("n_games"),
         round(col("s"), 6).as("strength"))
   }
