@@ -1824,7 +1824,19 @@ object AnalyticsQueries {
         (m).pr AS o_totalprice
       FROM w WHERE (m).op <> 'D'"""))
 
+  /** CDC apply as a STRUCTURED STREAM
+    * ([[graft.streaming.StreamPipeline.cdcApplyAvailableNow]]): the
+    * change-log fixture of `q_cdc_apply` arrives as a stream; stateful
+    * latest-per-key `max(struct(seq, …))` materializes the snapshot,
+    * delete winners drop after the aggregate. Same oracle SQL as the
+    * batch form — streamed ≡ batch hash-exactly. */
+  val qStreamCdcApply = Q(
+    "q_stream_cdc_apply",
+    (s, d) => graft.streaming.StreamPipeline.cdcApplyAvailableNow(s, d),
+    qCdcApply.oracle)
+
   def all: Seq[Q] = Seq(
+    qStreamCdcApply,
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,

@@ -1243,6 +1243,51 @@ object ExtQueries {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1, 2"""))
 
+  /** t-closeness audit ([[graft.ext.Curation.tCloseness]], t = 0.35)
+    * over the same release table: per (nation, balance-bucket) group,
+    * the total-variation distance between the group's market-segment
+    * distribution and the corpus-wide one — the skew leak l-diversity
+    * misses. The oracle replays the grid (groups × segments, absent
+    * combinations as 0) and the 6-dp decimal term sums. */
+  val tCloseness = Q(
+    "ext_t_closeness",
+    (s, d) => {
+      val joined = Tables.customer(s, d).join(
+        broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          floor(col("c_acctbal") / lit(6000.0)).as("bal_bucket"),
+          col("c_mktsegment"))
+      graft.ext.Curation.tCloseness(
+        joined, Seq("n_name", "bal_bucket"), "c_mktsegment", t = 0.35)
+    },
+    Some("""WITH rel AS (
+        SELECT n_name, CAST(floor(c_acctbal / 6000.0) AS BIGINT)
+            AS bal_bucket,
+          c_mktsegment AS v
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      gv AS (
+        SELECT n_name, bal_bucket, v, count(*) AS c
+        FROM rel GROUP BY 1, 2, 3),
+      gn AS (
+        SELECT n_name, bal_bucket, CAST(sum(c) AS BIGINT) AS gn
+        FROM gv GROUP BY 1, 2),
+      vg AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY v),
+      nn AS (SELECT CAST(sum(cv) AS BIGINT) AS n FROM vg),
+      grid AS (
+        SELECT gn.n_name, gn.bal_bucket, gn.gn, vg.v,
+          round(abs(CAST(coalesce(gv.c, 0) AS DOUBLE) / gn.gn
+            - CAST(vg.cv AS DOUBLE) / nn.n), 6) AS d
+        FROM gn CROSS JOIN vg CROSS JOIN nn
+        LEFT JOIN gv ON gv.n_name = gn.n_name
+          AND gv.bal_bucket = gn.bal_bucket AND gv.v = vg.v)
+      SELECT n_name, bal_bucket, CAST(gn AS BIGINT) AS n_rows,
+        round(0.5 * CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6)
+          AS tv_dist,
+        CASE WHEN round(0.5 * CAST(sum(CAST(d AS DECIMAL(18,6)))
+            AS DOUBLE), 6) <= 0.35 THEN 1 ELSE 0 END AS is_close
+      FROM grid GROUP BY n_name, bal_bucket, gn"""))
+
   /** ε-DP noisy per-nation counts
     * ([[graft.ext.Curation.dpNoisyCounts]], ε = 0.5): the release-side
     * companion to the k-anonymity audit — counts leave with Laplace
@@ -4434,7 +4479,8 @@ object ExtQueries {
     urlDedup, lengthHistogram, ctrlScrub, signalCorr,
     temperatureMix, tokenBudget, dsirWeights, scoreBins, compaction,
     prefPairs, btStrengths, driftPsi,
-    kAnon, kAnonSuppress, lDiversity, dpHistogram, momentsProfile, aggMerge,
+    kAnon, kAnonSuppress, lDiversity, tCloseness, dpHistogram, momentsProfile,
+    aggMerge,
     imputeMissing, ngramDiversity, classifierAuc, classifierCalibration,
     classifierFit, splitLeakage,
     corpusReport)

@@ -440,6 +440,47 @@ object Curation {
       .withColumn("is_diverse", (col("n_sensitive") >= l).cast("int"))
   }
 
+  /** t-closeness audit (Li et al. 2007) — the skew check l-diversity
+    * misses: a group can hold l distinct sensitive values yet still
+    * leak by DISTRIBUTION (99% of one value where the corpus is
+    * uniform). Per quasi-group, the total-variation distance between
+    * the group's sensitive-value distribution and the global one:
+    * tv = ½ Σ_v |p_group(v) − p_global(v)|, flagged when tv > t.
+    *
+    * Scale: one (quasi-tuple, value) hash agg, one value-marginal agg
+    * (bounded by the sensitive attribute's cardinality — broadcast),
+    * then groups × values via the bounded broadcast — output and every
+    * intermediate is quasi-combination-grain. Determinism: each
+    * |p_g − p| term is 6-dp-rounded then summed in exact DECIMAL(18,6)
+    * so within-group accumulation order cannot matter. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0, "tCloseness: t must be positive")
+    val qs = quasiCols.map(col)
+    // (group, value) counts — persisted: feeds group sizes AND the terms
+    val gv = graft.ops.CacheScope.persist(
+      df.groupBy(qs :+ col(sensitiveCol).as("__v"): _*)
+        .agg(count(lit(1)).as("__c")))
+    val gn = gv.groupBy(qs: _*).agg(sum(col("__c")).as("__gn"))
+    val vGlobal = graft.ops.CacheScope.persist(
+      gv.groupBy(col("__v")).agg(sum(col("__c")).as("__cv")))
+    val n = vGlobal.agg(sum(col("__cv")).as("__n"))
+    // every group × every sensitive value (bounded product), absent
+    // combinations count 0 on the group side
+    val grid = gn.crossJoin(broadcast(vGlobal)).crossJoin(broadcast(n))
+      .join(gv, quasiCols :+ "__v", "left")
+      .select((qs :+ col("__gn") :+ col("__v") :+
+        round(abs(
+          coalesce(col("__c"), lit(0L)).cast("double") / col("__gn")
+            - col("__cv").cast("double") / col("__n")), 6).as("__d")): _*)
+    grid.groupBy(qs: _*)
+      .agg(first(col("__gn")).as("n_rows"),
+        sum(col("__d").cast(DecimalType(18, 6))).as("__sd"))
+      .select((qs :+ col("n_rows") :+
+        round(lit(0.5) * col("__sd").cast("double"), 6).as("tv_dist")): _*)
+      .withColumn("is_close", (col("tv_dist") <= t).cast("int"))
+  }
+
   /** ε-differentially-private noisy counts (the Laplace mechanism,
     * Dwork et al. 2006): per-group counts (sensitivity 1) plus
     * inverse-CDF Laplace noise with scale 1/ε. The uniform driving the

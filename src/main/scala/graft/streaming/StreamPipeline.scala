@@ -326,6 +326,46 @@ object StreamPipeline {
     runAvailableNow(agg, "stream_slide_", "complete")
   }
 
+  /** CDC apply as a structured stream: the change log (base snapshot +
+    * updates + deletes + inserts, exactly the `q_cdc_apply` fixture)
+    * arrives as a stream and the latest-per-key snapshot materializes by
+    * STATEFUL `max(struct(seq, op, payload…))` — windowless latest-wins,
+    * delete winners filtered after the aggregate. Streamed ≡ batch
+    * apply hash-exactly (same oracle SQL as `q_cdc_apply`).
+    *
+    * Scale: state is ONE struct per live key (the compacted table
+    * itself), keyed shuffle like the batch form; complete-mode memory
+    * output is the test adapter — a production run uses update mode
+    * with a downstream merge sink (the PgLoad upsert path), which
+    * emits only keys the batch touched. */
+  def cdcApplyAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/orders.parquet"
+    val raw = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+    val base = raw.select(col("o_orderkey").as("k"), lit(0L).as("seq"),
+      lit("U").as("op"), col("o_orderstatus").as("st"),
+      col("o_totalprice").as("pr"))
+    val upd = raw.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+        lit("U").as("op"), lit("U1").as("st"),
+        (col("o_totalprice") + lit(100.0)).as("pr"))
+    val del = raw.filter(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+        lit("D").as("op"), lit("").as("st"), lit(0.0).as("pr"))
+    val ins = raw.filter(col("o_orderkey") % 11 === 0)
+      .select((-col("o_orderkey")).as("k"), lit(2L).as("seq"),
+        lit("U").as("op"), lit("NEW").as("st"), col("o_totalprice").as("pr"))
+    val snap = base.unionByName(upd).unionByName(del).unionByName(ins)
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("st"), col("pr"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("m.st").as("o_orderstatus"),
+        col("m.pr").as("o_totalprice"))
+    runAvailableNow(snap, "stream_cdc_", "complete")
+  }
+
   /** Event-time windowed aggregation with watermarking over the events
     * stream — the §2.8 extension surface (absent in the reference). */
   def eventsWindowed(
