@@ -564,9 +564,42 @@ object ExtQueries2 {
       FROM rk"""
     })
 
+  /** Per-dimension embedding standardization
+    * ([[graft.ext.Similarity.standardizeEmbeddings]]): z-score whitening
+    * with corpus (mean, std) per dimension — the PQ/IVF preprocessing
+    * that `ext_emb_dim_stats` diagnoses the need for. One dim-keyed
+    * aggregate broadcast as a single stats row, then a stateless
+    * zip_with projection; fixed-point rendering for the hash gate. */
+  val embStandardize = Q(
+    "ext_emb_standardize",
+    (s, d) => Similarity.standardizeEmbeddings(
+      Tables.embeddings(s, d), "vec_id", "embedding"),
+    Some(s"""WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      w AS (
+        SELECT dim, count(*) AS n,
+          ${Det.dsumWideSql("v")} AS sx,
+          ${Det.dsumWideSql("v * v")} AS sxx
+        FROM x GROUP BY dim),
+      st AS (
+        SELECT dim, round(sx / n, 6) AS mu,
+          round(sqrt(round((sxx - sx * sx / n) / n, 6)), 6) AS sd
+        FROM w),
+      z AS (
+        SELECT vec_id, x.dim,
+          CASE WHEN sd > 0
+            THEN CAST(CAST(round(round((v - mu) / sd, 6) * 1000000)
+              AS BIGINT) AS VARCHAR)
+            ELSE 'n' END AS zf
+        FROM x JOIN st USING (dim))
+      SELECT vec_id, string_agg(zf, ',' ORDER BY dim) AS z_fp
+      FROM z GROUP BY vec_id"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
     contentType, clipAlignGate, doremiWeights, tokenizerFertility,
-    curriculumOrder)
+    curriculumOrder, embStandardize)
 }

@@ -686,4 +686,51 @@ object Similarity {
     transform(emb, x =>
       when(scale === 0.0, lit(0))
         .otherwise(round(x.cast("double") / scale).cast("int")))
+
+  /** Per-dimension standardization (z-score whitening) of an embedding
+    * column — the preprocessing step before PQ/IVF training that stops
+    * high-variance dimensions from dominating every subspace distance
+    * (and the fix for the collapsed/scale-drifted dimensions
+    * `ext_emb_dim_stats` localizes). Two passes: ONE corpus aggregate
+    * produces all per-dim (mean, std) rows (the emb-dim-stats shapes:
+    * posexplode → hash agg on the 64-value dim key, exact decimal
+    * sums), assembled into a single array row and broadcast; the
+    * projection then rides `zip_with(embedding, stats)` — stateless,
+    * codegen, no second shuffle.
+    *
+    * Output is the 6-dp z vector as a FIXED-POINT comma string (the
+    * multimodal-resize rendering: round(z·10^6) per cell, 'n' for
+    * zero-variance dims) so the result hash-checks through pandas.
+    * Determinism: mean/variance through DECIMAL(38,12) sums with the
+    * exact `ext_emb_dim_stats` parenthesization; z = (v−mu)/sd on
+    * bit-identical doubles, rounded 6 dp before the fixed-point
+    * rendering. */
+  def standardizeEmbeddings(emb: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    import graft.Det
+    val stats = emb
+      .select(posexplode(col(embCol)).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsumWide(col("v")).as("sx"),
+        Det.dsumWide(col("v") * col("v")).as("sxx"))
+      .select(col("dim"),
+        round(col("sx") / col("n"), 6).as("mu"),
+        round(sqrt(round(
+          (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"),
+          6)), 6).as("sd"))
+    val arr = stats.agg(
+      transform(
+        array_sort(collect_list(struct(col("dim"), col("mu"), col("sd")))),
+        x => struct(x.getField("mu").as("mu"), x.getField("sd").as("sd")))
+        .as("st"))
+    emb.crossJoin(broadcast(arr))
+      .select(col(idCol),
+        concat_ws(",", zip_with(col(embCol), col("st"), (v, s) =>
+          when(s.getField("sd") > 0.0,
+            round(round((v.cast("double") - s.getField("mu"))
+              / s.getField("sd"), 6) * 1000000).cast("long").cast("string"))
+            .otherwise(lit("n")))).as("z_fp"))
+  }
 }
