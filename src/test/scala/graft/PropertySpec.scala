@@ -289,4 +289,57 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tCloseness: tv distance stays in [0,1]; identical distributions " +
+      "give 0; a degenerate group approaches the disjoint bound") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    // random corpus over 3 groups x 4 sensitive values
+    val rows = List.fill(600)(
+      (s"g${rnd.nextInt(3)}", s"v${rnd.nextInt(4)}"))
+      .toDF("g", "v")
+    val tv = graft.ext.Curation.tCloseness(rows, Seq("g"), "v", t = 0.2)
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Double]("tv_dist")).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(tv.values.forall(d => d >= 0.0 && d <= 1.0), tv.toString)
+    // disjoint supports: each group exclusively holds ONE of 4 equally
+    // frequent values -> tv = ½(|1−¼| + 3·|0−¼|) = 0.75 per group
+    val disjoint = (0 until 400).map(i => (s"g${i % 4}", s"v${i % 4}"))
+      .toDF("g", "v")
+    val tvU = graft.ext.Curation.tCloseness(disjoint, Seq("g"), "v", 0.2)
+      .collect().map(_.getAs[Double]("tv_dist"))
+    graft.ops.CacheScope.releaseAll()
+    assert(tvU.forall(_ == 0.75), tvU.toSeq.toString)
+    val same = (0 until 400).map(i => (s"g${i % 4}", "only"))
+      .toDF("g", "v")
+    val tvS = graft.ext.Curation.tCloseness(same, Seq("g"), "v", 0.2)
+      .collect().map(_.getAs[Double]("tv_dist"))
+    graft.ops.CacheScope.releaseAll()
+    assert(tvS.forall(_ == 0.0), tvS.toSeq.toString)
+  }
+
+  test("standardizeEmbeddings: z-scores recenter to ~0 mean, unit " +
+      "spread; zero-variance dims emit 'n' gaps") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 50).map { i =>
+      // dim 2 is CONSTANT -> sd = 0 -> 'n'
+      (i.toLong, Seq(rnd.nextFloat() * 4f - 2f, rnd.nextFloat(), 3.5f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity
+      .standardizeEmbeddings(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 50)
+    val cells = out.values.map(_.split(",", -1)).toSeq
+    assert(cells.forall(_.length == 3))
+    assert(cells.forall(_.apply(2) == "n"), "constant dim must emit 'n'")
+    (0 until 2).foreach { d =>
+      val zs = cells.map(c => c(d).toLong / 1e6)
+      val mean = zs.sum / zs.size
+      val varr = zs.map(z => (z - mean) * (z - mean)).sum / zs.size
+      assert(math.abs(mean) < 1e-3, s"dim $d mean $mean")
+      assert(math.abs(varr - 1.0) < 1e-2, s"dim $d var $varr")
+    }
+  }
 }
