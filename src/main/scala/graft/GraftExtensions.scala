@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for the library's native expressions/aggregates: register
-  * `float_dot`, `shingle_hashes`, `nfc`, `top_k`, `kmv_sketch` in the
-  * function registry, so `spark.sql("SELECT top_k(score, id, 5) ...")`
-  * works the same as the Column API. Two entry points:
+  * `float_dot`, `int_dot`, `shingle_hashes`, `nfc`, `top_k`,
+  * `kmv_sketch`, `hll_sketch` in the function registry, so
+  * `spark.sql("SELECT top_k(score, id, 5) ...")` works the same as the
+  * Column API. Two entry points:
   *
   *  - `spark.sql.extensions=graft.GraftExtensions` (the standard
   *    `SparkSessionExtensions` injection at session build time);

@@ -99,6 +99,15 @@ class PlanGuardSpec extends SparkSpec {
          _: org.apache.spark.sql.execution.CollectLimitExec |
          _: org.apache.spark.sql.execution.GlobalLimitExec |
          _: org.apache.spark.sql.execution.LocalLimitExec => true
+    // a CACHED subtree is as bounded as the plan that produced it — an
+    // InMemoryTableScan over a persisted aggregate must not read as a
+    // corpus-sized leaf (tripped first on ext_t_closeness's persisted
+    // value-marginal broadcast)
+    case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      rowBounded(imts.relation.cachedPlan)
+    // ...and the cached plan itself arrives wrapped in an AQE leaf
+    case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      rowBounded(aqe.inputPlan)
     case leaf if leaf.children.isEmpty => false
     case other => other.children.forall(rowBounded)
   }
