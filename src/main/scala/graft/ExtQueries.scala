@@ -1436,6 +1436,33 @@ object ExtQueries {
       SELECT cluster_size, count(*) AS n_clusters
       FROM sizes GROUP BY 1"""))
 
+  /** Leakage-FREE split assignment: the whole near-dup CLUSTER splits
+    * together — the deterministic md5 split coin keys on the
+    * component's `rep_id`, not the doc id, so two near-duplicates can
+    * never land on opposite sides of a train/test boundary (the defect
+    * `ext_split_leakage` MEASURES, prevented by construction; by-doc
+    * hash splitting is the control that leaks). Same component mining
+    * as `ext_dedup_components`, then the `ext_hash_split` bucket rule
+    * applied to rep_id. */
+  val clusterSplit = Q(
+    "ext_cluster_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "text", "doc_id",
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+      val comp = TextDedup.connectedComponents(docs, "doc_id", pairs)
+      TextDedup.hashSplit(comp, "rep_id")
+        .select(col("doc_id"), col("rep_id"), col("split"))
+    },
+    Some(s"""WITH $componentsCte
+      SELECT doc_id, rep_id,
+        CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id, rep_id,
+        ('0x' || substring(md5(CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100 AS b
+      FROM comp) t"""))
+
   /** Canonical-doc selection per near-dup cluster
     * ([[graft.ext.Curation.keepBestInComponent]]): one row per component
     * with the highest-quality member (ties → lowest doc id). The oracle
@@ -4463,7 +4490,8 @@ object ExtQueries {
     dedupEditDistance, pagerank, hitsQ,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
-    dedupComponents, dedupClusterSizes, dedupKeepBest, sourceCap,
+    dedupComponents, dedupClusterSizes, clusterSplit, dedupKeepBest,
+    sourceCap,
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,

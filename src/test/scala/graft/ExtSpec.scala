@@ -2310,4 +2310,32 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 5.0 / 7.0) < 1e-6)
     assert(math.abs(r.getDouble(6) - 0.75) < 1e-6)
   }
+
+  test("cluster split: a near-dup cluster NEVER spans a split boundary; " +
+      "by-doc splitting on the same corpus does leak") {
+    import org.apache.spark.sql.functions._
+    val out = graft.Registry.queries("ext_cluster_split")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("rep_id"), r.getAs[String]("split")))
+    graft.ops.CacheScope.releaseAll()
+    // the invariant: every cluster maps to exactly one split
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $rep spans splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    // and the corpus has real multi-doc clusters (else the test is vacuous)
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture has no multi-doc near-dup clusters")
+    // control: splitting the SAME docs by their own ids leaks at least
+    // one cluster across splits — the defect cluster-splitting prevents
+    val byDoc = rows.map { case (id, rep, _) =>
+      val b = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          id.toString).substring(0, 8), 16) % 100
+      (rep, if (b < 90) "train" else if (b < 95) "val" else "test")
+    }
+    val leaked = byDoc.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1)
+    assert(leaked, "by-doc split unexpectedly leak-free on this fixture")
+  }
 }
