@@ -597,9 +597,54 @@ object ExtQueries2 {
       SELECT vec_id, string_agg(zf, ',' ORDER BY dim) AS z_fp
       FROM z GROUP BY vec_id"""))
 
+  /** Negative-sampling table (Mikolov et al. 2013's unigram^0.75
+    * distribution): every vocabulary token with its smoothed weight and
+    * HALF-OPEN cumulative range [cum_lo, cum_hi) under the
+    * (weight desc, token) total order — the lookup table an NCE/word2vec
+    * trainer binary-searches with a uniform draw. The cumulative sums
+    * ride the property-tested two-phase distributed prefix sum
+    * ([[graft.RetailQueries.paretoCumShare]]) — range-partitioned, never
+    * a global single-reducer window — and the oracle replays the same
+    * order with a window cumulative sum over exact decimals. */
+  val negSamplingTable = Q(
+    "ext_negative_sampling_table",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_count"))
+      val w = counts.withColumn("wd",
+        round(pow(col("n_count").cast("double"), 0.75), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      RetailQueries.paretoCumShare(w, "token", "wd")
+        .select(col("token"), col("n_count"),
+          col("wd").cast("double").as("weight"),
+          round((col("__cum") - col("wd")).cast("double")
+            / col("__tot").cast("double"), 6).as("cum_lo"),
+          col("cum_share").as("cum_hi"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT unnest(string_split_regex(
+          ${ExtQueries.wsTrimSql("lower(text)")},
+          '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+        FROM documents),
+      c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      w AS (SELECT tok, c,
+          CAST(round(pow(c, 0.75), 6) AS DECIMAL(18,6)) AS wd
+        FROM c),
+      t AS (SELECT sum(wd) AS tot FROM w),
+      cum AS (
+        SELECT tok, c, wd,
+          sum(wd) OVER (ORDER BY wd DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        FROM w)
+      SELECT tok AS token, c AS n_count, CAST(wd AS DOUBLE) AS weight,
+        round(CAST(cm - wd AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_lo,
+        round(CAST(cm AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_hi
+      FROM cum, t"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
     contentType, clipAlignGate, doremiWeights, tokenizerFertility,
-    curriculumOrder, embStandardize)
+    curriculumOrder, embStandardize, negSamplingTable)
 }
