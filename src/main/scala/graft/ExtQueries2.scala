@@ -642,9 +642,74 @@ object ExtQueries2 {
         round(CAST(cm AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_hi
       FROM cum, t"""))
 
+  /** KMV set algebra ([[graft.ext.Sketches.kmvPairOverlap]], k=128):
+    * estimated Jaccard / union / intersection for every group pair from
+    * the k-minimum-value sketches ALONE — the cross-feed overlap matrix
+    * with NO joint pass over the corpora (the exact twin
+    * `ext_source_overlap` joins fingerprints; this one only merges
+    * k-long sketch rows). Groups are deliberately overlapping slices
+    * (all / even ids / ids ≡ 0 mod 3) so every pair has a known true
+    * Jaccard (1/2, 1/3, ~1/4) the estimates must land near. */
+  val kmvJaccard = Q(
+    "ext_kmv_jaccard",
+    (s, d) => {
+      val k = 128
+      val docs = Tables.documents(s, d)
+      val member = docs.select(col("text"),
+        explode(array(
+          lit("all"),
+          when(col("doc_id") % 2 === 0, lit("even2")),
+          when(col("doc_id") % 3 === 0, lit("mult3")))).as("grp"))
+        .filter(col("grp").isNotNull)
+      val sketches = member.groupBy(col("grp"))
+        .agg(graft.functions.KmvAgg.kmv_sketch(
+          TextDedup.baseHash(col("text")), k).as("sk"))
+      graft.ext.Sketches.kmvPairOverlap(sketches, "grp", "sk", k)
+    },
+    Some("""WITH m AS (
+        SELECT text, 'all' AS grp FROM documents
+        UNION ALL
+        SELECT text, 'even2' FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT text, 'mult3' FROM documents WHERE doc_id % 3 = 0),
+      h AS (
+        SELECT DISTINCT grp,
+          ('0x' || substring(md5(text), 1, 8))::BIGINT AS hv
+        FROM m),
+      r AS (
+        SELECT grp, hv,
+          row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+        FROM h),
+      sk AS (
+        SELECT grp, array_agg(hv ORDER BY hv) AS sk
+        FROM r WHERE rn <= 128 GROUP BY grp),
+      p AS (
+        SELECT a.grp AS group_a, a.sk AS ska, b.grp AS group_b,
+          b.sk AS skb
+        FROM sk a CROSS JOIN sk b WHERE a.grp < b.grp),
+      c AS (
+        SELECT group_a, group_b, ska, skb,
+          list_sort(list_distinct(list_concat(ska, skb)))[1:128] AS ku
+        FROM p),
+      j AS (
+        SELECT group_a, group_b, ku,
+          round(CAST(len(list_filter(ku, x ->
+              list_contains(ska, x) AND list_contains(skb, x)))
+            AS DOUBLE) / len(ku), 6) AS jaccard
+        FROM c),
+      e AS (
+        SELECT group_a, group_b, jaccard,
+          CASE WHEN len(ku) < 128 THEN CAST(len(ku) AS DOUBLE)
+            ELSE round(127.0 / ((ku[128] + 1) / 4294967296.0), 6) END
+            AS union_est
+        FROM j)
+      SELECT group_a, group_b, jaccard, union_est,
+        round(jaccard * union_est, 6) AS intersect_est
+      FROM e"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
     contentType, clipAlignGate, doremiWeights, tokenizerFertility,
-    curriculumOrder, embStandardize, negSamplingTable)
+    curriculumOrder, embStandardize, negSamplingTable, kmvJaccard)
 }

@@ -152,4 +152,43 @@ object Sketches {
       .select(col("p.rank").as("rank"), col("p.id").as(idCol),
         negate(col("p.score")).as("priority"))
   }
+
+  /** KMV set algebra over per-group sketches: estimated Jaccard,
+    * union and intersection cardinalities for every GROUP PAIR, from
+    * the k-minimum-value sketches ALONE (Beyer et al. 2007) — the
+    * cross-feed overlap matrix without any joint pass over the data:
+    * union sketch = the k smallest of K(A) ∪ K(B); Jaccard = the share
+    * of the union sketch present in BOTH input sketches; intersection
+    * = Jaccard × union estimate.
+    *
+    * Scale: `sketches` is one row per group (k longs each — an
+    * aggregate output), so the pair fan-out is a bounded broadcast self
+    * cross (G² pairs of k-element arrays), and all the set math is
+    * per-pair array arithmetic — the full corpora are never rescanned
+    * or joined. Determinism: arrays are sorted distinct hashes, counts
+    * are exact ints, and the two ratios round at 6 dp with the
+    * [[graft.ops.IncrementalAgg.kmvEstimate]] arithmetic for the union
+    * size. */
+  def kmvPairOverlap(sketches: DataFrame, groupCol: String,
+      sketchCol: String, k: Int): DataFrame = {
+    val a = sketches.select(col(groupCol).as("group_a"),
+      col(sketchCol).as("ska"))
+    val b = sketches.select(col(groupCol).as("group_b"),
+      col(sketchCol).as("skb"))
+    val ku = slice(
+      array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k)
+    val nInter = size(filter(col("ku"), x =>
+      array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+    a.crossJoin(broadcast(b))
+      .filter(col("group_a") < col("group_b"))
+      .withColumn("ku", ku)
+      .withColumn("jaccard",
+        round(nInter.cast("double") / size(col("ku")), 6))
+      .withColumn("union_est",
+        graft.ops.IncrementalAgg.kmvEstimate(col("ku"), k))
+      .withColumn("intersect_est",
+        round(col("jaccard") * col("union_est"), 6))
+      .select(col("group_a"), col("group_b"), col("jaccard"),
+        col("union_est"), col("intersect_est"))
+  }
 }
