@@ -341,6 +341,51 @@ class Ext2Spec extends SparkSpec {
     }
   }
 
+  test("kmvPairOverlap: estimates land within sketch error of known " +
+      "set overlaps; disjoint sets give jaccard 0; identical give 1") {
+    import graft.ext.{Sketches, TextDedup}
+    // three synthetic id sets with EXACT overlaps: A = 0..999,
+    // B = 500..1499 (|A∩B| = 500, |A∪B| = 1500, J = 1/3), C = A
+    val ids = (0 until 2000).map(_.toLong).toDF("id")
+    val member = ids.select(col("id"),
+      explode(array(
+        when(col("id") < 1000, lit("A")),
+        when(col("id") >= 500 && col("id") < 1500, lit("B")),
+        when(col("id") < 1000, lit("C2")))).as("grp"))
+      .filter(col("grp").isNotNull)
+    val k = 256
+    val sk = member.groupBy(col("grp"))
+      .agg(graft.functions.KmvAgg.kmv_sketch(
+        TextDedup.baseHash(col("id").cast("string")), k).as("sk"))
+    val out = Sketches.kmvPairOverlap(sk, "grp", "sk", k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("jaccard"), r.getAs[Double]("union_est"),
+          r.getAs[Double]("intersect_est"))).toMap
+    graft.ops.CacheScope.releaseAll()
+    // identical sets: every union-sketch element is in both -> J = 1
+    assert(out(("A", "C2"))._1 == 1.0)
+    // A vs B: true J = 1/3, union 1500 — k=256 keeps relative error
+    // around 1/sqrt(k) ≈ 6%; allow 3x slack for the fixed seed
+    val (jab, uab, iab) = out(("A", "B"))
+    assert(math.abs(jab - 1.0 / 3) < 0.1, s"jaccard $jab")
+    assert(math.abs(uab - 1500) / 1500 < 0.2, s"union $uab")
+    assert(math.abs(iab - 500) / 500 < 0.35, s"intersect $iab")
+    // disjoint sets: B vs C2 share 500..999 -> NOT disjoint; build one
+    val member2 = ids.select(col("id"),
+      explode(array(
+        when(col("id") < 800, lit("L")),
+        when(col("id") >= 800, lit("R")))).as("grp"))
+      .filter(col("grp").isNotNull)
+    val sk2 = member2.groupBy(col("grp"))
+      .agg(graft.functions.KmvAgg.kmv_sketch(
+        TextDedup.baseHash(col("id").cast("string")), k).as("sk"))
+    val dis = Sketches.kmvPairOverlap(sk2, "grp", "sk", k)
+      .collect().head
+    graft.ops.CacheScope.releaseAll()
+    assert(dis.getAs[Double]("jaccard") == 0.0)
+    assert(dis.getAs[Double]("intersect_est") == 0.0)
+  }
+
   test("stream dedup: doubled feed dedups back to the source exactly") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.streaming.StreamPipeline
