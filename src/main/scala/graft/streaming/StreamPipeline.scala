@@ -576,4 +576,41 @@ object StreamPipeline {
         col("user_id"), col("event_type"), col("value"))
     runAvailableNow(deduped, "stream_dedup_", "append")
   }
+
+  /** Switch the session's streaming state store to ROCKSDB with
+    * changelog checkpointing — the 100 TB configuration for every
+    * stateful operator in this module (dedup keys, sliding windows,
+    * session state, stream-stream join buffers, CDC latest-per-key).
+    *
+    * The default HDFSBackedStateStoreProvider keeps each partition's
+    * ENTIRE key map on the executor heap and snapshots it whole per
+    * batch — at corpus scale (billions of dedup keys / join-buffer rows)
+    * that is an OOM, and snapshot upload dominates the micro-batch.
+    * RocksDB spills state to local disk with bounded block-cache memory,
+    * and changelog checkpointing uploads only the DELTA per batch
+    * instead of re-snapshotting resident state.
+    *
+    * Takes effect for QUERIES STARTED AFTERWARD (the provider is pinned
+    * into each query's checkpoint at first start; restarting an existing
+    * checkpoint keeps its original provider). State CONTENTS are
+    * provider-independent — StreamingSpec asserts RocksDB output is
+    * row-identical to the default provider on the dedup pipeline. */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing" +
+        ".enabled", "true")
+  }
+
+  /** Reset to the default in-memory provider (test hygiene). */
+  def useDefaultStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing" +
+        ".enabled", "false")
+  }
 }

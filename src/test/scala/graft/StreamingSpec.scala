@@ -66,6 +66,23 @@ class StreamingSpec extends SparkSpec {
       StreamPipeline.runNamespace("hdfs://nn/a/b"))
   }
 
+  test("RocksDB state store: stateful dedup output is row-identical to " +
+      "the default provider (the 100 TB state configuration)") {
+    val sf = "/root/testdata/sf0.001"
+    val defaultRows = StreamPipeline
+      .dedupStreamAvailableNow(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    StreamPipeline.useRocksDbStateStore(spark)
+    try {
+      val rocksRows = StreamPipeline
+        .dedupStreamAvailableNow(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(rocksRows == defaultRows,
+        "state-store provider must not change streaming semantics")
+      assert(rocksRows.nonEmpty)
+    } finally StreamPipeline.useDefaultStateStore(spark)
+  }
+
   test("events windowed agg with watermark matches batch computation") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // batch form of the same plan (streaming-specific parts removed)
