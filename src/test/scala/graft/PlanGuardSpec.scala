@@ -52,6 +52,9 @@ class PlanGuardSpec extends SparkSpec {
       "remainder ranking over the per-stratum size aggregate (G rows)",
     "q_abc_pareto" ->
       "prefix-sum over per-partition totals (one row per partition)",
+    "ext_negative_sampling_table" ->
+      ("paretoCumShare's prefix-sum over per-partition totals (one row " +
+        "per partition)"),
     "ext_zipf_fit" ->
       "rank over the bounded top-N vocabulary (TakeOrdered upstream)")
 
