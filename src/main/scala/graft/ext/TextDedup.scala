@@ -519,22 +519,26 @@ object TextDedup {
     * document is labeled with its component's MINIMUM id (the kept
     * representative); documents in no pair are their own representative.
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the min of its own label and its neighbors' labels — one
-    * shuffle-join + partial-min aggregate per round, converging in
-    * graph-diameter rounds. Near-dup components are small and shallow
-    * (they exist because documents are mutual near-copies), so a handful
-    * of rounds suffices; the iteration materializes each round
-    * (persist + the convergence aggregate) so lineage stays flat. The
-    * label sum is monotonically non-increasing, making it an exact,
-    * cheap convergence test. At extreme diameters a production job would
-    * switch to alternating star contractions (O(log n) rounds); the
-    * `maxIter` cap documents that bound.
+    * Algorithm: min-label propagation ACCELERATED by pointer jumping
+    * (path doubling). Each round every node first takes the min of its
+    * own label and its neighbors' labels (one shuffle-join + partial-min
+    * aggregate), then SHORTCUTS through its current representative:
+    * rep ← label(rep) (one more keyed self-join). Labels are monotone
+    * non-increasing and every label is always a reachable node's id, so
+    * the shortcut preserves correctness while the known-min distance
+    * information doubles per round — convergence in O(log diameter)
+    * rounds instead of diameter rounds. On a near-dup corpus (shallow
+    * components) that saves little; on a 100 TB web-link graph with
+    * diameter in the tens it is the difference between ~6 and ~40
+    * shuffle rounds (the same regime as the alternating star
+    * contractions of Kiveris et al. 2014, with simpler invariants).
+    * The label sum is monotonically non-increasing, making it an exact,
+    * cheap convergence test; the iteration materializes each round so
+    * lineage stays flat, and `maxIter` stays a runaway bound.
     */
   def connectedComponents(
       docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // cached: every round's join re-reads the edge set, and the pair
     // mining upstream (LSH/banding) is far too expensive to re-run per
     // round; scope-released after the caller's action
@@ -542,9 +546,12 @@ object TextDedup {
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+    // localCheckpoint, not persist: the pointer-jump self-join would
+    // otherwise DOUBLE the logical plan every round (persist caches
+    // blocks but keeps the full lineage in the plan tree)
     var labels = docs
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // coalesce: sum over an EMPTY corpus is NULL — an upstream gate that
     // drops every document must converge to an empty label set, not throw
     var prevSum = labels.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
@@ -556,10 +563,18 @@ object TextDedup {
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("nbr_rep"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: rep ← label(rep). Every rep IS some node's id (min
+      // over node ids), so the self-join always matches; labels only
+      // decrease, so shortcutting cannot overshoot the component min.
+      val next = propagated
+        .join(propagated.select(col("id").as("rep"),
+          col("rep").as("rep2")), Seq("rep"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .localCheckpoint()
       val newSum = next.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
       labels.unpersist(blocking = false)
       labels = next

@@ -750,6 +750,24 @@ class ExtSpec extends SparkSpec {
       4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connected components: pointer jumping converges a deep chain in " +
+      "O(log diameter) rounds (diameter 40 under maxIter 10)") {
+    // a 41-node chain has diameter 40: plain min-label propagation needs
+    // ~40 rounds and would blow the maxIter=10 cap (the require throws);
+    // path doubling must land it in ~log2(40)+1 ≈ 7 rounds
+    val n = 41
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val comp = TextDedup
+      .connectedComponents(ids, "doc_id", pairs, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(comp.size == n)
+    assert(comp.values.forall(_ == 0L),
+      "every chain node must label to the component min 0")
+  }
+
   test("simhash banded pairing is COMPLETE at Hamming ≤ bands−1") {
     val viaBands = TextDedup.simhashNearDups(docs, "text", "doc_id",
       n = 3, bands = 4)
