@@ -1279,8 +1279,9 @@ object ExtQueries {
           round(abs(CAST(coalesce(gv.c, 0) AS DOUBLE) / gn.gn
             - CAST(vg.cv AS DOUBLE) / nn.n), 6) AS d
         FROM gn CROSS JOIN vg CROSS JOIN nn
-        LEFT JOIN gv ON gv.n_name = gn.n_name
-          AND gv.bal_bucket = gn.bal_bucket AND gv.v = vg.v)
+        LEFT JOIN gv ON gv.n_name IS NOT DISTINCT FROM gn.n_name
+          AND gv.bal_bucket IS NOT DISTINCT FROM gn.bal_bucket
+          AND gv.v IS NOT DISTINCT FROM vg.v)
       SELECT n_name, bal_bucket, CAST(gn AS BIGINT) AS n_rows,
         round(0.5 * CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6)
           AS tv_dist,

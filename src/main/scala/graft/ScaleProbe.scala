@@ -86,11 +86,13 @@ object ScaleProbe {
           unix_micros(col("ts")).as("r_us"))
         graft.ops.BandJoin(l, r, "l_us", "r_us", 1800L * 1000000).count()
       }
-      def scaledDocs(n: Int): DataFrame = {
+      def scaledDocs(n: Int,
+          perCopy: (Int, DataFrame) => DataFrame = (_, d) => d)
+          : DataFrame = {
         val docs0 = Tables.documents(spark, sfDir)
         (0 until n).map { i =>
-          docs0.withColumn("doc_id",
-            col("doc_id") + lit(i.toLong * 100000000L))
+          perCopy(i, docs0.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * 100000000L)))
         }.reduce(_ unionAll _)
       }
       val dedup = time {
@@ -106,13 +108,8 @@ object ScaleProbe {
       // applied to shingles); the probe then measures the candidate
       // machinery, not a synthetic n² pair blowup
       val lsh = time {
-        val docs0 = Tables.documents(spark, sfDir)
-        val docs = (0 until n).map { i =>
-          docs0.withColumn("doc_id",
-              col("doc_id") + lit(i.toLong * 100000000L))
-            .withColumn("text",
-              regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
-        }.reduce(_ unionAll _)
+        val docs = scaledDocs(n, (i, d) => d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1")))
         val r = graft.ext.TextDedup
           .minhashNearDups(docs, "text", "doc_id")
           .count()

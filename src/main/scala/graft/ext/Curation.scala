@@ -466,12 +466,26 @@ object Curation {
       gv.groupBy(col("__v")).agg(sum(col("__c")).as("__cv")))
     val n = vGlobal.agg(sum(col("__cv")).as("__n"))
     // every group × every sensitive value (bounded product), absent
-    // combinations count 0 on the group side
-    val grid = gn.crossJoin(broadcast(vGlobal)).crossJoin(broadcast(n))
-      .join(gv, quasiCols :+ "__v", "left")
-      .select((qs :+ col("__gn") :+ col("__v") :+
+    // combinations count 0 on the group side. NULL-SAFE join keys: a
+    // NULL quasi value (unknown nation) or NULL sensitive value is a
+    // legitimate GROUP/VALUE here — a null-unsafe join would zero the
+    // NULL-keyed group's own counts and mis-score its tv distance as
+    // 0.5·Σp_global(v) regardless of its real distribution.
+    val left = gn.crossJoin(broadcast(vGlobal)).crossJoin(broadcast(n))
+    // the right side is renamed WHOLESALE (keys and count): `left`
+    // already contains gv's lineage (gn and vGlobal both derive from
+    // it), so any shared attribute would be an ambiguous self-join —
+    // with disjoint names the join condition and the projection need no
+    // frame qualification at all
+    val gvr = gv.select(
+      (quasiCols.map(c => col(c).as(s"__r_$c")) :+
+        col("__v").as("__r_v") :+ col("__c").as("__r_c")): _*)
+    val joinCond = (quasiCols.map(c => col(c) <=> col(s"__r_$c")) :+
+      (col("__v") <=> col("__r_v"))).reduce(_ && _)
+    val grid = left.join(gvr, joinCond, "left")
+      .select((quasiCols.map(col) :+ col("__gn") :+ col("__v") :+
         round(abs(
-          coalesce(col("__c"), lit(0L)).cast("double") / col("__gn")
+          coalesce(col("__r_c"), lit(0L)).cast("double") / col("__gn")
             - col("__cv").cast("double") / col("__n")), 6).as("__d")): _*)
     grid.groupBy(qs: _*)
       .agg(first(col("__gn")).as("n_rows"),

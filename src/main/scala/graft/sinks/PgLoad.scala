@@ -322,9 +322,11 @@ object PgLoad {
     * path; streaming micro-batches pass false) the run first sweeps ALL
     * leftover `<target>_stage_*` tables via [[sweepStaleStages]]. The
     * sweep assumes the startup caller is the only writer at that moment
-    * (concurrent loads should pass `createTables = false`, as the
-    * streaming path and the specs do, or pin disjoint `runTag`s and
-    * sweep out-of-band).
+    * (concurrent loads should pass `createTables = false` as the
+    * streaming path and the specs do, or keep the DDL but disable the
+    * sweep with `sweepStale = false` and reclaim orphans out-of-band —
+    * a concurrent default-tag startup sweep would drop the OTHER run's
+    * in-flight stages, the exact hazard per-call UUID tags prevent).
     *
     * `ledgerKey` makes the promotion EXACTLY-ONCE for replayed batches
     * (streaming foreachBatch is at-least-once): the key is inserted into
@@ -346,14 +348,21 @@ object PgLoad {
       createTables: Boolean = true,
       batchSize: Int = 1000,
       runTag: String = "",
-      ledgerKey: Option[String] = None): Seq[String] = {
+      ledgerKey: Option[String] = None,
+      sweepStale: Boolean = true): Seq[String] = {
     // unique per call unless the caller pins one (loadClassStream pins
     // the checkpoint hash): two concurrent default-tag loads would
     // otherwise DROP each other's in-flight stage tables
     val tag =
       if (runTag.nonEmpty) runTag
       else java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    if (createTables) { sweepStaleStages(connect); runDdl(connect) }
+    if (createTables) {
+      // startup housekeeping — assumes this caller is the only writer
+      // right now (concurrent startup loads pass sweepStale = false,
+      // restoring pre-sweep behavior without giving up the DDL)
+      if (sweepStale) sweepStaleStages(connect)
+      runDdl(connect)
+    }
     if (ledgerKey.isDefined) execQuietly(connect, Seq(ledgerDdl))
     // Cheap pre-flight: a replayed ALREADY-COMMITTED batch should skip the
     // whole stage-write fan-out, not rewrite every frame and then discover
@@ -381,6 +390,11 @@ object PgLoad {
     ).map { case (t, cc, df) =>
       (t, cc, graft.ops.CacheScope.persist(df))
     }.filter { case (_, _, df) => !Projections.isEmpty(df) }
+    // a target missing from loadTargets would mint stage names the
+    // sweep pattern never matches — orphans would accumulate silently
+    require(loads.forall(l => loadTargets.contains(l._1)),
+      s"loadAllStaged target not in PgLoad.loadTargets: " +
+        loads.map(_._1).filterNot(loadTargets.contains).mkString(", "))
 
     val stageNames = loads.indices.map(i =>
       s"${loads(i)._1}_stage_${tag}_$i")
@@ -429,10 +443,15 @@ object PgLoad {
       stageNames.map(s => s"DROP TABLE ${qid(s)}"))
   }
 
+  /** The four load targets — ONE list, consumed by both the staged-load
+    * frame order and the stale-stage sweep pattern, so adding a target
+    * cannot silently exempt its orphans from sweeping. */
+  private[sinks] val loadTargets =
+    Seq("amazon_sale", "amazon_sale_version", "sale", "international_sales")
+
   /** Stage tables a crashed run can orphan: `<target>_stage_<tag>_<i>`. */
   private val staleStageName =
-    ("^(amazon_sale|amazon_sale_version|sale|international_sales)" +
-      "_stage_.+_\\d+$").r
+    ("^(" + loadTargets.mkString("|") + ")_stage_.+_\\d+$").r
 
   /** Drop leftover `<target>_stage_*` tables from runs that crashed
     * before their finally-cleanup (the default per-call UUID `runTag`
@@ -445,7 +464,14 @@ object PgLoad {
       connect: () => Connection, keepTag: String = ""): Seq[String] = {
     val conn = connect()
     val stale = try {
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      // scope the listing to the CONNECTION'S CURRENT SCHEMA: the
+      // unqualified DROP below resolves through the search path, so
+      // enumerating other schemas could drop (or falsely report
+      // dropping) a sibling environment's live stage table
+      val schema =
+        try Option(conn.getSchema).filter(_.nonEmpty).orNull
+        catch { case _: Throwable => null } // JDBC 4.1 optional
+      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
       val names = Seq.newBuilder[String]
       try {
         while (rs.next()) names += rs.getString("TABLE_NAME")

@@ -68,16 +68,27 @@ object StreamPipeline {
 
   /** The run-dir namespace for a checkpoint: an 8-hex md5 of the
     * CANONICAL form of the checkpoint location, so equivalent
-    * spellings (relative vs absolute, trailing slash, `..` segments)
-    * key the same run dir. URIs (`hdfs://…`, `s3a://…`) normalize via
-    * `java.net.URI`; bare paths resolve absolute + normalized. */
+    * spellings (relative vs absolute, trailing slash, `..` segments,
+    * `file://` vs bare local path) key the same run dir. Remote URIs
+    * (`hdfs://…`, `s3a://…`) normalize via `java.net.URI`; `file:` URIs
+    * and bare paths resolve absolute + normalized through the local
+    * filesystem. A location `java.net.URI` cannot parse (spaces, `%` —
+    * legal in Hadoop paths) falls back to hashing the raw string: a
+    * stable namespace for that spelling, never a setup crash. */
   def runNamespace(checkpointDir: String): String = {
+    def local(p: String) = java.nio.file.Paths.get(p)
+      .toAbsolutePath.normalize().toString.stripSuffix("/")
     val canon =
-      if (checkpointDir.contains("://"))
-        new java.net.URI(checkpointDir).normalize()
-          .toString.stripSuffix("/")
-      else java.nio.file.Paths.get(checkpointDir)
-        .toAbsolutePath.normalize().toString.stripSuffix("/")
+      if (checkpointDir.contains("://") || checkpointDir.startsWith("file:"))
+        try {
+          val u = new java.net.URI(checkpointDir).normalize()
+          if (u.getScheme == "file") local(java.nio.file.Paths.get(u).toString)
+          else u.toString.stripSuffix("/")
+        } catch {
+          case _: java.net.URISyntaxException
+               | _: IllegalArgumentException => checkpointDir
+        }
+      else local(checkpointDir)
     java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
@@ -266,19 +277,29 @@ object StreamPipeline {
       java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** File-source stream over one parquet table in the sf dir — the
+    * shared bootstrap of every AvailableNow adapter (the file source
+    * wants a DIRECTORY, so the glob narrows the listing to the one
+    * table file — the S5 routing idiom; the schema probes the batch
+    * reader; events readers also need the nanosAsLong conf and ts
+    * normalization, applied when `normalizeEvents`). One definition:
+    * a change to the probe/glob/normalization applies to every
+    * adapter, not to whichever copies remember it. */
+  private def streamTable(spark: SparkSession, dir: String,
+      file: String, normalizeEvents: Boolean): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$dir/$file").schema)
+      .option("pathGlobFilter", file)
+      .parquet(dir)
+    if (normalizeEvents) graft.Tables.normalizeEventsTs(raw) else raw
+  }
+
   def eventsHourlyAvailableNow(
       spark: SparkSession, dir: String): DataFrame = {
     import graft.Det.dsum
-    val path = s"$dir/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file source wants a DIRECTORY; the sf dir holds every table,
-    // so the glob filter narrows the listing to the events file (the S5
-    // routing idiom from fileStream)
-    val raw = spark.readStream
-      .schema(spark.read.parquet(path).schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev = graft.Tables.normalizeEventsTs(raw)
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
     val agg = ev.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -307,13 +328,8 @@ object StreamPipeline {
       window: String = "1 hour", slide: String = "15 minutes",
       watermark: String = "2 hours"): DataFrame = {
     import graft.Det.dsum
-    val path = s"$dir/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(spark.read.parquet(path).schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev = graft.Tables.normalizeEventsTs(raw)
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
     val agg = ev.withWatermark("ts", watermark)
       .groupBy(
         org.apache.spark.sql.functions.window(col("ts"), window, slide),
@@ -339,11 +355,8 @@ object StreamPipeline {
     * with a downstream merge sink (the PgLoad upsert path), which
     * emits only keys the batch touched. */
   def cdcApplyAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/orders.parquet"
-    val raw = spark.readStream
-      .schema(spark.read.parquet(path).schema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(dir)
+    val raw = streamTable(spark, dir, "orders.parquet",
+      normalizeEvents = false)
     val base = raw.select(col("o_orderkey").as("k"), lit(0L).as("seq"),
       lit("U").as("op"), col("o_orderstatus").as("st"),
       col("o_totalprice").as("pr"))
@@ -484,13 +497,8 @@ object StreamPipeline {
   def clickAttributionAvailableNow(
       spark: SparkSession, dir: String,
       window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    val path = s"$dir/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(spark.read.parquet(path).schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev = graft.Tables.normalizeEventsTs(raw)
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
     val out = clickAttributionStream(
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "purchase"),
@@ -519,13 +527,8 @@ object StreamPipeline {
       spark: SparkSession, dir: String,
       gapUs: Long = 4L * 3600 * 1000000,
       watermark: String = "2 hours"): DataFrame = {
-    val path = s"$dir/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(spark.read.parquet(path).schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val ev = graft.Tables.normalizeEventsTs(raw)
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
     val sess = SessionWindows.sessionizeStream(ev, gapUs, watermark)
     val out = sess.toDF()
       .select(col("user_id"),
@@ -559,14 +562,8 @@ object StreamPipeline {
   def dedupStreamAvailableNow(
       spark: SparkSession, dir: String,
       watermark: String = "2 hours"): DataFrame = {
-    val path = s"$dir/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    def readOnce() = graft.Tables.normalizeEventsTs(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    def readOnce() = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
     val doubled = readOnce().union(readOnce())
     val deduped = doubled
       .withWatermark("ts", watermark)

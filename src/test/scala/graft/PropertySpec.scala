@@ -317,6 +317,22 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getAs[Double]("tv_dist"))
     graft.ops.CacheScope.releaseAll()
     assert(tvS.forall(_ == 0.0), tvS.toSeq.toString)
+    // NULL quasi key is a legitimate group (unknown nation): with every
+    // group identically distributed, the NULL group must ALSO score 0 —
+    // a null-unsafe join would zero its own counts and mis-score 0.5
+    val withNull = (0 until 400).map { i =>
+      val g = if (i % 4 == 0) null else s"g${i % 4}"
+      // v keyed on i/4 so every group (incl. NULL) sees v0/v1 50:50 —
+      // i % 2 would fix each group to ONE value (i % 4 pins the parity)
+      (g, s"v${(i / 4) % 2}")
+    }.toDF("g", "v")
+    val tvN = graft.ext.Curation.tCloseness(withNull, Seq("g"), "v", 0.2)
+      .collect().map(r => Option(r.getAs[String]("g")) ->
+        r.getAs[Double]("tv_dist")).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(tvN.contains(None), "NULL-keyed group must appear in the audit")
+    assert(tvN.values.forall(_ == 0.0),
+      s"identically distributed groups (incl. NULL key) must score 0: $tvN")
   }
 
   test("standardizeEmbeddings: z-scores recenter to ~0 mean, unit " +

@@ -64,6 +64,12 @@ class StreamingSpec extends SparkSpec {
       StreamPipeline.runNamespace("hdfs://nn/a/b"))
     assert(StreamPipeline.runNamespace("hdfs://nn/a/c/../b") ==
       StreamPipeline.runNamespace("hdfs://nn/a/b"))
+    // file:// URI and the bare local path are the SAME checkpoint
+    assert(StreamPipeline.runNamespace(s"file://$abs") == base)
+    // URI-illegal characters (legal in Hadoop paths) must not crash —
+    // they fall back to a stable raw-string namespace
+    val odd = StreamPipeline.runNamespace("hdfs://nn/user/my dir/ckpt")
+    assert(odd == StreamPipeline.runNamespace("hdfs://nn/user/my dir/ckpt"))
   }
 
   test("RocksDB state store: stateful dedup output is row-identical to " +
