@@ -606,23 +606,27 @@ object ExtQueries2 {
     * ([[graft.RetailQueries.paretoCumShare]]) — range-partitioned, never
     * a global single-reducer window — and the oracle replays the same
     * order with a window cumulative sum over exact decimals. */
-  val negSamplingTable = Q(
-    "ext_negative_sampling_table",
-    (s, d) => {
-      val counts = Tables.documents(s, d)
-        .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n_count"))
-      val w = counts.withColumn("wd",
-        round(pow(col("n_count").cast("double"), 0.75), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-      RetailQueries.paretoCumShare(w, "token", "wd")
-        .select(col("token"), col("n_count"),
-          col("wd").cast("double").as("weight"),
-          round((col("__cum") - col("wd")).cast("double")
-            / col("__tot").cast("double"), 6).as("cum_lo"),
-          col("cum_share").as("cum_hi"))
-    },
-    Some(s"""WITH toks AS (
+  /** Shared Spark construction of the sampling table (consumed by the
+    * table query and the draws query below — one definition). */
+  private def negTableDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_count"))
+    val w = counts.withColumn("wd",
+      round(pow(col("n_count").cast("double"), 0.75), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    RetailQueries.paretoCumShare(w, "token", "wd")
+      .select(col("token"), col("n_count"),
+        col("wd").cast("double").as("weight"),
+        round((col("__cum") - col("wd")).cast("double")
+          / col("__tot").cast("double"), 6).as("cum_lo"),
+        col("cum_share").as("cum_hi"))
+  }
+
+  /** The matching DuckDB CTE chain, ending in `negtbl`. */
+  private def negTableSqlCtes: String =
+    s"""toks AS (
         SELECT unnest(string_split_regex(
           ${ExtQueries.wsTrimSql("lower(text)")},
           '[ \\t\\n\\x0B\\f\\r]+')) AS tok
@@ -636,11 +640,50 @@ object ExtQueries2 {
         SELECT tok, c, wd,
           sum(wd) OVER (ORDER BY wd DESC, tok
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
-        FROM w)
-      SELECT tok AS token, c AS n_count, CAST(wd AS DOUBLE) AS weight,
-        round(CAST(cm - wd AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_lo,
-        round(CAST(cm AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_hi
-      FROM cum, t"""))
+        FROM w),
+      negtbl AS (
+        SELECT tok AS token, c AS n_count, CAST(wd AS DOUBLE) AS weight,
+          round(CAST(cm - wd AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+            AS cum_lo,
+          round(CAST(cm AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_hi
+        FROM cum, t)"""
+
+  val negSamplingTable = Q(
+    "ext_negative_sampling_table",
+    (s, d) => negTableDf(s, d),
+    Some(s"""WITH $negTableSqlCtes
+      SELECT token, n_count, weight, cum_lo, cum_hi FROM negtbl"""))
+
+  /** Sampler-draw materialization
+    * ([[graft.ext.Sketches.sampleFromCumTable]]): 1000 deterministic
+    * md5 uniforms looked up against the sampling table's half-open
+    * ranges — the negative-batch generation a contrastive trainer runs
+    * per step. The Spark side uses the BUCKETIZED broadcast equi-join
+    * (unit interval cut into 256 cells, the alias-table lookup at
+    * billions-of-draws scale); the oracle replays the plain range join,
+    * which is the same function because the ranges tile [0,1) and the
+    * bucket stage only over-covers before the exact filter. */
+  val negSampleDraws = Q(
+    "ext_negative_sample_draws",
+    (s, d) => {
+      val draws = s.range(1000).select(col("id").as("draw_id"),
+        ((TextDedup.baseHash(
+          concat(lit("draw:"), col("id").cast("string"))) + 1)
+          .cast("double") / lit(4294967296.0)).as("u"))
+      graft.ext.Sketches.sampleFromCumTable(draws, "u",
+        negTableDf(s, d), "cum_lo", "cum_hi", buckets = 256)
+        .select(col("draw_id"), round(col("u"), 6).as("u6"),
+          col("token"), col("n_count"))
+    },
+    Some(s"""WITH $negTableSqlCtes,
+      draws AS (
+        SELECT i AS draw_id,
+          (('0x' || substring(md5('draw:' || CAST(i AS VARCHAR)), 1, 8))
+            ::BIGINT + 1) / 4294967296.0 AS u
+        FROM range(0, 1000) t(i))
+      SELECT d.draw_id, round(d.u, 6) AS u6, n.token, n.n_count
+      FROM draws d JOIN negtbl n
+        ON d.u >= n.cum_lo AND d.u < n.cum_hi"""))
 
   /** KMV set algebra ([[graft.ext.Sketches.kmvPairOverlap]], k=128):
     * estimated Jaccard / union / intersection for every group pair from
@@ -711,5 +754,6 @@ object ExtQueries2 {
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
     contentType, clipAlignGate, doremiWeights, tokenizerFertility,
-    curriculumOrder, embStandardize, negSamplingTable, kmvJaccard)
+    curriculumOrder, embStandardize, negSamplingTable, negSampleDraws,
+    kmvJaccard)
 }

@@ -169,6 +169,38 @@ object Sketches {
     * are exact ints, and the two ratios round at 6 dp with the
     * [[graft.ops.IncrementalAgg.kmvEstimate]] arithmetic for the union
     * size. */
+  /** Materialize sampler draws against a cumulative-range table (the
+    * consumer of `ext_negative_sampling_table`'s half-open [lo, hi)
+    * ranges): each uniform `u` matches the ONE range containing it.
+    *
+    * Scale: a naive range join is O(|vocab|) per draw under a nested
+    * loop. Instead the unit interval is cut into `buckets` equal cells;
+    * each table range explodes to the cells it overlaps (vocab-bounded
+    * ×~2 rows — still broadcastable), each draw keys to its single cell
+    * (`floor(u·B)`), and the lookup is a broadcast EQUI-join on the
+    * cell plus the exact range filter — candidates per draw ≈
+    * |vocab|/B + 1, and billions of draws stream map-side with no
+    * shuffle (the BandJoin/LSH bucketing idiom applied to alias-table
+    * sampling). Completeness: floor(u·B) is monotone, so lo ≤ u < hi
+    * implies floor(lo·B) ≤ floor(u·B) ≤ floor(hi·B) — the exploded
+    * cells can only over-cover, never miss; the residual filter is
+    * exact. */
+  def sampleFromCumTable(draws: DataFrame, uCol: String, table: DataFrame,
+      loCol: String, hiCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "sampleFromCumTable: buckets must be positive")
+    val exploded = table.withColumn("__bk",
+      explode(sequence(
+        floor(col(loCol) * buckets).cast("int"),
+        least(floor(col(hiCol) * buckets).cast("int"),
+          lit(buckets - 1)))))
+    val keyed = draws.withColumn("__bk",
+      least(floor(col(uCol) * buckets).cast("int"), lit(buckets - 1)))
+    keyed.join(broadcast(exploded),
+      keyed("__bk") === exploded("__bk")
+        && col(loCol) <= col(uCol) && col(uCol) < col(hiCol))
+      .drop("__bk")
+  }
+
   def kmvPairOverlap(sketches: DataFrame, groupCol: String,
       sketchCol: String, k: Int): DataFrame = {
     val a = sketches.select(col(groupCol).as("group_a"),
