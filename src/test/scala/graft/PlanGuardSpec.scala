@@ -55,6 +55,9 @@ class PlanGuardSpec extends SparkSpec {
     "ext_negative_sampling_table" ->
       ("paretoCumShare's prefix-sum over per-partition totals (one row " +
         "per partition)"),
+    "ext_negative_sample_draws" ->
+      ("the same prefix-sum window, inherited through the shared " +
+        "sampling-table construction"),
     "ext_zipf_fit" ->
       "rank over the bounded top-N vocabulary (TakeOrdered upstream)")
 
