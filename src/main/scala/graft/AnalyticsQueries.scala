@@ -421,6 +421,83 @@ object AnalyticsQueries {
     * keyed on user_id (exchange reuse), no windows, no event-order
     * shuffle. Timestamps compare in epoch micros (integer) and render as
     * strings (Det rule). */
+  /** k-STEP sequential funnel (view → click → purchase, each step
+    * strictly after the previous step AND within a 24h step horizon):
+    * stage populations and step conversion rates — the generalized form
+    * of the 2-step funnel below, where step k's earliest QUALIFYING
+    * timestamp anchors step k+1 (the horizon is what makes the funnel
+    * discriminate on a dense event stream; without it every active user
+    * eventually completes). Three user-keyed aggregates chained by
+    * user-id joins (each bounded to users still in the funnel — the
+    * population only shrinks), one 1-row summary; no windows, nothing
+    * user-corpus-sized on one reducer. Division guards keep empty
+    * stages NULL-rated on both engines. */
+  val qFunnel3Step = Q(
+    "q_funnel_3step",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val horizon = 24L * 3600 * 1000000L
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("us") > col("v_us")
+          && col("us") <= col("v_us") + horizon)
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("us") > col("c_us")
+          && col("us") <= col("c_us") + horizon)
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      val nv = v.agg(count(lit(1)).as("users_view"))
+      val nc = c.agg(count(lit(1)).as("users_view_click"))
+      val np = p.agg(count(lit(1)).as("users_full_funnel"))
+      nv.crossJoin(nc).crossJoin(np)
+        .select(col("users_view"), col("users_view_click"),
+          col("users_full_funnel"),
+          when(col("users_view") > 0,
+            round(col("users_view_click").cast("double")
+              / col("users_view"), 6)).as("rate_view_to_click"),
+          when(col("users_view_click") > 0,
+            round(col("users_full_funnel").cast("double")
+              / col("users_view_click"), 6)).as("rate_click_to_purchase"),
+          when(col("users_view") > 0,
+            round(col("users_full_funnel").cast("double")
+              / col("users_view"), 6)).as("rate_full"))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+          AND epoch_us(e.ts) <= v.v_us + 86400000000
+        GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+          AND epoch_us(e.ts) <= c.c_us + 86400000000
+        GROUP BY 1),
+      s AS (
+        SELECT (SELECT count(*) FROM v) AS users_view,
+          (SELECT count(*) FROM c) AS users_view_click,
+          (SELECT count(*) FROM p) AS users_full_funnel)
+      SELECT users_view, users_view_click, users_full_funnel,
+        CASE WHEN users_view > 0
+          THEN round(CAST(users_view_click AS DOUBLE) / users_view, 6)
+          END AS rate_view_to_click,
+        CASE WHEN users_view_click > 0
+          THEN round(CAST(users_full_funnel AS DOUBLE)
+            / users_view_click, 6) END AS rate_click_to_purchase,
+        CASE WHEN users_view > 0
+          THEN round(CAST(users_full_funnel AS DOUBLE) / users_view, 6)
+          END AS rate_full
+      FROM s"""))
+
   val qFunnel = Q(
     "q_funnel_view_purchase",
     (s, d) => {
@@ -1843,7 +1920,8 @@ object AnalyticsQueries {
     qEventsHourlyStream, qStreamSliding, qStreamAttribution,
     qAttributionLinear, qJsonProps,
     qSessions,
-    qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
+    qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,
+    qFunnel3Step, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,
