@@ -750,10 +750,89 @@ object ExtQueries2 {
         round(jaccard * union_est, 6) AS intersect_est
       FROM e"""))
 
+  /** Rolling 7-day active users from PER-DAY HLL sketches — the
+    * mergeable-sketch answer to the WAU/MAU rolling-distinct problem:
+    * exact rolling distinct re-touches every event 7× per day, while
+    * per-day 256-byte sketches merge register-wise across any window
+    * after the corpus is read ONCE. The day-range join broadcasts the
+    * DAY-grain frames (aggregate-bounded — a year is 365 rows), so at
+    * 100 TB the only corpus-sized pass is the daily sketch build; the
+    * exact count rides along as the accuracy reference (audit column —
+    * production drops it and the second corpus pass with it). The
+    * oracle replays per-day registers, the windowed register max, and
+    * the shared [[graft.ops.IncrementalAgg.hllEstimateSql]] estimator.
+    */
+  val hllRollingWau = Q(
+    "ext_hll_rolling_wau",
+    (s, d) => {
+      val p = 8
+      val ev = Tables.events(s, d).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val daily = graft.ops.CacheScope.persist(
+        ev.groupBy(col("day"))
+          .agg(graft.functions.HllAgg.hll_sketch(
+            TextDedup.baseHash(col("user_id").cast("string")), p)
+            .as("sk")))
+      val days = daily.select(col("day").as("w_day"))
+      val win = days.join(broadcast(daily),
+        datediff(to_date(col("w_day")), to_date(col("day"))).between(0, 6))
+      val merged = win
+        .select(col("w_day"), posexplode(col("sk")).as(Seq("reg", "m")))
+        .groupBy(col("w_day"), col("reg")).agg(max(col("m")).as("m"))
+        .groupBy(col("w_day"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("reg"), col("m")))),
+          x => x.getField("m")).as("sk"))
+      val exact = broadcast(days).join(ev,
+        datediff(to_date(col("w_day")), to_date(col("day"))).between(0, 6))
+        .groupBy(col("w_day"))
+        .agg(countDistinct(col("user_id")).as("wau_exact"))
+      merged.join(exact, Seq("w_day"))
+        .select(col("w_day").as("day"),
+          graft.ops.IncrementalAgg.hllEstimate(col("sk"), p)
+            .as("wau_hll"),
+          col("wau_exact"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+      h AS (
+        SELECT DISTINCT day,
+          ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            AS hv
+        FROM ev),
+      reg AS (
+        SELECT day, hv // 16777216 AS reg, hv % 16777216 AS w FROM h),
+      mx AS (
+        SELECT day, reg,
+          max(CASE WHEN w = 0 THEN 25
+              ELSE 25 - length(ltrim(bin(w), '0')) END) AS mj
+        FROM reg GROUP BY 1, 2),
+      days AS (SELECT DISTINCT day FROM ev),
+      win AS (
+        SELECT d.day AS w_day, m.reg, max(m.mj) AS mj
+        FROM days d JOIN mx m
+          ON CAST(d.day AS DATE) - CAST(m.day AS DATE) BETWEEN 0 AND 6
+        GROUP BY 1, 2),
+      est AS (
+        SELECT w_day,
+          sum(pow(2.0, -mj)) + (256 - count(*)) * 1.0 AS s,
+          256 - count(*) AS v
+        FROM win GROUP BY 1),
+      ex AS (
+        SELECT d.day AS w_day, count(DISTINCT e.user_id) AS wau_exact
+        FROM days d JOIN ev e
+          ON CAST(d.day AS DATE) - CAST(e.day AS DATE) BETWEEN 0 AND 6
+        GROUP BY 1)
+      SELECT e.w_day AS day,
+        ${graft.ops.IncrementalAgg.hllEstimateSql("s", "v", 8)}
+          AS wau_hll,
+        x.wau_exact
+      FROM est e JOIN ex x USING (w_day)"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
     contentType, clipAlignGate, doremiWeights, tokenizerFertility,
     curriculumOrder, embStandardize, negSamplingTable, negSampleDraws,
-    kmvJaccard)
+    kmvJaccard, hllRollingWau)
 }
