@@ -498,6 +498,48 @@ object AnalyticsQueries {
           END AS rate_full
       FROM s"""))
 
+  /** New-vs-returning daily active users: each (day, user) is NEW on
+    * the user's first active day and RETURNING after — the growth-page
+    * companion to the rolling-WAU sketch. One user-keyed min aggregate
+    * (first-seen day), one distinct (day, user) set, one equi-join back
+    * on the user, one day-keyed rollup — every stage keyed and
+    * map-side-combining; nothing day- or user-grain funnels through a
+    * single reducer. */
+  val qNewVsReturning = Q(
+    "q_new_vs_returning",
+    (s, d) => {
+      val du = Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id")).distinct()
+      val firstSeen = du.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      du.join(firstSeen, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("returning_users"))
+        .withColumn("dau", col("new_users") + col("returning_users"))
+        .withColumn("returning_frac",
+          round(col("returning_users").cast("double") / col("dau"), 6))
+    },
+    Some("""WITH du AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+        FROM events),
+      fs AS (
+        SELECT user_id, min(day) AS first_day FROM du GROUP BY 1)
+      SELECT day,
+        CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+          AS new_users,
+        CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+          AS returning_users,
+        CAST(count(*) AS BIGINT) AS dau,
+        round(CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS returning_frac
+      FROM du JOIN fs USING (user_id)
+      GROUP BY day"""))
+
   val qFunnel = Q(
     "q_funnel_view_purchase",
     (s, d) => {
@@ -1921,7 +1963,7 @@ object AnalyticsQueries {
     qAttributionLinear, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,
-    qFunnel3Step, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
+    qFunnel3Step, qNewVsReturning, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,
     qPivot, qSetOps, qNtile, qQuartileAssign, qWinsorize, qMad,
     qGapFill, qMovingAvg, qZorder,
