@@ -382,12 +382,12 @@ object ExtQueries2 {
       FROM documents"""))
 
   /** CLIP-style cross-modal alignment gate
-    * ([[graft.ext.graft.ext.Multimodal.clipAlignmentGate]]) — the LAION curation
+    * ([[graft.ext.Multimodal.clipAlignmentGate]]) — the LAION curation
     * recipe: score every (image, caption) pair by modality-embedding
     * cosine and keep only pairs above a threshold. The image side is the
     * md5 stub decoder's 4-dim feature (documents payload); the caption
     * side is the 64-dim embedding block-pooled to 4 dims
-    * ([[graft.ext.graft.ext.Multimodal.blockPoolEmbedding]]); pairs join on
+    * ([[graft.ext.Multimodal.blockPoolEmbedding]]); pairs join on
     * doc_id = vec_id.
     *
     * Scale: one equi-join on the pair id carrying metadata-sized rows

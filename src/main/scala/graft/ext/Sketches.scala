@@ -153,22 +153,6 @@ object Sketches {
         negate(col("p.score")).as("priority"))
   }
 
-  /** KMV set algebra over per-group sketches: estimated Jaccard,
-    * union and intersection cardinalities for every GROUP PAIR, from
-    * the k-minimum-value sketches ALONE (Beyer et al. 2007) — the
-    * cross-feed overlap matrix without any joint pass over the data:
-    * union sketch = the k smallest of K(A) ∪ K(B); Jaccard = the share
-    * of the union sketch present in BOTH input sketches; intersection
-    * = Jaccard × union estimate.
-    *
-    * Scale: `sketches` is one row per group (k longs each — an
-    * aggregate output), so the pair fan-out is a bounded broadcast self
-    * cross (G² pairs of k-element arrays), and all the set math is
-    * per-pair array arithmetic — the full corpora are never rescanned
-    * or joined. Determinism: arrays are sorted distinct hashes, counts
-    * are exact ints, and the two ratios round at 6 dp with the
-    * [[graft.ops.IncrementalAgg.kmvEstimate]] arithmetic for the union
-    * size. */
   /** Materialize sampler draws against a cumulative-range table (the
     * consumer of `ext_negative_sampling_table`'s half-open [lo, hi)
     * ranges): each uniform `u` matches the ONE range containing it.
@@ -201,6 +185,22 @@ object Sketches {
       .drop("__bk")
   }
 
+  /** KMV set algebra over per-group sketches: estimated Jaccard,
+    * union and intersection cardinalities for every GROUP PAIR, from
+    * the k-minimum-value sketches ALONE (Beyer et al. 2007) — the
+    * cross-feed overlap matrix without any joint pass over the data:
+    * union sketch = the k smallest of K(A) ∪ K(B); Jaccard = the share
+    * of the union sketch present in BOTH input sketches; intersection
+    * = Jaccard × union estimate.
+    *
+    * Scale: `sketches` is one row per group (k longs each — an
+    * aggregate output), so the pair fan-out is a bounded broadcast self
+    * cross (G² pairs of k-element arrays), and all the set math is
+    * per-pair array arithmetic — the full corpora are never rescanned
+    * or joined. Determinism: arrays are sorted distinct hashes, counts
+    * are exact ints, and the two ratios round at 6 dp with the
+    * [[graft.ops.IncrementalAgg.kmvEstimate]] arithmetic for the union
+    * size. */
   def kmvPairOverlap(sketches: DataFrame, groupCol: String,
       sketchCol: String, k: Int): DataFrame = {
     val a = sketches.select(col(groupCol).as("group_a"),

@@ -563,9 +563,15 @@ object TextDedup {
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("nbr_rep"))
+      // materialized BEFORE the self-join: propagated feeds both sides,
+      // and without a checkpoint the propagate join + min-aggregate
+      // subtree would execute twice inside every round's job — doubling
+      // the per-round shuffle work on exactly the large graphs the
+      // path-doubling targets
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
       // pointer jump: rep ← label(rep). Every rep IS some node's id (min
       // over node ids), so the self-join always matches; labels only
       // decrease, so shortcutting cannot overshoot the component min.
@@ -576,6 +582,7 @@ object TextDedup {
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .localCheckpoint()
       val newSum = next.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
+      propagated.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
       converged = newSum == prevSum

@@ -96,6 +96,12 @@ object IncrementalAgg {
     * ~10^8 distinct values the corrected estimate still degrades as
     * raw → 2^32. For manifest-scale counts beyond ~10^8, shard the key
     * space (e.g. per-source sketches summed) or accept ~% -level bias.
+    * `raw` is clamped to 2^32−1 before the ln on BOTH engines: at
+    * near-fully-saturated registers raw can exceed 2^32 (raw_max ≈
+    * 6.2e9 for p=8), where the unclamped argument goes non-positive —
+    * Spark log() would return NULL while DuckDB ln() aborts the query,
+    * breaking the engine-identical contract exactly at saturation; the
+    * clamp makes both return the same finite saturated estimate.
     * Mirrors the `ext_hll_distinct` / `ext_hll_merge_epochs` oracles
     * term-for-term via [[hllEstimateSql]].
     *
@@ -116,7 +122,8 @@ object IncrementalAgg {
         round(log(lit(m.toDouble) / v.cast("double")), 6), 6))
       .otherwise(when(raw > lit(hllLargeRangeThreshold),
         round(lit(-hllHashSpace) *
-          round(log(lit(1.0) - raw / lit(hllHashSpace)), 6), 6))
+          round(log(lit(1.0) -
+            least(raw, lit(hllHashSpace - 1.0)) / lit(hllHashSpace)), 6), 6))
         .otherwise(round(raw, 6)))
   }
 
@@ -130,7 +137,8 @@ object IncrementalAgg {
       THEN round(${m.toDouble} * round(ln(${m.toDouble} / $v), 6), 6)
       WHEN ($am2 / $s) > $hllLargeRangeThreshold
       THEN round(${-hllHashSpace}
-        * round(ln(1.0 - ($am2 / $s) / $hllHashSpace), 6), 6)
+        * round(ln(1.0 - least(($am2 / $s), ${hllHashSpace - 1.0})
+          / $hllHashSpace), 6), 6)
       ELSE round($am2 / $s, 6) END"""
   }
 }

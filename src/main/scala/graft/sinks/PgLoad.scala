@@ -318,15 +318,16 @@ object PgLoad {
     * finally — a failed run can be re-run without manual repair. Because
     * the default tag is a fresh UUID per call, a run that dies before the
     * finally (JVM kill) leaves stage tables a LATER default-tag run would
-    * never name — so when `createTables` is true (the batch "startup"
-    * path; streaming micro-batches pass false) the run first sweeps ALL
-    * leftover `<target>_stage_*` tables via [[sweepStaleStages]]. The
-    * sweep assumes the startup caller is the only writer at that moment
-    * (concurrent loads should pass `createTables = false` as the
-    * streaming path and the specs do, or keep the DDL but disable the
-    * sweep with `sweepStale = false` and reclaim orphans out-of-band —
-    * a concurrent default-tag startup sweep would drop the OTHER run's
-    * in-flight stages, the exact hazard per-call UUID tags prevent).
+    * never name. Reclaiming those orphans is OPT-IN: a single-writer
+    * startup caller passes `sweepStale = true` (with `createTables`)
+    * to sweep ALL leftover `<target>_stage_*` tables via
+    * [[sweepStaleStages]] before staging. The default is false because
+    * the sweep drops every stage table regardless of owner — two
+    * concurrent default-arg loads, each safe on its own via per-call
+    * UUID tags, would otherwise drop each other's in-flight stages
+    * mid-promotion. Out-of-band reclamation (an explicit
+    * [[sweepStaleStages]] call at a known-quiet moment) is the safe
+    * default posture for multi-writer deployments.
     *
     * `ledgerKey` makes the promotion EXACTLY-ONCE for replayed batches
     * (streaming foreachBatch is at-least-once): the key is inserted into
@@ -349,7 +350,8 @@ object PgLoad {
       batchSize: Int = 1000,
       runTag: String = "",
       ledgerKey: Option[String] = None,
-      sweepStale: Boolean = true): Seq[String] = {
+      sweepStale: Boolean = false,
+      legacyLedgerKeys: Seq[String] = Nil): Seq[String] = {
     // unique per call unless the caller pins one (loadClassStream pins
     // the checkpoint hash): two concurrent default-tag loads would
     // otherwise DROP each other's in-flight stage tables
@@ -357,9 +359,11 @@ object PgLoad {
       if (runTag.nonEmpty) runTag
       else java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     if (createTables) {
-      // startup housekeeping — assumes this caller is the only writer
-      // right now (concurrent startup loads pass sweepStale = false,
-      // restoring pre-sweep behavior without giving up the DDL)
+      // sweepStale is OPT-IN: the sweep drops EVERY `<target>_stage_*`
+      // table, so a second concurrent default-arg load would lose its
+      // in-flight stages mid-promotion. A single-writer startup caller
+      // that wants self-healing passes sweepStale = true (or calls
+      // sweepStaleStages itself before fanning out loads)
       if (sweepStale) sweepStaleStages(connect)
       runDdl(connect)
     }
@@ -369,7 +373,8 @@ object PgLoad {
     // the duplicate at promote time. Purely an optimization — the
     // authoritative exactly-once guard stays the PK claim inside the
     // promote transaction below (this probe alone would race).
-    if (ledgerKey.exists(ledgerHas(connect, _))) return Nil
+    if ((ledgerKey.toSeq ++ legacyLedgerKeys)
+      .exists(ledgerHas(connect, _))) return Nil
 
     // (target, conflictCols, prepared frame), reference order. Each
     // frame is persisted (CacheScope — released by the caller's
@@ -419,7 +424,22 @@ object PgLoad {
                 "INSERT INTO graft_load_ledger (batch_key) VALUES (?)")
               try { ps.setString(1, k); ps.executeUpdate() }
               finally ps.close()
-              true
+              // migration guard: a batch committed by an OLDER release
+              // may sit in the ledger under a differently-derived key
+              // (e.g. the pre-canonicalization checkpoint-path hash).
+              // Checked INSIDE the claim transaction so the canonical
+              // claim rolls back atomically — the replayed batch stays
+              // a no-op instead of promoting twice across the upgrade.
+              val legacyHit = legacyLedgerKeys.nonEmpty && {
+                val qs = conn.prepareStatement(
+                  "SELECT 1 FROM graft_load_ledger WHERE batch_key = ?")
+                try legacyLedgerKeys.exists { lk =>
+                  qs.setString(1, lk)
+                  val rs = qs.executeQuery()
+                  try rs.next() finally rs.close()
+                } finally qs.close()
+              }
+              if (legacyHit) { conn.rollback(); false } else true
             } catch {
               case e: java.sql.SQLException
                   if e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException]

@@ -89,10 +89,17 @@ object StreamPipeline {
                | _: IllegalArgumentException => checkpointDir
         }
       else local(checkpointDir)
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    md5Hex8(canon)
   }
+
+  /** 8-hex md5 of a string — the namespace digest. Also applied to the
+    * RAW (un-canonicalized) checkpoint spelling to reproduce the ledger
+    * key a pre-canonicalization release would have written, so
+    * [[loadClassStream]] can honor it during a rolling upgrade. */
+  private[streaming] def md5Hex8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
 
   /** The international cleaner's embedded-header split is POSITIONAL
     * within one file, but a file-source micro-batch may concatenate
@@ -167,13 +174,14 @@ object StreamPipeline {
         graft.sinks.PgLoad.promoteSql,
       createTables: Boolean = false,
       runTag: String = "",
-      ledgerKey: Option[String] = None): Seq[String] = try {
+      ledgerKey: Option[String] = None,
+      legacyLedgerKeys: Seq[String] = Nil): Seq[String] = try {
     val empty = df.sparkSession.emptyDataFrame
     def load(amC: DataFrame, amF: DataFrame, sa: DataFrame,
         i1: DataFrame, i2: DataFrame) =
       graft.sinks.PgLoad.loadAllStaged(amC, amF, sa, i1, i2, loadedAt,
         connect, promoteSqlFor, createTables, runTag = runTag,
-        ledgerKey = ledgerKey)
+        ledgerKey = ledgerKey, legacyLedgerKeys = legacyLedgerKeys)
     cls match {
       case CsvSource.AmazonSale =>
         val (clean, flagged) = Cleaners.amazon(df, cacheSplit = true)
@@ -216,13 +224,25 @@ object StreamPipeline {
     // differently (cwd-relative vs absolute) would otherwise mint a new
     // namespace and double-load the one in-flight replayed batch
     val sid = runNamespace(checkpointDir)
+    // one-release migration shim: the pre-canonicalization release keyed
+    // the ledger on the RAW checkpoint spelling. A restart whose location
+    // was spelled non-canonically (relative path, trailing slash,
+    // `file://` form) would otherwise mint a fresh namespace and promote
+    // the one in-flight replayed batch TWICE. The legacy key is checked
+    // (never written) inside the claim transaction — see
+    // [[graft.sinks.PgLoad.loadAllStaged]].
+    val legacySid = md5Hex8(checkpointDir)
+    val legacyFor: Long => Seq[String] =
+      if (legacySid == sid) _ => Nil
+      else id => Seq(s"$cls#$legacySid#$id")
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cleanAndLoad(batch, cls, connect, loadedAtFor(batchId),
           promoteSqlFor, runTag = s"${sid}_b$batchId",
-          ledgerKey = Some(s"$cls#$sid#$batchId")): Unit
+          ledgerKey = Some(s"$cls#$sid#$batchId"),
+          legacyLedgerKeys = legacyFor(batchId)): Unit
       }
       .start()
   }

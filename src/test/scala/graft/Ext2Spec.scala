@@ -132,6 +132,23 @@ class Ext2Spec extends SparkSpec {
     assert(math.abs(est - 3.0) < 0.1, s"linear counting gave $est for n=3")
   }
 
+  test("HllAgg: fully-saturated registers return a FINITE estimate") {
+    import graft.ops.IncrementalAgg
+    // all 256 registers at the 32-bit ceiling: raw ≈ 7.9e11 > 2^32, so
+    // the unclamped large-range argument 1 - raw/2^32 goes negative —
+    // Spark log() would return NULL (and the DuckDB oracle replay would
+    // ABORT). The clamp to 2^32-1 pins both engines to the same finite
+    // saturated value instead.
+    val est = Seq(1).toDF("x")
+      .select(IncrementalAgg.hllEstimate(
+        typedLit(Seq.fill(256)(32)), 8).as("e"))
+      .head()
+    assert(!est.isNullAt(0), "saturated estimate must not be NULL")
+    val v = est.getDouble(0)
+    assert(v > IncrementalAgg.hllLargeRangeThreshold && !v.isNaN
+      && !v.isInfinite, s"saturated estimate $v out of range")
+  }
+
   test("HllAgg: sketch of a union equals elementwise-max merge of parts") {
     import graft.ext.TextDedup
     import graft.functions.HllAgg

@@ -188,6 +188,42 @@ class PgLoadSpec extends SparkSpec {
       }
   }
 
+  test("loadAllStaged: a batch committed under a LEGACY ledger key " +
+    "replays as a no-op across the namespace upgrade") {
+    val connect = freshDb("graftpglegacy")
+    PgLoad.runDdl(connect, ddls("legacy"))
+    val (am, fl, sa, i1, i2) = fixtures
+    // the OLD release commits the batch under its (raw-spelling) key
+    val first = PgLoad.loadAllStaged(am, fl, sa, i1, i2, loadedAt, connect,
+      promoteSqlFor = quotedPromote, createTables = false,
+      ledgerKey = Some("amazon#deadbeef#0"))
+    assert(first.nonEmpty)
+    val before = queryLong(connect,
+      s"SELECT count(*) FROM ${q("amazon_sale")}")
+    // the upgraded release replays the SAME batch under the canonical
+    // key, carrying the legacy key: promotion must be a no-op
+    val replay = PgLoad.loadAllStaged(am, fl, sa, i1, i2, loadedAt, connect,
+      promoteSqlFor = quotedPromote, createTables = false,
+      ledgerKey = Some("amazon#cafe0123#0"),
+      legacyLedgerKeys = Seq("amazon#deadbeef#0"))
+    assert(replay.isEmpty, "legacy-committed batch must not promote again")
+    assert(queryLong(connect,
+      s"SELECT count(*) FROM ${q("amazon_sale")}") == before)
+    // the canonical key was NOT claimed by the no-op replay, and a
+    // genuinely NEW batch under the canonical namespace still loads
+    assert(queryLong(connect,
+      """SELECT count(*) FROM graft_load_ledger
+         WHERE batch_key = 'amazon#cafe0123#0'""") == 0)
+    val am2 = Seq(("O3", "2022-05-02", "shipped", "merchant", 1, "10.0",
+      "pune")).toDF("order_id", "date", "status", "fulfillment",
+      "quantity", "amount", "ship_city")
+    val next = PgLoad.loadAllStaged(am2, fl, sa, i1, i2, loadedAt, connect,
+      promoteSqlFor = quotedPromote, createTables = false,
+      ledgerKey = Some("amazon#cafe0123#1"),
+      legacyLedgerKeys = Seq("amazon#deadbeef#1"))
+    assert(next.nonEmpty, "a fresh batch id must still promote")
+  }
+
   test("K3 DDL strings carry the reference columns and constraints") {
     // the canonical Postgres DDLs (ecommerce_s3_to_pg.py:449-533)
     assert(PgLoad.allDdl.size == 4)
