@@ -258,6 +258,43 @@ object AnalyticsQueries {
       FROM events GROUP BY 1, 2"""),
     bench = true)
 
+  /** Per-hour distinct users as a structured stream via the mergeable
+    * HLL sketch ([[graft.streaming.StreamPipeline
+    * .eventsHourlyHllAvailableNow]]) — exact distinct aggregation is
+    * unsupported (and unboundable) in streaming; 256-byte per-window
+    * sketch state is the production shape for every streaming
+    * distinct-count metric. The oracle replays per-hour registers and
+    * the shared estimator in batch SQL, so the streamed sketch STATE is
+    * pinned hash-exactly, not just approximately. */
+  val qStreamHllUsers = Q(
+    "q_stream_hll_users",
+    (s, d) =>
+      graft.streaming.StreamPipeline.eventsHourlyHllAvailableNow(s, d),
+    Some(s"""WITH ev AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+          AS hour, user_id FROM events),
+      h AS (
+        SELECT DISTINCT hour,
+          ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            AS hv
+        FROM ev),
+      reg AS (
+        SELECT hour, hv // 16777216 AS reg, hv % 16777216 AS w FROM h),
+      mx AS (
+        SELECT hour, reg,
+          max(CASE WHEN w = 0 THEN 25
+              ELSE 25 - length(ltrim(bin(w), '0')) END) AS mj
+        FROM reg GROUP BY 1, 2),
+      est AS (
+        SELECT hour,
+          sum(pow(2.0, -mj)) + (256 - count(*)) * 1.0 AS s,
+          256 - count(*) AS v
+        FROM mx GROUP BY 1)
+      SELECT hour,
+        ${graft.ops.IncrementalAgg.hllEstimateSql("s", "v", 8)}
+          AS users_hll
+      FROM est"""))
+
   /** SLIDING-window rollup as a structured stream
     * ([[graft.streaming.StreamPipeline.eventsSlidingAvailableNow]],
     * 1-hour windows every 15 minutes): the trending-metrics shape. The
@@ -1959,7 +1996,8 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
-    qEventsHourlyStream, qStreamSliding, qStreamAttribution,
+    qEventsHourlyStream, qStreamHllUsers, qStreamSliding,
+    qStreamAttribution,
     qAttributionLinear, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,

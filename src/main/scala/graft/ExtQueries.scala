@@ -1464,6 +1464,29 @@ object ExtQueries {
           % 100 AS b
       FROM comp) t"""))
 
+  /** Soft deduplication ([[graft.ext.TextDedup.softDedupWeights]]):
+    * every member of a near-dup cluster of size n down-weighted to 1/n
+    * instead of dropped — each distinct content unit contributes one
+    * unit of training mass however many copies the crawl caught. Same
+    * component mining as `ext_dedup_components`; the oracle adds the
+    * rep-grain size count and the 6-dp reciprocal on the
+    * transitive-closure components. */
+  val softDedupWeights = Q(
+    "ext_softdedup_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "text", "doc_id",
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+      TextDedup.softDedupWeights(
+        TextDedup.connectedComponents(docs, "doc_id", pairs), "doc_id")
+    },
+    Some(s"""WITH $componentsCte,
+        sizes AS (
+          SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT doc_id, rep_id, cluster_size,
+        round(1.0 / CAST(cluster_size AS DOUBLE), 6) AS weight
+      FROM comp JOIN sizes USING (rep_id)"""))
+
   /** Canonical-doc selection per near-dup cluster
     * ([[graft.ext.Curation.keepBestInComponent]]): one row per component
     * with the highest-quality member (ties → lowest doc id). The oracle
@@ -4491,7 +4514,8 @@ object ExtQueries {
     dedupEditDistance, pagerank, hitsQ,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
-    dedupComponents, dedupClusterSizes, clusterSplit, dedupKeepBest,
+    dedupComponents, dedupClusterSizes, clusterSplit, softDedupWeights,
+    dedupKeepBest,
     sourceCap,
     snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,

@@ -829,10 +829,150 @@ object ExtQueries2 {
         x.wau_exact
       FROM est e JOIN ex x USING (w_day)"""))
 
+  /** UniMax budget waterfilling ([[graft.ext.Curation.unimaxMix]]) —
+    * the epoch-capped uniform alternative to temperature sampling
+    * (`ext_temperature_resample`): budget spreads evenly, no source
+    * repeats past `epochCap` epochs. Budget 280k chars at epoch cap 2
+    * makes the waterline discriminate at sf0.01 (the four smallest
+    * sources cap out; the rest sit at the common waterline, which the
+    * oracle proves consumes the budget exactly). All the window math
+    * runs at source cardinality — see the fn scaladoc. */
+  val unimaxMixQ = {
+    val budget = 280000.0
+    val epochs = 2.0
+    Q("ext_unimax_mix",
+      (s, d) => graft.ext.Curation.unimaxMix(
+        Tables.documents(s, d), "source", "n_chars", budget, epochs),
+      Some(s"""WITH supply AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_supply,
+            $epochs * CAST(sum(n_chars) AS DOUBLE) AS cap
+          FROM documents GROUP BY 1),
+        idx AS (
+          SELECT source, n_supply, cap,
+            row_number() OVER w AS idx,
+            CAST(sum(CAST(cap AS DECIMAL(38,6))) OVER w AS DOUBLE)
+              AS prefix,
+            count(*) OVER () AS n_src
+          FROM supply WINDOW w AS (ORDER BY cap ASC, source ASC)),
+        marked AS (
+          SELECT *, CASE WHEN cap * CAST(n_src - idx + 1 AS DOUBLE)
+              + (prefix - cap) <= $budget THEN 1 ELSE 0 END AS capped
+          FROM idx),
+        kp AS (
+          SELECT *, CAST(sum(capped) OVER () AS BIGINT) AS k,
+            coalesce(max(CASE WHEN capped = 1 THEN prefix END) OVER (),
+              0.0) AS p_k
+          FROM marked)
+        SELECT source, n_supply, round(cap, 6) AS cap, capped,
+          CASE WHEN capped = 1 THEN round(cap, 6)
+            ELSE round(($budget - p_k) / CAST(n_src - k AS DOUBLE), 6)
+            END AS alloc,
+          round(CASE WHEN capped = 1 THEN round(cap, 6)
+            ELSE round(($budget - p_k) / CAST(n_src - k AS DOUBLE), 6)
+            END / CAST(n_supply AS DOUBLE), 6) AS epochs_used
+        FROM kp"""))
+  }
+
+  /** word2vec frequency subsampling ([[graft.ext.Vocab
+    * .subsampleReport]]) at t = 1e-3 over the ≥10-count vocabulary:
+    * word-grain corpus counts, keep probabilities, and the count the
+    * deterministic per-occurrence md5 coin actually keeps — the
+    * sampled OUTCOME is hash-gated, not just the math. The oracle
+    * replays the `ext_tokenize_ids` tokenization (1-based positions),
+    * the same p_keep expression, and the same coin. */
+  val wordSubsampleQ = {
+    val t = 0.001
+    Q("ext_word_subsample",
+      (s, d) => graft.ext.Vocab.subsampleReport(
+        Tables.documents(s, d), "text", "doc_id", t, minCount = 10L),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text),
+            ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+            '[ \\t\\n\\x0B\\f\\r]+') AS t
+          FROM documents),
+        flat AS (
+          SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+            SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t)),
+                i -> struct_pack(pos := i, tok := t[i]))) AS s
+            FROM toks)),
+        cnt AS (SELECT tok, count(*) AS c FROM flat GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+        vocab AS (
+          SELECT tok, CAST(c AS BIGINT) AS c,
+            round(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS f,
+            round(least(1.0,
+              sqrt($t / (CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)))
+              + $t / (CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))), 6)
+              AS p_keep
+          FROM cnt CROSS JOIN tot WHERE c >= 10)
+        SELECT v.tok, v.c, v.f, v.p_keep,
+          CAST(count(*) FILTER (
+            ('0x' || substring(md5(CAST(o.doc_id AS VARCHAR) || ':' ||
+              CAST(o.pos AS VARCHAR) || ':' || o.tok), 1, 8))::BIGINT
+              / 4294967296.0 < v.p_keep) AS BIGINT) AS n_kept
+        FROM flat o JOIN vocab v USING (tok)
+        GROUP BY 1, 2, 3, 4"""))
+  }
+
+  /** Subdomain-aware domain blocklist ([[graft.ext.Markup
+    * .suffixBlocklistReport]]) over a corpus salted with a benign shop
+    * URL per doc, a `cdn<i>.ads.tracker.net` subdomain on doc_id%3, a
+    * bare `tracker.net` on doc_id%11, and the near-miss
+    * `nottracker.net` on doc_id%13 — the case exact-match `IN` passes
+    * and naive `LIKE '%tracker.net'` wrongly blocks. The oracle spells
+    * the suffix rule as the naive per-entry LIKE; the Spark side is
+    * the bounded suffix-explode `arrays_overlap`. */
+  val suffixBlocklistQ = Q(
+    "ext_domain_suffix_blocklist",
+    (s, d) => graft.ext.Markup.suffixBlocklistReport(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" https://www.shop"), col("doc_id") % 7,
+          lit(".example/p/"), col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" http://cdn"), col("doc_id") % 5,
+              lit(".ads.tracker.net/px"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" https://tracker.net/x"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" https://nottracker.net/y"))
+            .otherwise(lit(""))).as("text")),
+      "text", "doc_id",
+      blocklist = Seq("tracker.net", "spam.example")),
+    Some("""WITH raw AS (
+        SELECT doc_id,
+          text || ' https://www.shop' || CAST(doc_id % 7 AS VARCHAR)
+          || '.example/p/' || doc_id
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.ads.tracker.net/px' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0
+               THEN ' https://tracker.net/x' ELSE '' END
+          || CASE WHEN doc_id % 13 = 0
+               THEN ' https://nottracker.net/y' ELSE '' END AS t
+        FROM documents),
+      hosts AS (
+        SELECT doc_id,
+          list_transform(
+            regexp_extract_all(t, 'https?://([^/ \t\n\x0B\f\r?#"'']+)', 1),
+            h -> lower(h)) AS hs
+        FROM raw)
+      SELECT doc_id, len(hs) AS n_urls,
+        len(list_filter(hs, h -> h = 'tracker.net'
+          OR h LIKE '%.tracker.net'
+          OR h = 'spam.example' OR h LIKE '%.spam.example')) AS n_blocked,
+        CAST(len(list_filter(hs, h -> h = 'tracker.net'
+          OR h LIKE '%.tracker.net'
+          OR h = 'spam.example'
+          OR h LIKE '%.spam.example')) = 0 AS INT) AS keep
+      FROM hosts"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
     contentType, clipAlignGate, doremiWeights, tokenizerFertility,
     curriculumOrder, embStandardize, negSamplingTable, negSampleDraws,
-    kmvJaccard, hllRollingWau)
+    kmvJaccard, hllRollingWau, unimaxMixQ, wordSubsampleQ,
+    suffixBlocklistQ)
 }

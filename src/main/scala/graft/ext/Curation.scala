@@ -907,4 +907,60 @@ object Curation {
         round(round(col("w_raw") / col("wsum").cast("double"), 6)
           / col("share"), 6).as("multiplier"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total training budget as UNIFORMLY as
+    * possible across sources, capping each source at `epochCap` epochs
+    * of its own supply — the closed-form waterfilling alternative to
+    * temperature sampling that never over-repeats a low-resource
+    * source past the epoch cap.
+    *
+    * Closed form over sources sorted by cap ascending (idx 1-based,
+    * prefix = running cap sum, N = source count): source i is CAPPED
+    * iff cap_i·(N−i+1) + prefix_{i−1} ≤ B (it caps out even when the
+    * remaining budget is split evenly among all not-yet-capped
+    * sources); with k capped sources consuming P_k, everyone else gets
+    * the waterline L = (B − P_k)/(N − k). When B ≥ Σcap every source
+    * is capped and L never applies.
+    *
+    * Scale: everything after the one per-source supply aggregate runs
+    * at SOURCE cardinality — the sort/prefix windows scan tens of
+    * rows, never the corpus (the `histogramQuantiles` bounded-window
+    * shape). Determinism: supply sums are exact BIGINTs, caps are
+    * whole-valued doubles (epochCap × integer), the prefix sum rides
+    * DECIMAL(38,6), and L/epoch ratios round at 6 dp with identical
+    * parenthesization in the oracle. */
+  def unimaxMix(docs: DataFrame, sourceCol: String, weightCol: String,
+      budget: Double, epochCap: Double): DataFrame = {
+    val supply = docs.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).as("n_supply"))
+      .select(col(sourceCol), col("n_supply"),
+        (lit(epochCap) * col("n_supply").cast("double")).as("cap"))
+    val ord = Window.orderBy(col("cap").asc, col(sourceCol).asc)
+    val whole = Window.orderBy(col("cap").asc, col(sourceCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val idx = supply
+      .withColumn("idx", row_number().over(ord))
+      .withColumn("prefix",
+        sum(col("cap").cast(DecimalType(38, 6))).over(ord).cast("double"))
+      .withColumn("n_src", count(lit(1)).over(whole))
+    val capped = (col("cap") * (col("n_src") - col("idx") + 1)
+      .cast("double") + (col("prefix") - col("cap"))) <= lit(budget)
+    val marked = idx.withColumn("capped", capped.cast("int"))
+    val kP = marked
+      .withColumn("k", sum(col("capped")).over(whole))
+      .withColumn("p_k", coalesce(max(when(col("capped") === 1,
+        col("prefix"))).over(whole), lit(0.0)))
+    val waterline = when(col("k") < col("n_src"),
+      round((lit(budget) - col("p_k"))
+        / (col("n_src") - col("k")).cast("double"), 6))
+    kP.select(col(sourceCol), col("n_supply"),
+      round(col("cap"), 6).as("cap"), col("capped"),
+      when(col("capped") === 1, round(col("cap"), 6))
+        .otherwise(waterline).as("alloc"),
+      round(when(col("capped") === 1, round(col("cap"), 6))
+        .otherwise(waterline) / col("n_supply").cast("double"), 6)
+        .as("epochs_used"))
+  }
 }

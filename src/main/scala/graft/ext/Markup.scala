@@ -89,6 +89,42 @@ object Markup {
   def domainKeep(text: Column, blocklist: Seq[String]): Column =
     size(filter(urlHosts(text), h => h.isin(blocklist: _*))) === 0
 
+  /** All dot-suffixes of a host, longest first: `a.b.c` →
+    * [`a.b.c`, `b.c`, `c`] — the candidate set a registrable-domain
+    * blocklist entry can match (entry `b.c` blocks `a.b.c` and `b.c`
+    * but never `xb.c`). Bounded by the host's label count. */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+  }
+
+  /** Subdomain-aware blocklist report — [[domainReport]]'s exact-match
+    * `IN` misses `cdn7.ads.tracker.net` when the list carries
+    * `tracker.net`; real crawl blocklists name REGISTRABLE domains and
+    * expect every subdomain blocked. A host is blocked iff any of its
+    * dot-suffixes equals a blocklist entry.
+    *
+    * Scale: the host's suffix set is label-count-bounded, so the match
+    * is `arrays_overlap` against the (bounded, broadcast-literal)
+    * blocklist — a pure codegen projection, no join, no per-entry
+    * `LIKE '%.entry'` scan over the corpus. A million-entry blocklist
+    * swaps the literal for a broadcast equi-join on the exploded
+    * suffix — same candidate set, same semantics, hash lookup instead
+    * of the O(|hosts|·|list|) suffix LIKE. */
+  def suffixBlocklistReport(docs: DataFrame, textCol: String,
+      idCol: String, blocklist: Seq[String]): DataFrame = {
+    val hosts = urlHosts(col(textCol))
+    val entries = typedLit(blocklist)
+    val blocked = filter(hosts,
+      h => arrays_overlap(hostSuffixes(h), entries))
+    docs.select(
+      col(idCol),
+      size(hosts).as("n_urls"),
+      size(blocked).as("n_blocked"),
+      (size(blocked) === 0).cast("int").as("keep"))
+  }
+
   /** Query parameters that carry no content identity — standard crawl
     * canonicalization set (Google/Facebook click ids + utm campaign
     * tags). A param is dropped when its NAME matches; `utm_` is a

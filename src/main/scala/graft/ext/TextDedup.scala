@@ -814,4 +814,27 @@ object TextDedup {
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
+
+  /** Soft deduplication: DOWN-WEIGHT near-duplicates instead of
+    * dropping them — every doc in a near-dup cluster of size n carries
+    * sampling weight 1/n, so each distinct content unit contributes one
+    * unit of training mass regardless of how many copies the crawl
+    * caught. Keeps the gradient signal of boilerplate-adjacent docs a
+    * hard dedup would discard while neutralizing the duplication bias
+    * (the frequency-reweighting alternative to `exactDedup`/
+    * `keep-best`; a trainer consumes `weight` as the sampling rate).
+    *
+    * Scale: cluster sizes are one hash aggregate on the components
+    * frame (rep-grain), joined back on rep_id — the join reuses the
+    * aggregate's hash partitioning, so the whole policy costs one
+    * shuffle past the component mining it shares with every other
+    * dedup consumer. */
+  def softDedupWeights(components: DataFrame, idCol: String): DataFrame = {
+    val sizes = components.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    components.join(sizes, Seq("rep_id"))
+      .select(col(idCol), col("rep_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6)
+          .as("weight"))
+  }
 }

@@ -305,4 +305,55 @@ object Vocab {
       Ols.r2(col("n_terms"), col("sx"), col("sy"), col("sxy"), col("sxx"),
         col("syy")).as("r2"))
   }
+
+  /** word2vec-style frequency subsampling report (Mikolov et al. 2013,
+    * "Distributed Representations of Words and Phrases", §2.3): each
+    * occurrence of word w survives with probability
+    * p_keep(w) = min(1, sqrt(t/f) + t/f) where f is w's corpus
+    * frequency — aggressive down-sampling of "the"-class words that
+    * dominate skip-gram windows without informing the embeddings. Per
+    * retained-vocabulary word (count ≥ `minCount`): corpus count, f,
+    * p_keep, and the count actually kept under the deterministic
+    * per-occurrence md5 coin u(doc, pos, tok) < p_keep — the same
+    * replayable-coin discipline as `ext_det_sample`, so the sampled
+    * outcome itself is oracle-checkable, not just the probabilities.
+    *
+    * Scale: one explode + hash aggregate builds the (tok, c) vocabulary
+    * (shuffle carries one row per DISTINCT word); the corpus total
+    * rides a 1-row broadcast; the coin pass re-explodes and joins the
+    * vocabulary on tok — vocabulary-sized build side, corpus streamed
+    * map-side, one final hash aggregate back to word grain. No windows,
+    * nothing driver-sized. */
+  def subsampleReport(docs: DataFrame, textCol: String, idCol: String,
+      t: Double, minCount: Long): DataFrame = {
+    // one corpus pass: the vocabulary-sized count frame is persisted
+    // (scope-released by the caller's action) and feeds BOTH the corpus
+    // total and the retained-vocabulary slice
+    val allCounts = graft.ops.CacheScope.persist(wordCounts(docs, textCol))
+    val counts = allCounts.filter(col("c") >= minCount)
+    val total = allCounts.agg(sum(col("c")).as("n_total"))
+    // f and p_keep rounded at 6 dp BEFORE the coin compare — the
+    // boundary u < p must test the same double on both engines
+    val f = col("c").cast("double") / col("n_total").cast("double")
+    val pKeep = round(least(lit(1.0),
+      sqrt(lit(t) / f) + lit(t) / f), 6)
+    val vocab = counts.crossJoin(broadcast(total))
+      .select(col("tok"), col("c"), col("n_total"),
+        round(f, 6).as("f"), pKeep.as("p_keep"))
+    val occ = docs.select(col(idCol),
+      posexplode(TextStats.tokens(lower(col(textCol))))
+        .as(Seq("pos0", "tok")))
+      // 1-based positions: DuckDB's generate_series replay is 1-based
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
+    val u = TextDedup.baseHash(concat_ws(":",
+      col(idCol).cast("string"), col("pos").cast("string"), col("tok")))
+      .cast("double") / lit(4294967296.0)
+    occ.join(vocab, Seq("tok"))
+      .select(col("tok"), col("c"), col("f"), col("p_keep"),
+        (u < col("p_keep")).cast("long").as("kept"))
+      .groupBy(col("tok"), col("c"), col("f"), col("p_keep"))
+      .agg(sum(col("kept")).as("n_kept"))
+      .select(col("tok"), col("c"), col("f"), col("p_keep"),
+        col("n_kept"))
+  }
 }

@@ -329,6 +329,37 @@ object StreamPipeline {
     runAvailableNow(agg, "stream_ev_", "complete")
   }
 
+  /** Per-hour DISTINCT USERS as a structured stream via the mergeable
+    * HLL sketch — exact `countDistinct` is unsupported in streaming
+    * (it would need unbounded per-key sets in the state store), and
+    * the sketch is the standard answer: state per hour window is 256
+    * register bytes whatever the user cardinality, merged register-wise
+    * across micro-batches by the same `TypedImperativeAggregate` the
+    * batch HLL family uses. The oracle replays per-hour registers and
+    * the shared estimator ([[graft.ops.IncrementalAgg.hllEstimateSql]])
+    * in batch SQL — streamed sketch state ≡ batch sketch hash-exactly.
+    *
+    * Scale: the shuffle carries partial sketches (one per hour ×
+    * map partition), the state store holds one sketch per live hour
+    * window, and the watermark evicts closed hours — the unbounded-
+    * stream shape for every distinct-count dashboard metric. */
+  def eventsHourlyHllAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    val p = 8
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    val agg = ev.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HllAgg.hll_sketch(
+        graft.ext.TextDedup.baseHash(col("user_id").cast("string")), p)
+        .as("sk"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        graft.ops.IncrementalAgg.hllEstimate(col("sk"), p)
+          .as("users_hll"))
+    runAvailableNow(agg, "stream_hll_", "complete")
+  }
+
   /** SLIDING-window rollup as a structured stream, drained with
     * `Trigger.AvailableNow` — the trending-metrics shape (every event
     * counts into the `slide`-spaced windows of length `window` covering

@@ -412,4 +412,113 @@ class Ext2Spec extends SparkSpec {
       "every duplicate must collapse to exactly one row")
     assert(out.select(col("event_id")).distinct().count() == src.count())
   }
+
+  test("unimaxMix: hand-computed waterfill — caps, waterline, budget") {
+    import graft.ext.Curation
+    // supplies 10/40/100 at epoch cap 1 → caps 10/40/100. Budget 60:
+    // A caps out (10·3 + 0 ≤ 60); waterline L = (60−10)/2 = 25.
+    val docs = (Seq.fill(10)("A") ++ Seq.fill(40)("B") ++
+      Seq.fill(100)("C")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s, 1L) }
+      .toDF("id", "source", "w")
+    val r = Curation.unimaxMix(docs, "source", "w", 60.0, 1.0)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getInt(3), x.getDouble(4), x.getDouble(5)))
+      .toMap
+    assert(r("A") == ((10L, 1, 10.0, 1.0)))
+    assert(r("B") == ((40L, 0, 25.0, 0.625)))
+    assert(r("C") == ((100L, 0, 25.0, 0.25)))
+    // total allocation consumes the budget exactly
+    assert(r.values.map(_._3).sum == 60.0)
+    // budget ≥ total capped supply → everyone capped at epochCap epochs
+    val rBig = Curation.unimaxMix(docs, "source", "w", 1000.0, 1.0)
+      .collect().map(x => x.getString(0) ->
+        (x.getInt(3), x.getDouble(4), x.getDouble(5))).toMap
+    assert(rBig.values.forall(v => v._1 == 1 && v._3 == 1.0))
+    assert(rBig("C")._2 == 100.0)
+  }
+
+  test("subsampleReport: p_keep formula, coin boundaries, full-keep") {
+    import graft.ext.Vocab
+    // "common" appears 10x, "rare" 10x across docs at t=1: t/f >= 1 for
+    // every word, so p_keep = 1 and EVERY occurrence is kept
+    val docs = (0 until 10)
+      .map(i => (i.toLong, "common rare")).toDF("doc_id", "text")
+    val keepAll = Vocab.subsampleReport(docs, "text", "doc_id",
+      t = 1.0, minCount = 1L).collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(keepAll.length == 2)
+    keepAll.foreach { r =>
+      assert(r.getAs[Double]("p_keep") == 1.0)
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("c"),
+        s"p_keep=1 word must keep every occurrence: $r")
+    }
+    // tiny t: frequent word down-samples hard, p matches the formula
+    val t = 0.01
+    val sub = Vocab.subsampleReport(docs, "text", "doc_id",
+      t, minCount = 1L).collect()
+    graft.ops.CacheScope.releaseAll()
+    sub.foreach { r =>
+      val f = r.getAs[Long]("c").toDouble / 20.0
+      val expect = math.rint(math.min(1.0,
+        math.sqrt(t / f) + t / f) * 1e6) / 1e6
+      assert(r.getAs[Double]("p_keep") == expect)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("c"))
+    }
+  }
+
+  test("suffixBlocklist: subdomains blocked, lookalike hosts kept") {
+    import graft.ext.Markup
+    val docs = Seq(
+      (1L, "x https://a.b.tracker.net/p https://ok.example.org/q"),
+      (2L, "y https://tracker.net/root"),
+      (3L, "z https://nottracker.net/safe https://trackernet.org"),
+      (4L, "w no urls at all")).toDF("doc_id", "text")
+    val r = Markup.suffixBlocklistReport(docs, "text", "doc_id",
+      Seq("tracker.net")).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getInt(3)))
+      .toMap
+    assert(r(1L) == ((2, 1, 0)), "subdomain a.b.tracker.net must block")
+    assert(r(2L) == ((1, 1, 0)), "the bare entry itself must block")
+    assert(r(3L) == ((2, 0, 1)),
+      "nottracker.net / trackernet.org are NOT suffix matches")
+    assert(r(4L) == ((0, 0, 1)))
+  }
+
+  test("softDedupWeights: 1/cluster-size, weights sum to cluster count") {
+    import graft.ext.TextDedup
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val comp = TextDedup.connectedComponents(docs, "doc_id", pairs)
+    val w = TextDedup.softDedupWeights(comp, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    graft.ops.CacheScope.releaseAll()
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(w(id) == ((1L, 3L, 0.333333)), s"doc $id"))
+    assert(w(4L) == ((4L, 1L, 1.0)))
+    assert(w(5L) == ((5L, 1L, 1.0)))
+    // Σ weights ≈ number of distinct content units (3 clusters)
+    val total = w.values.map(_._3).sum
+    assert(math.abs(total - 3.0) < 1e-4)
+  }
+
+  test("streaming hourly HLL ≡ batch sketch on the same events") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamPipeline
+      .eventsHourlyHllAvailableNow(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_format(
+        date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(graft.functions.HllAgg.hll_sketch(
+        graft.ext.TextDedup.baseHash(col("user_id").cast("string")), 8)
+        .as("sk"))
+      .select(col("hour"),
+        graft.ops.IncrementalAgg.hllEstimate(col("sk"), 8)
+          .as("users_hll"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed sketch state must equal the batch sketch exactly")
+  }
 }

@@ -59,7 +59,10 @@ class PlanGuardSpec extends SparkSpec {
       ("the same prefix-sum window, inherited through the shared " +
         "sampling-table construction"),
     "ext_zipf_fit" ->
-      "rank over the bounded top-N vocabulary (TakeOrdered upstream)")
+      "rank over the bounded top-N vocabulary (TakeOrdered upstream)",
+    "ext_unimax_mix" ->
+      ("waterfill sort/prefix/count windows over the per-source supply " +
+        "aggregate (source cardinality, tens of rows)"))
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:
