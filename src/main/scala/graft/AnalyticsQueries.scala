@@ -295,6 +295,31 @@ object AnalyticsQueries {
           AS users_hll
       FROM est"""))
 
+  /** CMS frequency counters as a structured stream
+    * ([[graft.streaming.StreamPipeline.eventsCmsCountersAvailableNow]],
+    * d=4 × w=64 over user_id) — bounded-state approximate frequencies
+    * for an unbounded stream; counters merge by addition so partial
+    * aggregation IS the merge. Oracle replays the counter build in
+    * batch SQL: streamed sketch state ≡ batch counters hash-exactly. */
+  val qStreamCmsCounters = Q(
+    "q_stream_cms_counters",
+    (s, d) =>
+      graft.streaming.StreamPipeline.eventsCmsCountersAvailableNow(s, d),
+    Some {
+      val rows = (0 until 4).map { r =>
+        s"""SELECT $r AS r,
+          ((${graft.ext.TextDedup.minhashA(r)} * base
+            + ${graft.ext.TextDedup.minhashB(r)})
+            % ${graft.ext.TextDedup.minhashP}) % 64 AS bucket FROM h"""
+      }.mkString(" UNION ALL ")
+      s"""WITH h AS (
+          SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+            ::BIGINT AS base
+          FROM events),
+        buck AS ($rows)
+        SELECT r, bucket, count(*) AS c FROM buck GROUP BY 1, 2"""
+    })
+
   /** SLIDING-window rollup as a structured stream
     * ([[graft.streaming.StreamPipeline.eventsSlidingAvailableNow]],
     * 1-hour windows every 15 minutes): the trending-metrics shape. The
@@ -1996,8 +2021,8 @@ object AnalyticsQueries {
     q1Pricing, q3TopOrders, q5RegionRevenue, qTopkSort, qWindowRank,
     qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
-    qEventsHourlyStream, qStreamHllUsers, qStreamSliding,
-    qStreamAttribution,
+    qEventsHourlyStream, qStreamHllUsers, qStreamCmsCounters,
+    qStreamSliding, qStreamAttribution,
     qAttributionLinear, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,

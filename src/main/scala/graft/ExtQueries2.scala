@@ -968,11 +968,90 @@ object ExtQueries2 {
           OR h LIKE '%.spam.example')) = 0 AS INT) AS keep
       FROM hosts"""))
 
+  /** Per-source topic terms ([[graft.ext.Retrieval.groupTopTerms]]) —
+    * cluster/source labeling by group-tf × ln(G/df) with df counted
+    * over GROUPS: corpus-wide boilerplate (df = G) scores exactly 0 and
+    * distinguishing vocabulary surfaces. All aggregates collapse to
+    * group-vocabulary grain before any window; ranking partitions by
+    * source. */
+  val sourceTopicsQ = Q(
+    "ext_source_topics",
+    (s, d) => graft.ext.Retrieval.groupTopTerms(
+      Tables.documents(s, d), "text", "source", 5),
+    Some("""WITH flat AS (
+        SELECT source, unnest(string_split_regex(trim(lower(text),
+          ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+          '[ \t\n\x0B\f\r]+')) AS term
+        FROM documents),
+      tf AS (SELECT source, term, count(*) AS tf FROM flat GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      ng AS (SELECT count(DISTINCT source) AS n_groups FROM tf),
+      scored AS (
+        SELECT source, term, tf, df,
+          round(tf * round(ln(CAST(n_groups AS DOUBLE)
+            / CAST(df AS DOUBLE)), 6), 6) AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN ng),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY score DESC, term ASC) AS rank
+        FROM scored)
+      SELECT source, CAST(rank AS INT) AS rank, term, tf, df, score
+      FROM r WHERE rank <= 5"""))
+
+  /** ROUGE-2 scoring of adjacent-id document pairs
+    * ([[graft.ext.TextDedup.rougeN]], distinct-bigram form) — the
+    * candidate-vs-reference overlap metric a pipeline runs on proposed
+    * rewrites/augmentations before admitting them; here each doc scores
+    * against its successor as the deterministic pair fixture. Pair
+    * list in, two id-keyed joins, stateless array intersection. */
+  val rougePairsQ = Q(
+    "ext_rouge_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("cand_id"),
+        (col("doc_id") + 1).as("ref_id"))
+      graft.ext.TextDedup.rougeN(docs, "text", "doc_id", pairs, n = 2)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text),
+          ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+          '[ \t\n\x0B\f\r]+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+          THEN list_transform(generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i + 1])
+          ELSE [] END) AS s
+        FROM toks),
+      p AS (
+        SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+          a.s AS sa, b.s AS sb
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+      m AS (
+        SELECT cand_id, ref_id,
+          len(list_filter(sa, x -> list_contains(sb, x))) AS n_overlap,
+          len(sa) AS n_cand, len(sb) AS n_ref
+        FROM p),
+      sc AS (
+        SELECT cand_id, ref_id, n_overlap, n_cand, n_ref,
+          CASE WHEN n_ref > 0
+            THEN round(n_overlap / CAST(n_ref AS DOUBLE), 6)
+            ELSE 0.0 END AS rouge_recall,
+          CASE WHEN n_cand > 0
+            THEN round(n_overlap / CAST(n_cand AS DOUBLE), 6)
+            ELSE 0.0 END AS rouge_precision
+        FROM m)
+      SELECT *, CASE WHEN rouge_recall + rouge_precision > 0
+        THEN round(2.0 * rouge_recall * rouge_precision
+          / (rouge_recall + rouge_precision), 6)
+        ELSE 0.0 END AS rouge_f1
+      FROM sc"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
     contentType, clipAlignGate, doremiWeights, tokenizerFertility,
     curriculumOrder, embStandardize, negSamplingTable, negSampleDraws,
     kmvJaccard, hllRollingWau, unimaxMixQ, wordSubsampleQ,
-    suffixBlocklistQ)
+    suffixBlocklistQ, sourceTopicsQ, rougePairsQ)
 }

@@ -190,6 +190,42 @@ object Retrieval {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Top distinguishing terms PER GROUP — cluster/source labeling, the
+    * human-readable annotation step after any corpus partitioning
+    * (near-dup clustering, source routing, k-means topics): score =
+    * group term frequency × ln(G/df) where df counts the GROUPS
+    * containing the term, so corpus-wide boilerplate (df = G) scores
+    * exactly 0 and what survives is what makes the group itself.
+    *
+    * Scale: one explode → (group, term) hash aggregate collapses the
+    * corpus to group-vocabulary grain; df is a term-keyed aggregate
+    * OVER that frame (never the corpus); the group count rides a 1-row
+    * broadcast; ranking windows partition BY GROUP over its own
+    * vocabulary. The (group, term) frame is persisted — it feeds both
+    * the df aggregate and the scored join. */
+  def groupTopTerms(docs: DataFrame, textCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val tf = graft.ops.CacheScope.persist(
+      docs.select(col(groupCol),
+        explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+        .groupBy(col(groupCol), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nGroups = tf.agg(countDistinct(col(groupCol)).as("n_groups"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nGroups))
+      .select(col(groupCol), col("term"), col("tf"), col("df"),
+        round(col("tf") *
+          round(log(col("n_groups").cast("double")
+            / col("df").cast("double")), 6), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** DuckDB oracle SQL for [[hybridRrfTopK]] over `documents` +
     * `embeddings` (vec_id = doc_id). */
   def hybridRrfOracleSql(queryTerms: Seq[String], queryVecId: Long,

@@ -514,6 +514,45 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** ROUGE-N (distinct-gram form) for EXPLICIT (candidate, reference)
+    * pairs: n-gram set overlap → recall |A∩B|/|B|, precision
+    * |A∩B|/|A|, F1 — the summarization/compression-eval metric, used
+    * in a data pipeline to score candidate rewrites/augmentations
+    * against their sources before admitting them to training. Shingle
+    * sets are [[shingles]] (lowercased, distinct), so the metric is the
+    * set variant (each distinct n-gram counts once — the common
+    * implementation choice for dedup-adjacent scoring).
+    *
+    * Scale: the pair list is an input (typically LSH/band candidates —
+    * bounded), and the cost is two id-keyed joins carrying one shingle
+    * array per side plus a stateless array intersection — no
+    * corpus×corpus term, no window. Zero-gram sides score NULL-free
+    * via explicit guards (empty reference → recall 0). */
+  def rougeN(docs: DataFrame, textCol: String, idCol: String,
+      pairs: DataFrame, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("__rid"),
+      shingles(lower(col(textCol)), n).as("__sh"))
+    val joined = pairs
+      .join(sh.select(col("__rid").as("cand_id"), col("__sh").as("sa")),
+        Seq("cand_id"))
+      .join(sh.select(col("__rid").as("ref_id"), col("__sh").as("sb")),
+        Seq("ref_id"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val rec = when(size(col("sb")) > 0,
+      round(inter / size(col("sb")).cast("double"), 6)).otherwise(0.0)
+    val prec = when(size(col("sa")) > 0,
+      round(inter / size(col("sa")).cast("double"), 6)).otherwise(0.0)
+    joined.select(col("cand_id"), col("ref_id"),
+      inter.as("n_overlap"),
+      size(col("sa")).as("n_cand"), size(col("sb")).as("n_ref"),
+      rec.as("rouge_recall"), prec.as("rouge_precision"))
+      .withColumn("rouge_f1",
+        when(col("rouge_recall") + col("rouge_precision") > 0,
+          round(lit(2.0) * col("rouge_recall") * col("rouge_precision")
+            / (col("rouge_recall") + col("rouge_precision")), 6))
+          .otherwise(0.0))
+  }
+
   /** Connected components over near-duplicate pairs — the step that turns
     * pairwise dedup output into per-document keep/drop decisions: every
     * document is labeled with its component's MINIMUM id (the kept

@@ -360,6 +360,31 @@ object StreamPipeline {
     runAvailableNow(agg, "stream_hll_", "complete")
   }
 
+  /** Count-Min-Sketch counters as a structured stream — the frequency
+    * twin of [[eventsHourlyHllAvailableNow]]'s distinct sketch: exact
+    * per-key frequency over an unbounded stream needs one state row per
+    * DISTINCT KEY (unbounded); the CMS keeps a fixed d×w counter
+    * matrix (≤ 256 state rows here) whatever the key cardinality, and
+    * counters merge by addition — which IS Spark's partial aggregation,
+    * so micro-batches fold in with no custom state code. Probing
+    * (point estimates / heavy-hitter candidates) happens downstream on
+    * the drained matrix exactly as in the batch `ext_heavy_hitters_cms`
+    * path. The oracle replays the counter build in batch SQL —
+    * streamed counter state ≡ batch counters hash-exactly. */
+  def eventsCmsCountersAvailableNow(
+      spark: SparkSession, dir: String,
+      d: Int = 4, w: Int = 64): DataFrame = {
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    val agg = ev
+      .select(posexplode(array(graft.ext.Sketches.cmsBuckets(
+        col("user_id").cast("string"), d, w): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    runAvailableNow(agg, "stream_cms_", "complete")
+  }
+
   /** SLIDING-window rollup as a structured stream, drained with
     * `Trigger.AvailableNow` — the trending-metrics shape (every event
     * counts into the `slide`-spaced windows of length `window` covering

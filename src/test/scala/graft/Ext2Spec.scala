@@ -503,6 +503,44 @@ class Ext2Spec extends SparkSpec {
     assert(math.abs(total - 3.0) < 1e-4)
   }
 
+  test("groupTopTerms: shared vocabulary scores 0, unique terms rank") {
+    import graft.ext.Retrieval
+    val docs = Seq(
+      (1L, "g1", "apple apple banana shared"),
+      (2L, "g1", "apple shared"),
+      (3L, "g2", "cherry shared shared")).toDF("id", "grp", "text")
+    val r = Retrieval.groupTopTerms(docs, "text", "grp", 2).collect()
+      .map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getString(2), x.getLong(3), x.getLong(4), x.getDouble(5)))
+      .toMap
+    graft.ops.CacheScope.releaseAll()
+    // apple: tf=3 in g1, df=1 → 3·ln(2) = 2.079442 → top of g1
+    assert(r(("g1", 1)) == (("apple", 3L, 1L, 3 * 0.693147)))
+    assert(r(("g2", 1)) == (("cherry", 1L, 1L, 0.693147)))
+    // 'shared' lives in BOTH groups → ln(2/2) = 0 score
+    val sharedScores = Retrieval.groupTopTerms(docs, "text", "grp", 10)
+      .filter(col("term") === "shared").select("score").collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(sharedScores.forall(_.getDouble(0) == 0.0))
+  }
+
+  test("rougeN: hand-computed bigram overlap and empty-side guards") {
+    import graft.ext.TextDedup
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "b c d e"), (3L, "x")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("cand_id", "ref_id")
+    val r = TextDedup.rougeN(docs, "text", "doc_id", pairs, n = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getInt(2), x.getDouble(5), x.getDouble(6), x.getDouble(7)))
+      .toMap
+    // cand {ab,bc,cd} vs ref {bc,cd,de}: overlap 2 → R=P=F1=2/3
+    assert(r((1L, 2L)) == ((2, 0.666667, 0.666667, 0.666667)))
+    // empty REFERENCE ("x" has no bigrams): recall guard → 0, not NULL
+    assert(r((1L, 3L)) == ((0, 0.0, 0.0, 0.0)))
+    // empty CANDIDATE: precision guard → 0, not NULL
+    assert(r((3L, 1L)) == ((0, 0.0, 0.0, 0.0)))
+  }
+
   test("streaming hourly HLL ≡ batch sketch on the same events") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamPipeline
