@@ -178,6 +178,81 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** dHash band values from a pre-bound pooled cell-mean array: the
+    * GRADIENT-SIGN perceptual hash (difference hash — the LAION-style
+    * image-dedup fingerprint), computed over `bands·bandBits + 1`
+    * block means so each of the `bands·bandBits` bits is
+    * `mean(cell g+1) > mean(cell g)`. Gradient signs are invariant to
+    * global brightness shifts that move every cell mean equally —
+    * the failure mode of [[perceptualHash]]'s absolute threshold —
+    * which is why dHash is the standard re-encode-robust variant.
+    *
+    * Bits are grouped directly into `bands` band VALUES (bandBits bits
+    * each, MSB-first Horner fold), because the banded Hamming join
+    * needs exactly those; the full fingerprint is their concatenation.
+    * Keeping every value ≤ 2^bandBits−1 also sidesteps the 64-bit
+    * sign bit that a single packed long would put in play on both
+    * engines. NULL cells (payload shorter than the grid) read as 0.
+    *
+    * `pooled` MUST be a bound column (a projected [[resizePooled]]
+    * result), not an inline expression: the lambda indexes it
+    * 2·bands·bandBits times, and an inline tree would re-evaluate the
+    * whole pooling per access. Pure codegen HOF projection. */
+  def dHashBandsFromPooled(pooled: Column, bands: Int,
+      bandBits: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(
+        sequence(b * lit(bandBits), (b + lit(1)) * lit(bandBits) - 1),
+        lit(0L),
+        (acc, g) => acc * lit(2L) + when(
+          coalesce(element_at(pooled, g + 2), lit(0.0)) >
+            coalesce(element_at(pooled, g + 1), lit(0.0)),
+          lit(1L)).otherwise(lit(0L))))
+
+  /** Perceptual near-dup pairs by dHash ([[dHashBandsFromPooled]]):
+    * the multimodal image-dedup stage of a LAION-style corpus prep —
+    * gradient-sign fingerprint, banded Hamming self-join. With
+    * `bands` bands a pair within Hamming ≤ bands−1 must agree exactly
+    * on at least one band (pigeonhole), so candidate generation is a
+    * bucketed equi-join on (band index, band value) — never all-pairs
+    * — and `maxHamming ≤ bands−1` keeps recall exact. Verification
+    * (bit_count of per-band xors) touches only collisions.
+    *
+    * Scale: signature frame is id + bands longs (payload bytes never
+    * cross the shuffle); persisted once, feeding both join sides.
+    * Same candidate-bound shape as [[phashPairs]] and the
+    * SimHash/MinHash pair miners. */
+  def dHashPairs(df: DataFrame, idCol: String, payloadCol: String,
+      bands: Int = 4, bandBits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"pigeonhole recall guarantee needs maxHamming <= bands-1, " +
+        s"got $maxHamming vs $bands bands")
+    val k = bands * bandBits + 1
+    val sig = graft.ops.CacheScope.persist(
+      df.select(col(idCol).cast("long").as("id"),
+          resizePooled(col(payloadCol), k).as("_pooled"))
+        .select(col("id"),
+          dHashBandsFromPooled(col("_pooled"), bands, bandBits)
+            .as("bvs")))
+    val bandRows = sig.select(col("id"), col("bvs"),
+      posexplode(col("bvs")).as(Seq("band", "bv")))
+    val a = bandRows.select(col("id").as("id_a"), col("bvs").as("bvs_a"),
+      col("band"), col("bv"))
+    val b = bandRows.select(col("id").as("id_b"), col("bvs").as("bvs_b"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bvs_a"), col("bvs_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        aggregate(
+          zip_with(col("bvs_a"), col("bvs_b"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** CLIP-style cross-modal alignment gate (the LAION-400M/5B curation
     * recipe: keep an (image, caption) pair only when the cosine between
     * the two modality embeddings clears a threshold). Generic over any

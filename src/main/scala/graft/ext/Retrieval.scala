@@ -200,9 +200,18 @@ object Retrieval {
     * Scale: one explode → (group, term) hash aggregate collapses the
     * corpus to group-vocabulary grain; df is a term-keyed aggregate
     * OVER that frame (never the corpus); the group count rides a 1-row
-    * broadcast; ranking windows partition BY GROUP over its own
-    * vocabulary. The (group, term) frame is persisted — it feeds both
-    * the df aggregate and the scored join. */
+    * broadcast. Ranking is the grouped bounded-heap
+    * [[graft.functions.TopKStrAgg]] — NOT a `row_number` window: a
+    * window partitioned by group would funnel a dominant source's
+    * entire distinct-term vocabulary (10⁸+ rows on web-scale text)
+    * through one task's sort, while the heap partial keeps ≤k
+    * (score, term) pairs per (group, partition) map-side, so the
+    * exchange carries k·partitions rows per group, never the
+    * vocabulary. Same (score desc, term asc) total order as the window
+    * over the 6-dp-rounded finite scores — the DuckDB window oracle
+    * stays hash-exact. The winners then join back to the persisted
+    * scored frame (unique on (group, term) both sides) to recover
+    * tf/df. */
   def groupTopTerms(docs: DataFrame, textCol: String, groupCol: String,
       k: Int): DataFrame = {
     val tf = graft.ops.CacheScope.persist(
@@ -212,16 +221,20 @@ object Retrieval {
         .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nGroups = tf.agg(countDistinct(col(groupCol)).as("n_groups"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(nGroups))
-      .select(col(groupCol), col("term"), col("tf"), col("df"),
-        round(col("tf") *
-          round(log(col("n_groups").cast("double")
-            / col("df").cast("double")), 6), 6).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val scored = graft.ops.CacheScope.persist(
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nGroups))
+        .select(col(groupCol), col("term"), col("tf"), col("df"),
+          round(col("tf") *
+            round(log(col("n_groups").cast("double")
+              / col("df").cast("double")), 6), 6).as("score")))
+    val top = scored.groupBy(col(groupCol))
+      .agg(graft.functions.TopKStrAgg.top_k_str(
+        col("score"), col("term"), k).as("tk"))
+      .select(col(groupCol), explode(col("tk")).as("t"))
+      .select(col(groupCol), col("t.key").as("term"),
+        col("t.rank").as("rank"))
+    top.join(scored, Seq(groupCol, "term"))
       .select(col(groupCol), col("rank"), col("term"), col("tf"),
         col("df"), col("score"))
   }

@@ -164,6 +164,24 @@ class PlanGuardSpec extends SparkSpec {
       "salted band join no longer engages for the skewed headline query")
   }
 
+  test("ext_source_topics ranks via the bounded heap, not a vocab window") {
+    // the per-source topic ranking must NOT plan a row_number window
+    // over the (source, term) frame: a dominant source's distinct-term
+    // vocabulary would funnel through one task's sort at web scale. The
+    // scale-safe plan is the grouped TopKStrAgg (map-side ≤k per
+    // (source, partition)) — assert the window is gone AND the heap
+    // aggregate is present.
+    val q = Registry.all.find(_.name == "ext_source_topics").get
+    val plan = q.run(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    graft.ops.CacheScope.releaseAll()
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "ext_source_topics plans a Window — the vocab-sort scale-killer " +
+        "the TopKStrAgg swap removed")
+    assert(plan.toString.contains("topkstragg"),
+      "ext_source_topics no longer ranks with the grouped TopKStrAgg heap")
+  }
+
   test("AQE splits a runtime-skewed sort-merge join (the no-salt fallback)") {
     // the OTHER half of the skew story: when a hot key is only known at
     // runtime, AQE's skew-join split — not salting — is the mitigation.
