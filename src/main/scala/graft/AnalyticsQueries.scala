@@ -293,7 +293,8 @@ object AnalyticsQueries {
       SELECT hour,
         ${graft.ops.IncrementalAgg.hllEstimateSql("s", "v", 8)}
           AS users_hll
-      FROM est"""))
+      FROM est"""),
+    bench = true)
 
   /** CMS frequency counters as a structured stream
     * ([[graft.streaming.StreamPipeline.eventsCmsCountersAvailableNow]],
@@ -318,7 +319,8 @@ object AnalyticsQueries {
           FROM events),
         buck AS ($rows)
         SELECT r, bucket, count(*) AS c FROM buck GROUP BY 1, 2"""
-    })
+    },
+    bench = true)
 
   /** SLIDING-window rollup as a structured stream
     * ([[graft.streaming.StreamPipeline.eventsSlidingAvailableNow]],

@@ -60,6 +60,17 @@ object ScaleProbe {
     // warmup: exercise codegen/JIT and the parquet footers before timing
     scaledLineitem(1).filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag")).agg(count(lit(1))).collect()
+    // ...and the streaming machinery (checkpoint dir, state store
+    // provider, memory sink) — otherwise first-run setup lands entirely
+    // on the n=1 stream observation
+    locally {
+      val warmDir = "/tmp/graft_scaleprobe_ev/warm"
+      Tables.events(spark, sfDir).limit(1000)
+        .write.mode("overwrite").parquet(warmDir)
+      graft.streaming.StreamPipeline
+        .eventsHourlyAvailableNowParts(spark, warmDir).count()
+      ()
+    }
 
     Seq(1, 2, 4, 8, 16, 32).filter(_ <= maxN).foreach { n =>
       val li = scaledLineitem(n)
@@ -116,9 +127,24 @@ object ScaleProbe {
         graft.ops.CacheScope.releaseAll()
         r
       }
+      // streaming shape: the AvailableNow hourly rollup over the same
+      // N×-scaled events, written as a 32-part directory so the file
+      // source lists/plans a realistic multi-file micro-batch. The write
+      // happens OUTSIDE the timed region; the timing covers listing,
+      // micro-batch planning, watermark bookkeeping, and the stateful
+      // window agg — the parts of the streaming story the batch probes
+      // above cannot see. Copies are 90-day-shifted, so hour-window
+      // state cardinality scales with the data (the realistic axis).
+      val streamDir = s"/tmp/graft_scaleprobe_ev/n$n"
+      ev.repartition(32).write.mode("overwrite").parquet(streamDir)
+      val stream = time {
+        graft.streaming.StreamPipeline
+          .eventsHourlyAvailableNowParts(spark, streamDir).count()
+      }
       println(s"""{"probe":"scale","n":$n,"q1_agg":$q1,""" +
         s""""pareto_prefix":$pareto,"band_join":$band,""" +
-        s""""exact_dedup":$dedup,"minhash_lsh":$lsh}""")
+        s""""exact_dedup":$dedup,"minhash_lsh":$lsh,""" +
+        s""""stream_hourly":$stream}""")
     }
     spark.stop()
   }

@@ -218,7 +218,8 @@ object StreamPipeline {
       connect: () => java.sql.Connection, checkpointDir: String,
       loadedAtFor: Long => java.sql.Timestamp,
       promoteSqlFor: (String, String, Seq[String], Seq[String]) => String =
-        graft.sinks.PgLoad.promoteSql): StreamingQuery = {
+        graft.sinks.PgLoad.promoteSql,
+      legacyCheckpointSpellings: Seq[String] = Nil): StreamingQuery = {
     // canonicalized ([[runNamespace]]): the ledger key must be STABLE
     // across restarts — a restart that spells the same checkpoint
     // differently (cwd-relative vs absolute) would otherwise mint a new
@@ -231,10 +232,21 @@ object StreamPipeline {
     // the one in-flight replayed batch TWICE. The legacy key is checked
     // (never written) inside the claim transaction — see
     // [[graft.sinks.PgLoad.loadAllStaged]].
-    val legacySid = md5Hex8(checkpointDir)
+    //
+    // ASSUMPTION: deriving the legacy key from THIS run's raw
+    // `checkpointDir` only reproduces the pre-upgrade key when the
+    // restart spells the location exactly as the old release did. A
+    // restart that upgrades AND re-spells the path (relative → absolute,
+    // adds `file://`) must pass the old spelling(s) in
+    // `legacyCheckpointSpellings` — each is hashed into an extra legacy
+    // key checked the same way — or the in-flight batch can
+    // double-promote.
+    val legacySids =
+      (md5Hex8(checkpointDir) +: legacyCheckpointSpellings.map(md5Hex8))
+        .distinct.filterNot(_ == sid)
     val legacyFor: Long => Seq[String] =
-      if (legacySid == sid) _ => Nil
-      else id => Seq(s"$cls#$legacySid#$id")
+      if (legacySids.isEmpty) _ => Nil
+      else id => legacySids.map(l => s"$cls#$l#$id")
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -315,18 +327,39 @@ object StreamPipeline {
     if (normalizeEvents) graft.Tables.normalizeEventsTs(raw) else raw
   }
 
-  def eventsHourlyAvailableNow(
-      spark: SparkSession, dir: String): DataFrame = {
+  /** The hourly rollup plan shared by the registered query and the
+    * ScaleProbe streaming curve — one definition so the probe measures
+    * exactly the shape the query ships. */
+  private def hourlyRollup(ev: DataFrame): DataFrame = {
     import graft.Det.dsum
-    val ev = streamTable(spark, dir, "events.parquet",
-      normalizeEvents = true)
-    val agg = ev.withWatermark("ts", "2 hours")
+    ev.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"))
-    runAvailableNow(agg, "stream_ev_", "complete")
+  }
+
+  def eventsHourlyAvailableNow(
+      spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(
+      hourlyRollup(streamTable(spark, dir, "events.parquet",
+        normalizeEvents = true)),
+      "stream_ev_", "complete")
+
+  /** ScaleProbe hook: the SAME hourly rollup stream over a directory of
+    * Spark-written part files (the probe writes N×-scaled events there;
+    * the registered query's single-file glob cannot list those). Schema
+    * is probed from the directory; `*.parquet` skips _SUCCESS. */
+  def eventsHourlyAvailableNowParts(
+      spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+    runAvailableNow(hourlyRollup(graft.Tables.normalizeEventsTs(raw)),
+      "stream_probe_", "complete")
   }
 
   /** Per-hour DISTINCT USERS as a structured stream via the mergeable
@@ -340,9 +373,15 @@ object StreamPipeline {
     * in batch SQL — streamed sketch state ≡ batch sketch hash-exactly.
     *
     * Scale: the shuffle carries partial sketches (one per hour ×
-    * map partition), the state store holds one sketch per live hour
-    * window, and the watermark evicts closed hours — the unbounded-
-    * stream shape for every distinct-count dashboard metric. */
+    * map partition) and the state store holds one 256-byte sketch per
+    * hour window. NOTE on the adapter's output mode: this AvailableNow
+    * drain runs in `complete` mode (the memory-sink snapshot the oracle
+    * compare needs), where Spark retains every window's state and the
+    * watermark evicts nothing — state here is bounded by the DRAINED
+    * dataset's hour span, not by eviction. The genuinely-unbounded
+    * production shape is the same plan under `update`/`append` output,
+    * where the 2-hour watermark does evict closed hours and state is
+    * O(live windows) × 256 bytes. */
   def eventsHourlyHllAvailableNow(
       spark: SparkSession, dir: String): DataFrame = {
     val p = 8
