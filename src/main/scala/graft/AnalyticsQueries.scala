@@ -322,6 +322,47 @@ object AnalyticsQueries {
     },
     bench = true)
 
+  /** Per-hour value quantiles (p50/p90/p99) as a structured stream
+    * ([[graft.streaming.StreamPipeline.eventsHourlyQuantilesAvailableNow]],
+    * width-8 equi-width histogram): exact quantiles are unsupported in
+    * streaming state; the mergeable histogram (one count per occupied
+    * bucket per hour window, bounded by value-range/width) is the
+    * production latency-percentile shape, and the drained state goes
+    * through the IDENTICAL inverse-CDF read-off as the batch
+    * `ext_quantile_sketch`. Oracle replays histogram + interpolation
+    * in batch SQL — streamed ESTIMATES hash-exact. Bucketing floors
+    * on both engines (Spark's long cast truncates, DuckDB's rounds —
+    * floor is the agreed spelling). */
+  val qStreamQuantiles = Q(
+    "q_stream_value_quantiles",
+    (s, d) => graft.streaming.StreamPipeline
+      .eventsHourlyQuantilesAvailableNow(s, d),
+    Some("""WITH t AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+          AS hour, CAST(floor(value) AS BIGINT) AS v
+        FROM events),
+      h AS (
+        SELECT hour, v - (v % 8) AS bucket, count(*) AS cnt
+        FROM t GROUP BY 1, 2),
+      c AS (
+        SELECT hour, bucket, cnt,
+          CAST(sum(cnt) OVER (PARTITION BY hour ORDER BY bucket)
+            AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY hour) AS BIGINT) AS n
+        FROM h),
+      x AS (
+        SELECT hour, q, n, bucket, cnt, cum,
+          CAST(q AS DOUBLE) * n AS target,
+          row_number() OVER (PARTITION BY hour, q ORDER BY bucket) AS rn
+        FROM c CROSS JOIN (
+          SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+            CAST(0.99 AS DOUBLE)]) AS q) qq
+        WHERE cum >= CAST(q AS DOUBLE) * n)
+      SELECT hour, q, n,
+        round(bucket + 8 * (target - (cum - cnt)) / cnt, 6) AS est
+      FROM x WHERE rn = 1"""),
+    bench = true)
+
   /** SLIDING-window rollup as a structured stream
     * ([[graft.streaming.StreamPipeline.eventsSlidingAvailableNow]],
     * 1-hour windows every 15 minutes): the trending-metrics shape. The
@@ -2024,7 +2065,7 @@ object AnalyticsQueries {
     qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
     qEventsHourlyStream, qStreamHllUsers, qStreamCmsCounters,
-    qStreamSliding, qStreamAttribution,
+    qStreamQuantiles, qStreamSliding, qStreamAttribution,
     qAttributionLinear, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,

@@ -112,11 +112,25 @@ object Sketches {
     * quantiles of a 100 TB column for the price of a word-count. */
   def histogramQuantiles(df: DataFrame, valCol: Column, groupCol: String,
       width: Int, qs: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hist = df.select(col(groupCol), valCol.cast("long").as("v"))
       .withColumn("bucket", col("v") - (col("v") % width))
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+    quantileReadoff(hist, groupCol, width, qs)
+  }
+
+  /** Inverse-CDF read-off over a PREBUILT (group, bucket, cnt)
+    * histogram frame — split out of [[histogramQuantiles]] so the
+    * streaming twin can apply the identical read-off to DRAINED
+    * micro-batch state (the histogram is the mergeable sketch; the
+    * read-off is query-time post-processing over the bounded
+    * group×bucket grain, which is exactly how a production dashboard
+    * serves quantiles from streamed counters). The cumulative window
+    * runs over buckets per group — bounded by value-range/width — never
+    * over rows. */
+  def quantileReadoff(hist: DataFrame, groupCol: String,
+      width: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(groupCol).orderBy("bucket")
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(wCum))

@@ -424,6 +424,47 @@ object StreamPipeline {
     runAvailableNow(agg, "stream_cms_", "complete")
   }
 
+  /** Per-hour VALUE QUANTILES (p50/p90/p99) as a structured stream via
+    * the mergeable equi-width histogram sketch — exact quantiles are
+    * unsupported in streaming (they'd need every raw value in state);
+    * the histogram is the classic mergeable answer: state per hour
+    * window is one count per occupied `width`-wide bucket (bounded by
+    * value-range/width whatever the row count), combined across
+    * micro-batches by plain count addition, exactly like the batch
+    * [[graft.ext.Sketches.histogramQuantiles]] family. The drained
+    * state then goes through the IDENTICAL inverse-CDF read-off
+    * ([[graft.ext.Sketches.quantileReadoff]]) — query-time
+    * post-processing over the bounded hour×bucket grain, the way a
+    * dashboard serves latency percentiles from streamed counters. The
+    * oracle replays histogram + interpolation in batch SQL, so the
+    * ESTIMATES are hash-gated end to end.
+    *
+    * Parity note: bucketing uses explicit `floor` (not a bare long
+    * cast) because Spark's double→long cast truncates while DuckDB's
+    * rounds half-even — floor is the one spelling both engines agree
+    * on (values are non-negative here).
+    *
+    * Like the other AvailableNow adapters, this drain runs `complete`
+    * output for the snapshot; under `update`/`append` the watermark
+    * evicts closed hours and state is O(live windows × buckets). */
+  def eventsHourlyQuantilesAvailableNow(
+      spark: SparkSession, dir: String,
+      width: Int = 8,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    val v = floor(col("value")).cast("long")
+    val hist = ev.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"),
+        (v - (v % width)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("bucket"), col("cnt"))
+    val drained = runAvailableNow(hist, "stream_qt_", "complete")
+    graft.ext.Sketches.quantileReadoff(drained, "hour", width, qs)
+  }
+
   /** SLIDING-window rollup as a structured stream, drained with
     * `Trigger.AvailableNow` — the trending-metrics shape (every event
     * counts into the `slide`-spaced windows of length `window` covering

@@ -559,4 +559,22 @@ class Ext2Spec extends SparkSpec {
       batch.exceptAll(streamed).isEmpty,
       "streamed sketch state must equal the batch sketch exactly")
   }
+
+  test("streaming hourly quantiles ≡ batch histogram sketch") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamPipeline
+      .eventsHourlyQuantilesAvailableNow(spark, sf)
+    // the batch twin: identical floor-bucketing + identical read-off
+    // through histogramQuantiles (floor(value) passed explicitly — the
+    // op's internal long cast truncates, which equals floor only for
+    // the non-negative values this table has)
+    val batch = graft.ext.Sketches.histogramQuantiles(
+      Tables.events(spark, sf).withColumn("hour", date_format(
+        date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")),
+      floor(col("value")), "hour", width = 8, qs = Seq(0.5, 0.9, 0.99))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed histogram state must equal the batch sketch exactly")
+  }
 }
