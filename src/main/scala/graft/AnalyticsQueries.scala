@@ -322,6 +322,26 @@ object AnalyticsQueries {
     },
     bench = true)
 
+  /** Stream-static dimension enrichment
+    * ([[graft.streaming.StreamPipeline.eventsEnrichedSegmentAvailableNow]]):
+    * events broadcast-joined to the static customer dim (user →
+    * market segment), rolled up per hour window. The canonical
+    * production streaming join — STATELESS on the join (map-side hash
+    * probe of the broadcast dim; only the windowed agg keeps state,
+    * one row per hour×segment). Oracle replays the equi-join +
+    * group-by in batch SQL. */
+  val qStreamEnrichSegment = Q(
+    "q_stream_enrich_segment",
+    (s, d) => graft.streaming.StreamPipeline
+      .eventsEnrichedSegmentAvailableNow(s, d),
+    Some(s"""SELECT
+        strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        c.c_mktsegment, count(*) AS n,
+        ${Det.dsumSql("e.value")} AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2"""),
+    bench = true)
+
   /** Per-hour value quantiles (p50/p90/p99) as a structured stream
     * ([[graft.streaming.StreamPipeline.eventsHourlyQuantilesAvailableNow]],
     * width-8 equi-width histogram): exact quantiles are unsupported in
@@ -2065,7 +2085,8 @@ object AnalyticsQueries {
     qGroupTopK,
     qAntiJoin, qSemiJoin, qBrandVolume, qRollup, qEventsHourly,
     qEventsHourlyStream, qStreamHllUsers, qStreamCmsCounters,
-    qStreamQuantiles, qStreamSliding, qStreamAttribution,
+    qStreamEnrichSegment, qStreamQuantiles, qStreamSliding,
+    qStreamAttribution,
     qAttributionLinear, qJsonProps,
     qSessions,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,

@@ -1047,11 +1047,232 @@ object ExtQueries2 {
         ELSE 0.0 END AS rouge_f1
       FROM sc"""))
 
+  // ---------------------------------------------------------------- ER
+
+  /** Shared ER fixture: the customer table as a TWO-FEED record set.
+    * Salt (the [[ExtQueries.sourceOverlap]] pattern — the synthetic
+    * table has no real typos, so the cross-system duplicate is
+    * constructed in-flight): every 7th customer also arrives from a
+    * 'web' feed with a new surrogate id, ONE substituted character at
+    * the end of the name (each digit bumped via `translate`, so the
+    * twin is exactly Levenshtein 1 from its original — and collides
+    * exactly with a DIFFERENT customer's name, the classic same-name/
+    * different-person trap the field scoring must reject), and a
+    * 0.25-drifted balance (inside the closeness tolerance, but able to
+    * cross a coarse bucket boundary — which is what the multi-pass
+    * blocking exists to absorb). */
+  private def erRecs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("rid"),
+      lower(col("c_name")).as("name"),
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("bal"),
+      lit("crm").as("feed"))
+    val dirty = base.filter(col("rid") % 7 === 0).select(
+      (col("rid") + 10000000L).as("rid"),
+      concat(
+        col("name").substr(lit(1), length(col("name")) - 1),
+        translate(col("name").substr(length(col("name")), lit(1)),
+          "0123456789", "1234567890")).as("name"),
+      col("nation"), col("segment"),
+      (col("bal") + 0.25).as("bal"),
+      lit("web").as("feed"))
+    base.unionByName(dirty)
+  }
+
+  /** Blocked + verified + scored match pairs over a PERSISTED record
+    * frame ([[graft.ext.RecordLinkage]]): two blocking passes (name
+    * prefix fixing all but the last two chars; nation|segment|balance-
+    * bucket attribute key), pair-dedup before the thresholded
+    * Levenshtein, then the linear Fellegi–Sunter agreement score over
+    * (name distance, nation, segment, balance-within-1.0). Threshold
+    * 8.0 admits only pairs agreeing on every field with name distance
+    * ≤ 2 — the planted cross-feed twins — while the same-name/
+    * different-person collisions score 0.7 and fall out. */
+  private def erMatchedFrom(
+      recs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k1 = col("name").substr(lit(1), length(col("name")) - 2)
+    val k2 = concat(col("nation").cast("string"), lit("|"),
+      col("segment"), lit("|"),
+      floor(col("bal") / 100).cast("string"))
+    val pairs = graft.ext.RecordLinkage.blockedCandidates(
+      recs, "rid", "name", Seq(k1, k2), maxDist = 2)
+    graft.ext.RecordLinkage
+      .joinAttrs(pairs, recs, "rid", Seq("nation", "segment", "bal"))
+      .withColumn("score", round(
+        (lit(4.0) - lit(2.0) * col("name_dist"))
+          + when(col("nation_a") === col("nation_b"), 3.0).otherwise(-1.5)
+          + when(col("segment_a") === col("segment_b"), 1.2).otherwise(-0.8)
+          + when(abs(col("bal_a") - col("bal_b")) <= 1.0, 2.0)
+              .otherwise(-1.0),
+        6))
+      .filter(col("score") >= 8.0)
+      .select("id_a", "id_b", "name_dist", "score")
+  }
+
+  /** DuckDB replay of [[erRecs]] + [[erMatchedFrom]], ending in
+    * `matched(id_a, id_b, name_dist, score)`. The score expression
+    * carries the Spark Column tree's exact left-assoc parenthesization
+    * so both engines fold the same IEEE sums. */
+  private def erCteBase: String = s"""base AS (
+      SELECT c_custkey AS rid, lower(c_name) AS name,
+        c_nationkey AS nation, c_mktsegment AS segment,
+        c_acctbal AS bal, 'crm' AS feed
+      FROM customer),
+    recs AS MATERIALIZED (
+      SELECT * FROM base
+      UNION ALL
+      SELECT rid + 10000000 AS rid,
+        substring(name, 1, length(name) - 1) ||
+          translate(substring(name, length(name), 1),
+            '0123456789', '1234567890') AS name,
+        nation, segment, bal + 0.25 AS bal, 'web' AS feed
+      FROM base WHERE rid % 7 = 0),
+    keyed AS (
+      SELECT 0 AS bk_idx, substring(name, 1, length(name) - 2) AS bk,
+        rid, name FROM recs
+      UNION ALL
+      SELECT 1 AS bk_idx,
+        CAST(nation AS VARCHAR) || '|' || segment || '|' ||
+          CAST(CAST(floor(bal / 100) AS BIGINT) AS VARCHAR) AS bk,
+        rid, name FROM recs),
+    cand AS (
+      SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
+        a.name AS nm_a, b.name AS nm_b
+      FROM keyed a JOIN keyed b
+        ON a.bk_idx = b.bk_idx AND a.bk = b.bk AND a.rid < b.rid),
+    verified AS (
+      SELECT id_a, id_b, levenshtein(nm_a, nm_b) AS name_dist
+      FROM cand WHERE levenshtein(nm_a, nm_b) <= 2),
+    scored AS (
+      SELECT v.id_a, v.id_b, v.name_dist,
+        round((((CAST(4.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * v.name_dist)
+          + CASE WHEN ra.nation = rb.nation THEN CAST(3.0 AS DOUBLE)
+                 ELSE CAST(-1.5 AS DOUBLE) END)
+          + CASE WHEN ra.segment = rb.segment THEN CAST(1.2 AS DOUBLE)
+                 ELSE CAST(-0.8 AS DOUBLE) END)
+          + CASE WHEN abs(ra.bal - rb.bal) <= 1.0 THEN CAST(2.0 AS DOUBLE)
+                 ELSE CAST(-1.0 AS DOUBLE) END,
+          6) AS score
+      FROM verified v JOIN recs ra ON v.id_a = ra.rid
+        JOIN recs rb ON v.id_b = rb.rid),
+    matched AS MATERIALIZED (
+      SELECT * FROM scored WHERE score >= 8.0)"""
+
+  /** [[erCteBase]] + exact transitive closure → `comp(rid, entity_id)`
+    * (the [[ExtQueries.dedupComponents]] oracle shape). */
+  private def erCompCte: String = s"""RECURSIVE $erCteBase,
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM matched
+      UNION ALL SELECT id_b, id_a FROM matched),
+    reach(a, b) AS (
+      SELECT rid, rid FROM recs
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS rid, min(b) AS entity_id FROM reach GROUP BY a)"""
+
+  /** Record-linkage match pairs ([[graft.ext.RecordLinkage]]): the
+    * blocked, edit-distance-verified, field-agreement-scored customer
+    * pairs across the crm/web feeds. */
+  val erMatchScoresQ = Q(
+    "er_match_scores",
+    (s, d) => erMatchedFrom(graft.ops.CacheScope.persist(erRecs(s, d))),
+    Some(s"""WITH $erCteBase
+      SELECT id_a, id_b, name_dist, score FROM matched"""))
+
+  /** Entity clustering over the ER matches: transitive closure via the
+    * pointer-jump components ([[graft.ext.TextDedup.connectedComponents]]),
+    * every record labeled with its entity's min record id. */
+  val erEntityClustersQ = Q(
+    "er_entity_clusters",
+    (s, d) => {
+      val recs = graft.ops.CacheScope.persist(erRecs(s, d))
+      TextDedup.connectedComponents(recs, "rid", erMatchedFrom(recs))
+        .select(col("rid"), col("rep_id").as("entity_id"))
+    },
+    Some(s"""WITH $erCompCte
+      SELECT rid, entity_id FROM comp"""))
+
+  /** Golden-record survivorship: one merged row per resolved entity —
+    * record/feed counts plus deterministic field survivors (min name,
+    * max balance, min nation). One id-keyed join of the component
+    * labels to the record frame + one entity-keyed hash agg:
+    * entity-cardinality output, never a second pass over pairs. */
+  val erGoldenRecordsQ = Q(
+    "er_golden_records",
+    (s, d) => {
+      val recs = graft.ops.CacheScope.persist(erRecs(s, d))
+      val comp = TextDedup.connectedComponents(recs, "rid",
+        erMatchedFrom(recs))
+      recs.join(comp, Seq("rid"))
+        .groupBy(col("rep_id").as("entity_id"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("feed")).as("n_feeds"),
+          min(col("name")).as("name"),
+          max(col("bal")).as("bal"),
+          min(col("nation")).as("nation"))
+    },
+    Some(s"""WITH $erCompCte
+      SELECT c.entity_id, count(*) AS n_records,
+        count(DISTINCT r.feed) AS n_feeds,
+        min(r.name) AS name, max(r.bal) AS bal, min(r.nation) AS nation
+      FROM comp c JOIN recs r ON c.rid = r.rid
+      GROUP BY 1"""))
+
+  /** Incremental ER as a structured stream
+    * ([[graft.streaming.StreamPipeline.erAssignAvailableNow]]): newly
+    * arriving 'web' records blocked against the static master,
+    * verified and scored row-locally, assigned their master entity —
+    * stateless stream-static join, append output. The oracle replays
+    * the single-pass block join + verify + score in batch SQL. */
+  val erStreamAssignQ = Q(
+    "q_stream_er_assign",
+    (s, d) => graft.streaming.StreamPipeline.erAssignAvailableNow(s, d),
+    Some("""WITH base AS (
+        SELECT c_custkey AS rid, lower(c_name) AS name,
+          c_nationkey AS nation, c_mktsegment AS segment,
+          c_acctbal AS bal
+        FROM customer),
+      dirty AS (
+        SELECT rid + 10000000 AS rid,
+          substring(name, 1, length(name) - 1) ||
+            translate(substring(name, length(name), 1),
+              '0123456789', '1234567890') AS name,
+          nation, segment, bal + 0.25 AS bal
+        FROM base WHERE rid % 7 = 0),
+      cand AS (
+        SELECT i.rid AS rid, m.rid AS entity_id,
+          levenshtein(i.name, m.name) AS name_dist,
+          i.nation AS nation_i, m.nation AS nation_m,
+          i.segment AS segment_i, m.segment AS segment_m,
+          i.bal AS bal_i, m.bal AS bal_m
+        FROM dirty i JOIN base m
+          ON substring(i.name, 1, length(i.name) - 2)
+             = substring(m.name, 1, length(m.name) - 2)),
+      scored AS (
+        SELECT rid, entity_id, name_dist,
+          round((((CAST(4.0 AS DOUBLE)
+              - CAST(2.0 AS DOUBLE) * name_dist)
+            + CASE WHEN nation_i = nation_m THEN CAST(3.0 AS DOUBLE)
+                   ELSE CAST(-1.5 AS DOUBLE) END)
+            + CASE WHEN segment_i = segment_m THEN CAST(1.2 AS DOUBLE)
+                   ELSE CAST(-0.8 AS DOUBLE) END)
+            + CASE WHEN abs(bal_i - bal_m) <= 1.0
+                   THEN CAST(2.0 AS DOUBLE)
+                   ELSE CAST(-1.0 AS DOUBLE) END,
+            6) AS score
+        FROM cand WHERE name_dist <= 2)
+      SELECT rid, entity_id, name_dist, score
+      FROM scored WHERE score >= 8.0"""))
+
   def all: Seq[Q] = Seq(
     pmiCooccur, zipfFit, contaminationSemantic, streamDedup,
     hllDistinct, embDimStats, streamSessionsState, hllMergeEpochs,
     contentType, clipAlignGate, doremiWeights, tokenizerFertility,
     curriculumOrder, embStandardize, negSamplingTable, negSampleDraws,
     kmvJaccard, hllRollingWau, unimaxMixQ, wordSubsampleQ,
-    suffixBlocklistQ, sourceTopicsQ, rougePairsQ)
+    suffixBlocklistQ, sourceTopicsQ, rougePairsQ,
+    erMatchScoresQ, erEntityClustersQ, erGoldenRecordsQ, erStreamAssignQ)
 }

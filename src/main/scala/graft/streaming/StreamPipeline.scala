@@ -465,6 +465,103 @@ object StreamPipeline {
     graft.ext.Sketches.quantileReadoff(drained, "hour", width, qs)
   }
 
+  /** Stream-static DIMENSION ENRICHMENT — the most common production
+    * streaming join: each event is joined to a slow-moving dimension
+    * (customer → market segment) and rolled up per hour. The static
+    * side is an explicit `broadcast` of the two needed columns only, so
+    * the join is stateless map-side hash probing — NO join state in the
+    * state store, no shuffle of the stream (contrast the stream-stream
+    * interval join in [[attributionAvailableNow]], which must keep both
+    * sides' watermark-bounded state). At 100 TB/day of events the only
+    * stateful operator is the downstream windowed agg, whose state is
+    * one row per (hour window × segment) — bounded by dimension
+    * cardinality, not traffic. The dimension is re-read per micro-batch
+    * (Spark re-plans the static side), which is exactly how slowly
+    * changing dims pick up updates between batches.
+    *
+    * Oracle: the batch equi-join + group-by replay of the same plan. */
+  def eventsEnrichedSegmentAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    import graft.Det.dsum
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    val dim = broadcast(graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val out = ev.withWatermark("ts", "2 hours")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("c_mktsegment"), col("n"), col("total_value"))
+    runAvailableNow(out, "stream_enrich_", "complete")
+  }
+
+  /** INCREMENTAL record linkage as a structured stream — the streaming
+    * twin of the batch ER family (`er_match_scores`,
+    * [[graft.ext.RecordLinkage]]): each newly arriving record is
+    * blocked against the existing MASTER, edit-distance-verified and
+    * field-agreement-scored, and assigned the matching master entity —
+    * without ever re-linking the archive (the mirror of
+    * `ext_dedup_incremental`'s never-re-read-the-archive posture).
+    *
+    * The whole path is STATELESS: the blocking key is a projection, the
+    * candidate join is stream-static on the key (re-planned per
+    * micro-batch, so master updates are picked up between batches), and
+    * verify + score are row-local — append output, no state store, no
+    * watermark. At 10⁹ master rows the static side is bucketed on the
+    * blocking key so each micro-batch probes only matching buckets.
+    *
+    * The latency path runs ONE blocking pass (the name-prefix key);
+    * multi-pass recall (typos inside the prefix span) belongs to the
+    * periodic batch back-fill, which also owns transitive re-clustering
+    * — the standard split between streaming assignment and batch
+    * consolidation in MDM systems. Incoming feed is the same in-flight
+    * 'web' perturbation as the batch fixture; the oracle replays the
+    * block-join + verify + score in batch SQL. */
+  def erAssignAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    val master = graft.Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("rid_m"),
+      lower(col("c_name")).as("nm_m"),
+      col("c_nationkey").as("nation_m"),
+      col("c_mktsegment").as("segment_m"),
+      col("c_acctbal").as("bal_m"))
+    val mk = master.withColumn("bk",
+      col("nm_m").substr(lit(1), length(col("nm_m")) - 2))
+    val in = streamTable(spark, dir, "customer.parquet",
+      normalizeEvents = false)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(
+        (col("c_custkey").cast("long") + 10000000L).as("rid"),
+        lower(col("c_name")).as("nm"),
+        col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        (col("c_acctbal") + 0.25).as("bal"))
+      .select(col("rid"),
+        concat(
+          col("nm").substr(lit(1), length(col("nm")) - 1),
+          translate(col("nm").substr(length(col("nm")), lit(1)),
+            "0123456789", "1234567890")).as("nm"),
+        col("nation"), col("segment"), col("bal"))
+      .withColumn("bk",
+        col("nm").substr(lit(1), length(col("nm")) - 2))
+    val out = in.join(mk, Seq("bk"))
+      .withColumn("name_dist", levenshtein(col("nm"), col("nm_m"), 2))
+      .filter(col("name_dist").between(0, 2))
+      .withColumn("score", round(
+        (lit(4.0) - lit(2.0) * col("name_dist"))
+          + when(col("nation") === col("nation_m"), 3.0).otherwise(-1.5)
+          + when(col("segment") === col("segment_m"), 1.2).otherwise(-0.8)
+          + when(abs(col("bal") - col("bal_m")) <= 1.0, 2.0)
+              .otherwise(-1.0),
+        6))
+      .filter(col("score") >= 8.0)
+      .select(col("rid"), col("rid_m").as("entity_id"),
+        col("name_dist"), col("score"))
+    runAvailableNow(out, "stream_er_", "append")
+  }
+
   /** SLIDING-window rollup as a structured stream, drained with
     * `Trigger.AvailableNow` — the trending-metrics shape (every event
     * counts into the `slide`-spaced windows of length `window` covering

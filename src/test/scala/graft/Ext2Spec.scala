@@ -560,6 +560,79 @@ class Ext2Spec extends SparkSpec {
       "streamed sketch state must equal the batch sketch exactly")
   }
 
+  test("RecordLinkage.blockedCandidates: multi-pass blocking recall") {
+    // Four records. (1,2): name typo in the LAST char — caught by the
+    // prefix pass (all-but-last-2 key agrees). (3,4): typo in the FIRST
+    // char — the prefix pass can NOT co-block them, only the attribute
+    // pass does (same city). (1,3): names 5 apart — co-blocked by city
+    // but must be dropped by the Levenshtein verify, not by blocking.
+    val recs = Seq(
+      (1L, "martinez", "lyon"), (2L, "martinez", "lyon"),
+      (3L, "gonzalez", "lyon"), (4L, "bonzalez", "lyon"))
+      .toDF("rid", "name", "city")
+    val prefixKey = col("name").substr(lit(1), length(col("name")) - 2)
+    val prefixOnly = graft.ext.RecordLinkage.blockedCandidates(
+      recs, "rid", "name", Seq(prefixKey), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixOnly == Set((1L, 2L)),
+      "prefix pass alone must miss the first-char typo pair")
+    val multi = graft.ext.RecordLinkage.blockedCandidates(
+      recs, "rid", "name", Seq(prefixKey, col("city")), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi == Set((1L, 2L), (3L, 4L)),
+      "the attribute pass must add the first-char-typo pair and the " +
+        "verify must reject the distance-5 co-blocked pair")
+  }
+
+  test("er_match_scores: planted twins matched, name-collision rejected") {
+    val sf = "/root/testdata/sf0.001"
+    val m = Registry.queries("er_match_scores")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    graft.ops.CacheScope.releaseAll()
+    // every 7th customer has a planted cross-feed twin at surrogate
+    // id+1e7 — all and only those pairs survive the 8.0 threshold. In
+    // particular the TRAP pair (dirty(7k)'s name equals base(7k+1)'s
+    // name exactly, Levenshtein 0) must NOT match: the fields disagree.
+    val n = spark.read.parquet(s"$sf/customer.parquet").count()
+    val want = (0L until n by 7L).map(k => (k, k + 10000000L)).toSet
+    assert(m.toSet == want,
+      s"expected exactly the ${want.size} planted twins, got ${m.length}")
+  }
+
+  test("streaming ER assignment ≡ batch match pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamPipeline
+      .erAssignAvailableNow(spark, sf)
+      .select(col("entity_id").as("id_a"), col("rid").as("id_b"),
+        col("name_dist"), col("score"))
+    val batch = Registry.queries("er_match_scores")(spark, sf)
+    // the batch multi-pass matcher finds exactly the planted twins at
+    // this SF, all of which the single-pass streaming blocker also
+    // co-blocks — so assignment and batch linkage must agree exactly
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed ER assignment must equal the batch match pairs")
+    graft.ops.CacheScope.releaseAll()
+  }
+
+  test("streaming enriched segment rollup ≡ batch join+agg twin") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamPipeline
+      .eventsEnrichedSegmentAvailableNow(spark, sf)
+    import graft.Det.dsum
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed enrichment must equal the batch join+agg exactly")
+  }
+
   test("streaming hourly quantiles ≡ batch histogram sketch") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamPipeline
