@@ -539,6 +539,140 @@ object AnalyticsQueries {
       FROM sess GROUP BY user_id, seq"""),
     bench = true)
 
+  /** User-journey Markov transition matrix: each user's event sequence
+    * (total-ordered by ts, event_id) is lagged into (from, to) bigram
+    * counts, normalized into transition probabilities — the
+    * behavioral-analytics staple behind next-action prediction and
+    * journey maps. Scale shape: the lag window is partitioned by
+    * user_id (per-partition work = one user's events, the
+    * q_sessions_gap precedent), the bigram count is one hash agg at
+    * |event_type|² grain, and the normalizer joins a broadcast of the
+    * type-cardinality row-total aggregate — nothing row-grained past
+    * the first window. */
+  val qMarkov = Q(
+    "q_markov_transitions",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val bigrams = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+      val counts = bigrams
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("tot"))
+      counts.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("tot"), 6).as("p"))
+    },
+    Some("""WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_type
+        FROM events),
+      counts AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n
+        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      totals AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        FROM counts GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+        round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+      FROM counts c JOIN totals t ON c.from_type = t.from_type"""))
+
+  /** Trailing-baseline burst detection: each (event_type, hour) count
+    * vs the mean/σ of that type's previous ≤24 OBSERVED hours —
+    * the adaptive anomaly page (contrast q_error_spike_hours' GLOBAL
+    * 3σ, which a diurnal pattern trips at every peak; a trailing local
+    * baseline follows the cycle). The window frame holds at most 24
+    * calendar-grain rows per type — bounded whatever the traffic — and
+    * σ derives from frame-local (Σx², Σx, n) integer sums with the
+    * q_corr_matrix fused spelling, so both engines divide identical
+    * exact inputs. Cold-start hours (< 12 trailing observations) and
+    * zero-variance baselines emit NULL z rather than engine-dependent
+    * division artifacts. */
+  val qBurst = Q(
+    "q_burst_hours",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val scored = hourly
+        .withColumn("bn", count(lit(1)).over(w))
+        .withColumn("bs", sum(col("n")).over(w))
+        .withColumn("bss", sum(col("n") * col("n")).over(w))
+      val variance = ((col("bss").cast("double")
+        - col("bs").cast("double") * col("bs") / col("bn")) / col("bn"))
+      scored.select(col("event_type"), col("hour"), col("n"),
+        when(col("bn") >= 12 && variance > 0d,
+          round((col("n") - col("bs").cast("double") / col("bn"))
+            / sqrt(variance), 6)).as("z_score"))
+        .withColumn("is_burst", (col("z_score") > 3.0).cast("int"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type,
+          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      scored AS (
+        SELECT event_type, hour, n,
+          count(*) OVER w AS bn,
+          CAST(sum(n) OVER w AS BIGINT) AS bs,
+          CAST(sum(n * n) OVER w AS BIGINT) AS bss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      z AS (
+        SELECT event_type, hour, n,
+          CASE WHEN bn >= 12 AND (CAST(bss AS DOUBLE)
+                - CAST(bs AS DOUBLE) * bs / bn) / bn > 0
+            THEN round((n - CAST(bs AS DOUBLE) / bn)
+              / sqrt((CAST(bss AS DOUBLE)
+                - CAST(bs AS DOUBLE) * bs / bn) / bn), 6)
+          END AS z_score
+        FROM scored)
+      SELECT event_type, hour, n, z_score,
+        CAST(z_score > 3.0 AS INT) AS is_burst
+      FROM z"""))
+
+  /** Exponentially time-decayed customer value (half-life 7 days,
+    * anchored at the corpus max date): Σ value·2^(−Δdays/7) per user —
+    * the recency-weighted LTV that ranks a lapsed big spender below an
+    * active small one. One row-local decay projection (the anchor is a
+    * 1-row broadcast) + one user-keyed hash agg; each decayed term is
+    * an IEEE pow on bit-identical inputs (integer day deltas), summed
+    * through the exact-decimal Det.dsum channel so aggregation order
+    * cannot move the hash. */
+  val qDecayedClv = Q(
+    "q_decayed_clv",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          (col("value") * pow(lit(2.0),
+            -datediff(col("ref_day"), to_date(col("ts"))).cast("double")
+              / 7.0)).as("dv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(dsum(col("dv"), 6), 6).as("decayed_value"))
+    },
+    Some(s"""WITH ref AS (
+        SELECT max(CAST(ts AS DATE)) AS ref_day FROM events)
+      SELECT user_id, count(*) AS n_events,
+        round(${dsumSql(
+          "value * pow(CAST(2.0 AS DOUBLE), " +
+            "-CAST(date_diff('day', CAST(ts AS DATE), ref_day) " +
+            "AS DOUBLE) / 7.0)", 6)}, 6) AS decayed_value
+      FROM events CROSS JOIN ref
+      GROUP BY 1"""))
+
   /** Funnel conversion (view → purchase within 7 days of the user's
     * FIRST view) — the product-analytics staple. Shape: one conditional
     * aggregate per user (min view ts, min/count of purchases after it) —
@@ -2088,7 +2222,7 @@ object AnalyticsQueries {
     qStreamEnrichSegment, qStreamQuantiles, qStreamSliding,
     qStreamAttribution,
     qAttributionLinear, qJsonProps,
-    qSessions,
+    qSessions, qMarkov, qBurst, qDecayedClv,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,
     qFunnel3Step, qNewVsReturning, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

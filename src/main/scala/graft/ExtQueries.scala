@@ -223,6 +223,16 @@ object ExtQueries {
     Some(Retrieval.bm25OracleSql(Seq("spark", "window", "vector"), 10)),
     bench = true)
 
+  /** BM25 + pseudo-relevance feedback ([[graft.ext.Retrieval.bm25PrfTopK]]):
+    * top-5 round-1 docs feed 3 Σtf·idf expansion terms into a second,
+    * relationally-scored round — both rank selections bounded-heap,
+    * the feedback loop never touches the driver. */
+  val bm25Prf = Q(
+    "ext_bm25_prf_topk",
+    (s, d) => Retrieval.bm25PrfTopK(Tables.documents(s, d), "text",
+      "doc_id", Seq("spark", "window", "vector"), k = 10),
+    Some(Retrieval.bm25PrfOracleSql(Seq("spark", "window", "vector"), 10)))
+
   /** Hybrid lexical+semantic retrieval fused with RRF; doc 7's embedding
     * is the semantic query, the BM25 terms the lexical one. */
   val hybridRrf = Q(
@@ -1007,6 +1017,192 @@ object ExtQueries {
         $iters
         SELECT h.node, round(h.hub, 12) AS hub, round(a.auth, 12) AS auth
         FROM h3 h JOIN a3 a ON h.node = a.node"""
+    })
+
+  /** Per-node triangle counts + local clustering coefficient
+    * ([[graft.ext.Graph.triangles]], degree-ordered wedge closure) on a
+    * third salted graph: a 2-neighbor ring (every doc links its next
+    * two ids mod N — guaranteeing one triangle per consecutive id
+    * triple, so the coefficient column is exercised at every node)
+    * plus one md5-hashed random link per doc (closing extra triangles
+    * unpredictably). The oracle enumerates triangles exactly via the
+    * canonical a<b<c three-way self-join — correctness does not depend
+    * on the Spark side's degree orientation, which is pure plan
+    * optimization (O(m^1.5) wedge bound). */
+  val trianglesQ = Q(
+    "ext_graph_triangles",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val ring = (1 to 2).map { j =>
+        docs.select(col("doc_id").as("src"),
+          ((col("doc_id") + j) % n).as("dst"))
+      }.reduce(_.unionByName(_))
+      val rand = docs.select(col("doc_id").as("src"),
+        (conv(substring(md5(concat(
+          lit("tedge:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % n).as("dst"))
+      graft.ext.Graph.triangles(
+        ring.unionByName(rand).filter(col("src") =!= col("dst")))
+    },
+    Some {
+      val cnt = "(SELECT cnt FROM nn)"
+      s"""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        eraw AS (
+          SELECT doc_id AS src, (doc_id + j) % $cnt AS dst
+          FROM documents, (SELECT unnest([1, 2]) AS j)
+          UNION ALL
+          SELECT doc_id AS src,
+            ('0x' || substring(md5('tedge:' || CAST(doc_id AS VARCHAR)),
+              1, 8))::BIGINT % $cnt AS dst
+          FROM documents),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM eraw WHERE src != dst),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY 1),
+        tri AS (
+          SELECT xy.a AS x, xy.b AS y, yz.b AS z
+          FROM und xy JOIN und yz ON xy.b = yz.a
+          JOIN und xz ON xz.a = xy.a AND xz.b = yz.b),
+        corners AS (
+          SELECT node, count(*) AS n_triangles FROM (
+            SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+          GROUP BY 1)
+      SELECT d.node, d.degree,
+        CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+        CASE WHEN d.degree >= 2 THEN
+          round(CAST(2.0 AS DOUBLE) * coalesce(c.n_triangles, 0)
+            / (d.degree * (d.degree - 1)), 6)
+        END AS clustering
+      FROM deg d LEFT JOIN corners c ON d.node = c.node"""
+    })
+
+  /** Label-propagation communities ([[graft.ext.Graph.labelPropagation]],
+    * 4 synchronous min-tie-break rounds) on the SAME ring+random graph
+    * as `ext_graph_triangles` — the ring keeps every node in one
+    * connected sea, so what the rounds actually measure is how far
+    * min-id labels flood through local structure in 4 hops; the
+    * random chords make the flood pattern non-trivial. The oracle
+    * unrolls the 4 rounds as chained CTEs (each label frame is
+    * referenced twice per round → MATERIALIZED, the PageRank-oracle
+    * lesson), with the per-node argmax spelled as mode-with-min-
+    * tie-break. */
+  val labelPropQ = Q(
+    "ext_label_propagation",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val ring = (1 to 2).map { j =>
+        docs.select(col("doc_id").as("src"),
+          ((col("doc_id") + j) % n).as("dst"))
+      }.reduce(_.unionByName(_))
+      val rand = docs.select(col("doc_id").as("src"),
+        (conv(substring(md5(concat(
+          lit("tedge:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % n).as("dst"))
+      graft.ext.Graph.labelPropagation(
+        docs.select(col("doc_id").as("node")),
+        ring.unionByName(rand).filter(col("src") =!= col("dst")),
+        iters = 4)
+    },
+    Some {
+      val cnt = "(SELECT cnt FROM nn)"
+      val rounds = (1 to 4).map { i =>
+        val prev = s"l${i - 1}"
+        s"""nbr$i AS (
+            SELECT e.dst AS node, l.label, count(*) AS cnt
+            FROM $prev l JOIN und e ON l.node = e.src GROUP BY 1, 2),
+          sel$i AS (
+            SELECT node, min(label) AS label FROM (
+              SELECT node, label, cnt,
+                max(cnt) OVER (PARTITION BY node) AS mx
+              FROM nbr$i)
+            WHERE cnt = mx GROUP BY node),
+          l$i AS MATERIALIZED (
+            SELECT p.node, coalesce(s.label, p.label) AS label
+            FROM $prev p LEFT JOIN sel$i s ON p.node = s.node)"""
+      }.mkString(",\n        ")
+      s"""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        eraw AS (
+          SELECT doc_id AS src, (doc_id + j) % $cnt AS dst
+          FROM documents, (SELECT unnest([1, 2]) AS j)
+          UNION ALL
+          SELECT doc_id AS src,
+            ('0x' || substring(md5('tedge:' || CAST(doc_id AS VARCHAR)),
+              1, 8))::BIGINT % $cnt AS dst
+          FROM documents),
+        und AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM eraw
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM eraw)
+          WHERE src != dst),
+        l0 AS MATERIALIZED (
+          SELECT doc_id AS node, doc_id AS label FROM documents),
+        $rounds
+      SELECT node, label AS community FROM l4"""
+    })
+
+  /** 5-core extraction ([[graft.ext.Graph.kCore]], 6 peel rounds) on a
+    * TWO-TIER salted graph: a global 1-neighbor chain (degree ~2
+    * periphery) plus 4 md5-hashed links per low-id doc landing inside
+    * the 100-node dense block. The chain peels in round 1; the loss of
+    * chain edges cascades a few more rounds through the block boundary
+    * before the dense community stabilizes — exactly the peel-depth
+    * behavior the round count exists for (DuckDB replay confirms
+    * convergence: min induced degree 5 ≥ k after 6 rounds). Oracle
+    * unrolls the rounds as chained CTEs (edge frame referenced three
+    * times per round → MATERIALIZED). */
+  val kcoreQ = Q(
+    "ext_kcore",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val chain = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % n).as("dst"))
+      val dense = (1 to 4).map { j =>
+        docs.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("src"),
+            (conv(substring(md5(concat(
+              lit("kedge:"), col("doc_id").cast("string"), lit(s":$j"))),
+              1, 8), 16, 10).cast("long") % 100).as("dst"))
+      }.reduce(_.unionByName(_))
+      graft.ext.Graph.kCore(chain.unionByName(dense), k = 5, iters = 6)
+    },
+    Some {
+      val cnt = "(SELECT cnt FROM nn)"
+      val rounds = (1 to 6).map { i =>
+        val p = s"e${i - 1}"
+        s"""b$i AS MATERIALIZED (
+            SELECT src AS node FROM (
+              SELECT src, count(*) AS deg FROM $p GROUP BY 1)
+            WHERE deg < 5),
+          e$i AS MATERIALIZED (
+            SELECT src, dst FROM $p
+            WHERE src NOT IN (SELECT node FROM b$i)
+              AND dst NOT IN (SELECT node FROM b$i))"""
+      }.mkString(",\n        ")
+      s"""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        eraw AS (
+          SELECT doc_id AS src, (doc_id + 1) % $cnt AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id AS src,
+            ('0x' || substring(md5('kedge:' || CAST(doc_id AS VARCHAR)
+              || ':' || j), 1, 8))::BIGINT % 100 AS dst
+          FROM documents, (SELECT unnest([1, 2, 3, 4]) AS j)
+          WHERE doc_id < 100),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM eraw
+            UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+          WHERE src != dst),
+        $rounds
+      SELECT src AS node, count(*) AS degree FROM e6 GROUP BY 1"""
     })
 
   /** Jaccard threshold-sweep curve over ALL MinHash candidate pairs
@@ -4572,13 +4768,14 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     gopherGates, htmlStrip, nfcNormalize, urlDomains, sourceMix,
     vocabTopk, tokenizeIds, bpeMerges, bpeCompression, ccnetBuckets,
-    textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25, charEntropy,
+    textStats, quality, langid, piiRedact, fingerprint, lineDedup, bm25,
+    bm25Prf, charEntropy,
     hybridRrf, repetition, hashSplit, contamination, contaminationBloom,
     quantize, packOffsets, packBins, packFill, invertedIndex, indexLookup,
     indexDelta,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
-    dedupEditDistance, pagerank, hitsQ,
+    dedupEditDistance, pagerank, hitsQ, trianglesQ, labelPropQ, kcoreQ,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, dedupClusterSizes, clusterSplit, softDedupWeights,

@@ -161,4 +161,167 @@ object Graph {
       hubs.join(auths, Seq("node"))
         .select(col("node"), col("hub"), col("auth")))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, the near-linear-time community baseline) — crawl-
+    * curation use: grouping domains into link communities to diversify
+    * a training corpus or spot mutually-linking spam clusters that
+    * triangle counting ([[triangles]]) flags only locally.
+    *
+    * Every node starts as its own label; each of `iters` SYNCHRONOUS
+    * rounds relabels every node to the most frequent label among its
+    * neighbors (ties → smallest label, so the fixpoint drifts toward
+    * min-id labels and the whole run is deterministic — asynchronous
+    * LPA's usual order-dependence is exactly what an oracle-checked
+    * distributed operator cannot have). Isolated nodes keep their own
+    * label.
+    *
+    * Scale shape: one equi-join of the label frame with the (persisted,
+    * both-direction) edge list + two hash aggregates per round — the
+    * neighbor-label count collapses at (node, label) grain before the
+    * per-node argmax, which is `max(struct(cnt, -label))`, an ordinary
+    * aggregate, NOT a per-node window. Per-round `localCheckpoint`
+    * truncates the lineage (the label frame is referenced twice per
+    * round). Rounds are O(m) work each; `iters` is small and fixed —
+    * LPA's known behavior — rather than driver-polled convergence. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters must be >= 1")
+    val nodeF = CacheScope.persist(nodes.select(col("node")).distinct())
+    val und = CacheScope.persist(edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    var labels = nodeF.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nbr = labels
+        .join(und, labels("node") === und("src"))
+        .groupBy(und("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val sel = nbr
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("new_label"))
+      val next = labels.join(sel, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    CacheScope.track(labels.select(col("node"), col("label")
+      .as("community")))
+  }
+
+  /** k-core extraction by batched peeling (the distributed k-core
+    * formulation: every round removes ALL nodes whose current induced
+    * degree is below `k` at once, so the round count is bounded by the
+    * peel DEPTH of the graph, not its size). Curation use: the k-core
+    * of a link graph is the mutually-reinforcing center — crawl
+    * frontiers are seeded from it, and spam chains/pendant sprawl fall
+    * away without any scoring model.
+    *
+    * Runs `iters` rounds; a converged graph (every remaining node at
+    * induced degree ≥ k) passes further rounds unchanged, so `iters`
+    * is an upper bound on peel depth, not an approximation knob — on a
+    * production graph pair it with a driver-side convergence check
+    * every few rounds. Returns the surviving nodes with their induced
+    * core degrees.
+    *
+    * Scale shape: per round ONE hash aggregate (induced degrees) and
+    * TWO anti-joins (drop edges touching peeled nodes) — all keyed on
+    * node id, no windows, no collect; `localCheckpoint` per round
+    * truncates the lineage (the edge frame is referenced three times
+    * per round: degree, both anti-join sides). */
+  def kCore(edges: DataFrame, k: Int, iters: Int = 6): DataFrame = {
+    require(k >= 1 && iters >= 1, "kCore: k and iters must be >= 1")
+    var cur = edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val bad = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("src"))
+      val next = cur
+        .join(bad, Seq("src"), "left_anti")
+        .join(bad.select(col("src").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst").localCheckpoint()
+      cur.unpersist(blocking = false)
+      cur = next
+    }
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected graph — the link-graph cohesion diagnostic (spam/link-
+    * farm detection in crawl curation: farms show abnormally dense
+    * mutual-link neighborhoods, i.e. high clustering at high degree).
+    *
+    * Algorithm: degree-ordered wedge closure (the Schank–Wagner /
+    * MapReduce node-iterator). Each undirected edge is ORIENTED from
+    * its lower-(degree, id) endpoint to the higher one; a triangle
+    * {x,y,z} with rank x<y<z is then found exactly once, as the wedge
+    * (y,z) around its lowest-rank corner x closed by the oriented edge
+    * y→z. The orientation is the scale guarantee: every node's
+    * out-degree is bounded by O(√m) (a node of degree d only points at
+    * neighbors of degree ≥ d, and there can be at most 2√m of those),
+    * so the wedge self-join emits O(m^1.5) rows worst-case instead of
+    * Σ deg² — a hub with 10⁷ in-links contributes NO wedges at its own
+    * corner; its triangles are counted at their low-degree corners.
+    * Three equi-joins + one hash aggregate total: no windows, no
+    * driver-side iteration, and the closure join keys on the (v1, v2)
+    * pair so it shuffles candidate wedges, not the neighborhood cross
+    * product. On a real cluster the oriented edge list would be
+    * bucketed on `u` to make the wedge join exchange-free.
+    *
+    * Input `edges` is (`src`, `dst`), direction ignored; self-loops and
+    * duplicate/reverse edges are canonicalized away. Output: one row
+    * per non-isolated node — (`node`, `degree`, `n_triangles`,
+    * `clustering` = 2T / (deg·(deg−1)), NULL for degree-1 nodes). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = CacheScope.persist(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct())
+    val deg = CacheScope.persist(
+      und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree")))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("deg_a")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("deg_b")),
+        Seq("b"))
+    // rank(x) = (degree, id); orient u → v with rank(u) < rank(v). The
+    // a < b tie-break is total because canonical edges have a < b.
+    val fwd = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = CacheScope.persist(withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("deg_b")).otherwise(col("deg_a")).as("deg_v")))
+    // wedges around the lowest-rank corner u: unordered out-neighbor
+    // pairs, ordered by rank so the closing edge's orientation is known
+    val wedges = oriented.select(
+        col("u"), col("v").as("v1"), col("deg_v").as("dv1"))
+      .join(oriented.select(
+        col("u"), col("v").as("v2"), col("deg_v").as("dv2")), Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    CacheScope.track(deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)), 6))
+          .as("clustering")))
+  }
 }

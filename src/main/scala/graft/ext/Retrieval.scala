@@ -70,6 +70,147 @@ object Retrieval {
         col("t.rank").as("rank"))
   }
 
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (Rocchio/RM3-lite, the
+    * classic two-round query expansion): round 1 ranks with the
+    * original terms; the top `fbDocs` documents are assumed relevant;
+    * their most informative terms (Σtf·idf, stop-terms above
+    * `maxDfFrac` pruned, original terms excluded) become `fbTerms`
+    * expansion terms; round 2 re-ranks with the expanded term set.
+    *
+    * Unlike [[bm25TopK]]'s compile-time per-term tf columns, BOTH
+    * rounds here score RELATIONALLY — postings joined to a term frame —
+    * because the expansion terms are data-dependent: the feedback loop
+    * stays entirely on the executors (no driver collect; the expansion
+    * terms flow as a bounded broadcast frame, selected by the
+    * bounded-heap [[graft.functions.TopKStrAgg]]). Per-(doc, term)
+    * scores are 6-dp-rounded then summed through exact DECIMAL(38,12)
+    * (the sparse-cosine rule) so term-arrival order cannot move the
+    * hash.
+    *
+    * Scale: the postings index (doc_id, dl, term, tf) is built once
+    * and persisted — it feeds round-1 scoring, expansion mining, and
+    * round-2 scoring; every join against it is term- or doc-keyed with
+    * the tiny side broadcast; both rank selections are bounded-heap
+    * top-k, never global sorts. */
+  def bm25PrfTopK(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int, fbDocs: Int = 5, fbTerms: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75, maxDfFrac: Double = 0.5)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(queryTerms.nonEmpty, "bm25PrfTopK needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = graft.ops.CacheScope.persist(docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextStats.tokens(lower(col(textCol))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    val stats = post.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dft = graft.ops.CacheScope.persist(
+      post.groupBy("term").agg(count(lit(1)).as("df")))
+    val idf6 = round(log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    // per-doc BM25 against an arbitrary (bounded, broadcast) term frame
+    def scoreAgainst(qt: DataFrame): DataFrame = {
+      val term = round(idf6 * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+          (col("sum_dl").cast("double") / col("n_docs")))), 6)
+      post.join(broadcast(qt), Seq("term"))
+        .join(dft, Seq("term")).crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(round(sum(term.cast(DecimalType(38, 12))).cast("double"), 6)
+          .as("score"))
+    }
+    val q0 = queryTerms.toDF("term")
+    val fb = scoreAgainst(q0).groupBy()
+      .agg(graft.functions.TopKAgg.top_k(
+        col("score"), col("doc_id"), fbDocs).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.id").as("doc_id"))
+    val expSum = post.join(broadcast(fb), Seq("doc_id"))
+      .groupBy("term").agg(sum(col("tf")).as("stf"))
+    val expTerms = expSum.join(dft, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") / col("n_docs") <= lit(maxDfFrac))
+      .join(broadcast(q0), Seq("term"), "left_anti")
+      .select(col("term"), round(col("stf") * idf6, 6).as("w"))
+      .groupBy()
+      .agg(graft.functions.TopKStrAgg.top_k_str(
+        col("w"), col("term"), fbTerms).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.key").as("term"))
+    val q1 = q0.union(expTerms).distinct()
+    scoreAgainst(q1).groupBy()
+      .agg(graft.functions.TopKAgg.top_k(
+        col("score"), col("doc_id"), k).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.id").as(idCol), col("t.score").as("score"),
+        col("t.rank").as("rank"))
+  }
+
+  /** DuckDB replay of [[bm25PrfTopK]]: postings-relational BM25 for
+    * both rounds, feedback docs / expansion terms / final ranks picked
+    * with the same (score DESC, id ASC) total orders. */
+  def bm25PrfOracleSql(queryTerms: Seq[String], k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75, maxDfFrac: Double = 0.5)
+      : String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    val qlist = queryTerms.map(t => s"'$t'").mkString(", ")
+    // identical per-(doc, term) score spelling for both rounds; every
+    // constant rides CAST(.. AS DOUBLE) so DuckDB cannot fall back to
+    // exact DECIMAL arithmetic where Spark multiplies doubles
+    def scoreCte(name: String, qt: String) = s"""$name AS (
+        SELECT p.doc_id,
+          round(CAST(sum(CAST(
+            round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+              * (p.tf * CAST(${k1 + 1} AS DOUBLE))
+              / (p.tf + CAST($k1 AS DOUBLE) * (CAST(${1 - b} AS DOUBLE)
+                + CAST($b AS DOUBLE) * p.dl
+                  / (CAST(sum_dl AS DOUBLE) / n_docs))), 6)
+            AS DECIMAL(38, 12))) AS DOUBLE), 6) AS score
+        FROM post p JOIN $qt USING (term) JOIN dft USING (term)
+        CROSS JOIN st
+        GROUP BY 1)"""
+    s"""WITH toks AS (
+        SELECT doc_id,
+          string_split_regex(trim(lower(text), $ws),
+            '[ \\t\\n\\x0B\\f\\r]+') AS tk
+        FROM documents),
+      post AS MATERIALIZED (
+        SELECT doc_id, dl, term, count(*) AS tf FROM (
+          SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+        GROUP BY 1, 2, 3),
+      dls AS (SELECT DISTINCT doc_id, dl FROM post),
+      st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dls),
+      dft AS MATERIALIZED (
+        SELECT term, count(*) AS df FROM post GROUP BY 1),
+      q0 AS (SELECT unnest([$qlist]) AS term),
+      ${scoreCte("sc0", "q0")},
+      fb AS (SELECT doc_id FROM sc0
+        ORDER BY score DESC, doc_id LIMIT $fbDocs),
+      expsum AS (
+        SELECT p.term, CAST(sum(p.tf) AS BIGINT) AS stf
+        FROM post p JOIN fb USING (doc_id) GROUP BY 1),
+      expd AS (
+        SELECT e.term,
+          round(e.stf * round(ln(1.0 + (n_docs - df + 0.5)
+            / (df + 0.5)), 6), 6) AS w
+        FROM expsum e JOIN dft USING (term) CROSS JOIN st
+        WHERE CAST(df AS DOUBLE) / n_docs <= CAST($maxDfFrac AS DOUBLE)
+          AND e.term NOT IN (SELECT term FROM q0)),
+      expt AS (SELECT term FROM expd ORDER BY w DESC, term LIMIT $fbTerms),
+      q1 AS (SELECT term FROM q0 UNION SELECT term FROM expt),
+      ${scoreCte("sc1", "q1")}
+      SELECT doc_id, score,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+          AS rank
+      FROM sc1 ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
   /** Sparse TF-IDF cosine top-k: document-to-document similarity
     * through the INVERTED-INDEX join — the lexical twin of the dense
     * ANN family. Per doc-term: w = tf · idf (idf = ln(N/df), 6-dp);

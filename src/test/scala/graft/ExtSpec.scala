@@ -492,6 +492,99 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(1L) - r(2L)) < 1e-15)
   }
 
+  test("triangles: K4 + pendant, dedup/orientation counts each once") {
+    import graft.ext.Graph
+    // K4 on 1..4 (4 triangles, every node in 3 of them, lcc = 1) plus a
+    // pendant 5–1 (degree-1 node: 0 triangles, NULL coefficient). Edges
+    // arrive messy on purpose: duplicates, both directions, a self-loop
+    // — canonicalization must count each triangle exactly once.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (1L, 5L), (5L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.triangles(edges).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2),
+        Option(row.get(3)).map(_.asInstanceOf[Double])))).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // K4 corners: each sits in C(3,2) = 3 triangles of its 3 neighbors
+    Seq(2L, 3L, 4L).foreach { n =>
+      assert(r(n) == ((3L, 3L, Some(1.0))), s"node $n: ${r(n)}")
+    }
+    // node 1 has the extra pendant edge: degree 4, same 3 triangles,
+    // lcc = 2*3/(4*3) = 0.5
+    assert(r(1L) == ((4L, 3L, Some(0.5))))
+    // the pendant: degree 1, no triangles, undefined coefficient
+    assert(r(5L) == ((1L, 0L, None)))
+  }
+
+  test("kCore: pendant path peels one hop per round, clique survives") {
+    import graft.ext.Graph
+    // K4 on 1..4 plus the path 4–5–6–7. With k=2 the path unravels ONE
+    // node per round (7 is degree-1, then 6 becomes degree-1, then 5):
+    // batch peeling's round count is the peel depth, which this pins.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    // after 2 rounds: 7 and 6 are gone, 5 (still degree 1) is not yet
+    val partial = Graph.kCore(edges, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.keySet == Set(1L, 2L, 3L, 4L, 5L), s"got $partial")
+    // after 3 rounds the cascade completes: the 2-core is exactly K4
+    // with induced degree 3, and a 4th round changes nothing
+    Seq(3, 4).foreach { it =>
+      val r = Graph.kCore(edges, k = 2, iters = it)
+        .as[(Long, Long)].collect().toMap
+      assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+        s"iters=$it: $r")
+    }
+  }
+
+  test("bm25PrfTopK: expansion retrieves docs with no original term") {
+    import graft.ext.Retrieval
+    // three feedback docs pair 'apple' with 'banana'; d10 has ONLY
+    // 'banana' (round-1 BM25 can never rank it); 'common' is in every
+    // doc so the df-fraction prune must reject it as an expansion term
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "apple banana banana common"),
+      (3L, "apple banana common"),
+      (10L, "banana banana banana common"),
+      (20L, "cherry date common"),
+      (21L, "cherry fig common"),
+      (22L, "grape fig common"),
+      (23L, "grape date common")).toDF("doc_id", "text")
+    val r = Retrieval.bm25PrfTopK(docs, "text", "doc_id",
+      Seq("apple"), k = 7, fbDocs = 3, fbTerms = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(r.contains(10L) && r(10L) > 0.0,
+      s"banana-only doc must enter via the expansion term: $r")
+    // expansion picked 'banana' (not the pruned 'common'): docs with
+    // neither apple nor banana score nothing and stay out
+    assert(Seq(20L, 21L, 22L, 23L).forall(!r.contains(_)),
+      s"filler docs must not score: $r")
+  }
+
+  test("labelPropagation: bridged triangles split into their cliques") {
+    import graft.ext.Graph
+    // two triangles joined by one bridge edge 3–10, plus isolated 99:
+    // 4 synchronous min-tie-break rounds must settle each triangle on
+    // its own min-id label (the bridge is outvoted by clique neighbors)
+    // and leave the isolated node labeled as itself
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val r = Graph.labelPropagation(nodes, edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(Seq(1L, 2L, 3L).map(r).toSet == Set(1L),
+      s"left clique must share the min-id label: $r")
+    assert(Seq(10L, 11L, 12L).map(r).toSet.size == 1 &&
+      r(10L) != r(1L),
+      s"right clique must share one label distinct from the left: $r")
+    assert(r(99L) == 99L, "isolated node keeps its own label")
+  }
+
   test("hits: authorities land on pointed-at nodes, L1 mass sums to 1") {
     import graft.ext.Graph
     // bipartite-ish: 1,2,3 all point at 8 and 9; nothing points back
