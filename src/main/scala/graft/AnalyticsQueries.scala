@@ -582,6 +582,38 @@ object AnalyticsQueries {
         round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
       FROM counts c JOIN totals t ON c.from_type = t.from_type"""))
 
+  /** Markov transitions as a structured stream
+    * ([[graft.streaming.StreamPipeline.markovTransitionsAvailableNow]],
+    * stateful last-event-per-user extraction): the streamed matrix
+    * counts exactly the bigrams whose TO event the final watermark
+    * passed — the oracle replays the batch lag window with that
+    * cutoff (the q_stream_sessions_state oracle discipline). */
+  val qStreamMarkov = Q(
+    "q_stream_markov_transitions",
+    (s, d) => graft.streaming.StreamPipeline
+      .markovTransitionsAvailableNow(s, d),
+    Some("""WITH wm AS (
+        SELECT (epoch_us(max(ts)) // 1000) - 7200000 AS wm_ms FROM events),
+      seq AS (
+        SELECT user_id, ts, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_type
+        FROM events),
+      big AS (
+        SELECT from_type, event_type AS to_type
+        FROM seq, wm
+        WHERE from_type IS NOT NULL
+          AND epoch_us(ts) // 1000 < wm_ms),
+      counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM big GROUP BY 1, 2),
+      totals AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        FROM counts GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+        round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+      FROM counts c JOIN totals t ON c.from_type = t.from_type"""))
+
   /** Trailing-baseline burst detection: each (event_type, hour) count
     * vs the mean/σ of that type's previous ≤24 OBSERVED hours —
     * the adaptive anomaly page (contrast q_error_spike_hours' GLOBAL
@@ -2222,7 +2254,7 @@ object AnalyticsQueries {
     qStreamEnrichSegment, qStreamQuantiles, qStreamSliding,
     qStreamAttribution,
     qAttributionLinear, qJsonProps,
-    qSessions, qMarkov, qBurst, qDecayedClv,
+    qSessions, qMarkov, qStreamMarkov, qBurst, qDecayedClv,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,
     qFunnel3Step, qNewVsReturning, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

@@ -465,6 +465,37 @@ object StreamPipeline {
     graft.ext.Sketches.quantileReadoff(drained, "hour", width, qs)
   }
 
+  /** User-journey transitions as a structured stream
+    * ([[TransitionStream]]): per-user event-type bigrams extracted
+    * statefully (last-event-per-user state, watermark-finalized
+    * emission), then rolled up into the SAME transition-matrix shape
+    * as the batch `q_markov_transitions` — counts and probabilities
+    * over (from, to). The rollup runs on the drained append stream
+    * (in production it is the downstream aggregation over the
+    * transition feed; here it is query-time post-processing like the
+    * quantile read-off).
+    *
+    * The streamed matrix covers exactly the transitions whose TO event
+    * the final watermark passed (the sessionize-stream finality rule);
+    * the oracle replays the batch lag-window with that cutoff. Events
+    * inside the final watermark horizon stay buffered, exactly as a
+    * live deployment would hold them. */
+  def markovTransitionsAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    val trans = TransitionStream.transitions(ev, "2 hours")
+    val drained = runAvailableNow(
+      trans.toDF().select(col("from_type"), col("to_type")),
+      "stream_markov_", "append")
+    val counts = drained.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("tot"), 6).as("p"))
+  }
+
   /** Stream-static DIMENSION ENRICHMENT — the most common production
     * streaming join: each event is joined to a slow-moving dimension
     * (customer → market segment) and rolled up per hour. The static

@@ -123,6 +123,55 @@ class StreamingSpec extends SparkSpec {
     assert(custom == native)
   }
 
+  test("transition stream: out-of-order buffering and cross-batch " +
+      "predecessor linking") {
+    import spark.implicits._
+    import graft.streaming.TransitionStream
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Long, String)]
+    val q = TransitionStream.transitions(
+      in.toDF.toDF("user_id", "ts", "event_id", "event_type"),
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      def u1 = spark.table("trans_out").filter(col("user_id") === 1L)
+        .select(col("from_type"), col("to_type"))
+        .as[(String, String)].collect().toSet
+      // batch 1: view@0, click@100 — watermark hasn't moved, no emission
+      in.addData((1L, at(0), 1L, "view"), (1L, at(100), 2L, "click"))
+      q.processAllAvailable()
+      assert(u1.isEmpty, "nothing may emit before the watermark moves")
+      // batch 2: purchase@3600 plus an OUT-OF-ORDER (above-watermark)
+      // error@50 that must slot between view@0 and click@100
+      in.addData((1L, at(50), 9L, "error"), (1L, at(3600), 3L, "purchase"))
+      q.processAllAvailable()
+      // batches 3-4: far-future filler user advances the watermark past
+      // all of user 1's events, then lets the event-time timer fire
+      in.addData((99L, at(10000), 100L, "view"))
+      q.processAllAvailable()
+      in.addData((99L, at(10001), 101L, "view"))
+      q.processAllAvailable()
+      assert(u1 == Set(("view", "error"), ("error", "click"),
+        ("click", "purchase")),
+        s"flush must walk the buffered events in (ts, id) order: $u1")
+      // batch 5: a new event for user 1 long after the flush — its FROM
+      // side is the last-emitted state carried across batches
+      in.addData((1L, at(10500), 4L, "view"))
+      q.processAllAvailable()
+      in.addData((99L, at(20000), 102L, "view"))
+      q.processAllAvailable()
+      in.addData((99L, at(20001), 103L, "view"))
+      q.processAllAvailable()
+      assert(u1.contains(("purchase", "view")),
+        s"cross-batch predecessor link must produce purchase→view: $u1")
+    } finally q.stop()
+  }
+
   test("session windows stream: event-time timeout closes sessions finally") {
     import spark.implicits._
     import graft.streaming.SessionWindows
