@@ -705,6 +705,184 @@ object AnalyticsQueries {
       FROM events CROSS JOIN ref
       GROUP BY 1"""))
 
+  /** Two-proportion A/B z-test over a deterministic hash assignment:
+    * orders split 50/50 by the md5 coin (the ext_hash_split rule),
+    * "conversion" = the order contains a returned lineitem, and the
+    * pooled two-proportion z statistic decides significance — the
+    * experiment-readout staple (here an A/A test by construction, so
+    * the expected readout is a small, insignificant z). Everything
+    * reduces to four exact integers (n, x per variant) before any
+    * floating point, so the z expression is IEEE on identical inputs;
+    * degenerate pools (p = 0 or 1, an empty arm) emit NULL z rather
+    * than a division artifact. One order-keyed agg + a left semi-style
+    * flag join + one 4-int fold: flat single-row output at any
+    * scale. */
+  val qAbTest = Q(
+    "q_ab_test_zscore",
+    (s, d) => {
+      val ret = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .as("conv"))
+      val perOrder = Tables.orders(s, d)
+        .select(col("o_orderkey"))
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("conv"), lit(0)).as("conv"))
+        .withColumn("variant",
+          when(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+            16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+      val folded = perOrder.groupBy().agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("conv").cast("long"))
+          .otherwise(0L)).as("x_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("conv").cast("long"))
+          .otherwise(0L)).as("x_b"))
+      val p = (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val z = (col("x_a").cast("double") / col("n_a")
+        - col("x_b").cast("double") / col("n_b")) /
+        sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      folded.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(col("x_a").cast("double") / col("n_a"), 6).as("rate_a"),
+        round(col("x_b").cast("double") / col("n_b"), 6).as("rate_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 && p > 0d && p < 1d,
+          round(z, 6)).as("z_score"))
+        .withColumn("significant", (abs(col("z_score")) > 1.96).cast("int"))
+    },
+    Some("""WITH ret AS (
+        SELECT l_orderkey,
+          max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS conv
+        FROM lineitem GROUP BY 1),
+      pu AS (
+        SELECT o_orderkey, coalesce(r.conv, 0) AS conv,
+          CASE WHEN ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+              1, 8))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        FROM orders o LEFT JOIN ret r ON o.o_orderkey = r.l_orderkey),
+      f AS (
+        SELECT
+          CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT)
+            AS x_a,
+          CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT)
+            AS x_b
+        FROM pu),
+      zc AS (
+        SELECT n_a, x_a, n_b, x_b,
+          round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+          round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+          CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS p
+        FROM f)
+      SELECT n_a, x_a, n_b, x_b, rate_a, rate_b,
+        CASE WHEN n_a > 0 AND n_b > 0 AND p > 0 AND p < 1 THEN
+          round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+            / sqrt(p * (CAST(1.0 AS DOUBLE) - p)
+              * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)),
+            6)
+        END AS z_score,
+        CAST(abs(CASE WHEN n_a > 0 AND n_b > 0 AND p > 0 AND p < 1 THEN
+          round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+            / sqrt(p * (CAST(1.0 AS DOUBLE) - p)
+              * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)),
+            6)
+        END) > 1.96 AS INT) AS significant
+      FROM zc"""))
+
+  /** Kaplan–Meier churn survival curve: per-customer lifetime = days
+    * from first to last order; a customer whose last order predates
+    * the corpus horizon minus 90 days is CHURNED (event observed),
+    * later customers are right-censored — the standard
+    * retention-analysis estimator.
+    * S(t) = Π_{s≤t} (1 − d_s/n_s) computed as exp of the exact-decimal
+    * running sum of ln factors (each ln term truncated to 12 dp before
+    * the sum, so frame order cannot move the hash); a day consuming
+    * the entire risk set (d = n) would be ln(0) — DuckDB raises on
+    * that — so extinction is a guarded flag that pins survival to 0.0
+    * from that day on. The windows run over the LIFETIME-DAY grain
+    * (bounded by the observation window, ~dozens of rows), whitelisted
+    * in PlanGuardSpec like the other manifest-grain windows. */
+  val qKaplanMeier = Q(
+    "q_churn_kaplan_meier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d)
+      val ref = ord.agg(max(to_date(col("o_orderdate"))).as("ref_day"))
+      val users = ord.groupBy("o_custkey")
+        .agg(min(to_date(col("o_orderdate"))).as("first_day"),
+          max(to_date(col("o_orderdate"))).as("last_day"))
+        .crossJoin(broadcast(ref))
+        .select(datediff(col("last_day"), col("first_day")).as("life"),
+          when(col("last_day") < date_sub(col("ref_day"), 90), 1)
+            .otherwise(0).as("churned"))
+      val grain = users.groupBy("life")
+        .agg(sum(col("churned")).as("d"),
+          sum(lit(1) - col("churned")).as("c"))
+      val wRisk = Window.orderBy("life")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy("life")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risked = grain
+        .withColumn("n_at_risk", sum(col("d") + col("c")).over(wRisk))
+        .withColumn("ln_term",
+          when(col("d") < col("n_at_risk"),
+            log(lit(1.0) - col("d").cast("double") / col("n_at_risk"))))
+        .withColumn("extinct",
+          max(when(col("d") >= col("n_at_risk"), 1).otherwise(0))
+            .over(wCum))
+        .withColumn("cum_ln",
+          sum(col("ln_term").cast(DecimalType(18, 12))).over(wCum)
+            .cast("double"))
+      risked.select(col("life"), col("d"), col("c"), col("n_at_risk"),
+        when(col("extinct") === 1, 0.0)
+          .otherwise(round(exp(col("cum_ln")), 6)).as("survival"))
+    },
+    Some("""WITH ref AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+      u AS (
+        SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_day,
+          max(CAST(o_orderdate AS DATE)) AS last_day
+        FROM orders GROUP BY 1),
+      lifes AS (
+        SELECT date_diff('day', first_day, last_day) AS life,
+          CASE WHEN last_day < ref_day - INTERVAL 90 DAY THEN 1 ELSE 0 END
+            AS churned
+        FROM u CROSS JOIN ref),
+      grain AS (
+        SELECT life, CAST(sum(churned) AS BIGINT) AS d,
+          CAST(sum(1 - churned) AS BIGINT) AS c
+        FROM lifes GROUP BY 1),
+      risked AS (
+        SELECT life, d, c,
+          CAST(sum(d + c) OVER (ORDER BY life
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+            AS n_at_risk
+        FROM grain),
+      terms AS (
+        SELECT life, d, c, n_at_risk,
+          CASE WHEN d < n_at_risk THEN
+            ln(CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / n_at_risk)
+          END AS ln_term,
+          max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+            OVER wc AS extinct
+        FROM risked
+        WINDOW wc AS (ORDER BY life ROWS UNBOUNDED PRECEDING)),
+      cums AS (
+        SELECT life, d, c, n_at_risk, extinct,
+          CAST(sum(CAST(ln_term AS DECIMAL(18, 12)))
+            OVER (ORDER BY life ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            AS cum_ln
+        FROM terms)
+      SELECT life, d, c, n_at_risk,
+        CASE WHEN extinct = 1 THEN 0.0
+          ELSE round(exp(cum_ln), 6) END AS survival
+      FROM cums"""))
+
   /** Funnel conversion (view → purchase within 7 days of the user's
     * FIRST view) — the product-analytics staple. Shape: one conditional
     * aggregate per user (min view ts, min/count of purchases after it) —
@@ -2255,6 +2433,7 @@ object AnalyticsQueries {
     qStreamAttribution,
     qAttributionLinear, qJsonProps,
     qSessions, qMarkov, qStreamMarkov, qBurst, qDecayedClv,
+    qAbTest, qKaplanMeier,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,
     qFunnel3Step, qNewVsReturning, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

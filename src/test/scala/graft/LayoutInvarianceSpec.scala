@@ -35,7 +35,11 @@ class LayoutInvarianceSpec extends SparkSpec {
       "ext_det_sample",          // md5-coin deterministic sampling
       "ext_stratified_sample",   // exact-size allocation + per-stratum pick
       "ext_bradley_terry",       // iterative MM with decimal sums
-      "ext_negative_sampling_table") // cumulative ranges via prefix sum
+      "ext_negative_sampling_table", // cumulative ranges via prefix sum
+      "ext_graph_triangles",     // degree-ordered orientation + explode
+      "ext_label_propagation",   // iterative argmax relabeling
+      "ext_kcore",               // iterative batched peeling
+      "ext_bm25_prf_topk")       // two-round bounded-heap feedback loop
     val origParts = spark.conf.get("spark.sql.shuffle.partitions")
     val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {

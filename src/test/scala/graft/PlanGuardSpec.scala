@@ -62,7 +62,10 @@ class PlanGuardSpec extends SparkSpec {
       "rank over the bounded top-N vocabulary (TakeOrdered upstream)",
     "ext_unimax_mix" ->
       ("waterfill sort/prefix/count windows over the per-source supply " +
-        "aggregate (source cardinality, tens of rows)"))
+        "aggregate (source cardinality, tens of rows)"),
+    "q_churn_kaplan_meier" ->
+      ("risk-set suffix sum + survival running product over the " +
+        "lifetime-day grain (bounded by the observation window)"))
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:

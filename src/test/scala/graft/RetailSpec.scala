@@ -10,6 +10,41 @@ import org.apache.spark.sql.functions._
 class RetailSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("q_churn_kaplan_meier: proper survival curve over the customer " +
+      "base") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.qKaplanMeier.run(spark, sf)
+      .orderBy(col("life"))
+      .select(col("life"), col("d"), col("c"), col("n_at_risk"),
+        col("survival"))
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // the first risk set is the whole ordering customer base
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.head._4 == nCust, "initial risk set = all customers")
+    // risk sets telescope: n(t+1) = n(t) - d(t) - c(t)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 == a._4 - a._2 - a._3,
+          s"risk set must telescope at life=${b._1}")
+      case _ =>
+    }
+    // survival is a proper non-increasing curve in [0, 1], and only
+    // churn events (d > 0) may move it
+    rows.foldLeft(1.0) { case (prev, (life, d, _, _, s)) =>
+      assert(s >= 0.0 && s <= prev + 1e-9,
+        s"survival must be non-increasing in [0,1] at life=$life")
+      if (d == 0)
+        assert(math.abs(s - prev) < 1e-9,
+          s"censoring alone must not move survival at life=$life")
+      s
+    }
+    // the data has both churned and censored customers — the estimator
+    // is exercised on both branches
+    assert(rows.map(_._2).sum > 0 && rows.map(_._3).sum > 0)
+  }
+
   test("q_rfm_segments: scores in 1..4, quartile monotonicity, coverage") {
     val out = RetailQueries.qRfm.run(spark, sf).cache()
     try {
