@@ -793,6 +793,119 @@ object AnalyticsQueries {
         END) > 1.96 AS INT) AS significant
       FROM zc"""))
 
+  /** CUPED variance reduction (Deng et al. 2013) for the customer-level
+    * experiment readout: covariate X = each customer's PRE-period spend
+    * (orders before 1996-01-01), metric Y = post-period spend, arms by
+    * a deterministic md5 coin on custkey (an A/A split, like
+    * q_ab_test_zscore). θ = cov(X,Y)/var(X) from the pooled fused sums
+    * (the Ols.slope tree), adjusted lift = raw lift − θ·(x̄_A − x̄_B),
+    * and the variance-reduction factor is ρ²(X,Y) — the fraction of
+    * metric variance the covariate removes, the whole point of CUPED.
+    *
+    * Shape: one customer-keyed aggregate (exact decimal conditional
+    * sums), then ONE 1-row fused-sums fold — n, per-arm sums, pooled
+    * second moments — so arms, θ, and the adjustment all come out of a
+    * single pass with no second scan and no join. Per-customer x, y are
+    * exact-decimal-derived doubles; second moments go through
+    * DECIMAL(38,12) (dsumWide), so row order cannot move the hash.
+    * θ is ROUNDED to 6 dp before it adjusts the lift — both engines
+    * use the same rounded value. Degenerate var(X) ≤ 0 → NULL θ/adj. */
+  val qCuped = Q(
+    "q_cuped_adjusted",
+    (s, d) => {
+      val pre = to_date(col("o_orderdate")) < lit("1996-01-01").cast("date")
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          Det.dsum(when(pre, col("o_totalprice")).otherwise(lit(0.0)))
+            .as("x"),
+          Det.dsum(when(!pre, col("o_totalprice")).otherwise(lit(0.0)))
+            .as("y"))
+        .withColumn("arm",
+          when(conv(substring(md5(concat(lit("cuped:"),
+            col("o_custkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, "A").otherwise("B"))
+      val f = per.groupBy().agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        Det.dsum(col("x")).as("sx"),
+        Det.dsum(col("y")).as("sy"),
+        Det.dsumWide(col("x") * col("x")).as("sxx"),
+        Det.dsumWide(col("x") * col("y")).as("sxy"),
+        Det.dsumWide(col("y") * col("y")).as("syy"),
+        Det.dsum(when(col("arm") === "A", col("x")).otherwise(lit(0.0)))
+          .as("sxa"),
+        Det.dsum(when(col("arm") === "A", col("y")).otherwise(lit(0.0)))
+          .as("sya"),
+        Det.dsum(when(col("arm") === "B", col("x")).otherwise(lit(0.0)))
+          .as("sxb"),
+        Det.dsum(when(col("arm") === "B", col("y")).otherwise(lit(0.0)))
+          .as("syb"))
+      val ok = col("n_a") > 0 && col("n_b") > 0 &&
+        (col("n") * col("sxx") - col("sx") * col("sx")) > 0
+      val theta = Det.Ols.slope(
+        col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+      f.select(col("n"), col("n_a"), col("n_b"),
+        when(ok, theta).as("theta"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("sya") / col("n_a") - col("syb") / col("n_b"), 6))
+          .as("lift_raw"),
+        when(ok,
+          round((col("sya") / col("n_a") - col("syb") / col("n_b"))
+            - theta * (col("sxa") / col("n_a") - col("sxb") / col("n_b")),
+            6)).as("lift_adj"),
+        when(ok && (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          Det.Ols.r2(col("n"), col("sx"), col("sy"), col("sxy"),
+            col("sxx"), col("syy"))).as("var_reduction"))
+    },
+    Some {
+      val coin = """('0x' || substring(md5('cuped:'
+          || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 = 0"""
+      val okSql = "n_a > 0 AND n_b > 0 AND (n * sxx - sx * sx) > 0"
+      s"""WITH pc AS (
+        SELECT o_custkey,
+          CASE WHEN $coin THEN 'A' ELSE 'B' END AS arm,
+          ${Det.dsumSql("CASE WHEN CAST(o_orderdate AS DATE) " +
+            "< DATE '1996-01-01' THEN o_totalprice ELSE 0.0 END")} AS x,
+          ${Det.dsumSql("CASE WHEN NOT (CAST(o_orderdate AS DATE) " +
+            "< DATE '1996-01-01') THEN o_totalprice ELSE 0.0 END")} AS y
+        FROM orders GROUP BY 1),
+      f AS (
+        SELECT count(*) AS n,
+          CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          ${Det.dsumSql("x")} AS sx, ${Det.dsumSql("y")} AS sy,
+          ${Det.dsumWideSql("x * x")} AS sxx,
+          ${Det.dsumWideSql("x * y")} AS sxy,
+          ${Det.dsumWideSql("y * y")} AS syy,
+          ${Det.dsumSql("CASE WHEN arm = 'A' THEN x ELSE 0.0 END")}
+            AS sxa,
+          ${Det.dsumSql("CASE WHEN arm = 'A' THEN y ELSE 0.0 END")}
+            AS sya,
+          ${Det.dsumSql("CASE WHEN arm = 'B' THEN x ELSE 0.0 END")}
+            AS sxb,
+          ${Det.dsumSql("CASE WHEN arm = 'B' THEN y ELSE 0.0 END")}
+            AS syb
+        FROM pc)
+      SELECT n, n_a, n_b,
+        CASE WHEN $okSql THEN
+          ${Det.Ols.slopeSql("n", "sx", "sy", "sxy", "sxx")}
+        END AS theta,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN
+          round(sya / n_a - syb / n_b, 6) END AS lift_raw,
+        CASE WHEN $okSql THEN
+          round((sya / n_a - syb / n_b)
+            - ${Det.Ols.slopeSql("n", "sx", "sy", "sxy", "sxx")}
+              * (sxa / n_a - sxb / n_b), 6) END AS lift_adj,
+        CASE WHEN $okSql AND (n * syy - sy * sy) > 0 THEN
+          ${Det.Ols.r2Sql("n", "sx", "sy", "sxy", "sxx", "syy")}
+        END AS var_reduction
+      FROM f"""
+    })
+
   /** Kaplan–Meier churn survival curve: per-customer lifetime = days
     * from first to last order; a customer whose last order predates
     * the corpus horizon minus 90 days is CHURNED (event observed),
@@ -2433,7 +2546,7 @@ object AnalyticsQueries {
     qStreamAttribution,
     qAttributionLinear, qJsonProps,
     qSessions, qMarkov, qStreamMarkov, qBurst, qDecayedClv,
-    qAbTest, qKaplanMeier,
+    qAbTest, qCuped, qKaplanMeier,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,
     qFunnel3Step, qNewVsReturning, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Featurize, Graph, Retrieval}
+
+/** Third extension-query block (ExtQueries and ExtQueries2 are at their
+  * navigable limits): link prediction, language-model retrieval, and
+  * ML featurization. Same contract as [[ExtQueries]]: every entry
+  * carries its own DuckDB oracle and a 100 TB scale rationale on the
+  * implementing operator.
+  */
+object ExtQueries3 {
+
+  /** Adamic–Adar / Jaccard link prediction
+    * ([[graft.ext.Graph.linkPrediction]]) on the SAME ring+random graph
+    * as `ext_graph_triangles` — consecutive ids share the next ring
+    * neighbor, so every adjacent-id pair that is NOT itself a ring edge
+    * is a guaranteed prediction candidate, and the md5 chords add
+    * irregular overlaps. Degree cap 50 (inert on this ~degree-6 graph
+    * but applied identically by the oracle — it is part of the
+    * operator's semantics, not a Spark-side shortcut); pairs need ≥ 2
+    * common neighbors. */
+  val linkPredictionQ = Q(
+    "ext_link_prediction",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val ring = (1 to 2).map { j =>
+        docs.select(col("doc_id").as("src"),
+          ((col("doc_id") + j) % n).as("dst"))
+      }.reduce(_.unionByName(_))
+      val rand = docs.select(col("doc_id").as("src"),
+        (conv(substring(md5(concat(
+          lit("tedge:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % n).as("dst"))
+      Graph.linkPrediction(
+        ring.unionByName(rand).filter(col("src") =!= col("dst")),
+        maxDeg = 50, minCommon = 2)
+    },
+    Some {
+      val cnt = "(SELECT cnt FROM nn)"
+      s"""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        eraw AS (
+          SELECT doc_id AS src, (doc_id + j) % $cnt AS dst
+          FROM documents, (SELECT unnest([1, 2]) AS j)
+          UNION ALL
+          SELECT doc_id AS src,
+            ('0x' || substring(md5('tedge:' || CAST(doc_id AS VARCHAR)),
+              1, 8))::BIGINT % $cnt AS dst
+          FROM documents),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM eraw WHERE src != dst),
+        deg AS MATERIALIZED (
+          SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY 1),
+        nbr AS MATERIALIZED (
+          SELECT z, n, degree AS deg_z FROM (
+            SELECT a AS z, b AS n FROM und
+            UNION ALL SELECT b AS z, a AS n FROM und) x
+          JOIN deg ON x.z = deg.node
+          WHERE degree BETWEEN 2 AND 50),
+        wed AS (
+          SELECT n1.n AS u, n2.n AS v, n1.deg_z
+          FROM nbr n1 JOIN nbr n2 ON n1.z = n2.z AND n1.n < n2.n),
+        sc AS (
+          SELECT u, v, count(*) AS common_neighbors,
+            round(CAST(sum(CAST(
+              round(CAST(1.0 AS DOUBLE) / ln(deg_z), 6)
+              AS DECIMAL(38, 12))) AS DOUBLE), 6) AS aa_score
+          FROM wed GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT s.u, s.v, s.common_neighbors, s.aa_score,
+        round(CAST(s.common_neighbors AS DOUBLE)
+          / (du.degree + dv.degree - s.common_neighbors), 6) AS jaccard
+      FROM sc s
+      LEFT JOIN und e ON s.u = e.a AND s.v = e.b
+      JOIN deg du ON s.u = du.node
+      JOIN deg dv ON s.v = dv.node
+      WHERE e.a IS NULL"""
+    })
+
+  /** Query-likelihood Dirichlet ranking
+    * ([[graft.ext.Retrieval.qlDirichletTopK]]) — the LM ranker next to
+    * BM25, same three-term query so the two ranked lists are directly
+    * comparable. */
+  val qlDirichletQ = Q(
+    "ext_ql_dirichlet_topk",
+    (s, d) => Retrieval.qlDirichletTopK(Tables.documents(s, d), "text",
+      "doc_id", Seq("spark", "window", "vector"), k = 10),
+    Some(Retrieval.qlDirichletOracleSql(
+      Seq("spark", "window", "vector"), 10)))
+
+  /** Smoothed target encoding ([[graft.ext.Featurize.targetEncode]]):
+    * brand → return-rate over lineitem⋈part (target = returnflag 'R').
+    * The 100 TB plan: the partkey equi-join carries one string column,
+    * then the brand aggregate shrinks map-side to the 25-brand grain —
+    * no broadcast of either big side is needed or used. */
+  val targetEncodeQ = Q(
+    "ext_target_encode",
+    (s, d) => Featurize.targetEncode(
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("target")),
+      "brand", "target", m = 100.0),
+    Some(Featurize.targetEncodeOracleSql(
+      """SELECT p_brand AS category,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS target
+        FROM lineitem JOIN part ON l_partkey = p_partkey""",
+      m = 100.0)))
+
+  /** Signed feature hashing ([[graft.ext.Featurize.featureHash]]) of
+    * the document corpus into 64 buckets, sparse long-format output. */
+  val featureHashQ = Q(
+    "ext_feature_hash",
+    (s, d) => Featurize.featureHash(
+      Tables.documents(s, d), "text", "doc_id", dims = 64),
+    Some(Featurize.featureHashOracleSql(dims = 64)))
+
+  def all: Seq[Q] = Seq(
+    linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ)
+}

@@ -93,7 +93,7 @@ object Det {
 object Registry {
   def all: Seq[Q] =
     AnalyticsQueries.all ++ RetailQueries.all ++ ParityQueries.all ++
-      ExtQueries.all ++ ExtQueries2.all
+      ExtQueries.all ++ ExtQueries2.all ++ ExtQueries3.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

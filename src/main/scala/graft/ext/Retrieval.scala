@@ -211,6 +211,111 @@ object Retrieval {
       FROM sc1 ORDER BY score DESC, doc_id LIMIT $k"""
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling alternative to BM25's
+    * probabilistic weighting: score(q, d) = Σ_t log p(t|θ_d) with
+    * p(t|θ_d) = (tf + μ·p(t|C)) / (dl + μ). Computed in the
+    * rank-equivalent DECOMPOSED form
+    *   Σ_{t∈q∩d} ln(1 + tf/(μ·p(t|C)))  +  |q|·ln(μ/(dl+μ))
+    * which is the scale trick that makes LM scoring feasible on a
+    * large corpus: the first term needs only MATCHING postings (a
+    * term-keyed join against the broadcast query-term frame), the
+    * second is a per-doc projection off the doc-length frame — no
+    * per-(doc, term) smoothing pass over the full vocabulary ever
+    * runs. Query terms absent from the corpus (ctf = 0) are dropped,
+    * the standard OOV rule (their smoothed probability is undefined);
+    * |q| counts the surviving terms.
+    *
+    * Determinism: the two transcendentals — each matched term's
+    * ln(1 + ·) and the per-doc length normalizer — are rounded to 6 dp
+    * at the row, matched contributions summed through exact
+    * DECIMAL(38,12); final score rounds 6 dp. Top-k via the
+    * bounded-heap [[graft.functions.TopKAgg]] (≤k per partition
+    * map-side). */
+  def qlDirichletTopK(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int, mu: Double = 300.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(queryTerms.nonEmpty, "qlDirichletTopK needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = graft.ops.CacheScope.persist(docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextStats.tokens(lower(col(textCol))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    val dls = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(TextStats.tokens(lower(col(textCol)))).as("dl"))
+    // corpus stats: total token mass C, and per-query-term collection
+    // frequency (bounded by |q| rows — broadcast both)
+    val ctf = post.filter(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val stats = dls.agg(sum(col("dl")).as("c_total"))
+      .crossJoin(ctf.agg(count(lit(1)).as("qn")))
+    val w = round(log(lit(1.0) + col("tf").cast("double") /
+      (lit(mu) * (col("ctf").cast("double") / col("c_total")))), 6)
+    val matched = post
+      .join(broadcast(ctf), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("c_total"))))
+      .groupBy("doc_id")
+      .agg(sum(w.cast(DecimalType(38, 12))).cast("double").as("msum"))
+    val lenNorm = round(log(lit(mu) / (col("dl") + lit(mu))), 6)
+    dls.join(matched, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats.select(col("qn"))))
+      .select(col("doc_id"),
+        round(coalesce(col("msum"), lit(0.0)) + col("qn") * lenNorm, 6)
+          .as("score"))
+      .groupBy()
+      .agg(graft.functions.TopKAgg.top_k(col("score"), col("doc_id"), k)
+        .as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.id").as(idCol), col("t.score").as("score"),
+        col("t.rank").as("rank"))
+  }
+
+  /** DuckDB replay of [[qlDirichletTopK]] — identical decomposition,
+    * rounding sites, and (score DESC, doc_id) total order. */
+  def qlDirichletOracleSql(queryTerms: Seq[String], k: Int,
+      mu: Double = 300.0): String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    val qlist = queryTerms.map(t => s"'$t'").mkString(", ")
+    val muD = s"CAST($mu AS DOUBLE)"
+    s"""WITH toks AS (
+        SELECT doc_id,
+          string_split_regex(trim(lower(text), $ws),
+            '[ \\t\\n\\x0B\\f\\r]+') AS tk
+        FROM documents),
+      post AS MATERIALIZED (
+        SELECT doc_id, dl, term, count(*) AS tf FROM (
+          SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+        GROUP BY 1, 2, 3),
+      dls AS (SELECT doc_id, len(tk) AS dl FROM toks),
+      ctf AS MATERIALIZED (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+        FROM post WHERE term IN ($qlist) GROUP BY 1),
+      st AS (SELECT
+          (SELECT CAST(sum(dl) AS BIGINT) FROM dls) AS c_total,
+          (SELECT count(*) FROM ctf) AS qn),
+      matched AS (
+        SELECT p.doc_id,
+          CAST(sum(CAST(
+            round(ln(CAST(1.0 AS DOUBLE) + CAST(p.tf AS DOUBLE)
+              / ($muD * (CAST(c.ctf AS DOUBLE) / st.c_total))), 6)
+            AS DECIMAL(38, 12))) AS DOUBLE) AS msum
+        FROM post p JOIN ctf c USING (term) CROSS JOIN st
+        GROUP BY 1),
+      scored AS (
+        SELECT d.doc_id,
+          round(coalesce(m.msum, CAST(0.0 AS DOUBLE))
+            + st.qn * round(ln($muD / (d.dl + $muD)), 6), 6) AS score
+        FROM dls d LEFT JOIN matched m ON d.doc_id = m.doc_id
+        CROSS JOIN st)
+      SELECT doc_id, score,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+          AS rank
+      FROM scored ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
   /** Sparse TF-IDF cosine top-k: document-to-document similarity
     * through the INVERTED-INDEX join — the lexical twin of the dense
     * ANN family. Per doc-term: w = tf · idf (idf = ln(N/df), 6-dp);

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Featurize, Graph, Retrieval}
+
+/** Semantics specs for the ExtQueries3 operators — hand-computed link
+  * prediction on a 4-node fixture, QL-Dirichlet ranking/OOV behavior,
+  * pinned target-encoding shrinkage, feature-hash shape invariants, and
+  * an independent recomputation of the CUPED θ/ρ² algebra.
+  */
+class Ext3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("linkPrediction: hand-computed AA/Jaccard, edges excluded, cap") {
+    // edges: 1-2, 2-3, 1-3, 1-4, 3-4.  deg: 1→3, 2→2, 3→3, 4→2.
+    // Only non-adjacent pair with ≥2 common neighbors is (2,4), via
+    // z ∈ {1, 3}: aa = 2·round(1/ln 3, 6) = 1.820478,
+    // jaccard = 2 / (2 + 2 − 2) = 1.0.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.linkPrediction(edges, maxDeg = 50, minCommon = 2)
+      .collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("u") == 2L && r.getAs[Long]("v") == 4L)
+    assert(r.getAs[Long]("common_neighbors") == 2L)
+    assert(math.abs(r.getAs[Double]("aa_score") - 1.820478) < 1e-9)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0) < 1e-9)
+    // cap at 2 excludes both degree-3 centers → no wedges survive
+    val capped = Graph.linkPrediction(edges, maxDeg = 2, minCommon = 2)
+      .collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(capped.isEmpty)
+  }
+
+  test("qlDirichletTopK: term density ranks, OOV terms are inert") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "banana banana banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val ranked = Retrieval.qlDirichletTopK(
+      docs, "text", "doc_id", Seq("banana"), k = 3, mu = 10.0)
+      .orderBy(col("rank")).collect()
+    graft.ops.CacheScope.releaseAll()
+    // doc 2 has the highest banana mass, doc 3 none (pure length penalty)
+    assert(ranked.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L, 3L))
+    assert(ranked.head.getAs[Double]("score") >
+      ranked.last.getAs[Double]("score"))
+    // an out-of-corpus query term is dropped (qn counts survivors), so
+    // scores are identical with and without it
+    val withOov = Retrieval.qlDirichletTopK(
+      docs, "text", "doc_id", Seq("banana", "zzz"), k = 3, mu = 10.0)
+      .orderBy(col("rank")).collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(withOov.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSeq ==
+      ranked.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSeq)
+  }
+
+  test("targetEncode: pinned shrinkage toward the global mean") {
+    // a: 4 rows all 1 (raw 1.0), b: 1 row 0 (raw 0.0); global = 0.8
+    // m=1 → enc(a) = (4 + 0.8)/5 = 0.96, enc(b) = (0 + 0.8)/2 = 0.4
+    val rows = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 1), ("b", 0))
+      .toDF("c", "t")
+    val out = Featurize.targetEncode(rows, "c", "t", m = 1.0)
+      .collect().map(r => r.getAs[String]("category") ->
+        (r.getAs[Double]("raw_rate"), r.getAs[Double]("encoded"))).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(out("a") == ((1.0, 0.96)))
+    assert(out("b") == ((0.0, 0.4)))
+  }
+
+  test("featureHash: sparse shape, bucket range, signed counts") {
+    val docs = Seq((1L, "x"), (2L, "x x y")).toDF("doc_id", "text")
+    val out = Featurize.featureHash(docs, "text", "doc_id", dims = 64)
+      .collect()
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    // single-token doc: exactly one bucket at ±1
+    assert(d1.length == 1 && math.abs(d1.head.getAs[Long]("val")) == 1L)
+    assert(out.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < 64
+    })
+    // the same token hashes to the same bucket in every doc; doc 2's
+    // x bucket carries twice doc 1's x value (same sign, tf 2)
+    val xb = d1.head.getAs[Long]("bucket")
+    val d2x = d2.filter(_.getAs[Long]("bucket") == xb)
+    assert(d2x.length == 1 &&
+      d2x.head.getAs[Long]("val") == 2L * d1.head.getAs[Long]("val"))
+  }
+
+  test("q_cuped_adjusted: θ and ρ² match an independent covariance " +
+      "recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val out = AnalyticsQueries.qCuped.run(spark, sf).collect().head
+    // rebuild the per-customer (x, y) frame and let Spark's own
+    // covar_pop/var_pop/corr check the fused-sums algebra
+    val pre = to_date(col("o_orderdate")) < lit("1996-01-01").cast("date")
+    val per = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(Det.dsum(when(pre, col("o_totalprice")).otherwise(lit(0.0)))
+          .as("x"),
+        Det.dsum(when(!pre, col("o_totalprice")).otherwise(lit(0.0)))
+          .as("y"))
+    val chk = per.agg(
+      (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("theta"),
+      (corr(col("x"), col("y")) * corr(col("x"), col("y"))).as("rho2"))
+      .collect().head
+    assert(math.abs(out.getAs[Double]("theta") -
+      chk.getAs[Double]("theta")) < 1e-5)
+    assert(math.abs(out.getAs[Double]("var_reduction") -
+      chk.getAs[Double]("rho2")) < 1e-5)
+    // A/A split: both arms populated, adjusted lift stays finite
+    assert(out.getAs[Long]("n_a") > 0 && out.getAs[Long]("n_b") > 0)
+    assert(!out.isNullAt(out.fieldIndex("lift_adj")))
+  }
+}
