@@ -119,6 +119,90 @@ object ExtQueries3 {
       Tables.documents(s, d), "text", "doc_id", dims = 64),
     Some(Featurize.featureHashOracleSql(dims = 64)))
 
+  /** Kneser–Ney bigram perplexity
+    * ([[graft.ext.TextStats.knBigramScore]], D = 0.75) — the standard
+    * LM smoothing next to `ext_bigram_lm`'s add-one baseline. */
+  val knBigramQ = Q(
+    "ext_kn_bigram_ppl",
+    (s, d) => graft.ext.TextStats.knBigramScore(
+      Tables.documents(s, d), "text", "doc_id", discount = 0.75),
+    Some {
+      val dD = "CAST(0.75 AS DOUBLE)"
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH toks AS (
+        SELECT doc_id,
+          string_split_regex(trim(lower(text), $ws),
+            '[ \\t\\n\\x0B\\f\\r]+') AS t
+        FROM documents),
+      bi AS MATERIALIZED (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> array_to_string(t[i:i+1], ' '))) AS bg
+        FROM toks WHERE len(t) >= 2),
+      cb AS MATERIALIZED (SELECT bg, count(*) AS cb FROM bi GROUP BY 1),
+      w1s AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+          CAST(sum(cb) AS BIGINT) AS cw, count(*) AS nfw
+        FROM cb GROUP BY 1),
+      w2s AS (
+        SELECT string_split(bg, ' ')[2] AS w2, count(*) AS npre
+        FROM cb GROUP BY 1),
+      tt AS (SELECT count(*) AS t FROM cb),
+      lp AS (
+        SELECT bg, round(ln(
+          greatest(cb - $dD, CAST(0.0 AS DOUBLE)) / cw
+          + (($dD * nfw) / cw) * (npre / CAST(t AS DOUBLE))), 6) AS logp
+        FROM cb
+        JOIN w1s ON string_split(bg, ' ')[1] = w1s.w1
+        JOIN w2s ON string_split(bg, ' ')[2] = w2s.w2, tt)
+      SELECT doc_id,
+        CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+          AS avg_kn_logprob,
+        round(exp(-(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+          / count(*))), 6) AS kn_ppl,
+        count(*) AS n_bigrams
+      FROM bi JOIN lp USING (bg)
+      GROUP BY doc_id"""
+    })
+
+  /** Per-doc trigram novelty ([[graft.ext.TextDedup.ngramNovelty]],
+    * n = 3): fraction of a doc's distinct trigrams first seen (min
+    * doc_id) in that doc — the marginal-new-content curation signal. */
+  val ngramNoveltyQ = Q(
+    "ext_ngram_novelty",
+    (s, d) => graft.ext.TextDedup.ngramNovelty(
+      Tables.documents(s, d), "text", "doc_id", n = 3),
+    Some {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH toks AS (
+        SELECT doc_id,
+          string_split_regex(trim(lower(text), $ws),
+            '[ \\t\\n\\x0B\\f\\r]+') AS t
+        FROM documents),
+      grams AS MATERIALIZED (
+        SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(t) - 2),
+              i -> array_to_string(t[i:i+2], ' '))) AS gram
+          FROM toks WHERE len(t) >= 3)),
+      fo AS (SELECT gram, min(doc_id) AS owner FROM grams GROUP BY 1),
+      pd AS (SELECT doc_id, count(*) AS n_ngrams FROM grams GROUP BY 1),
+      nv AS (
+        SELECT doc_id, count(*) AS n_novel
+        FROM grams JOIN fo USING (gram)
+        WHERE owner = doc_id GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(pd.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        CASE WHEN pd.n_ngrams > 0 THEN
+          round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / pd.n_ngrams, 6)
+        END AS novelty
+      FROM documents d
+      LEFT JOIN pd ON d.doc_id = pd.doc_id
+      LEFT JOIN nv ON d.doc_id = nv.doc_id"""
+    })
+
   def all: Seq[Q] = Seq(
-    linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ)
+    linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
+    knBigramQ, ngramNoveltyQ)
 }

@@ -727,9 +727,167 @@ object RetailQueries {
         CAST(z_score > 3.0 AS INT) AS is_spike
       FROM scored"""))
 
+  /** Weekly demand lag features per part — the feature-engineering
+    * staple a forecasting pipeline materializes before training: weekly
+    * quantity with lag-1, lag-4, and the trailing-4-observation moving
+    * average. Lags/frames are over OBSERVED weeks (a part with a gap
+    * sees its previous observation, not an imputed zero — the sparse
+    * convention; `q_gap_fill_daily` is the densifying counterpart).
+    *
+    * Scale: one lineitem-grain hash aggregate down to (part, week),
+    * then windows PARTITIONED BY part — per-partition frame cardinality
+    * is bounded by the calendar (~350 weeks over the corpus span), and
+    * the window exchange reuses the aggregate's part-keyed
+    * partitioning. Quantities through exact decimal; the only division
+    * is the 6-dp moving-average at the end, identically parenthesized
+    * in the oracle. */
+  val qDemandLag = Q(
+    "q_demand_lag_features",
+    (s, d) => {
+      val weekly = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"),
+          to_date(date_trunc("week", col("l_shipdate"))).as("wk"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_dec"))
+      val w = Window.partitionBy("l_partkey").orderBy("wk")
+      val frame4 = w.rowsBetween(-3, 0)
+      weekly.select(col("l_partkey"),
+        date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("qty_dec").cast("double").as("qty"),
+        lag(col("qty_dec"), 1).over(w).cast("double").as("lag1"),
+        lag(col("qty_dec"), 4).over(w).cast("double").as("lag4"),
+        round(sum(col("qty_dec")).over(frame4).cast("double")
+          / count(lit(1)).over(frame4), 6).as("ma4"))
+    },
+    Some("""WITH weekly AS (
+        SELECT l_partkey,
+          date_trunc('week', CAST(l_shipdate AS DATE)) AS wk,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l_partkey, strftime(wk, '%Y-%m-%d') AS week,
+        CAST(qty_dec AS DOUBLE) AS qty,
+        CAST(lag(qty_dec, 1) OVER w AS DOUBLE) AS lag1,
+        CAST(lag(qty_dec, 4) OVER w AS DOUBLE) AS lag4,
+        round(CAST(sum(qty_dec) OVER f AS DOUBLE)
+          / count(*) OVER f, 6) AS ma4
+      FROM weekly
+      WINDOW w AS (PARTITION BY l_partkey ORDER BY wk),
+        f AS (PARTITION BY l_partkey ORDER BY wk
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"""))
+
+  /** ABC–XYZ inventory matrix — the planner's two-axis classification:
+    * ABC = revenue concentration class (the [[qAbcPareto]] cumulative
+    * share: A ≤ 80%, B ≤ 95%, C above), XYZ = demand REGULARITY class
+    * from the coefficient of variation of weekly quantity (X ≤ 0.5
+    * steady, Y ≤ 1.0, Z erratic). The 9-cell matrix (class pair →
+    * part count + revenue share) is what drives differentiated
+    * safety-stock / forecasting policy per cell.
+    *
+    * Scale: ONE lineitem pass down to the (part, week) grain feeds both
+    * axes — revenue re-aggregates it to part grain for the distributed
+    * cumulative share ([[paretoCumShare]], two-phase prefix sum — this
+    * query is windowWhitelist'd for its bounded per-partition-totals
+    * window like qAbcPareto); the CV axis is a part-keyed fused-moments
+    * aggregate over the same frame (σ via exact sums, sqrt is
+    * correctly-rounded IEEE on both engines). Final matrix is a 9-row
+    * aggregate + 1-row broadcast share normalizer. */
+  val qAbcXyz = Q(
+    "q_abc_xyz",
+    (s, d) => {
+      val pw = graft.ops.CacheScope.persist(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"),
+            to_date(date_trunc("week", col("l_shipdate"))).as("wk"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 6))).as("rev_dec"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .as("qty_dec")))
+      val rev = pw.groupBy(col("l_partkey"))
+        .agg(sum(col("rev_dec")).as("rev_dec"))
+      // rev_dec stays EXACT DECIMAL through the matrix aggregate — a
+      // per-part double→DECIMAL(18,2) roundtrip here loses the 6-dp
+      // tail at a different rounding mode than DuckDB (HALF_UP vs
+      // half-even at .xx5000) and drifts the cell sums by cents
+      val abc = paretoCumShare(rev, "l_partkey", "rev_dec")
+        .select(col("l_partkey"), col("rev_dec"),
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B")
+            .otherwise("C").as("abc_class"))
+      val xyz = pw
+        .select(col("l_partkey"), col("qty_dec").cast("double").as("q"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("nw"), dsum(col("q")).as("sq"),
+          dsumWide(col("q") * col("q")).as("sq2"))
+        .select(col("l_partkey"),
+          when(col("sq") > 0,
+            round(sqrt(greatest(
+              col("nw") * col("sq2") - col("sq") * col("sq"), lit(0.0)))
+              / col("sq"), 6)).as("cv"))
+        .select(col("l_partkey"),
+          when(col("cv") <= 0.5, "X").when(col("cv") <= 1.0, "Y")
+            .otherwise("Z").as("xyz_class"))
+      val cells = abc.join(xyz, Seq("l_partkey"))
+        .groupBy(col("abc_class"), col("xyz_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_dec")).as("rev"))
+      val tot = cells.agg(sum(col("rev")).as("tot"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(col("rev").cast("double") / col("tot").cast("double"), 6)
+            .as("rev_share"))
+    },
+    Some("""WITH pw AS (
+        SELECT l_partkey,
+          date_trunc('week', CAST(l_shipdate AS DATE)) AS wk,
+          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS rev_dec,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        FROM lineitem GROUP BY 1, 2),
+      rev AS (
+        SELECT l_partkey, sum(rev_dec) AS rev_dec FROM pw GROUP BY 1),
+      pare AS (
+        SELECT l_partkey, rev_dec,
+          round(CAST(sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS cum_share
+        FROM rev),
+      abc AS (
+        SELECT l_partkey, rev_dec,
+          CASE WHEN cum_share <= 0.80 THEN 'A'
+               WHEN cum_share <= 0.95 THEN 'B'
+               ELSE 'C' END AS abc_class
+        FROM pare),
+      mom AS (
+        SELECT l_partkey, count(*) AS nw,
+          CAST(sum(CAST(CAST(qty_dec AS DOUBLE) AS DECIMAL(18,2)))
+            AS DOUBLE) AS sq,
+          CAST(sum(CAST(CAST(qty_dec AS DOUBLE) * CAST(qty_dec AS DOUBLE)
+            AS DECIMAL(38,12))) AS DOUBLE) AS sq2
+        FROM pw GROUP BY 1),
+      xyz AS (
+        SELECT l_partkey,
+          CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y'
+               ELSE 'Z' END AS xyz_class
+        FROM (
+          SELECT l_partkey,
+            CASE WHEN sq > 0 THEN
+              round(sqrt(greatest(nw * sq2 - sq * sq,
+                CAST(0.0 AS DOUBLE))) / sq, 6) END AS cv
+          FROM mom)),
+      cells AS (
+        SELECT abc_class, xyz_class, count(*) AS n_parts,
+          sum(rev_dec) AS rev
+        FROM abc JOIN xyz USING (l_partkey)
+        GROUP BY 1, 2),
+      tot AS (SELECT sum(rev) AS tot FROM cells)
+      SELECT abc_class, xyz_class, n_parts,
+        round(CAST(rev AS DOUBLE), 2) AS revenue,
+        round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share
+      FROM cells CROSS JOIN tot"""))
+
   def all: Seq[Q] = Seq(
     qRfm, qAbcPareto, qElasticity, qOrderCountDist, qPromoShare,
     qReturnedItems, qLargeVolume, qMarketShare, qYoyBrandGrowth,
     qRepeatInterval, qSessionConversion, qRefIntegrity, qNationTrade,
-    qErrorSpikes)
+    qErrorSpikes, qDemandLag, qAbcXyz)
 }

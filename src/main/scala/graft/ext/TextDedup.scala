@@ -876,4 +876,47 @@ object TextDedup {
         round(lit(1.0) / col("cluster_size").cast("double"), 6)
           .as("weight"))
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * n-grams whose FIRST corpus occurrence (minimum doc id under the
+    * corpus's arrival order) is this doc — "how much genuinely new
+    * content does this document add", the marginal-contribution
+    * curation signal (the set-cover greedy's unit step; complements
+    * `dupNgramCoverage`, which asks the opposite question). A doc full
+    * of already-seen n-grams scores ~0 even if no single document
+    * near-duplicates it — the templated-remix case n-gram Jaccard
+    * misses.
+    *
+    * Scale: distinct n-grams per doc are a pure projection
+    * ([[shingles]]); first-owner is ONE n-gram-keyed min aggregate
+    * (map-side partials shrink each partition to its distinct grams);
+    * the novelty count is the same frame re-joined on (gram,
+    * owner = doc) — gram-keyed equi-joins end to end, no windows, no
+    * per-doc corpus scan. Docs with < n tokens emit 0 n-grams and are
+    * reported with novelty NULL (no opinion, the bigramLmScore rule).
+    *
+    * Output: (id, n_ngrams, n_novel, novelty) per doc. */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val grams = graft.ops.CacheScope.persist(
+      docs.select(col(idCol).as("id"),
+        explode(shingles(lower(col(textCol)), n)).as("gram")))
+    val firstOwner = grams.groupBy(col("gram"))
+      .agg(min(col("id")).as("owner"))
+    val perDoc = grams.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"))
+    val novel = grams.join(firstOwner, Seq("gram"))
+      .filter(col("owner") === col("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_novel"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .join(novel, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_ngrams") > 0,
+          round(coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_ngrams"), 6)).as("novelty"))
+  }
 }

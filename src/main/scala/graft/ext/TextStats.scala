@@ -314,6 +314,63 @@ object TextStats {
         col("n_bigrams"))
   }
 
+  /** Kneser–Ney smoothed bigram perplexity — the standard n-gram LM
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1998's interpolated
+    * form), one realism step past [[bigramLmScore]]'s add-one:
+    *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+    *            + (D·N₁₊(w1 ·)/c(w1·)) · N₁₊(· w2)/N₁₊(· ·)
+    * The continuation probability N₁₊(· w2)/T ("in how many distinct
+    * contexts does w2 appear") is what distinguishes KN: a word frequent
+    * only inside one collocation gets a LOW continuation weight even if
+    * its raw unigram count is high.
+    *
+    * Scale: everything derives from the bigram-TYPE frame — c(w1·) and
+    * N₁₊(w1 ·) come from ONE w1-keyed aggregate over it, N₁₊(· w2) from
+    * one w2-keyed aggregate, T is a 1-row broadcast; scoring is one hash
+    * join on the bigram key back to the per-doc bigram multiset. No
+    * window, no pass at corpus-token grain beyond the initial count.
+    *
+    * Determinism: P is exact-integer ratios and the double discount in
+    * one pinned IEEE tree; ln rounds 6 dp per bigram, per-doc mean is
+    * the exact-decimal sum / count; perplexity = exp(−mean) rounds 6 dp
+    * (the Kaplan–Meier exp rule). P > 0 always — every observed bigram
+    * has N₁₊(w1 ·) ≥ 1 and N₁₊(· w2) ≥ 1, so ln never sees 0. Docs with
+    * < 2 tokens have no bigrams and are absent (the bigramLmScore
+    * contract). */
+  def knBigramScore(docs: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val idBi = graft.ops.CacheScope.persist(
+      docs.select(col(idCol).as("id"),
+        explode(rawBigrams(col(textCol))).as("bg")))
+    val biCounts = graft.ops.CacheScope.persist(
+      idBi.groupBy(col("bg")).agg(count(lit(1)).as("cb")))
+    val w1Stats = biCounts
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("nfw"))
+    val contStats = biCounts
+      .groupBy(split(col("bg"), " ").getItem(1).as("w2"))
+      .agg(count(lit(1)).as("npre"))
+    val totTypes = biCounts.agg(count(lit(1)).as("t"))
+    val d = lit(discount)
+    val p = greatest(col("cb") - d, lit(0.0)) / col("cw") +
+      (d * col("nfw") / col("cw")) * (col("npre") / col("t"))
+    val logProbs = biCounts
+      .join(w1Stats, split(col("bg"), " ").getItem(0) === col("w1"))
+      .join(contStats, split(col("bg"), " ").getItem(1) === col("w2"))
+      .crossJoin(broadcast(totTypes))
+      .select(col("bg"), round(log(p), 6).as("logp"))
+    idBi.join(logProbs, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(
+        (sum(col("logp").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("avg_kn_logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("id").as(idCol), col("avg_kn_logprob"),
+        round(exp(-col("avg_kn_logprob")), 6).as("kn_ppl"),
+        col("n_bigrams"))
+  }
+
   // ---- Gopher quality gates (Rae et al. 2021, Appendix A) ------------------
 
   /** Gopher's required-stopword list ("contains at least two of ...");

@@ -92,6 +92,42 @@ class Ext3Spec extends SparkSpec {
       d2x.head.getAs[Long]("val") == 2L * d1.head.getAs[Long]("val"))
   }
 
+  test("knBigramScore: hand-computed Kneser–Ney probabilities") {
+    // corpus: "a b", "a b", "a c" → bigram types {(a b):2, (a c):1}
+    // c(a·)=3, N1+(a·)=2, N1+(·b)=1, N1+(·c)=1, T=2, D=0.75
+    // P(b|a) = (2−D)/3 + (D·2/3)·(1/2) = 1.25/3 + 0.25
+    // P(c|a) = (1−D)/3 + (D·2/3)·(1/2) = 0.25/3 + 0.25
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextStats.knBigramScore(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_kn_logprob")).toMap
+    graft.ops.CacheScope.releaseAll()
+    val pBA = (2 - 0.75) / 3.0 + (0.75 * 2 / 3.0) * (1 / 2.0)
+    val pCA = (1 - 0.75) / 3.0 + (0.75 * 2 / 3.0) * (1 / 2.0)
+    assert(math.abs(out(1L) - math.log(pBA)) < 1e-5)
+    assert(math.abs(out(2L) - math.log(pBA)) < 1e-5)
+    assert(math.abs(out(3L) - math.log(pCA)) < 1e-5)
+    // the frequent bigram is more probable — KN's whole point survives
+    assert(out(1L) > out(3L))
+  }
+
+  test("ngramNovelty: first owner wins, repeats score 0.5, short docs " +
+      "have no opinion") {
+    val docs = Seq(
+      (1L, "a b c d"),   // trigrams {abc, bcd} — both first here
+      (2L, "a b c e"),   // {abc (seen), bce (new)} → 0.5
+      (3L, "x")).toDF("doc_id", "text")
+    val out = graft.ext.TextDedup.ngramNovelty(docs, "text", "doc_id", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_novel"),
+          Option(r.getAs[java.lang.Double]("novelty")))).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(out(1L) == ((2L, 2L, Some(1.0))))
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    assert(out(3L) == ((0L, 0L, None)))
+  }
+
   test("q_cuped_adjusted: θ and ρ² match an independent covariance " +
       "recomputation") {
     val sf = "/root/testdata/sf0.001"

@@ -65,7 +65,10 @@ class PlanGuardSpec extends SparkSpec {
         "aggregate (source cardinality, tens of rows)"),
     "q_churn_kaplan_meier" ->
       ("risk-set suffix sum + survival running product over the " +
-        "lifetime-day grain (bounded by the observation window)"))
+        "lifetime-day grain (bounded by the observation window)"),
+    "q_abc_xyz" ->
+      ("paretoCumShare's prefix-sum over per-partition totals (one row " +
+        "per partition), inherited for the ABC axis"))
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:

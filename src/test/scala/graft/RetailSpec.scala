@@ -45,6 +45,40 @@ class RetailSpec extends SparkSpec {
     assert(rows.map(_._2).sum > 0 && rows.map(_._3).sum > 0)
   }
 
+  test("q_demand_lag_features: lags shift observed weeks, ma4 averages " +
+      "the trailing frame") {
+    import spark.implicits._
+    val rows = RetailQueries.qDemandLag.run(spark, sf)
+      .select(col("l_partkey"), col("week"), col("qty"), col("lag1"),
+        col("lag4"), col("ma4"))
+      .as[(Long, String, Double, Option[Double], Option[Double], Double)]
+      .collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { series =>
+      series.zipWithIndex.foreach { case ((_, _, _, lag1, lag4, ma4), i) =>
+        // lag over OBSERVED weeks: row i sees row i−1 / i−4 or NULL
+        assert(lag1 == (if (i >= 1) Some(series(i - 1)._3) else None))
+        assert(lag4 == (if (i >= 4) Some(series(i - 4)._3) else None))
+        val frame = series.slice(math.max(0, i - 3), i + 1).map(_._3)
+        assert(math.abs(ma4 - frame.sum / frame.size) < 1e-6,
+          s"ma4 must average the trailing frame at index $i")
+      }
+    }
+  }
+
+  test("q_abc_xyz: full part coverage, shares sum to 1, classes valid") {
+    val out = RetailQueries.qAbcXyz.run(spark, sf).collect()
+    graft.ops.CacheScope.releaseAll()
+    val nParts = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_parts")).sum == nParts)
+    assert(math.abs(out.map(_.getAs[Double]("rev_share")).sum - 1.0)
+      < 1e-4)
+    assert(out.forall(r => Set("A", "B", "C")(r.getAs[String]("abc_class"))
+      && Set("X", "Y", "Z")(r.getAs[String]("xyz_class"))))
+  }
+
   test("q_rfm_segments: scores in 1..4, quartile monotonicity, coverage") {
     val out = RetailQueries.qRfm.run(spark, sf).cache()
     try {
