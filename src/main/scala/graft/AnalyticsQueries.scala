@@ -793,6 +793,67 @@ object AnalyticsQueries {
         END) > 1.96 AS INT) AS significant
       FROM zc"""))
 
+  /** Chi-square test of independence between order priority and order
+    * status (the categorical-association readout: does fulfillment
+    * state depend on priority?) plus Cramér's V effect size. Shape:
+    * ONE hash aggregate to the |priorities|×|statuses| cell grain;
+    * marginals, totals, and the statistic all re-aggregate that tiny
+    * frame — the input is scanned exactly once at any size. Expected
+    * counts and contributions are plain IEEE on exact integers in one
+    * pinned tree; contributions sum through DECIMAL(38,12); V is
+    * derived from the ROUNDED χ² so both engines agree. */
+  val qChi2 = Q(
+    "q_chi2_priority_status",
+    (s, d) => {
+      val cells = graft.ops.CacheScope.persist(
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("obs")))
+      val rt = cells.groupBy(col("prio")).agg(sum(col("obs")).as("rt"))
+      val ct = cells.groupBy(col("status")).agg(sum(col("obs")).as("ct"))
+      val tot = cells.agg(sum(col("obs")).as("n"),
+        countDistinct(col("prio")).as("r"),
+        countDistinct(col("status")).as("c"))
+      val expd = (col("rt").cast("double") * col("ct")) / col("n")
+      val contrib = (col("obs") - expd) * (col("obs") - expd) / expd
+      val chi2 = cells.join(rt, Seq("prio")).join(ct, Seq("status"))
+        .crossJoin(broadcast(tot.select(col("n"))))
+        .agg(round(Det.dsumWide(contrib), 6).as("chi2"))
+      chi2.crossJoin(broadcast(tot))
+        .select(col("n"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          col("chi2"),
+          when(col("n") > 0 && least(col("r"), col("c")) > 1,
+            round(sqrt(col("chi2") /
+              (col("n") * (least(col("r"), col("c")) - 1))), 6))
+            .as("cramers_v"))
+    },
+    Some("""WITH cells AS MATERIALIZED (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+          count(*) AS obs
+        FROM orders GROUP BY 1, 2),
+      rt AS (SELECT prio, CAST(sum(obs) AS BIGINT) AS rt
+        FROM cells GROUP BY 1),
+      ct AS (SELECT status, CAST(sum(obs) AS BIGINT) AS ct
+        FROM cells GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n,
+          count(DISTINCT prio) AS r, count(DISTINCT status) AS c
+        FROM cells),
+      x2 AS (
+        SELECT round(CAST(sum(CAST(
+          (obs - (CAST(rt AS DOUBLE) * ct) / n)
+            * (obs - (CAST(rt AS DOUBLE) * ct) / n)
+            / ((CAST(rt AS DOUBLE) * ct) / n)
+          AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+        FROM cells JOIN rt USING (prio) JOIN ct USING (status)
+        CROSS JOIN (SELECT n FROM tot))
+      SELECT n, (r - 1) * (c - 1) AS dof, chi2,
+        CASE WHEN n > 0 AND least(r, c) > 1 THEN
+          round(sqrt(chi2 / (n * (least(r, c) - 1))), 6) END AS cramers_v
+      FROM x2 CROSS JOIN tot"""))
+
   /** CUPED variance reduction (Deng et al. 2013) for the customer-level
     * experiment readout: covariate X = each customer's PRE-period spend
     * (orders before 1996-01-01), metric Y = post-period spend, arms by
@@ -2546,7 +2607,7 @@ object AnalyticsQueries {
     qStreamAttribution,
     qAttributionLinear, qJsonProps,
     qSessions, qMarkov, qStreamMarkov, qBurst, qDecayedClv,
-    qAbTest, qCuped, qKaplanMeier,
+    qAbTest, qCuped, qChi2, qKaplanMeier,
     qAsof, qAsofNative, qAsofForward, qAsofTolerance, qAsofPit, qFunnel,
     qFunnel3Step, qNewVsReturning, qCohort, qBasketLift, qBandJoin, qBandJoinSkewed, qCorr, qCube,
     qGroupingSets,

@@ -202,7 +202,27 @@ object ExtQueries3 {
       LEFT JOIN nv ON d.doc_id = nv.doc_id"""
     })
 
+  /** Poisson-bootstrap CI of the mean document length
+    * ([[graft.ext.Stats.bootstrapMeanCi]], B = 32): the one-pass
+    * bootstrap — per-replica Poisson(1) weights drawn from md5, 64
+    * exact-integer sums folded map-side, disc-percentile CI. */
+  val bootstrapQ = Q(
+    "ext_bootstrap_mean_ci",
+    (s, d) => graft.ext.Stats.bootstrapMeanCi(
+      Tables.documents(s, d), "doc_id", "n_chars"),
+    Some(graft.ext.Stats.bootstrapOracleSql("doc_id", "n_chars")))
+
+  /** Mutual information between document language and source
+    * ([[graft.ext.Stats.mutualInformation]]) — "does source predict
+    * language", the corpus-metadata association readout. */
+  val mutualInfoQ = Q(
+    "ext_mutual_information",
+    (s, d) => graft.ext.Stats.mutualInformation(
+      Tables.documents(s, d), "lang", "source"),
+    Some(graft.ext.Stats.mutualInformationOracleSql(
+      "SELECT lang AS a, source AS b FROM documents")))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
-    knBigramQ, ngramNoveltyQ)
+    knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ)
 }

@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over the corpus — the validation/readout
+  * math a data pipeline runs on its own outputs: Poisson-bootstrap
+  * confidence intervals (uncertainty without resampling passes) and
+  * categorical mutual information (feature/metadata association).
+  * Single-pass aggregate shapes throughout; nothing here scales with
+  * anything but the category/replica grain after the first fold.
+  */
+object Stats {
+
+  /** Cumulative Poisson(1) probabilities for the inverse-CDF draw,
+    * pinned as shared literals (NOT computed — e^-1 on two libms could
+    * differ in the last ulp; a literal cannot). Mass beyond k=7 (1e-5)
+    * collapses into k=8. */
+  val poissonCum: Seq[Double] = Seq(
+    0.367879441, 0.735758882, 0.919698603, 0.981011843,
+    0.996340153, 0.999405815, 0.999916758, 0.999989750)
+
+  private def poissonDraw(u: Column): Column =
+    poissonCum.zipWithIndex.reverse.foldLeft(lit(8L)) {
+      case (acc, (t, k)) => when(u < lit(t), lit(k.toLong)).otherwise(acc)
+    }
+
+  /** Poisson bootstrap of a mean (Chamandy et al. 2012, the
+    * one-pass bootstrap for data too large to resample): every row
+    * enters replica b with weight ~ Poisson(1), drawn deterministically
+    * from md5(seed:b:id), so B resamples cost ONE scan with B weighted
+    * conditional sums folded map-side — no B× data blowup, no shuffle
+    * of row-grain data at all (the aggregate emits a single row of 2B
+    * exact integers, reshaped to replica grain driver-free via
+    * posexplode). The CI columns are percentile_disc data values over
+    * the B-row replica frame (no interpolation arithmetic), broadcast
+    * back onto every row.
+    *
+    * `valueCol` must be integral so the weighted sums stay exact.
+    * Output: (replica, n_eff, mean, ci_lo, ci_hi) — B rows. */
+  def bootstrapMeanCi(rows: DataFrame, idCol: String, valueCol: String,
+      reps: Int = 32, seed: String = "boot",
+      loP: Double = 0.025, hiP: Double = 0.975): DataFrame = {
+    val aggs = (0 until reps).flatMap { b =>
+      val u = conv(substring(md5(concat(lit(s"$seed:$b:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") /
+        lit(4294967296.0)
+      val w = poissonDraw(u)
+      Seq(sum(w).as(s"n_$b"),
+        sum(w * col(valueCol).cast("long")).as(s"s_$b"))
+    }
+    val one = rows.agg(aggs.head, aggs.tail: _*)
+    val per = one.select(posexplode(array((0 until reps).map(b =>
+        struct(col(s"n_$b").as("n"), col(s"s_$b").as("s"))): _*))
+        .as(Seq("replica", "r")))
+      .select(col("replica"), col("r.n").as("n_eff"),
+        (col("r.s").cast("double") / col("r.n")).as("mean"))
+    val perC = graft.ops.CacheScope.persist(per)
+    val ci = perC.agg(
+      expr(s"percentile_disc($loP) WITHIN GROUP (ORDER BY mean)")
+        .as("ci_lo"),
+      expr(s"percentile_disc($hiP) WITHIN GROUP (ORDER BY mean)")
+        .as("ci_hi"))
+    perC.crossJoin(broadcast(ci))
+  }
+
+  /** DuckDB replay of [[bootstrapMeanCi]] over the documents table —
+    * identical md5 draw ladder, replica sums, and disc-percentile CI.
+    * (The oracle may materialize the B× row blowup the Spark side
+    * avoids — it runs at oracle SF, not at 100 TB.) */
+  def bootstrapOracleSql(idCol: String, valueCol: String,
+      reps: Int = 32, seed: String = "boot", loP: Double = 0.025,
+      hiP: Double = 0.975): String = {
+    val ladder = poissonCum.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH reps AS (SELECT unnest(generate_series(0, ${reps - 1})) AS b),
+      draws AS (
+        SELECT b,
+          CASE $ladder ELSE 8 END AS w,
+          $valueCol AS v
+        FROM (
+          SELECT b, $idCol, $valueCol,
+            ('0x' || substring(md5('$seed:' || b || ':'
+              || CAST($idCol AS VARCHAR)), 1, 8))::BIGINT
+              / CAST(4294967296.0 AS DOUBLE) AS u
+          FROM documents CROSS JOIN reps)),
+      per AS (
+        SELECT b AS replica, CAST(sum(w) AS BIGINT) AS n_eff,
+          CAST(CAST(sum(w * v) AS BIGINT) AS DOUBLE)
+            / CAST(sum(w) AS BIGINT) AS mean
+        FROM draws GROUP BY 1),
+      ci AS (
+        SELECT quantile_disc(mean, $loP) AS ci_lo,
+          quantile_disc(mean, $hiP) AS ci_hi
+        FROM per)
+      SELECT replica, n_eff, mean, ci_lo, ci_hi
+      FROM per CROSS JOIN ci"""
+  }
+
+  /** Mutual information between two categorical columns, in nats, with
+    * the marginal entropies and the normalized MI
+    * (MI/√(H(a)·H(b)) — the feature-association readout): everything
+    * derives from the JOINT-CELL frame (one hash aggregate over the
+    * input; marginals and the total re-aggregate those cells, never the
+    * input), so past the first fold the cost is |A|·|B| cells. Each
+    * cell's ln is rounded 6 dp then weighted by the exact count ratio
+    * and summed through DECIMAL(38,12); counts promote to double BEFORE
+    * multiplying so a 10¹³·10¹³ product cannot overflow a long.
+    * Output: one row (n, mi, h_a, h_b, nmi). */
+  def mutualInformation(rows: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = graft.ops.CacheScope.persist(
+      rows.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+        .agg(count(lit(1)).as("n_ab")))
+    val ma = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = cells.agg(sum(col("n_ab")).as("n"))
+    val term = (col("n_ab").cast("double") / col("n")) *
+      round(log((col("n_ab").cast("double") * col("n")) /
+        (col("n_a").cast("double") * col("n_b"))), 6)
+    val mi = cells.join(ma, Seq("a")).join(mb, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .agg(round(graft.Det.dsumWide(term), 6).as("mi"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame = m
+      .crossJoin(broadcast(tot))
+      .agg(round(-graft.Det.dsumWide(
+        (col(cnt).cast("double") / col("n")) *
+          round(log(col(cnt).cast("double") / col("n")), 6)), 6).as(out))
+    mi.crossJoin(broadcast(entropy(ma, "n_a", "h_a")))
+      .crossJoin(broadcast(entropy(mb, "n_b", "h_b")))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("mi"), col("h_a"), col("h_b"),
+        when(col("h_a") > 0 && col("h_b") > 0,
+          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)).as("nmi"))
+  }
+
+  /** DuckDB replay of [[mutualInformation]]: `fromSql` must yield
+    * columns (a, b). */
+  def mutualInformationOracleSql(fromSql: String): String =
+    s"""WITH base AS ($fromSql),
+      cells AS MATERIALIZED (
+        SELECT a, b, count(*) AS n_ab FROM base GROUP BY 1, 2),
+      ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+        FROM cells GROUP BY 1),
+      mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b
+        FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cells),
+      mi AS (
+        SELECT round(CAST(sum(CAST(
+          (CAST(n_ab AS DOUBLE) / n) * round(ln(
+            (CAST(n_ab AS DOUBLE) * n)
+            / (CAST(n_a AS DOUBLE) * n_b)), 6)
+          AS DECIMAL(38,12))) AS DOUBLE), 6) AS mi
+        FROM cells JOIN ma USING (a) JOIN mb USING (b)
+        CROSS JOIN tot),
+      ha AS (
+        SELECT round(-CAST(sum(CAST(
+          (CAST(n_a AS DOUBLE) / n)
+            * round(ln(CAST(n_a AS DOUBLE) / n), 6)
+          AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_a
+        FROM ma CROSS JOIN tot),
+      hb AS (
+        SELECT round(-CAST(sum(CAST(
+          (CAST(n_b AS DOUBLE) / n)
+            * round(ln(CAST(n_b AS DOUBLE) / n), 6)
+          AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_b
+        FROM mb CROSS JOIN tot)
+      SELECT n, mi, h_a, h_b,
+        CASE WHEN h_a > 0 AND h_b > 0 THEN
+          round(mi / sqrt(h_a * h_b), 6) END AS nmi
+      FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot"""
+}

@@ -128,6 +128,63 @@ class Ext3Spec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, None)))
   }
 
+  test("bootstrapMeanCi: constant column degenerates, weights resample") {
+    val docs = (1L to 200L).map(i => (i, 7L)).toDF("id", "v")
+    val out = graft.ext.Stats.bootstrapMeanCi(docs, "id", "v", reps = 8)
+      .collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.length == 8)
+    // a constant metric bootstraps to itself: every replica mean and
+    // both CI bounds are exactly the constant
+    assert(out.forall(r => r.getAs[Double]("mean") == 7.0 &&
+      r.getAs[Double]("ci_lo") == 7.0 && r.getAs[Double]("ci_hi") == 7.0))
+    // Poisson(1) weights: effective n stays near n, and the replicas
+    // are genuinely different resamples (not all the same draw)
+    val effs = out.map(_.getAs[Long]("n_eff"))
+    assert(effs.forall(e => e > 140 && e < 260))
+    assert(effs.distinct.length > 1)
+  }
+
+  test("mutualInformation: zero for independence, H for identity") {
+    // 2×2 uniform — exactly independent, every cell ln term is ln(1)=0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val mi0 = graft.ext.Stats.mutualInformation(indep, "a", "b")
+      .collect().head
+    graft.ops.CacheScope.releaseAll()
+    assert(mi0.getAs[Double]("mi") == 0.0)
+    // identity mapping: MI = H(a) = H(b) = ln 2, NMI = 1
+    val dep = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val mi1 = graft.ext.Stats.mutualInformation(dep, "a", "b")
+      .collect().head
+    graft.ops.CacheScope.releaseAll()
+    assert(math.abs(mi1.getAs[Double]("mi") - math.log(2)) < 1e-5)
+    assert(math.abs(mi1.getAs[Double]("nmi") - 1.0) < 1e-5)
+  }
+
+  test("q_chi2_priority_status: matches a from-first-principles replay") {
+    val sf = "/root/testdata/sf0.001"
+    val out = AnalyticsQueries.qChi2.run(spark, sf).collect().head
+    val cells = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("obs"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("obs")))
+    val n = cells.map(_._3).sum.toDouble
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val chi2 = cells.map { case (p, s, obs) =>
+      val e = rt(p) * ct(s) / n; (obs - e) * (obs - e) / e
+    }.sum
+    assert(math.abs(out.getAs[Double]("chi2") - chi2) < 1e-4)
+    assert(out.getAs[Long]("dof") ==
+      (rt.size - 1).toLong * (ct.size - 1))
+    val v = math.sqrt(out.getAs[Double]("chi2") /
+      (n * (math.min(rt.size, ct.size) - 1)))
+    assert(math.abs(out.getAs[Double]("cramers_v") - v) < 1e-5)
+  }
+
   test("q_cuped_adjusted: θ and ρ² match an independent covariance " +
       "recomputation") {
     val sf = "/root/testdata/sf0.001"
