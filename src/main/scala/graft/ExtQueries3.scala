@@ -222,7 +222,62 @@ object ExtQueries3 {
     Some(graft.ext.Stats.mutualInformationOracleSql(
       "SELECT lang AS a, source AS b FROM documents")))
 
+  /** Shared-frame video near-dup pairs
+    * ([[graft.ext.Multimodal.sharedFramePairs]]): each doc's payload
+    * plus a head-trimmed RE-CUT (first stride dropped) — the re-cut's
+    * frame grid realigns exactly one stride over, so every (original,
+    * recut) pair shares all but the clipped frame while unrelated
+    * payloads share none; non-ASCII is scrubbed first so char offsets
+    * equal byte offsets on both engines (the ext_multimodal_frames
+    * fixture rule). */
+  val sharedFramesQ = Q(
+    "ext_multimodal_frame_dedup",
+    (s, d) => {
+      import graft.ext.Multimodal
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "").as("t"))
+      val variants = base
+        .select((col("doc_id") * 2).as("id"), col("t"))
+        .unionAll(base.select((col("doc_id") * 2 + 1).as("id"),
+          substring(col("t"), 65, 1000000).as("t")))
+      Multimodal.sharedFramePairs(
+        variants.select(col("id"),
+          Multimodal.asPayload(col("t")).as("payload")),
+        "id", "payload", chunkLen = 32, stride = 64, maxChunks = 4,
+        minShared = 2, maxDocsPerFrame = 50)
+    },
+    Some("""WITH a AS (
+        SELECT doc_id,
+          regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+        FROM documents),
+      v AS (
+        SELECT doc_id * 2 AS id, t FROM a
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS id, substring(t, 65, 1000000) AS t
+        FROM a),
+      fr AS MATERIALIZED (
+        SELECT DISTINCT id,
+          md5(substring(t, CAST(i * 64 + 1 AS INT), 32)) AS fd
+        FROM v CROSS JOIN range(0, 4) r(i)
+        WHERE length(substring(t, CAST(i * 64 + 1 AS INT), 32)) > 0),
+      keep AS (
+        SELECT fd FROM (
+          SELECT fd, count(*) AS df FROM fr GROUP BY 1)
+        WHERE df <= 50 AND df >= 2),
+      pr AS MATERIALIZED (
+        SELECT fr.id, fr.fd FROM fr JOIN keep USING (fd)),
+      pd AS (SELECT id, count(*) AS nf FROM fr GROUP BY 1),
+      pairs AS (
+        SELECT p1.id AS id_a, p2.id AS id_b, count(*) AS n_shared
+        FROM pr p1 JOIN pr p2 ON p1.fd = p2.fd AND p1.id < p2.id
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT id_a, id_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / least(pa.nf, pb.nf), 6) AS frac
+      FROM pairs
+      JOIN pd pa ON id_a = pa.id
+      JOIN pd pb ON id_b = pb.id"""))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
-    knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ)
+    knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ)
 }

@@ -141,10 +141,37 @@ object ScaleProbe {
         graft.streaming.StreamPipeline
           .eventsHourlyAvailableNowParts(spark, streamDir).count()
       }
+      // graph wedge-join shape (triangles / link prediction): the
+      // ring+random fixture graph built PER COPY over each copy's own
+      // id range (copies never connect — the 90-day-shift rationale for
+      // edges), so node count, edge count, and wedge density all scale
+      // with N while per-node degree stays constant. Times the full
+      // linkPrediction pipeline: degree agg, capped adjacency self-join,
+      // pair aggregate, existing-edge anti join.
+      val wedge = time {
+        val c0 = Tables.documents(spark, sfDir).count()
+        val nodes = scaledDocs(n).select(col("doc_id"))
+        val base = (col("doc_id") / lit(100000000L)).cast("long") *
+          lit(100000000L)
+        val off = col("doc_id") - base
+        val ring = (1 to 2).map { j =>
+          nodes.select(col("doc_id").as("src"),
+            (base + (off + j) % c0).as("dst"))
+        }.reduce(_ unionAll _)
+        val rand = nodes.select(col("doc_id").as("src"),
+          (base + conv(substring(md5(concat(lit("tedge:"),
+            off.cast("string"))), 1, 8), 16, 10).cast("long") % c0)
+            .as("dst"))
+        val r = graft.ext.Graph.linkPrediction(
+          ring.unionAll(rand).filter(col("src") =!= col("dst")),
+          maxDeg = 50, minCommon = 2).count()
+        graft.ops.CacheScope.releaseAll()
+        r
+      }
       println(s"""{"probe":"scale","n":$n,"q1_agg":$q1,""" +
         s""""pareto_prefix":$pareto,"band_join":$band,""" +
         s""""exact_dedup":$dedup,"minhash_lsh":$lsh,""" +
-        s""""stream_hourly":$stream}""")
+        s""""stream_hourly":$stream,"graph_wedge":$wedge}""")
     }
     spark.stop()
   }

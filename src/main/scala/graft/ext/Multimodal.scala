@@ -342,4 +342,55 @@ object Multimodal {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Video near-duplicate pairs by SHARED SAMPLED FRAMES — the
+    * re-cut/re-upload detector of a video corpus prep: two payloads
+    * whose frame samples ([[sampleChunks]] grid) produce ≥ `minShared`
+    * identical frame digests are flagged with the shared count and the
+    * overlap fraction (shared / min frame count). Catches
+    * offset/trim re-cuts exact payload hashing misses: a video whose
+    * head is trimmed by one stride still shares every remaining frame.
+    *
+    * Scale: candidates come ONLY from the frame-digest equi-join —
+    * pair volume is Σ (docs per digest)², never all-pairs — and
+    * digests sampled in more than `maxDocsPerFrame` payloads are
+    * PRUNED first (a black/intro boilerplate frame shared by millions
+    * of videos carries no dup signal but would alone dominate the
+    * join; the sparse-retrieval stop-term rule applied to frames).
+    * Frame digests are md5 (16-byte strings) — payload bytes never
+    * cross the shuffle; per-doc frame sets are deduped before joining
+    * so a still video contributes one row per distinct frame.
+    *
+    * Output: (`id_a`, `id_b`, `n_shared`, `frac`) with id_a < id_b. */
+  def sharedFramePairs(df: DataFrame, idCol: String, payloadCol: String,
+      chunkLen: Int, stride: Int, maxChunks: Int,
+      minShared: Int = 2, maxDocsPerFrame: Int = 50): DataFrame = {
+    val fr = graft.ops.CacheScope.persist(
+      df.select(col(idCol).cast("long").as("id"),
+          explode(sampleChunks(col(payloadCol), chunkLen, stride,
+            maxChunks)).as("frame"))
+        .filter(length(col("frame")) > 0)
+        .select(col("id"), md5(col("frame")).as("fd"))
+        .distinct())
+    val keep = fr.groupBy(col("fd"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocsPerFrame && col("df") >= 2)
+      .select(col("fd"))
+    val pruned = graft.ops.CacheScope.persist(
+      fr.join(keep, Seq("fd")))
+    val perDoc = fr.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    pruned.select(col("fd"), col("id").as("id_a"))
+      .join(pruned.select(col("fd"), col("id").as("id_b")), Seq("fd"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(perDoc.select(col("id").as("id_a"), col("nf").as("nf_a")),
+        Seq("id_a"))
+      .join(perDoc.select(col("id").as("id_b"), col("nf").as("nf_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("nf_a"), col("nf_b")), 6).as("frac"))
+  }
 }

@@ -128,6 +128,29 @@ class Ext3Spec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, None)))
   }
 
+  test("sharedFramePairs: re-cut alignment found, hot frames pruned") {
+    import graft.ext.Multimodal
+    // grid: chunkLen 4, stride 8 → frames at offsets 0/8/16/24
+    val full = "aaaabbbbccccddddeeeeffffgggghhhh" // frames aaaa cccc eeee gggg
+    val cut = full.substring(8) // frames cccc eeee gggg — 3 shared
+    // 60 payloads all opening with the same boilerplate frame but
+    // otherwise unique: that digest's df = 60 > 50 → pruned, no pairs
+    val boiler = (100L until 160L).map(i => (i, s"ssss____u$i%04d____"))
+    val docs = (Seq((1L, full), (2L, cut), (3L, "zzzz0000zzzz1111zzzz"))
+      ++ boiler).toDF("id", "t")
+      .select(col("id"), Multimodal.asPayload(col("t")).as("payload"))
+    val out = Multimodal.sharedFramePairs(docs, "id", "payload",
+      chunkLen = 4, stride = 8, maxChunks = 4,
+      minShared = 1, maxDocsPerFrame = 50).collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("n_shared") == 3L)
+    // frac over the SMALLER frame set: 3 / min(4, 3) = 1.0
+    assert(r.getAs[Double]("frac") == 1.0)
+  }
+
   test("bootstrapMeanCi: constant column degenerates, weights resample") {
     val docs = (1L to 200L).map(i => (i, 7L)).toDF("id", "v")
     val out = graft.ext.Stats.bootstrapMeanCi(docs, "id", "v", reps = 8)
