@@ -277,7 +277,20 @@ object ExtQueries3 {
       JOIN pd pa ON id_a = pa.id
       JOIN pd pb ON id_b = pb.id"""))
 
+  /** Two-sample KS drift test ([[graft.ext.Stats.ksTest]]) between the
+    * doc-length distributions of sources src0 and src1 — the exact
+    * companion to the binned `ext_signal_drift_psi`. Rides the
+    * packOffsets two-phase prefix sum (windowWhitelist'd). */
+  val ksTestQ = Q(
+    "ext_ks_test",
+    (s, d) => graft.ext.Stats.ksTest(
+      Tables.documents(s, d), "n_chars", "source", "src0", "src1"),
+    Some(graft.ext.Stats.ksTestOracleSql(
+      "SELECT n_chars AS v, source AS grp FROM documents",
+      "src0", "src1")))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
-    knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ)
+    knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
+    ksTestQ)
 }

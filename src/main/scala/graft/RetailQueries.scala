@@ -885,9 +885,47 @@ object RetailQueries {
         round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share
       FROM cells CROSS JOIN tot"""))
 
+  /** Fulfillment-lag SLA percentiles per order priority: p50/p90/p99 of
+    * days from order to line shipment — the ops dashboard's "are urgent
+    * orders actually faster" readout. Shape: ONE orderkey equi-join
+    * (both sides big at 100 TB → key-partitioned sort-merge; nothing is
+    * broadcast) down to an integer day lag, then per-priority
+    * percentile_disc — data values, no interpolation arithmetic (the
+    * RFM rule) — over a handful of groups. */
+  val qShipLag = Q(
+    "q_ship_lag_percentiles",
+    (s, d) => {
+      val lag = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("sd"), col("od")).as("lag_days"))
+      lag.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_days)")
+            .cast("int").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_days)")
+            .cast("int").as("p90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY lag_days)")
+            .cast("int").as("p99"))
+    },
+    Some("""WITH lag AS (
+        SELECT o_orderpriority AS priority,
+          date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(l_shipdate AS DATE)) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT priority, count(*) AS n,
+        CAST(quantile_disc(lag_days, 0.5) AS INT) AS p50,
+        CAST(quantile_disc(lag_days, 0.9) AS INT) AS p90,
+        CAST(quantile_disc(lag_days, 0.99) AS INT) AS p99
+      FROM lag GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     qRfm, qAbcPareto, qElasticity, qOrderCountDist, qPromoShare,
     qReturnedItems, qLargeVolume, qMarketShare, qYoyBrandGrowth,
     qRepeatInterval, qSessionConversion, qRefIntegrity, qNationTrade,
-    qErrorSpikes, qDemandLag, qAbcXyz)
+    qErrorSpikes, qDemandLag, qAbcXyz, qShipLag)
 }

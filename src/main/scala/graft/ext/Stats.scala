@@ -135,6 +135,86 @@ object Stats {
           round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)).as("nmi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of two groups — the exact distribution-drift test
+    * next to the binned PSI (`ext_signal_drift_psi`): D = max over the
+    * merged support of |F_A(v) − F_B(v)|, plus the √(n_A·n_B/(n_A+n_B))
+    * scaled statistic the asymptotic p-value reads from.
+    *
+    * Scale: the input collapses to the DISTINCT-VALUE grain first (one
+    * hash aggregate carrying both samples' counts per value); the two
+    * CDFs then come from the packOffsets two-phase prefix sum — range
+    * partition by value, per-partition totals for BOTH counters
+    * broadcast back, local running sums — so no single task ever sorts
+    * the full support (doc lengths alone have millions of distinct
+    * values at corpus scale). D is one max aggregate over exact-integer
+    * ratios; ties in value are handled by the grain itself (one row per
+    * value, both CDFs step together).
+    *
+    * Output: one row (n_a, n_b, d_stat, ks_stat), 6-dp. */
+  def ksTest(rows: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = rows
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    // persisted: both the totals pass and the final pass re-derive
+    // __pid from the range exchange (the packOffsets boundary rule)
+    val sorted = graft.ops.CacheScope.persist(
+      grain.repartitionByRange(col("v")).sortWithinPartitions(col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sorted.groupBy(col("__pid"))
+      .agg(sum(col("ca")).as("__pa"), sum(col("cb")).as("__pb"))
+      .withColumn("__oa", coalesce(sum(col("__pa")).over(offW), lit(0L)))
+      .withColumn("__ob", coalesce(sum(col("__pb")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__oa"), col("__ob"))
+    val tot = sorted.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val localW = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gaps = sorted.join(broadcast(offs), Seq("__pid"))
+      .withColumn("cuma", col("__oa") + sum(col("ca")).over(localW))
+      .withColumn("cumb", col("__ob") + sum(col("cb")).over(localW))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("cuma").cast("double") / col("n_a")
+        - col("cumb").cast("double") / col("n_b")).as("gap"))
+    gaps.agg(round(max(col("gap")), 6).as("d_stat"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("d_stat"),
+        round(sqrt((col("n_a").cast("double") * col("n_b"))
+          / (col("n_a") + col("n_b"))) * col("d_stat"), 6).as("ks_stat"))
+  }
+
+  /** DuckDB replay of [[ksTest]] (single-window CDF — it runs at
+    * oracle SF): `fromSql` must yield columns (v, grp). */
+  def ksTestOracleSql(fromSql: String, groupA: String, groupB: String)
+      : String =
+    s"""WITH base AS ($fromSql),
+      grain AS (
+        SELECT v,
+          CAST(sum(CASE WHEN grp = '$groupA' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN grp = '$groupB' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM base WHERE grp IN ('$groupA', '$groupB') GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+          CAST(sum(cb) AS BIGINT) AS n_b
+        FROM grain),
+      cum AS (
+        SELECT abs(CAST(sum(ca) OVER w AS DOUBLE) / n_a
+          - CAST(sum(cb) OVER w AS DOUBLE) / n_b) AS gap
+        FROM grain CROSS JOIN tot
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      dd AS (SELECT round(max(gap), 6) AS d_stat FROM cum)
+      SELECT n_a, n_b, d_stat,
+        round(sqrt((CAST(n_a AS DOUBLE) * n_b) / (n_a + n_b))
+          * d_stat, 6) AS ks_stat
+      FROM dd CROSS JOIN tot"""
+
   /** DuckDB replay of [[mutualInformation]]: `fromSql` must yield
     * columns (a, b). */
   def mutualInformationOracleSql(fromSql: String): String =

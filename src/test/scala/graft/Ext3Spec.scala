@@ -168,6 +168,26 @@ class Ext3Spec extends SparkSpec {
     assert(effs.distinct.length > 1)
   }
 
+  test("ksTest: hand-computed D on shifted samples, zero on identical") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: max CDF gap = 0.5 (at v = 2..4)
+    val rows = (Seq(1, 2, 3, 4).map(v => (v.toLong, "a"))
+      ++ Seq(3, 4, 5, 6).map(v => (v.toLong, "b"))).toDF("v", "g")
+    val out = graft.ext.Stats.ksTest(rows, "v", "g", "a", "b")
+      .collect().head
+    graft.ops.CacheScope.releaseAll()
+    assert(out.getAs[Long]("n_a") == 4L && out.getAs[Long]("n_b") == 4L)
+    assert(out.getAs[Double]("d_stat") == 0.5)
+    assert(math.abs(out.getAs[Double]("ks_stat")
+      - math.sqrt(2.0) * 0.5) < 1e-6)
+    // identical samples → D = 0
+    val same = (Seq(1, 2, 3).map(v => (v.toLong, "a"))
+      ++ Seq(1, 2, 3).map(v => (v.toLong, "b"))).toDF("v", "g")
+    val z = graft.ext.Stats.ksTest(same, "v", "g", "a", "b")
+      .collect().head
+    graft.ops.CacheScope.releaseAll()
+    assert(z.getAs[Double]("d_stat") == 0.0)
+  }
+
   test("mutualInformation: zero for independence, H for identity") {
     // 2×2 uniform — exactly independent, every cell ln term is ln(1)=0
     val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))

@@ -68,7 +68,10 @@ class PlanGuardSpec extends SparkSpec {
         "lifetime-day grain (bounded by the observation window)"),
     "q_abc_xyz" ->
       ("paretoCumShare's prefix-sum over per-partition totals (one row " +
-        "per partition), inherited for the ABC axis"))
+        "per partition), inherited for the ABC axis"),
+    "ext_ks_test" ->
+      ("two-series CDF prefix-sum over per-partition totals (one row " +
+        "per partition, the packOffsets shape)"))
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:
