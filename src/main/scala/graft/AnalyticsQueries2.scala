@@ -1,0 +1,380 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second analytics-query block (AnalyticsQueries is at its navigable
+  * limit): growth accounting, conformance testing, and forecast
+  * evaluation. Same contract as [[AnalyticsQueries]]: every entry
+  * carries its own DuckDB oracle and a 100 TB scale rationale.
+  */
+object AnalyticsQueries2 {
+
+  /** Weekly growth accounting — the standard user-base decomposition
+    * (new / retained / resurrected / churned per period) that
+    * `q_new_vs_returning`'s two-way split cannot express: a returning
+    * user who skipped a week is a RESURRECTION, not a retention, and
+    * churn is invisible without the forward look.
+    *
+    * Definitions (period = ISO week):
+    *   - new         = first-ever active week,
+    *   - retained    = active this week AND the immediately previous week,
+    *   - resurrected = active before, but NOT the previous week,
+    *   - churned(w)  = active in week w-1 and not in w (attributed to w).
+    * Identity: active(w) = new + retained + resurrected, and
+    * retained(w) = active(w-1) - churned(w) — the spec pins both.
+    *
+    * Scale: one distinct (user, week) hash agg off the scan, then a
+    * lag/lead window partitioned BY USER (frame bounded by one user's
+    * active-week history — weeks in the horizon, not traffic), then two
+    * week-grain aggregates. Churn weeks that have zero activity of
+    * their own fall out of the left join by construction (reported
+    * weeks = weeks with any activity). Nothing broadcast, nothing
+    * driver-side. */
+  def growthAccounting(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val du = events
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val seq = graft.ops.CacheScope.persist(
+        du.select(col("user_id"), col("wk"),
+          lag(col("wk"), 1).over(w).as("prev"),
+          lead(col("wk"), 1).over(w).as("next")))
+      val cls = seq.groupBy(col("wk")).agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("prev") === date_sub(col("wk"), 7), 1L).otherwise(0L))
+          .as("retained_users"),
+        sum(when(col("prev").isNotNull &&
+          col("prev") < date_sub(col("wk"), 7), 1L).otherwise(0L))
+          .as("resurrected_users"),
+        count(lit(1)).as("active_users"))
+      val churn = seq
+        .filter(col("next").isNull || col("next") > date_add(col("wk"), 7))
+        .groupBy(date_add(col("wk"), 7).as("wk"))
+        .agg(count(lit(1)).as("churned_users"))
+      cls.join(churn, Seq("wk"), "left")
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+          col("new_users"), col("retained_users"),
+          col("resurrected_users"), col("active_users"),
+          coalesce(col("churned_users"), lit(0L)).as("churned_users"))
+  }
+
+  val qGrowthAccounting = Q(
+    "q_growth_accounting",
+    (s, d) => growthAccounting(Tables.events(s, d)),
+    Some("""WITH du AS (
+        SELECT DISTINCT user_id,
+          date_trunc('week', CAST(ts AS DATE)) AS wk FROM events),
+      seq AS (
+        SELECT user_id, wk, lag(wk) OVER w AS prev, lead(wk) OVER w AS next
+        FROM du WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+      cls AS (
+        SELECT wk,
+          CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS new_users,
+          CAST(sum(CASE WHEN prev = wk - 7 THEN 1 ELSE 0 END) AS BIGINT)
+            AS retained_users,
+          CAST(sum(CASE WHEN prev IS NOT NULL AND prev < wk - 7
+            THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users,
+          CAST(count(*) AS BIGINT) AS active_users
+        FROM seq GROUP BY 1),
+      ch AS (
+        SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT) AS churned_users
+        FROM seq WHERE next IS NULL OR next > wk + 7 GROUP BY 1)
+      SELECT strftime(cls.wk, '%Y-%m-%d') AS week, new_users,
+        retained_users, resurrected_users, active_users,
+        COALESCE(churned_users, 0) AS churned_users
+      FROM cls LEFT JOIN ch ON cls.wk = ch.wk"""))
+
+  /** Benford's-law expected first-digit frequencies, log10(1+1/d)
+    * rounded to 12 dp and pinned as SHARED LITERALS on both engines —
+    * a computed log10 could differ in the last ulp between libms
+    * (the ext_bootstrap_mean_ci rule). */
+  private val benfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+    4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+    7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+
+  /** Benford first-digit conformance over order totals — the standard
+    * forensic-accounting / fraud screen: the leading significant digit
+    * of naturally-occurring amounts follows P(d) = log10(1+1/d); a
+    * fabricated book deviates. Emits the 9-digit observed-vs-expected
+    * table plus the chi-square distance (the synthetic totals are
+    * near-uniform in [1.3k, 500k], so the pinned readout is a LARGE
+    * chi2 — the test correctly flags non-Benford data; the spec pins a
+    * constructed log-uniform sample as conforming).
+    *
+    * First digit is extracted from the DECIMAL(18,2) string rendering
+    * (identical on both engines for positive amounts), never via
+    * floor(x/10^floor(log10 x)) — a libm log10 in the digit path could
+    * misclassify exact powers of ten.
+    *
+    * Scale: one projection + one hash agg onto AT MOST 9 keys, a 9-row
+    * digit spine left join (missing digits still contribute n*p to
+    * chi2), and a 1-row broadcast total. Flat at any input size. */
+  val qBenford = Q(
+    "q_benford_first_digit",
+    (s, d) => {
+      val counts = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .groupBy(substring(
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+          1, 1).as("digit"))
+        .agg(count(lit(1)).as("observed"))
+      val spine = s.range(1, 10)
+        .select(col("id").cast("string").as("digit"))
+      val expected = benfordP.tail.foldLeft(
+        when(col("digit") === benfordP.head._1.toString,
+          benfordP.head._2)) { case (acc, (dg, p)) =>
+        acc.when(col("digit") === dg.toString, p)
+      }
+      val perDigit = spine.join(counts, Seq("digit"), "left")
+        .select(col("digit"),
+          coalesce(col("observed"), lit(0L)).as("observed"),
+          expected.as("expected_frac"))
+      val n = perDigit.agg(sum(col("observed")).as("n"))
+      val terms = graft.ops.CacheScope.persist(
+        perDigit.crossJoin(broadcast(n))
+          .withColumn("exp_cnt", col("n") * col("expected_frac"))
+          .withColumn("term", round(
+            (col("observed") - col("exp_cnt")) *
+              (col("observed") - col("exp_cnt")) / col("exp_cnt"), 6)))
+      val chi2 = terms.agg(
+        round(Det.dsumWide(col("term")), 6).as("chi_square"))
+      terms.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("observed"),
+          round(col("observed").cast("double") / col("n"), 6)
+            .as("observed_frac"),
+          col("expected_frac"), col("term").as("chi2_term"),
+          col("chi_square"))
+    },
+    Some {
+      val pCase = benfordP.map { case (dg, p) =>
+        s"WHEN '$dg' THEN $p" }.mkString(" ")
+      s"""WITH counts AS (
+        SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            AS VARCHAR), 1, 1) AS digit,
+          CAST(count(*) AS BIGINT) AS observed
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+      spine AS (
+        SELECT CAST(d AS VARCHAR) AS digit,
+          CASE CAST(d AS VARCHAR) $pCase END AS expected_frac
+        FROM (SELECT unnest(generate_series(1, 9)) AS d)),
+      per AS (
+        SELECT digit, COALESCE(observed, 0) AS observed, expected_frac
+        FROM spine LEFT JOIN counts USING (digit)),
+      tot AS (SELECT sum(observed) AS n FROM per),
+      terms AS (
+        SELECT digit, observed, expected_frac, n,
+          round((observed - n * expected_frac)
+            * (observed - n * expected_frac)
+            / (n * expected_frac), 6) AS term
+        FROM per, tot),
+      chi AS (SELECT ${Det.dsumWideSql("term")} AS raw FROM terms)
+      SELECT digit, observed,
+        round(CAST(observed AS DOUBLE) / n, 6) AS observed_frac,
+        expected_frac, term AS chi2_term,
+        round((SELECT raw FROM chi), 6) AS chi_square
+      FROM terms"""
+    })
+
+  /** Rolling-origin forecast backtest — the model-evaluation stage a
+    * demand pipeline runs AFTER `q_demand_lag_features` builds its
+    * inputs: two baseline forecasters (naive = last week's quantity;
+    * MA4 = mean of the PRIOR four weeks — strictly lagged, unlike the
+    * feature query's trailing-inclusive ma4) scored per part over every
+    * week where both are defined (≥ 5th observed week), with MAE and
+    * RMSE per model. The readout ranks parts by forecastability and
+    * tells the planner where the naive baseline is already sufficient.
+    *
+    * Determinism: weekly quantities are exact DECIMAL(18,2) sums; the
+    * MA4 divides by the frame's pinned width 4 (a power of two — the
+    * division is IEEE-exact); per-week error terms round to 6 dp before
+    * the DECIMAL(38,12) fold; RMSE takes sqrt (correctly-rounded IEEE
+    * on both engines) of the 6-dp mean, then rounds 6 dp.
+    *
+    * Scale: the (part, week) grain is one hash agg off the scan; all
+    * windows partition BY PART over calendar-bounded weekly frames
+    * (the q_demand_lag_features shape); the final metrics re-aggregate
+    * the same frame at part grain. No broadcast, no driver loop. */
+  val qForecastBacktest = Q(
+    "q_forecast_backtest",
+    (s, d) => {
+      val weekly = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"),
+          to_date(date_trunc("week", col("l_shipdate"))).as("wk"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_dec"))
+      val w = Window.partitionBy("l_partkey").orderBy("wk")
+      val f4 = w.rowsBetween(-4, -1)
+      val scored = weekly.select(col("l_partkey"),
+        col("qty_dec").cast("double").as("qty"),
+        lag(col("qty_dec"), 1).over(w).cast("double").as("naive"),
+        when(lag(col("qty_dec"), 4).over(w).isNotNull,
+          round(sum(col("qty_dec")).over(f4).cast("double") / 4, 6))
+          .as("ma4"))
+        .filter(col("ma4").isNotNull)
+        .withColumn("ae_naive", round(abs(col("qty") - col("naive")), 6))
+        .withColumn("ae_ma4", round(abs(col("qty") - col("ma4")), 6))
+        .withColumn("se_naive", round((col("qty") - col("naive"))
+          * (col("qty") - col("naive")), 6))
+        .withColumn("se_ma4", round((col("qty") - col("ma4"))
+          * (col("qty") - col("ma4")), 6))
+      scored.groupBy(col("l_partkey")).agg(
+        count(lit(1)).as("n_eval"),
+        round(Det.dsumWide(col("ae_naive")) / count(lit(1)), 6)
+          .as("mae_naive"),
+        round(Det.dsumWide(col("ae_ma4")) / count(lit(1)), 6)
+          .as("mae_ma4"),
+        round(sqrt(round(Det.dsumWide(col("se_naive")) / count(lit(1)),
+          6)), 6).as("rmse_naive"),
+        round(sqrt(round(Det.dsumWide(col("se_ma4")) / count(lit(1)),
+          6)), 6).as("rmse_ma4"))
+    },
+    Some(s"""WITH weekly AS (
+        SELECT l_partkey,
+          date_trunc('week', CAST(l_shipdate AS DATE)) AS wk,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        FROM lineitem GROUP BY 1, 2),
+      scored0 AS (
+        SELECT l_partkey, CAST(qty_dec AS DOUBLE) AS qty,
+          CAST(lag(qty_dec, 1) OVER w AS DOUBLE) AS naive,
+          CASE WHEN lag(qty_dec, 4) OVER w IS NOT NULL THEN
+            round(CAST(sum(qty_dec) OVER f AS DOUBLE) / 4, 6) END AS ma4
+        FROM weekly
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY wk),
+          f AS (PARTITION BY l_partkey ORDER BY wk
+            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)),
+      scored AS (
+        SELECT l_partkey,
+          round(abs(qty - naive), 6) AS ae_naive,
+          round(abs(qty - ma4), 6) AS ae_ma4,
+          round((qty - naive) * (qty - naive), 6) AS se_naive,
+          round((qty - ma4) * (qty - ma4), 6) AS se_ma4
+        FROM scored0 WHERE ma4 IS NOT NULL)
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_eval,
+        round(${Det.dsumWideSql("ae_naive")} / count(*), 6) AS mae_naive,
+        round(${Det.dsumWideSql("ae_ma4")} / count(*), 6) AS mae_ma4,
+        round(sqrt(round(${Det.dsumWideSql("se_naive")} / count(*), 6)),
+          6) AS rmse_naive,
+        round(sqrt(round(${Det.dsumWideSql("se_ma4")} / count(*), 6)),
+          6) AS rmse_ma4
+      FROM scored GROUP BY 1"""))
+
+  /** Frequent 3-itemsets over order baskets — the next frequent-pattern
+    * size up from `q_basket_pair_lift`'s pairs (the Apriori step a
+    * recommender's "bought together" bundle mining needs): triples
+    * ordered p1 < p2 < p3 with support ≥ 2 orders, plus the support
+    * fraction over the basket count.
+    *
+    * Scale: candidates come from TWO self-equi-joins keyed on the
+    * ORDER — the join volume is Σ_orders C(basket_size, 3), bounded by
+    * the per-order item count (single digits in practice), never a
+    * cross-part blowup; the distinct item set rides each join side
+    * (one shuffle on orderkey each), and the triple-key hash agg
+    * prunes with map-side partial counts. The basket-count normalizer
+    * is a 1-row broadcast. */
+  val qBasketTriples = Q(
+    "q_basket_triples",
+    (s, d) => {
+      val items = graft.ops.CacheScope.persist(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
+      val tri = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+          Seq("l_orderkey"))
+        .filter(col("p1") < col("p2"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("p3")),
+          Seq("l_orderkey"))
+        .filter(col("p2") < col("p3"))
+      val nOrders = items.agg(
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      tri.groupBy(col("p1"), col("p2"), col("p3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("p3"), col("support"),
+          round(col("support").cast("double") / col("n_orders"), 9)
+            .as("support_frac"))
+    },
+    Some("""WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      tri AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+          CAST(count(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        JOIN items c ON b.l_orderkey = c.l_orderkey
+          AND b.l_partkey < c.l_partkey
+        GROUP BY 1, 2, 3),
+      n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+      SELECT p1, p2, p3, support,
+        round(CAST(support AS DOUBLE) / n_orders, 9) AS support_frac
+      FROM tri CROSS JOIN n WHERE support >= 2"""))
+
+  /** Daily open-order concurrency curve — the sweep-line readout over
+    * order-fulfillment intervals (order date → last shipment): how many
+    * orders are in flight on each boundary day, with the day's opened /
+    * closed counts. The operations dashboard shape for any
+    * interval-valued fact (rentals, sessions, loans).
+    *
+    * Scale: intervals collapse to the DAY-GRAIN boundary spine first
+    * (one orderkey-keyed join + two day-grain hash aggs — +1 events at
+    * the start day, −1 events the day AFTER the end), and the running
+    * concurrency is a cumulative window over that spine — one row per
+    * calendar day, bounded by the horizon, never row-grained
+    * (windowWhitelist'd like q_gap_fill_daily's calendar spine).
+    * Orders with no shipments have no fulfillment interval and are
+    * excluded by the inner join (they are `q_orders_without_lineitems`'s
+    * subject). */
+  val qOpenOrdersDaily = Q(
+    "q_open_orders_daily",
+    (s, d) => {
+      val iv = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("end_day")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(to_date(col("o_orderdate")).as("start_day"),
+          col("end_day"))
+      val ivP = graft.ops.CacheScope.persist(iv)
+      val starts = ivP.groupBy(col("start_day").as("day"))
+        .agg(count(lit(1)).as("opened"))
+      val ends = ivP.groupBy(date_add(col("end_day"), 1).as("day"))
+        .agg(count(lit(1)).as("closed"))
+      val spine = starts.join(ends, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("opened"), lit(0L)).as("opened"),
+          coalesce(col("closed"), lit(0L)).as("closed"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("opened"), col("closed"),
+        sum(col("opened") - col("closed")).over(w).as("open_count"))
+    },
+    Some("""WITH iv AS (
+        SELECT CAST(o_orderdate AS DATE) AS start_day, end_day
+        FROM orders JOIN (
+          SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS end_day
+          FROM lineitem GROUP BY 1) li
+        ON o_orderkey = l_orderkey),
+      st AS (SELECT start_day AS day, CAST(count(*) AS BIGINT) AS opened
+        FROM iv GROUP BY 1),
+      en AS (SELECT end_day + 1 AS day, CAST(count(*) AS BIGINT) AS closed
+        FROM iv GROUP BY 1),
+      spine AS (
+        SELECT COALESCE(st.day, en.day) AS day,
+          COALESCE(opened, 0) AS opened, COALESCE(closed, 0) AS closed
+        FROM st FULL OUTER JOIN en ON st.day = en.day)
+      SELECT strftime(day, '%Y-%m-%d') AS day, opened, closed,
+        CAST(sum(opened - closed)
+          OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS open_count
+      FROM spine"""))
+
+  def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
+    qBasketTriples, qOpenOrdersDaily)
+}

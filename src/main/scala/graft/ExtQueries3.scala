@@ -289,8 +289,66 @@ object ExtQueries3 {
       "SELECT n_chars AS v, source AS grp FROM documents",
       "src0", "src1")))
 
+  /** JSD between two sources' binned doc-length histograms (bin width
+    * 32 over the ~47-560 char range → ~16 populated bins) — the
+    * bounded, empty-bin-safe drift readout next to the PSI and the
+    * exact KS ([[graft.ext.Stats.jsDivergence]] carries the scale and
+    * determinism rationale). */
+  val jsDivergenceQ = Q(
+    "ext_js_divergence",
+    (s, d) => graft.ext.Stats.jsDivergence(
+      Tables.documents(s, d), "n_chars", "source", "src0", "src1",
+      binWidth = 32L),
+    Some(graft.ext.Stats.jsDivergenceOracleSql(
+      "SELECT n_chars AS v, source AS grp FROM documents",
+      "src0", "src1", binWidth = 32L)))
+
+  /** Truncation-duplicate pairs ([[graft.ext.TextDedup.truncationPairs]]
+    * carries the scale design: prefix-hash candidates, stop-prefix
+    * bucket prune, by-id text fetch for verify only). Testdata has no
+    * natural truncations, so the query constructs the crawl-artifact
+    * analogue in-flight: every 5th doc gains a twin cut to
+    * max(32, 2/3) of its length — each twin must pair with exactly its
+    * original (the spec pins that, plus a non-prefix rejection). */
+  val truncationQ = Q(
+    "ext_dedup_prefix_trunc",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val twins = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(32, (n_chars * 2) div 3))")
+            .as("text"))
+      val docs = base.select(col("doc_id"), col("text"))
+        .unionByName(twins)
+      graft.ext.TextDedup.truncationPairs(docs, "text", "doc_id")
+    },
+    Some("""WITH twins AS (
+        SELECT doc_id + 10000000 AS doc_id,
+          substring(text, 1, greatest(32, (n_chars * 2) // 3)) AS text
+        FROM documents WHERE doc_id % 5 = 0),
+      docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM twins),
+      keys AS MATERIALIZED (
+        SELECT doc_id AS id, md5(substring(text, 1, 32)) AS pk,
+          length(text) AS len
+        FROM docs WHERE length(text) >= 32),
+      ok AS (SELECT pk FROM keys GROUP BY 1 HAVING count(*) <= 100),
+      pruned AS MATERIALIZED (SELECT k.* FROM keys k JOIN ok USING (pk)),
+      cand AS (
+        SELECT a.id AS id_short, b.id AS id_long,
+          a.len AS len_short, b.len AS len_long
+        FROM pruned a JOIN pruned b ON a.pk = b.pk AND a.len < b.len)
+      SELECT id_short, id_long, len_short, len_long,
+        round(CAST(len_short AS DOUBLE) / len_long, 6) AS trunc_frac
+      FROM cand
+      JOIN docs ts ON ts.doc_id = id_short
+      JOIN docs tl ON tl.doc_id = id_long
+      WHERE substring(tl.text, 1, CAST(len_short AS INT)) = ts.text"""))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
-    ksTestQ)
+    ksTestQ, jsDivergenceQ, truncationQ)
 }

@@ -92,8 +92,9 @@ object Det {
 /** Central query inventory. SparkEntry exposes it in the driver's shape. */
 object Registry {
   def all: Seq[Q] =
-    AnalyticsQueries.all ++ RetailQueries.all ++ ParityQueries.all ++
-      ExtQueries.all ++ ExtQueries2.all ++ ExtQueries3.all
+    AnalyticsQueries.all ++ AnalyticsQueries2.all ++ RetailQueries.all ++
+      ParityQueries.all ++ ExtQueries.all ++ ExtQueries2.all ++
+      ExtQueries3.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

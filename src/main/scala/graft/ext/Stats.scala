@@ -250,4 +250,90 @@ object Stats {
         CASE WHEN h_a > 0 AND h_b > 0 THEN
           round(mi / sqrt(h_a * h_b), 6) END AS nmi
       FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot"""
+
+  /** ln(2) as a shared literal — a computed log(2) could differ in the
+    * last ulp between libms (the pinned-constant rule). */
+  private val Ln2 = 0.693147180559945
+
+  /** Jensen–Shannon divergence between two groups' BINNED value
+    * distributions — the symmetric, bounded ([0, ln 2]) companion to
+    * the PSI (`ext_signal_drift_psi`, which explodes on empty bins)
+    * and the exact KS test (`ext_ks_test`, which needs the full
+    * distinct-value CDF): JSD is the drift statistic you put on a
+    * dashboard because it is finite for ANY pair of histograms.
+    *
+    *   JSD = ½ Σ p ln(p/m) + ½ Σ q ln(q/m),  m = (p+q)/2,
+    *
+    * zero-probability bins contribute 0 on their side by convention
+    * (the limit x ln x → 0). Emits nats and bits (÷ ln 2, pinned
+    * literal) plus the bin count.
+    *
+    * Determinism: p, q, m are exact integer-count ratios; each ln
+    * factor rounds to 6 dp before the product (the mutualInformation
+    * rule), per-bin terms round to 9 dp and fold through
+    * DECIMAL(38,12).
+    *
+    * Scale: one hash agg onto the bin grain (cardinality = value
+    * range / binWidth, bounded by construction — never row-grained),
+    * a 1-row broadcast total, a pure projection, and a 1-row fold.
+    * One shuffle end to end. */
+  def jsDivergence(rows: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, binWidth: Long): DataFrame = {
+    val bins = graft.ops.CacheScope.persist(
+      rows.filter(col(groupCol).isin(groupA, groupB))
+        .groupBy(expr(s"CAST($valueCol AS BIGINT) div $binWidth")
+          .as("bin"))
+        .agg(
+          sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+          sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb")))
+    val tot = bins.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("p", col("ca").cast("double") / col("n_a"))
+      .withColumn("q", col("cb").cast("double") / col("n_b"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term", round(
+        when(col("p") > 0,
+          col("p") * round(log(col("p") / col("m")), 6) / 2)
+          .otherwise(0d) +
+        when(col("q") > 0,
+          col("q") * round(log(col("q") / col("m")), 6) / 2)
+          .otherwise(0d), 9))
+    terms.agg(
+      count(lit(1)).as("n_bins"),
+      round(graft.Det.dsumWide(col("term")), 6).as("js_nats"),
+      round(graft.Det.dsumWide(col("term")) / Ln2, 6).as("js_bits"))
+  }
+
+  /** DuckDB replay of [[jsDivergence]]: `fromSql` must yield columns
+    * (v, grp). */
+  def jsDivergenceOracleSql(fromSql: String, groupA: String,
+      groupB: String, binWidth: Long): String =
+    s"""WITH base AS ($fromSql),
+      bins AS MATERIALIZED (
+        SELECT CAST(v AS BIGINT) // $binWidth AS bin,
+          CAST(sum(CASE WHEN grp = '$groupA' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN grp = '$groupB' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM base WHERE grp IN ('$groupA', '$groupB') GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+          CAST(sum(cb) AS BIGINT) AS n_b FROM bins),
+      terms AS (
+        SELECT round(
+          CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / n_a)
+            * round(ln((CAST(ca AS DOUBLE) / n_a)
+              / ((CAST(ca AS DOUBLE) / n_a
+                + CAST(cb AS DOUBLE) / n_b) / 2)), 6) / 2
+            ELSE 0 END +
+          CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / n_b)
+            * round(ln((CAST(cb AS DOUBLE) / n_b)
+              / ((CAST(ca AS DOUBLE) / n_a
+                + CAST(cb AS DOUBLE) / n_b) / 2)), 6) / 2
+            ELSE 0 END, 9) AS term
+        FROM bins CROSS JOIN tot)
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        round(${graft.Det.dsumWideSql("term")}, 6) AS js_nats,
+        round(${graft.Det.dsumWideSql("term")} / $Ln2, 6) AS js_bits
+      FROM terms"""
 }

@@ -919,4 +919,54 @@ object TextDedup {
           round(coalesce(col("n_novel"), lit(0L)).cast("double")
             / col("n_ngrams"), 6)).as("novelty"))
   }
+
+  /** Truncation-duplicate pairs — the crawl artifact where one capture
+    * is a strict PREFIX of another (partial fetch, pagination cutoff,
+    * re-crawl with a longer render). MinHash misses these below ~50%
+    * length overlap and exact dedup never fires, so corpus pipelines
+    * run a dedicated prefix pass.
+    *
+    * Candidates come ONLY from an equi-join on the md5 of the first
+    * `prefixLen` chars (a truncation pair shares that prefix by
+    * definition, provided both survive the `len >= prefixLen` floor);
+    * buckets larger than `maxBucket` are pruned first — the stop-term
+    * rule applied to prefixes (a boilerplate opening line would
+    * otherwise square one bucket). Verification fetches the two texts
+    * BY ID only for surviving candidates (the signature frame that
+    * rides the self-join is (key, id, len) — full text never crosses
+    * that shuffle) and checks the shorter equals the longer's prefix
+    * exactly. Equal-length pairs are excluded: same-prefix same-length
+    * docs are exact-dedup's domain ([[exactDups]]), not truncations.
+    *
+    * Output: (id_short, id_long, len_short, len_long, trunc_frac). */
+  def truncationPairs(docs: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int = 32, maxBucket: Int = 100): DataFrame = {
+    val keys = graft.ops.CacheScope.persist(
+      docs.select(col(idCol).as("id"),
+          md5(substring(col(textCol), 1, prefixLen)).as("pk"),
+          length(col(textCol)).as("len"))
+        .filter(col("len") >= prefixLen))
+    val ok = keys.groupBy(col("pk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBucket)
+      .select(col("pk"))
+    val pruned = keys.join(ok, Seq("pk"))
+    val cand = pruned.select(col("pk"), col("id").as("id_short"),
+        col("len").as("len_short"))
+      .join(pruned.select(col("pk"), col("id").as("id_long"),
+        col("len").as("len_long")), Seq("pk"))
+      .filter(col("len_short") < col("len_long"))
+      .select(col("id_short"), col("id_long"),
+        col("len_short"), col("len_long"))
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    cand
+      .join(texts.select(col("id").as("id_short"), col("t").as("t_s")),
+        Seq("id_short"))
+      .join(texts.select(col("id").as("id_long"), col("t").as("t_l")),
+        Seq("id_long"))
+      .filter(expr("substring(t_l, 1, len_short)") === col("t_s"))
+      .select(col("id_short"), col("id_long"), col("len_short"),
+        col("len_long"),
+        round(col("len_short").cast("double") / col("len_long"), 6)
+          .as("trunc_frac"))
+  }
 }

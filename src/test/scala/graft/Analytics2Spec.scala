@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics specs for the AnalyticsQueries2 operators — a constructed
+  * growth-accounting fixture that exercises every user class (the
+  * testdata's 15 users are active every week, so resurrection/churn
+  * never fire there), Benford identities plus a conforming log-uniform
+  * sample, and a manual recompute of the forecast-backtest metrics.
+  */
+class Analytics2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("growthAccounting: constructed fixture hits every class and " +
+      "the accounting identities hold") {
+    // Weeks (Mondays): w1=2024-01-01, w2=01-08, w3=01-15.
+    // user 1: w1 w2 w3  -> retained twice
+    // user 2: w1 __ w3  -> resurrected in w3, churn attributed to w2
+    // user 3: w1 __ __  -> churn attributed to w2
+    // user 4: __ w2 w3  -> new in w2, retained in w3
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-09 10:00:00"),
+      (1L, "2024-01-16 10:00:00"),
+      (2L, "2024-01-03 11:00:00"), (2L, "2024-01-17 11:00:00"),
+      (3L, "2024-01-04 12:00:00"),
+      (4L, "2024-01-10 13:00:00"), (4L, "2024-01-18 13:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = AnalyticsQueries2.growthAccounting(ev)
+      .orderBy("week")
+      .select("week", "new_users", "retained_users", "resurrected_users",
+        "active_users", "churned_users")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 3L, 0L, 0L, 3L, 0L),
+      ("2024-01-08", 1L, 1L, 0L, 2L, 2L),
+      ("2024-01-15", 0L, 2L, 1L, 3L, 0L)))
+    // identities: active = new + retained + resurrected;
+    // retained(w) = active(w-1) - churned(w)
+    out.foreach { case (_, nw, re, rs, ac, _) => assert(ac == nw + re + rs) }
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._5 - b._6)
+      case _ =>
+    }
+  }
+
+  test("q_growth_accounting: identities hold on testdata") {
+    val rows = AnalyticsQueries2.qGrowthAccounting.run(spark, sf)
+      .orderBy("week")
+      .select("week", "new_users", "retained_users", "resurrected_users",
+        "active_users", "churned_users")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nw, re, rs, ac, _) => assert(ac == nw + re + rs) }
+    // the first reported week is all-new by definition
+    assert(rows.head._2 == rows.head._5 && rows.head._6 == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._5 - b._6,
+        s"retained(${b._1}) must equal active(prev) - churned")
+      case _ =>
+    }
+  }
+
+  test("q_benford_first_digit: digit spine, identities, and the " +
+      "near-uniform totals correctly fail conformance") {
+    val rows = AnalyticsQueries2.qBenford.run(spark, sf)
+      .orderBy("digit")
+      .select("digit", "observed", "observed_frac", "expected_frac",
+        "chi2_term", "chi_square")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(rows.map(_._1).toSeq == (1 to 9).map(_.toString))
+    val n = Tables.orders(spark, sf).filter(col("o_totalprice") > 0).count()
+    assert(rows.map(_._2).sum == n, "observed counts partition the orders")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9,
+      "Benford expected fracs sum to 1")
+    // chi_square is the sum of the per-digit terms (one value, repeated)
+    assert(rows.map(_._6).distinct.length == 1)
+    assert(math.abs(rows.map(_._5).sum - rows.head._6) < 1e-3)
+    // near-uniform synthetic totals are NOT Benford: chi2 >> 15.51
+    // (the 0.05 critical value at df=8)
+    assert(rows.head._6 > 15.51)
+    // each term recomputes from its own row
+    rows.foreach { case (_, obs, _, p, term, _) =>
+      val exp = n * p
+      assert(math.abs((obs - exp) * (obs - exp) / exp - term) < 1e-3)
+    }
+  }
+
+  test("q_basket_triples: supports recompute from the collected baskets") {
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val manual = baskets.values.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(3).map(_.toVector))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+    val out = AnalyticsQueries2.qBasketTriples.run(spark, sf)
+      .select("p1", "p2", "p3", "support")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => Vector(r._1, r._2, r._3) -> r._4).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(out.nonEmpty)
+    assert(out == manual, "triples and supports must match the manual " +
+      "per-basket combination count")
+    out.keys.foreach(t => assert(t(0) < t(1) && t(1) < t(2)))
+  }
+
+  test("q_open_orders_daily: concurrency telescopes and closes to zero") {
+    val rows = AnalyticsQueries2.qOpenOrdersDaily.run(spark, sf)
+      .orderBy("day")
+      .select("day", "opened", "closed", "open_count")
+      .as[(String, Long, Long, Long)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val nIv = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf).select(col("l_orderkey")).distinct(),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(rows.map(_._2).sum == nIv, "every interval opens once")
+    assert(rows.map(_._3).sum == nIv, "every interval closes once")
+    rows.foldLeft(0L) { case (prev, (day, o, c, open)) =>
+      assert(open == prev + o - c, s"open_count must telescope at $day")
+      assert(open >= 0, s"concurrency cannot go negative at $day")
+      open
+    }
+    assert(rows.last._4 == 0L, "all orders eventually close")
+  }
+
+  test("q_forecast_backtest: metrics recompute from the weekly series") {
+    val weekly = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"),
+        to_date(date_trunc("week", col("l_shipdate"))).as("wk"))
+      .agg(round(sum(col("l_quantity")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double"), 2).as("qty"))
+      .orderBy("l_partkey", "wk")
+      .select("l_partkey", "qty").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    val out = AnalyticsQueries2.qForecastBacktest.run(spark, sf)
+      .select("l_partkey", "n_eval", "mae_naive", "mae_ma4",
+        "rmse_naive", "rmse_ma4")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.nonEmpty)
+    val byPart = out.map(r => r._1 -> r).toMap
+    // coverage: exactly the parts with >= 5 observed weeks appear
+    assert(byPart.keySet == weekly.filter(_._2.length >= 5).keySet)
+    out.foreach { case (pk, nEval, maeN, maeM, rmseN, rmseM) =>
+      val series = weekly(pk)
+      assert(nEval == series.length - 4)
+      val evals = (4 until series.length).map { i =>
+        val a = series(i)
+        val naive = series(i - 1)
+        val ma4 = BigDecimal(series.slice(i - 4, i).sum / 4)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (math.abs(a - naive), math.abs(a - ma4),
+          (a - naive) * (a - naive), (a - ma4) * (a - ma4))
+      }
+      assert(math.abs(maeN - evals.map(_._1).sum / nEval) < 1e-4)
+      assert(math.abs(maeM - evals.map(_._2).sum / nEval) < 1e-4)
+      assert(math.abs(rmseN - math.sqrt(evals.map(_._3).sum / nEval)) < 1e-4)
+      assert(math.abs(rmseM - math.sqrt(evals.map(_._4).sum / nEval)) < 1e-4)
+    }
+  }
+}

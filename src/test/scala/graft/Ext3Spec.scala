@@ -252,4 +252,65 @@ class Ext3Spec extends SparkSpec {
     assert(out.getAs[Long]("n_a") > 0 && out.getAs[Long]("n_b") > 0)
     assert(!out.isNullAt(out.fieldIndex("lift_adj")))
   }
+
+  test("jsDivergence: identical -> 0, disjoint -> ln 2, symmetric") {
+    import graft.ext.Stats
+    val sf = "/root/testdata/sf0.001"
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      graft.ops.CacheScope.releaseAll()
+      (r.getAs[Long]("n_bins"), r.getAs[Double]("js_nats"),
+        r.getAs[Double]("js_bits"))
+    }
+    // identical distributions (the same group on both sides): JSD = 0
+    val docs = Tables.documents(spark, sf)
+    val same = row(Stats.jsDivergence(docs, "n_chars", "source",
+      "src0", "src0", binWidth = 32L))
+    assert(same._2 == 0.0 && same._3 == 0.0)
+    // disjoint supports: JSD = ln 2 exactly (1 bit)
+    val dis = (0 until 10).map(v => (v.toLong, "a")) ++
+      (0 until 10).map(v => (1000L + v, "b"))
+    val disDf = dis.toDF("v", "grp")
+    val d = row(Stats.jsDivergence(disDf, "v", "grp", "a", "b", 1L))
+    assert(d._1 == 20L)
+    assert(math.abs(d._2 - 0.693147) < 1e-9, "disjoint JSD = ln 2")
+    assert(d._3 == 1.0, "disjoint JSD = 1 bit")
+    // symmetry: swapping the groups cannot move the statistic
+    val ab = row(Stats.jsDivergence(docs, "n_chars", "source",
+      "src0", "src1", binWidth = 32L))
+    val ba = row(Stats.jsDivergence(docs, "n_chars", "source",
+      "src1", "src0", binWidth = 32L))
+    assert(ab == ba)
+    assert(ab._2 > 0.0 && ab._2 < 0.693148,
+      "two real sources sit strictly inside (0, ln 2)")
+  }
+
+  test("truncationPairs: prefix twins pair, diverging prefixes and " +
+      "equal lengths don't, stop-prefix prune fires") {
+    import graft.ext.TextDedup
+    val head = "x" * 32 // shared 32-char prefix for A and D
+    val docs = Seq(
+      (1L, head + "AAAA BBBB CCCC DDDD"), // A: full doc
+      (2L, head + "AAAA BBBB"),           // B: strict prefix of A
+      (3L, "completely different text padded to pass the length floor"),
+      (4L, head + "ZZZZ YYYY"),           // D: same 32-prefix, diverges
+      (5L, head + "AAAA 8888")            // E: same length as B, not dup
+    ).toDF("doc_id", "text")
+    val out = TextDedup.truncationPairs(docs, "text", "doc_id")
+      .select("id_short", "id_long", "len_short", "len_long",
+        "trunc_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    // only B -> A: D diverges after the shared prefix (candidate but
+    // fails the exact verify), E has B's length (equal-length excluded
+    // as exact-dedup territory), C shares no prefix
+    assert(out.toSeq == Seq((2L, 1L, 41L, 51L,
+      BigDecimal(41.0 / 51).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // stop-prefix prune: a bucket bigger than maxBucket emits nothing
+    val none = TextDedup.truncationPairs(docs, "text", "doc_id",
+      maxBucket = 2)
+    assert(none.count() == 0L)
+    graft.ops.CacheScope.releaseAll()
+  }
 }

@@ -36,6 +36,9 @@ class PlanGuardSpec extends SparkSpec {
       "cumulative pair counts over the threshold grid (21 rows)",
     "q_gap_fill_daily" ->
       "lag over the daily calendar spine (one row per day)",
+    "q_open_orders_daily" ->
+      ("cumulative concurrency over the day-grain interval-boundary " +
+        "spine (one row per calendar day)"),
     "ext_pack_offsets" ->
       "prefix-sum over per-partition totals (one row per partition)",
     "ext_pack_binpack" ->
