@@ -347,8 +347,28 @@ object ExtQueries3 {
       JOIN docs tl ON tl.doc_id = id_long
       WHERE substring(tl.text, 1, CAST(len_short AS INT)) = ts.text"""))
 
+  /** Oracle-replayable distributed Lloyd k-means, k=8 × 3 rounds over
+    * the embeddings table ([[graft.ext.Lloyd]] carries the full scale
+    * and determinism rationale: literal-broadcast centroids, codegen
+    * argmin projection, exact-decimal means, FLOAT narrowing). */
+  val kmeansQ = Q(
+    "ext_kmeans_lloyd",
+    (s, d) => graft.ext.Lloyd.fit(
+      Tables.embeddings(s, d), k = 8, rounds = 3),
+    Some(graft.ext.Lloyd.oracleSql(k = 8, rounds = 3)))
+
+  /** Streaming k-means inference (the model-serving twin of
+    * `ext_kmeans_lloyd`): static fit at startup, stateless nearest-
+    * centroid assignment per micro-batch
+    * ([[graft.streaming.StreamPipeline.kmeansAssignAvailableNow]]). */
+  val kmeansStreamQ = Q(
+    "q_stream_kmeans_assign",
+    (s, d) => graft.streaming.StreamPipeline.kmeansAssignAvailableNow(s, d),
+    Some(graft.ext.Lloyd.assignOracleSql(
+      k = 8, updates = 3, wherePred = "e.vec_id % 5 = 0")))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
-    ksTestQ, jsDivergenceQ, truncationQ)
+    ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ)
 }

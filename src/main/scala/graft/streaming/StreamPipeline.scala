@@ -593,6 +593,29 @@ object StreamPipeline {
     runAvailableNow(out, "stream_er_", "append")
   }
 
+  /** ONLINE k-means inference as a structured stream — the deploy side
+    * of [[graft.ext.Lloyd]]: the model (k·d float centroids) is fitted
+    * on the static corpus at startup, and each arriving vector is
+    * assigned
+    * its nearest centroid by the SAME literal-broadcast codegen argmin
+    * projection the batch fit uses ([[graft.ext.Lloyd.assignTo]]) —
+    * completely stateless (append output, no state store, no
+    * watermark), the standard model-serving split: streaming assigns,
+    * the periodic batch refit owns centroid movement. The incoming feed
+    * is the vec_id % 5 slice of the embeddings table; the oracle
+    * replays fit + assignment relationally. */
+  def kmeansAssignAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.ext.Lloyd.fitCentroids(
+      graft.Tables.embeddings(spark, dir), k = 8, updates = 3)
+    val in = streamTable(spark, dir, "embeddings.parquet",
+      normalizeEvents = false)
+      .filter(col("vec_id") % 5 === 0)
+    val out = graft.ext.Lloyd.assignTo(in, model)
+      .select(col("vec_id"), col("cid"), col("dist"))
+    runAvailableNow(out, "stream_kmeans_", "append")
+  }
+
   /** SLIDING-window rollup as a structured stream, drained with
     * `Trigger.AvailableNow` — the trending-metrics shape (every event
     * counts into the `slide`-spaced windows of length `window` covering

@@ -313,4 +313,109 @@ class Ext3Spec extends SparkSpec {
     assert(none.count() == 0L)
     graft.ops.CacheScope.releaseAll()
   }
+
+  test("Lloyd.fit: independent plain-Scala recompute on a fixture, " +
+      "monotone objective across rounds on testdata") {
+    import graft.ext.Lloyd
+    // --- constructed fixture: 6 vectors, dim 4, two loose blobs ---
+    val vecs: Map[Long, Array[Float]] = Map(
+      0L -> Array(1.0f, 0.1f, 0.0f, 0.0f),
+      1L -> Array(0.9f, 0.0f, 0.1f, 0.0f),
+      2L -> Array(1.1f, 0.0f, 0.0f, 0.1f),
+      3L -> Array(0.0f, 0.1f, 0.0f, 1.0f),
+      4L -> Array(0.1f, 0.0f, 0.0f, 0.9f),
+      5L -> Array(0.0f, 0.0f, 0.1f, 1.1f))
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val k = 2; val rounds = 3
+    // --- plain-Scala replica of the documented semantics ---
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cent: Array[Array[Float]] = vecs.toSeq
+      .sortBy { case (id, _) => (md5hex(s"km:$id"), id) }
+      .take(k).map(_._2).toArray
+    def assign(c: Array[Array[Float]]): Map[Long, (Int, Double)] =
+      vecs.map { case (id, v) =>
+        id -> c.zipWithIndex
+          .map { case (cv, i) => (r6(dot(v, v) - 2 * dot(v, cv)
+            + dot(cv, cv)), i) }
+          .minBy(identity)
+          .swap
+      }
+    def update(a: Map[Long, (Int, Double)]): Array[Array[Float]] =
+      (0 until k).map { i =>
+        val members = a.collect { case (id, (cid, _)) if cid == i =>
+          vecs(id) }.toSeq
+        if (members.isEmpty) cent(i)
+        else (0 until 4).map { d =>
+          val s = members.map(v => BigDecimal(v(d).toDouble)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+            .foldLeft(BigDecimal(0))(_ + _)
+          (s.toDouble / members.size).toFloat
+        }.toArray
+      }.toArray
+    for (_ <- 1 until rounds) cent = update(assign(cent))
+    val fin = assign(cent)
+    val finalCent = update(fin)
+    val expected = (0 until k).flatMap { i =>
+      val m = fin.values.filter(_._1 == i)
+      if (m.isEmpty) None else Some((i.toLong, m.size.toLong,
+        r6(m.map(d => BigDecimal(d._2).setScale(12,
+          BigDecimal.RoundingMode.HALF_UP)).foldLeft(BigDecimal(0))(_ + _)
+          .toDouble),
+        r6(finalCent(i)(0).toDouble), r6(finalCent(i)(1).toDouble),
+        r6(finalCent(i)(2).toDouble), r6(finalCent(i)(3).toDouble)))
+    }.toSet
+    val got = Lloyd.fit(df, k = k, rounds = rounds)
+      .select("cid", "n_members", "inertia", "c1", "c2", "c3", "c4")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(got == expected, s"got $got expected $expected")
+    // --- Lloyd objective is monotone non-increasing in rounds ---
+    val sf = "/root/testdata/sf0.001"
+    val inertias = (1 to 3).map { r =>
+      val t = graft.ext.Lloyd.fit(Tables.embeddings(spark, sf),
+        k = 8, rounds = r)
+        .agg(org.apache.spark.sql.functions.sum("inertia"))
+        .as[Double].collect().head
+      graft.ops.CacheScope.releaseAll()
+      t
+    }
+    assert(inertias.sliding(2).forall { case Seq(a, b) => b <= a + 1e-6 },
+      s"objective must not increase: $inertias")
+  }
+
+  test("q_stream_kmeans_assign: streamed assignment == batch assignTo " +
+      "on the same slice and model") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamPipeline
+      .kmeansAssignAvailableNow(spark, sf)
+      .select("vec_id", "cid", "dist")
+      .as[(Long, Int, Double)].collect().toSet
+    val model = graft.ext.Lloyd.fitCentroids(
+      Tables.embeddings(spark, sf), k = 8, updates = 3)
+    val batch = graft.ext.Lloyd.assignTo(
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0),
+      model)
+      .select("vec_id", "cid", "dist")
+      .as[(Long, Int, Double)].collect().toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(streamed.nonEmpty && streamed == batch)
+    // every arriving vector gets exactly one assignment
+    assert(streamed.size ==
+      Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 5 === 0).count())
+  }
 }
