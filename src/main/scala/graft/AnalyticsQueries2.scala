@@ -375,6 +375,129 @@ object AnalyticsQueries2 {
           AS open_count
       FROM spine"""))
 
+  /** Top user-journey paths — the full-sequence companion to
+    * `q_markov_transitions`' bigram matrix: each user's FIRST five
+    * events (by time, ties by event_id) joined into a `>`-path string,
+    * path frequencies plus how many of those users convert (a
+    * `purchase` inside the window). The onboarding-flow readout: which
+    * openings are common, and which convert.
+    *
+    * Scale: the per-user prefix is cut FIRST with a row_number window
+    * partitioned BY USER (frame = one user's events — and only ≤ 5
+    * rows survive it into the collect), so the ordered-list aggregate
+    * assembles at most 5 structs per user; the path-grain count is a
+    * hash agg onto |types|⁵-bounded keys. Nothing collects an
+    * unbounded event history. */
+  val qJourneyPaths = Q(
+    "q_top_journey_paths",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val firstN = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      val paths = firstN.groupBy(col("user_id"))
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      paths.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("path").contains("purchase"), 1L).otherwise(0L))
+            .as("n_converting"))
+        .withColumn("conversion_rate",
+          round(col("n_converting").cast("double") / col("n_users"), 6))
+    },
+    Some("""WITH firstn AS (
+        SELECT user_id, event_type, rn FROM (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events)
+        WHERE rn <= 5),
+      paths AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM firstn GROUP BY 1)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(CASE WHEN path LIKE '%purchase%' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_converting,
+        round(CAST(sum(CASE WHEN path LIKE '%purchase%' THEN 1 ELSE 0
+          END) AS DOUBLE) / count(*), 6) AS conversion_rate
+      FROM paths GROUP BY 1"""))
+
+  /** Customer-value quartile migration between the two halves of the
+    * horizon (split at 1996-01-01, the CUPED boundary) — the
+    * "customer movement" readout behind retention programs: a 5×5
+    * matrix of (H1 quartile → H2 quartile), with quartile 0 = inactive
+    * in that half, so new, churned, and cross-quartile movers are all
+    * one matrix.
+    *
+    * Quartiles come from DISC-percentile EDGES broadcast back onto the
+    * per-customer spend frame (1 + count of edges strictly below) —
+    * never a global ntile window: the edge frame is one aggregate row,
+    * the assignment a projection, so nothing row-grained funnels
+    * through one task (the quantileBins shape). Per-half spends are
+    * exact decimal sums.
+    *
+    * Output: (q_h1, q_h2, n_customers). */
+  val qValueMigration = Q(
+    "q_customer_value_migration",
+    (s, d) => {
+      val split = lit("1996-01-01").cast("date")
+      def half(pre: Boolean): org.apache.spark.sql.DataFrame = {
+        val f = if (pre) to_date(col("o_orderdate")) < split
+          else to_date(col("o_orderdate")) >= split
+        val spend = Tables.orders(s, d).filter(f)
+          .groupBy(col("o_custkey"))
+          .agg(Det.dsum(col("o_totalprice")).as("v"))
+        val edgeCols = (1 to 3).map(i =>
+          expr(s"percentile_disc(0.${25 * i}) WITHIN GROUP (ORDER BY v)")
+            .as(s"e$i"))
+        val edges = spend.agg(edgeCols.head, edgeCols.tail: _*)
+        spend.crossJoin(broadcast(edges))
+          .select(col("o_custkey"),
+            ((1 to 3).map(i => when(col("v") > col(s"e$i"), 1)
+              .otherwise(0)).reduce(_ + _) + 1).cast("int").as("q"))
+      }
+      half(pre = true).withColumnRenamed("q", "q_h1")
+        .join(half(pre = false).withColumnRenamed("q", "q_h2"),
+          Seq("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("q_h1"), lit(0)).as("q_h1"),
+          coalesce(col("q_h2"), lit(0)).as("q_h2"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some(s"""WITH h1 AS (
+        SELECT o_custkey, ${Det.dsumSql("o_totalprice")} AS v
+        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        GROUP BY 1),
+      e1 AS (SELECT quantile_disc(v, 0.25) AS e1,
+        quantile_disc(v, 0.50) AS e2, quantile_disc(v, 0.75) AS e3
+        FROM h1),
+      q1 AS (
+        SELECT o_custkey, CAST(1
+          + (CASE WHEN v > e1 THEN 1 ELSE 0 END)
+          + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+          + (CASE WHEN v > e3 THEN 1 ELSE 0 END) AS INT) AS q_h1
+        FROM h1 CROSS JOIN e1),
+      h2 AS (
+        SELECT o_custkey, ${Det.dsumSql("o_totalprice")} AS v
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        GROUP BY 1),
+      e2x AS (SELECT quantile_disc(v, 0.25) AS e1,
+        quantile_disc(v, 0.50) AS e2, quantile_disc(v, 0.75) AS e3
+        FROM h2),
+      q2 AS (
+        SELECT o_custkey, CAST(1
+          + (CASE WHEN v > e1 THEN 1 ELSE 0 END)
+          + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+          + (CASE WHEN v > e3 THEN 1 ELSE 0 END) AS INT) AS q_h2
+        FROM h2 CROSS JOIN e2x)
+      SELECT COALESCE(q_h1, 0) AS q_h1, COALESCE(q_h2, 0) AS q_h2,
+        CAST(count(*) AS BIGINT) AS n_customers
+      FROM q1 FULL OUTER JOIN q2 USING (o_custkey)
+      GROUP BY 1, 2"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
-    qBasketTriples, qOpenOrdersDaily)
+    qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration)
 }

@@ -367,8 +367,54 @@ object ExtQueries3 {
     Some(graft.ext.Lloyd.assignOracleSql(
       k = 8, updates = 3, wherePred = "e.vec_id % 5 = 0")))
 
+  /** RAKE multi-word keyphrases, top-3 per doc over the corpus's two
+    * stop-words ([[graft.ext.Retrieval.rakeKeyphrases]] carries the
+    * per-document scale design and determinism rules). */
+  val rakeQ = Q(
+    "ext_keyphrase_rake",
+    (s, d) => graft.ext.Retrieval.rakeKeyphrases(
+      Tables.documents(s, d), "text", "doc_id",
+      stopwords = Seq("the", "a"), k = 3),
+    Some(graft.ext.Retrieval.rakeOracleSql(
+      stopwords = Seq("the", "a"), k = 3)))
+
+  /** WoE/IV of order priority against the has-a-return target
+    * ([[graft.ext.Featurize.woeIv]] carries the scale/determinism
+    * rationale) — ranks the categorical's predictive power where
+    * `ext_target_encode` only produces the feature. */
+  val woeIvQ = Q(
+    "ext_woe_iv",
+    (s, d) => {
+      val ret = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      val base = Tables.orders(s, d)
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderpriority").as("category"),
+          when(col("l_orderkey").isNotNull, 1L).otherwise(0L)
+            .as("target"))
+      graft.ext.Featurize.woeIv(base, "category", "target")
+    },
+    Some(graft.ext.Featurize.woeIvOracleSql(
+      """SELECT o_orderpriority AS category,
+        CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS target
+      FROM orders LEFT JOIN (
+        SELECT DISTINCT l_orderkey FROM lineitem
+        WHERE l_returnflag = 'R') r
+      ON o_orderkey = r.l_orderkey""")))
+
+  /** Equi-depth decile binning of order totals
+    * ([[graft.ext.Featurize.quantileBins]]). */
+  val quantileBinsQ = Q(
+    "ext_feature_quantile_bins",
+    (s, d) => graft.ext.Featurize.quantileBins(
+      Tables.orders(s, d), "o_totalprice", nBins = 10),
+    Some(graft.ext.Featurize.quantileBinsOracleSql(
+      "SELECT o_totalprice AS v FROM orders", nBins = 10)))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
-    ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ)
+    ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
+    woeIvQ, quantileBinsQ)
 }

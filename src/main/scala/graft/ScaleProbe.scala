@@ -168,10 +168,25 @@ object ScaleProbe {
         graft.ops.CacheScope.releaseAll()
         r
       }
+      // k-means round shape (Lloyd): N× copies of the embeddings table
+      // with shifted ids; times the md5-rank init (sort-limit) plus ONE
+      // full assign+update cycle — the literal-broadcast codegen argmin
+      // scan and the posexplode → k·d-key hash agg. Linear in vectors
+      // by construction; the probe verifies no hidden super-linear term
+      // (the d× posexplode fan-out is the candidate).
+      val kmeans = time {
+        val emb0 = Tables.embeddings(spark, sfDir)
+        val emb = (0 until n).map { i =>
+          emb0.withColumn("vec_id",
+            col("vec_id") + lit(i.toLong * 100000000L))
+        }.reduce(_ unionAll _)
+        graft.ext.Lloyd.fitCentroids(emb, k = 8, updates = 1)
+      }
       println(s"""{"probe":"scale","n":$n,"q1_agg":$q1,""" +
         s""""pareto_prefix":$pareto,"band_join":$band,""" +
         s""""exact_dedup":$dedup,"minhash_lsh":$lsh,""" +
-        s""""stream_hourly":$stream,"graph_wedge":$wedge}""")
+        s""""stream_hourly":$stream,"graph_wedge":$wedge,""" +
+        s""""kmeans_round":$kmeans}""")
     }
     spark.stop()
   }

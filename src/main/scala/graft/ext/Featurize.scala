@@ -114,4 +114,132 @@ object Featurize {
       SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS val
       FROM hashed GROUP BY 1, 2 HAVING sum(sgn) != 0"""
   }
+
+  /** Weight of Evidence + Information Value per category against a
+    * binary target — the credit-scoring-standard categorical diagnostic
+    * next to [[targetEncode]] (which produces a model FEATURE; WoE/IV
+    * ranks the feature's predictive power):
+    *   woe(c) = ln( (good_c/G) / (bad_c/B) ),
+    *   IV     = Σ_c (good_c/G − bad_c/B) · woe(c).
+    * A category with only goods or only bads has undefined WoE — it
+    * emits NULL and contributes 0 to IV (the no-smoothing convention;
+    * the spec pins it).
+    *
+    * Scale: ONE hash aggregate at category grain; G/B re-aggregate the
+    * category frame (1-row broadcast back). Distribution ratios are
+    * exact integer-count divisions, the ln factor rounds 6 dp before
+    * the product (the mutualInformation rule), IV terms round 9 dp and
+    * fold through DECIMAL(38,12).
+    *
+    * Output: (category, n, bad, good, dist_good, dist_bad, woe, iv) —
+    * iv repeated on every row (the Benford chi-square readout shape). */
+  def woeIv(rows: DataFrame, catCol: String, targetCol: String)
+      : DataFrame = {
+    val per = graft.ops.CacheScope.persist(
+      rows.groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as("n"),
+          sum(col(targetCol).cast("long")).as("bad"))
+        .withColumn("good", col("n") - col("bad")))
+    val glob = per.agg(sum(col("good")).as("gg"), sum(col("bad")).as("gb"))
+    val scored = graft.ops.CacheScope.persist(
+      per.crossJoin(broadcast(glob))
+        .withColumn("dist_good",
+          round(col("good").cast("double") / col("gg"), 6))
+        .withColumn("dist_bad",
+          round(col("bad").cast("double") / col("gb"), 6))
+        .withColumn("woe",
+          when(col("good") > 0 && col("bad") > 0,
+            round(log((col("good").cast("double") / col("gg"))
+              / (col("bad").cast("double") / col("gb"))), 6)))
+        .withColumn("term", round(
+          when(col("woe").isNotNull,
+            ((col("good").cast("double") / col("gg"))
+              - (col("bad").cast("double") / col("gb"))) * col("woe"))
+            .otherwise(0d), 9)))
+    val iv = scored.agg(round(graft.Det.dsumWide(col("term")), 6).as("iv"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("category"), col("n"), col("bad"), col("good"),
+        col("dist_good"), col("dist_bad"), col("woe"), col("iv"))
+  }
+
+  /** DuckDB replay of [[woeIv]]: `fromSql` must yield columns
+    * (category, target). */
+  def woeIvOracleSql(fromSql: String): String =
+    s"""WITH base AS ($fromSql),
+      per AS MATERIALIZED (
+        SELECT category, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(target) AS BIGINT) AS bad,
+          CAST(count(*) - sum(target) AS BIGINT) AS good
+        FROM base GROUP BY 1),
+      gstats AS (
+        SELECT CAST(sum(good) AS BIGINT) AS gg,
+          CAST(sum(bad) AS BIGINT) AS gb FROM per),
+      scored AS MATERIALIZED (
+        SELECT category, n, bad, good,
+          round(CAST(good AS DOUBLE) / gg, 6) AS dist_good,
+          round(CAST(bad AS DOUBLE) / gb, 6) AS dist_bad,
+          CASE WHEN good > 0 AND bad > 0 THEN
+            round(ln((CAST(good AS DOUBLE) / gg)
+              / (CAST(bad AS DOUBLE) / gb)), 6) END AS woe,
+          round(CASE WHEN good > 0 AND bad > 0 THEN
+            ((CAST(good AS DOUBLE) / gg) - (CAST(bad AS DOUBLE) / gb))
+              * round(ln((CAST(good AS DOUBLE) / gg)
+                / (CAST(bad AS DOUBLE) / gb)), 6)
+            ELSE 0 END, 9) AS term
+        FROM per CROSS JOIN gstats),
+      iv AS (SELECT round(${graft.Det.dsumWideSql("term")}, 6) AS iv
+        FROM scored)
+      SELECT category, n, bad, good, dist_good, dist_bad, woe, iv
+      FROM scored CROSS JOIN iv"""
+
+  /** Equi-depth (quantile) binning of a numeric column — the feature
+    * discretization every scorecard/GBM preprocessing pipeline runs,
+    * the depth-balanced companion to the equi-WIDTH
+    * `ext_length_histogram`: bin edges are the 1/nBins..(nBins−1)/nBins
+    * DISC-percentile DATA VALUES (no interpolation arithmetic — the
+    * bootstrap-CI rule), and each row's bin is 1 + the count of edges
+    * strictly below it (ties share a bin, so heavy ties legitimately
+    * unbalance depth — the spec pins the property on distinct-ish
+    * data).
+    *
+    * Scale: the edge frame is ONE aggregate row broadcast back; bin
+    * assignment is a pure projection; the readout is a hash agg onto
+    * ≤nBins keys.
+    *
+    * Output: (bin, n, lo, hi, avg_v), 6-dp stats per bin. */
+  def quantileBins(rows: DataFrame, valueCol: String, nBins: Int = 10)
+      : DataFrame = {
+    val v = rows.select(col(valueCol).cast("double").as("v"))
+    val edgeCols = (1 until nBins).map(i =>
+      expr(s"percentile_disc(${i.toDouble / nBins}) " +
+        s"WITHIN GROUP (ORDER BY v)").as(s"e$i"))
+    val edges = v.agg(edgeCols.head, edgeCols.tail: _*)
+    val binned = v.crossJoin(broadcast(edges))
+      .select(col("v"),
+        (1 until nBins).map(i =>
+          when(col("v") > col(s"e$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("int").as("b"))
+    binned.groupBy((col("b") + 1).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 6).as("lo"),
+        round(max(col("v")), 6).as("hi"),
+        round(graft.Det.dsum(col("v"), 2) / count(lit(1)), 6).as("avg_v"))
+  }
+
+  /** DuckDB replay of [[quantileBins]]: `fromSql` must yield column v. */
+  def quantileBinsOracleSql(fromSql: String, nBins: Int = 10): String = {
+    val edgeSel = (1 until nBins).map(i =>
+      s"quantile_disc(v, ${i.toDouble / nBins}) AS e$i").mkString(", ")
+    val binExpr = (1 until nBins).map(i =>
+      s"CASE WHEN v > e$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH base AS ($fromSql),
+      edges AS (SELECT $edgeSel FROM base),
+      binned AS (
+        SELECT v, CAST($binExpr AS INT) AS b
+        FROM base CROSS JOIN edges)
+      SELECT CAST(b + 1 AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        round(min(v), 6) AS lo, round(max(v), 6) AS hi,
+        round(${graft.Det.dsumSql("v", 2)} / count(*), 6) AS avg_v
+      FROM binned GROUP BY 1"""
+  }
 }

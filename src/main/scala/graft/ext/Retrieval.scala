@@ -783,4 +783,110 @@ object Retrieval {
       .filter(col("n_terms") === terms.size)
       .select(col("doc_id"), col("sum_tf"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — multi-word
+    * keyphrases, where `tfidfKeywords`/`groupTopTerms` rank single
+    * terms: candidate phrases are the maximal stopword-delimited word
+    * runs; word score = deg(w)/freq(w) over the doc's own phrases
+    * (deg = Σ lengths of phrases containing w — co-occurrence degree
+    * incl. self); phrase score = Σ member word scores; top-k per doc.
+    *
+    * Everything is PER-DOCUMENT: the phrase-segmentation window
+    * partitions by doc (frame = one doc's tokens, the q_sessions_gap
+    * shape), freq/deg/phrase scores are (doc, ·)-keyed hash aggs, and
+    * the per-doc top-k rides the bounded-heap
+    * [[graft.functions.TopKStrAgg]] (≤k per (doc, partition)
+    * map-side) — nothing corpus-grained anywhere.
+    *
+    * Determinism: word scores round(deg/freq, 6) from exact integer
+    * counts; phrase scores DECIMAL(38,12)-summed then 6-dp; ties break
+    * on the phrase string (the TopKStrAgg total order ≡ the oracle's
+    * ORDER BY score DESC, phrase). Duplicate phrase occurrences within
+    * a doc score identically by construction and collapse to one row.
+    *
+    * Output: (doc_id, rank, phrase, score). */
+  def rakeKeyphrases(docs: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isin(stopwords: _*))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cand = graft.ops.CacheScope.persist(
+      words.withColumn("grp", sum(col("stop").cast("int")).over(w))
+        .filter(!col("stop") && col("w") =!= "")
+        .select(col("doc_id"), col("grp"), col("pos"), col("w")))
+    val phrases = graft.ops.CacheScope.persist(
+      cand.groupBy(col("doc_id"), col("grp"))
+        .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("phrase"),
+          count(lit(1)).as("plen")))
+    val wordScores = cand
+      .join(phrases.select(col("doc_id"), col("grp"), col("plen")),
+        Seq("doc_id", "grp"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("doc_id"), col("w"),
+        round(col("deg").cast("double") / col("freq"), 6).as("wscore"))
+    val phraseScores = cand
+      .join(wordScores, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(round(graft.Det.dsumWide(col("wscore")), 6).as("score"))
+      .join(phrases.select(col("doc_id"), col("grp"), col("phrase")),
+        Seq("doc_id", "grp"))
+      .select(col("doc_id"), col("phrase"), col("score"))
+      .distinct()
+    phraseScores.groupBy(col("doc_id"))
+      .agg(graft.functions.TopKStrAgg.top_k_str(
+        col("score"), col("phrase"), k).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .select(col("doc_id"), col("t.rank").as("rank"),
+        col("t.key").as("phrase"), col("t.score").as("score"))
+  }
+
+  /** DuckDB replay of [[rakeKeyphrases]] over `documents` (single
+    * ranking window — it runs at oracle SF). */
+  def rakeOracleSql(stopwords: Seq[String], k: Int): String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH words AS MATERIALIZED (
+        SELECT doc_id, pos, w, (w IN ($stops)) AS stop FROM (
+          SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS w,
+            unnest(generate_series(1,
+              len(string_split(lower(text), ' ')))) AS pos
+          FROM documents)),
+      cand AS MATERIALIZED (
+        SELECT doc_id, grp, pos, w FROM (
+          SELECT doc_id, pos, w, stop,
+            sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS grp
+          FROM words)
+        WHERE NOT stop AND w <> ''),
+      phr AS MATERIALIZED (
+        SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+          CAST(count(*) AS BIGINT) AS plen
+        FROM cand GROUP BY 1, 2),
+      ws AS (
+        SELECT c.doc_id, c.w,
+          round(CAST(sum(p.plen) AS DOUBLE) / count(*), 6) AS wscore
+        FROM cand c JOIN phr p USING (doc_id, grp) GROUP BY 1, 2),
+      ps AS (
+        SELECT c.doc_id, c.grp,
+          round(${graft.Det.dsumWideSql("wscore")}, 6) AS score
+        FROM cand c JOIN ws ON c.doc_id = ws.doc_id AND c.w = ws.w
+        GROUP BY 1, 2),
+      dp AS (
+        SELECT DISTINCT p.doc_id, p.phrase, s.score
+        FROM phr p JOIN ps s USING (doc_id, grp)),
+      rk AS (
+        SELECT doc_id, phrase, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, phrase) AS rank
+        FROM dp)
+      SELECT doc_id, CAST(rank AS INT) AS rank, phrase, score
+      FROM rk WHERE rank <= $k"""
+  }
 }

@@ -131,6 +131,57 @@ class Analytics2Spec extends SparkSpec {
     assert(rows.last._4 == 0L, "all orders eventually close")
   }
 
+  test("q_top_journey_paths: paths recompute from per-user event " +
+      "prefixes") {
+    val manual = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2)).take(5).map(_._4)
+        .mkString(">"))
+      .toMap.values.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = AnalyticsQueries2.qJourneyPaths.run(spark, sf)
+      .select("path", "n_users", "n_converting", "conversion_rate")
+      .as[(String, Long, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.nonEmpty)
+    assert(out.map(r => r._1 -> r._2).toMap == manual)
+    out.foreach { case (path, n, conv, rate) =>
+      assert(conv == (if (path.contains("purchase")) n else 0L),
+        "conversion counts whole paths, not users within a path")
+      assert(math.abs(rate - conv.toDouble / n) < 1e-9)
+      assert(path.split(">").length <= 5)
+    }
+    // every user lands in exactly one path
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(out.map(_._2).sum == nUsers)
+  }
+
+  test("q_customer_value_migration: matrix accounts for every active " +
+      "customer exactly once") {
+    val out = AnalyticsQueries2.qValueMigration.run(spark, sf)
+      .select("q_h1", "q_h2", "n_customers")
+      .as[(Int, Int, Long)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, n) =>
+      assert(a >= 0 && a <= 4 && b >= 0 && b <= 4 && n > 0)
+      assert(!(a == 0 && b == 0), "inactive-in-both never appears")
+    }
+    // the matrix partitions the customers with >= 1 order
+    val active = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(out.map(_._3).sum == active)
+    // both movement directions exist in the testdata (the matrix is
+    // not diagonal) and churn/new edges are populated
+    assert(out.exists(r => r._1 == 0 && r._2 > 0), "new customers")
+    assert(out.exists(r => r._1 > 0 && r._2 > 0 && r._1 != r._2),
+      "cross-quartile movement")
+  }
+
   test("q_forecast_backtest: metrics recompute from the weekly series") {
     val weekly = Tables.lineitem(spark, sf)
       .groupBy(col("l_partkey"),

@@ -418,4 +418,75 @@ class Ext3Spec extends SparkSpec {
       Tables.embeddings(spark, sf)
         .filter(col("vec_id") % 5 === 0).count())
   }
+
+  test("woeIv: hand-computed WoE/IV, zero-cell category emits NULL " +
+      "and contributes nothing") {
+    // X: good 2 / bad 2; Y: good 3 / bad 1; Z: good 0 / bad 1.
+    // G=5, B=4. woe_X = ln(0.4/0.5) = -0.223144,
+    // woe_Y = ln(0.6/0.25) = 0.875469, woe_Z = NULL.
+    // IV = (-0.1)(-0.223144) + (0.35)(0.875469) + 0
+    //    = 0.0223144 + 0.30641415 = 0.328729 (6 dp).
+    val rows = Seq(
+      ("X", 0L), ("X", 0L), ("X", 1L), ("X", 1L),
+      ("Y", 0L), ("Y", 0L), ("Y", 0L), ("Y", 1L),
+      ("Z", 1L)).toDF("category", "target")
+    val out = Featurize.woeIv(rows, "category", "target")
+      .select("category", "n", "bad", "good", "woe", "iv")
+      .as[(String, Long, Long, Long, Option[Double], Double)]
+      .collect().map(r => r._1 -> r).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(out("X")._5.contains(-0.223144))
+    assert(out("Y")._5.contains(0.875469))
+    assert(out("Z")._5.isEmpty, "one-sided category has no WoE")
+    assert(out.values.map(_._6).toSet == Set(0.328729))
+  }
+
+  test("quantileBins: full decile coverage, depth balance, ordered " +
+      "non-overlapping ranges") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Featurize.quantileBins(
+      Tables.orders(spark, sf), "o_totalprice", nBins = 10)
+      .orderBy("bin")
+      .select("bin", "n", "lo", "hi")
+      .as[(Int, Long, Double, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.map(_._1).toSeq == (1 to 10))
+    val total = Tables.orders(spark, sf).count()
+    assert(out.map(_._2).sum == total)
+    // equi-depth on effectively-distinct values: every bin within
+    // a couple of rows of total/10
+    out.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 10.0) <= 2.0,
+        s"bin $b depth $n vs ${total / 10.0}")
+    }
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 <= b._3, "ranges must not overlap")
+      case _ =>
+    }
+  }
+
+  test("rakeKeyphrases: hand-computed RAKE scores on a fixture") {
+    // phrases: "deep learning"(2), "fast gradient method"(3),
+    // "deep method"(2).
+    // freq: deep 2, learning 1, fast 1, gradient 1, method 2.
+    // deg:  deep 2+2=4, learning 2, fast 3, gradient 3, method 3+2=5.
+    // word scores: deep 2.0, learning 2.0, fast 3.0, gradient 3.0,
+    //   method 2.5.
+    // phrase scores: "fast gradient method" 8.5, "deep method" 4.5,
+    //   "deep learning" 4.0.
+    val docs = Seq(
+      (1L, "deep learning the fast gradient method a deep method"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.rakeKeyphrases(docs, "text", "doc_id",
+      stopwords = Seq("the", "a"), k = 3)
+      .orderBy("rank")
+      .select("doc_id", "rank", "phrase", "score")
+      .as[(Long, Int, String, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.toSeq == Seq(
+      (1L, 1, "fast gradient method", 8.5),
+      (1L, 2, "deep method", 4.5),
+      (1L, 3, "deep learning", 4.0)))
+  }
 }
