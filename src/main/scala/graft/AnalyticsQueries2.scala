@@ -87,7 +87,8 @@ object AnalyticsQueries2 {
       SELECT strftime(cls.wk, '%Y-%m-%d') AS week, new_users,
         retained_users, resurrected_users, active_users,
         COALESCE(churned_users, 0) AS churned_users
-      FROM cls LEFT JOIN ch ON cls.wk = ch.wk"""))
+      FROM cls LEFT JOIN ch ON cls.wk = ch.wk"""),
+    bench = true)
 
   /** Benford's-law expected first-digit frequencies, log10(1+1/d)
     * rounded to 12 dp and pinned as SHARED LITERALS on both engines —
@@ -313,7 +314,8 @@ object AnalyticsQueries2 {
       n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
       SELECT p1, p2, p3, support,
         round(CAST(support AS DOUBLE) / n_orders, 9) AS support_frac
-      FROM tri CROSS JOIN n WHERE support >= 2"""))
+      FROM tri CROSS JOIN n WHERE support >= 2"""),
+    bench = true)
 
   /** Daily open-order concurrency curve — the sweep-line readout over
     * order-fulfillment intervals (order date → last shipment): how many

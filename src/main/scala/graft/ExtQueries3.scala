@@ -412,9 +412,79 @@ object ExtQueries3 {
     Some(graft.ext.Featurize.quantileBinsOracleSql(
       "SELECT o_totalprice AS v FROM orders", nBins = 10)))
 
+  /** Audio-match by constellation hashing + offset voting
+    * ([[graft.ext.Multimodal.constellationMatches]] carries the scale
+    * design: landmark inverted-index join, stop-hash prune,
+    * pair×offset vote agg). Testdata has no re-cut audio, so the query
+    * constructs it in-flight: every 7th doc's payload trimmed by
+    * 2 steps (8 bytes) — each query must land on its source track at
+    * the constant offset −2 (the spec pins that and the
+    * spread-collision rejection). */
+  val audioMatchQ = Q(
+    "ext_multimodal_audio_match",
+    (s, d) => {
+      val tracks = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val queries = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          expr("substring(text, 9)").as("text"))
+      graft.ext.Multimodal.constellationMatches(
+        tracks, queries, "doc_id", "text")
+    },
+    Some("""WITH q AS (
+        SELECT doc_id + 20000000 AS doc_id, substring(text, 9) AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      tsteps AS (
+        SELECT doc_id AS track_id, t,
+          ord(substring(text, CAST(t * 4 + 1 AS INT), 1)) AS f
+        FROM (SELECT doc_id, text,
+          unnest(generate_series(0,
+            CAST(floor((length(text) - 1) / 4) AS BIGINT))) AS t
+          FROM documents)),
+      qsteps AS (
+        SELECT doc_id AS query_id, t,
+          ord(substring(text, CAST(t * 4 + 1 AS INT), 1)) AS f
+        FROM (SELECT doc_id, text,
+          unnest(generate_series(0,
+            CAST(floor((length(text) - 1) / 4) AS BIGINT))) AS t
+          FROM q)),
+      tl0 AS (
+        SELECT track_id, t,
+          f * 100000 + lead(f, 1) OVER w * 100 + 1 AS h1,
+          f * 100000 + lead(f, 2) OVER w * 100 + 2 AS h2
+        FROM tsteps WINDOW w AS (PARTITION BY track_id ORDER BY t)),
+      tl AS MATERIALIZED (
+        SELECT track_id, t, h FROM (
+          SELECT track_id, t, unnest([h1, h2]) AS h FROM tl0)
+        WHERE h IS NOT NULL),
+      ql0 AS (
+        SELECT query_id, t,
+          f * 100000 + lead(f, 1) OVER w * 100 + 1 AS h1,
+          f * 100000 + lead(f, 2) OVER w * 100 + 2 AS h2
+        FROM qsteps WINDOW w AS (PARTITION BY query_id ORDER BY t)),
+      ql AS (
+        SELECT query_id, t, h FROM (
+          SELECT query_id, t, unnest([h1, h2]) AS h FROM ql0)
+        WHERE h IS NOT NULL),
+      ok AS (SELECT h FROM tl GROUP BY 1
+        HAVING count(DISTINCT track_id) <= 200),
+      votes AS (
+        SELECT query_id, track_id, ql.t - tl.t AS delta,
+          CAST(count(*) AS BIGINT) AS votes
+        FROM ql JOIN (SELECT tl.* FROM tl JOIN ok USING (h)) tl
+          USING (h)
+        GROUP BY 1, 2, 3),
+      best AS (
+        SELECT query_id, track_id, delta, votes,
+          row_number() OVER (PARTITION BY query_id, track_id
+            ORDER BY votes DESC, delta) AS rn
+        FROM votes)
+      SELECT query_id, track_id, delta, votes
+      FROM best WHERE rn = 1 AND votes >= 10"""))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
-    woeIvQ, quantileBinsQ)
+    woeIvQ, quantileBinsQ, audioMatchQ)
 }

@@ -393,4 +393,71 @@ object Multimodal {
         round(col("n_shared").cast("double") /
           least(col("nf_a"), col("nf_b")), 6).as("frac"))
   }
+
+  /** Audio-match by CONSTELLATION HASHING with offset voting — the
+    * Shazam shape (Wang 2003): per track, a time series of spectral
+    * peaks; landmarks = (peak, later peak, time gap) hashes; a query
+    * matches a track when many landmark hashes agree on ONE constant
+    * time offset (random hash collisions spread across offsets and
+    * lose the vote).
+    *
+    * The "spectrogram" here derives each step's peak from the payload
+    * bytes at a fixed stride (the honest-stub rule — substitute a real
+    * STFT peak-picker in production; every downstream shape is real):
+    * f(t) = byte value at position t·stride. Landmarks pair each step
+    * with its next two steps (fan-out 2) via a LEAD window partitioned
+    * BY TRACK (one track's steps, the sessionize shape).
+    *
+    * Scale: matching is an inverted-index EQUI-JOIN on the landmark
+    * hash — never track×track; boilerplate hashes (corpus df >
+    * maxTracksPerHash) are pruned first, the stop-term rule applied to
+    * landmarks; the offset vote is a (query, track, delta)-grain hash
+    * agg and the winning offset a bounded argmax struct per pair.
+    *
+    * Output: (query_id, track_id, delta, votes) for pairs whose best
+    * offset carries ≥ minVotes — delta in steps, constant for a true
+    * re-cut. */
+  def constellationMatches(tracks: DataFrame, queries: DataFrame,
+      idCol: String, payloadCol: String, stride: Int = 4,
+      minVotes: Long = 10L, maxTracksPerHash: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def landmarks(df: DataFrame, side: String): DataFrame = {
+      val steps = df.select(col(idCol).cast("long").as(s"${side}_id"),
+          col(payloadCol).as("p"))
+        .select(col(s"${side}_id"), col("p"),
+          explode(sequence(lit(0),
+            floor((length(col("p")) - 1) / stride).cast("int")))
+            .as("t"))
+        .select(col(s"${side}_id"), col("t"),
+          ascii(expr(s"substring(p, t * $stride + 1, 1)")).as("f"))
+      val w = Window.partitionBy(s"${side}_id").orderBy("t")
+      steps.select(col(s"${side}_id"), col("t"),
+          (col("f") * 100000 + lead(col("f"), 1).over(w) * 100
+            + 1).as("h1"),
+          (col("f") * 100000 + lead(col("f"), 2).over(w) * 100
+            + 2).as("h2"))
+        .select(col(s"${side}_id"), col("t"),
+          explode(array(col("h1"), col("h2"))).as("h"))
+        .filter(col("h").isNotNull)
+    }
+    val corpus = graft.ops.CacheScope.persist(landmarks(tracks, "track"))
+    val ok = corpus.groupBy(col("h"))
+      .agg(countDistinct(col("track_id")).as("df"))
+      .filter(col("df") <= maxTracksPerHash)
+      .select(col("h"))
+    val votes = landmarks(queries, "query")
+      .withColumnRenamed("t", "tq")
+      .join(corpus.join(ok, Seq("h")).withColumnRenamed("t", "tc"),
+        Seq("h"))
+      .groupBy(col("query_id"), col("track_id"),
+        (col("tq") - col("tc")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col("query_id"), col("track_id"))
+      .agg(max(struct(col("votes").as("v"), (-col("delta")).as("nd")))
+        .as("b"))
+      .select(col("query_id"), col("track_id"),
+        (-col("b").getField("nd")).as("delta"),
+        col("b").getField("v").as("votes"))
+      .filter(col("votes") >= minVotes)
+  }
 }

@@ -466,6 +466,31 @@ class Ext3Spec extends SparkSpec {
     }
   }
 
+  test("constellationMatches: re-cut lands on its source at the " +
+      "constant offset, dissimilar tracks never vote through") {
+    import graft.ext.Multimodal
+    // 80-char track with a NON-repeating byte pattern (repeats would
+    // make landmark hashes collide at many offsets)
+    val body = (0 until 80).map(i => ('a' + (i * 7 + i / 9) % 26).toChar)
+      .mkString
+    val other = (0 until 80).map(i => ('A' + (i * 11 + 3) % 26).toChar)
+      .mkString
+    val tracks = Seq((1L, body), (2L, other)).toDF("doc_id", "text")
+    // query = track 1 trimmed by 2 steps (8 bytes at stride 4)
+    val queries = Seq((100L, body.substring(8))).toDF("doc_id", "text")
+    val out = Multimodal.constellationMatches(
+      tracks, queries, "doc_id", "text", minVotes = 5L)
+      .select("query_id", "track_id", "delta", "votes")
+      .as[(Long, Long, Int, Long)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.length == 1, s"only the true source survives: ${out.toSeq}")
+    val (q, tr, delta, votes) = out.head
+    assert(q == 100L && tr == 1L)
+    assert(delta == -2, "a head-trim of 2 steps votes at offset -2")
+    // nearly every landmark of the trimmed query exists in the source
+    assert(votes >= 30)
+  }
+
   test("rakeKeyphrases: hand-computed RAKE scores on a fixture") {
     // phrases: "deep learning"(2), "fast gradient method"(3),
     // "deep method"(2).
