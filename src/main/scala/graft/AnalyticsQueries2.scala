@@ -500,6 +500,77 @@ object AnalyticsQueries2 {
       FROM q1 FULL OUTER JOIN q2 USING (o_custkey)
       GROUP BY 1, 2"""))
 
+  /** Growth accounting as a STRUCTURED STREAM — the stateful twin of
+    * [[qGrowthAccounting]] ([[graft.streaming.GrowthStream]] carries
+    * the finality and absence-detection design: weeks classify once
+    * the watermark passes their end; CHURN is an event-time TIMEOUT —
+    * no arriving event can signal an absence). The streamed fact rows
+    * aggregate to the week grain; the oracle replays the batch
+    * decomposition under the same watermark cutoff (weeks whose end
+    * ≤ max(ts) − 7d; churn weeks need their own end settled too) —
+    * the q_stream_markov_transitions discipline. Weeks whose only
+    * fact is churn appear with active 0 (unlike the batch query's
+    * active-weeks-only frame — the streaming surface reports every
+    * settled fact). */
+  val qStreamGrowth = Q(
+    "q_stream_growth_accounting",
+    (s, d) => {
+      val rows = graft.streaming.StreamPipeline
+        .growthLifecycleAvailableNow(s, d)
+      rows.groupBy(date_format(
+          expr("date_from_unix_date(cast(week_day as int))"),
+          "yyyy-MM-dd").as("week"))
+        .agg(
+          sum(when(col("cls") === "new", 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L))
+            .as("retained_users"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+            .as("resurrected_users"),
+          sum(when(col("cls") =!= "churned", 1L).otherwise(0L))
+            .as("active_users"),
+          sum(when(col("cls") === "churned", 1L).otherwise(0L))
+            .as("churned_users"))
+    },
+    Some("""WITH wm AS (
+        SELECT (epoch_us(max(ts)) // 1000) - 604800000 AS wm_ms
+        FROM events),
+      du AS (
+        SELECT DISTINCT user_id,
+          date_trunc('week', CAST(ts AS DATE)) AS wk FROM events),
+      fin AS (
+        SELECT user_id, wk FROM du, wm
+        WHERE epoch_ms(CAST(wk + 7 AS TIMESTAMP)) <= wm_ms),
+      seq AS (
+        SELECT user_id, wk, lag(wk) OVER w AS prev, lead(wk) OVER w AS next
+        FROM fin WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+      cls AS (
+        SELECT user_id, wk,
+          CASE WHEN prev IS NULL THEN 'new'
+               WHEN prev = wk - 7 THEN 'retained'
+               ELSE 'resurrected' END AS cls
+        FROM seq),
+      churn AS (
+        SELECT user_id, wk + 7 AS wk, 'churned' AS cls
+        FROM seq, wm
+        WHERE (next IS NULL OR next > wk + 7)
+          AND epoch_ms(CAST(wk + 14 AS TIMESTAMP)) <= wm_ms),
+      allr AS (
+        SELECT * FROM cls UNION ALL SELECT * FROM churn)
+      SELECT strftime(wk, '%Y-%m-%d') AS week,
+        CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+          AS new_users,
+        CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+          AS BIGINT) AS retained_users,
+        CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+          AS BIGINT) AS resurrected_users,
+        CAST(sum(CASE WHEN cls != 'churned' THEN 1 ELSE 0 END)
+          AS BIGINT) AS active_users,
+        CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END)
+          AS BIGINT) AS churned_users
+      FROM allr GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
-    qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration)
+    qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
+    qStreamGrowth)
 }

@@ -616,6 +616,18 @@ object StreamPipeline {
     runAvailableNow(out, "stream_kmeans_", "append")
   }
 
+  /** Streaming growth accounting ([[GrowthStream]]): watermark-final
+    * per-(user, week) lifecycle facts — including the event-time-
+    * timeout CHURN absences — drained AvailableNow; the caller
+    * aggregates the fact rows to the week grain. */
+  def growthLifecycleAvailableNow(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    runAvailableNow(GrowthStream.lifecycle(ev, "7 days").toDF(),
+      "stream_growth_", "append")
+  }
+
   /** SLIDING-window rollup as a structured stream, drained with
     * `Trigger.AvailableNow` — the trending-metrics shape (every event
     * counts into the `slide`-spaced windows of length `window` covering

@@ -465,4 +465,52 @@ class StreamingSpec extends SparkSpec {
     assert(readOut("international_1").count() == 4)
     assert(readOut("international_2").count() == 3)
   }
+
+  test("growth lifecycle stream: weeks classify at watermark finality, " +
+      "churn fires as an event-time timeout, resurrection re-opens") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def wk(s: String): Long = java.time.LocalDate.parse(s).toEpochDay
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp)]
+    val q = graft.streaming.GrowthStream.lifecycle(
+      in.toDF.toDF("user_id", "ts"), "1 day")
+      .writeStream.format("memory").queryName("growth_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: users 1 and 2 active in week 2024-01-01; watermark
+      // still inside the week -> nothing classifies yet
+      in.addData((1L, ts("2024-01-02 10:00:00")),
+        (2L, ts("2024-01-03 11:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("growth_out").count() == 0,
+        "no week is settled before the watermark passes its end")
+      // batch 2: user 1 active in week 01-08 (user 2 silent); user 99
+      // advances the watermark to 01-16 -> weeks 01-01 and 01-08 settle
+      in.addData((1L, ts("2024-01-09 09:00:00")),
+        (99L, ts("2024-01-17 10:00:00")))
+      q.processAllAvailable()
+      // batch 3: user 2 resurrects in week 01-22; user 99 advances the
+      // watermark to 02-06 -> weeks through 01-29 settle
+      in.addData((2L, ts("2024-01-23 08:00:00")),
+        (99L, ts("2024-02-07 10:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("growth_out")
+        .select("user_id", "week_day", "cls")
+        .as[(Long, Long, String)].collect().toSet
+      val expected = Set(
+        (1L, wk("2024-01-01"), "new"),
+        (1L, wk("2024-01-08"), "retained"),
+        (1L, wk("2024-01-15"), "churned"), // timeout absence
+        (2L, wk("2024-01-01"), "new"),
+        (2L, wk("2024-01-08"), "churned"), // gap churn, exactly once
+        (2L, wk("2024-01-22"), "resurrected"),
+        (2L, wk("2024-01-29"), "churned"), // cycle re-opened then closed
+        (99L, wk("2024-01-15"), "new"),
+        (99L, wk("2024-01-22"), "churned"))
+        // user 99's week 02-05 stays pending (end above the watermark)
+      assert(out == expected, s"got $out")
+    } finally q.stop()
+  }
 }
