@@ -570,7 +570,75 @@ object AnalyticsQueries2 {
           AS BIGINT) AS churned_users
       FROM allr GROUP BY 1"""))
 
+  /** Cohort LTV curves — the MONEY companion to `q_cohort_retention`'s
+    * user counts: customers grouped by first-order month, revenue
+    * accumulated by month-age, normalized per cohort member — the
+    * payback-period readout ("month-3 LTV of the Jan cohort").
+    *
+    * Scale: one order scan to (customer, month) grain; the cohort
+    * month is a customer-keyed min agg joined back; the curve is a
+    * (cohort, age)-grain hash agg with a COHORT-partitioned cumulative
+    * window (frame bounded by the horizon's month count). Revenue
+    * stays exact DECIMAL through the cumulative — window order cannot
+    * move the hash. */
+  val qCohortLtv = Q(
+    "q_cohort_ltv_curve",
+    (s, d) => {
+      val om = Tables.orders(s, d).select(col("o_custkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("om"),
+        col("o_totalprice"))
+      val cohort = graft.ops.CacheScope.persist(
+        om.groupBy(col("o_custkey")).agg(min(col("om")).as("cm")))
+      val rev = om.join(cohort, Seq("o_custkey"))
+        .groupBy(col("cm"),
+          ((year(col("om")) * 12 + month(col("om")))
+            - (year(col("cm")) * 12 + month(col("cm")))).as("age"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .as("rev_dec"))
+      val sizes = cohort.groupBy(col("cm"))
+        .agg(count(lit(1)).as("n_customers"))
+      val w = Window.partitionBy("cm").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.withColumn("cum_dec", sum(col("rev_dec")).over(w))
+        .join(sizes, Seq("cm"))
+        .select(date_format(col("cm"), "yyyy-MM").as("cohort"),
+          col("age"), col("n_customers"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("cum_dec").cast("double").as("cum_revenue"),
+          round(col("cum_dec").cast("double") / col("n_customers"), 6)
+            .as("ltv_per_customer"))
+    },
+    Some("""WITH om AS (
+        SELECT o_custkey,
+          date_trunc('month', CAST(o_orderdate AS DATE)) AS om,
+          o_totalprice
+        FROM orders),
+      cohort AS (
+        SELECT o_custkey, min(om) AS cm FROM om GROUP BY 1),
+      rev AS (
+        SELECT cm,
+          (year(om) * 12 + month(om)) - (year(cm) * 12 + month(cm))
+            AS age,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        FROM om JOIN cohort USING (o_custkey)
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cm, CAST(count(*) AS BIGINT) AS n_customers
+        FROM cohort GROUP BY 1),
+      curve AS (
+        SELECT cm, age, rev_dec,
+          sum(rev_dec) OVER (PARTITION BY cm ORDER BY age
+            ROWS UNBOUNDED PRECEDING) AS cum_dec
+        FROM rev)
+      SELECT strftime(cm, '%Y-%m') AS cohort, CAST(age AS INT) AS age,
+        n_customers,
+        CAST(rev_dec AS DOUBLE) AS revenue,
+        CAST(cum_dec AS DOUBLE) AS cum_revenue,
+        round(CAST(cum_dec AS DOUBLE) / n_customers, 6)
+          AS ltv_per_customer
+      FROM curve JOIN sizes USING (cm)"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
-    qStreamGrowth)
+    qStreamGrowth, qCohortLtv)
 }

@@ -776,6 +776,84 @@ object ExtQueries {
          FROM cand)"""
   }
 
+  /** The same shingle→sig→band chain with PREFIXED CTE names, reading
+    * (doc_id, text) from `src` — lets one oracle band two sides
+    * (archive and incoming) without name collisions. Ends in
+    * `<p>banded(doc_id, hs, band)`. */
+  private def minhashBandChain(p: String, src: String): String = {
+    val sigExprs = (0 until 8).map { i =>
+      val (a, b) = (graft.ext.TextDedup.minhashA(i),
+        graft.ext.TextDedup.minhashB(i))
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647))"
+    }
+    val bandExprs = (0 until 4).map { b =>
+      val lo = b * 2
+      s"'$b' || ',' || CAST(sig[${lo + 1}] AS VARCHAR) || ',' || " +
+        s"CAST(sig[${lo + 2}] AS VARCHAR)"
+    }
+    s"""${p}toks AS (
+         SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) ||
+           chr(10) || chr(11) || chr(12) || chr(13)),
+           '[ \\t\\n\\x0B\\f\\r]+') AS toks
+         FROM $src),
+       ${p}sh AS (
+         SELECT doc_id, ${dkShingles(3)} AS sh FROM ${p}toks),
+       ${p}hs AS (
+         SELECT doc_id,
+           list_distinct(list_transform(sh,
+             x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT))) AS hs
+         FROM ${p}sh),
+       ${p}sig AS (
+         SELECT doc_id, hs, [${sigExprs.mkString(", ")}] AS sig
+         FROM ${p}hs),
+       ${p}banded AS (
+         SELECT doc_id, hs, unnest([${bandExprs.mkString(", ")}]) AS band
+         FROM ${p}sig)"""
+  }
+
+  /** Incremental NEAR-dedup ([[TextDedup.incrementalLshPairs]]): the
+    * even-id half is the archive, present only as its LSH INDEX
+    * ((band, id) buckets + hash sets); the incoming batch is the odd
+    * half plus near-dup twins of every 10th archive doc (two appended
+    * tokens — high-Jaccard, not exact). Each twin must collide with
+    * its source through the band index; the archive is never
+    * re-shingled. */
+  val dedupIncrementalLsh = Q(
+    "ext_dedup_incremental_lsh",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (idxBands, idxHashes) = TextDedup.lshIndex(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat(col("text"), lit(" zz extra")).as("text")))
+      TextDedup.incrementalLshPairs(incoming, "text", "doc_id",
+        idxBands, idxHashes, threshold = 0.5)
+    },
+    Some(s"""WITH arch_src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      inc_src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 600000, text || ' zz extra'
+        FROM documents WHERE doc_id % 10 = 0),
+      ${minhashBandChain("a_", "arch_src")},
+      ${minhashBandChain("i_", "inc_src")},
+      cand AS (
+        SELECT DISTINCT i.doc_id AS doc_id, a.doc_id AS archive_id,
+          i.hs AS hs_i, a.hs AS hs_a
+        FROM i_banded i JOIN a_banded a USING (band)),
+      scored AS (
+        SELECT doc_id, archive_id,
+          round(CAST(len(list_intersect(hs_i, hs_a)) AS DOUBLE)
+            / (len(hs_i) + len(hs_a) - len(list_intersect(hs_i, hs_a))),
+            6) AS jaccard
+        FROM cand)
+      SELECT doc_id, archive_id, jaccard
+      FROM scored WHERE jaccard >= 0.5"""))
+
   val dedupMinhash = Q(
     "ext_dedup_minhash_lsh",
     (s, d) => TextDedup.minhashNearDups(
@@ -4774,7 +4852,8 @@ object ExtQueries {
     quantize, packOffsets, packBins, packFill, invertedIndex, indexLookup,
     indexDelta,
     chunkDocs, simInt8, keywords,
-    dedupExact, dedupIncremental, dedupMinhash, dedupContainment,
+    dedupExact, dedupIncremental, dedupIncrementalLsh, dedupMinhash,
+    dedupContainment,
     dedupEditDistance, pagerank, hitsQ, trianglesQ, labelPropQ, kcoreQ,
     dedupNgram, dedupSimhash,
     dedupSimhashPairs,

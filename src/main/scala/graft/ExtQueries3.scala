@@ -482,9 +482,96 @@ object ExtQueries3 {
       SELECT query_id, track_id, delta, votes
       FROM best WHERE rn = 1 AND votes >= 10"""))
 
+  /** Mann–Whitney U (rank-sum) between two sources' doc-length
+    * distributions — the location-shift companion to the exact-shape
+    * KS ([[graft.ext.Stats.mannWhitney]] carries the doubled-midrank
+    * exactness and two-phase prefix-sum scale design). */
+  val mannWhitneyQ = Q(
+    "ext_mann_whitney",
+    (s, d) => graft.ext.Stats.mannWhitney(
+      Tables.documents(s, d), "n_chars", "source", "src0", "src1"),
+    Some(graft.ext.Stats.mannWhitneyOracleSql(
+      "SELECT n_chars AS v, source AS grp FROM documents",
+      "src0", "src1")))
+
+  /** Tokenizer/vocab COVERAGE — the OOV-rate eval every tokenizer
+    * rollout runs before shipping: a vocabulary induced on the
+    * "training" sources (src0–src9, top-200 tokens by frequency via
+    * the bounded-heap TopKStrAgg — never a vocabulary sort) scored on
+    * EVERY source: token-level and type-level OOV rates. A source the
+    * vocab serves badly shows a high token_oov_rate long before
+    * downstream perplexity does.
+    *
+    * Scale: one (source, term) hash agg off the scan feeds both the
+    * vocab heap and the coverage join; the vocab is a ≤200-row
+    * broadcast; per-source rollup is a hash agg onto source grain. */
+  val tokenizerCoverageQ = Q(
+    "ext_tokenizer_coverage",
+    (s, d) => {
+      import graft.ext.TextStats
+      val tf = graft.ops.CacheScope.persist(
+        Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextStats.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("tf")))
+      val vocab = tf
+        .filter(col("source").isin((0 to 9).map(i => s"src$i"): _*))
+        .groupBy(col("term")).agg(sum(col("tf")).as("f"))
+        .groupBy()
+        .agg(graft.functions.TopKStrAgg.top_k_str(
+          col("f").cast("double"), col("term"), 200).as("tk"))
+        .select(explode(col("tk")).as("t"))
+        .select(col("t.key").as("term"))
+      tf.join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+          Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L))
+            .as("oov_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .as("oov_types"))
+        .select(col("source"), col("n_tokens"), col("oov_tokens"),
+          round(col("oov_tokens").cast("double") / col("n_tokens"), 6)
+            .as("token_oov_rate"),
+          col("n_types"), col("oov_types"),
+          round(col("oov_types").cast("double") / col("n_types"), 6)
+            .as("type_oov_rate"))
+    },
+    Some {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      val srcs = (0 to 9).map(i => s"'src$i'").mkString(", ")
+      s"""WITH tf AS MATERIALIZED (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM (
+          SELECT source,
+            unnest(string_split_regex(trim(lower(text), $ws),
+              '[ \\t\\n\\x0B\\f\\r]+')) AS term
+          FROM documents)
+        GROUP BY 1, 2),
+      vf AS (
+        SELECT term, sum(tf) AS f FROM tf
+        WHERE source IN ($srcs) GROUP BY 1),
+      vocab AS (
+        SELECT term FROM vf
+        ORDER BY CAST(f AS DOUBLE) DESC, term LIMIT 200)
+      SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS BIGINT)
+          AS oov_tokens,
+        round(CAST(sum(CASE WHEN v.term IS NULL THEN tf ELSE 0 END)
+          AS DOUBLE) / sum(tf), 6) AS token_oov_rate,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS oov_types,
+        round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS type_oov_rate
+      FROM tf LEFT JOIN vocab v USING (term)
+      GROUP BY 1"""
+    })
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
-    woeIvQ, quantileBinsQ, audioMatchQ)
+    woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ)
 }

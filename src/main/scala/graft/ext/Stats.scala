@@ -255,6 +255,137 @@ object Stats {
     * last ulp between libms (the pinned-constant rule). */
   private val Ln2 = 0.693147180559945
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two groups' value
+    * distributions — the nonparametric LOCATION-shift test next to the
+    * exact-shape KS ([[ksTest]]): U detects "source B's documents run
+    * longer" even when the CDFs never separate by much at one point.
+    * Ties use midranks with the standard tie-corrected normal
+    * approximation.
+    *
+    * Exactness: everything folds at the DISTINCT-VALUE grain with
+    * integer counts; rank sums are carried DOUBLED (2R is integral
+    * under midranks) through DECIMAL(38,0) so no floating addition
+    * ever happens — u2 = 2·U is exact; only the final z goes through
+    * doubles (products promoted to double BEFORE multiplying, the
+    * mutualInformation overflow rule; sqrt is correctly-rounded IEEE).
+    *
+    * Scale: the [[ksTest]] shape — one value-grain hash agg, then the
+    * packOffsets two-phase prefix sum for the cumulative-below
+    * counters (range partition by value, per-partition totals
+    * broadcast back); no task ever sorts the full support. The tie
+    * term Σ(t³−t) re-aggregates the same grain.
+    *
+    * Output: one row (n_a, n_b, u2_a, z), z 6-dp (NULL when either
+    * side is empty or the variance degenerates). */
+  def mannWhitney(rows: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val grain = rows
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val sorted = graft.ops.CacheScope.persist(
+      grain.repartitionByRange(col("v")).sortWithinPartitions(col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sorted.groupBy(col("__pid"))
+      .agg(sum(col("ca") + col("cb")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val localW = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = DecimalType(38, 0)
+    val terms = sorted.join(broadcast(offs), Seq("__pid"))
+      .withColumn("below",
+        col("__off") + coalesce(sum(col("ca") + col("cb")).over(localW),
+          lit(0L)))
+      // per-value doubled midrank mass for group A, and the tie term
+      .withColumn("r2a", col("ca").cast(dec) *
+        (lit(2).cast(dec) * col("below").cast(dec)
+          + col("ca").cast(dec) + col("cb").cast(dec) + lit(1).cast(dec)))
+      .withColumn("t3t",
+        (col("ca") + col("cb")).cast(dec) * (col("ca") + col("cb")).cast(dec)
+          * (col("ca") + col("cb")).cast(dec)
+          - (col("ca") + col("cb")).cast(dec))
+    val agg = terms.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("r2a")).as("r2_sum"), sum(col("t3t")).as("tie_sum"))
+    agg.select(col("n_a"), col("n_b"),
+        (col("r2_sum") - col("n_a").cast(dec) * (col("n_a").cast(dec)
+          + lit(1).cast(dec))).as("u2_dec"),
+        col("tie_sum"))
+      .select(col("n_a"), col("n_b"),
+        col("u2_dec").cast("long").as("u2_a"),
+        when(col("n_a") > 0 && col("n_b") > 0, {
+          val na = col("n_a").cast("double")
+          val nb = col("n_b").cast("double")
+          val nn = na + nb
+          val variance = (na * nb / 12.0) *
+            ((nn + 1.0) - col("tie_sum").cast("double")
+              / (nn * (nn - 1.0)))
+          when(variance > 0d, round(
+            (col("u2_dec").cast("double") / 2.0 - na * nb / 2.0)
+              / sqrt(variance), 6))
+        }).as("z"))
+  }
+
+  /** DuckDB replay of [[mannWhitney]] (single-window cumulative — it
+    * runs at oracle SF): `fromSql` must yield columns (v, grp). */
+  def mannWhitneyOracleSql(fromSql: String, groupA: String,
+      groupB: String): String =
+    s"""WITH base AS ($fromSql),
+      grain AS (
+        SELECT v,
+          CAST(sum(CASE WHEN grp = '$groupA' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN grp = '$groupB' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM base WHERE grp IN ('$groupA', '$groupB') GROUP BY 1),
+      cum AS (
+        SELECT ca, cb,
+          COALESCE(CAST(sum(ca + cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS BIGINT), 0) AS below
+        FROM grain),
+      agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+          CAST(sum(cb) AS BIGINT) AS n_b,
+          sum(CAST(ca AS DECIMAL(38,0)) *
+            (2 * CAST(below AS DECIMAL(38,0))
+              + CAST(ca AS DECIMAL(38,0)) + CAST(cb AS DECIMAL(38,0))
+              + 1)) AS r2_sum,
+          sum(CAST(ca + cb AS DECIMAL(38,0))
+            * CAST(ca + cb AS DECIMAL(38,0))
+            * CAST(ca + cb AS DECIMAL(38,0))
+            - CAST(ca + cb AS DECIMAL(38,0))) AS tie_sum
+        FROM cum),
+      u AS (
+        SELECT n_a, n_b,
+          r2_sum - CAST(n_a AS DECIMAL(38,0))
+            * (CAST(n_a AS DECIMAL(38,0)) + 1) AS u2_dec,
+          tie_sum
+        FROM agg)
+      SELECT n_a, n_b, CAST(u2_dec AS BIGINT) AS u2_a,
+        CASE WHEN n_a > 0 AND n_b > 0 AND
+          (CAST(n_a AS DOUBLE) * n_b / 12.0) *
+            ((CAST(n_a AS DOUBLE) + n_b + 1.0)
+              - CAST(tie_sum AS DOUBLE)
+                / ((CAST(n_a AS DOUBLE) + n_b)
+                  * (CAST(n_a AS DOUBLE) + n_b - 1.0))) > 0
+        THEN round(
+          (CAST(u2_dec AS DOUBLE) / 2.0
+            - CAST(n_a AS DOUBLE) * n_b / 2.0)
+          / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0) *
+            ((CAST(n_a AS DOUBLE) + n_b + 1.0)
+              - CAST(tie_sum AS DOUBLE)
+                / ((CAST(n_a AS DOUBLE) + n_b)
+                  * (CAST(n_a AS DOUBLE) + n_b - 1.0)))), 6)
+        END AS z
+      FROM u"""
+
   /** Jensen–Shannon divergence between two groups' BINNED value
     * distributions — the symmetric, bounded ([0, ln 2]) companion to
     * the PSI (`ext_signal_drift_psi`, which explodes on empty bins)

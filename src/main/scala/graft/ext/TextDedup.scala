@@ -389,6 +389,67 @@ object TextDedup {
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
   }
 
+  /** Archive-side LSH index — the persisted artifact incremental
+    * near-dedup probes instead of ever re-shingling the archive:
+    * (band, id) bucket keys plus (id, hs) hash sets for the verify.
+    * In production both frames live bucketed BY BAND / BY ID on disk;
+    * a micro-batch probes only colliding buckets. */
+  def lshIndex(archive: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4)
+      : (DataFrame, DataFrame) = {
+    val rowsPerBand = k / bands
+    val withHs = archive.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingle_hashes(col(textCol), n)
+        .as("hs"))
+    val banded = withHs
+      .select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    (banded, withHs)
+  }
+
+  /** Incremental NEAR-dedup — [[incrementalDedup]]'s posture (the
+    * archive is present only as its INDEX, never re-read or
+    * re-shingled) lifted from exact fingerprints to MinHash-LSH: each
+    * incoming doc shingles once, bands against the archive's
+    * (band, id) index, and Jaccard-verifies only the band collisions —
+    * the archive hash sets are fetched BY ID for surviving candidates.
+    *
+    * Scale: the band join shuffles (band, id) pairs only; candidates
+    * are collision-bounded (never incoming × archive); within-batch
+    * duplication is [[minhashNearDups]]'s job on the batch alone —
+    * the standard split.
+    *
+    * Output: (doc_id, archive_id, jaccard) for pairs ≥ threshold. */
+  def incrementalLshPairs(incoming: DataFrame, textCol: String,
+      idCol: String, indexBands: DataFrame, indexHashes: DataFrame,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val withHs = incoming.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingle_hashes(col(textCol), n)
+        .as("hs"))
+    val banded = withHs
+      .select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    banded
+      .join(indexBands.select(col("band"), col("id").as("archive_id")),
+        Seq("band"))
+      .select(col("id"), col("archive_id"))
+      .dropDuplicates("id", "archive_id")
+      .join(withHs.select(col("id"), col("hs").as("hs_i")), Seq("id"))
+      .join(indexHashes.select(col("id").as("archive_id"),
+        col("hs").as("hs_a")), Seq("archive_id"))
+      .withColumn("inter", size(array_intersect(col("hs_i"), col("hs_a"))))
+      .withColumn("uni",
+        size(col("hs_i")) + size(col("hs_a")) - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as("doc_id"), col("archive_id"), col("jaccard"))
+  }
+
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 8, bands: Int = 4,

@@ -182,6 +182,34 @@ class Analytics2Spec extends SparkSpec {
       "cross-quartile movement")
   }
 
+  test("q_cohort_ltv_curve: curves telescope and account for all " +
+      "revenue") {
+    val out = AnalyticsQueries2.qCohortLtv.run(spark, sf)
+      .select("cohort", "age", "n_customers", "revenue", "cum_revenue",
+        "ltv_per_customer")
+      .as[(String, Int, Long, Double, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(out.nonEmpty)
+    out.foreach { case (cohort, curve) =>
+      assert(curve.head._2 == 0,
+        s"cohort $cohort starts at age 0 (its own first-order month)")
+      curve.foldLeft(0.0) { case (prev, (_, _, n, rev, cum, ltv)) =>
+        assert(math.abs(cum - (prev + rev)) < 1e-6,
+          s"cum_revenue must telescope in cohort $cohort")
+        assert(math.abs(ltv - cum / n) < 1e-4)
+        cum
+      }
+      assert(curve.map(_._3).distinct.length == 1,
+        "cohort size is constant along its curve")
+    }
+    val total = Tables.orders(spark, sf)
+      .agg(Det.dsum(col("o_totalprice"))).as[Double].collect().head
+    val sumRev = out.values.flatten.map(_._4).sum
+    assert(math.abs(sumRev - total) < 1e-2,
+      "the curves partition every order's revenue")
+  }
+
   test("q_forecast_backtest: metrics recompute from the weekly series") {
     val weekly = Tables.lineitem(spark, sf)
       .groupBy(col("l_partkey"),

@@ -466,6 +466,77 @@ class Ext3Spec extends SparkSpec {
     }
   }
 
+  test("mannWhitney: hand-computed U and z, midrank ties, U_A+U_B " +
+      "identity") {
+    import graft.ext.Stats
+    def run(rows: Seq[(Long, String)]): (Long, Long, Long, Option[Double]) = {
+      val df = rows.toDF("v", "grp")
+      val r = Stats.mannWhitney(df, "v", "grp", "a", "b").collect().head
+      graft.ops.CacheScope.releaseAll()
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("u2_a"),
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue()))
+    }
+    // disjoint, no ties: A={1,2,3} all below B={4,5,6} -> U_A = 0,
+    // z = -4.5/sqrt(3*3*7/12) = -1.963961
+    val d = run(Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")))
+    assert(d == ((3L, 3L, 0L, Some(-1.963961))))
+    // ties use midranks: A={1,1}, B={1,2} -> R_A = 4 (midrank 2 twice),
+    // 2U_A = 8 - n_a(n_a+1) = 2; tie-corrected var = 1 -> z = -1
+    val t = run(Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b")))
+    assert(t == ((2L, 2L, 2L, Some(-1.0))))
+    // U_A + U_B = n_a * n_b (swap the groups)
+    val fwd = run(Seq((1L, "a"), (3L, "a"), (2L, "b"), (4L, "b")))
+    val bwd = run(Seq((1L, "b"), (3L, "b"), (2L, "a"), (4L, "a")))
+    assert(fwd._3 + bwd._3 == 2L * (2L * 2L), "2U_A + 2U_B = 2*n_a*n_b")
+  }
+
+  test("ext_tokenizer_coverage: rates recompute, every source reported") {
+    val sf = "/root/testdata/sf0.001"
+    val out = ExtQueries3.tokenizerCoverageQ.run(spark, sf)
+      .select("source", "n_tokens", "oov_tokens", "token_oov_rate",
+        "n_types", "oov_types", "type_oov_rate")
+      .as[(String, Long, Long, Double, Long, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.length == 20, "every source gets a coverage row")
+    out.foreach { case (src, nt, ot, tor, ny, oy, tyr) =>
+      assert(ot <= nt && oy <= ny)
+      assert(math.abs(tor - ot.toDouble / nt) < 1e-6)
+      assert(math.abs(tyr - oy.toDouble / ny) < 1e-6)
+    }
+    // the corpus shares a small vocabulary, so the 200-term vocab
+    // covers the bulk of every source's token mass
+    assert(out.forall(_._4 < 0.5), "token OOV below 50% everywhere")
+  }
+
+  test("incrementalLshPairs: near-dups and exact copies collide with " +
+      "the archive index; unrelated text never verifies") {
+    import graft.ext.TextDedup
+    val a1 = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today with great speed and joy in the morning"
+    val a2 = "spark streams shuffle partitions across the cluster " +
+      "while the optimizer prunes columns and pushes filters down"
+    val archive = Seq((10L, a1), (20L, a2)).toDF("doc_id", "text")
+    val (idxB, idxH) = TextDedup.lshIndex(archive, "text", "doc_id")
+    val incoming = Seq(
+      (100L, a1 + " extra token"), // near-dup of 10
+      (200L, a2),                  // exact copy of 20
+      (300L, "completely different content about databases and " +
+        "indexes that shares no shingles with the archive at all"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.incrementalLshPairs(incoming, "text", "doc_id",
+      idxB, idxH, threshold = 0.5)
+      .select("doc_id", "archive_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(out.map(p => (p._1, p._2)) == Set((100L, 10L), (200L, 20L)),
+      s"got $out")
+    assert(out.find(_._1 == 200L).get._3 == 1.0,
+      "an exact copy scores Jaccard 1")
+    assert(out.find(_._1 == 100L).get._3 >= 0.8,
+      "a two-token append stays a high-Jaccard near-dup")
+  }
+
   test("constellationMatches: re-cut lands on its source at the " +
       "constant offset, dissimilar tracks never vote through") {
     import graft.ext.Multimodal

@@ -74,7 +74,10 @@ class PlanGuardSpec extends SparkSpec {
         "per partition), inherited for the ABC axis"),
     "ext_ks_test" ->
       ("two-series CDF prefix-sum over per-partition totals (one row " +
-        "per partition, the packOffsets shape)"))
+        "per partition, the packOffsets shape)"),
+    "ext_mann_whitney" ->
+      ("rank-mass prefix-sum over per-partition totals (one row per " +
+        "partition, the packOffsets shape shared with ext_ks_test)"))
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:
