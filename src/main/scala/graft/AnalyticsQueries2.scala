@@ -450,13 +450,15 @@ object AnalyticsQueries2 {
       def half(pre: Boolean): org.apache.spark.sql.DataFrame = {
         val f = if (pre) to_date(col("o_orderdate")) < split
           else to_date(col("o_orderdate")) >= split
-        val spend = Tables.orders(s, d).filter(f)
-          .groupBy(col("o_custkey"))
-          .agg(Det.dsum(col("o_totalprice")).as("v"))
-        val edgeCols = (1 to 3).map(i =>
-          expr(s"percentile_disc(0.${25 * i}) WITHIN GROUP (ORDER BY v)")
-            .as(s"e$i"))
-        val edges = spend.agg(edgeCols.head, edgeCols.tail: _*)
+        val spend = graft.ops.CacheScope.persist(
+          Tables.orders(s, d).filter(f)
+            .groupBy(col("o_custkey"))
+            .agg(Det.dsum(col("o_totalprice")).as("v")))
+        // distributed disc-percentile edges (a global percentile_disc
+        // buffers every distinct spend in one task at 100 TB —
+        // graft.ext.Stats.distDiscPercentiles has the rationale)
+        val edges = graft.ext.Stats.distDiscPercentiles(spend, "v",
+          Seq((1, 4), (2, 4), (3, 4)), Seq("e1", "e2", "e3"))
         spend.crossJoin(broadcast(edges))
           .select(col("o_custkey"),
             ((1 to 3).map(i => when(col("v") > col(s"e$i"), 1)

@@ -210,10 +210,13 @@ object Featurize {
   def quantileBins(rows: DataFrame, valueCol: String, nBins: Int = 10)
       : DataFrame = {
     val v = rows.select(col(valueCol).cast("double").as("v"))
-    val edgeCols = (1 until nBins).map(i =>
-      expr(s"percentile_disc(${i.toDouble / nBins}) " +
-        s"WITHIN GROUP (ORDER BY v)").as(s"e$i"))
-    val edges = v.agg(edgeCols.head, edgeCols.tail: _*)
+    // edges via the DISTRIBUTED disc-percentile (a global
+    // percentile_disc aggregate buffers every distinct value in one
+    // task — Stats.distDiscPercentiles carries the rationale); same
+    // values, so the quantile_disc oracle is untouched
+    val edges = Stats.distDiscPercentiles(v, "v",
+      (1 until nBins).map(i => (i, nBins)),
+      (1 until nBins).map(i => s"e$i"))
     val binned = v.crossJoin(broadcast(edges))
       .select(col("v"),
         (1 until nBins).map(i =>

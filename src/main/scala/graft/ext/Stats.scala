@@ -332,6 +332,52 @@ object Stats {
         }).as("z"))
   }
 
+  /** Exact disc-percentile DATA VALUES of a numeric column, computed
+    * DISTRIBUTED — the scale-safe replacement for a global
+    * `percentile_disc` aggregate, whose implementation buffers the
+    * group's distinct values in ONE task's memory (bounded-distinct
+    * groups like lag-days are fine; a global percentile over order
+    * totals at 100 TB is ~10¹² distinct doubles in one buffer).
+    *
+    * Shape: collapse to the DISTINCT-VALUE grain (distributed hash
+    * agg), then the packOffsets two-phase prefix sum (range partition
+    * by value, per-partition totals broadcast back) gives every
+    * value's cumulative count; each requested percentile is then ONE
+    * conditional-min aggregate — the smallest v with
+    * cume_dist(v) ≥ p, the PERCENTILE_DISC definition, decided with
+    * EXACT integer arithmetic (cum·den ≥ num·N; p arrives as the
+    * rational num/den, never a double product that could round).
+    *
+    * Returns one row with `outNames` columns, same values a
+    * percentile_disc aggregate yields — swap-in without touching the
+    * oracle. */
+  def distDiscPercentiles(rows: DataFrame, valueCol: String,
+      ps: Seq[(Int, Int)], outNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.length == outNames.length)
+    val grain = rows.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val sorted = graft.ops.CacheScope.persist(
+      grain.repartitionByRange(col("v")).sortWithinPartitions(col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sorted.groupBy(col("__pid"))
+      .agg(sum(col("c")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val tot = sorted.agg(sum(col("c")).as("n"))
+    val localW = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = sorted.join(broadcast(offs), Seq("__pid"))
+      .withColumn("cum", col("__off") + sum(col("c")).over(localW))
+      .crossJoin(broadcast(tot))
+    val sels = ps.zip(outNames).map { case ((num, den), name) =>
+      min(when(col("cum") * den >= col("n") * num, col("v"))).as(name)
+    }
+    cum.agg(sels.head, sels.tail: _*)
+  }
+
   /** DuckDB replay of [[mannWhitney]] (single-window cumulative — it
     * runs at oracle SF): `fromSql` must yield columns (v, grp). */
   def mannWhitneyOracleSql(fromSql: String, groupA: String,

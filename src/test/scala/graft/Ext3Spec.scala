@@ -466,6 +466,33 @@ class Ext3Spec extends SparkSpec {
     }
   }
 
+  test("distDiscPercentiles: identical values to Spark's own " +
+      "percentile_disc aggregate, at every tie-heavy grid point") {
+    import graft.ext.Stats
+    val sf = "/root/testdata/sf0.001"
+    // o_totalprice: effectively distinct; l_quantity: heavy ties —
+    // both must agree with the single-task aggregate exactly
+    for ((tbl, cn) <- Seq(
+        Tables.orders(spark, sf) -> "o_totalprice",
+        Tables.lineitem(spark, sf) -> "l_quantity")) {
+      val v = tbl.select(col(cn).cast("double").as("v"))
+      val ps = (1 to 9).map(i => (i, 10))
+      val names = (1 to 9).map(i => s"p$i")
+      val dist = Stats.distDiscPercentiles(v, "v", ps, names)
+        .collect().head
+      graft.ops.CacheScope.releaseAll()
+      val refCols = (1 to 9).map(i =>
+        expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY v)")
+          .as(s"p$i"))
+      val ref = v.agg(refCols.head, refCols.tail: _*).collect().head
+      (0 until 9).foreach { j =>
+        assert(dist.getDouble(j) == ref.getDouble(j),
+          s"$cn p${j + 1}: dist ${dist.getDouble(j)} vs " +
+            s"agg ${ref.getDouble(j)}")
+      }
+    }
+  }
+
   test("mannWhitney: hand-computed U and z, midrank ties, U_A+U_B " +
       "identity") {
     import graft.ext.Stats

@@ -77,7 +77,13 @@ class PlanGuardSpec extends SparkSpec {
         "per partition, the packOffsets shape)"),
     "ext_mann_whitney" ->
       ("rank-mass prefix-sum over per-partition totals (one row per " +
-        "partition, the packOffsets shape shared with ext_ks_test)"))
+        "partition, the packOffsets shape shared with ext_ks_test)"),
+    "ext_feature_quantile_bins" ->
+      ("distDiscPercentiles' prefix-sum over per-partition totals " +
+        "(one row per partition, the packOffsets shape)"),
+    "q_customer_value_migration" ->
+      ("distDiscPercentiles' prefix-sum over per-partition totals, " +
+        "inherited for both halves' quartile edges"))
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:
