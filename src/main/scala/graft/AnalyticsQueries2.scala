@@ -640,7 +640,50 @@ object AnalyticsQueries2 {
           AS ltv_per_customer
       FROM curve JOIN sizes USING (cm)"""))
 
+  /** Sessions via Spark's NATIVE `session_window` aggregation
+    * ([[graft.streaming.StreamPipeline.sessionWindowNativeAvailableNow]])
+    * — the built-in dynamic-gap operator next to the custom
+    * flatMapGroupsWithState sessionizer (`q_stream_sessions_state`).
+    * Oracle replays island sessionization with the operator's exact
+    * rules — pinned EMPIRICALLY by the StreamingSpec boundary test:
+    * an event at EXACTLY the 30-minute gap still MERGES (touching
+    * windows coalesce; only a strictly larger gap starts a new
+    * session), session end = last event + gap, and append emits
+    * sessions whose end ≤ the final watermark (max ts − 2 h, the
+    * q_stream_markov cutoff discipline). */
+  val qStreamSessionNative = Q(
+    "q_stream_session_window_native",
+    (s, d) => graft.streaming.StreamPipeline
+      .sessionWindowNativeAvailableNow(s, d),
+    Some("""WITH wm AS (
+        SELECT (epoch_us(max(ts)) // 1000) - 7200000 AS wm_ms
+        FROM events),
+      e AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) // 1000 AS ms, value
+        FROM events),
+      seq AS (
+        SELECT user_id, ts, ms, value,
+          CASE WHEN lag(ms) OVER w IS NULL
+            OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS nf
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      sid AS (
+        SELECT user_id, ts, ms, value,
+          sum(nf) OVER (PARTITION BY user_id ORDER BY ms
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq),
+      sess AS (
+        SELECT user_id, sid, min(ts) AS st,
+          max(ms) + 1800000 AS end_ms,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_value
+        FROM sid GROUP BY 1, 2)
+      SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(epoch_ms(end_ms), '%Y-%m-%d %H:%M:%S') AS session_end,
+        n_events, total_value
+      FROM sess, wm WHERE end_ms <= wm_ms"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
-    qStreamGrowth, qCohortLtv)
+    qStreamGrowth, qCohortLtv, qStreamSessionNative)
 }

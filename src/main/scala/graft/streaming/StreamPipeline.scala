@@ -628,6 +628,35 @@ object StreamPipeline {
       "stream_growth_", "append")
   }
 
+  /** Session rollup via Spark's NATIVE `session_window` aggregation —
+    * the built-in operator next to the custom
+    * `flatMapGroupsWithState` sessionizer (`q_stream_sessions_state`):
+    * dynamic-gap windows merge while events land within `gap` of the
+    * session's moving end (window end = last event + gap; TOUCHING
+    * windows merge too — an event at exactly `gap` after the last one
+    * extends the session, spec-pinned — only a strictly larger gap
+    * starts a new one), and append mode emits each session once the watermark
+    * passes its end. State per (user, open session) is one merging
+    * window — bounded by the watermark horizon like every stateful
+    * agg here. */
+  def sessionWindowNativeAvailableNow(
+      spark: SparkSession, dir: String, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.Det.dsum
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    val agg = ev.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"), col("total_value"))
+    runAvailableNow(agg, "stream_sessnat_", "append")
+  }
+
   /** SLIDING-window rollup as a structured stream, drained with
     * `Trigger.AvailableNow` — the trending-metrics shape (every event
     * counts into the `slide`-spaced windows of length `window` covering

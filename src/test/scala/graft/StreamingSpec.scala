@@ -466,6 +466,49 @@ class StreamingSpec extends SparkSpec {
     assert(readOut("international_2").count() == 3)
   }
 
+  test("native session_window: exact-gap event still MERGES (touching " +
+      "windows coalesce), strictly-larger gap separates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Double)]
+    val out = in.toDF.toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "HH:mm:ss").as("st"),
+        date_format(col("sw.end"), "HH:mm:ss").as("en"), col("n"))
+    val q = out.writeStream.format("memory").queryName("sessnat_out")
+      .outputMode("append").start()
+    try {
+      // user 1: 10:00 then 10:29:59 (inside gap -> same session) then
+      // 11:00:00 (exactly 30:01 after the moving end? no — 10:29:59 +
+      // 30:00 = 10:59:59, so 11:00:00 is 1s PAST the end -> new).
+      // user 2: 10:00 then 10:30:00 exactly -> touching windows MERGE
+      // (only a strictly larger gap separates sessions).
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:29:59"), 1.0),
+        (1L, ts("2024-01-01 11:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:30:00"), 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past every session end
+      in.addData((99L, ts("2024-01-02 00:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessnat_out")
+        .select("user_id", "st", "en", "n")
+        .as[(Long, String, String, Long)].collect().toSet
+      val expected = Set(
+        (1L, "10:00:00", "10:59:59", 2L), // merged, end = last + gap
+        (1L, "11:00:00", "11:30:00", 1L),
+        (2L, "10:00:00", "11:00:00", 2L)) // exact-gap: still merges
+      assert(got == expected, s"got $got")
+    } finally q.stop()
+  }
+
   test("growth lifecycle stream: weeks classify at watermark finality, " +
       "churn fires as an event-time timeout, resurrection re-opens") {
     import spark.implicits._
