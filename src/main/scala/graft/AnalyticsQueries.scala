@@ -1825,13 +1825,16 @@ object AnalyticsQueries {
   val qQuartileAssign = Q(
     "q_spend_quartile_assign",
     (s, d) => {
-      val spend = Tables.orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg(dsum(col("o_totalprice")).as("spend"))
-      val cuts = spend.agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY spend)").as("q1"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY spend)").as("q2"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY spend)").as("q3"))
+      val spend = graft.ops.CacheScope.persist(
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("spend")))
+      // distributed disc-percentile cuts: a global percentile_disc
+      // aggregate buffers every distinct spend in ONE task
+      // (graft.ext.Stats.distDiscPercentiles has the rationale) —
+      // identical data values, oracle untouched
+      val cuts = graft.ext.Stats.distDiscPercentiles(spend, "spend",
+        Seq((1, 4), (2, 4), (3, 4)), Seq("q1", "q2", "q3"))
       spend.crossJoin(broadcast(cuts))
         .select(col("o_custkey"), col("spend"),
           when(col("spend") <= col("q1"), 1)

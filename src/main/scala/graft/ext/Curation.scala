@@ -152,10 +152,17 @@ object Curation {
       bins: Int = 10, exactCuts: Boolean = true): DataFrame = {
     require(bins >= 2, "percentileBins: need at least 2 bins")
     val qs = (1 until bins).map(i => i.toDouble / bins)
+    // exact cuts ride the DISTRIBUTED disc-percentile (a global
+    // percentile_disc aggregate buffers every distinct score in one
+    // task — graft.ext.Stats.distDiscPercentiles); same data values
     val cuts =
-      if (exactCuts) scored.agg(array(qs.map(q =>
-        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $valueCol)")): _*)
-        .as("cuts"))
+      if (exactCuts) {
+        val names = (1 until bins).map(i => s"__c$i")
+        graft.ext.Stats.distDiscPercentiles(
+          scored.select(col(valueCol)), valueCol,
+          (1 until bins).map(i => (i, bins)), names)
+          .select(array(names.map(col): _*).as("cuts"))
+      }
       else scored.agg(
         approx_percentile(col(valueCol).cast("double"),
           array(qs.map(lit): _*), lit(10000)).as("cuts"))

@@ -83,7 +83,22 @@ class PlanGuardSpec extends SparkSpec {
         "(one row per partition, the packOffsets shape)"),
     "q_customer_value_migration" ->
       ("distDiscPercentiles' prefix-sum over per-partition totals, " +
-        "inherited for both halves' quartile edges"))
+        "inherited for both halves' quartile edges"),
+    "q_spend_quartile_assign" ->
+      ("distDiscPercentiles' prefix-sum over per-partition totals " +
+        "(one row per partition, the packOffsets shape)"),
+    "q_rfm_segments" ->
+      ("distDiscPercentiles' prefix-sum over per-partition totals, " +
+        "inherited per RFM axis"),
+    "ext_score_percentile_bins" ->
+      ("percentileBins' distDiscPercentiles prefix-sum over " +
+        "per-partition totals"),
+    "ext_preference_pairs" ->
+      "percentileBins' distDiscPercentiles prefix-sum, inherited",
+    "ext_bradley_terry" ->
+      "percentileBins' distDiscPercentiles prefix-sum, inherited",
+    "ext_curriculum_order" ->
+      "percentileBins' distDiscPercentiles prefix-sum, inherited")
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:
