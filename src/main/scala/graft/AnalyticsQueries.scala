@@ -1863,18 +1863,22 @@ object AnalyticsQueries {
     *
     * percentile_disc (a DATA value, no interpolation) keeps the cuts
     * bit-identical across engines; the clip is then pure comparisons on
-    * exact doubles. Cuts broadcast back (one row per status); at 100 TB
-    * the exact per-group sort-aggregate would swap to approx_percentile
-    * (the [[graft.ops.Profiling]] pattern) with the same plan shape. */
+    * exact doubles. Cuts broadcast back (one row per status), computed
+    * by the grouped distributed disc-percentile
+    * ([[graft.ext.Stats.distDiscPercentilesBy]]) — no per-group
+    * distinct-value buffer at any scale. */
   val qWinsorize = Q(
     "q_winsorized_stats",
     (s, d) => {
       val o = Tables.orders(s, d)
-      val cuts = o.groupBy(col("o_orderstatus")).agg(
-        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)")
-          .as("lo"),
-        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
-          .as("hi"))
+      // grouped distributed disc-percentiles: few groups but unbounded
+      // within-group distinct values — the single-task percentile
+      // buffer dies exactly here (Stats.distDiscPercentilesBy);
+      // identical data values, oracle untouched
+      val cuts = graft.ext.Stats.distDiscPercentilesBy(
+        o.select(col("o_orderstatus"), col("o_totalprice")),
+        "o_totalprice", "o_orderstatus",
+        Seq((1, 20), (19, 20)), Seq("lo", "hi"))
       o.join(broadcast(cuts), Seq("o_orderstatus"))
         .groupBy(col("o_orderstatus"))
         .agg(min(col("lo")).as("lo_cut"), min(col("hi")).as("hi_cut"),
@@ -1907,15 +1911,23 @@ object AnalyticsQueries {
     "q_mad_by_status",
     (s, d) => {
       val o = Tables.orders(s, d)
-      val med = o.groupBy(col("o_orderstatus")).agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
-          .as("med"))
-      o.join(broadcast(med), Seq("o_orderstatus"))
-        .groupBy(col("o_orderstatus"))
-        .agg(min(col("med")).as("median_price"),
-          expr("percentile_disc(0.5) WITHIN GROUP " +
-            "(ORDER BY abs(o_totalprice - med))").as("mad"),
-          count(lit(1)).as("n_orders"))
+      // two grouped distributed-percentile passes (median, then median
+      // of |x − m|) — Stats.distDiscPercentilesBy, no per-group
+      // distinct-value buffer; identical values, oracle untouched
+      val med = graft.ext.Stats.distDiscPercentilesBy(
+        o.select(col("o_orderstatus"), col("o_totalprice")),
+        "o_totalprice", "o_orderstatus", Seq((1, 2)), Seq("med"))
+      val dev = o.join(broadcast(med), Seq("o_orderstatus"))
+        .select(col("o_orderstatus"),
+          abs(col("o_totalprice") - col("med")).as("adev"))
+      val mad = graft.ext.Stats.distDiscPercentilesBy(
+        dev, "adev", "o_orderstatus", Seq((1, 2)), Seq("mad"))
+      o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .join(broadcast(med), Seq("o_orderstatus"))
+        .join(broadcast(mad), Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("med").as("median_price"),
+          col("mad"), col("n_orders"))
     },
     Some("""WITH med AS (
         SELECT o_orderstatus,
@@ -2100,9 +2112,13 @@ object AnalyticsQueries {
     "q_outlier_iqr",
     (s, d) => {
       val ev = Tables.events(s, d)
-      val cuts = ev.groupBy(col("event_type")).agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("q1"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("q3"))
+      // grouped distributed quartiles over the continuous value column
+      // (few event types x unbounded distinct doubles — the single-task
+      // percentile buffer case; Stats.distDiscPercentilesBy). Same data
+      // values, oracle untouched.
+      val cuts = graft.ext.Stats.distDiscPercentilesBy(
+        ev.select(col("event_type"), col("value")),
+        "value", "event_type", Seq((1, 4), (3, 4)), Seq("q1", "q3"))
       val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
       val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
       ev.join(broadcast(cuts), Seq("event_type"))

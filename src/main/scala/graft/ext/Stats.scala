@@ -378,6 +378,50 @@ object Stats {
     cum.agg(sels.head, sels.tail: _*)
   }
 
+  /** GROUPED [[distDiscPercentiles]] — one row of disc-percentile data
+    * values PER GROUP, still without any single-task distinct-value
+    * buffer: the grain is (group, value) with counts; the range
+    * exchange keys on (group, value) so a group's values stay sorted
+    * across partitions; the cross-partition offsets come from a
+    * per-(partition, group) totals frame cumulated by a window
+    * PARTITIONED BY GROUP over the partition ids (≤ partitions rows
+    * per group — never row-grained); each percentile is a
+    * conditional-min per group with the exact cum·den ≥ num·N rule.
+    *
+    * The swap-in for per-group percentile_disc aggregates whose groups
+    * are few but whose within-group distinct values are unbounded
+    * (order values by status at 100 TB: 3 groups × 10¹² distincts —
+    * exactly where the single-task buffer dies). */
+  def distDiscPercentilesBy(rows: DataFrame, valueCol: String,
+      groupCol: String, ps: Seq[(Int, Int)], outNames: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.length == outNames.length)
+    val grain = rows.groupBy(col(groupCol).as("__g"),
+        col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val sorted = graft.ops.CacheScope.persist(
+      grain.repartitionByRange(col("__g"), col("v"))
+        .sortWithinPartitions(col("__g"), col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.partitionBy("__g").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sorted.groupBy(col("__pid"), col("__g"))
+      .agg(sum(col("c")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__g"), col("__off"))
+    val tot = sorted.groupBy(col("__g")).agg(sum(col("c")).as("__n"))
+    val localW = Window.partitionBy("__pid", "__g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = sorted.join(broadcast(offs), Seq("__pid", "__g"))
+      .withColumn("cum", col("__off") + sum(col("c")).over(localW))
+      .join(broadcast(tot), Seq("__g"))
+    val sels = ps.zip(outNames).map { case ((num, den), name) =>
+      min(when(col("cum") * den >= col("__n") * num, col("v"))).as(name)
+    }
+    cum.groupBy(col("__g").as(groupCol)).agg(sels.head, sels.tail: _*)
+  }
+
   /** DuckDB replay of [[mannWhitney]] (single-window cumulative — it
     * runs at oracle SF): `fromSql` must yield columns (v, grp). */
   def mannWhitneyOracleSql(fromSql: String, groupA: String,

@@ -493,6 +493,27 @@ class Ext3Spec extends SparkSpec {
     }
   }
 
+  test("distDiscPercentilesBy: per-group values identical to the " +
+      "percentile_disc aggregate") {
+    import graft.ext.Stats
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type").as("g"), col("value").as("v"))
+    val dist = Stats.distDiscPercentilesBy(ev, "v", "g",
+      Seq((1, 4), (1, 2), (3, 4)), Seq("q1", "q2", "q3"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    graft.ops.CacheScope.releaseAll()
+    val ref = ev.groupBy(col("g")).agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("q3"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(dist.keySet == ref.keySet && dist.keySet.size == 5)
+    assert(dist == ref)
+  }
+
   test("mannWhitney: hand-computed U and z, midrank ties, U_A+U_B " +
       "identity") {
     import graft.ext.Stats
