@@ -683,7 +683,52 @@ object AnalyticsQueries2 {
         n_events, total_value
       FROM sess, wm WHERE end_ms <= wm_ms"""))
 
+  /** Return rate by delivery speed — the operations readout that joins
+    * the fulfillment-lag family (`q_ship_lag_percentiles`) to the
+    * returns family: line items bucketed by order→ship lag (weeks),
+    * each bucket's return rate. A rising curve is the
+    * slow-delivery-drives-returns signal CX teams act on.
+    *
+    * Rows with ship date BEFORE order date are excluded — physically
+    * impossible lags are data noise (the synthetic dates draw the two
+    * columns independently; a real book would route them to the DQ
+    * report instead).
+    *
+    * Scale: ONE orderkey-partitioned join (both sides big — nothing
+    * broadcast), a pure bucketing projection (integer `div`, no libm),
+    * and a hash agg onto week buckets bounded by the horizon's week
+    * count, with map-side partials. */
+  val qReturnByLag = Q(
+    "q_return_rate_by_lag",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"),
+          col("l_returnflag"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("sd") >= col("od"))
+        .select(expr("datediff(sd, od) div 7").as("lag_weeks"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+        .groupBy(col("lag_weeks"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("ret")).as("n_returned"))
+        .withColumn("return_rate",
+          round(col("n_returned").cast("double") / col("n_items"), 6))
+    },
+    Some("""SELECT
+        date_diff('day', CAST(o_orderdate AS DATE),
+          CAST(l_shipdate AS DATE)) // 7 AS lag_weeks,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_returned,
+        round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS return_rate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+      GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
-    qStreamGrowth, qCohortLtv, qStreamSessionNative)
+    qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag)
 }

@@ -210,6 +210,26 @@ class Analytics2Spec extends SparkSpec {
       "the curves partition every order's revenue")
   }
 
+  test("q_return_rate_by_lag: rates recompute, impossible lags excluded") {
+    val out = AnalyticsQueries2.qReturnByLag.run(spark, sf)
+      .select("lag_weeks", "n_items", "n_returned", "return_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.nonEmpty)
+    out.foreach { case (w, n, r, rate) =>
+      assert(w >= 0, "ship-before-order rows are excluded")
+      assert(r <= n)
+      assert(math.abs(rate - r.toDouble / n) < 1e-6)
+    }
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(to_date(col("l_shipdate")) >= to_date(col("o_orderdate")))
+      .count()
+    assert(out.map(_._2).sum == expected,
+      "buckets partition every physically-possible line item")
+  }
+
   test("q_forecast_backtest: metrics recompute from the weekly series") {
     val weekly = Tables.lineitem(spark, sf)
       .groupBy(col("l_partkey"),
