@@ -51,19 +51,26 @@ object RetailQueries {
       val rfm = perCust.crossJoin(broadcast(nowRow))
         .withColumn("r_days",
           datediff(col("now_d"), col("last_order")).cast("long"))
-      // distributed disc-percentile cuts per axis: r_days/f are
-      // bounded-distinct, but MONETARY is effectively distinct at
-      // 100 TB — a single-task percentile buffer would not hold
-      // (graft.ext.Stats.distDiscPercentiles); same data values,
-      // oracle untouched. One call per axis, each a 1-row broadcast.
+      // cut strategy per axis: r_days and f are BOUNDED-DISTINCT
+      // (horizon days / order counts), so their quartiles stay on the
+      // plain percentile_disc aggregate; MONETARY is effectively
+      // distinct at 100 TB — a single-task percentile buffer would not
+      // hold, so its cuts ride the distributed rank selection
+      // (graft.ext.Stats.distDiscPercentiles). Same data values either
+      // way; oracle untouched.
       val rfmP = graft.ops.CacheScope.persist(rfm)
-      val qs = Seq((1, 4), (2, 4), (3, 4))
-      def cutsOf(c: String, names: Seq[String]) =
-        graft.ext.Stats.distDiscPercentiles(
-          rfmP.select(col(c).cast("double").as(c)), c, qs, names)
-      val cuts = cutsOf("r_days", Seq("r1", "r2", "r3"))
-        .crossJoin(cutsOf("f", Seq("f1", "f2", "f3")))
-        .crossJoin(cutsOf("m", Seq("m1", "m2", "m3")))
+      def cut(c: String, p: Double) =
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+          .cast("double")
+      val rfCuts = rfmP.agg(
+        cut("r_days", 0.25).as("r1"), cut("r_days", 0.5).as("r2"),
+        cut("r_days", 0.75).as("r3"),
+        cut("f", 0.25).as("f1"), cut("f", 0.5).as("f2"),
+        cut("f", 0.75).as("f3"))
+      val mCuts = graft.ext.Stats.distDiscPercentiles(
+        rfmP.select(col("m")), "m",
+        Seq((1, 4), (2, 4), (3, 4)), Seq("m1", "m2", "m3"))
+      val cuts = rfCuts.crossJoin(mCuts)
       def score(v: String, q1: String, q2: String, q3: String) =
         when(col(v) <= col(q1), 1).when(col(v) <= col(q2), 2)
           .when(col(v) <= col(q3), 3).otherwise(4)
