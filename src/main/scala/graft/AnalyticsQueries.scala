@@ -1226,43 +1226,66 @@ object AnalyticsQueries {
         AND epoch_us(e.ts) <= f.first_view_us + 604800000000
       GROUP BY e.user_id, f.first_view_us"""))
 
+  /** Market-basket pair lift — see [[qBasketLift]]. Exposed with the
+    * `maxBasket` contract parameterized so the spec can pin an
+    * over-cap basket's exclusion with a small cap; baskets above the
+    * cap are dropped from BOTH pair generation and item supports (one
+    * consistent post-cap item universe), while the n_orders
+    * normalizer stays the full order book. */
+  def basketPairLift(lineitem: DataFrame, orders: DataFrame,
+      maxBasket: Long = AnalyticsQueries2.DefaultMaxBasket): DataFrame = {
+    val raw = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    // maxBasket contract (AnalyticsQueries2.DefaultMaxBasket rationale):
+    // prune pathological baskets before the self-join sees them
+    val sane = raw.groupBy(col("okey"))
+      .agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") <= maxBasket)
+      .select(col("okey"))
+    val items = graft.ops.CacheScope.persist(raw.join(sane, Seq("okey")))
+    val nOrders = orders.agg(count(lit(1)).as("n_orders"))
+    val supp = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey")
+        && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    pairs
+      .join(supp.select(col("part").as("part_a"),
+        col("n_part").as("n_a")), Seq("part_a"))
+      .join(supp.select(col("part").as("part_b"),
+        col("n_part").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        round(col("n_pair") * col("n_orders")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+      .limit(25)
+  }
+
   /** Market-basket pair lift over order line items — co-occurrence
     * analysis, the classic association shape. The self-join keys on
     * l_orderkey and the pair explosion is bounded by ORDER size (≤ 7
-    * items in TPC-H-ish data, and small in any real basket), never
-    * corpus size; item supports broadcast back onto the pair counts.
-    * lift = P(a,b) / (P(a)·P(b)) over order-presence probabilities,
-    * computed with exact integer counts and rounded once at the end.
-    * Top-25 by (lift, pair) total order → TakeOrderedAndProject. */
+    * items in TPC-H-ish data, and small in any real basket) AND by the
+    * [[AnalyticsQueries2.DefaultMaxBasket]] contract — a pre-agg drops
+    * pathological baskets (a bot, a wholesale feed) before the
+    * self-join, so no single hot orderkey can emit C(basket, 2)
+    * candidate rows; item supports broadcast back onto the pair
+    * counts. lift = P(a,b) / (P(a)·P(b)) over order-presence
+    * probabilities, computed with exact integer counts and rounded
+    * once at the end. Top-25 by (lift, pair) total order →
+    * TakeOrderedAndProject. */
   val qBasketLift = Q(
     "q_basket_pair_lift",
-    (s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-      val nOrders = Tables.orders(s, d).agg(
-        count(lit(1)).as("n_orders"))
-      val supp = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
-      val pairs = items.as("a")
-        .join(items.as("b"), col("a.okey") === col("b.okey")
-          && col("a.part") < col("b.part"))
-        .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
-        .agg(count(lit(1)).as("n_pair"))
-        .filter(col("n_pair") >= 3)
-      pairs
-        .join(supp.select(col("part").as("part_a"),
-          col("n_part").as("n_a")), Seq("part_a"))
-        .join(supp.select(col("part").as("part_b"),
-          col("n_part").as("n_b")), Seq("part_b"))
-        .crossJoin(broadcast(nOrders))
-        .select(col("part_a"), col("part_b"), col("n_pair"),
-          round(col("n_pair") * col("n_orders")
-            / (col("n_a") * col("n_b")), 6).as("lift"))
-        .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
-        .limit(25)
-    },
-    Some("""WITH items AS (
+    (s, d) => basketPairLift(Tables.lineitem(s, d), Tables.orders(s, d)),
+    Some(s"""WITH items0 AS (
         SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      sane AS (
+        SELECT okey FROM items0
+        GROUP BY 1 HAVING count(*) <= ${AnalyticsQueries2.DefaultMaxBasket}),
+      items AS (SELECT i.* FROM items0 i JOIN sane USING (okey)),
       n AS (SELECT count(*) AS n_orders FROM orders),
       supp AS (SELECT part, count(*) AS n_part FROM items GROUP BY 1),
       pairs AS (

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -264,6 +265,53 @@ object AnalyticsQueries2 {
           6) AS rmse_ma4
       FROM scored GROUP BY 1"""))
 
+  /** Baskets with more distinct items than this are EXCLUDED from
+    * basket mining BY CONTRACT (pair lift and triples): the self-join
+    * volume per order is C(basket, k), so one pathological basket — a
+    * bot, a wholesale feed, a data error with 10⁴ distinct parts —
+    * alone emits C(10⁴,3) ≈ 1.7×10¹¹ candidate rows from a single
+    * join key, the hub blowup capped everywhere else in the repo
+    * ([[graft.ext.Graph.linkPrediction]]'s maxDeg,
+    * sharedFramePairs' maxDocsPerFrame, the cosine buckets'
+    * maxBucketRows). Real checkout baskets are single digits; 200 is
+    * far above any genuine co-purchase signal, and a 200+-item basket
+    * contributes only noise pairs anyway. The oracle applies the same
+    * cap, so the hash gate still checks. */
+  val DefaultMaxBasket = 200L
+
+  /** Frequent 3-itemsets over order baskets — see [[qBasketTriples]].
+    * Exposed with the `maxBasket` contract parameterized so the spec
+    * can pin an over-cap basket's exclusion with a small cap. */
+  def basketTriples(lineitem: DataFrame, maxBasket: Long = DefaultMaxBasket)
+      : DataFrame = {
+    val raw = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // maxBasket contract: one extra hash agg on the items grain prunes
+    // pathological baskets BEFORE any self-join sees them
+    val sane = raw.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") <= maxBasket)
+      .select(col("l_orderkey"))
+    val items = graft.ops.CacheScope.persist(
+      raw.join(sane, Seq("l_orderkey")))
+    val tri = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p3")),
+        Seq("l_orderkey"))
+      .filter(col("p2") < col("p3"))
+    val nOrders = items.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    tri.groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("p3"), col("support"),
+        round(col("support").cast("double") / col("n_orders"), 9)
+          .as("support_frac"))
+  }
+
   /** Frequent 3-itemsets over order baskets — the next frequent-pattern
     * size up from `q_basket_pair_lift`'s pairs (the Apriori step a
     * recommender's "bought together" bundle mining needs): triples
@@ -272,36 +320,23 @@ object AnalyticsQueries2 {
     *
     * Scale: candidates come from TWO self-equi-joins keyed on the
     * ORDER — the join volume is Σ_orders C(basket_size, 3), bounded by
-    * the per-order item count (single digits in practice), never a
-    * cross-part blowup; the distinct item set rides each join side
+    * the per-order item count (single digits in practice) AND by the
+    * [[DefaultMaxBasket]] contract (a pre-agg drops pathological
+    * baskets before the joins, so no single hot key can blow up the
+    * candidate volume); the distinct item set rides each join side
     * (one shuffle on orderkey each), and the triple-key hash agg
     * prunes with map-side partial counts. The basket-count normalizer
-    * is a 1-row broadcast. */
+    * is a 1-row broadcast over the POST-CAP basket universe. */
   val qBasketTriples = Q(
     "q_basket_triples",
-    (s, d) => {
-      val items = graft.ops.CacheScope.persist(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct())
-      val tri = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
-          Seq("l_orderkey"))
-        .filter(col("p1") < col("p2"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("p3")),
-          Seq("l_orderkey"))
-        .filter(col("p2") < col("p3"))
-      val nOrders = items.agg(
-        countDistinct(col("l_orderkey")).as("n_orders"))
-      tri.groupBy(col("p1"), col("p2"), col("p3"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .crossJoin(broadcast(nOrders))
-        .select(col("p1"), col("p2"), col("p3"), col("support"),
-          round(col("support").cast("double") / col("n_orders"), 9)
-            .as("support_frac"))
-    },
-    Some("""WITH items AS (
+    (s, d) => basketTriples(Tables.lineitem(s, d)),
+    Some(s"""WITH items0 AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      sane AS (
+        SELECT l_orderkey FROM items0
+        GROUP BY 1 HAVING count(*) <= $DefaultMaxBasket),
+      items AS (
+        SELECT i.* FROM items0 i JOIN sane USING (l_orderkey)),
       tri AS (
         SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
           CAST(count(*) AS BIGINT) AS support
@@ -662,13 +697,13 @@ object AnalyticsQueries2 {
         SELECT user_id, event_id, ts, epoch_us(ts) // 1000 AS ms, value
         FROM events),
       seq AS (
-        SELECT user_id, ts, ms, value,
+        SELECT user_id, event_id, ts, ms, value,
           CASE WHEN lag(ms) OVER w IS NULL
             OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS nf
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
       sid AS (
         SELECT user_id, ts, ms, value,
-          sum(nf) OVER (PARTITION BY user_id ORDER BY ms
+          sum(nf) OVER (PARTITION BY user_id ORDER BY ms, event_id
             ROWS UNBOUNDED PRECEDING) AS sid
         FROM seq),
       sess AS (

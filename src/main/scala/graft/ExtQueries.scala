@@ -2744,7 +2744,7 @@ object ExtQueries {
     (s, d) => {
       val withF = Tables.documents(s, d)
         .select(col("doc_id"),
-          Multimodal.fakeDecodeFeatures(
+          Multimodal.decodeFeatures(
             Multimodal.asPayload(col("text"))).as("f"))
       withF.select(col("doc_id"),
         element_at(col("f"), 1).as("f0"), element_at(col("f"), 2).as("f1"),

@@ -401,7 +401,7 @@ object ExtQueries2 {
     "ext_clip_align_gate",
     (s, d) => {
       val img = Tables.documents(s, d).select(col("doc_id"),
-        graft.ext.Multimodal.fakeDecodeFeatures(
+        graft.ext.Multimodal.decodeFeatures(
           graft.ext.Multimodal.asPayload(col("text"))).as("img_emb"))
       val txt = Tables.embeddings(s, d).select(
         col("vec_id").as("doc_id"),

@@ -569,9 +569,110 @@ object ExtQueries3 {
       GROUP BY 1"""
     })
 
+  /** WAV encode→decode ROUNDTRIP gate ([[graft.ext.WavCodec]]) — the
+    * real-decoder retirement of the multimodal stub contract for one
+    * modality: per document a deterministic 16-bit PCM waveform
+    * (length 64 + doc_id%32, samples (doc_id·31 + i·17)%65536 −
+    * 32768, rate 8000 + (doc_id%3)·4000) is ENCODED into actual
+    * RIFF/WAVE bytes and every output column below is computed by
+    * DECODING THOSE BYTES — header fields, sample stats, and real
+    * waveform block-energy features. The oracle computes the same
+    * quantities straight from the generator formula, so a hash match
+    * proves the binary roundtrip is lossless and the parser honors
+    * the public byte layout (magic offsets, little-endian scalars,
+    * two's-complement samples).
+    *
+    * Scale: one projection per row — no shuffle, no UDF, no driver;
+    * payload bytes never leave the executor. */
+  val wavRoundtripQ = Q(
+    "ext_wav_roundtrip",
+    (s, d) => {
+      import graft.ext.WavCodec
+      val n = lit(64) + pmod(col("doc_id"), lit(32))
+      val rate = (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000)
+        .cast("int")
+      val gen = transform(sequence(lit(0), n - 1), i =>
+        (pmod(col("doc_id") * 31 + i * 17, lit(65536)) - 32768)
+          .cast("int"))
+      val enc = Tables.documents(s, d).select(col("doc_id"),
+        WavCodec.encodeWav(gen, rate).as("wav"))
+      // everything below reads the BYTES, never the generator
+      val ss = WavCodec.samples(col("wav"))
+      val fs = WavCodec.waveFeatures(col("wav"))
+      enc.select(col("doc_id"),
+        WavCodec.sampleRate(col("wav")).as("sample_rate"),
+        WavCodec.numSamples(col("wav")).as("n_samples"),
+        aggregate(ss, lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"),
+        array_min(ss).as("s_min"), array_max(ss).as("s_max"),
+        element_at(ss, 1).as("s_first"), element_at(ss, -1).as("s_last"),
+        element_at(fs, 1).as("f1"), element_at(fs, 2).as("f2"),
+        element_at(fs, 3).as("f3"), element_at(fs, 4).as("f4"))
+    },
+    Some {
+      def blk(b: Int) =
+        s"""round(CAST(list_sum(list_transform(
+          ss[(n*$b//4 + 1):(n*${b + 1}//4)], s -> abs(s))) AS DOUBLE)
+          / (CAST(n*${b + 1}//4 - n*$b//4 AS DOUBLE) * 32768.0), 6)"""
+      s"""WITH gen AS (
+        SELECT doc_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+          64 + doc_id % 32 AS n,
+          list_transform(range(0, 64 + doc_id % 32),
+            i -> CAST((doc_id*31 + i*17) % 65536 - 32768 AS INTEGER))
+            AS ss
+        FROM documents)
+      SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+        CAST(list_sum(list_transform(ss, s -> abs(s))) AS BIGINT)
+          AS sum_abs,
+        list_min(ss) AS s_min, list_max(ss) AS s_max,
+        ss[1] AS s_first, ss[n] AS s_last,
+        ${blk(0)} AS f1, ${blk(1)} AS f2, ${blk(2)} AS f3,
+        ${blk(3)} AS f4
+      FROM gen"""
+    })
+
+  /** Streaming NEAR-dedup against the archive-as-index — the streaming
+    * twin of `ext_dedup_incremental_lsh`
+    * ([[graft.streaming.StreamPipeline.dedupLshAvailableNow]] carries
+    * the stream-static index-probe design and the watermark-bounded
+    * candidate-state rationale). Same incoming feed, same output
+    * grain, so the oracle IS the batch query's oracle — streamed
+    * near-dup pairs ≡ the batch incremental replay hash-exactly. */
+  val lshDedupStreamQ = Q(
+    "q_stream_dedup_lsh",
+    (s, d) => graft.streaming.StreamPipeline.dedupLshAvailableNow(s, d),
+    ExtQueries.dedupIncrementalLsh.oracle)
+
+  /** Streaming per-hour TOP-K events by value
+    * ([[graft.streaming.StreamPipeline.eventsTopValueAvailableNow]]
+    * carries the k-bounded-heap state design). Oracle: batch
+    * row_number window with the same (value desc, event_id asc) total
+    * order and the final-watermark cutoff (append emits a window only
+    * once its END clears max ts − 2 h). */
+  val topValueStreamQ = Q(
+    "q_stream_top_value_events",
+    (s, d) => graft.streaming.StreamPipeline
+      .eventsTopValueAvailableNow(s, d, k = 5),
+    Some("""WITH wm AS (
+        SELECT epoch_us(max(ts)) AS max_us FROM events),
+      ranked AS (
+        SELECT date_trunc('hour', ts) AS hr,
+          CAST(row_number() OVER (PARTITION BY date_trunc('hour', ts)
+            ORDER BY value DESC, CAST(event_id AS VARCHAR) ASC)
+            AS INTEGER) AS rank,
+          CAST(event_id AS VARCHAR) AS event_id,
+          CAST(value AS DOUBLE) AS value
+        FROM events)
+      SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, rank, event_id,
+        value
+      FROM ranked, wm
+      WHERE rank <= 5
+        AND epoch_us(hr + INTERVAL 1 HOUR) <= max_us - 7200000000"""))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
-    woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ)
+    woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
+    lshDedupStreamQ, wavRoundtripQ, topValueStreamQ)
 }

@@ -182,11 +182,38 @@ object ScaleProbe {
         }.reduce(_ unionAll _)
         graft.ext.Lloyd.fitCentroids(emb, k = 8, updates = 1)
       }
+      // basket-mining shape (q_basket_triples): the N×-scaled items
+      // frame PLUS one injected pathological basket whose size grows
+      // with N (40·N distinct parts in a single order — the bot/
+      // wholesale-feed hazard). Timed twice: cap disabled (the
+      // pre-r10 shape, where the hot key alone emits C(40N, 3)
+      // candidate rows and the curve goes super-linear) and with the
+      // DefaultMaxBasket contract (the hot basket is pre-agg-pruned
+      // from N ≥ 8 up, flattening the worst case back to the sane
+      // Σ C(basket,3) volume).
+      val hotBasket = spark.range(40L * n).select(
+        lit(999999999999L).as("l_orderkey"),
+        (col("id") + 900000000000L).as("l_partkey"))
+      def basketItems() = scaledLineitem(n)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .unionAll(hotBasket)
+      val basketPre = time {
+        val r = AnalyticsQueries2.basketTriples(
+          basketItems(), maxBasket = Long.MaxValue).count()
+        graft.ops.CacheScope.releaseAll()
+        r
+      }
+      val basketPost = time {
+        val r = AnalyticsQueries2.basketTriples(basketItems()).count()
+        graft.ops.CacheScope.releaseAll()
+        r
+      }
       println(s"""{"probe":"scale","n":$n,"q1_agg":$q1,""" +
         s""""pareto_prefix":$pareto,"band_join":$band,""" +
         s""""exact_dedup":$dedup,"minhash_lsh":$lsh,""" +
         s""""stream_hourly":$stream,"graph_wedge":$wedge,""" +
-        s""""kmeans_round":$kmeans}""")
+        s""""kmeans_round":$kmeans,"basket_uncapped":$basketPre,""" +
+        s""""basket_capped":$basketPost}""")
     }
     spark.stop()
   }

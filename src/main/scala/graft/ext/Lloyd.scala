@@ -84,9 +84,19 @@ object Lloyd {
       .select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).toArray)
-    for (_ <- 1 to updates) {
+    for (r <- 1 to updates) {
       val m = meansFrame(assignTo(emb, cent)).collect()
-      val next = cent.map(_.clone()) // empty cluster -> carry forward
+      // fail fast on an emptied cluster: the DuckDB replay's c_r CTE
+      // simply LOSES the cluster, so Spark and oracle would silently
+      // solve different problems from this round on — surface it here
+      // with a clear message, not via a downstream hash mismatch
+      val occupied = m.iterator.map(_.getAs[Int]("cid")).toSet
+      require(occupied.size == cent.length,
+        s"k-means round $r emptied cluster(s) " +
+          s"${(cent.indices.toSet -- occupied).toList.sorted.mkString(",")}" +
+          s" — the oracle replay cannot represent carry-forward; pick a" +
+          s" different seed or smaller k")
+      val next = cent.map(_.clone())
       m.groupBy(_.getAs[Int]("cid")).foreach { case (cid, rows) =>
         next(cid) = rows.sortBy(_.getAs[Int]("dim"))
           .map(_.getAs[Double]("comp").toFloat)

@@ -57,7 +57,7 @@ object Multimodal {
       .filter(length(col("frame")) > 0)
       .select(col(idCol), col("frame_idx"),
         md5(col("frame")).as("frame_digest"),
-        fakeDecodeFeatures(col("frame")).as("frame_features"))
+        decodeFeatures(col("frame")).as("frame_features"))
 
   /** STUB decode → feature vector: 4 deterministic doubles in [0,1) derived
     * from md5 of the payload (substitute a real codec here in production;
@@ -72,6 +72,19 @@ object Multimodal {
         / lit(4294967296.0), 6)
     }: _*)
   }
+
+  /** Decode dispatcher — the FORMAT TAG in front of the stub: payloads
+    * in a really-parseable public fixed layout decode for REAL
+    * (currently WAV/PCM via [[WavCodec.waveFeatures]] — actual
+    * waveform block energies); everything else falls through to the
+    * [[fakeDecodeFeatures]] substitution point. Same signature (binary
+    * in, 4 doubles in [0,1) out), so every consumer of the stub gains
+    * the real path by swapping this in — a production build adds
+    * `when(isJpeg…)`/`when(isFlac…)` arms here, around unchanged
+    * plumbing. */
+  def decodeFeatures(payload: Column): Column =
+    when(WavCodec.isWav(payload), WavCodec.waveFeatures(payload))
+      .otherwise(fakeDecodeFeatures(payload))
 
   /** Decimal places [[resizePooled]] rounds each cell mean to. The
     * fixed-point rendering in ExtQueries (`round(v·10^dp)`) is exact ONLY

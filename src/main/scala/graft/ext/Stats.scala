@@ -157,7 +157,9 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val grain = rows
       .filter(col(groupCol).isin(groupA, groupB))
-      .groupBy(col(valueCol).cast("long").as("v"))
+      // raw-column grain (no long cast): the oracle groups the raw v,
+      // and a cast would merge distinct doubles into one rank group
+      .groupBy(col(valueCol).as("v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
     // persisted: both the totals pass and the final pass re-derive
@@ -283,7 +285,9 @@ object Stats {
     import org.apache.spark.sql.types.DecimalType
     val grain = rows
       .filter(col(groupCol).isin(groupA, groupB))
-      .groupBy(col(valueCol).cast("long").as("v"))
+      // raw-column grain (no long cast): the oracle groups the raw v,
+      // and a cast would merge distinct doubles into one rank group
+      .groupBy(col(valueCol).as("v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
     val sorted = graft.ops.CacheScope.persist(
@@ -355,7 +359,10 @@ object Stats {
       ps: Seq[(Int, Int)], outNames: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ps.length == outNames.length)
-    val grain = rows.groupBy(col(valueCol).as("v"))
+    // NULLs are excluded from N, matching both the replaced
+    // percentile_disc aggregate and DuckDB's quantile_disc
+    val grain = rows.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
     val sorted = graft.ops.CacheScope.persist(
       grain.repartitionByRange(col("v")).sortWithinPartitions(col("v"))
@@ -397,7 +404,9 @@ object Stats {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ps.length == outNames.length)
-    val grain = rows.groupBy(col(groupCol).as("__g"),
+    // NULL values excluded from each group's N (percentile_disc parity)
+    val grain = rows.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
         col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
     val sorted = graft.ops.CacheScope.persist(

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Real WAV (RIFF/WAVE, canonical 44-byte header, 16-bit mono PCM)
+  * encode/decode as pure Catalyst projections — the first modality whose
+  * decode step is NOT the [[Multimodal.fakeDecodeFeatures]] stub: the
+  * byte layout is a public fixed-format spec (RIFF container, little-
+  * endian scalar fields, PCM samples), so parsing it needs only
+  * substring/hex/conv arithmetic, no codec library.
+  *
+  * Layout parsed/produced (all offsets 1-based as in SQL substring):
+  * bytes 1-4 "RIFF", 5-8 chunk size (LE32 = 36 + data bytes), 9-12
+  * "WAVE", 13-16 "fmt ", 17-20 subchunk size 16 (LE32), 21-22 audio
+  * format 1 = PCM (LE16), 23-24 channels (LE16, 1 here), 25-28 sample
+  * rate (LE32), 29-32 byte rate (LE32 = rate·2), 33-34 block align 2
+  * (LE16), 35-36 bits per sample 16 (LE16), 37-40 "data", 41-44 data
+  * size (LE32 = 2·n), 45.. n LE16 two's-complement samples.
+  *
+  * Scale: everything is a per-row projection over the payload bytes —
+  * no shuffle, no UDF, no driver involvement; the hex detour costs 2×
+  * the payload bytes transiently per row, the price of staying inside
+  * Catalyst string ops instead of a JNI call.
+  */
+object WavCodec {
+
+  /** Big-endian fixed-width hex of a non-negative integral column. */
+  private def beHex(v: Column, bytes: Int): Column =
+    lpad(upper(conv(v.cast("string"), 10, 16)), bytes * 2, "0")
+
+  /** Little-endian hex: the big-endian byte pairs reversed. */
+  private def leHex(v: Column, bytes: Int): Column = {
+    val be = beHex(v, bytes)
+    concat((bytes to 1 by -1).map(b => be.substr(b * 2 - 1, 2)): _*)
+  }
+
+  /** Encode an `array<int>` of 16-bit signed samples (each in
+    * [-32768, 32767]) at `sampleRate` Hz into a complete mono WAV
+    * binary. Samples outside the 16-bit range wrap (two's complement),
+    * like any PCM writer handed pre-clipped integers. */
+  def encodeWav(samples: Column, sampleRate: Column): Column = {
+    val n = size(samples)
+    val dataSize = n * 2
+    val header = concat(
+      lit("52494646"),              // "RIFF"
+      leHex(dataSize + 36, 4),
+      lit("57415645"),              // "WAVE"
+      lit("666D7420"),              // "fmt "
+      leHex(lit(16), 4),
+      leHex(lit(1), 2),             // PCM
+      leHex(lit(1), 2),             // mono
+      leHex(sampleRate, 4),
+      leHex(sampleRate * 2, 4),     // byte rate
+      leHex(lit(2), 2),             // block align
+      leHex(lit(16), 2),            // bits per sample
+      lit("64617461"),              // "data"
+      leHex(dataSize, 4))
+    val body = array_join(
+      transform(samples, s => leHex(pmod(s, lit(65536)), 2)), "")
+    unhex(concat(header, body))
+  }
+
+  /** TRUE iff the payload carries the canonical mono 16-bit PCM layout
+    * this codec produces — the format tag the decode dispatcher keys
+    * on. Checks the three magic strings plus the PCM/mono/16-bit
+    * scalar fields (16 leading bytes + the format block), so a text
+    * payload cannot collide. */
+  def isWav(payload: Column): Column =
+    length(payload) >= 44 &&
+      hex(substring(payload, 1, 4)) === "52494646" &&
+      hex(substring(payload, 9, 8)) === "57415645666D7420" &&
+      hex(substring(payload, 21, 4)) === "01000100" &&
+      hex(substring(payload, 33, 4)) === "02001000" &&
+      hex(substring(payload, 37, 4)) === "64617461"
+
+  /** LE32 field at 1-based byte offset `off`, as a long column. */
+  private def le32At(payload: Column, off: Int): Column = {
+    val h = hex(substring(payload, off, 4))
+    conv(concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2),
+      h.substr(1, 2)), 16, 10).cast("long")
+  }
+
+  /** Decoded sample rate (Hz). */
+  def sampleRate(payload: Column): Column = le32At(payload, 25)
+
+  /** Decoded sample count (data bytes / 2). */
+  def numSamples(payload: Column): Column =
+    (le32At(payload, 41) / 2).cast("long")
+
+  /** Decoded samples as `array<int>` of signed 16-bit values — the
+    * real waveform, byte-exact inverse of [[encodeWav]]. */
+  def samples(payload: Column): Column = {
+    val n = numSamples(payload)
+    val dh = hex(payload.substr(lit(45), (n * 2).cast("int")))
+    transform(sequence(lit(0L), n - 1), i => {
+      val u = conv(concat(dh.substr(i * 4 + 3, lit(2)),
+        dh.substr(i * 4 + 1, lit(2))), 16, 10).cast("int")
+      u - when(u >= 32768, 65536).otherwise(0)
+    })
+  }
+
+  /** 4 REAL waveform features from a decoded WAV — mean |amplitude| of
+    * 4 equal sample blocks, normalized to [0,1) by the 16-bit range,
+    * 6 dp. The shape [[Multimodal.fakeDecodeFeatures]] stubs, computed
+    * from actual decoded samples. Determinism: block sums are exact
+    * integer sums; the divisor blockLen·32768 is 2^a·(blockLen's odd
+    * part) — a 6-dp rounding tie would need a factor 5⁷ in the
+    * denominator, impossible for realistic block lengths. */
+  def waveFeatures(payload: Column): Column = {
+    val ss = samples(payload)
+    val n = size(ss)
+    array((0 until 4).map { b =>
+      val start = floor(n.cast("double") * b / 4).cast("int")
+      val end = floor(n.cast("double") * (b + 1) / 4).cast("int")
+      val block = slice(ss, start + 1, end - start)
+      round(aggregate(block, lit(0L), (acc, x) => acc + abs(x))
+        .cast("double") / ((end - start).cast("double") * 32768.0), 6)
+    }: _*)
+  }
+}

@@ -97,12 +97,17 @@ object GrowthStream {
       }
     }
     state.update(GState(still, lastFinal, churned))
-    // next wake-up: the earliest pending week's end, or the churn
-    // deadline for the current gap
-    val deadline: Option[Long] =
-      if (still.nonEmpty) Some(endMs(still.min))
-      else if (!churned) lastFinal.map(p => endMs(p + WeekDays))
-      else None
+    // next wake-up: the MINIMUM of the earliest pending week's end and
+    // the churn deadline for the current gap. Both must compete: with a
+    // pending week far above the watermark AND an unsettled gap at
+    // lastFinal+1wk, waking only for the pending week would emit the
+    // already-settled churn late (or never, if the stream ends first).
+    val deadline: Option[Long] = {
+      val pendingWake = if (still.nonEmpty) Some(endMs(still.min)) else None
+      val churnWake =
+        if (!churned) lastFinal.map(p => endMs(p + WeekDays)) else None
+      (pendingWake.toList ++ churnWake.toList).minOption
+    }
     deadline.foreach(t => state.setTimeoutTimestamp(math.max(t, wm + 1)))
     out.iterator
   }

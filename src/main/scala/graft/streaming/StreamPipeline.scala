@@ -922,6 +922,129 @@ object StreamPipeline {
     runAvailableNow(deduped, "stream_dedup_", "append")
   }
 
+  /** Streaming NEAR-dedup against the archive-as-index — the streaming
+    * twin of `ext_dedup_incremental_lsh` (the one high-traffic
+    * LLM-ingest shape the batch/stream matrix was missing): arriving
+    * docs shingle → MinHash → band ONCE, probe the STATIC archive LSH
+    * index ([[graft.ext.TextDedup.lshIndex]] — (band, id) buckets +
+    * per-id hash sets, the archive never re-read or re-shingled) via a
+    * stream-static equi-join on the band key, and Jaccard-verify only
+    * the collisions against the hash sets fetched by archive id.
+    *
+    * State: the only stateful op is the candidate-pair dedup (a pair
+    * colliding in several bands must emit once) —
+    * `dropDuplicatesWithinWatermark` on (id, archive_id), whose state
+    * the ingest-time watermark EVICTS one horizon after the doc
+    * arrives: all of a doc's band collisions carry the doc's single
+    * ingest timestamp, so they land within one watermark window and
+    * state never outlives it. The band and verify joins are
+    * stream-static (re-planned per micro-batch; at 10⁹ archive docs
+    * both index frames live bucketed BY BAND / BY ID on disk, so a
+    * micro-batch probes only colliding buckets).
+    *
+    * The incoming doc's hash set rides the band join (the latency-path
+    * trade: per-doc payload crosses one shuffle; the batch variant
+    * re-joins by id instead because its candidate volume is
+    * corpus-scale). The feed is the batch query's exact incoming frame
+    * — the odd-id half plus near-dup twins of every 10th archive doc —
+    * built in ONE pass with a two-leg explode; the ingest timestamp is
+    * a deterministic function of doc_id so the drain replays exactly.
+    * Output (doc_id, archive_id, jaccard) is hash-pinned to the batch
+    * incremental replay: the registered query reuses
+    * `ext_dedup_incremental_lsh`'s oracle SQL verbatim. */
+  def dedupLshAvailableNow(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, watermark: String = "10 minutes")
+      : DataFrame = {
+    import graft.ext.TextDedup
+    val docs = graft.Tables.documents(spark, dir)
+    val (idxBands, idxHashes) = TextDedup.lshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    val ib = graft.ops.CacheScope.persist(
+      idxBands.select(col("band"), col("id").as("archive_id")))
+    val ih = graft.ops.CacheScope.persist(
+      idxHashes.select(col("id").as("archive_id"), col("hs").as("hs_a")))
+    val raw = streamTable(spark, dir, "documents.parquet",
+      normalizeEvents = false)
+    val incoming = raw.select(explode(array(
+        when(col("doc_id") % 2 === 1,
+          struct(col("doc_id").as("doc_id"), col("text").as("text"))),
+        when(col("doc_id") % 10 === 0,
+          struct((col("doc_id") + 600000L).as("doc_id"),
+            concat(col("text"), lit(" zz extra")).as("text")))))
+        .as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("d.doc_id").as("id"), col("d.text").as("text"))
+      // deterministic ingest time (one doc per second from a fixed
+      // epoch) — the drain replays exactly; in production this is the
+      // source's arrival timestamp
+      .withColumn("ing_ts", timestamp_seconds(
+        lit(1704067200L) + col("id") % 86400L))
+    runAvailableNow(
+      lshDedupStream(incoming, ib, ih, threshold, watermark),
+      "stream_lshdedup_", "append")
+  }
+
+  /** Per-hour TOP-K high-value events as a structured stream — the
+    * trending/alerting shape ("this hour's biggest transactions") next
+    * to the tumbling rollup: one stateful window aggregate whose state
+    * per hour is the K-BOUNDED heap of [[graft.functions.TopKStrAgg]]
+    * (k·(8 B + key) bytes whatever the event volume — an exact top-k
+    * would buffer every event of the hour in the state store). The
+    * heap is a TypedImperativeAggregate, so map-side partials push k
+    * entries per (window, partition) into the shuffle and state merges
+    * register-wise across micro-batches — the HLL/CMS discipline
+    * applied to ranking.
+    *
+    * Total order is (value desc, event_id asc) over finite scores —
+    * identical to a row_number window — so the append-mode drain is
+    * hash-pinned to a batch window replay with the final-watermark
+    * cutoff (max ts − 2 h, the q_stream_markov discipline). */
+  def eventsTopValueAvailableNow(
+      spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    val agg = ev.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKStrAgg.top_k_str(
+        col("value"), col("event_id").cast("string"), k).as("tk"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        explode(col("tk")).as("t"))
+      .select(col("hour"), col("t.rank").as("rank"),
+        col("t.key").as("event_id"), col("t.score").as("value"))
+    runAvailableNow(agg, "stream_topk_", "append")
+  }
+
+  /** The [[dedupLshAvailableNow]] transform on an arbitrary incoming
+    * stream (`id`, `text`, `ing_ts`) against a prepared archive index
+    * (`ib` = (band, archive_id), `ih` = (archive_id, hs_a)) — exposed
+    * so the MemoryStream spec can drive cross-batch near-dup arrival
+    * through the exact plan the registered query runs. */
+  def lshDedupStream(incoming: DataFrame, ib: DataFrame, ih: DataFrame,
+      threshold: Double, watermark: String): DataFrame = {
+    import graft.ext.TextDedup
+    val banded = incoming
+      .select(col("id"), col("ing_ts"),
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)
+          .as("hs"))
+      .withColumn("sig", TextDedup.signatureFromHashes(col("hs"), 8))
+      .select(col("id"), col("ing_ts"), col("hs"),
+        explode(TextDedup.lshBandKeys(col("sig"), 4, 2)).as("band"))
+    banded
+      .join(ib, Seq("band"))
+      .withWatermark("ing_ts", watermark)
+      .dropDuplicatesWithinWatermark("id", "archive_id")
+      .join(ih, Seq("archive_id"))
+      .withColumn("inter", size(array_intersect(col("hs"), col("hs_a"))))
+      .withColumn("uni",
+        size(col("hs")) + size(col("hs_a")) - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as("doc_id"), col("archive_id"), col("jaccard"))
+  }
+
   /** Switch the session's streaming state store to ROCKSDB with
     * changelog checkpointing — the 100 TB configuration for every
     * stateful operator in this module (dedup keys, sliding windows,

@@ -111,6 +111,43 @@ class Analytics2Spec extends SparkSpec {
     out.keys.foreach(t => assert(t(0) < t(1) && t(1) < t(2)))
   }
 
+  test("maxBasket contract: an over-cap basket is excluded from triples, " +
+      "pair lift, supports, and the triples normalizer") {
+    // orders 1-3: sane 3-item baskets; order 99: a 6-item bot basket
+    // that a cap of 5 must exclude from every surface
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 10L), (3L, 20L), (3L, 40L),
+      (99L, 10L), (99L, 20L), (99L, 30L), (99L, 40L), (99L, 50L),
+      (99L, 60L))
+      .toDF("l_orderkey", "l_partkey")
+    val tri = AnalyticsQueries2.basketTriples(li, maxBasket = 5L)
+      .select("p1", "p2", "p3", "support", "support_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    // only (10,20,30) from the two identical sane baskets; the bot
+    // basket neither adds support nor inflates the normalizer (n=3)
+    assert(tri.toSeq == Seq((10L, 20L, 30L, 2L,
+      math.rint(2.0 / 3.0 * 1e9) / 1e9)))
+    val orders = (1L to 4L).toDF("o_orderkey")
+    val lift = AnalyticsQueries.basketPairLift(li, orders, maxBasket = 5L)
+      .select("part_a", "part_b", "n_pair", "lift")
+      .as[(Long, Long, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    // (10,20) co-occurs in all 3 sane baskets (the bot basket would
+    // have pushed (10,30)/(20,30) over the >=3 floor); supports are
+    // post-cap (10 and 20 in 3 baskets each), n_orders stays 4
+    assert(lift.toSeq == Seq((10L, 20L, 3L,
+      math.rint(3.0 * 4 / (3.0 * 3) * 1e6) / 1e6)))
+    // the uncapped run DOES see the bot basket — the cap is the only
+    // thing excluding it
+    val triUncapped = AnalyticsQueries2.basketTriples(li)
+      .select("p1").as[Long].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(triUncapped.length > 1, "sanity: default cap admits order 99")
+  }
+
   test("q_open_orders_daily: concurrency telescopes and closes to zero") {
     val rows = AnalyticsQueries2.qOpenOrdersDaily.run(spark, sf)
       .orderBy("day")

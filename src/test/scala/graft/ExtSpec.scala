@@ -416,6 +416,46 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec: byte-exact roundtrip incl. range edges, header fields, " +
+      "and the decode dispatcher routes by format tag") {
+    import graft.ext.WavCodec
+    val edge = Seq(-32768, 32767, 0, -1, 1, 12345, -12345)
+    val df = Seq((1L, edge, 44100), (2L, Seq(5, -5, 300, -300), 8000))
+      .toDF("id", "ss", "rate")
+      .select(col("id"), col("ss"), col("rate"),
+        WavCodec.encodeWav(col("ss"), col("rate")).as("wav"))
+    val out = df.select(col("id"),
+        WavCodec.isWav(col("wav")).as("ok"),
+        WavCodec.sampleRate(col("wav")).as("r"),
+        WavCodec.numSamples(col("wav")).as("n"),
+        WavCodec.samples(col("wav")).as("dec"),
+        length(col("wav")).as("len"))
+      .as[(Long, Boolean, Long, Long, Seq[Int], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 && out(2L)._2, "both payloads must tag as WAV")
+    assert(out(1L)._3 == 44100L && out(2L)._3 == 8000L)
+    assert(out(1L)._4 == edge.length && out(2L)._4 == 4L)
+    assert(out(1L)._5 == edge, "two's-complement edges must roundtrip")
+    assert(out(2L)._5 == Seq(5, -5, 300, -300))
+    assert(out(1L)._6 == 44 + 2 * edge.length, "canonical header + data")
+    // dispatcher: a text payload is NOT a WAV and falls through to the
+    // stub; a WAV payload gets REAL waveform features
+    val d2 = Seq("just some text").toDF("t")
+      .select(Multimodal.asPayload(col("t")).as("p"))
+      .select(Multimodal.decodeFeatures(col("p")).as("via"),
+        Multimodal.fakeDecodeFeatures(col("p")).as("stub"),
+        WavCodec.isWav(col("p")).as("tag"))
+      .head()
+    assert(!d2.getBoolean(2))
+    assert(d2.getSeq[Double](0) == d2.getSeq[Double](1))
+    val wf = df.filter(col("id") === 2)
+      .select(Multimodal.decodeFeatures(col("wav")).as("f")).head()
+      .getSeq[Double](0)
+    // blocks of [5,-5,300,-300]: mean|s| per single-sample block /32768
+    assert(wf == Seq(5 / 32768.0, 5 / 32768.0, 300 / 32768.0,
+      300 / 32768.0).map(v => math.rint(v * 1e6) / 1e6))
+  }
+
   test("multimodal meta is BYTE-semantic, not character-semantic") {
     // é and ö are 2 UTF-8 bytes: 11 chars → 13 bytes; head = h,é,l bytes
     val df = Seq("héllo wörld").toDF("t")

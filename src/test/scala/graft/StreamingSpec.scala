@@ -342,6 +342,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dedup: cross-batch arrivals probe the static " +
+      "archive index and match the batch incremental replay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+    val archive = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (200L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val (ib0, ih0) = graft.ext.TextDedup.lshIndex(archive, "text", "doc_id")
+    val ib = ib0.select(col("band"), col("id").as("archive_id"))
+    val ih = ih0.select(col("id").as("archive_id"), col("hs").as("hs_a"))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, java.sql.Timestamp)]
+    val q = StreamPipeline.lshDedupStream(
+      in.toDF.toDF("id", "text", "ing_ts"), ib, ih, 0.5, "10 minutes")
+      .writeStream.format("memory").queryName("lshdedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: an exact twin of archive 100, a near-dup of it (one
+      // appended token), and a novel doc
+      in.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta", at(0)),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta tail", at(1)),
+        (3L, "nine ten eleven twelve thirteen fourteen", at(2)))
+      q.processAllAvailable()
+      // batch 2 (cross-batch): a near-dup of archive 200 arrives later
+      in.addData(
+        (4L, "one two three four five six seven eight nine", at(30)))
+      q.processAllAvailable()
+      val streamed = spark.table("lshdedup_out")
+        .select("doc_id", "archive_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.ext.TextDedup.incrementalLshPairs(
+        Seq(
+          (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (2L, "alpha beta gamma delta epsilon zeta eta theta tail"),
+          (3L, "nine ten eleven twelve thirteen fourteen"),
+          (4L, "one two three four five six seven eight nine"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", ib0, ih0, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"streamed pairs $streamed must equal the batch replay $batch")
+      assert(streamed.contains((1L, 100L, 1.0)), "exact twin must match")
+      assert(streamed.exists(p => p._1 == 2L && p._2 == 100L),
+        "the in-batch near-dup must band-collide with its source")
+      assert(streamed.exists(p => p._1 == 4L && p._2 == 200L),
+        "the CROSS-BATCH near-dup must band-collide with its source")
+      assert(!streamed.exists(_._1 == 3L), "the novel doc matches nothing")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases attribute to in-window clicks") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
