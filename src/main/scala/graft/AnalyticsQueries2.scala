@@ -763,7 +763,94 @@ object AnalyticsQueries2 {
       WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
       GROUP BY 1"""))
 
+  /** TYPE-2 SLOWLY-CHANGING DIMENSION build from a change feed — the
+    * dimension-history shape every warehouse load needs: per user, the
+    * validity intervals of their event_type "segment" (consecutive
+    * duplicates collapsed — a no-op change opens no new version),
+    * valid_from = the change's event time, valid_to = the next change's
+    * (NULL + is_current=1 on the open version).
+    *
+    * Scale: two windows, BOTH partitioned by user_id (high-cardinality
+    * key — never a global sort): lag to detect changes, lead over the
+    * surviving change rows to close intervals. Total order within a
+    * user is (ts, event_id), so same-millisecond events cannot flip
+    * versions between engines. One shuffle on user_id reused by both
+    * windows (same partitioning). */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("vt", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("segment"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        when(col("vt").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  val qScd2 = Q(
+    "q_scd2_user_segments",
+    (s, d) => scd2(Tables.events(s, d)),
+    Some("""WITH chg AS (
+        SELECT user_id, event_id, ts, event_type,
+          lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      f AS (
+        SELECT user_id, event_id, ts, event_type FROM chg
+        WHERE prev IS NULL OR prev <> event_type),
+      iv AS (
+        SELECT user_id, event_type AS segment, ts,
+          lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS vt
+        FROM f)
+      SELECT user_id, segment,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM iv"""))
+
+  /** Revenue ROLLUP over the region → nation hierarchy — the
+    * grouping-sets report surface (leaf, per-region subtotal, grand
+    * total in ONE pass): Spark's `rollup` expands each row to its 3
+    * grouping sets before one hash agg (a bounded ×levels multiplier
+    * with map-side partials — one shuffle, not one query per level).
+    * Dimension joins broadcast (nation/region are tiny); the fact
+    * shuffle keys on custkey. grouping_id disambiguates a NULL key
+    * from a rolled-up one. */
+  val qRollup = Q(
+    "q_sales_rollup_region",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("o_totalprice"))
+      base.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("int").as("lvl"))
+        .select(col("r_name"), col("n_name"), col("lvl"),
+          col("n_orders"), col("revenue"))
+    },
+    Some(s"""SELECT r_name, n_name,
+        CAST(GROUPING(r_name) AS INTEGER) * 2
+          + CAST(GROUPING(n_name) AS INTEGER) AS lvl,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        ${Det.dsumSql("o_totalprice")} AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
-    qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag)
+    qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
+    qScd2, qRollup)
 }

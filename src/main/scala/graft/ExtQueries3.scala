@@ -669,10 +669,33 @@ object ExtQueries3 {
       WHERE rank <= 5
         AND epoch_us(hr + INTERVAL 1 HOUR) <= max_us - 7200000000"""))
 
+  /** Key-skew profile of lineitem's part key
+    * ([[graft.ops.Profiling.keySkew]] carries the shuffle-planning
+    * rationale and the bounded-heap shape) — the top-10 hottest
+    * l_partkey values with share and hot factor. */
+  val keySkewQ = Q(
+    "ext_key_skew",
+    (s, d) => graft.ops.Profiling.keySkew(
+      Tables.lineitem(s, d), "l_partkey", topN = 10),
+    Some(graft.ops.Profiling.keySkewOracleSql(
+      "SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem",
+      topN = 10)))
+
+  /** Exact distributed ECDF of order totals
+    * ([[graft.ext.Stats.ecdf]] carries the two-phase prefix-sum shape)
+    * — the rank-normalization lookup table (value → cume_dist) feature
+    * pipelines join by value. */
+  val ecdfQ = Q(
+    "ext_feature_ecdf",
+    (s, d) => graft.ext.Stats.ecdf(
+      Tables.orders(s, d), "o_totalprice"),
+    Some(graft.ext.Stats.ecdfOracleSql(
+      "SELECT o_totalprice AS v FROM orders", "o_totalprice")))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
-    lshDedupStreamQ, wavRoundtripQ, topValueStreamQ)
+    lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ)
 }

@@ -431,6 +431,59 @@ object Stats {
     cum.groupBy(col("__g").as(groupCol)).agg(sels.head, sels.tail: _*)
   }
 
+  /** Exact empirical CDF at the DISTINCT-VALUE grain, computed
+    * DISTRIBUTED — the rank-normalization feature transform (map any
+    * value to its cume_dist in [0,1], the monotone scale-free encoding
+    * feature pipelines use before models that care about order, not
+    * magnitude). A row-grain `cume_dist()` window would sort the whole
+    * table in one task; this is the [[distDiscPercentiles]] shape
+    * instead: value-grain hash agg, packOffsets two-phase prefix sum
+    * (range partition by value, ≤ #partitions offset rows through the
+    * bounded window), emitted at the value grain — the lookup table a
+    * row-grain transform then joins by value (or broadcast-maps, for
+    * bounded supports).
+    *
+    * Output: one row per distinct non-NULL value — (`valueCol`, n,
+    * cume_dist 9-dp). */
+  def ecdf(rows: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = rows.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val sorted = graft.ops.CacheScope.persist(
+      grain.repartitionByRange(col("v")).sortWithinPartitions(col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sorted.groupBy(col("__pid"))
+      .agg(sum(col("c")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val tot = sorted.agg(sum(col("c")).as("__n"))
+    val localW = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sorted.join(broadcast(offs), Seq("__pid"))
+      .withColumn("cum", col("__off") + sum(col("c")).over(localW))
+      .crossJoin(broadcast(tot))
+      .select(col("v").as(valueCol), col("c").as("n"),
+        round(col("cum") / col("__n").cast("double"), 9).as("cume_dist"))
+  }
+
+  /** DuckDB replay of [[ecdf]] (single-window cumulative — it runs at
+    * oracle SF): `fromSql` must yield one column `v`. */
+  def ecdfOracleSql(fromSql: String, outName: String): String =
+    s"""WITH base AS ($fromSql),
+      g AS (SELECT v, count(*) AS c FROM base WHERE v IS NOT NULL
+            GROUP BY 1),
+      t AS (SELECT sum(c) AS nn FROM g),
+      cum AS (
+        SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM g)
+      SELECT v AS $outName, CAST(c AS BIGINT) AS n,
+        round(cum / CAST(nn AS DOUBLE), 9) AS cume_dist
+      FROM cum, t"""
+
   /** DuckDB replay of [[mannWhitney]] (single-window cumulative — it
     * runs at oracle SF): `fromSql` must yield columns (v, grp). */
   def mannWhitneyOracleSql(fromSql: String, groupA: String,

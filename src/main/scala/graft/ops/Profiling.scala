@@ -136,6 +136,50 @@ object Profiling {
         "mean", "std", "q25", "median", "q75")))
   }
 
+  /** KEY-SKEW profiler — the shuffle-planning diagnostic run BEFORE a
+    * big join/agg at 100 TB: the top-N heaviest keys of a column with
+    * each key's row share and hot factor (its count over the mean
+    * per-key count). A hot factor in the thousands names the exact keys
+    * that need salting / AQE skew handling; ~1 means the key is safe to
+    * shuffle on.
+    *
+    * Shape: ONE key-grain hash agg (map-side partials), a 1-row totals
+    * broadcast, and the bounded-heap
+    * [[graft.functions.TopKStrAgg]] for the ranking — no window, no
+    * sort, ≤ topN·partitions heap rows cross the shuffle. Total order
+    * (count desc, key asc) matches a row_number window bit-exactly. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val counts = graft.ops.CacheScope.persist(
+      df.groupBy(qcol(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("n")))
+    val tot = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts
+      .agg(graft.functions.TopKStrAgg.top_k_str(
+        col("n").cast("double"), col("key"), topN).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.rank").as("rank"), col("t.key").as("key"),
+        col("t.score").cast("long").as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("n"),
+        round(col("n") / col("total").cast("double"), 9).as("share"),
+        round(col("n") * col("n_keys") / col("total").cast("double"), 6)
+          .as("hot_factor"))
+  }
+
+  /** DuckDB replay of [[keySkew]]: `fromSql` yields one column `key`
+    * (already VARCHAR). */
+  def keySkewOracleSql(fromSql: String, topN: Int): String =
+    s"""WITH base AS ($fromSql),
+      c AS (SELECT key, count(*) AS n FROM base GROUP BY 1),
+      t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c),
+      r AS (SELECT key, n, CAST(row_number() OVER (
+        ORDER BY n DESC, key ASC) AS INTEGER) AS rank FROM c)
+      SELECT rank, key, CAST(n AS BIGINT) AS n,
+        round(n / CAST(total AS DOUBLE), 9) AS share,
+        round(n * n_keys / CAST(total AS DOUBLE), 6) AS hot_factor
+      FROM r, t WHERE rank <= $topN"""
+
   /** Grouped higher-moment profile of an INTEGER measure: population
     * mean, std, skewness and excess kurtosis per group — the
     * distribution-shape row `describe()` lacks (a length distribution

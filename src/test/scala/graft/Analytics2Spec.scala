@@ -148,6 +148,69 @@ class Analytics2Spec extends SparkSpec {
     assert(triUncapped.length > 1, "sanity: default cap admits order 99")
   }
 
+  test("SCD2: no-op changes open no version, intervals chain, one " +
+      "current row per user") {
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", "view"),
+      (1L, 11L, "2024-01-01 11:00:00", "view"),    // no-op duplicate
+      (1L, 12L, "2024-01-01 12:00:00", "cart"),
+      (1L, 13L, "2024-01-01 13:00:00", "view"),    // back -> new version
+      (2L, 20L, "2024-01-02 09:00:00", "signup"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .select(col("user_id"), col("event_id"),
+        col("s").cast("timestamp").as("ts"), col("event_type"))
+    val rows = AnalyticsQueries2.scd2(ev)
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, String, Option[String], Int)].collect()
+    assert(rows.toSeq == Seq(
+      (1L, "view", "2024-01-01 10:00:00", Some("2024-01-01 12:00:00"), 0),
+      (1L, "cart", "2024-01-01 12:00:00", Some("2024-01-01 13:00:00"), 0),
+      (1L, "view", "2024-01-01 13:00:00", None, 1),
+      (2L, "signup", "2024-01-02 09:00:00", None, 1)))
+  }
+
+  test("q_scd2_user_segments: intervals chain and exactly one current " +
+      "version per user on testdata") {
+    val rows = AnalyticsQueries2.qScd2.run(spark, sf)
+      .select("user_id", "segment", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Int)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, vs) =>
+      assert(vs.count(_._5 == 1) == 1, s"user $u must have ONE current")
+      val sorted = vs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"user $u: version must close at the next valid_from")
+          assert(a._2 != b._2, s"user $u: consecutive versions differ")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+
+  test("q_sales_rollup_region: subtotals telescope across levels") {
+    val rows = AnalyticsQueries2.qRollup.run(spark, sf)
+      .select("r_name", "n_name", "lvl", "n_orders", "revenue")
+      .as[(Option[String], Option[String], Int, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    val leaves = rows.filter(_._3 == 0)
+    val regions = rows.filter(_._3 == 1)
+    val grand = rows.filter(_._3 == 3)
+    assert(grand.length == 1)
+    assert(leaves.nonEmpty && regions.nonEmpty)
+    assert(leaves.map(_._4).sum == grand.head._4)
+    assert(regions.map(_._4).sum == grand.head._4)
+    regions.foreach { case (r, _, _, n, rev) =>
+      val ls = leaves.filter(_._1 == r)
+      assert(ls.map(_._4).sum == n, s"region $r order counts roll up")
+      assert(math.abs(ls.map(_._5).sum - rev) < 0.02,
+        s"region $r revenue rolls up")
+    }
+  }
+
   test("q_open_orders_daily: concurrency telescopes and closes to zero") {
     val rows = AnalyticsQueries2.qOpenOrdersDaily.run(spark, sf)
       .orderBy("day")

@@ -633,4 +633,36 @@ class Ext3Spec extends SparkSpec {
       (1L, 2, "deep method", 4.5),
       (1L, 3, "deep learning", 4.0)))
   }
+
+  test("keySkew: counts, shares, hot factor, (count desc, key asc) " +
+      "order, and the top-N cut") {
+    // keys: a x4, b x2, c/d/e x1 -> total 9, n_keys 5, mean 1.8
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d", "e"))
+      .toDF("k")
+    val out = graft.ops.Profiling.keySkew(df, "k", topN = 3)
+      .select("rank", "key", "n", "share", "hot_factor")
+      .as[(Int, String, Long, Double, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(out.toSeq == Seq(
+      (1, "a", 4L, math.rint(4.0 / 9 * 1e9) / 1e9,
+        math.rint(4.0 * 5 / 9 * 1e6) / 1e6),
+      (2, "b", 2L, math.rint(2.0 / 9 * 1e9) / 1e9,
+        math.rint(2.0 * 5 / 9 * 1e6) / 1e6),
+      (3, "c", 1L, math.rint(1.0 / 9 * 1e9) / 1e9,
+        math.rint(1.0 * 5 / 9 * 1e6) / 1e6)))
+  }
+
+  test("ecdf: cume_dist recomputes, NULLs excluded, monotone to 1.0") {
+    val df = Seq[java.lang.Double](5.0, 5.0, 1.0, 3.0, null, 3.0, 3.0)
+      .toDF("v")
+    val out = graft.ext.Stats.ecdf(df, "v")
+      .orderBy("v").select("v", "n", "cume_dist")
+      .as[(Double, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    // 6 non-null rows: 1.0 -> 1/6, 3.0 -> 4/6, 5.0 -> 6/6
+    assert(out.toSeq == Seq(
+      (1.0, 1L, math.rint(1.0 / 6 * 1e9) / 1e9),
+      (3.0, 3L, math.rint(4.0 / 6 * 1e9) / 1e9),
+      (5.0, 2L, 1.0)))
+  }
 }

@@ -98,7 +98,10 @@ class PlanGuardSpec extends SparkSpec {
     "ext_bradley_terry" ->
       "percentileBins' distDiscPercentiles prefix-sum, inherited",
     "ext_curriculum_order" ->
-      "percentileBins' distDiscPercentiles prefix-sum, inherited")
+      "percentileBins' distDiscPercentiles prefix-sum, inherited",
+    "ext_feature_ecdf" ->
+      ("ecdf's prefix-sum over per-partition totals (one row per " +
+        "partition, the packOffsets shape)"))
 
   /** BroadcastNestedLoopJoins whose broadcast side is row-grained (no
     * aggregate/limit between the scan and the broadcast) but justified:
