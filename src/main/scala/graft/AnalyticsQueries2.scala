@@ -849,8 +849,100 @@ object AnalyticsQueries2 {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)"""))
 
+  /** Streaming SCD2 — the stateful twin of [[qScd2]]
+    * ([[graft.streaming.Scd2Stream]] carries the finality rule and the
+    * bounded-state design): closed versions emit exactly once when
+    * their closing change event settles below the watermark; the
+    * oracle replays the batch lag/lead chain with that cutoff (closed
+    * versions only, vt below max ts − 2 h — the q_stream_markov
+    * discipline). */
+  val qScd2Stream = Q(
+    "q_stream_scd2_versions",
+    (s, d) => graft.streaming.StreamPipeline.scd2AvailableNow(s, d),
+    Some("""WITH wm AS (
+        SELECT (epoch_us(max(ts)) // 1000) - 7200000 AS wm_ms
+        FROM events),
+      chg AS (
+        SELECT user_id, event_id, ts, event_type,
+          lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      f AS (
+        SELECT user_id, event_id, ts, event_type FROM chg
+        WHERE prev IS NULL OR prev <> event_type),
+      iv AS (
+        SELECT user_id, event_type AS segment, ts,
+          lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS vt
+        FROM f)
+      SELECT user_id, segment,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+      FROM iv, wm
+      WHERE vt IS NOT NULL AND epoch_us(vt) // 1000 < wm_ms"""))
+
+  /** [[qBasketTriples]] with the APRIORI candidate prune — identical
+    * output (same oracle), different plan: frequent pairs (the L2 set,
+    * support ≥ 2) are mined first, and the triple-candidate self-joins
+    * are SEMI-JOINED against L2 on every sub-pair before counting.
+    * Lossless by the Apriori property (a triple with support ≥ 2 has
+    * all three sub-pairs at support ≥ 2), and the standard trade: two
+    * extra pair-keyed joins buy a candidate space bounded by frequent
+    * pairs instead of all basket combinations — the win grows with
+    * basket size and sparsity (on 100 TB web baskets L2 is orders of
+    * magnitude smaller than raw C(basket,2)). Benched next to the
+    * direct plan. */
+  def basketTriplesApriori(lineitem: DataFrame,
+      maxBasket: Long = DefaultMaxBasket): DataFrame = {
+    val raw = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sane = raw.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") <= maxBasket)
+      .select(col("l_orderkey"))
+    val items = graft.ops.CacheScope.persist(
+      raw.join(sane, Seq("l_orderkey")))
+    val l2 = graft.ops.CacheScope.persist(
+      items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+          Seq("l_orderkey"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n2"))
+        .filter(col("n2") >= 2)
+        .select(col("p1"), col("p2")))
+    val tri = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .join(l2, Seq("p1", "p2"), "left_semi")
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p3")),
+        Seq("l_orderkey"))
+      .filter(col("p2") < col("p3"))
+      .join(l2.toDF("p2", "p3"), Seq("p2", "p3"), "left_semi")
+      .join(l2.toDF("p1", "p3"), Seq("p1", "p3"), "left_semi")
+    val nOrders = items.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    tri.groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("p3"), col("support"),
+        round(col("support").cast("double") / col("n_orders"), 9)
+          .as("support_frac"))
+  }
+
+  /** Apriori-pruned 3-itemsets — output-identical to
+    * [[qBasketTriples]] (the oracle is shared verbatim), plan-level
+    * alternative per [[basketTriplesApriori]]. */
+  val qBasketTriplesApriori = Q(
+    "q_basket_triples_apriori",
+    (s, d) => basketTriplesApriori(Tables.lineitem(s, d)),
+    qBasketTriples.oracle,
+    bench = true)
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
     qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
-    qScd2, qRollup)
+    qScd2, qRollup, qScd2Stream, qBasketTriplesApriori)
 }

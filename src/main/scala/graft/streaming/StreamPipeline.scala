@@ -984,6 +984,23 @@ object StreamPipeline {
       "stream_lshdedup_", "append")
   }
 
+  /** Streaming SCD2 ([[Scd2Stream]]): watermark-final CLOSED dimension
+    * versions drained AvailableNow, formatted like the batch twin
+    * (`q_scd2_user_segments`) minus the open versions the stream by
+    * definition cannot settle. */
+  def scd2AvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    runAvailableNow(
+      Scd2Stream.versions(ev, "2 hours").toDF()
+        .select(col("user_id"), col("segment"),
+          date_format(timestamp_micros(col("from_us")),
+            "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(timestamp_micros(col("to_us")),
+            "yyyy-MM-dd HH:mm:ss").as("valid_to")),
+      "stream_scd2_", "append")
+  }
+
   /** Per-hour TOP-K high-value events as a structured stream — the
     * trending/alerting shape ("this hour's biggest transactions") next
     * to the tumbling rollup: one stateful window aggregate whose state

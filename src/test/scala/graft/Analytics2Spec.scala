@@ -111,6 +111,29 @@ class Analytics2Spec extends SparkSpec {
     out.keys.foreach(t => assert(t(0) < t(1) && t(1) < t(2)))
   }
 
+  test("basketTriplesApriori: output-identical to the direct plan on " +
+      "testdata AND on a fixture where the L2 prune actually fires") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("p1", "p2", "p3", "support", "support_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val direct = rows(AnalyticsQueries2.basketTriples(
+      Tables.lineitem(spark, sf)))
+    graft.ops.CacheScope.releaseAll()
+    val apriori = rows(AnalyticsQueries2.basketTriplesApriori(
+      Tables.lineitem(spark, sf)))
+    graft.ops.CacheScope.releaseAll()
+    assert(direct.nonEmpty && apriori == direct)
+    // fixture: triple (10,20,30) support 2; parts 40/50 form only
+    // support-1 pairs, so L2 prunes them before the 3-way join
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L),
+      (2L, 10L), (2L, 20L), (2L, 30L), (2L, 50L))
+      .toDF("l_orderkey", "l_partkey")
+    val fx = rows(AnalyticsQueries2.basketTriplesApriori(li))
+    graft.ops.CacheScope.releaseAll()
+    assert(fx == Set((10L, 20L, 30L, 2L, 1.0)))
+  }
+
   test("maxBasket contract: an over-cap basket is excluded from triples, " +
       "pair lift, supports, and the triples normalizer") {
     // orders 1-3: sane 3-item baskets; order 99: a 6-item bot basket

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.app.BatchMain
 import graft.sources.CsvSource
-import graft.streaming.StreamPipeline
+import graft.streaming.{Scd2Stream, StreamPipeline}
 
 /** Streaming + batch-driver end-to-end specs (SURVEY.md §2.8, §3.2). */
 class StreamingSpec extends SparkSpec {
@@ -339,6 +339,45 @@ class StreamingSpec extends SparkSpec {
       val ids = spark.table("corpus_out").select("doc_id")
         .as[Long].collect().toSet
       assert(ids == Set(1L, 4L))
+    } finally q.stop()
+  }
+
+  test("SCD2 stream: versions close at watermark finality, no-op and " +
+      "out-of-order events absorb, the open version never emits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(plusSec: Long) = new java.sql.Timestamp(t0.getTime + plusSec * 1000)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Long, String)]
+    val q = Scd2Stream.versions(
+      in.toDF.toDF("user_id", "ts", "event_id", "event_type"),
+      "10 minutes")
+      .toDF()
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: view, no-op view, cart — watermark still 0, nothing final
+      in.addData((1L, at(0), 1L, "view"), (1L, at(60), 2L, "view"),
+        (1L, at(120), 3L, "cart"))
+      q.processAllAvailable()
+      // batch 2: an OUT-OF-ORDER no-op view@90 (buffered and re-sorted
+      // between the batch-1 events) plus buy@3600, which advances the
+      // watermark to 3000 s -> the view version closes at cart@120
+      in.addData((1L, at(90), 4L, "view"), (1L, at(3600), 5L, "buy"))
+      q.processAllAvailable()
+      // batch 3: another user far ahead advances the watermark past
+      // buy@3600 -> the cart version closes; buy stays OPEN forever
+      in.addData((2L, at(8000), 6L, "signup"))
+      q.processAllAvailable()
+      val out = spark.table("scd2_out")
+        .select("user_id", "segment", "from_us", "to_us")
+        .as[(Long, String, Long, Long)].collect().toSet
+      def us(sec: Long) = (t0.getTime / 1000 + sec) * 1000000L
+      assert(out == Set(
+        (1L, "view", us(0), us(120)),
+        (1L, "cart", us(120), us(3600))),
+        s"got $out")
     } finally q.stop()
   }
 
