@@ -941,8 +941,43 @@ object AnalyticsQueries2 {
     qBasketTriples.oracle,
     bench = true)
 
+  /** PIVOT surface — order counts and revenue per priority, fanned
+    * wide by status: Spark's `groupBy().pivot(values)` with the value
+    * list PINNED (an unpinned pivot runs a driver-side distinct scan
+    * first — the 100 TB anti-pattern; with values given, the plan is
+    * ONE hash agg over conditional projections, exactly the CASE-sum
+    * replay the oracle runs). Missing cells coalesce to 0 so the wide
+    * schema is total. */
+  val qPivot = Q(
+    "q_pivot_priority_status",
+    (s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("rev"))
+      wide.select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"),
+        coalesce(col("P_n"), lit(0L)).as("n_p"),
+        coalesce(col("F_rev"), lit(0.0)).as("rev_f"),
+        coalesce(col("O_rev"), lit(0.0)).as("rev_o"),
+        coalesce(col("P_rev"), lit(0.0)).as("rev_p"))
+    },
+    Some {
+      def n(v: String) =
+        s"CAST(sum(CASE WHEN o_orderstatus = '$v' THEN 1 ELSE 0 END) AS BIGINT)"
+      def r(v: String) =
+        s"""COALESCE(CAST(sum(CASE WHEN o_orderstatus = '$v'
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)"""
+      s"""SELECT o_orderpriority,
+        ${n("F")} AS n_f, ${n("O")} AS n_o, ${n("P")} AS n_p,
+        ${r("F")} AS rev_f, ${r("O")} AS rev_o, ${r("P")} AS rev_p
+      FROM orders GROUP BY 1"""
+    })
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
     qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
-    qScd2, qRollup, qScd2Stream, qBasketTriplesApriori)
+    qScd2, qRollup, qScd2Stream, qBasketTriplesApriori, qPivot)
 }

@@ -692,10 +692,91 @@ object ExtQueries3 {
     Some(graft.ext.Stats.ecdfOracleSql(
       "SELECT o_totalprice AS v FROM orders", "o_totalprice")))
 
+  /** PMI collocations over the corpus
+    * ([[graft.ext.TextStats.pmiCollocations]] carries the formula,
+    * scale, and determinism rationale): top-25 bigrams by pointwise
+    * mutual information at support ≥ 5. */
+  val pmiQ = Q(
+    "ext_pmi_collocations",
+    (s, d) => graft.ext.TextStats.pmiCollocations(
+      Tables.documents(s, d), "text", k = 25, minSupport = 5),
+    Some {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH toks AS (
+        SELECT string_split_regex(trim(lower(text), $ws),
+          '[ \\t\\n\\x0B\\f\\r]+') AS t
+        FROM documents),
+      uni AS MATERIALIZED (SELECT unnest(t) AS w FROM toks),
+      uc AS MATERIALIZED (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+      ntok AS (SELECT count(*) AS n_tok FROM uni),
+      bi AS MATERIALIZED (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+          i -> array_to_string(t[i:i+1], ' '))) AS bg
+        FROM toks WHERE len(t) >= 2),
+      nbi AS (SELECT count(*) AS n_bi FROM bi),
+      bc AS MATERIALIZED (
+        SELECT bg, count(*) AS cab FROM bi GROUP BY 1
+        HAVING count(*) >= 5),
+      scored AS (
+        SELECT bg, cab,
+          round(ln((CAST(cab AS DOUBLE) * n_tok * n_tok)
+            / (CAST(n_bi AS DOUBLE) * ca.cu * cb.cu)), 6) AS pmi
+        FROM bc
+        JOIN uc ca ON string_split(bg, ' ')[1] = ca.w
+        JOIN uc cb ON string_split(bg, ' ')[2] = cb.w, ntok, nbi),
+      r AS (
+        SELECT bg, cab, pmi, CAST(row_number() OVER (
+          ORDER BY pmi DESC, bg ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT rank, bg AS bigram, CAST(cab AS BIGINT) AS support, pmi
+      FROM r WHERE rank <= 25"""
+    })
+
+  /** Per-source semantic outliers
+    * ([[graft.ext.Similarity.sourceOutliers]] carries the
+    * centroid/broadcast/heap scale design): the 5 lowest-cosine docs
+    * per source against their own source centroid — the off-topic
+    * curation readout. */
+  val sourceOutliersQ = Q(
+    "ext_source_outliers",
+    (s, d) => graft.ext.Similarity.sourceOutliers(
+      Tables.embeddings(s, d), Tables.documents(s, d), k = 5),
+    Some("""WITH v AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      j AS (
+        SELECT source, vec_id, emb
+        FROM v JOIN documents ON vec_id = doc_id),
+      cent AS (
+        SELECT source, i,
+          round(CAST(sum(CAST(emb[CAST(i AS INT)] AS DECIMAL(38,9)))
+            AS DOUBLE) / count(*), 6) AS cv
+        FROM j CROSS JOIN range(1, 65) t(i)
+        WHERE i <= len(emb)
+        GROUP BY source, i),
+      cvec AS (
+        SELECT source, list(cv ORDER BY i) AS c
+        FROM cent GROUP BY source),
+      scored AS (
+        SELECT j.source, j.vec_id,
+          round(list_dot_product(j.emb, c.c)
+            / (sqrt(list_dot_product(j.emb, j.emb))
+              * sqrt(list_dot_product(c.c, c.c))), 6) AS cos
+        FROM j JOIN cvec c USING (source)),
+      r AS (
+        SELECT source, vec_id, cos,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY cos ASC, CAST(vec_id AS VARCHAR) ASC)
+            AS INTEGER) AS rank
+        FROM scored)
+      SELECT source, rank, vec_id, cos FROM r WHERE rank <= 5"""))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
-    lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ)
+    lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
+    pmiQ, sourceOutliersQ)
 }

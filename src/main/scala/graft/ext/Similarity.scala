@@ -515,6 +515,62 @@ object Similarity {
             .cast(org.apache.spark.sql.types.DecimalType(38, 9)))
           .cast("double") / count(lit(1)), 6).as("centroid_v"))
 
+  /** SEMANTIC OUTLIERS per source — the off-topic detector of a corpus
+    * curation pass (the complement of SemDeDup: that removes docs too
+    * CLOSE to each other, this surfaces docs too FAR from their
+    * source's center): each source's embedding centroid (exact
+    * decimal-mean components, 6 dp — the [[labelCentroids]]
+    * determinism), then every doc's cosine to ITS OWN source centroid,
+    * and the k lowest-cosine docs per source via the grouped bounded
+    * heap. What a data curator reads to find mislabeled scrapes,
+    * boilerplate, or injected spam inside an otherwise-coherent
+    * source.
+    *
+    * Scale: centroids are a (source, dim)-keyed hash agg (bounded by
+    * sources × dims) assembled into per-source vectors (one row per
+    * source) that BROADCAST back onto the corpus; the cosine is a
+    * per-row projection (the left-assoc HOF fold — the doc side is
+    * float, the centroid side double, so the codegen float-dot does
+    * not apply and the interpreted fold is the reference semantics
+    * both engines share); ranking is the grouped bounded heap — ≤k
+    * rows per (source, partition) cross the shuffle, never the
+    * corpus. Ties: equal 6-dp cosine breaks on vec_id AS STRING asc
+    * (the heap's key order), mirrored in the oracle window. */
+  def sourceOutliers(emb: DataFrame, docs: DataFrame, k: Int = 5)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val j = graft.ops.CacheScope.persist(
+      emb.select(col("vec_id"), col("embedding"))
+        .join(docs.select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+        .select(col("source"), col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e")))
+    val cent = j
+      .select(col("source"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy(col("source"), col("dim"))
+      .agg(round(sum(col("v").cast(DecimalType(38, 9))).cast("double")
+        / count(lit(1)), 6).as("cv"))
+    val cvec = cent.groupBy(col("source"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("c"))
+    def dotH(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x)
+    val scored = j.join(broadcast(cvec), Seq("source"))
+      .select(col("source"), col("vec_id"),
+        round(dotH(col("e"), col("c"))
+          / (sqrt(dotH(col("e"), col("e")))
+            * sqrt(dotH(col("c"), col("c")))), 6).as("cos"))
+    scored.groupBy(col("source"))
+      .agg(graft.functions.TopKStrAgg.top_k_str(
+        -col("cos"), col("vec_id").cast("string"), k).as("tk"))
+      .select(col("source"), explode(col("tk")).as("t"))
+      .select(col("source"), col("t.rank").as("rank"),
+        col("t.key").cast("long").as("vec_id"),
+        (-col("t.score")).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within sign buckets: the
     * embedding-space analogue of MinHash near-dedup.
     *

@@ -371,6 +371,60 @@ object TextStats {
         col("n_bigrams"))
   }
 
+  /** PMI COLLOCATIONS — the classic multiword-expression miner (Church
+    * & Hanks 1990): corpus bigrams scored by pointwise mutual
+    * information against their unigram frequencies,
+    * pmi = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = c(ab)/N_bigrams and
+    * p(w) = c(w)/N_tokens, support-filtered (low-count pairs produce
+    * unstable PMI — the standard guard), top-k by (pmi desc, bigram
+    * asc). What tokenizer prep uses to protect "new york"-class units,
+    * and corpus QA uses to spot boilerplate phrases.
+    *
+    * Scale: token and bigram hash aggs (map-side partials), two
+    * unigram equi-joins onto the SUPPORT-FILTERED bigram frame (never
+    * the raw corpus), 1-row total broadcasts, and the bounded-heap
+    * [[graft.functions.TopKStrAgg]] for ranking — no window over the
+    * vocabulary. Determinism: PMI's operands promote to double BEFORE
+    * any multiply (the mutualInformation overflow rule — c(ab)·N² can
+    * pass 2^63 at corpus scale) with the identical left-associated
+    * tree in the oracle; 6-dp round; heap ties break on bigram asc
+    * like the replay window. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      k: Int = 25, minSupport: Long = 5): DataFrame = {
+    val toks = graft.ops.CacheScope.persist(
+      docs.select(explode(tokens(lower(col(textCol)))).as("w")))
+    val uni = graft.ops.CacheScope.persist(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cu")))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val bi = graft.ops.CacheScope.persist(
+      docs.select(explode(rawBigrams(col(textCol))).as("bg")))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    val scored = graft.ops.CacheScope.persist(bi
+      .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minSupport)
+      .join(uni.select(col("w").as("w1x"), col("cu").as("ca")),
+        split(col("bg"), " ").getItem(0) === col("w1x"))
+      .join(uni.select(col("w").as("w2x"), col("cu").as("cb")),
+        split(col("bg"), " ").getItem(1) === col("w2x"))
+      .crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(nTok))
+      .select(col("bg"), col("cab"),
+        round(log(
+          col("cab").cast("double") * col("n_tok").cast("double")
+            * col("n_tok").cast("double")
+            / (col("n_bi").cast("double") * col("ca").cast("double")
+              * col("cb").cast("double"))), 6).as("pmi")))
+    scored
+      .agg(graft.functions.TopKStrAgg.top_k_str(
+        col("pmi"), col("bg"), k).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.rank").as("rank"), col("t.key").as("bigram"),
+        col("t.score").as("pmi"))
+      .join(scored.select(col("bg").as("bigram"),
+        col("cab").as("support")), Seq("bigram"))
+      .select(col("rank"), col("bigram"), col("support"), col("pmi"))
+  }
+
   // ---- Gopher quality gates (Rae et al. 2021, Appendix A) ------------------
 
   /** Gopher's required-stopword list ("contains at least two of ...");

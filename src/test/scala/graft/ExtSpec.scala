@@ -456,6 +456,31 @@ class ExtSpec extends SparkSpec {
       300 / 32768.0).map(v => math.rint(v * 1e6) / 1e6))
   }
 
+  test("sourceOutliers: the off-center vector ranks first, sources " +
+      "stay isolated, cosines recompute") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(1f, 0.05f, 0f)), (4L, Seq(-1f, 0f, 0f)),
+      (10L, Seq(0f, 1f, 0f)), (11L, Seq(0f, 0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val d2 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "b")).toDF("doc_id", "source")
+    val out = Similarity.sourceOutliers(emb, d2, k = 2)
+      .select("source", "rank", "vec_id", "cos")
+      .as[(String, Int, Long, Double)].collect()
+    graft.ops.CacheScope.releaseAll()
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    val b = out.filter(_._1 == "b").sortBy(_._2)
+    assert(a.length == 2 && b.length == 2)
+    // source a's centroid points +x-ish; vec 4 (-x) is the clear outlier
+    assert(a.head._3 == 4L && a.head._4 < 0,
+      s"the anti-aligned vector must rank first, got ${a.toSeq}")
+    assert(b.forall(r => r._3 == 10L || r._3 == 11L),
+      "source b ranks only its own vectors")
+    // ranks within a source are 1..k and cosines are non-decreasing
+    assert(a.map(_._2).toSeq == Seq(1, 2) && a(0)._4 <= a(1)._4)
+  }
+
   test("multimodal meta is BYTE-semantic, not character-semantic") {
     // é and ö are 2 UTF-8 bytes: 11 chars → 13 bytes; head = h,é,l bytes
     val df = Seq("héllo wörld").toDF("t")
