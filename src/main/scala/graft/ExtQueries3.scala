@@ -772,11 +772,116 @@ object ExtQueries3 {
         FROM scored)
       SELECT source, rank, vec_id, cos FROM r WHERE rank <= 5"""))
 
+  /** Streaming WAV decode
+    * ([[graft.streaming.StreamPipeline.wavDecodeAvailableNow]]):
+    * payloads encode and DECODE per micro-batch, stateless — the
+    * media-ingest feature-extraction shape. Oracle = the generator
+    * formula (no watermark cutoff: a stateless stream drains exactly
+    * its input), so the hash gate proves the in-stream binary
+    * roundtrip. */
+  val wavStreamQ = Q(
+    "q_stream_wav_decode",
+    (s, d) => graft.streaming.StreamPipeline.wavDecodeAvailableNow(s, d),
+    Some("""SELECT doc_id,
+        CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+        CAST(list_sum(list_transform(range(0, 64 + doc_id % 32),
+          i -> abs((doc_id*31 + i*17) % 65536 - 32768))) AS BIGINT)
+          AS sum_abs
+      FROM documents"""))
+
+  /** Data-quality CONSTRAINT SUITE over the order book
+    * ([[graft.ops.DqConstraints]] carries the one-scan-per-rulebook /
+    * anti-join-per-FK scale design): range, domain, cross-column, and
+    * referential rules in one violations report. The ship-before-order
+    * rule genuinely fires on this data (the synthetic dates draw
+    * independently — the same fact `q_return_rate_by_lag` excludes);
+    * the FK and domain rules prove zeros. */
+  val dqConstraintsQ = Q(
+    "q_dq_constraints",
+    (s, d) => {
+      import graft.ops.DqConstraints
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val liRules = DqConstraints.checkRules(li, Seq(
+        "li_quantity_out_of_range" ->
+          (col("l_quantity") < 1 || col("l_quantity") > 50),
+        "li_nonpositive_price" -> (col("l_extendedprice") <= 0),
+        "li_discount_out_of_range" ->
+          (col("l_discount") < 0 || col("l_discount") > 0.5),
+        "li_bad_returnflag" ->
+          !col("l_returnflag").isin("R", "A", "N")))
+      val shipRule = DqConstraints.checkRules(
+        li.join(ord, col("l_orderkey") === col("o_orderkey")),
+        Seq("li_ship_before_order" ->
+          (col("l_shipdate").cast("date") <
+            col("o_orderdate").cast("date"))))
+      val ordRules = DqConstraints.checkRules(ord, Seq(
+        "o_nonpositive_total" -> (col("o_totalprice") <= 0),
+        "o_bad_status" -> !col("o_orderstatus").isin("F", "O", "P")))
+      val fk1 = DqConstraints.fkOrphans(li, "l_orderkey",
+        ord, "o_orderkey", "li_orphan_orderkey")
+      val fk2 = DqConstraints.fkOrphans(li, "l_partkey",
+        Tables.part(s, d), "p_partkey", "li_orphan_partkey")
+      liRules.unionByName(shipRule).unionByName(ordRules)
+        .unionByName(fk1).unionByName(fk2)
+    },
+    Some("""WITH li AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+          CAST(sum(CASE WHEN l_extendedprice <= 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+          CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+          CAST(sum(CASE WHEN l_returnflag NOT IN ('R','A','N')
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_rf
+        FROM lineitem),
+      shp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN CAST(l_shipdate AS DATE)
+            < CAST(o_orderdate AS DATE) THEN 1 ELSE 0 END) AS BIGINT)
+            AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ord AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS v_tot,
+          CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_st
+        FROM orders),
+      lin AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+      fk1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      fk2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+      SELECT 'li_quantity_out_of_range' AS rule, n AS n_checked,
+        v_qty AS n_violations,
+        round(v_qty / CAST(n AS DOUBLE), 9) AS violation_rate FROM li
+      UNION ALL SELECT 'li_nonpositive_price', n, v_price,
+        round(v_price / CAST(n AS DOUBLE), 9) FROM li
+      UNION ALL SELECT 'li_discount_out_of_range', n, v_disc,
+        round(v_disc / CAST(n AS DOUBLE), 9) FROM li
+      UNION ALL SELECT 'li_bad_returnflag', n, v_rf,
+        round(v_rf / CAST(n AS DOUBLE), 9) FROM li
+      UNION ALL SELECT 'li_ship_before_order', n, v,
+        round(v / CAST(n AS DOUBLE), 9) FROM shp
+      UNION ALL SELECT 'o_nonpositive_total', n, v_tot,
+        round(v_tot / CAST(n AS DOUBLE), 9) FROM ord
+      UNION ALL SELECT 'o_bad_status', n, v_st,
+        round(v_st / CAST(n AS DOUBLE), 9) FROM ord
+      UNION ALL SELECT 'li_orphan_orderkey', lin.n, fk1.v,
+        round(fk1.v / CAST(lin.n AS DOUBLE), 9) FROM lin, fk1
+      UNION ALL SELECT 'li_orphan_partkey', lin.n, fk2.v,
+        round(fk2.v / CAST(lin.n AS DOUBLE), 9) FROM lin, fk2"""))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
     lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
-    pmiQ, sourceOutliersQ)
+    pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ)
 }

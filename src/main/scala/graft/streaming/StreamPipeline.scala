@@ -984,6 +984,37 @@ object StreamPipeline {
       "stream_lshdedup_", "append")
   }
 
+  /** Multimodal DECODE as a structured stream — the streaming leg of
+    * the WAV-decode story ([[graft.ext.WavCodec]]): arriving payloads
+    * (synthesized per doc with the `ext_wav_roundtrip` generator,
+    * encoded to REAL RIFF bytes in-stream) decode per micro-batch into
+    * header fields + waveform stats. Completely stateless — decode is
+    * a per-row projection, so the stream needs no watermark and no
+    * state store: the media-ingest shape where feature extraction
+    * keeps up with arrival because nothing ever waits on anything.
+    * Oracle = the batch roundtrip replay (no cutoff — stateless
+    * streams drain exactly their input). */
+  def wavDecodeAvailableNow(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.ext.WavCodec
+    val docs = streamTable(spark, dir, "documents.parquet",
+      normalizeEvents = false)
+    val n = lit(64) + pmod(col("doc_id"), lit(32))
+    val rate = (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000)
+      .cast("int")
+    val gen = transform(sequence(lit(0), n - 1), i =>
+      (pmod(col("doc_id") * 31 + i * 17, lit(65536)) - 32768)
+        .cast("int"))
+    val enc = docs.select(col("doc_id"),
+      WavCodec.encodeWav(gen, rate).as("wav"))
+    val ss = WavCodec.samples(col("wav"))
+    val out = enc.select(col("doc_id"),
+      WavCodec.sampleRate(col("wav")).as("sample_rate"),
+      WavCodec.numSamples(col("wav")).as("n_samples"),
+      aggregate(ss, lit(0L), (acc, x) => acc + abs(x)).as("sum_abs"))
+    runAvailableNow(out, "stream_wav_", "append")
+  }
+
   /** Streaming SCD2 ([[Scd2Stream]]): watermark-final CLOSED dimension
     * versions drained AvailableNow, formatted like the batch twin
     * (`q_scd2_user_segments`) minus the open versions the stream by

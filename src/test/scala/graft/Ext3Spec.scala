@@ -652,6 +652,29 @@ class Ext3Spec extends SparkSpec {
         math.rint(1.0 * 5 / 9 * 1e6) / 1e6)))
   }
 
+  test("DqConstraints: rulebook counts violations in one scan, FK " +
+      "orphans (incl. NULL keys) anti-join out") {
+    val df = Seq((1, 10.0), (2, -5.0), (60, 3.0), (3, 0.0))
+      .toDF("qty", "price")
+    val rep = graft.ops.DqConstraints.checkRules(df, Seq(
+      "qty_range" -> (col("qty") < 1 || col("qty") > 50),
+      "bad_price" -> (col("price") <= 0)))
+      .select("rule", "n_checked", "n_violations", "violation_rate")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(rep == Set(
+      ("qty_range", 4L, 1L, 0.25),
+      ("bad_price", 4L, 2L, 0.5)))
+    val child = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
+      (99L, "c"), (null, "d")).toDF("k", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val fk = graft.ops.DqConstraints
+      .fkOrphans(child, "k", parent, "pk", "orphans")
+      .select("rule", "n_checked", "n_violations", "violation_rate")
+      .as[(String, Long, Long, Double)].head()
+    // 99 has no parent and the NULL key never equi-matches -> 2 orphans
+    assert(fk == ("orphans", 4L, 2L, 0.5))
+  }
+
   test("ecdf: cume_dist recomputes, NULLs excluded, monotone to 1.0") {
     val df = Seq[java.lang.Double](5.0, 5.0, 1.0, 3.0, null, 3.0, 3.0)
       .toDF("v")
