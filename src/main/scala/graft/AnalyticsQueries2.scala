@@ -976,8 +976,125 @@ object AnalyticsQueries2 {
       FROM orders GROUP BY 1"""
     })
 
+  /** LEAD-LAG CROSS-CORRELATION between the hourly view and purchase
+    * series — "do purchases follow views, and by how many hours?": for
+    * each lag k ∈ [−3, 3], the Pearson correlation of v(t) with
+    * p(t + k) over the hours where both series exist. The argmax lag
+    * is the conversion-latency readout a marketing dashboard plots;
+    * the k = 0 column doubles as plain same-hour correlation.
+    *
+    * Scale: the raw events collapse to TWO hour-grain count frames
+    * first (hash aggs — the only scans of the big table); the lag
+    * fan-out (×7) and the shifted equi-join then run on the BOUNDED
+    * hourly frames, and each lag's Pearson r folds from fused exact
+    * integer sums (n, Σx, Σy, Σxy, Σx², Σy²) in one hash agg — the
+    * q_corr_matrix discipline: both engines divide identical exact
+    * inputs, operands promote to double BEFORE multiplying, identical
+    * parenthesization, 6-dp round, degenerate variance → NULL. */
+  val qLeadLag = Q(
+    "q_leadlag_correlation",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def hourly(t: String, cnt: String) = ev
+        .filter(col("event_type") === t)
+        .groupBy(expr("unix_micros(date_trunc('HOUR', ts))" +
+          " div 3600000000").as("hr"))
+        .agg(count(lit(1)).as(cnt))
+      val v = hourly("view", "x")
+      val p = hourly("purchase", "y")
+        .select(col("hr").as("hr_p"), col("y"))
+      val joined = v
+        .withColumn("lag", explode(array((-3 to 3).map(lit(_)): _*)))
+        .join(p, col("hr_p") === col("hr") + col("lag"))
+      val g = joined.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val nd = col("n_hours").cast("double")
+      val vx = nd * col("sxx") - col("sx").cast("double") * col("sx")
+      val vy = nd * col("syy") - col("sy").cast("double") * col("sy")
+      g.select(col("lag"), col("n_hours"),
+        when(vx > 0d && vy > 0d,
+          round((nd * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+            / sqrt(vx * vy), 6)).as("r"))
+    },
+    Some("""WITH v AS (
+        SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      p AS (
+        SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr_p,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+      j AS (
+        SELECT lag, x, y FROM v CROSS JOIN lags
+        JOIN p ON hr_p = hr + lag),
+      g AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM j GROUP BY 1)
+      SELECT lag, n AS n_hours,
+        CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+          AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+          THEN round((CAST(n AS DOUBLE) * sxy
+            - CAST(sx AS DOUBLE) * sy)
+            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+            6) END AS r
+      FROM g"""))
+
+  /** DAY-OF-WEEK SEASONAL INDEX of order revenue — the multiplicative
+    * seasonality table a demand forecast deseasonalizes with (index
+    * 1.0 = an average day; the `q_forecast_backtest` family's missing
+    * seasonal leg): per weekday, mean daily revenue over the overall
+    * mean daily revenue. Two hash aggs (7-key and 1-row) + a broadcast
+    * — nothing row-grained survives the first agg. Exact decimal
+    * revenue sums and integer distinct-day counts divide in the same
+    * parenthesization on both engines; 6-dp round. */
+  val qSeasonalIndex = Q(
+    "q_seasonal_index_dow",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderdate").cast("date").as("dt"),
+          col("o_totalprice"))
+      val byDow = o.groupBy(dayofweek(col("dt")).as("dow"))
+        .agg(countDistinct(col("dt")).as("n_days"),
+          Det.dsum(col("o_totalprice")).as("revenue"))
+      val tot = o.agg(countDistinct(col("dt")).as("nt"),
+        Det.dsum(col("o_totalprice")).as("rt"))
+      byDow.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_days"), col("revenue"),
+          round((col("revenue") / col("n_days").cast("double"))
+            / (col("rt") / col("nt").cast("double")), 6)
+            .as("seasonal_index"))
+    },
+    Some(s"""WITH o AS (
+        SELECT CAST(o_orderdate AS DATE) AS dt, o_totalprice
+        FROM orders),
+      d AS (
+        SELECT CAST(dayofweek(dt) + 1 AS INTEGER) AS dow,
+          CAST(count(DISTINCT dt) AS BIGINT) AS n_days,
+          ${Det.dsumSql("o_totalprice")} AS revenue
+        FROM o GROUP BY 1),
+      t AS (
+        SELECT CAST(count(DISTINCT dt) AS BIGINT) AS nt,
+          ${Det.dsumSql("o_totalprice")} AS rt
+        FROM o)
+      SELECT dow, n_days, revenue,
+        round((revenue / CAST(n_days AS DOUBLE))
+          / (rt / CAST(nt AS DOUBLE)), 6) AS seasonal_index
+      FROM d, t"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
     qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
-    qScd2, qRollup, qScd2Stream, qBasketTriplesApriori, qPivot)
+    qScd2, qRollup, qScd2Stream, qBasketTriplesApriori, qPivot,
+    qLeadLag, qSeasonalIndex)
 }

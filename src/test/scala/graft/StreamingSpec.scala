@@ -378,6 +378,12 @@ class StreamingSpec extends SparkSpec {
         (1L, "view", us(0), us(120)),
         (1L, "cart", us(120), us(3600))),
         s"got $out")
+      // the state store holds O(users) rows (open version + pending
+      // buffer per user), never O(events) — the bounded-state claim
+      // read off the engine's own metrics
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st(0).numRowsTotal <= 2,
+        s"state must stay user-bounded, got ${st(0).numRowsTotal}")
     } finally q.stop()
   }
 
