@@ -877,11 +877,88 @@ object ExtQueries3 {
       UNION ALL SELECT 'li_orphan_partkey', lin.n, fk2.v,
         round(fk2.v / CAST(lin.n AS DOUBLE), 9) FROM lin, fk2"""))
 
+  /** SKETCH-ACCURACY EVAL — "measure, don't guess" applied to the
+    * engine's own approximations: per order priority, the mergeable
+    * histogram-sketch quantile estimates
+    * ([[graft.ext.Sketches.histogramQuantiles]], width 10 000) against
+    * the EXACT distributed disc-percentiles
+    * ([[graft.ext.Stats.distDiscPercentilesBy]]) at q ∈
+    * {.25, .5, .75, .9}, with the relative error per cell. The
+    * operator a platform team runs before trusting a sketch width for
+    * a dashboard; both sides are deterministic, so the error itself is
+    * hash-gated (the IVF/PQ oracle-checked-approximation contract).
+    * Scale: the sketch is one (group, bucket) hash agg; the exact side
+    * is the grouped two-phase prefix sum; everything downstream is
+    * bounded (groups × quantiles). */
+  val sketchErrQ = Q(
+    "ext_sketch_quantile_error",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val est = graft.ext.Sketches.histogramQuantiles(
+        o, col("o_totalprice"), "o_orderpriority",
+        width = 10000, qs = Seq(0.25, 0.5, 0.75, 0.9))
+      val exact = graft.ext.Stats.distDiscPercentilesBy(
+        o, "o_totalprice", "o_orderpriority",
+        Seq((1, 4), (1, 2), (3, 4), (9, 10)),
+        Seq("p25", "p50", "p75", "p90"))
+      val exl = exact.select(col("o_orderpriority"),
+        stack(lit(4),
+          lit(0.25), col("p25"), lit(0.5), col("p50"),
+          lit(0.75), col("p75"), lit(0.9), col("p90"))
+          .as(Seq("q", "exact_v")))
+      est.join(exl, Seq("o_orderpriority", "q"))
+        .select(col("o_orderpriority"), col("q"), col("n"),
+          col("est").as("sketch_v"), col("exact_v"),
+          round(abs(col("est") - col("exact_v")) / col("exact_v"), 6)
+            .as("rel_err"))
+    },
+    Some("""WITH t AS (
+        SELECT o_orderpriority AS g, o_totalprice AS v,
+          CAST(floor(o_totalprice) AS BIGINT) AS vl
+        FROM orders),
+      h AS (
+        SELECT g, vl - (vl % 10000) AS bucket, count(*) AS cnt
+        FROM t GROUP BY 1, 2),
+      c AS (
+        SELECT g, bucket, cnt,
+          CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bucket)
+            AS BIGINT) AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM h),
+      x AS (
+        SELECT g, q, n, bucket, cnt, cum,
+          CAST(q AS DOUBLE) * n AS target,
+          row_number() OVER (PARTITION BY g, q ORDER BY bucket) AS rn
+        FROM c CROSS JOIN (
+          SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+            CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q) qq
+        WHERE cum >= CAST(q AS DOUBLE) * n),
+      est AS (
+        SELECT g, q, n,
+          round(bucket + 10000 * (target - (cum - cnt)) / cnt, 6)
+            AS sketch_v
+        FROM x WHERE rn = 1),
+      ex AS (
+        SELECT g,
+          CAST(quantile_disc(v, 0.25) AS DOUBLE) AS p25,
+          CAST(quantile_disc(v, 0.5) AS DOUBLE) AS p50,
+          CAST(quantile_disc(v, 0.75) AS DOUBLE) AS p75,
+          CAST(quantile_disc(v, 0.9) AS DOUBLE) AS p90
+        FROM t GROUP BY 1),
+      exl AS (
+        SELECT g, CAST(0.25 AS DOUBLE) AS q, p25 AS exact_v FROM ex
+        UNION ALL SELECT g, CAST(0.5 AS DOUBLE), p50 FROM ex
+        UNION ALL SELECT g, CAST(0.75 AS DOUBLE), p75 FROM ex
+        UNION ALL SELECT g, CAST(0.9 AS DOUBLE), p90 FROM ex)
+      SELECT e.g AS o_orderpriority, e.q, e.n, e.sketch_v, x2.exact_v,
+        round(abs(e.sketch_v - x2.exact_v) / x2.exact_v, 6) AS rel_err
+      FROM est e JOIN exl x2 ON e.g = x2.g AND e.q = x2.q"""))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
     lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
-    pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ)
+    pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ)
 }
