@@ -1092,9 +1092,58 @@ object AnalyticsQueries2 {
           / (rt / CAST(nt AS DOUBLE)), 6) AS seasonal_index
       FROM d, t"""))
 
+  /** BACKLOG AGING at a snapshot date — the fulfillment-ops matrix
+    * (`q_open_orders_daily` gives the concurrency CURVE; this gives
+    * one day's open book broken down by HOW LONG each order has been
+    * waiting × priority — the "what should ship first" report): orders
+    * placed by the snapshot whose first shipment (if any) is still in
+    * the future, bucketed by age. One orderkey-grain min-agg + one
+    * left join + a bounded (bucket × priority) hash agg; exact decimal
+    * value sums. Never-shipped orders (no lineitems or all shipments
+    * after D) count as open — the left join's NULL first-ship. */
+  val qBacklogAging = Q(
+    "q_backlog_aging",
+    (s, d) => {
+      val D = lit("1998-06-30").cast("date")
+      val firstShip = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate").cast("date")).as("fs"))
+      Tables.orders(s, d)
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
+        .filter(col("o_orderdate").cast("date") <= D &&
+          (col("fs").isNull || col("fs") > D))
+        .withColumn("age", datediff(D, col("o_orderdate").cast("date")))
+        .withColumn("age_bucket",
+          when(col("age") <= 7, "a_00_07")
+            .when(col("age") <= 30, "b_08_30")
+            .when(col("age") <= 90, "c_31_90")
+            .otherwise("d_90_plus"))
+        .groupBy(col("age_bucket"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("open_value"))
+    },
+    Some(s"""WITH fs AS (
+        SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS fs
+        FROM lineitem GROUP BY 1),
+      open_book AS (
+        SELECT o.*,
+          date_diff('day', CAST(o_orderdate AS DATE),
+            DATE '1998-06-30') AS age
+        FROM orders o LEFT JOIN fs ON o_orderkey = l_orderkey
+        WHERE CAST(o_orderdate AS DATE) <= DATE '1998-06-30'
+          AND (fs IS NULL OR fs > DATE '1998-06-30'))
+      SELECT CASE WHEN age <= 7 THEN 'a_00_07'
+          WHEN age <= 30 THEN 'b_08_30'
+          WHEN age <= 90 THEN 'c_31_90'
+          ELSE 'd_90_plus' END AS age_bucket,
+        o_orderpriority,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        ${Det.dsumSql("o_totalprice")} AS open_value
+      FROM open_book GROUP BY 1, 2"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
     qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
     qScd2, qRollup, qScd2Stream, qBasketTriplesApriori, qPivot,
-    qLeadLag, qSeasonalIndex)
+    qLeadLag, qSeasonalIndex, qBacklogAging)
 }

@@ -954,11 +954,59 @@ object ExtQueries3 {
         round(abs(e.sketch_v - x2.exact_v) / x2.exact_v, 6) AS rel_err
       FROM est e JOIN exl x2 ON e.g = x2.g AND e.q = x2.q"""))
 
+  /** Streaming DQ audit
+    * ([[graft.streaming.StreamPipeline.dqConstraintsAvailableNow]]
+    * carries the stream-static/row-local design): the rulebook as a
+    * landing-zone monitor, all rules lineitem-grain. Oracle = one
+    * CASE-sum scan over lineitem LEFT-joined to the dimension keys (no
+    * cutoff — counter state is volume-independent and drains
+    * complete). */
+  val dqStreamQ = Q(
+    "q_stream_dq_constraints",
+    (s, d) => graft.streaming.StreamPipeline
+      .dqConstraintsAvailableNow(s, d),
+    Some("""WITH j AS (
+        SELECT l.*, o.o_orderkey AS ok, o.o_orderdate AS odate,
+          p.p_partkey AS pk
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN part p ON l.l_partkey = p.p_partkey),
+      w AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+          CAST(sum(CASE WHEN l_extendedprice <= 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+          CAST(sum(CASE WHEN l_returnflag NOT IN ('R','A','N')
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_rf,
+          CAST(sum(CASE WHEN odate IS NOT NULL
+            AND CAST(l_shipdate AS DATE) < CAST(odate AS DATE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+          CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS v_fk_o,
+          CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS v_fk_p
+        FROM j)
+      SELECT 'li_quantity_out_of_range' AS rule, n AS n_checked,
+        v_qty AS n_violations,
+        round(v_qty / CAST(n AS DOUBLE), 9) AS violation_rate FROM w
+      UNION ALL SELECT 'li_nonpositive_price', n, v_price,
+        round(v_price / CAST(n AS DOUBLE), 9) FROM w
+      UNION ALL SELECT 'li_bad_returnflag', n, v_rf,
+        round(v_rf / CAST(n AS DOUBLE), 9) FROM w
+      UNION ALL SELECT 'li_ship_before_order', n, v_ship,
+        round(v_ship / CAST(n AS DOUBLE), 9) FROM w
+      UNION ALL SELECT 'li_orphan_orderkey', n, v_fk_o,
+        round(v_fk_o / CAST(n AS DOUBLE), 9) FROM w
+      UNION ALL SELECT 'li_orphan_partkey', n, v_fk_p,
+        round(v_fk_p / CAST(n AS DOUBLE), 9) FROM w"""))
+
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
     lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
-    pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ)
+    pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
+    dqStreamQ)
 }

@@ -1015,6 +1015,43 @@ object StreamPipeline {
     runAvailableNow(out, "stream_wav_", "append")
   }
 
+  /** Streaming DATA-QUALITY AUDIT — [[graft.ops.DqConstraints]]'s
+    * rulebook as a landing-zone monitor: arriving lineitem rows
+    * LEFT-join the static dimension keys (stream-static, re-planned
+    * per micro-batch) so referential rules become row-local null
+    * checks, and ONE global streaming aggregate accumulates every
+    * rule's violation sums — state is a single wide row of counters
+    * whatever the arrival volume, drained in complete mode. All rules
+    * here are LINEITEM-GRAIN (n_checked = rows audited so far), which
+    * is the monitor's natural shape; the batch `q_dq_constraints`
+    * keeps the per-table grains. Stateless-per-row + one bounded agg:
+    * the audit that updates as files land. */
+  def dqConstraintsAvailableNow(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val li = streamTable(spark, dir, "lineitem.parquet",
+      normalizeEvents = false)
+    val ord = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("__ok"),
+        col("o_orderdate").as("__odate"))
+    val prt = graft.Tables.part(spark, dir)
+      .select(col("p_partkey").as("__pk"))
+    val joined = li
+      .join(ord, col("l_orderkey") === col("__ok"), "left")
+      .join(prt, col("l_partkey") === col("__pk"), "left")
+    val report = graft.ops.DqConstraints.checkRules(joined, Seq(
+      "li_quantity_out_of_range" ->
+        (col("l_quantity") < 1 || col("l_quantity") > 50),
+      "li_nonpositive_price" -> (col("l_extendedprice") <= 0),
+      "li_bad_returnflag" ->
+        !col("l_returnflag").isin("R", "A", "N"),
+      "li_ship_before_order" ->
+        (col("__odate").isNotNull &&
+          col("l_shipdate").cast("date") < col("__odate").cast("date")),
+      "li_orphan_orderkey" -> col("__ok").isNull,
+      "li_orphan_partkey" -> col("__pk").isNull))
+    runAvailableNow(report, "stream_dq_", "complete")
+  }
+
   /** Streaming SCD2 ([[Scd2Stream]]): watermark-final CLOSED dimension
     * versions drained AvailableNow, formatted like the batch twin
     * (`q_scd2_user_segments`) minus the open versions the stream by
