@@ -1141,9 +1141,74 @@ object AnalyticsQueries2 {
         ${Det.dsumSql("o_totalprice")} AS open_value
       FROM open_book GROUP BY 1, 2"""))
 
+  /** NEW-vs-REPEAT revenue split per month — the acquisition-vs-
+    * retention readout every e-commerce P&L opens with: each order is
+    * "new" iff it lands in its customer's FIRST order month, and the
+    * month grain reports both segments' order counts and exact-decimal
+    * revenue plus the repeat share. Shape: one custkey-grain min-agg
+    * (the first-order month), one custkey equi-join back, one bounded
+    * (month)-grain agg — no windows, every shuffle keyed high-
+    * cardinality until the final bounded grain. */
+  val qNewVsRepeat = Q(
+    "q_new_vs_repeat_revenue",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+      val firstMon = o.groupBy(col("o_custkey"))
+        .agg(min(col("mon")).as("first_mon"))
+      o.join(firstMon, Seq("o_custkey"))
+        .withColumn("is_new", (col("mon") === col("first_mon"))
+          .cast("int"))
+        .groupBy(col("mon"))
+        .agg(
+          sum(col("is_new")).as("new_orders"),
+          sum(lit(1) - col("is_new")).as("repeat_orders"),
+          Det.dsum(when(col("is_new") === 1, col("o_totalprice"))
+            .otherwise(lit(null))).as("new_revenue"),
+          Det.dsum(when(col("is_new") === 0, col("o_totalprice"))
+            .otherwise(lit(null))).as("repeat_revenue"))
+        .select(col("mon"), col("new_orders"), col("repeat_orders"),
+          coalesce(col("new_revenue"), lit(0.0)).as("new_revenue"),
+          coalesce(col("repeat_revenue"), lit(0.0))
+            .as("repeat_revenue"),
+          round(col("repeat_orders")
+            / (col("new_orders") + col("repeat_orders")).cast("double"),
+            6).as("repeat_share"))
+    },
+    Some(s"""WITH o AS (
+        SELECT o_custkey, o_totalprice,
+          strftime(o_orderdate, '%Y-%m') AS mon
+        FROM orders),
+      fm AS (
+        SELECT o_custkey, min(mon) AS first_mon FROM o GROUP BY 1),
+      t AS (
+        SELECT o.mon,
+          CASE WHEN o.mon = fm.first_mon THEN 1 ELSE 0 END AS is_new,
+          o.o_totalprice
+        FROM o JOIN fm USING (o_custkey)),
+      g AS (
+        SELECT mon,
+          CAST(sum(is_new) AS BIGINT) AS new_orders,
+          CAST(sum(1 - is_new) AS BIGINT) AS repeat_orders,
+          CAST(sum(CASE WHEN is_new = 1
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+            AS new_revenue,
+          CAST(sum(CASE WHEN is_new = 0
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+            AS repeat_revenue
+        FROM t GROUP BY 1)
+      SELECT mon, new_orders, repeat_orders,
+        COALESCE(new_revenue, 0.0) AS new_revenue,
+        COALESCE(repeat_revenue, 0.0) AS repeat_revenue,
+        round(repeat_orders
+          / CAST(new_orders + repeat_orders AS DOUBLE), 6)
+          AS repeat_share
+      FROM g"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
     qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
     qScd2, qRollup, qScd2Stream, qBasketTriplesApriori, qPivot,
-    qLeadLag, qSeasonalIndex, qBacklogAging)
+    qLeadLag, qSeasonalIndex, qBacklogAging, qNewVsRepeat)
 }
