@@ -387,6 +387,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DQ rulebook: counters accumulate across micro-batches " +
+      "and the report re-derives in complete mode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Double)]
+    val rep = graft.ops.DqConstraints.checkRules(
+      in.toDF.toDF("k", "v"),
+      Seq("neg_value" -> (col("v") < 0),
+        "big_value" -> (col("v") > 100)))
+    val q = rep.writeStream.format("memory").queryName("dq_counters_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, 1.0), (2L, -1.0))
+      q.processAllAvailable()
+      in.addData((3L, -2.0), (4L, 500.0))
+      q.processAllAvailable()
+      val out = spark.table("dq_counters_out")
+        .select("rule", "n_checked", "n_violations", "violation_rate")
+        .as[(String, Long, Long, Double)].collect().toSet
+      // counters carry batch-1 state into batch 2: 4 rows audited,
+      // 2 negative, 1 oversized
+      assert(out == Set(
+        ("neg_value", 4L, 2L, 0.5),
+        ("big_value", 4L, 1L, 0.25)), s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dedup: cross-batch arrivals probe the static " +
       "archive index and match the batch incremental replay") {
     import spark.implicits._
