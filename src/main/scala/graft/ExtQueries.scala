@@ -4308,7 +4308,9 @@ object ExtQueries {
     (s, d) => graft.ext.Curation.percentileBins(
       Tables.documents(s, d).select(col("doc_id"),
         graft.ext.TextStats.qualityScore(col("text")).as("quality")),
-      "quality", "doc_id", bins = 8),
+      // 6-dp quality in [0,1]: ≤ 1e6+1 distinct values at ANY corpus
+      // size → the bounded single-aggregate cut plan (value→count map)
+      "quality", "doc_id", bins = 8, boundedDistinct = true),
     Some(s"""WITH $binnedCtes
       SELECT doc_id, quality, bin FROM binned"""))
 
@@ -4325,7 +4327,7 @@ object ExtQueries {
       val binned = graft.ext.Curation.percentileBins(
         docs.select(col("doc_id"),
           graft.ext.TextStats.qualityScore(col("text")).as("quality")),
-        "quality", "doc_id", bins = 8)
+        "quality", "doc_id", bins = 8, boundedDistinct = true)
       graft.ext.Curation.preferencePairs(
         binned.join(docs.select(col("doc_id"), col("source")), "doc_id"),
         "doc_id", "source", "bin", "quality", hiMin = 6, loMax = 1,
@@ -4371,10 +4373,14 @@ object ExtQueries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
+      // quality is 6-dp in [0,1] — bounded distinct support, so the
+      // cut plan is the single percentile_disc aggregate (the r11
+      // adjudication of the r9 sweep: the distributed rank-selection
+      // subtree was a 1.5× floor move this input never needed)
       val binned = Curation.percentileBins(
         docs.select(col("doc_id"),
           TextStats.qualityScore(col("text")).as("quality")),
-        "quality", "doc_id", bins = 8)
+        "quality", "doc_id", bins = 8, boundedDistinct = true)
       val base = binned.join(docs.select(col("doc_id"), col("source")),
         "doc_id")
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -539,7 +539,10 @@ object ExtQueries2 {
   val curriculumOrder = Q(
     "ext_curriculum_order",
     (s, d) => graft.ext.Curation.curriculumOrder(
-      Tables.documents(s, d), "doc_id", "source", "n_chars", bins = 8),
+      Tables.documents(s, d), "doc_id", "source", "n_chars", bins = 8,
+      // integer doc length: distinct support bounded by the longest
+      // doc, not the corpus → the bounded single-aggregate cut plan
+      boundedDistinct = true),
     Some {
       val qs = (1 until 8).map(i => (i.toDouble / 8).toString)
       s"""WITH cuts AS (

@@ -852,11 +852,16 @@ object ExtQueries3 {
         FROM orders),
       lin AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
       fk1 AS (
-        SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        -- NOT EXISTS + explicit IS NULL, not NOT IN: the engine's
+        -- left_anti counts a NULL child key as an orphan, while NOT IN
+        -- yields UNKNOWN for it and silently drops the row
+        SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+        WHERE l.l_orderkey IS NULL OR NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
       fk2 AS (
-        SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem
-        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+        WHERE l.l_partkey IS NULL OR NOT EXISTS
+          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
       SELECT 'li_quantity_out_of_range' AS rule, n AS n_checked,
         v_qty AS n_violations,
         round(v_qty / CAST(n AS DOUBLE), 9) AS violation_rate FROM li

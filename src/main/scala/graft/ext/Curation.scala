@@ -145,18 +145,34 @@ object Curation {
     * back as a single array row; binning is a stateless codegen'd
     * projection. `exactCuts = false` swaps percentile_disc for
     * approx_percentile (mergeable Greenwald-Khanna sketches, map-side
-    * partials) — at 100 TB the exact variant's final reducer would
-    * buffer the full value set, the sketch never does; same schema,
-    * cuts within the sketch's rank-error bound. */
+    * partials) — same schema, cuts within the sketch's rank-error
+    * bound.
+    *
+    * Exact-cut plan choice (the `q_rfm_segments` adjudication rule —
+    * the distributed path is for UNBOUNDED distinct supports only):
+    * `boundedDistinct = true` certifies the score column's distinct
+    * support is bounded independent of corpus size (a 6-dp quality in
+    * [0,1] has ≤ 10⁶+1 distinct values; an integer doc length is
+    * bounded by the longest doc) — then the cuts run as ONE
+    * percentile_disc aggregate, whose buffer is a value→count map
+    * (Spark's PercentileBase aggregates an OpenHashMap keyed by
+    * DISTINCT value, not a row buffer), i.e. bounded at any row count.
+    * Unbounded supports (raw money/float scores) keep the default
+    * distributed rank-selection ([[graft.ext.Stats.distDiscPercentiles]]
+    * — two-phase prefix sums, no single-task value map). Both paths
+    * produce the SAME percentile_disc data values; the choice is
+    * purely physical. */
   def percentileBins(scored: DataFrame, valueCol: String, idCol: String,
-      bins: Int = 10, exactCuts: Boolean = true): DataFrame = {
+      bins: Int = 10, exactCuts: Boolean = true,
+      boundedDistinct: Boolean = false): DataFrame = {
     require(bins >= 2, "percentileBins: need at least 2 bins")
     val qs = (1 until bins).map(i => i.toDouble / bins)
-    // exact cuts ride the DISTRIBUTED disc-percentile (a global
-    // percentile_disc aggregate buffers every distinct score in one
-    // task — graft.ext.Stats.distDiscPercentiles); same data values
     val cuts =
-      if (exactCuts) {
+      if (exactCuts && boundedDistinct)
+        scored.agg(array(qs.map(q =>
+          expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $valueCol)")): _*)
+          .as("cuts"))
+      else if (exactCuts) {
         val names = (1 until bins).map(i => s"__c$i")
         graft.ext.Stats.distDiscPercentiles(
           scored.select(col(valueCol)), valueCol,
@@ -739,10 +755,11 @@ object Curation {
     * beyond 4e9 docs per source-bin. */
   def curriculumOrder(docs: DataFrame, idCol: String, sourceCol: String,
       difficultyCol: String, bins: Int = 8,
-      maxR: Long = 1L << 32, maxSlot: Long = 1L << 20): DataFrame = {
+      maxR: Long = 1L << 32, maxSlot: Long = 1L << 20,
+      boundedDistinct: Boolean = false): DataFrame = {
     val binned = percentileBins(
       docs.select(col(idCol), col(difficultyCol)), difficultyCol, idCol,
-      bins)
+      bins, exactCuts = true, boundedDistinct = boundedDistinct)
     val base = binned.join(docs.select(col(idCol), col(sourceCol)),
       Seq(idCol))
     val w = Window.partitionBy(col(sourceCol), col("bin"))

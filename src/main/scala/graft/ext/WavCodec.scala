@@ -93,7 +93,10 @@ object WavCodec {
   def samples(payload: Column): Column = {
     val n = numSamples(payload)
     val dh = hex(payload.substr(lit(45), (n * 2).cast("int")))
-    transform(sequence(lit(0L), n - 1), i => {
+    // explicit +1 step: without it a structurally valid 0-sample WAV
+    // makes sequence(0, -1) infer step -1 and decode garbage — with
+    // the step pinned it yields the empty array
+    transform(sequence(lit(0L), n - 1, lit(1L)), i => {
       val u = conv(concat(dh.substr(i * 4 + 3, lit(2)),
         dh.substr(i * 4 + 1, lit(2))), 16, 10).cast("int")
       u - when(u >= 32768, 65536).otherwise(0)
@@ -114,8 +117,12 @@ object WavCodec {
       val start = floor(n.cast("double") * b / 4).cast("int")
       val end = floor(n.cast("double") * (b + 1) / 4).cast("int")
       val block = slice(ss, start + 1, end - start)
-      round(aggregate(block, lit(0L), (acc, x) => acc + abs(x))
-        .cast("double") / ((end - start).cast("double") * 32768.0), 6)
+      // n < 4 leaves some blocks empty — their energy is 0.0 by
+      // definition, never a 0/0 NaN escaping the promised [0,1) range
+      when(end > start,
+        round(aggregate(block, lit(0L), (acc, x) => acc + abs(x))
+          .cast("double") / ((end - start).cast("double") * 32768.0), 6))
+        .otherwise(lit(0.0))
     }: _*)
   }
 }

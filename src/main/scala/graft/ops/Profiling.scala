@@ -163,7 +163,12 @@ object Profiling {
       .crossJoin(broadcast(tot))
       .select(col("rank"), col("key"), col("n"),
         round(col("n") / col("total").cast("double"), 9).as("share"),
-        round(col("n") * col("n_keys") / col("total").cast("double"), 6)
+        // n promotes to double BEFORE the ×n_keys: the long product
+        // wraps silently past 2^63 (where DuckDB would error) — at
+        // extreme scale the double product stays finite and both
+        // engines divide the same value
+        round(col("n").cast("double") * col("n_keys")
+          / col("total").cast("double"), 6)
           .as("hot_factor"))
   }
 
@@ -177,7 +182,8 @@ object Profiling {
         ORDER BY n DESC, key ASC) AS INTEGER) AS rank FROM c)
       SELECT rank, key, CAST(n AS BIGINT) AS n,
         round(n / CAST(total AS DOUBLE), 9) AS share,
-        round(n * n_keys / CAST(total AS DOUBLE), 6) AS hot_factor
+        round(CAST(n AS DOUBLE) * n_keys / CAST(total AS DOUBLE), 6)
+          AS hot_factor
       FROM r, t WHERE rank <= $topN"""
 
   /** Grouped higher-moment profile of an INTEGER measure: population

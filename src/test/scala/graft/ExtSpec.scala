@@ -730,6 +730,20 @@ class ExtSpec extends SparkSpec {
     assert(exact.keys.count(k => exact(k) != approx(k)) <= 5)
   }
 
+  test("percentileBins: bounded-distinct cut plan is value-identical to " +
+      "the distributed rank-selection plan (the r11 BT adjudication pin)") {
+    import graft.ext.Curation
+    // ties + an uneven support, both paths must yield the same
+    // percentile_disc cuts and therefore identical bins per row
+    val df = (1 to 500).map(i => (i.toLong, (i % 37).toDouble / 7))
+      .toDF("id", "v")
+    def bins(bounded: Boolean) = Curation.percentileBins(
+      df, "v", "id", bins = 8, exactCuts = true,
+      boundedDistinct = bounded)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(bins(bounded = true) == bins(bounded = false))
+  }
+
   test("compactionPlan: bounded overfill, per-partition reset, monotone") {
     import graft.ext.Curation
     val m = Seq(
