@@ -849,6 +849,55 @@ object AnalyticsQueries2 {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)"""))
 
+  /** Revenue CUBE over two NON-hierarchical dimensions (region ×
+    * order status) — the grouping-sets completion of [[qRollup]]: all
+    * four groupings (leaf, per-region, per-status, grand total) in ONE
+    * pass. Spark's `cube` is one Expand (×4 row multiplier, map-side
+    * partials absorb it) feeding ONE hash agg — never four scans;
+    * `grouping_id` disambiguates a genuinely-NULL key from a
+    * rolled-up one (lvl bit 2 = r_name grouped, bit 1 = status
+    * grouped). Dimension joins broadcast; the fact shuffle keys on
+    * custkey. The oracle is the UNION ALL of the four groupings —
+    * proving the Expand plan computes exactly the four-query
+    * semantics, not relying on the oracle engine's own CUBE. */
+  val qCube = Q(
+    "q_sales_cube",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("o_orderstatus"), col("o_totalprice"))
+      base.cube(col("r_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("int").as("lvl"))
+        .select(col("r_name"), col("o_orderstatus"), col("lvl"),
+          col("n_orders"), col("revenue"))
+    },
+    Some {
+      val base = """FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey"""
+      val agg = s"CAST(count(*) AS BIGINT) AS n_orders, " +
+        s"${Det.dsumSql("o_totalprice")} AS revenue"
+      s"""SELECT r_name, o_orderstatus, 0 AS lvl, $agg
+        $base GROUP BY r_name, o_orderstatus
+      UNION ALL
+      SELECT r_name, NULL AS o_orderstatus, 1 AS lvl, $agg
+        $base GROUP BY r_name
+      UNION ALL
+      SELECT NULL AS r_name, o_orderstatus, 2 AS lvl, $agg
+        $base GROUP BY o_orderstatus
+      UNION ALL
+      SELECT NULL AS r_name, NULL AS o_orderstatus, 3 AS lvl, $agg
+        $base"""
+    })
+
   /** Streaming SCD2 — the stateful twin of [[qScd2]]
     * ([[graft.streaming.Scd2Stream]] carries the finality rule and the
     * bounded-state design): closed versions emit exactly once when
@@ -1209,6 +1258,6 @@ object AnalyticsQueries2 {
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
     qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
-    qScd2, qRollup, qScd2Stream, qBasketTriplesApriori, qPivot,
+    qScd2, qRollup, qCube, qScd2Stream, qBasketTriplesApriori, qPivot,
     qLeadLag, qSeasonalIndex, qBacklogAging, qNewVsRepeat)
 }

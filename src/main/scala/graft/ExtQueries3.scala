@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ext.{Featurize, Graph, Retrieval}
 
@@ -882,6 +883,80 @@ object ExtQueries3 {
       UNION ALL SELECT 'li_orphan_partkey', lin.n, fk2.v,
         round(fk2.v / CAST(lin.n AS DOUBLE), 9) FROM lin, fk2"""))
 
+  /** The quarantine rulebook both halves share: the honest lineitem
+    * constraints (prove zeros on this data), the cross-table
+    * ship-before-order rule (fires on ~half the rows — the dates draw
+    * independently), and a review-band business rule (discount above
+    * the 8% approval ceiling). The cross-table rule is made row-local
+    * BEFORE the gate by joining o_orderdate in — the
+    * [[graft.ops.DqConstraints.quarantine]] contract. */
+  private def quarantineHalves(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.ops.DqConstraints
+    val joined = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+    val routed = DqConstraints.quarantine(joined, Seq(
+      "li_quantity_out_of_range" ->
+        (col("l_quantity") < 1 || col("l_quantity") > 50),
+      "li_nonpositive_price" -> (col("l_extendedprice") <= 0),
+      "li_ship_before_order" ->
+        (col("l_shipdate").cast("date") < col("o_orderdate").cast("date")),
+      "li_discount_above_approval" -> (col("l_discount") > 0.08)))
+    def proj(df: org.apache.spark.sql.DataFrame, extra: Seq[String]) =
+      df.select((Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_discount").map(col) ++
+        Seq(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date")) ++
+        extra.map(col)): _*)
+    (proj(routed._1, Nil), proj(routed._2, Seq("violated_rules")))
+  }
+
+  private def quarantineOracle(half: String): String = {
+    val rules = Seq(
+      "li_quantity_out_of_range" -> "l_quantity < 1 OR l_quantity > 50",
+      "li_nonpositive_price" -> "l_extendedprice <= 0",
+      "li_ship_before_order" ->
+        "CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)",
+      "li_discount_above_approval" -> "l_discount > 0.08")
+    val arms = rules.map { case (nm, p) =>
+      s"CASE WHEN $p THEN '$nm' END" }.mkString(", ")
+    val base = s"""routed AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+          strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+          strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          list_filter([$arms], x -> x IS NOT NULL) AS viol
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+    if (half == "clean")
+      s"""WITH $base
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        ship_date, order_date
+      FROM routed WHERE len(viol) = 0"""
+    else
+      s"""WITH $base
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        ship_date, order_date,
+        array_to_string(viol, ',') AS violated_rules
+      FROM routed WHERE len(viol) > 0"""
+  }
+
+  /** DQ QUARANTINE ROUTING, clean half
+    * ([[graft.ops.DqConstraints.quarantine]] carries the one-projection
+    * routing design and the partition-exactness contract): rows passing
+    * every row-local rule, ready to load. */
+  val dqQuarantineCleanQ = Q(
+    "q_dq_quarantine_clean",
+    (s, d) => quarantineHalves(s, d)._1,
+    Some(quarantineOracle("clean")))
+
+  /** DQ QUARANTINE ROUTING, quarantined half: every violating row with
+    * its self-describing `violated_rules` list — the reference's
+    * flagged_duplicates table generalized to an arbitrary rulebook. */
+  val dqQuarantineFlaggedQ = Q(
+    "q_dq_quarantine_flagged",
+    (s, d) => quarantineHalves(s, d)._2,
+    Some(quarantineOracle("flagged")))
+
   /** SKETCH-ACCURACY EVAL — "measure, don't guess" applied to the
     * engine's own approximations: per order priority, the mergeable
     * histogram-sketch quantile estimates
@@ -1013,5 +1088,5 @@ object ExtQueries3 {
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
     lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
-    dqStreamQ)
+    dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ)
 }

@@ -41,6 +41,44 @@ object DqConstraints {
           .as("violation_rate"))
   }
 
+  /** QUARANTINE ROUTING — the load gate [[checkRules]] only reports:
+    * split a frame into (clean, quarantined) on the rulebook's
+    * ROW-LOCAL predicates, the reference's `flagged_duplicates`
+    * precedent (ecommerce_s3_to_pg.py:274-289) generalized from "key
+    * occurs twice" to an arbitrary named rulebook. The quarantined
+    * side carries `violated_rules` — the comma-joined names of every
+    * rule the row trips, in rulebook order — so the quarantine table
+    * is self-describing (re-drive a fixed row through the gate, or
+    * aggregate the column for a violations report).
+    *
+    * Scale: ONE stateless projection (an array of conditional name
+    * literals, filtered non-null) and a size() filter per side — no
+    * shuffle, no window; rules needing columns from another table
+    * (ship-before-order) join them in BEFORE the gate, keeping every
+    * predicate row-local at routing time. `cacheBothSides` persists
+    * the routed frame for consumers that materialize both halves in
+    * one job (the conflictSplit contract).
+    *
+    * Partition exactness: every input row lands in EXACTLY one half —
+    * clean ∪ quarantined = input, clean ∩ quarantined = ∅ (spec-pinned
+    * in OpsSpec). */
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)],
+      cacheBothSides: Boolean = false): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "quarantine: empty rulebook")
+    val viol = filter(
+      array(rules.map { case (nm, bad) =>
+        when(bad, lit(nm)).otherwise(lit(null: String)) }: _*),
+      x => x.isNotNull)
+    val routed0 = df.withColumn("__viol", viol)
+    val routed =
+      if (cacheBothSides) CacheScope.persist(routed0) else routed0
+    val clean = routed.filter(size(col("__viol")) === 0).drop("__viol")
+    val quarantined = routed.filter(size(col("__viol")) > 0)
+      .withColumn("violated_rules", array_join(col("__viol"), ","))
+      .drop("__viol")
+    (clean, quarantined)
+  }
+
   /** Referential-integrity rule: child rows whose `childKey` has no
     * match in `parent.parentKey` (NULL child keys are violations too —
     * a dangling FK either way). One LEFT ANTI join + two 1-row

@@ -62,6 +62,44 @@ class OpsSpec extends SparkSpec {
     assert(clean2.count() == clean.count() && flagged2.count() == 0)
   }
 
+  test("DQ quarantine: exact partition, rulebook-order violated_rules") {
+    import graft.ops.DqConstraints
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq((1L, 10.0, 0.02), (2L, -5.0, 0.02), (3L, 60.0, 0.50),
+      (4L, 20.0, 0.09), (5L, 30.0, 0.00))
+      .toDF("id", "qty", "disc")
+    val rules = Seq(
+      "qty_nonpositive" -> (col("qty") <= 0),
+      "qty_too_big" -> (col("qty") > 50),
+      "disc_above_approval" -> (col("disc") > 0.08))
+    val (clean, quar) = DqConstraints.quarantine(df, rules)
+    // clean ∪ quarantined = input, disjoint by id
+    val cleanIds = clean.collect().map(_.getLong(0)).toSet
+    val quarIds = quar.select("id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds == Set(1L, 5L))
+    assert(quarIds == Set(2L, 3L, 4L))
+    assert((cleanIds & quarIds).isEmpty)
+    assert(clean.columns.toSeq == df.columns.toSeq) // schema untouched
+    // violated_rules joins every tripped rule in rulebook order
+    val v = quar.select("id", "violated_rules").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(2L) == "qty_nonpositive")
+    assert(v(3L) == "qty_too_big,disc_above_approval")
+    assert(v(4L) == "disc_above_approval")
+    // a row violating NO rule never gains the column; empty rulebook is
+    // a loud error, not an everything-clean silent pass
+    assertThrows[IllegalArgumentException](
+      DqConstraints.quarantine(df, Seq.empty))
+    // NULL predicate input routes CLEAN (a NULL rule result is "not
+    // violated" — the checkRules counting convention)
+    val withNull = Seq((9L, Option.empty[java.lang.Double], 0.01))
+      .toDF("id", "qty", "disc")
+      .select(col("id"), col("qty").cast("double").as("qty"), col("disc"))
+    val (c2, q2) = DqConstraints.quarantine(withNull,
+      Seq("qty_nonpositive" -> (col("qty") <= lit(0.0))))
+    assert(c2.count() == 1 && q2.count() == 0)
+  }
+
   test("O1 partition property: part1 ∪ pivot ∪ part2 == input") {
     val df = Seq((0L, "1", "x"), (1L, "2", "y"), (2L, "hdr", "cols"),
       (3L, "4", "z")).toDF("idx", "a", "b")
