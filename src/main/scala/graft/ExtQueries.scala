@@ -854,6 +854,49 @@ object ExtQueries {
       SELECT doc_id, archive_id, jaccard
       FROM scored WHERE jaccard >= 0.5"""))
 
+  /** GROWING-archive streaming near-dedup
+    * ([[graft.streaming.StreamPipeline.dedupLshGrowAvailableNow]]
+    * carries the probe-then-append foreachBatch design and the
+    * three-wave feed): unlike `q_stream_dedup_lsh`'s frozen index, a
+    * doc accepted in micro-batch k is a findable near-dup target for
+    * every batch > k. The oracle replays the whole fold in one pass:
+    * band archive + all waves together, emit i↔a exactly when
+    * wave(i) > wave(a) (archive = wave −1, incoming wave = id mod 3) —
+    * equivalent to running the batch incremental probe wave by wave
+    * against the grown-so-far index, because banding is stateless and
+    * the probe is an equi-join. */
+  val dedupLshGrow = Q(
+    "q_stream_dedup_lsh_grow",
+    (s, d) => graft.streaming.StreamPipeline
+      .dedupLshGrowAvailableNow(s, d),
+    Some(s"""WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 600000, text || ' zz extra'
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1200001, text || ' qq extra'
+        FROM documents WHERE doc_id % 10 = 5),
+      ${minhashBandChain("s_", "src")},
+      w AS (
+        SELECT doc_id, hs, band,
+          CASE WHEN doc_id % 2 = 0 AND doc_id < 600000 THEN -1
+               ELSE CAST(doc_id % 3 AS INTEGER) END AS wave
+        FROM s_banded),
+      cand AS (
+        SELECT DISTINCT i.doc_id AS doc_id, a.doc_id AS archive_id,
+          i.hs AS hs_i, a.hs AS hs_a
+        FROM w i JOIN w a USING (band)
+        WHERE i.wave > a.wave),
+      scored AS (
+        SELECT doc_id, archive_id,
+          round(CAST(len(list_intersect(hs_i, hs_a)) AS DOUBLE)
+            / (len(hs_i) + len(hs_a) - len(list_intersect(hs_i, hs_a))),
+            6) AS jaccard
+        FROM cand)
+      SELECT doc_id, archive_id, jaccard
+      FROM scored WHERE jaccard >= 0.5"""))
+
   val dedupMinhash = Q(
     "ext_dedup_minhash_lsh",
     (s, d) => TextDedup.minhashNearDups(
@@ -4858,7 +4901,8 @@ object ExtQueries {
     quantize, packOffsets, packBins, packFill, invertedIndex, indexLookup,
     indexDelta,
     chunkDocs, simInt8, keywords,
-    dedupExact, dedupIncremental, dedupIncrementalLsh, dedupMinhash,
+    dedupExact, dedupIncremental, dedupIncrementalLsh, dedupLshGrow,
+    dedupMinhash,
     dedupContainment,
     dedupEditDistance, pagerank, hitsQ, trianglesQ, labelPropQ, kcoreQ,
     dedupNgram, dedupSimhash,

@@ -45,22 +45,29 @@ object StateStoreBench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // providers switch through the BUILDER config hook
+    // (StreamPipeline.StateStoreConfKey, applied at every stream
+    // start) — the bench exercises the exact path a production caller
+    // flips, not a side door
+    def setProvider(p: String): Unit =
+      spark.conf.set(graft.streaming.StreamPipeline.StateStoreConfKey, p)
+
     val out = qs.map { q =>
       // warm-up + timed reps per provider; min across reps (the Bench
       // throttle-noise methodology)
-      graft.streaming.StreamPipeline.useDefaultStateStore(spark)
+      setProvider("default")
       runOnce(q)
       val (hdfsTimes, hdfsRows) = {
         val rs = (1 to reps).map(_ => runOnce(q))
         (rs.map(_._1), rs.head._2)
       }
-      graft.streaming.StreamPipeline.useRocksDbStateStore(spark)
+      setProvider("rocksdb")
       runOnce(q)
       val (rocksTimes, rocksRows) = {
         val rs = (1 to reps).map(_ => runOnce(q))
         (rs.map(_._1), rs.head._2)
       }
-      graft.streaming.StreamPipeline.useDefaultStateStore(spark)
+      setProvider("default")
       require(hdfsRows == rocksRows,
         s"${q.name}: provider changed row count $hdfsRows -> $rocksRows")
       System.err.println(f"[ssbench] ${q.name}: hdfs=${hdfsTimes.min}%.2f " +
@@ -71,7 +78,7 @@ object StateStoreBench {
     val json = s"""{"metric":"statestore","queries":{${out.map(_._2).mkString(",")}},"sf":"$sfDir"}"""
     println(json)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_statestore_r10.json"),
+      java.nio.file.Paths.get("BENCH_statestore_r11.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

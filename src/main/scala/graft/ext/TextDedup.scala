@@ -425,20 +425,28 @@ object TextDedup {
       idCol: String, indexBands: DataFrame, indexHashes: DataFrame,
       n: Int = 3, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = k / bands
-    val withHs = incoming.select(col(idCol).as("id"),
-      graft.functions.ShingleHashes.shingle_hashes(col(textCol), n)
-        .as("hs"))
-    val banded = withHs
-      .select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
-      .select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    banded
+    val (incBands, incHashes) = lshIndex(
+      incoming.select(col(idCol), col(textCol)), textCol, idCol,
+      n, k, bands)
+    lshProbePairs(incBands, incHashes, indexBands, indexHashes, threshold)
+  }
+
+  /** The probe-only half of [[incrementalLshPairs]], over PRE-COMPUTED
+    * incoming band/hash frames (both in [[lshIndex]] layout: (id, band)
+    * and (id, hs)) — split out so a caller that ALSO appends the batch
+    * to the archive index (the growing-archive streaming shape,
+    * [[graft.streaming.StreamPipeline.dedupLshGrowAvailableNow]])
+    * shingles each batch exactly once, feeding the same frames to the
+    * probe and to the index append instead of re-deriving them. */
+  def lshProbePairs(incBands: DataFrame, incHashes: DataFrame,
+      indexBands: DataFrame, indexHashes: DataFrame,
+      threshold: Double): DataFrame =
+    incBands
       .join(indexBands.select(col("band"), col("id").as("archive_id")),
         Seq("band"))
       .select(col("id"), col("archive_id"))
       .dropDuplicates("id", "archive_id")
-      .join(withHs.select(col("id"), col("hs").as("hs_i")), Seq("id"))
+      .join(incHashes.select(col("id"), col("hs").as("hs_i")), Seq("id"))
       .join(indexHashes.select(col("id").as("archive_id"),
         col("hs").as("hs_a")), Seq("archive_id"))
       .withColumn("inter", size(array_intersect(col("hs_i"), col("hs_a"))))
@@ -448,7 +456,6 @@ object TextDedup {
         round(col("inter") / col("uni").cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id").as("doc_id"), col("archive_id"), col("jaccard"))
-  }
 
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,

@@ -56,6 +56,7 @@ object StreamPipeline {
   def cleanClassStream(
       raw: DataFrame, cls: CsvSource.FileClass, outDir: String,
       checkpointDir: String): StreamingQuery = {
+    applyConfiguredStateStore(raw.sparkSession)
     val sid = runNamespace(checkpointDir)
     raw.writeStream
       .trigger(Trigger.AvailableNow())
@@ -247,6 +248,7 @@ object StreamPipeline {
     val legacyFor: Long => Seq[String] =
       if (legacySids.isEmpty) _ => Nil
       else id => legacySids.map(l => s"$cls#$l#$id")
+    applyConfiguredStateStore(raw.sparkSession)
     raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -284,6 +286,7 @@ object StreamPipeline {
   private def runAvailableNow(
       out: DataFrame, prefix: String, mode: String): DataFrame = {
     val spark = out.sparkSession
+    applyConfiguredStateStore(spark)
     val qn = prefix +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files
@@ -984,6 +987,140 @@ object StreamPipeline {
       "stream_lshdedup_", "append")
   }
 
+  /** GROWING-archive streaming near-dedup — [[dedupLshAvailableNow]]'s
+    * residual closed (its archive index is FROZEN at stream start, so a
+    * novel doc accepted in micro-batch 1 is invisible to batch 3): the
+    * LSH index lives as two PARQUET TABLES ((band, id) buckets and
+    * (id, hs) hash sets — at corpus scale, bucketed BY band / BY id),
+    * and every micro-batch in `foreachBatch`
+    *
+    *   1. shingles→minhashes→bands ONCE ([[graft.ext.TextDedup.lshIndex]]
+    *      on the batch, localCheckpoint so probe and append share it),
+    *   2. PROBES the index as of the batch start
+    *      ([[graft.ext.TextDedup.lshProbePairs]] — collision-bounded
+    *      band equi-join, Jaccard verify on collisions only),
+    *   3. APPENDS the batch's band/hash rows to the index tables —
+    *      an O(batch) file append, never an index rewrite,
+    *
+    * so a batch-k doc is a findable near-dup target for every batch
+    * > k. Probe-before-append makes within-batch pairs out of scope by
+    * construction (the batch variant's documented split:
+    * [[graft.ext.TextDedup.minhashNearDups]] owns intra-batch dup
+    * structure). No streaming state at all: the growth IS the state,
+    * durable in the index tables, and a pair can't emit twice because
+    * each doc probes in exactly one batch. Restart semantics: the
+    * checkpoint replays an unfinished batch, whose probe then sees its
+    * own partially-appended rows — production callers make the append
+    * idempotent (batch-id-named files, the exactly-once ledger pattern
+    * of [[loadClassStream]]); the registered adapter runs fresh dirs
+    * per call so replay never arises. */
+  def lshDedupGrowStart(incoming: DataFrame, threshold: Double,
+      pairsDir: String, ibDir: String, ihDir: String, ckptDir: String,
+      availableNow: Boolean): StreamingQuery = {
+    import graft.ext.TextDedup
+    val spark = incoming.sparkSession
+    applyConfiguredStateStore(spark)
+    val writer = incoming.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (bBands0, bHs0) = TextDedup.lshIndex(
+          batch.select(col("id"), col("text")), "text", "id")
+        // one shingle pass per batch: both consumers (probe, append)
+        // read the checkpointed result
+        val bBands = bBands0.localCheckpoint()
+        val bHs = bHs0.localCheckpoint()
+        // index AS OF batch start — the read snapshots the file listing
+        // before this batch's append below
+        val ib = spark.read.parquet(ibDir)
+        val ih = spark.read.parquet(ihDir)
+        TextDedup.lshProbePairs(bBands, bHs, ib, ih, threshold)
+          .write.mode("append").parquet(pairsDir)
+        bBands.write.mode("append").parquet(ibDir)
+        bHs.write.mode("append").parquet(ihDir)
+        bBands.unpersist(blocking = false)
+        bHs.unpersist(blocking = false)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** The registered growing-archive adapter: even docs seed the index;
+    * the incoming feed arrives in THREE deterministic waves
+    * (wave = id mod 3, one parquet file per wave, mtime-ordered,
+    * `maxFilesPerTrigger = 1` → one micro-batch per wave):
+    *
+    *   - the odd-id half (novel docs),
+    *   - near-dup twins of every 10th ARCHIVE doc (id + 600000,
+    *     " zz extra") — these match through the SEED index, the
+    *     static query's behavior preserved,
+    *   - near-dup twins of every doc_id % 10 == 5 doc (id + 1200001,
+    *     " qq extra") — twins of NOVEL wave-(id%3) docs arriving in
+    *     wave (id+1)%3, the pairs ONLY a growing index can catch
+    *     (when the twin's wave trails its source the twin matches the
+    *     source; when it leads, the source later matches the twin).
+    *
+    * Output (doc_id, archive_id, jaccard); the oracle replays the
+    * whole fold in SQL — band everything once, pair i↔a exactly when
+    * wave(i) > wave(a) with archive wave −1. */
+  def dedupLshGrowAvailableNow(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-lshgrow")
+    val (inDir, pairsDir, ibDir, ihDir, ckpt) =
+      (s"$base/in", s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
+    val (ab, ah) = graft.ext.TextDedup.lshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    ab.write.parquet(ibDir)
+    ah.write.parquet(ihDir)
+    val incoming = docs.select(explode(array(
+        when(col("doc_id") % 2 === 1,
+          struct(col("doc_id").as("id"), col("text").as("text"))),
+        when(col("doc_id") % 10 === 0,
+          struct((col("doc_id") + 600000L).as("id"),
+            concat(col("text"), lit(" zz extra")).as("text"))),
+        when(col("doc_id") % 10 === 5,
+          struct((col("doc_id") + 1200001L).as("id"),
+            concat(col("text"), lit(" qq extra")).as("text")))))
+        .as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("d.id").as("id"), col("d.text").as("text"))
+    // one file per wave with strictly increasing mtimes: the file
+    // source (latestFirst=false) drains oldest-first, so wave k IS
+    // micro-batch k
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val t0 = System.currentTimeMillis()
+    (0 until 3).foreach { k =>
+      val staging = s"$base/stage_$k"
+      incoming.filter(pmod(col("id"), lit(3)) === k)
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$inDir/wave_$k.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000))
+    }
+    val raw = spark.readStream
+      .schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(inDir)
+    lshDedupGrowStart(raw, threshold, pairsDir, ibDir, ihDir, ckpt,
+      availableNow = true).awaitTermination()
+    // self-contained local result (the runAvailableNow convention), so
+    // the temp tree can be deleted before returning
+    val sink = spark.read.parquet(pairsDir)
+    val rows = sink.collect()
+    val schema = sink.schema
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(base.toFile)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Multimodal DECODE as a structured stream — the streaming leg of
     * the WAV-decode story ([[graft.ext.WavCodec]]): arriving payloads
     * (synthesized per doc with the `ext_wav_roundtrip` generator,
@@ -1129,6 +1266,33 @@ object StreamPipeline {
       .filter(col("jaccard") >= threshold)
       .select(col("id").as("doc_id"), col("archive_id"), col("jaccard"))
   }
+
+  /** Session conf key every stream BUILDER in this module honors at
+    * start time: `rocksdb` routes state through
+    * [[useRocksDbStateStore]] (the production posture for large
+    * state — bounded executor memory + changelog-delta checkpoints),
+    * `default`/`hdfs` pins the in-memory provider, unset leaves the
+    * session's current provider untouched (test hygiene: suites that
+    * A/B providers set the session conf themselves). A CONFIG, not a
+    * hardcode — the same pipeline code runs small-state dev streams on
+    * the heap provider and corpus-scale ingest on RocksDB by flipping
+    * one conf, and the provider pins into each query's checkpoint at
+    * first start exactly as Spark documents. */
+  val StateStoreConfKey = "graft.streaming.stateStoreProvider"
+
+  /** Apply [[StateStoreConfKey]] to the session — called by every
+    * stream start in this module ([[runAvailableNow]],
+    * [[cleanClassStream]], [[loadClassStream]]) so the provider choice
+    * is one conf away for ANY pipeline, bench, or production caller. */
+  def applyConfiguredStateStore(spark: SparkSession): Unit =
+    spark.conf.getOption(StateStoreConfKey).map(_.toLowerCase) match {
+      case Some("rocksdb") => useRocksDbStateStore(spark)
+      case Some("default") | Some("hdfs") => useDefaultStateStore(spark)
+      case None => ()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$StateStoreConfKey: unknown provider '$other' " +
+          "(expected rocksdb | default)")
+    }
 
   /** Switch the session's streaming state store to ROCKSDB with
     * changelog checkpointing — the 100 TB configuration for every

@@ -89,6 +89,101 @@ class StreamingSpec extends SparkSpec {
     } finally StreamPipeline.useDefaultStateStore(spark)
   }
 
+  test("state-store CONFIG hook: the builder conf key routes the " +
+      "provider at stream start; unknown values fail loudly") {
+    val key = StreamPipeline.StateStoreConfKey
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    try {
+      spark.conf.set(key, "rocksdb")
+      // the hook every stream start calls — providers must flip
+      StreamPipeline.applyConfiguredStateStore(spark)
+      assert(spark.conf.get(providerConf).contains("RocksDB"))
+      spark.conf.set(key, "default")
+      StreamPipeline.applyConfiguredStateStore(spark)
+      assert(spark.conf.get(providerConf).contains("HDFSBacked"))
+      // integration: a real stream started with the conf set runs and
+      // is output-identical (provider never changes semantics)
+      spark.conf.set(key, "rocksdb")
+      val viaConf = StreamPipeline
+        .dedupStreamAvailableNow(spark, "/root/testdata/sf0.001")
+        .count()
+      assert(spark.conf.get(providerConf).contains("RocksDB"))
+      spark.conf.set(key, "default")
+      val viaDefault = StreamPipeline
+        .dedupStreamAvailableNow(spark, "/root/testdata/sf0.001")
+        .count()
+      assert(viaConf == viaDefault && viaConf > 0)
+      spark.conf.set(key, "levelhashmap")
+      assertThrows[IllegalArgumentException](
+        StreamPipeline.applyConfiguredStateStore(spark))
+    } finally {
+      spark.conf.unset(key)
+      StreamPipeline.useDefaultStateStore(spark)
+    }
+  }
+
+  test("growing-archive LSH dedup: a later batch catches a near-dup of " +
+      "an earlier batch's NOVEL doc; output pins to the foldwise batch " +
+      "replay (incrementalLshPairs applied wave by wave)") {
+    import spark.implicits._
+    import graft.ext.TextDedup
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-lshgrow-spec")
+    val (pairsDir, ibDir, ihDir, ckpt) =
+      (s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
+    val archive = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (4L, "one two three four five six seven eight")).toDF("id", "text")
+    val (ab, ah) = TextDedup.lshIndex(archive, "text", "id")
+    ab.write.parquet(ibDir)
+    ah.write.parquet(ihDir)
+    // wave 1: a NOVEL doc (no archive match); wave 2: unrelated; wave 3:
+    // a near-dup of wave 1's novel doc — catchable ONLY if wave 1's
+    // bands joined the index after its batch
+    val waves = Seq(
+      Seq((101L, "red orange yellow green blue indigo violet")),
+      Seq((201L, "cat dog bird fish mouse horse cow goat")),
+      Seq((301L, "red orange yellow green blue indigo violet crimson")))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)]
+    val q = graft.streaming.StreamPipeline.lshDedupGrowStart(
+      in.toDF.toDF("id", "text"), threshold = 0.5,
+      pairsDir, ibDir, ihDir, ckpt, availableNow = false)
+    try {
+      waves.foreach { w => in.addData(w: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.read.parquet(pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the growth catch: 301 pairs with 101 (5 shared shingles of 6 →
+    // jaccard 5/6); nothing pairs with the unrelated doc or the archive
+    assert(got.exists(p => p._1 == 301L && p._2 == 101L && p._3 > 0.5),
+      s"the grown index must surface the batch-3 near-dup of the " +
+        s"batch-1 novel doc: $got")
+    assert(!got.exists(p => p._1 == 201L || p._2 == 201L))
+    // foldwise batch replay with the SAME growth order must be
+    // set-identical (the verdict's hash-pin contract)
+    var ib = ab
+    var ih = ah
+    val expected = waves.flatMap { w =>
+      val wDf = w.toDF("id", "text")
+      val p = TextDedup.incrementalLshPairs(wDf, "text", "id", ib, ih,
+        threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val (wb, wh) = TextDedup.lshIndex(wDf, "text", "id")
+      ib = ib.unionByName(wb)
+      ih = ih.unionByName(wh)
+      p
+    }.toSet
+    assert(got == expected,
+      s"streamed growth must equal the foldwise replay: $got vs $expected")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(base.toFile)
+  }
+
   test("events windowed agg with watermark matches batch computation") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // batch form of the same plan (streaming-specific parts removed)
