@@ -940,6 +940,171 @@ object ExtQueries3 {
       FROM routed WHERE len(viol) > 0"""
   }
 
+  /** BMP encode→decode ROUNDTRIP gate ([[graft.ext.BmpCodec]]) — the
+    * second real-decoder retirement of the multimodal stub (the
+    * `ext_wav_roundtrip` contract, one modality later): per document a
+    * deterministic w×h image (w = 8 + doc_id%5 covering ALL FOUR row-pad
+    * cases 0..3, h = 6 + doc_id%4, pixel i packed RGB from the linear
+    * congruences below) is ENCODED into actual BMP bytes — 54-byte
+    * header, bottom-up rows, BGR triples, 4-byte row padding — and
+    * every output column is computed by DECODING THOSE BYTES. The
+    * oracle computes the same quantities straight from the generator
+    * formula, so a hash match proves the binary roundtrip is lossless
+    * including the row flip, the channel order, and the pad
+    * arithmetic (file_len pins the size math: 54 + stride·h).
+    *
+    * Scale: one projection per row — no shuffle, no UDF, no driver;
+    * payload bytes never leave the executor. */
+  val bmpRoundtripQ = Q(
+    "ext_bmp_roundtrip",
+    (s, d) => {
+      import graft.ext.BmpCodec
+      val w = (lit(8) + pmod(col("doc_id"), lit(5))).cast("int")
+      val h = (lit(6) + pmod(col("doc_id"), lit(4))).cast("int")
+      val gen = transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+        (pmod(col("doc_id") * 7 + i * 13, lit(256)) * 65536
+          + pmod(col("doc_id") * 11 + i * 3, lit(256)) * 256
+          + pmod(col("doc_id") * 5 + i * 17, lit(256))).cast("int"))
+      val enc = Tables.documents(s, d).select(col("doc_id"),
+        BmpCodec.encodeBmp(gen, w, h).as("bmp"))
+      // everything below reads the BYTES, never the generator
+      val px = BmpCodec.pixels(col("bmp"))
+      val fs = BmpCodec.bmpFeatures(col("bmp"))
+      enc.select(col("doc_id"),
+        BmpCodec.width(col("bmp")).as("width"),
+        BmpCodec.height(col("bmp")).as("height"),
+        length(col("bmp")).as("file_len"),
+        BmpCodec.numPixels(col("bmp")).as("n_px"),
+        aggregate(px, lit(0L), (a, p) =>
+          a + floor(p / 65536).cast("long")
+            + pmod(floor(p / 256).cast("long"), lit(256))
+            + pmod(p, lit(256))).as("sum_rgb"),
+        element_at(px, 1).as("px_first"),
+        element_at(px, -1).as("px_last"),
+        element_at(fs, 1).as("f1"), element_at(fs, 2).as("f2"),
+        element_at(fs, 3).as("f3"), element_at(fs, 4).as("f4"))
+    },
+    Some {
+      def blk(b: Int) =
+        s"""round(CAST(list_sum(list_transform(
+          px[(n*$b//4 + 1):(n*${b + 1}//4)],
+          p -> p // 65536 + (p // 256) % 256 + p % 256)) AS DOUBLE)
+          / (CAST(n*${b + 1}//4 - n*$b//4 AS DOUBLE) * 765.0), 6)"""
+      s"""WITH gen AS (
+        SELECT doc_id,
+          8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+          (8 + doc_id % 5) * (6 + doc_id % 4) AS n,
+          list_transform(range(0, (8 + doc_id % 5) * (6 + doc_id % 4)),
+            i -> CAST(((doc_id*7 + i*13) % 256) * 65536
+              + ((doc_id*11 + i*3) % 256) * 256
+              + (doc_id*5 + i*17) % 256 AS INTEGER)) AS px
+        FROM documents)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(54 + (w*3 + (4 - (w*3) % 4) % 4) * h AS INTEGER) AS file_len,
+        CAST(w * h AS BIGINT) AS n_px,
+        CAST(list_sum(list_transform(px,
+          p -> p // 65536 + (p // 256) % 256 + p % 256)) AS BIGINT)
+          AS sum_rgb,
+        px[1] AS px_first, px[n] AS px_last,
+        ${blk(0)} AS f1, ${blk(1)} AS f2, ${blk(2)} AS f3,
+        ${blk(3)} AS f4
+      FROM gen"""
+    })
+
+  /** dHash near-dup pairs over REAL DECODED PIXELS
+    * ([[graft.ext.Multimodal.dHashPairs]] through the
+    * [[graft.ext.Multimodal.pooledProfile]] dispatcher — BMP payloads
+    * pool their decoded luminance grid, not raw file bytes): each doc
+    * renders a deterministic 16..20 × 12..15 image (id = 2·doc_id) and
+    * a RE-ENCODE TWIN (id = 2·doc_id+1) whose every 16th pixel gains a
+    * small green shift — the pixel-noise analogue of the text query's
+    * 'e'→'f'. The banded Hamming join then runs over gradient signs of
+    * ACTUAL pixel block means; the oracle replays pixel generation,
+    * twin perturbation, 65-cell luminance pooling, gradient banding,
+    * and the Hamming verify. */
+  val bmpDhashQ = Q(
+    "ext_bmp_dhash_pairs",
+    (s, d) => {
+      import graft.ext.{BmpCodec, Multimodal}
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val w = (lit(16) + pmod(col("doc_id"), lit(5))).cast("int")
+      val h = (lit(12) + pmod(col("doc_id"), lit(4))).cast("int")
+      def gen(shift: Boolean) =
+        transform(sequence(lit(0), w * h - 1, lit(1)), i => {
+          val g0 = pmod(col("doc_id") * 11 + i * 3, lit(256))
+          val g =
+            if (shift) pmod(g0 + when(pmod(i, lit(16)) === 0, 3)
+              .otherwise(0), lit(256))
+            else g0
+          (pmod(col("doc_id") * 7 + i * 13, lit(256)) * 65536
+            + g * 256
+            + pmod(col("doc_id") * 5 + i * 17, lit(256))).cast("int")
+        })
+      val variants = docs
+        .select((col("doc_id") * 2).as("id"),
+          BmpCodec.encodeBmp(gen(shift = false), w, h).as("payload"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+          BmpCodec.encodeBmp(gen(shift = true), w, h).as("payload")))
+      Multimodal.dHashPairs(variants, "id", "payload",
+        bands = 4, bandBits = 16, maxHamming = 3)
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 4 AS h
+        FROM documents),
+      v AS (
+        SELECT doc_id * 2 AS id, w * h AS n,
+          list_transform(range(0, w * h), i ->
+            ((doc_id*11 + i*3) % 256)) AS g,
+          list_transform(range(0, w * h), i ->
+            (doc_id*7 + i*13) % 256 + (doc_id*5 + i*17) % 256) AS rb
+        FROM base
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS id, w * h AS n,
+          list_transform(range(0, w * h), i ->
+            ((doc_id*11 + i*3 + CASE WHEN i % 16 = 0 THEN 3 ELSE 0 END)
+              % 256)) AS g,
+          list_transform(range(0, w * h), i ->
+            (doc_id*7 + i*13) % 256 + (doc_id*5 + i*17) % 256) AS rb
+        FROM base),
+      lum AS (
+        SELECT id, n, list_transform(range(1, n + 1),
+          i -> g[i] + rb[i]) AS ls
+        FROM v),
+      p AS (
+        SELECT id, list_transform(generate_series(0, 64), j ->
+          CASE WHEN ((j + 1) * n) // 65 > (j * n) // 65 THEN
+            round(CAST(list_sum(ls[(j * n) // 65 + 1:((j + 1) * n) // 65])
+              AS DOUBLE)
+              / (CAST(((j + 1) * n) // 65 - (j * n) // 65 AS DOUBLE) * 3.0),
+              6)
+          END) AS cells
+        FROM lum),
+      gr AS (
+        SELECT id, list_transform(generate_series(0, 63), i ->
+          CASE WHEN coalesce(cells[i + 2], 0.0) > coalesce(cells[i + 1], 0.0)
+            THEN 1 ELSE 0 END) AS grads
+        FROM p),
+      sig AS MATERIALIZED (
+        SELECT id, list_transform(generate_series(0, 3), b ->
+          CAST(list_sum(list_transform(generate_series(0, 15), j ->
+            grads[b * 16 + j + 1] * CAST(pow(2, 15 - j) AS BIGINT)))
+            AS BIGINT)) AS bvs
+        FROM gr),
+      bands AS (
+        SELECT id, bvs, CAST(b - 1 AS INT) AS band, bvs[b] AS bv
+        FROM sig CROSS JOIN range(1, 5) t(b)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          a.bvs AS bvs_a, b.bvs AS bvs_b
+        FROM bands a JOIN bands b USING (band, bv)
+        WHERE a.id < b.id)
+      SELECT id_a, id_b,
+        CAST(list_sum(list_transform(generate_series(1, 4), i ->
+          bit_count(xor(bvs_a[i], bvs_b[i])))) AS INT) AS hamming
+      FROM cand
+      WHERE list_sum(list_transform(generate_series(1, 4), i ->
+        bit_count(xor(bvs_a[i], bvs_b[i])))) <= 3"""))
+
   /** DQ QUARANTINE ROUTING, clean half
     * ([[graft.ops.DqConstraints.quarantine]] carries the one-projection
     * routing design and the partition-exactness contract): rows passing
@@ -1088,5 +1253,6 @@ object ExtQueries3 {
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
     lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
-    dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ)
+    dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
+    bmpRoundtripQ, bmpDhashQ)
 }

@@ -75,8 +75,9 @@ object Multimodal {
 
   /** Decode dispatcher — the FORMAT TAG in front of the stub: payloads
     * in a really-parseable public fixed layout decode for REAL
-    * (currently WAV/PCM via [[WavCodec.waveFeatures]] — actual
-    * waveform block energies); everything else falls through to the
+    * (WAV/PCM via [[WavCodec.waveFeatures]] — actual waveform block
+    * energies; 24-bit BMP via [[BmpCodec.bmpFeatures]] — actual pixel
+    * block luminances); everything else falls through to the
     * [[fakeDecodeFeatures]] substitution point. Same signature (binary
     * in, 4 doubles in [0,1) out), so every consumer of the stub gains
     * the real path by swapping this in — a production build adds
@@ -84,7 +85,22 @@ object Multimodal {
     * plumbing. */
   def decodeFeatures(payload: Column): Column =
     when(WavCodec.isWav(payload), WavCodec.waveFeatures(payload))
+      .when(BmpCodec.isBmp(payload), BmpCodec.bmpFeatures(payload))
       .otherwise(fakeDecodeFeatures(payload))
+
+  /** Pooled-profile dispatcher for the perceptual hashes: a payload in
+    * a decodable image format pools its DECODED luminance grid
+    * ([[BmpCodec.resizePooledPixels]] — a perceptual fingerprint is
+    * defined over pixels; raw-byte pooling would hash the header and
+    * the row padding too), everything else keeps the byte-grid pooling
+    * ([[resizePooled]], the honest profile for opaque payloads). Both
+    * branches share the block-partition rule, the NULL-for-empty-cell
+    * convention, and the 6-dp determinism argument, so consumers are
+    * branch-agnostic. CaseWhen evaluates lazily per row — a non-BMP
+    * row never pays the pixel decode. */
+  def pooledProfile(payload: Column, k: Int): Column =
+    when(BmpCodec.isBmp(payload), BmpCodec.resizePooledPixels(payload, k))
+      .otherwise(resizePooled(payload, k))
 
   /** Decimal places [[resizePooled]] rounds each cell mean to. The
     * fixed-point rendering in ExtQueries (`round(v·10^dp)`) is exact ONLY
@@ -244,7 +260,7 @@ object Multimodal {
     val k = bands * bandBits + 1
     val sig = graft.ops.CacheScope.persist(
       df.select(col(idCol).cast("long").as("id"),
-          resizePooled(col(payloadCol), k).as("_pooled"))
+          pooledProfile(col(payloadCol), k).as("_pooled"))
         .select(col("id"),
           dHashBandsFromPooled(col("_pooled"), bands, bandBits)
             .as("bvs")))

@@ -25,14 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object WavCodec {
 
-  /** Big-endian fixed-width hex of a non-negative integral column. */
-  private def beHex(v: Column, bytes: Int): Column =
+  /** Big-endian fixed-width hex of a non-negative integral column
+    * (shared with [[BmpCodec]] — both formats' scalar fields are
+    * little-endian integers rendered through the same hex detour). */
+  private[ext] def beHex(v: Column, bytes: Int): Column =
     lpad(upper(conv(v.cast("string"), 10, 16)), bytes * 2, "0")
 
   /** Little-endian hex: the big-endian byte pairs reversed. */
-  private def leHex(v: Column, bytes: Int): Column = {
+  private[ext] def leHex(v: Column, bytes: Int): Column = {
     val be = beHex(v, bytes)
     concat((bytes to 1 by -1).map(b => be.substr(b * 2 - 1, 2)): _*)
+  }
+
+  /** LE32 field at 1-based byte offset `off`, as a long column (shared
+    * header-parsing primitive with [[BmpCodec]]). */
+  private[ext] def le32AtOff(payload: Column, off: Int): Column = {
+    val h = hex(substring(payload, off, 4))
+    conv(concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2),
+      h.substr(1, 2)), 16, 10).cast("long")
   }
 
   /** Encode an `array<int>` of 16-bit signed samples (each in
@@ -74,33 +84,29 @@ object WavCodec {
       hex(substring(payload, 33, 4)) === "02001000" &&
       hex(substring(payload, 37, 4)) === "64617461"
 
-  /** LE32 field at 1-based byte offset `off`, as a long column. */
-  private def le32At(payload: Column, off: Int): Column = {
-    val h = hex(substring(payload, off, 4))
-    conv(concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2),
-      h.substr(1, 2)), 16, 10).cast("long")
-  }
-
   /** Decoded sample rate (Hz). */
-  def sampleRate(payload: Column): Column = le32At(payload, 25)
+  def sampleRate(payload: Column): Column = le32AtOff(payload, 25)
 
   /** Decoded sample count (data bytes / 2). */
   def numSamples(payload: Column): Column =
-    (le32At(payload, 41) / 2).cast("long")
+    (le32AtOff(payload, 41) / 2).cast("long")
 
   /** Decoded samples as `array<int>` of signed 16-bit values — the
     * real waveform, byte-exact inverse of [[encodeWav]]. */
   def samples(payload: Column): Column = {
     val n = numSamples(payload)
     val dh = hex(payload.substr(lit(45), (n * 2).cast("int")))
-    // explicit +1 step: without it a structurally valid 0-sample WAV
-    // makes sequence(0, -1) infer step -1 and decode garbage — with
-    // the step pinned it yields the empty array
-    transform(sequence(lit(0L), n - 1, lit(1L)), i => {
-      val u = conv(concat(dh.substr(i * 4 + 3, lit(2)),
-        dh.substr(i * 4 + 1, lit(2))), 16, 10).cast("int")
-      u - when(u >= 32768, 65536).otherwise(0)
-    })
+    // explicit n > 0 guard: a structurally valid 0-sample WAV would
+    // otherwise make sequence(0, -1) infer step -1 and decode garbage
+    // (and Spark rejects 0→-1 even with an explicit +1 step — empty
+    // ranges need a branch, not a step)
+    when(n > 0,
+      transform(sequence(lit(0L), n - 1, lit(1L)), i => {
+        val u = conv(concat(dh.substr(i * 4 + 3, lit(2)),
+          dh.substr(i * 4 + 1, lit(2))), 16, 10).cast("int")
+        u - when(u >= 32768, 65536).otherwise(0)
+      }))
+      .otherwise(typedLit(Seq.empty[Int]))
   }
 
   /** 4 REAL waveform features from a decoded WAV — mean |amplitude| of

@@ -454,6 +454,82 @@ class ExtSpec extends SparkSpec {
     // blocks of [5,-5,300,-300]: mean|s| per single-sample block /32768
     assert(wf == Seq(5 / 32768.0, 5 / 32768.0, 300 / 32768.0,
       300 / 32768.0).map(v => math.rint(v * 1e6) / 1e6))
+    // a structurally valid 0-sample WAV decodes to the empty array and
+    // 0.0 features — no garbage samples, no NaN block energies
+    val zero = Seq((Seq.empty[Int], 8000)).toDF("ss", "rate")
+      .select(WavCodec.encodeWav(col("ss"), col("rate")).as("wav"))
+      .select(WavCodec.isWav(col("wav")).as("ok"),
+        WavCodec.samples(col("wav")).as("dec"),
+        WavCodec.waveFeatures(col("wav")).as("f")).head()
+    assert(zero.getBoolean(0) && zero.getSeq[Int](1).isEmpty)
+    assert(zero.getSeq[Double](2) == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("BMP codec: byte-exact roundtrip incl. every row-pad case, the " +
+      "bottom-up/BGR undo, and format-tag routing") {
+    import graft.ext.{BmpCodec, WavCodec}
+    // widths 1..4 cover pads 1, 2, 3, 0; pixels hit channel extremes
+    val imgs = Seq(
+      (1L, Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x000000, 0xFFFFFF,
+        0x123456), 3, 2),
+      (2L, Seq(0x010203, 0xFEFDFC), 1, 2),
+      (3L, Seq(0xABCDEF, 0x000001, 0x010000, 0x800080,
+        0x7F7F7F, 0x40C080, 0x112233, 0x445566), 4, 2),
+      (4L, Seq(0x0A0B0C, 0x0D0E0F), 2, 1))
+    val df = imgs.toDF("id", "px", "w", "h")
+      .select(col("id"), col("px"), col("w"), col("h"),
+        BmpCodec.encodeBmp(col("px"), col("w"), col("h")).as("bmp"))
+    val out = df.select(col("id"),
+        BmpCodec.isBmp(col("bmp")).as("ok"),
+        BmpCodec.width(col("bmp")).as("w2"),
+        BmpCodec.height(col("bmp")).as("h2"),
+        BmpCodec.pixels(col("bmp")).as("dec"),
+        length(col("bmp")).as("len"))
+      .as[(Long, Boolean, Long, Long, Seq[Int], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    imgs.foreach { case (id, px, w, h) =>
+      assert(out(id)._2, s"img $id must tag as BMP")
+      assert(out(id)._3 == w && out(id)._4 == h)
+      assert(out(id)._5 == px,
+        s"img $id (pad ${(4 - w * 3 % 4) % 4}) must roundtrip: " +
+          s"${out(id)._5}")
+      assert(out(id)._6 == 54 + (w * 3 + (4 - w * 3 % 4) % 4) * h)
+    }
+    // cross-format: a WAV payload is not a BMP and vice versa; text is
+    // neither; the pooled-profile dispatcher routes BMPs to pixel
+    // pooling (header/padding bytes excluded) and leaves text on the
+    // byte grid
+    val wav = Seq((1L, Seq(1, 2, 3, 4), 8000)).toDF("id", "ss", "r")
+      .select(WavCodec.encodeWav(col("ss"), col("r")).as("p"))
+    assert(!wav.select(BmpCodec.isBmp(col("p"))).head().getBoolean(0))
+    assert(!df.select(WavCodec.isWav(col("bmp"))).head().getBoolean(0))
+    val txt = Seq("plain text payload").toDF("t")
+      .select(Multimodal.asPayload(col("t")).as("p"))
+    assert(!txt.select(BmpCodec.isBmp(col("p"))).head().getBoolean(0))
+    val viaDispatch = df.filter(col("id") === 1)
+      .select(Multimodal.pooledProfile(col("bmp"), 3).as("v"),
+        BmpCodec.resizePooledPixels(col("bmp"), 3).as("direct"))
+      .head()
+    assert(viaDispatch.getSeq[Double](0) == viaDispatch.getSeq[Double](1))
+    // luminance cells of img 1 (6 px, k=3 → 2 px/cell): exact means
+    val lums = imgs.head._2.map(p =>
+      (p >> 16 & 255) + (p >> 8 & 255) + (p & 255))
+    val expCells = lums.grouped(2).map(g =>
+      math.rint(g.sum / 6.0 * 1e6) / 1e6).toSeq
+    assert(viaDispatch.getSeq[Double](0) == expCells)
+    // decodeFeatures: BMP arm yields block luminances, not the stub
+    val f = df.filter(col("id") === 3)
+      .select(Multimodal.decodeFeatures(col("bmp")).as("f"),
+        BmpCodec.bmpFeatures(col("bmp")).as("direct")).head()
+    assert(f.getSeq[Double](0) == f.getSeq[Double](1))
+    // 0×0 image: empty pixel array, 0.0 features, no NaN (WAV lesson)
+    val z = Seq((Seq.empty[Int], 0, 0)).toDF("px", "w", "h")
+      .select(BmpCodec.encodeBmp(col("px"), col("w"), col("h")).as("bmp"))
+      .select(BmpCodec.pixels(col("bmp")).as("dec"),
+        BmpCodec.bmpFeatures(col("bmp")).as("f"),
+        BmpCodec.isBmp(col("bmp")).as("ok")).head()
+    assert(z.getAs[Boolean]("ok") && z.getSeq[Int](0).isEmpty)
+    assert(z.getSeq[Double](1) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
   test("sourceOutliers: the off-center vector ranks first, sources " +
