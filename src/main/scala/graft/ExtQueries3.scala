@@ -644,6 +644,19 @@ object ExtQueries3 {
     (s, d) => graft.streaming.StreamPipeline.dedupLshAvailableNow(s, d),
     ExtQueries.dedupIncrementalLsh.oracle)
 
+  /** BUCKET-PRUNED streaming LSH dedup
+    * ([[graft.streaming.StreamPipeline.lshDedupPrunedStart]] carries
+    * the measured linear-scan indictment of the plain stream-static
+    * join and the partition-pruned per-batch design) — output-identical
+    * to `q_stream_dedup_lsh` (pruning is lossless), so the oracle is
+    * shared verbatim; the sf0.1 ScaleProbe carries the archive-scaling
+    * evidence. */
+  val lshDedupPrunedQ = Q(
+    "q_stream_dedup_lsh_pruned",
+    (s, d) => graft.streaming.StreamPipeline
+      .dedupLshPrunedAvailableNow(s, d),
+    ExtQueries.dedupIncrementalLsh.oracle)
+
   /** Streaming per-hour TOP-K events by value
     * ([[graft.streaming.StreamPipeline.eventsTopValueAvailableNow]]
     * carries the k-bounded-heap state design). Oracle: batch
@@ -1254,5 +1267,5 @@ object ExtQueries3 {
     lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
-    bmpRoundtripQ, bmpDhashQ)
+    bmpRoundtripQ, bmpDhashQ, lshDedupPrunedQ)
 }

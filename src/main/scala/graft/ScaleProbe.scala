@@ -141,6 +141,67 @@ object ScaleProbe {
         graft.streaming.StreamPipeline
           .eventsHourlyAvailableNowParts(spark, streamDir).count()
       }
+      // streaming-dedup shapes (q_stream_dedup_lsh{,_pruned}): the
+      // ARCHIVE scales N× (per-copy shingle salting — copies never
+      // band-collide, the minhash_lsh rationale) while the ARRIVAL
+      // STREAM stays FIXED and SMALL (copy 0's odd docs below id 64
+      // plus near-dup twins of its every-10th doc below 320 — a
+      // realistic micro-batch next to a huge archive), so the timed
+      // region isolates the per-batch stream-side cost of probing an
+      // ever-bigger index. TWO plans, probe as negative-control + fix:
+      //   - stream_dedup_full: the plain stream-static join re-SCANS
+      //     the whole index per run — expected ~linear in N (the 100 TB
+      //     failure mode, measured on purpose: 2.9 → 6.0 s at 2× when
+      //     first probed);
+      //   - stream_dedup_pruned: the bucket-partitioned index with
+      //     per-batch partition pruning (lshDedupPrunedStart) — IO
+      //     bounded by the batch's key footprint, expected to stay far
+      //     under N×.
+      // Index builds and incoming writes happen OUTSIDE the timed
+      // regions (the index is a standing disk asset in production).
+      val sdBase = s"/tmp/graft_scaleprobe_sdedup/n$n"
+      val sdBuckets = 1024
+      val (streamDedupFull, streamDedupPruned) = {
+        def salted(i: Int, d: DataFrame) = d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"a${i}_$$1"))
+        val arch = scaledDocs(n, salted).filter(col("doc_id") % 2 === 0)
+        val (ib, ih) = graft.ext.TextDedup.lshIndex(arch, "text", "doc_id")
+        ib.write.mode("overwrite").parquet(s"$sdBase/ib")
+        ih.write.mode("overwrite").parquet(s"$sdBase/ih")
+        // one file per bucket (the writeBucketedLshIndex discipline):
+        // per-batch listing stays O(nBuckets) at every N
+        ib.withColumn("bkt", pmod(xxhash64(col("band")), lit(sdBuckets)))
+          .repartition(col("bkt"))
+          .write.partitionBy("bkt").mode("overwrite")
+          .parquet(s"$sdBase/ibb")
+        ih.withColumn("bkt", pmod(xxhash64(col("id")), lit(sdBuckets)))
+          .repartition(col("bkt"))
+          .write.partitionBy("bkt").mode("overwrite")
+          .parquet(s"$sdBase/ihb")
+        val copy0 = salted(0, Tables.documents(spark, sfDir))
+        copy0.select(explode(array(
+            when(col("doc_id") % 2 === 1 && col("doc_id") < 64,
+              struct(col("doc_id").as("id"), col("text").as("text"))),
+            when(col("doc_id") % 10 === 0 && col("doc_id") < 320,
+              struct((col("doc_id") + 600000L).as("id"),
+                concat(col("text"), lit(" zz extra")).as("text")))))
+            .as("d"))
+          .filter(col("d").isNotNull)
+          .select(col("d.id").as("id"), col("d.text").as("text"))
+          .withColumn("ing_ts", timestamp_seconds(
+            lit(1704067200L) + col("id") % 86400L))
+          .write.mode("overwrite").parquet(s"$sdBase/in")
+        val full = time {
+          graft.streaming.StreamPipeline.dedupLshAvailableNowParts(
+            spark, s"$sdBase/in", s"$sdBase/ib", s"$sdBase/ih").count()
+        }
+        val pruned = time {
+          graft.streaming.StreamPipeline.dedupLshPrunedAvailableNowParts(
+            spark, s"$sdBase/in", s"$sdBase/ibb", s"$sdBase/ihb",
+            nBuckets = sdBuckets).count()
+        }
+        (full, pruned)
+      }
       // graph wedge-join shape (triangles / link prediction): the
       // ring+random fixture graph built PER COPY over each copy's own
       // id range (copies never connect — the 90-day-shift rationale for
@@ -211,7 +272,9 @@ object ScaleProbe {
       println(s"""{"probe":"scale","n":$n,"q1_agg":$q1,""" +
         s""""pareto_prefix":$pareto,"band_join":$band,""" +
         s""""exact_dedup":$dedup,"minhash_lsh":$lsh,""" +
-        s""""stream_hourly":$stream,"graph_wedge":$wedge,""" +
+        s""""stream_hourly":$stream,"stream_dedup_full":$streamDedupFull,""" +
+        s""""stream_dedup_pruned":$streamDedupPruned,""" +
+        s""""graph_wedge":$wedge,""" +
         s""""kmeans_round":$kmeans,"basket_uncapped":$basketPre,""" +
         s""""basket_capped":$basketPost}""")
     }

@@ -987,6 +987,191 @@ object StreamPipeline {
       "stream_lshdedup_", "append")
   }
 
+  /** ScaleProbe hook: the SAME stream-static LSH dedup plan as
+    * [[dedupLshAvailableNow]], but over a prepared incoming parquet
+    * directory and a DISK-BACKED archive index (the two
+    * [[graft.ext.TextDedup.lshIndex]] frames written as parquet dirs —
+    * the production posture, where the index lives bucketed on disk and
+    * each micro-batch reads it, not a cached session frame). The probe
+    * scales the ARCHIVE N× with a fixed arrival stream and times this
+    * call: sub-linear growth is the "probe touches colliding buckets,
+    * not the archive" claim, measured. */
+  def dedupLshAvailableNowParts(spark: SparkSession, incomingDir: String,
+      ibDir: String, ihDir: String, threshold: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    val raw = spark.readStream
+      .schema(spark.read.parquet(incomingDir).schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(incomingDir)
+    val ib = spark.read.parquet(ibDir)
+      .select(col("band"), col("id").as("archive_id"))
+    val ih = spark.read.parquet(ihDir)
+      .select(col("id").as("archive_id"), col("hs").as("hs_a"))
+    runAvailableNow(lshDedupStream(raw, ib, ih, threshold, watermark),
+      "stream_lshdedup_probe_", "append")
+  }
+
+  /** BUCKET-PRUNED stream-static LSH probe — the 10⁹-archive plan the
+    * plain [[lshDedupStream]] only gestures at. The r11 ScaleProbe
+    * measured the plain stream-static join honestly: the static side
+    * is re-scanned per run, so probe cost grows LINEARLY with the
+    * archive (2.9 s → 6.0 s at 2×) — a full-index scan per micro-batch
+    * is the 100 TB failure mode. Here the index tables live
+    * PARTITIONED BY HASH BUCKET on disk (ib by band bucket, ih by
+    * archive-id bucket, `bkt = pmod(xxhash64(key), nBuckets)`), and
+    * each micro-batch in `foreachBatch`
+    *
+    *   1. shingles→bands once (localCheckpoint shared by both probes),
+    *   2. collects its DISTINCT touched band buckets — a BOUNDED
+    *      collect, ≤ min(4·batchDocs, nBuckets) ints — and reads ONLY
+    *      those partitions of ib (partition pruning at planning time),
+    *   3. after the collision join, does the same for the candidate
+    *      archive ids against ih,
+    *
+    * so per-batch IO is (touched buckets)·(bucket size), bounded by
+    * the BATCH's key footprint — constant as the archive grows N× —
+    * times the per-bucket share that shrinks as nBuckets rises. The
+    * residual last mile from bucket-granular IO to true O(collisions)
+    * is a point-lookup store (the RocksDB state-store posture);
+    * at file granularity this is the standard lakehouse answer.
+    * Output is IDENTICAL to the plain plan (pruning is lossless:
+    * untouched buckets cannot contain a matching band/id by
+    * construction) — the registered query shares the batch oracle
+    * verbatim. No streaming state: the probe is batch-local, a doc
+    * probes in exactly one batch. */
+  def lshDedupPrunedStart(incoming: DataFrame, threshold: Double,
+      nBuckets: Int, pairsDir: String, ibDir: String, ihDir: String,
+      ckptDir: String, availableNow: Boolean): StreamingQuery = {
+    import graft.ext.TextDedup
+    val spark = incoming.sparkSession
+    applyConfiguredStateStore(spark)
+    val writer = incoming.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (bBands0, bHs0) = TextDedup.lshIndex(
+          batch.select(col("id"), col("text")), "text", "id")
+        val bBands = bBands0.localCheckpoint()
+        val bHs = bHs0.localCheckpoint()
+        val bandBkts = bBands
+          .select(pmod(xxhash64(col("band")), lit(nBuckets)).as("bkt"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val ib = spark.read.parquet(ibDir)
+          .filter(col("bkt").isin(bandBkts: _*))
+        val cand = bBands
+          .join(ib.select(col("band"), col("id").as("archive_id")),
+            Seq("band"))
+          .select(col("id"), col("archive_id"))
+          .dropDuplicates("id", "archive_id")
+          .localCheckpoint()
+        val idBkts = cand
+          .select(pmod(xxhash64(col("archive_id")), lit(nBuckets))
+            .as("bkt"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val ih = spark.read.parquet(ihDir)
+          .filter(col("bkt").isin(idBkts: _*))
+        cand
+          .join(bHs.select(col("id"), col("hs").as("hs_i")), Seq("id"))
+          .join(ih.select(col("id").as("archive_id"),
+            col("hs").as("hs_a")), Seq("archive_id"))
+          .withColumn("inter",
+            size(array_intersect(col("hs_i"), col("hs_a"))))
+          .withColumn("uni",
+            size(col("hs_i")) + size(col("hs_a")) - col("inter"))
+          .withColumn("jaccard",
+            round(col("inter") / col("uni").cast("double"), 6))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id").as("doc_id"), col("archive_id"),
+            col("jaccard"))
+          .write.mode("append").parquet(pairsDir)
+        cand.unpersist(blocking = false)
+        bBands.unpersist(blocking = false)
+        bHs.unpersist(blocking = false)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Write the [[graft.ext.TextDedup.lshIndex]] frames of `archive` as
+    * the bucket-partitioned on-disk index [[lshDedupPrunedStart]]
+    * probes (ib partitioned by band bucket, ih by id bucket). */
+  def writeBucketedLshIndex(archive: DataFrame, textCol: String,
+      idCol: String, nBuckets: Int, ibDir: String, ihDir: String): Unit = {
+    val (ab, ah) = graft.ext.TextDedup.lshIndex(archive, textCol, idCol)
+    // repartition ON the bucket key first: each bucket dir then holds
+    // exactly ONE file, so the per-batch listing the probe pays is
+    // O(nBuckets) — constant as the archive grows — instead of
+    // O(writer tasks × nBuckets) shards
+    ab.withColumn("bkt", pmod(xxhash64(col("band")), lit(nBuckets)))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(ibDir)
+    ah.withColumn("bkt", pmod(xxhash64(col("id")), lit(nBuckets)))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(ihDir)
+  }
+
+  /** Registered adapter for the bucket-pruned probe: the EXACT feed and
+    * archive of [[dedupLshAvailableNow]] (so the batch oracle is shared
+    * verbatim), the index on disk in bucket-partitioned form. At test
+    * SFs the single micro-batch touches most buckets (pruning is a
+    * no-op); the sf0.1 ScaleProbe carries the perf evidence where the
+    * archive dwarfs the batch. */
+  def dedupLshPrunedAvailableNow(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, nBuckets: Int = 32): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-lshprune")
+    val (pairsDir, ibDir, ihDir, ckpt) =
+      (s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
+    writeBucketedLshIndex(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", nBuckets, ibDir, ihDir)
+    val raw = streamTable(spark, dir, "documents.parquet",
+      normalizeEvents = false)
+    val incoming = raw.select(explode(array(
+        when(col("doc_id") % 2 === 1,
+          struct(col("doc_id").as("id"), col("text").as("text"))),
+        when(col("doc_id") % 10 === 0,
+          struct((col("doc_id") + 600000L).as("id"),
+            concat(col("text"), lit(" zz extra")).as("text")))))
+        .as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("d.id").as("id"), col("d.text").as("text"))
+    lshDedupPrunedStart(incoming, threshold, nBuckets, pairsDir,
+      ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
+    val sink = spark.read.parquet(pairsDir)
+    val rows = sink.collect()
+    val schema = sink.schema
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(base.toFile)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** ScaleProbe hook for [[lshDedupPrunedStart]]: probe a prepared
+    * bucket-partitioned index with a prepared incoming directory. */
+  def dedupLshPrunedAvailableNowParts(spark: SparkSession,
+      incomingDir: String, ibDir: String, ihDir: String, nBuckets: Int,
+      threshold: Double = 0.5): DataFrame = {
+    val raw = spark.readStream
+      .schema(spark.read.parquet(incomingDir).schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(incomingDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-lshprune-p")
+    val (pairsDir, ckpt) = (s"$base/pairs", s"$base/ckpt")
+    lshDedupPrunedStart(raw, threshold, nBuckets, pairsDir,
+      ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
+    val sink = spark.read.parquet(pairsDir)
+    val rows = sink.collect()
+    val schema = sink.schema
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(base.toFile)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** GROWING-archive streaming near-dedup — [[dedupLshAvailableNow]]'s
     * residual closed (its archive index is FROZEN at stream start, so a
     * novel doc accepted in micro-batch 1 is invisible to batch 3): the
