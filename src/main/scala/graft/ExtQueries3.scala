@@ -1118,6 +1118,117 @@ object ExtQueries3 {
       WHERE list_sum(list_transform(generate_series(1, 4), i ->
         bit_count(xor(bvs_a[i], bvs_b[i])))) <= 3"""))
 
+  /** Deterministic "video" shared by the two BMP-video queries: 4
+    * concatenated 8×6 24-bit BMP frames (frame byte size 198, pad 0),
+    * frame 0 drawn from a 64-key POOL (doc_id % 64 — videos in the
+    * same pool share it), frames 1-3 from per-(doc, frame) keys. The
+    * pixel formula is the roundtrip generator's parameterized by the
+    * frame key, so the oracle replays frame CONTENT exactly; content
+    * equality is the join key on both sides (the engine's md5-of-bytes
+    * and the oracle's pixel-list equality induce the same partition). */
+  private def bmpVideoCol: org.apache.spark.sql.Column = {
+    import graft.ext.BmpCodec
+    def px(k: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(47), lit(1)), i =>
+        (pmod(k * 7 + i * 13, lit(256)) * 65536
+          + pmod(k * 11 + i * 3, lit(256)) * 256
+          + pmod(k * 5 + i * 17, lit(256))).cast("int"))
+    def frame(k: org.apache.spark.sql.Column) =
+      BmpCodec.encodeBmp(px(k), lit(8), lit(6))
+    concat(
+      frame(pmod(col("doc_id"), lit(64))),
+      frame(lit(100000) + col("doc_id") * 10 + 1),
+      frame(lit(100000) + col("doc_id") * 10 + 2),
+      frame(lit(100000) + col("doc_id") * 10 + 3))
+  }
+
+  /** The oracle CTE both BMP-video oracles share: (doc_id, f, k). */
+  private val bmpVideoKeysCte = """fr AS (
+        SELECT doc_id, f,
+          CASE WHEN f = 0 THEN doc_id % 64
+               ELSE 100000 + doc_id * 10 + f END AS k
+        FROM documents CROSS JOIN range(0, 4) t(f))"""
+
+  /** VIDEO frame sampling with REAL per-frame decode
+    * ([[graft.ext.Multimodal.explodeFrames]] through the
+    * [[graft.ext.Multimodal.decodeFeatures]] dispatcher): the video is
+    * 4 concatenated BMP frames, the fixed-stride chunker lands exactly
+    * on frame boundaries, each chunk format-tags as BMP, and the
+    * emitted per-frame features are ACTUAL pixel block luminances —
+    * the video leg of the stub retirement (frame extraction + decode
+    * both real for the fixed-layout case; an inter-frame codec stays
+    * out of scope in this container). Oracle: the generator formula's
+    * block luminances per (doc, frame). */
+  val videoBmpFramesQ = Q(
+    "ext_video_bmp_frames",
+    (s, d) => {
+      import graft.ext.Multimodal
+      Multimodal.explodeFrames(
+        Tables.documents(s, d).select(col("doc_id"),
+          bmpVideoCol.as("payload")),
+        "doc_id", "payload", chunkLen = 198, stride = 198, maxChunks = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          element_at(col("frame_features"), 1).as("f1"),
+          element_at(col("frame_features"), 2).as("f2"),
+          element_at(col("frame_features"), 3).as("f3"),
+          element_at(col("frame_features"), 4).as("f4"))
+    },
+    Some {
+      def blk(b: Int) =
+        s"""round(CAST(list_sum(list_transform(
+          range(${b * 12}, ${(b + 1) * 12}), i ->
+            (k*7 + i*13) % 256 + (k*11 + i*3) % 256
+              + (k*5 + i*17) % 256)) AS DOUBLE) / (12 * 765.0), 6)"""
+      s"""WITH $bmpVideoKeysCte
+      SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        ${blk(0)} AS f1, ${blk(1)} AS f2, ${blk(2)} AS f3,
+        ${blk(3)} AS f4
+      FROM fr"""
+    })
+
+  /** SHARED-FRAME video dedup over REAL frame bytes
+    * ([[graft.ext.Multimodal.sharedFramePairs]] carries the
+    * digest-equi-join / boilerplate-prune scale design): videos in the
+    * same 64-key pool share frame 0's exact BMP bytes, so every
+    * same-pool pair surfaces with n_shared ≥ 1 — the engine joins on
+    * md5 of the REAL frame bytes, the oracle on the generator pixel
+    * lists (the same content partition, since frames are equal iff
+    * their pixels are). Unique-key frames that happen to coincide
+    * (the key formula cycles mod 256) are replayed identically on
+    * both sides. */
+  val videoBmpSharedQ = Q(
+    "ext_video_bmp_shared_frames",
+    (s, d) => graft.ext.Multimodal.sharedFramePairs(
+      Tables.documents(s, d).select(col("doc_id"),
+        bmpVideoCol.as("payload")),
+      "doc_id", "payload", chunkLen = 198, stride = 198, maxChunks = 4,
+      minShared = 1, maxDocsPerFrame = 50),
+    Some(s"""WITH $bmpVideoKeysCte,
+      px AS MATERIALIZED (
+        SELECT doc_id, array_to_string(list_transform(range(0, 48),
+          i -> ((k*7 + i*13) % 256) * 65536 + ((k*11 + i*3) % 256) * 256
+            + (k*5 + i*17) % 256), ',') AS content
+        FROM fr),
+      dfr AS MATERIALIZED (SELECT DISTINCT doc_id, content FROM px),
+      keep AS (
+        SELECT content FROM (
+          SELECT content, count(*) AS df FROM dfr GROUP BY 1)
+        WHERE df <= 50 AND df >= 2),
+      pr AS MATERIALIZED (
+        SELECT dfr.doc_id, dfr.content FROM dfr JOIN keep USING (content)),
+      pd AS (SELECT doc_id, count(*) AS nf FROM dfr GROUP BY 1),
+      pairs AS (
+        SELECT p1.doc_id AS id_a, p2.doc_id AS id_b,
+          count(*) AS n_shared
+        FROM pr p1 JOIN pr p2
+          ON p1.content = p2.content AND p1.doc_id < p2.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 1)
+      SELECT id_a, id_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / least(pa.nf, pb.nf), 6) AS frac
+      FROM pairs
+      JOIN pd pa ON id_a = pa.doc_id
+      JOIN pd pb ON id_b = pb.doc_id"""))
+
   /** DQ QUARANTINE ROUTING, clean half
     * ([[graft.ops.DqConstraints.quarantine]] carries the one-projection
     * routing design and the partition-exactness contract): rows passing
@@ -1267,5 +1378,6 @@ object ExtQueries3 {
     lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
-    bmpRoundtripQ, bmpDhashQ, lshDedupPrunedQ)
+    bmpRoundtripQ, bmpDhashQ, lshDedupPrunedQ,
+    videoBmpFramesQ, videoBmpSharedQ)
 }
