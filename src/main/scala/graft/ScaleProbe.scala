@@ -26,6 +26,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val maxN = if (args.length > 1) args(1).toInt else 8
+    val mode = if (args.length > 2) args(2) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,6 +71,95 @@ object ScaleProbe {
       graft.streaming.StreamPipeline
         .eventsHourlyAvailableNowParts(spark, warmDir).count()
       ()
+    }
+
+    // mode "sdedup-rows": deterministic per-batch READ-VOLUME
+    // accounting for the two streaming-dedup plans — no timing, no
+    // noise. At probe SFs both time curves are dominated by fixed
+    // per-stream overhead (checkpoint setup, job latency, dir
+    // listings), so the scaling claim is evidenced on the quantity
+    // that actually grows: rows the micro-batch must READ. The full
+    // stream-static plan re-scans |ib| + |ih| every batch (linear in
+    // the archive by construction); the bucket-pruned plan reads only
+    // the batch's touched buckets (emulated row-exactly here with the
+    // same pmod(xxhash64) predicate the partition filter applies) —
+    // bounded by the batch's key footprint at every N.
+    if (mode == "sdedup-rows") {
+      val nBuckets = 1024
+      Seq(1, 2, 4, 8, 16, 32).filter(_ <= maxN).foreach { n =>
+        import graft.ext.TextDedup
+        def salted(i: Int, d: DataFrame) = d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"a${i}_$$1"))
+        val docs0 = Tables.documents(spark, sfDir)
+        val arch = (0 until n).map { i =>
+          salted(i, docs0.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * 100000000L)))
+        }.reduce(_ unionAll _).filter(col("doc_id") % 2 === 0)
+        val (ib0, ih0) = TextDedup.lshIndex(arch, "text", "doc_id")
+        val ib = graft.ops.CacheScope.persist(ib0)
+        val ih = graft.ops.CacheScope.persist(ih0)
+        val incoming = salted(0, docs0).select(explode(array(
+            when(col("doc_id") % 2 === 1 && col("doc_id") < 64,
+              struct(col("doc_id").as("id"), col("text").as("text"))),
+            when(col("doc_id") % 10 === 0 && col("doc_id") < 320,
+              struct((col("doc_id") + 600000L).as("id"),
+                concat(col("text"), lit(" zz extra")).as("text")))))
+            .as("d"))
+          .filter(col("d").isNotNull)
+          .select(col("d.id").as("id"), col("d.text").as("text"))
+        val (incB0, incH0) = TextDedup.lshIndex(incoming, "text", "id")
+        val incB = graft.ops.CacheScope.persist(incB0)
+        val fullRows = ib.count() + ih.count()
+        val bandBkts = incB
+          .select(pmod(xxhash64(col("band")), lit(nBuckets)).as("bkt"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val prunedIb = ib
+          .filter(pmod(xxhash64(col("band")), lit(nBuckets))
+            .isin(bandBkts: _*)).count()
+        val cand = incB
+          .join(ib.select(col("band"), col("id").as("archive_id")),
+            Seq("band"))
+          .select(col("id"), col("archive_id")).distinct()
+        val collisions = cand.count()
+        val idBkts = cand
+          .select(pmod(xxhash64(col("archive_id")), lit(nBuckets))
+            .as("bkt"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val prunedIh = ih
+          .filter(pmod(xxhash64(col("id")), lit(nBuckets))
+            .isin(idBkts: _*)).count()
+        // the SCALED-bucket posture (bucket count grows with the
+        // archive so bucket SIZE stays constant — how a production
+        // index is actually laid out, targeting a fixed MB per
+        // bucket): touched buckets stay bounded by the batch's key
+        // footprint while per-bucket rows stay flat, so read volume
+        // is CONSTANT in archive size — fixed-bucket pruning is only
+        // a constant-factor cut (measured: ~5.4×), never sub-linear
+        val sBuckets = nBuckets * n
+        val sBandBkts = incB
+          .select(pmod(xxhash64(col("band")), lit(sBuckets)).as("bkt"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val sIb = ib
+          .filter(pmod(xxhash64(col("band")), lit(sBuckets))
+            .isin(sBandBkts: _*)).count()
+        val sIdBkts = cand
+          .select(pmod(xxhash64(col("archive_id")), lit(sBuckets))
+            .as("bkt"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val sIh = ih
+          .filter(pmod(xxhash64(col("id")), lit(sBuckets))
+            .isin(sIdBkts: _*)).count()
+        graft.ops.CacheScope.releaseAll()
+        println(s"""{"probe":"sdedup_rows","n":$n,""" +
+          s""""rows_full":$fullRows,"rows_pruned":${prunedIb + prunedIh},""" +
+          s""""rows_pruned_ib":$prunedIb,"rows_pruned_ih":$prunedIh,""" +
+          s""""rows_pruned_scaled":${sIb + sIh},""" +
+          s""""band_collisions":$collisions,""" +
+          s""""touched_band_buckets":${bandBkts.length},""" +
+          s""""touched_id_buckets":${idBkts.length}}""")
+      }
+      spark.stop()
+      return
     }
 
     Seq(1, 2, 4, 8, 16, 32).filter(_ <= maxN).foreach { n =>

@@ -300,16 +300,25 @@ object StreamPipeline {
       .start()
     q.awaitTermination()
     val sink = spark.table(qn)
-    val rows = sink.collect()
-    val schema = sink.schema
+    val out2 = localize(sink)
     spark.catalog.dropTempView(qn)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(ckpt.toFile)
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), schema)
+    rmRf(ckpt.toFile)
+    out2
+  }
+
+  /** Recursive temp-tree delete shared by every AvailableNow adapter. */
+  private def rmRf(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+    f.delete(); ()
+  }
+
+  /** Copy a (bounded) result into a SELF-CONTAINED local DataFrame so
+    * the adapter can delete its temp tree before returning — the
+    * runAvailableNow convention shared by the LSH probe adapters. */
+  private def localize(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** File-source stream over one parquet table in the sf dir — the
@@ -1137,15 +1146,9 @@ object StreamPipeline {
       .select(col("d.id").as("id"), col("d.text").as("text"))
     lshDedupPrunedStart(incoming, threshold, nBuckets, pairsDir,
       ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
-    val sink = spark.read.parquet(pairsDir)
-    val rows = sink.collect()
-    val schema = sink.schema
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(base.toFile)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out = localize(spark.read.parquet(pairsDir))
+    rmRf(base.toFile)
+    out
   }
 
   /** ScaleProbe hook for [[lshDedupPrunedStart]]: probe a prepared
@@ -1161,15 +1164,9 @@ object StreamPipeline {
     val (pairsDir, ckpt) = (s"$base/pairs", s"$base/ckpt")
     lshDedupPrunedStart(raw, threshold, nBuckets, pairsDir,
       ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
-    val sink = spark.read.parquet(pairsDir)
-    val rows = sink.collect()
-    val schema = sink.schema
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(base.toFile)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out = localize(spark.read.parquet(pairsDir))
+    rmRf(base.toFile)
+    out
   }
 
   /** GROWING-archive streaming near-dedup — [[dedupLshAvailableNow]]'s
@@ -1295,15 +1292,9 @@ object StreamPipeline {
       availableNow = true).awaitTermination()
     // self-contained local result (the runAvailableNow convention), so
     // the temp tree can be deleted before returning
-    val sink = spark.read.parquet(pairsDir)
-    val rows = sink.collect()
-    val schema = sink.schema
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(base.toFile)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out = localize(spark.read.parquet(pairsDir))
+    rmRf(base.toFile)
+    out
   }
 
   /** Multimodal DECODE as a structured stream — the streaming leg of
