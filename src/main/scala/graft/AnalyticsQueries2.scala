@@ -898,6 +898,59 @@ object AnalyticsQueries2 {
         $base"""
     })
 
+  /** Explicit GROUPING SETS — the third grouping surface next to
+    * [[qRollup]] (hierarchy) and [[qCube]] (full cross): a report
+    * wanting exactly (region × priority), (region × status), and the
+    * grand total — no other combinations — states precisely those
+    * three sets and still pays ONE Expand (×3) + ONE hash agg, not
+    * three queries. grouping_id disambiguates (bit per column,
+    * 1 = aggregated away: sets land at lvl 1, 2, 7). The SQL form is
+    * the only Spark surface for arbitrary set lists, so the query
+    * registers its base frame as a temp view and goes through
+    * `spark.sql` — the mixed DataFrame/SQL posture a real report
+    * layer uses. Oracle: UNION ALL of the three groupings. */
+  val qGroupingSets = Q(
+    "q_sales_grouping_sets",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("o_orderpriority"),
+          col("o_orderstatus"), col("o_totalprice"))
+      base.createOrReplaceTempView("graft_gs_base")
+      s.sql("""SELECT r_name, o_orderpriority, o_orderstatus,
+          CAST(grouping_id() AS INT) AS lvl,
+          count(1) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM graft_gs_base
+        GROUP BY GROUPING SETS (
+          (r_name, o_orderpriority), (r_name, o_orderstatus), ())""")
+    },
+    Some {
+      val base = """FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey"""
+      val agg = s"CAST(count(*) AS BIGINT) AS n_orders, " +
+        s"${Det.dsumSql("o_totalprice")} AS revenue"
+      s"""SELECT r_name, o_orderpriority, NULL AS o_orderstatus,
+          1 AS lvl, $agg
+        $base GROUP BY r_name, o_orderpriority
+      UNION ALL
+      SELECT r_name, NULL AS o_orderpriority, o_orderstatus,
+          2 AS lvl, $agg
+        $base GROUP BY r_name, o_orderstatus
+      UNION ALL
+      SELECT NULL AS r_name, NULL AS o_orderpriority,
+          NULL AS o_orderstatus, 7 AS lvl, $agg
+        $base"""
+    })
+
   /** Streaming SCD2 — the stateful twin of [[qScd2]]
     * ([[graft.streaming.Scd2Stream]] carries the finality rule and the
     * bounded-state design): closed versions emit exactly once when
@@ -1258,6 +1311,7 @@ object AnalyticsQueries2 {
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
     qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
-    qScd2, qRollup, qCube, qScd2Stream, qBasketTriplesApriori, qPivot,
+    qScd2, qRollup, qCube, qGroupingSets, qScd2Stream,
+    qBasketTriplesApriori, qPivot,
     qLeadLag, qSeasonalIndex, qBacklogAging, qNewVsRepeat)
 }

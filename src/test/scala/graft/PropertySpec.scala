@@ -44,6 +44,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BMP codec roundtrip == identity on random dims (all pad cases) " +
+      "and random pixels, incl. degenerate 0-width/0-height") {
+    import graft.ext.BmpCodec
+    import org.apache.spark.sql.functions.{col, length}
+    val rnd = new scala.util.Random(1311)
+    val cases = (1 to 40).map { i =>
+      // dims 0..9 sweep every row-pad case and both degenerate axes
+      val w = rnd.nextInt(10)
+      val h = rnd.nextInt(8)
+      val px = List.fill(w * h)(rnd.nextInt(0x1000000))
+      (i.toLong, px, w, h)
+    }
+    val out = cases.toDF("id", "px", "w", "h")
+      .select(col("id"), col("px"), col("w"), col("h"),
+        BmpCodec.encodeBmp(col("px"), col("w"), col("h")).as("bmp"))
+      .select(col("id"),
+        BmpCodec.isBmp(col("bmp")).as("ok"),
+        BmpCodec.width(col("bmp")).as("w2"),
+        BmpCodec.height(col("bmp")).as("h2"),
+        BmpCodec.pixels(col("bmp")).as("dec"),
+        length(col("bmp")).as("len"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Int](4), r.getInt(5))).toMap
+    cases.foreach { case (id, px, w, h) =>
+      val (ok, w2, h2, dec, len) = out(id)
+      assert(ok, s"case $id must tag as BMP")
+      assert(w2 == w && h2 == h, s"case $id dims")
+      assert(dec == px, s"case $id (w=$w h=$h pad=${(4 - w * 3 % 4) % 4})")
+      assert(len == 54 + (w * 3 + (4 - w * 3 % 4) % 4) * h)
+    }
+  }
+
+  test("DQ quarantine partitions EXACTLY on random frames and rulebooks") {
+    import graft.ops.DqConstraints
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(77)
+    (1 to 5).foreach { trial =>
+      val rows = (1 to 50 + rnd.nextInt(100)).map(i =>
+        (i.toLong, rnd.nextInt(100), rnd.between(-1.0, 1.0)))
+      val df = rows.toDF("id", "a", "b")
+      val cut1 = rnd.nextInt(100)
+      val cut2 = math.rint(rnd.between(-1.0, 1.0) * 100) / 100
+      val rules = Seq(
+        s"a_above_$cut1" -> (col("a") > cut1),
+        s"b_above_$cut2" -> (col("b") > cut2))
+      val (clean, quar) = DqConstraints.quarantine(df, rules)
+      val cleanIds = clean.select("id").collect().map(_.getLong(0)).toSet
+      val quarIds = quar.select("id").collect().map(_.getLong(0)).toSet
+      // exact partition: disjoint, and union = input
+      assert((cleanIds & quarIds).isEmpty, s"trial $trial overlap")
+      assert(cleanIds ++ quarIds == rows.map(_._1).toSet,
+        s"trial $trial lost rows")
+      // reference model agrees row by row
+      val refQuar = rows.filter { case (_, a, b) =>
+        a > cut1 || b > cut2 }.map(_._1).toSet
+      assert(quarIds == refQuar, s"trial $trial routing")
+    }
+  }
+
   test("native as-of == sequential reference model on random workloads " +
       "(directions, tolerance, nulls)") {
     val rnd = new scala.util.Random(2024)
