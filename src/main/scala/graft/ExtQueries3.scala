@@ -903,26 +903,37 @@ object ExtQueries3 {
     * the 8% approval ceiling). The cross-table rule is made row-local
     * BEFORE the gate by joining o_orderdate in — the
     * [[graft.ops.DqConstraints.quarantine]] contract. */
+  /** The order-book gate rulebook, shared by the batch quarantine
+    * pair AND its streaming twin (one definition — the oracle is
+    * shared too, so a divergence would hash-fail loudly anyway). */
+  private[graft] def liGateRules
+      : Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "li_quantity_out_of_range" ->
+      (col("l_quantity") < 1 || col("l_quantity") > 50),
+    "li_nonpositive_price" -> (col("l_extendedprice") <= 0),
+    "li_ship_before_order" ->
+      (col("l_shipdate").cast("date") < col("o_orderdate").cast("date")),
+    "li_discount_above_approval" -> (col("l_discount") > 0.08))
+
+  /** The gate's output projection (both halves; the flagged half adds
+    * `violated_rules`). */
+  private[graft] def liGateProj(df: org.apache.spark.sql.DataFrame,
+      extra: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select((Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_discount").map(col) ++
+      Seq(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date")) ++
+      extra.map(col)): _*)
+
   private def quarantineHalves(s: SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.ops.DqConstraints
     val joined = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select(col("o_orderkey"),
         col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
-    val routed = DqConstraints.quarantine(joined, Seq(
-      "li_quantity_out_of_range" ->
-        (col("l_quantity") < 1 || col("l_quantity") > 50),
-      "li_nonpositive_price" -> (col("l_extendedprice") <= 0),
-      "li_ship_before_order" ->
-        (col("l_shipdate").cast("date") < col("o_orderdate").cast("date")),
-      "li_discount_above_approval" -> (col("l_discount") > 0.08)))
-    def proj(df: org.apache.spark.sql.DataFrame, extra: Seq[String]) =
-      df.select((Seq("l_orderkey", "l_linenumber", "l_quantity",
-        "l_discount").map(col) ++
-        Seq(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date")) ++
-        extra.map(col)): _*)
-    (proj(routed._1, Nil), proj(routed._2, Seq("violated_rules")))
+    val routed = DqConstraints.quarantine(joined, liGateRules)
+    (liGateProj(routed._1, Nil), liGateProj(routed._2,
+      Seq("violated_rules")))
   }
 
   private def quarantineOracle(half: String): String = {
@@ -1246,6 +1257,17 @@ object ExtQueries3 {
     (s, d) => quarantineHalves(s, d)._2,
     Some(quarantineOracle("flagged")))
 
+  /** STREAMING quarantine routing
+    * ([[graft.streaming.StreamPipeline.dqQuarantineAvailableNow]]
+    * carries the stateless landing-zone design and the shared-rulebook
+    * contract): the flagged half of the same gate, diverted at ingest.
+    * Oracle shared verbatim with the batch flagged half. */
+  val dqQuarantineStreamQ = Q(
+    "q_stream_dq_quarantine",
+    (s, d) => graft.streaming.StreamPipeline
+      .dqQuarantineAvailableNow(s, d),
+    Some(quarantineOracle("flagged")))
+
   /** SKETCH-ACCURACY EVAL — "measure, don't guess" applied to the
     * engine's own approximations: per order priority, the mergeable
     * histogram-sketch quantile estimates
@@ -1379,5 +1401,5 @@ object ExtQueries3 {
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
     bmpRoundtripQ, bmpDhashQ, lshDedupPrunedQ,
-    videoBmpFramesQ, videoBmpSharedQ)
+    videoBmpFramesQ, videoBmpSharedQ, dqQuarantineStreamQ)
 }

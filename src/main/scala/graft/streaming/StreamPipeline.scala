@@ -1297,6 +1297,37 @@ object StreamPipeline {
     out
   }
 
+  /** Streaming QUARANTINE ROUTING — the landing-zone twin of the batch
+    * `q_dq_quarantine` pair ([[graft.ops.DqConstraints.quarantine]]):
+    * arriving lineitem rows join the static order dates (stream-static,
+    * re-planned per micro-batch — the cross-table rule made row-local
+    * BEFORE the gate, the quarantine contract), route through the SAME
+    * rulebook the batch gate uses (one definition,
+    * [[graft.ExtQueries3.liGateRules]]), and the violating half lands
+    * with its self-describing `violated_rules`. Completely STATELESS —
+    * routing is a per-row projection + filter, so no watermark, no
+    * state store: bad rows divert at ingest speed, which is the point
+    * of a landing-zone gate. Oracle = the batch flagged oracle
+    * verbatim (stateless streams drain exactly their input). The clean
+    * half takes the symmetric filter into the load path
+    * ([[cleanClassStream]]'s shape); the registered query surfaces the
+    * flagged half — the side an operator actually inspects. */
+  def dqQuarantineAvailableNow(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.ops.DqConstraints
+    val li = streamTable(spark, dir, "lineitem.parquet",
+      normalizeEvents = false)
+    val joined = li.join(
+      graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+      col("l_orderkey") === col("o_orderkey"))
+    val (_, flagged) = DqConstraints.quarantine(
+      joined, graft.ExtQueries3.liGateRules)
+    runAvailableNow(
+      graft.ExtQueries3.liGateProj(flagged, Seq("violated_rules")),
+      "stream_dqquar_", "append")
+  }
+
   /** Multimodal DECODE as a structured stream — the streaming leg of
     * the WAV-decode story ([[graft.ext.WavCodec]]): arriving payloads
     * (synthesized per doc with the `ext_wav_roundtrip` generator,
