@@ -897,6 +897,21 @@ object ExtQueries {
       SELECT doc_id, archive_id, jaccard
       FROM scored WHERE jaccard >= 0.5"""))
 
+  /** The CAPSTONE ingest loop registered
+    * ([[graft.streaming.StreamPipeline.lshDedupGrowPrunedStart]]):
+    * growing archive AND bucket-pruned probes in one operator — each
+    * micro-batch probes only its touched buckets of the
+    * bucket-partitioned index, then appends its own rows INTO that
+    * layout, so later batches find earlier docs while every probe's
+    * read volume stays bounded by the batch's key footprint. Output
+    * identical to `q_stream_dedup_lsh_grow` (pruning is lossless);
+    * oracle shared verbatim. */
+  val dedupLshGrowPruned = Q(
+    "q_stream_dedup_lsh_grow_pruned",
+    (s, d) => graft.streaming.StreamPipeline
+      .dedupLshGrowPrunedAvailableNow(s, d),
+    dedupLshGrow.oracle)
+
   val dedupMinhash = Q(
     "ext_dedup_minhash_lsh",
     (s, d) => TextDedup.minhashNearDups(
@@ -4902,7 +4917,7 @@ object ExtQueries {
     indexDelta,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupIncrementalLsh, dedupLshGrow,
-    dedupMinhash,
+    dedupLshGrowPruned, dedupMinhash,
     dedupContainment,
     dedupEditDistance, pagerank, hitsQ, trianglesQ, labelPropQ, kcoreQ,
     dedupNgram, dedupSimhash,

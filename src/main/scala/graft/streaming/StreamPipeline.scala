@@ -1051,48 +1051,100 @@ object StreamPipeline {
   def lshDedupPrunedStart(incoming: DataFrame, threshold: Double,
       nBuckets: Int, pairsDir: String, ibDir: String, ihDir: String,
       ckptDir: String, availableNow: Boolean): StreamingQuery = {
-    import graft.ext.TextDedup
     val spark = incoming.sparkSession
     applyConfiguredStateStore(spark)
     val writer = incoming.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (bBands0, bHs0) = TextDedup.lshIndex(
-          batch.select(col("id"), col("text")), "text", "id")
-        val bBands = bBands0.localCheckpoint()
-        val bHs = bHs0.localCheckpoint()
-        val bandBkts = bBands
-          .select(pmod(xxhash64(col("band")), lit(nBuckets)).as("bkt"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        val ib = spark.read.parquet(ibDir)
-          .filter(col("bkt").isin(bandBkts: _*))
-        val cand = bBands
-          .join(ib.select(col("band"), col("id").as("archive_id")),
-            Seq("band"))
-          .select(col("id"), col("archive_id"))
-          .dropDuplicates("id", "archive_id")
-          .localCheckpoint()
-        val idBkts = cand
-          .select(pmod(xxhash64(col("archive_id")), lit(nBuckets))
-            .as("bkt"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        val ih = spark.read.parquet(ihDir)
-          .filter(col("bkt").isin(idBkts: _*))
-        cand
-          .join(bHs.select(col("id"), col("hs").as("hs_i")), Seq("id"))
-          .join(ih.select(col("id").as("archive_id"),
-            col("hs").as("hs_a")), Seq("archive_id"))
-          .withColumn("inter",
-            size(array_intersect(col("hs_i"), col("hs_a"))))
-          .withColumn("uni",
-            size(col("hs_i")) + size(col("hs_a")) - col("inter"))
-          .withColumn("jaccard",
-            round(col("inter") / col("uni").cast("double"), 6))
-          .filter(col("jaccard") >= threshold)
-          .select(col("id").as("doc_id"), col("archive_id"),
-            col("jaccard"))
-          .write.mode("append").parquet(pairsDir)
-        cand.unpersist(blocking = false)
+        val (bBands, bHs) = prunedProbeBatch(batch, threshold, nBuckets,
+          pairsDir, ibDir, ihDir)
+        bBands.unpersist(blocking = false)
+        bHs.unpersist(blocking = false)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** One micro-batch of the bucket-pruned probe: shingle once, prune
+    * both index reads to the batch's touched buckets, verify
+    * collisions, append surviving pairs to `pairsDir`. Returns the
+    * batch's (bands, hashes) checkpoints so the growing variant can
+    * append them to the index; the caller unpersists. */
+  private def prunedProbeBatch(batch: DataFrame, threshold: Double,
+      nBuckets: Int, pairsDir: String, ibDir: String, ihDir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.ext.TextDedup
+    val spark = batch.sparkSession
+    val (bBands0, bHs0) = TextDedup.lshIndex(
+      batch.select(col("id"), col("text")), "text", "id")
+    val bBands = bBands0.localCheckpoint()
+    val bHs = bHs0.localCheckpoint()
+    val bandBkts = bBands
+      .select(pmod(xxhash64(col("band")), lit(nBuckets)).as("bkt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val ib = spark.read.parquet(ibDir)
+      .filter(col("bkt").isin(bandBkts: _*))
+    val cand = bBands
+      .join(ib.select(col("band"), col("id").as("archive_id")),
+        Seq("band"))
+      .select(col("id"), col("archive_id"))
+      .dropDuplicates("id", "archive_id")
+      .localCheckpoint()
+    val idBkts = cand
+      .select(pmod(xxhash64(col("archive_id")), lit(nBuckets))
+        .as("bkt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val ih = spark.read.parquet(ihDir)
+      .filter(col("bkt").isin(idBkts: _*))
+    cand
+      .join(bHs.select(col("id"), col("hs").as("hs_i")), Seq("id"))
+      .join(ih.select(col("id").as("archive_id"),
+        col("hs").as("hs_a")), Seq("archive_id"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_i"), col("hs_a"))))
+      .withColumn("uni",
+        size(col("hs_i")) + size(col("hs_a")) - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as("doc_id"), col("archive_id"),
+        col("jaccard"))
+      .write.mode("append").parquet(pairsDir)
+    cand.unpersist(blocking = false)
+    (bBands, bHs)
+  }
+
+  /** The CAPSTONE ingest loop — [[lshDedupGrowStart]]'s growing archive
+    * with [[lshDedupPrunedStart]]'s bounded probe, in one operator:
+    * each micro-batch (1) shingles once, (2) probes ONLY its touched
+    * buckets of the bucket-partitioned index as of batch start,
+    * (3) appends its own band/hash rows INTO the bucket layout
+    * (`partitionBy(bkt)` append — O(batch) files landing in the same
+    * partition dirs later batches prune against), so the archive grows
+    * across batches AND every probe's read volume stays bounded by the
+    * batch's key footprint. The complete 100 TB ingest shape: at
+    * production layout (bucket count sized to the archive, periodic
+    * small-file compaction — [[graft.ext.Curation.compactionPlan]]'s
+    * job) per-batch cost is O(batch + collisions) rows read. Output is
+    * IDENTICAL to [[lshDedupGrowStart]] (pruning is lossless), so the
+    * registered query shares the grow oracle verbatim. */
+  def lshDedupGrowPrunedStart(incoming: DataFrame, threshold: Double,
+      nBuckets: Int, pairsDir: String, ibDir: String, ihDir: String,
+      ckptDir: String, availableNow: Boolean): StreamingQuery = {
+    val spark = incoming.sparkSession
+    applyConfiguredStateStore(spark)
+    val writer = incoming.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (bBands, bHs) = prunedProbeBatch(batch, threshold, nBuckets,
+          pairsDir, ibDir, ihDir)
+        bBands
+          .withColumn("bkt", pmod(xxhash64(col("band")), lit(nBuckets)))
+          .write.partitionBy("bkt").mode("append").parquet(ibDir)
+        bHs
+          .withColumn("bkt", pmod(xxhash64(col("id")), lit(nBuckets)))
+          .write.partitionBy("bkt").mode("append").parquet(ihDir)
         bBands.unpersist(blocking = false)
         bHs.unpersist(blocking = false)
         ()
@@ -1245,17 +1297,11 @@ object StreamPipeline {
     * Output (doc_id, archive_id, jaccard); the oracle replays the
     * whole fold in SQL — band everything once, pair i↔a exactly when
     * wave(i) > wave(a) with archive wave −1. */
-  def dedupLshGrowAvailableNow(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val docs = graft.Tables.documents(spark, dir)
-    val base = java.nio.file.Files.createTempDirectory("graft-lshgrow")
-    val (inDir, pairsDir, ibDir, ihDir, ckpt) =
-      (s"$base/in", s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
-    val (ab, ah) = graft.ext.TextDedup.lshIndex(
-      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
-    ab.write.parquet(ibDir)
-    ah.write.parquet(ihDir)
-    val incoming = docs.select(explode(array(
+  /** The three-wave incoming feed both growing-archive adapters share:
+    * odd originals, archive twins (+600000, ' zz extra'), growth-only
+    * twins of novel docs (+1200001, ' qq extra'); wave = id mod 3. */
+  private def growIncoming(docs: DataFrame): DataFrame =
+    docs.select(explode(array(
         when(col("doc_id") % 2 === 1,
           struct(col("doc_id").as("id"), col("text").as("text"))),
         when(col("doc_id") % 10 === 0,
@@ -1267,9 +1313,14 @@ object StreamPipeline {
         .as("d"))
       .filter(col("d").isNotNull)
       .select(col("d.id").as("id"), col("d.text").as("text"))
-    // one file per wave with strictly increasing mtimes: the file
-    // source (latestFirst=false) drains oldest-first, so wave k IS
-    // micro-batch k
+
+  /** Write `incoming` as one parquet file per wave with strictly
+    * increasing mtimes and return the wave-ordered file stream: the
+    * file source (latestFirst=false) drains oldest-first with
+    * `maxFilesPerTrigger = 1`, so wave k IS micro-batch k. */
+  private def waveStream(incoming: DataFrame, base: java.nio.file.Path,
+      inDir: String): DataFrame = {
+    val spark = incoming.sparkSession
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
     val t0 = System.currentTimeMillis()
     (0 until 3).foreach { k =>
@@ -1283,15 +1334,49 @@ object StreamPipeline {
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000))
     }
-    val raw = spark.readStream
+    spark.readStream
       .schema(incoming.schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
       .parquet(inDir)
+  }
+
+  def dedupLshGrowAvailableNow(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-lshgrow")
+    val (inDir, pairsDir, ibDir, ihDir, ckpt) =
+      (s"$base/in", s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
+    val (ab, ah) = graft.ext.TextDedup.lshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    ab.write.parquet(ibDir)
+    ah.write.parquet(ihDir)
+    val raw = waveStream(growIncoming(docs), base, inDir)
     lshDedupGrowStart(raw, threshold, pairsDir, ibDir, ihDir, ckpt,
       availableNow = true).awaitTermination()
     // self-contained local result (the runAvailableNow convention), so
     // the temp tree can be deleted before returning
+    val out = localize(spark.read.parquet(pairsDir))
+    rmRf(base.toFile)
+    out
+  }
+
+  /** Registered adapter for the capstone grow+prune loop
+    * ([[lshDedupGrowPrunedStart]]): the EXACT feed, archive, and wave
+    * boundaries of [[dedupLshGrowAvailableNow]] — so the grow oracle is
+    * shared verbatim — with the index seeded AND grown in the
+    * bucket-partitioned layout every probe prunes against. */
+  def dedupLshGrowPrunedAvailableNow(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, nBuckets: Int = 32): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-lshgrowpr")
+    val (inDir, pairsDir, ibDir, ihDir, ckpt) =
+      (s"$base/in", s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
+    writeBucketedLshIndex(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", nBuckets, ibDir, ihDir)
+    val raw = waveStream(growIncoming(docs), base, inDir)
+    lshDedupGrowPrunedStart(raw, threshold, nBuckets, pairsDir,
+      ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
     val out = localize(spark.read.parquet(pairsDir))
     rmRf(base.toFile)
     out

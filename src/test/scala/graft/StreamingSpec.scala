@@ -177,11 +177,32 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     assert(got == expected,
       s"streamed growth must equal the foldwise replay: $got vs $expected")
+    // the capstone grow+prune loop on the SAME arrival pattern must be
+    // set-identical (bucket pruning is lossless through growth)
+    val base2 = java.nio.file.Files.createTempDirectory("graft-lshgp-spec")
+    graft.streaming.StreamPipeline.writeBucketedLshIndex(
+      archive, "text", "id", nBuckets = 16,
+      s"$base2/ib", s"$base2/ih")
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)]
+    val q2 = graft.streaming.StreamPipeline.lshDedupGrowPrunedStart(
+      in2.toDF.toDF("id", "text"), threshold = 0.5, nBuckets = 16,
+      s"$base2/pairs", s"$base2/ib", s"$base2/ih", s"$base2/ckpt",
+      availableNow = false)
+    try {
+      waves.foreach { w => in2.addData(w: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+    val gotPruned = spark.read.parquet(s"$base2/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(gotPruned == got,
+      s"grow+prune must equal plain grow: $gotPruned vs $got")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
     rm(base.toFile)
+    rm(base2.toFile)
   }
 
   test("events windowed agg with watermark matches batch computation") {
