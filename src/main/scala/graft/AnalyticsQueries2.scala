@@ -921,15 +921,23 @@ object AnalyticsQueries2 {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("r_name"), col("o_orderpriority"),
           col("o_orderstatus"), col("o_totalprice"))
-      base.createOrReplaceTempView("graft_gs_base")
-      s.sql("""SELECT r_name, o_orderpriority, o_orderstatus,
+      // UNIQUE view name, dropped immediately after analysis:
+      // spark.sql resolves the view reference eagerly into the
+      // returned plan, so the drop is safe — and a fixed global name
+      // would race concurrent builders on one session and leak a view
+      // into every later query
+      val vn = "graft_gs_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      base.createOrReplaceTempView(vn)
+      try s.sql(s"""SELECT r_name, o_orderpriority, o_orderstatus,
           CAST(grouping_id() AS INT) AS lvl,
           count(1) AS n_orders,
           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             AS revenue
-        FROM graft_gs_base
+        FROM $vn
         GROUP BY GROUPING SETS (
           (r_name, o_orderpriority), (r_name, o_orderstatus), ())""")
+      finally { s.catalog.dropTempView(vn); () }
     },
     Some {
       val base = """FROM orders

@@ -896,16 +896,16 @@ object ExtQueries3 {
       UNION ALL SELECT 'li_orphan_partkey', lin.n, fk2.v,
         round(fk2.v / CAST(lin.n AS DOUBLE), 9) FROM lin, fk2"""))
 
-  /** The quarantine rulebook both halves share: the honest lineitem
-    * constraints (prove zeros on this data), the cross-table
-    * ship-before-order rule (fires on ~half the rows — the dates draw
-    * independently), and a review-band business rule (discount above
-    * the 8% approval ceiling). The cross-table rule is made row-local
-    * BEFORE the gate by joining o_orderdate in — the
-    * [[graft.ops.DqConstraints.quarantine]] contract. */
   /** The order-book gate rulebook, shared by the batch quarantine
     * pair AND its streaming twin (one definition — the oracle is
-    * shared too, so a divergence would hash-fail loudly anyway). */
+    * shared too, so a divergence would hash-fail loudly anyway): the
+    * honest lineitem constraints (prove zeros on this data), the
+    * cross-table ship-before-order rule (fires on ~half the rows —
+    * the dates draw independently; made row-local BEFORE the gate by
+    * joining o_orderdate in, the
+    * [[graft.ops.DqConstraints.quarantine]] contract), and a
+    * review-band business rule (discount above the 8% approval
+    * ceiling). */
   private[graft] def liGateRules
       : Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "li_quantity_out_of_range" ->

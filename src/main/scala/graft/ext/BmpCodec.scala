@@ -88,13 +88,23 @@ object BmpCodec {
   /** TRUE iff the payload carries the exact layout this codec
     * produces — the format tag [[Multimodal.decodeFeatures]] keys on.
     * Checks the magic, the 54-byte pixel offset, the 40-byte info
-    * header, and the planes/bpp/compression scalar block, so neither a
-    * text payload nor a WAV can collide. */
-  def isBmp(payload: Column): Column =
+    * header, the planes/bpp/compression scalar block, AND that the
+    * payload length equals exactly 54 + stride·h from the header's own
+    * dimensions — so neither a text payload, a WAV, a TRUNCATED image
+    * (whose decode would read past the end into NULLs, breaking the
+    * 4-doubles-in-[0,1) feature contract), nor a concatenation of
+    * BMPs (a [[Multimodal.sampleChunks]]-style video payload, which
+    * must fall through to the byte-grid profile rather than silently
+    * fingerprint frame 0 alone) can collide. */
+  def isBmp(payload: Column): Column = {
+    val w = width(payload)
+    val h = height(payload)
     length(payload) >= 54 &&
       hex(substring(payload, 1, 2)) === "424D" &&
       hex(substring(payload, 11, 8)) === "3600000028000000" &&
-      hex(substring(payload, 27, 8)) === "010018000000" + "0000"
+      hex(substring(payload, 27, 8)) === "010018000000" + "0000" &&
+      length(payload).cast("long") === lit(54L) + (w * 3 + padOf(w)) * h
+  }
 
   /** Decoded pixel width. */
   def width(payload: Column): Column = le32AtOff(payload, 19)

@@ -65,6 +65,15 @@ object DqConstraints {
   def quarantine(df: DataFrame, rules: Seq[(String, Column)],
       cacheBothSides: Boolean = false): (DataFrame, DataFrame) = {
     require(rules.nonEmpty, "quarantine: empty rulebook")
+    // loud, not silent: withColumn would otherwise CLOBBER caller data
+    // under these names — re-driving a previously quarantined frame
+    // through the gate must drop its old violated_rules first,
+    // explicitly
+    Seq("__viol", "violated_rules").foreach { c =>
+      require(!df.columns.contains(c),
+        s"quarantine: input already has a '$c' column — drop or rename " +
+          "it before routing (the gate writes that name)")
+    }
     val viol = filter(
       array(rules.map { case (nm, bad) =>
         when(bad, lit(nm)).otherwise(lit(null: String)) }: _*),

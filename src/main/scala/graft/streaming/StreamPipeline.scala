@@ -1279,27 +1279,15 @@ object StreamPipeline {
       .start()
   }
 
-  /** The registered growing-archive adapter: even docs seed the index;
-    * the incoming feed arrives in THREE deterministic waves
-    * (wave = id mod 3, one parquet file per wave, mtime-ordered,
-    * `maxFilesPerTrigger = 1` → one micro-batch per wave):
-    *
-    *   - the odd-id half (novel docs),
-    *   - near-dup twins of every 10th ARCHIVE doc (id + 600000,
-    *     " zz extra") — these match through the SEED index, the
-    *     static query's behavior preserved,
-    *   - near-dup twins of every doc_id % 10 == 5 doc (id + 1200001,
-    *     " qq extra") — twins of NOVEL wave-(id%3) docs arriving in
-    *     wave (id+1)%3, the pairs ONLY a growing index can catch
-    *     (when the twin's wave trails its source the twin matches the
-    *     source; when it leads, the source later matches the twin).
-    *
-    * Output (doc_id, archive_id, jaccard); the oracle replays the
-    * whole fold in SQL — band everything once, pair i↔a exactly when
-    * wave(i) > wave(a) with archive wave −1. */
-  /** The three-wave incoming feed both growing-archive adapters share:
-    * odd originals, archive twins (+600000, ' zz extra'), growth-only
-    * twins of novel docs (+1200001, ' qq extra'); wave = id mod 3. */
+  /** The three-wave incoming feed both growing-archive adapters share
+    * (wave = id mod 3): the odd-id half (novel docs); near-dup twins
+    * of every 10th ARCHIVE doc (id + 600000, " zz extra") — these
+    * match through the SEED index, the static query's behavior
+    * preserved; and near-dup twins of every doc_id % 10 == 5 doc
+    * (id + 1200001, " qq extra") — twins of NOVEL wave-(id%3) docs
+    * arriving in wave (id+1)%3, the pairs ONLY a growing index can
+    * catch (when the twin's wave trails its source the twin matches
+    * the source; when it leads, the source later matches the twin). */
   private def growIncoming(docs: DataFrame): DataFrame =
     docs.select(explode(array(
         when(col("doc_id") % 2 === 1,
@@ -1341,6 +1329,14 @@ object StreamPipeline {
       .parquet(inDir)
   }
 
+  /** The registered growing-archive adapter: even docs seed the plain
+    * parquet index, the [[growIncoming]] feed arrives via
+    * [[waveStream]] (one mtime-ordered file per wave,
+    * maxFilesPerTrigger = 1 → one micro-batch per wave), and
+    * [[lshDedupGrowStart]] drains it. Output (doc_id, archive_id,
+    * jaccard); the oracle replays the whole fold in ONE SQL pass —
+    * band archive ∪ all waves, pair i↔a exactly when
+    * wave(i) > wave(a) with archive wave −1. */
   def dedupLshGrowAvailableNow(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)

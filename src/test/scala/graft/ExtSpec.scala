@@ -506,6 +506,15 @@ class ExtSpec extends SparkSpec {
     val txt = Seq("plain text payload").toDF("t")
       .select(Multimodal.asPayload(col("t")).as("p"))
     assert(!txt.select(BmpCodec.isBmp(col("p"))).head().getBoolean(0))
+    // exact-length contract: a CONCATENATION of two valid BMPs (the
+    // video payload shape) and a TRUNCATED image must both fall
+    // through to the stub/byte-grid path, never half-decode
+    val cat = df.filter(col("id") === 1)
+      .select(concat(col("bmp"), col("bmp")).as("p"),
+        expr("substring(bmp, 1, length(bmp) - 3)").as("trunc"))
+      .select(BmpCodec.isBmp(col("p")).as("catTag"),
+        BmpCodec.isBmp(col("trunc")).as("truncTag")).head()
+    assert(!cat.getBoolean(0) && !cat.getBoolean(1))
     val viaDispatch = df.filter(col("id") === 1)
       .select(Multimodal.pooledProfile(col("bmp"), 3).as("v"),
         BmpCodec.resizePooledPixels(col("bmp"), 3).as("direct"))
