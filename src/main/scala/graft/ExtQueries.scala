@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Curation, Multimodal, PqIndex, Retrieval, Similarity, Sketches, TextDedup, TextStats}
@@ -737,8 +738,13 @@ object ExtQueries {
 
   /** Same CTE chain but reading (doc_id, text) from an arbitrary earlier
     * CTE — lets composed pipelines run the LSH stage over a pre-filtered
-    * corpus. */
-  private def minhashCteBodyFrom(src: String): String = {
+    * corpus. `withSig = true` additionally carries the per-doc signature
+    * arrays through `banded`/`cand` (as sig_a/sig_b) for oracles that
+    * compare the signature ESTIMATE against the exact hash-set Jaccard;
+    * the extra columns are functionally dependent on doc_id, so the
+    * DISTINCT grain of `cand` is unchanged. */
+  private def minhashCteBodyFrom(src: String,
+      withSig: Boolean = false): String = {
     val sigExprs = (0 until 8).map { i =>
       val (a, b) = (graft.ext.TextDedup.minhashA(i),
         graft.ext.TextDedup.minhashB(i))
@@ -761,11 +767,13 @@ object ExtQueries {
        sig AS (
          SELECT doc_id, hs, [${sigExprs.mkString(", ")}] AS sig FROM hs),
        banded AS (
-         SELECT doc_id, hs, unnest([${bandExprs.mkString(", ")}]) AS band
+         SELECT doc_id, hs,${if (withSig) " sig," else ""}
+           unnest([${bandExprs.mkString(", ")}]) AS band
          FROM sig),
        cand AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                a.hs AS hs_a, b.hs AS hs_b
+                a.hs AS hs_a, b.hs AS hs_b${
+      if (withSig) ", a.sig AS sig_a, b.sig AS sig_b" else ""}
          FROM banded a JOIN banded b USING (band)
          WHERE a.doc_id < b.doc_id),
        scored AS (
@@ -1371,6 +1379,153 @@ object ExtQueries {
         CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
           AS pairs_at_or_above
       FROM b"""))
+
+  /** MinHash ESTIMATOR-ERROR eval
+    * ([[TextDedup.minhashEstimatorErrors]] carries the cheap-probe/
+    * exact-verify rationale): per exact-Jaccard decile over all LSH
+    * candidate pairs, the error of the k=8 signature-agreement estimate
+    * against the exact hash-set Jaccard — bucket row count, mean |err|,
+    * mean signed bias, max |err|. The `ext_sketch_quantile_error`
+    * contract one approximation earlier: both sides deterministic, so
+    * the error table itself is hash-gated. Means ride the exact
+    * DECIMAL(38,12) sum (Det.dsumWide) — 6-dp inputs, engine-identical
+    * doubles out. */
+  val minhashErrEval = Q(
+    "ext_minhash_error_eval",
+    (s, d) => {
+      val pairs = TextDedup.minhashEstimatorErrors(
+        Tables.documents(s, d), "text", "doc_id", n = 3, k = 8, bands = 4)
+      pairs
+        .groupBy(floor(col("exact_jaccard") * 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(Det.dsumWide(col("abs_err")) / count(lit(1)), 6)
+            .as("mean_abs_err"),
+          round(Det.dsumWide(col("signed_err")) / count(lit(1)), 6)
+            .as("mean_bias"),
+          max(col("abs_err")).as("max_abs_err"))
+    },
+    Some(s"""WITH ${minhashCteBodyFrom("documents", withSig = true)},
+      p AS (
+        SELECT id_a, id_b,
+          round(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+            / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))),
+            6) AS exact_jaccard,
+          round(list_sum(list_transform([1, 2, 3, 4, 5, 6, 7, 8],
+            i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+            / 8.0, 6) AS est_jaccard
+        FROM cand),
+      e AS (
+        SELECT CAST(floor(exact_jaccard * 10) AS INT) AS bucket,
+          round(est_jaccard - exact_jaccard, 6) AS signed_err,
+          round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+        FROM p)
+      SELECT bucket, count(*) AS n_pairs,
+        round(${Det.dsumWideSql("abs_err")} / count(*), 6)
+          AS mean_abs_err,
+        round(${Det.dsumWideSql("signed_err")} / count(*), 6)
+          AS mean_bias,
+        max(abs_err) AS max_abs_err
+      FROM e GROUP BY 1"""))
+
+  // ---- end-to-end corpus build ---------------------------------------------
+  // Shared salted input: exact copies of every 7th doc (stage-1 fodder)
+  // and near-copies of every doc_id % 10 = 3 (stage-3 fodder), so all
+  // three gates of the build provably remove rows. One definition for
+  // both the manifest and funnel oracles.
+
+  private val corpusBuildSaltSql =
+    """salted AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 700000, text, source FROM documents
+        WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 800000, text || ' zz extra', source
+        FROM documents WHERE doc_id % 10 = 3)"""
+
+  /** The shared cleaning-chain CTE prefix: salted → exact dedup →
+    * quality ≥ 0.72 → LSH keep-first. Ends in `s3` (the cleaned
+    * corpus). */
+  private def corpusBuildChainSql =
+    s"""$corpusBuildSaltSql,
+      reps AS (
+        SELECT min(doc_id) AS doc_id FROM salted GROUP BY ${fpSql()}),
+      s1 AS (
+        SELECT s.* FROM salted s JOIN reps r ON s.doc_id = r.doc_id),
+      cq AS (
+        SELECT doc_id, text, source, $qcTokSql AS tc, $qcSrSql AS sr,
+          $qcPrSql AS pr, $qcDrSql AS dr
+        FROM s1),
+      s2 AS (
+        SELECT doc_id, text, source FROM cq
+        WHERE ${qualityCompositeSql("tc", "sr", "pr", "dr")} >= 0.72),
+      ${minhashCteBodyFrom("s2")},
+      drops AS (
+        SELECT DISTINCT id_b FROM scored WHERE jaccard >= 0.5),
+      s3 AS (
+        SELECT * FROM s2 WHERE NOT EXISTS (
+          SELECT 1 FROM drops WHERE drops.id_b = s2.doc_id))"""
+
+  private def corpusBuildInput(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+    docs
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text"),
+          col("source")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat(col("text"), lit(" zz extra")).as("text"), col("source")))
+  }
+
+  /** END-TO-END CORPUS BUILD ([[graft.ext.Curation.corpusBuild]] carries
+    * the three-gate design and the stage-caching rationale): the full
+    * ingest chain — exact dedup → quality gate → near-dedup — composed
+    * in ONE call over a salted corpus where every gate provably drops
+    * rows, finished with the 8-shard manifest of the cleaned corpus
+    * (the artifact a training job starts from). The flagship
+    * composition query: a user of the engine runs the whole build, not
+    * its stages. */
+  val corpusBuildE2e = Q(
+    "ext_corpus_build_e2e",
+    (s, d) => {
+      val (cleaned, _) = Curation.corpusBuild(
+        corpusBuildInput(s, d), "text", "doc_id", minQuality = 0.72)
+      Curation.shardManifest(cleaned, "doc_id", "text", nShards = 8)
+    },
+    Some(s"""WITH $corpusBuildChainSql,
+      t AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 8 AS shard_id,
+          len(string_split_regex(${wsTrimSql("text")}, '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok,
+          length(text) AS n_ch
+        FROM s3)
+      SELECT shard_id, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(sum(n_ch) AS BIGINT) AS n_chars
+      FROM t GROUP BY 1"""),
+    bench = true)
+
+  /** The corpus build's FUNNEL receipt: docs and tokens surviving each
+    * stage (raw → exact_dedup → quality_gate → near_dedup) — the 4-row
+    * accounting table a production run logs next to the shard manifest.
+    * Oracle replays every stage count from the shared chain CTEs. */
+  val corpusBuildFunnel = Q(
+    "ext_corpus_build_funnel",
+    (s, d) => Curation.corpusBuild(
+      corpusBuildInput(s, d), "text", "doc_id", minQuality = 0.72)._2,
+    Some {
+      def stageSql(ord: Int, name: String, src: String) =
+        s"""SELECT $ord AS stage_ord, '$name' AS stage,
+          count(*) AS n_docs,
+          CAST(coalesce(sum(len(string_split_regex(${wsTrimSql("text")},
+            '[ \\t\\n\\x0B\\f\\r]+'))), 0) AS BIGINT) AS n_tokens
+          FROM $src"""
+      s"""WITH $corpusBuildChainSql
+      ${stageSql(0, "raw", "salted")}
+      UNION ALL ${stageSql(1, "exact_dedup", "s1")}
+      UNION ALL ${stageSql(2, "quality_gate", "s2")}
+      UNION ALL ${stageSql(3, "near_dedup", "s3")}"""
+    })
 
   /** Shard manifest ([[graft.ext.Curation.shardManifest]]): stable
     * id-hash shard assignment + per-shard volume stats — the job-start
@@ -4925,7 +5080,8 @@ object ExtQueries {
     dedupComponents, dedupClusterSizes, clusterSplit, softDedupWeights,
     dedupKeepBest,
     sourceCap,
-    snapshotDiff, thresholdSweep, shardManifest, sourceOverlap,
+    snapshotDiff, thresholdSweep, minhashErrEval, corpusBuildE2e,
+    corpusBuildFunnel, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
     rpReduce, rpRecallQ, mmrRerankQ, sparseCosine, ndcgQ,

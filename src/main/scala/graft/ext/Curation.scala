@@ -418,6 +418,55 @@ object Curation {
           .as("out_file")): _*)
   }
 
+  /** END-TO-END corpus build — the three cleaning gates every LLM
+    * ingest runs, composed into ONE call (the reference's cleaner-chain
+    * posture lifted to the training-data pipeline): exact dedup
+    * (keep-min-id per content fingerprint) → quality gate (composite
+    * score ≥ `minQuality`) → MinHash-LSH near-dedup with the keep-first
+    * policy (a doc drops iff it is the HIGHER id of any surviving pair
+    * ≥ `threshold` — deterministic without a component pass, the
+    * standard first-wins ingest rule).
+    *
+    * Returns (cleaned, funnel): `cleaned` is the surviving input rows
+    * unchanged in schema — ready for [[shardManifest]] / packing;
+    * `funnel` is the 4-row stage-accounting table (stage_ord, stage,
+    * n_docs, n_tokens) a pipeline run logs as its receipt — each stage's
+    * doc and token survivorship at one glance.
+    *
+    * Scale: stage 1 is one fingerprint hash-agg + a semi-join back;
+    * stage 2 a codegen'd projection-filter; stage 3 exactly the
+    * [[TextDedup.minhashNearDups]] banded plan (candidates are
+    * collision-bounded, never all-pairs) + one anti-join on the distinct
+    * drop ids. The two intermediate survivor sets are CacheScope-pinned
+    * — both feed two consumers (the next gate and the funnel), and at
+    * 100 TB a production run would checkpoint each stage to the lake
+    * instead (the funnel then reads the stage manifests for free). */
+  def corpusBuild(docs: DataFrame, textCol: String, idCol: String,
+      minQuality: Double, n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val reps = TextDedup.exactDedup(docs, textCol, idCol)
+      .select(col("representative_id").as(idCol))
+    val s1 = graft.ops.CacheScope.persist(
+      docs.join(reps, Seq(idCol), "left_semi"))
+    val s2 = graft.ops.CacheScope.persist(
+      s1.filter(TextStats.qualityScore(col(textCol)) >= minQuality))
+    val drops = TextDedup
+      .minhashNearDups(s2, textCol, idCol, n, k, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val s3 = s2.join(drops, Seq(idCol), "left_anti")
+    def stageRow(ord: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col(textCol)).cast("long"))
+            .as("n_tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val funnel = stageRow(0, "raw", docs)
+      .unionByName(stageRow(1, "exact_dedup", s1))
+      .unionByName(stageRow(2, "quality_gate", s2))
+      .unionByName(stageRow(3, "near_dedup", s3))
+    (s3, funnel)
+  }
+
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int = 8): DataFrame =
     docs.select(

@@ -457,6 +457,61 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id").as("doc_id"), col("archive_id"), col("jaccard"))
 
+  /** MinHash ESTIMATOR-ERROR eval — "measure, don't guess" applied to
+    * the signature itself (the `ext_sketch_quantile_error` contract,
+    * one approximation earlier in the pipeline): for every LSH
+    * candidate pair, the k-component signature-agreement estimate of
+    * Jaccard (the quantity MinHash actually promises, E[agree/k] = J)
+    * next to the EXACT hash-set Jaccard the verify step computes. The
+    * per-pair error is what a platform team reads before trusting a
+    * (k, bands) setting enough to SKIP the exact verify at 100 TB —
+    * the tuning table for the cheap-probe/exact-verify trade.
+    *
+    * Scale: exactly the [[minhashNearDups]] plan (banded candidates,
+    * never all-pairs) plus one zip_with/aggregate projection per
+    * surviving pair; signatures ride the same by-id joins the hash
+    * sets already take. Determinism: the estimate is m/k with m
+    * integral (exact binary at k = 8), the exact side is the shared
+    * 6-dp round — the error of two identical doubles is itself
+    * engine-identical. */
+  def minhashEstimatorErrors(df: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, k: Int = 8, bands: Int = 4)
+      : DataFrame = {
+    val rowsPerBand = k / bands
+    val withHs = df.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingle_hashes(col(textCol), n)
+        .as("hs"))
+    val withSig = withHs.select(col("id"), col("hs"),
+      signatureFromHashes(col("hs"), k).as("sig"))
+    val banded = withSig.select(col("id"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val a = banded.select(col("band"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .join(withSig.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("exact_jaccard", round(col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+          .cast("double"), 6))
+      .withColumn("est_jaccard", round(
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k, 6))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        col("exact_jaccard"),
+        round(col("est_jaccard") - col("exact_jaccard"), 6)
+          .as("signed_err"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6)
+          .as("abs_err"))
+  }
+
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 8, bands: Int = 4,

@@ -2637,4 +2637,66 @@ class ExtSpec extends SparkSpec {
     val leaked = byDoc.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1)
     assert(leaked, "by-doc split unexpectedly leak-free on this fixture")
   }
+
+  test("minhash estimator errors: identical docs estimate 1.0 exactly; " +
+      "estimates are k-quantized and errors consistent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"), // near
+      (4L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.minhashEstimatorErrors(df, "text", "doc_id")
+      .collect()
+    val pair12 = out.find(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L).get
+    assert(pair12.getAs[Double]("est_jaccard") == 1.0)
+    assert(pair12.getAs[Double]("exact_jaccard") == 1.0)
+    assert(pair12.getAs[Double]("abs_err") == 0.0)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      // k = 8 signature agreement is always a multiple of 1/8
+      assert((est * 8) == math.round(est * 8).toDouble, s"est=$est")
+      assert(math.abs(r.getAs[Double]("abs_err") -
+        math.abs(r.getAs[Double]("signed_err"))) < 1e-9)
+    }
+  }
+
+  test("corpus build: funnel is monotone, stages partition correctly, " +
+      "cleaned matches the funnel's final stage") {
+    val (cleaned, funnel) = graft.ext.Curation.corpusBuild(
+      docs.select("doc_id", "text", "source")
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text"),
+            col("source"))),
+      "text", "doc_id", minQuality = 0.72)
+    val f = funnel.orderBy("stage_ord").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs")))
+    graft.ops.CacheScope.releaseAll()
+    assert(f.map(_._1).toSeq ==
+      Seq("raw", "exact_dedup", "quality_gate", "near_dedup"))
+    // monotone non-increasing, and every gate here provably drops rows
+    assert(f.sliding(2).forall { case Array(a, b) => b._2 <= a._2 })
+    assert(f(1)._2 < f(0)._2, "exact dedup dropped nothing")
+    assert(f(2)._2 < f(1)._2, "quality gate dropped nothing")
+    val (cleaned2, funnel2) = graft.ext.Curation.corpusBuild(
+      docs.select("doc_id", "text", "source")
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text"),
+            col("source"))),
+      "text", "doc_id", minQuality = 0.72)
+    val n = cleaned2.count()
+    graft.ops.CacheScope.releaseAll()
+    assert(n == f(3)._2, "cleaned row count != funnel's near_dedup stage")
+    // exact copies never survive: no doc_id in the salted range remains
+    val (cleaned3, _) = graft.ext.Curation.corpusBuild(
+      docs.select("doc_id", "text", "source")
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text"),
+            col("source"))),
+      "text", "doc_id", minQuality = 0.72)
+    val salted = cleaned3.filter(col("doc_id") >= 700000L).count()
+    graft.ops.CacheScope.releaseAll()
+    assert(salted == 0, "an exact copy survived the build")
+  }
 }
