@@ -632,6 +632,71 @@ object ExtQueries3 {
       FROM gen"""
     })
 
+  /** VOICE-ACTIVITY SEGMENTATION over REAL decoded WAV bytes
+    * ([[graft.ext.WavCodec.vadSegments]] carries the frame-energy /
+    * islands design and the per-clip-parallel scale rationale) — the
+    * speech-curation op an audio training pipeline runs right after
+    * decode. The waveform generator writes designed quiet/loud frame
+    * runs ((doc_id + frame) mod 5 < 2 → ±128 noise floor, else full
+    * ±32k range); the decode side reads ONLY the bytes — the
+    * `ext_wav_roundtrip` contract extended from scalar stats to a real
+    * downstream operator. Determinism: frame energies are exact
+    * integer sums / frame length rounded 6 dp; the segment mean rides
+    * the DECIMAL(38,12) exact sum. */
+  val wavVadQ = Q(
+    "ext_wav_vad_segments",
+    (s, d) => {
+      import graft.ext.WavCodec
+      val n = lit(64) + pmod(col("doc_id"), lit(32))
+      val gen = transform(sequence(lit(0), n - 1), i => {
+        val base = pmod(col("doc_id") * 31 + i * 17, lit(65536))
+        val f = floor(i / lit(16)).cast("int")
+        when(pmod(col("doc_id") + f, lit(5)) >= 2, base - 32768)
+          .otherwise(pmod(base, lit(256)) - 128).cast("int")
+      })
+      val enc = Tables.documents(s, d).select(col("doc_id"),
+        WavCodec.encodeWav(gen, lit(8000)).as("wav"))
+      // everything below reads the BYTES, never the generator
+      WavCodec.vadSegments(enc, "doc_id", "wav",
+        frameLen = 16, threshold = 1000.0)
+    },
+    Some(s"""WITH g AS (
+        SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+      idx AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM g),
+      smp AS (
+        SELECT doc_id, CAST(i // 16 AS INT) AS f,
+          CASE WHEN (doc_id + i // 16) % 5 >= 2
+            THEN (doc_id * 31 + i * 17) % 65536 - 32768
+            ELSE ((doc_id * 31 + i * 17) % 65536) % 256 - 128
+          END AS s
+        FROM idx),
+      fr AS (
+        SELECT doc_id, f, count(*) AS flen,
+          sum(abs(s)) AS sab
+        FROM smp GROUP BY 1, 2),
+      en AS (
+        SELECT doc_id, f, flen,
+          round(CAST(sab AS DOUBLE) / flen, 6) AS energy,
+          round(CAST(sab AS DOUBLE) / flen, 6) >= 1000.0 AS active
+        FROM fr),
+      st AS (
+        SELECT doc_id, f, flen, energy, active,
+          CASE WHEN active AND NOT coalesce(
+            lag(active) OVER (PARTITION BY doc_id ORDER BY f), FALSE)
+          THEN 1 ELSE 0 END AS is_start
+        FROM en),
+      seg AS (
+        SELECT doc_id, f, flen, energy, active,
+          sum(is_start) OVER (PARTITION BY doc_id ORDER BY f
+            ROWS UNBOUNDED PRECEDING) AS seg
+        FROM st)
+      SELECT doc_id, CAST(seg AS INT) AS seg_id,
+        min(f) AS start_frame, max(f) AS end_frame,
+        count(*) AS n_frames, CAST(sum(flen) AS BIGINT) AS n_samples,
+        round(${Det.dsumWideSql("energy")} / count(*), 6) AS mean_energy
+      FROM seg WHERE active GROUP BY 1, 2"""))
+
   /** Streaming NEAR-dedup against the archive-as-index — the streaming
     * twin of `ext_dedup_incremental_lsh`
     * ([[graft.streaming.StreamPipeline.dedupLshAvailableNow]] carries
@@ -1397,7 +1462,8 @@ object ExtQueries3 {
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
-    lshDedupStreamQ, wavRoundtripQ, topValueStreamQ, keySkewQ, ecdfQ,
+    lshDedupStreamQ, wavRoundtripQ, wavVadQ, topValueStreamQ, keySkewQ,
+    ecdfQ,
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
     bmpRoundtripQ, bmpDhashQ, lshDedupPrunedQ,

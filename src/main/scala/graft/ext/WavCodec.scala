@@ -131,4 +131,54 @@ object WavCodec {
         .otherwise(lit(0.0))
     }: _*)
   }
+
+  /** VOICE-ACTIVITY SEGMENTATION over decoded WAV payloads — the
+    * speech-curation op an audio pipeline runs right after decode
+    * (split each clip into utterance segments, drop silence):
+    * `frameLen`-sample frame energies (mean |amplitude|, exact integer
+    * sum / frame length, 6 dp), a `threshold` activity cut, and
+    * contiguous active-frame runs grouped into segments via the
+    * classic islands pattern (lag + running start-count). A clip with
+    * no active frame contributes no rows; a trailing partial frame is
+    * a frame of its actual length.
+    *
+    * Output: (idCol, seg_id [1-based per clip], start_frame,
+    * end_frame, n_frames, n_samples, mean_energy).
+    *
+    * Scale: decode and the frame explode are per-row projections; the
+    * islands window partitions by the clip id (a clip's frames are
+    * thousands, never corpus-scale) — embarrassingly parallel across
+    * clips. */
+  def vadSegments(df: org.apache.spark.sql.DataFrame, idCol: String,
+      wavCol: String, frameLen: Int = 16,
+      threshold: Double = 1000.0): org.apache.spark.sql.DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ss = samples(col(wavCol))
+    val nf = ceil(size(ss) / lit(frameLen.toDouble)).cast("int")
+    val frames = df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nf - 1),
+          f => slice(ss, f * frameLen + 1, lit(frameLen)))))
+      .select(col(idCol), col("pos").as("f"), col("col").as("fr"))
+      .withColumn("flen", size(col("fr")))
+      .withColumn("energy", round(
+        aggregate(col("fr"), lit(0L), (a, x) => a + abs(x))
+          .cast("double") / col("flen"), 6))
+      .withColumn("active", col("energy") >= threshold)
+    val w = Window.partitionBy(idCol).orderBy("f")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("is_start",
+        col("active") && !lag(col("active"), 1, false).over(w))
+      .withColumn("seg",
+        sum(when(col("is_start"), 1).otherwise(0)).over(run))
+      .filter(col("active"))
+      .groupBy(col(idCol), col("seg").cast("int").as("seg_id"))
+      .agg(min(col("f")).as("start_frame"),
+        max(col("f")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("flen")).cast("long").as("n_samples"),
+        round(graft.Det.dsumWide(col("energy")) / count(lit(1)), 6)
+          .as("mean_energy"))
+  }
 }

@@ -465,6 +465,33 @@ class ExtSpec extends SparkSpec {
     assert(zero.getSeq[Double](2) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("WAV VAD: islands segmentation on designed quiet/loud runs, " +
+      "all-quiet clips emit nothing, partial tail frame counted") {
+    import graft.ext.WavCodec
+    // clip 1: frames loud,loud,quiet,loud -> segments (0-1) and (3-3);
+    // clip 2: all quiet -> no rows; clip 3: 1 loud frame + 4-sample
+    // loud tail -> one segment spanning both, n_samples = 20
+    def frame(v: Int) = Seq.fill(16)(v)
+    val clips = Seq(
+      (1L, frame(5000) ++ frame(6000) ++ frame(10) ++ frame(7000)),
+      (2L, frame(3) ++ frame(7)),
+      (3L, frame(4000) ++ Seq.fill(4)(9000)))
+    val df = clips.toDF("id", "ss")
+      .select(col("id"), WavCodec.encodeWav(col("ss"), lit(8000)).as("wav"))
+    val out = WavCodec.vadSegments(df, "id", "wav").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("seg_id"),
+        r.getAs[Int]("start_frame"), r.getAs[Int]("end_frame"),
+        r.getAs[Long]("n_frames"), r.getAs[Long]("n_samples"),
+        r.getAs[Double]("mean_energy"))).sortBy(t => (t._1, t._2))
+    assert(out.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSeq == Seq(
+      (1L, 1, 0, 1, 2L, 32L), (1L, 2, 3, 3, 1L, 16L),
+      (3L, 1, 0, 1, 2L, 20L)))
+    // energies: exact means of the constructed amplitudes
+    assert(out(0)._7 == 5500.0)     // (5000 + 6000) / 2
+    assert(out(1)._7 == 7000.0)
+    assert(out(2)._7 == 6500.0)     // (4000 + 9000) / 2 (tail len 4)
+  }
+
   test("BMP codec: byte-exact roundtrip incl. every row-pad case, the " +
       "bottom-up/BGR undo, and format-tag routing") {
     import graft.ext.{BmpCodec, WavCodec}
