@@ -1527,6 +1527,104 @@ object ExtQueries {
       UNION ALL ${stageSql(3, "near_dedup", "s3")}"""
     })
 
+  /** INCREMENTAL corpus build
+    * ([[graft.ext.Curation.corpusBuildIncremental]] carries the
+    * archive-as-indexes posture and stage design): day-2 ingest — the
+    * even-id half of the corpus plays the archived day-1 build
+    * (present only as its fingerprint + LSH indexes), the odd half
+    * plus four salt families play the incoming batch, exercising every
+    * drop path: exact-vs-archive (copies of archived docs),
+    * exact-within-batch (copies of incoming docs), near-dup-vs-archive
+    * (' zz extra' variants of archived docs), near-dup-within-batch
+    * (' qq extra' variants of incoming docs), plus the quality gate.
+    * Output is the cleaned batch's (doc_id, source) rows — the
+    * row-level gate. Oracle replays all three stages from the shared
+    * fingerprint / band-chain fragments. */
+  val corpusBuildIncr = Q(
+    "ext_corpus_build_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val archive = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text"),
+            col("source")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+            col("source")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 800000L).as("doc_id"),
+            concat(col("text"), lit(" zz extra")).as("text"),
+            col("source")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 1200001L).as("doc_id"),
+            concat(col("text"), lit(" qq extra")).as("text"),
+            col("source")))
+      val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
+        .select("fp", "representative_id")
+      val (bandsIdx, hashesIdx) =
+        TextDedup.lshIndex(archive, "text", "doc_id")
+      val (cleaned, _) = Curation.corpusBuildIncremental(
+        incoming, "text", "doc_id", fpIndex, bandsIdx, hashesIdx,
+        minQuality = 0.72)
+      cleaned.select("doc_id", "source")
+    },
+    Some {
+      val jac = (x: String, y: String) =>
+        s"""round(CAST(len(list_intersect($x, $y)) AS DOUBLE)
+          / (len($x) + len($y) - len(list_intersect($x, $y))), 6)"""
+      s"""WITH arch AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
+      inc AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 600000, text, source FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 900000, text, source FROM documents
+        WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT doc_id + 800000, text || ' zz extra', source
+        FROM documents WHERE doc_id % 10 = 2
+        UNION ALL
+        SELECT doc_id + 1200001, text || ' qq extra', source
+        FROM documents WHERE doc_id % 10 = 5),
+      afp AS (SELECT DISTINCT ${fpSql()} AS fp FROM arch),
+      ifp AS (
+        SELECT doc_id, text, source, ${fpSql()} AS fp FROM inc),
+      keepers AS (SELECT fp, min(doc_id) AS keep FROM ifp GROUP BY 1),
+      s1 AS (
+        SELECT i.doc_id, i.text, i.source FROM ifp i
+        JOIN keepers k ON i.doc_id = k.keep
+        WHERE NOT EXISTS (SELECT 1 FROM afp a WHERE a.fp = i.fp)),
+      cq2 AS (
+        SELECT doc_id, text, source, $qcTokSql AS tc, $qcSrSql AS sr,
+          $qcPrSql AS pr, $qcDrSql AS dr
+        FROM s1),
+      s2 AS (
+        SELECT doc_id, text, source FROM cq2
+        WHERE ${qualityCompositeSql("tc", "sr", "pr", "dr")} >= 0.72),
+      ${minhashBandChain("a_", "arch")},
+      ${minhashBandChain("i_", "s2")},
+      wc AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.hs AS ha, b.hs AS hb
+        FROM i_banded a JOIN i_banded b USING (band)
+        WHERE a.doc_id < b.doc_id),
+      wdrop AS (
+        SELECT DISTINCT id_b AS doc_id FROM wc
+        WHERE ${jac("ha", "hb")} >= 0.5),
+      xc AS (
+        SELECT DISTINCT i.doc_id AS doc_id, i.hs AS hi, a.hs AS ha
+        FROM i_banded i JOIN a_banded a USING (band)),
+      xdrop AS (
+        SELECT DISTINCT doc_id FROM xc
+        WHERE ${jac("hi", "ha")} >= 0.5)
+      SELECT s2.doc_id, s2.source FROM s2
+      WHERE NOT EXISTS (SELECT 1 FROM wdrop w WHERE w.doc_id = s2.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM xdrop x WHERE x.doc_id = s2.doc_id)"""
+    })
+
   /** Shard manifest ([[graft.ext.Curation.shardManifest]]): stable
     * id-hash shard assignment + per-shard volume stats — the job-start
     * planning table. */
@@ -5081,7 +5179,7 @@ object ExtQueries {
     dedupKeepBest,
     sourceCap,
     snapshotDiff, thresholdSweep, minhashErrEval, corpusBuildE2e,
-    corpusBuildFunnel, shardManifest, sourceOverlap,
+    corpusBuildFunnel, corpusBuildIncr, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
     rpReduce, rpRecallQ, mmrRerankQ, sparseCosine, ndcgQ,

@@ -454,17 +454,71 @@ object Curation {
       .minhashNearDups(s2, textCol, idCol, n, k, bands, threshold)
       .select(col("id_b").as(idCol)).distinct()
     val s3 = s2.join(drops, Seq(idCol), "left_anti")
-    def stageRow(ord: Int, name: String, df: DataFrame) =
+    (s3, stageFunnel(textCol,
+      Seq("raw" -> docs, "exact_dedup" -> s1, "quality_gate" -> s2,
+        "near_dedup" -> s3)))
+  }
+
+  /** The 4-row stage-accounting receipt shared by the batch and
+    * incremental corpus builds: (stage_ord, stage, n_docs, n_tokens)
+    * per pipeline stage. Each row is a 1-row global aggregate of its
+    * stage frame — volume-independent output. */
+  private def stageFunnel(textCol: String,
+      stages: Seq[(String, DataFrame)]): DataFrame =
+    stages.zipWithIndex.map { case ((name, df), ord) =>
       df.agg(count(lit(1)).as("n_docs"),
           sum(TextStats.tokenCount(col(textCol)).cast("long"))
             .as("n_tokens"))
         .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
           col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-    val funnel = stageRow(0, "raw", docs)
-      .unionByName(stageRow(1, "exact_dedup", s1))
-      .unionByName(stageRow(2, "quality_gate", s2))
-      .unionByName(stageRow(3, "near_dedup", s3))
-    (s3, funnel)
+    }.reduce(_ unionByName _)
+
+  /** INCREMENTAL corpus build — [[corpusBuild]]'s day-2 shape: clean an
+    * INCOMING batch against an archive that is present ONLY as its
+    * indexes (the 100 TB ingest posture — the corpus is petabytes, the
+    * fingerprint index is one row per distinct content and the LSH
+    * index one (band, id) row per doc·band; neither re-reads or
+    * re-shingles the archive):
+    *
+    *   1. exact gate — [[TextDedup.incrementalDedup]]: first-of-
+    *      fingerprint within the batch AND absent from `fpIndex`;
+    *   2. quality gate — composite score ≥ `minQuality`;
+    *   3. near-dedup — within-batch keep-first pairs
+    *      ([[TextDedup.minhashNearDups]]) UNION cross-archive probes
+    *      ([[TextDedup.incrementalLshPairs]] against `lshBands` /
+    *      `lshHashes`): a doc drops if it is the higher id of a batch
+    *      pair or a near-dup of ANY archived doc.
+    *
+    * Returns (cleaned, funnel) exactly as [[corpusBuild]] — the two
+    * builds log the same receipt schema, so a day-1 full build and
+    * every day-N incremental append read uniformly in the run log.
+    *
+    * Scale: every stage is batch-sized or collision-bounded; the only
+    * archive-sized frames are the two indexes, joined on their bucket
+    * keys (band / fp) — stored bucketed, both joins are exchange-free
+    * on the index side. */
+  def corpusBuildIncremental(incoming: DataFrame, textCol: String,
+      idCol: String, fpIndex: DataFrame, lshBands: DataFrame,
+      lshHashes: DataFrame, minQuality: Double, n: Int = 3, k: Int = 8,
+      bands: Int = 4, threshold: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    val (s1raw, _) =
+      TextDedup.incrementalDedup(incoming, textCol, idCol, fpIndex)
+    val s1 = graft.ops.CacheScope.persist(s1raw)
+    val s2 = graft.ops.CacheScope.persist(
+      s1.filter(TextStats.qualityScore(col(textCol)) >= minQuality))
+    val withinDrops = TextDedup
+      .minhashNearDups(s2, textCol, idCol, n, k, bands, threshold)
+      .select(col("id_b").as(idCol))
+    val crossDrops = TextDedup
+      .incrementalLshPairs(s2, textCol, idCol, lshBands, lshHashes,
+        n, k, bands, threshold)
+      .select(col("doc_id").as(idCol))
+    val s3 = s2.join(withinDrops.unionByName(crossDrops).distinct(),
+      Seq(idCol), "left_anti")
+    (s3, stageFunnel(textCol,
+      Seq("raw" -> incoming, "exact_dedup" -> s1, "quality_gate" -> s2,
+        "near_dedup" -> s3)))
   }
 
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,

@@ -465,6 +465,44 @@ class ExtSpec extends SparkSpec {
     assert(zero.getSeq[Double](2) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("incremental corpus build: every drop path fires exactly once " +
+      "and the funnel books each stage") {
+    import graft.ext.{Curation, TextDedup}
+    val tA = "the cat and the dog and the fox and the bird and the " +
+      "fish and the cow and the hen and the pig runs fast today"
+    val tB = "a quick brown fox jumps over the lazy dog while it is " +
+      "raining in the garden and the sun is bright"
+    val n1 = "we like to read books in the library and it is a quiet " +
+      "place for all of us to think deeply"
+    val n2 = "they went to the market and bought some bread and milk " +
+      "and then walked home by the old river path"
+    val archive = Seq((2L, tA, "web"), (4L, tB, "web"))
+      .toDF("doc_id", "text", "source")
+    val incoming = Seq(
+      (11L, n1, "web"),              // novel keeper
+      (13L, tA, "web"),              // exact copy of archived doc
+      (15L, tA + " extra", "web"),   // near-dup of archived doc
+      (17L, n2, "web"),              // novel keeper
+      (19L, n2, "web"),              // within-batch exact copy of 17
+      (21L, n1 + " indeed", "web"),  // within-batch near-dup of 11
+      (23L, "zz qq xx 123", "web"))  // fails the quality gate
+      .toDF("doc_id", "text", "source")
+    val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
+      .select("fp", "representative_id")
+    val (bandsIdx, hashesIdx) =
+      TextDedup.lshIndex(archive, "text", "doc_id")
+    val (cleaned, funnel) = Curation.corpusBuildIncremental(
+      incoming, "text", "doc_id", fpIndex, bandsIdx, hashesIdx,
+      minQuality = 0.72)
+    val ids = cleaned.select("doc_id").as[Long].collect().sorted.toSeq
+    val f = funnel.orderBy("stage_ord").collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs"))
+    graft.ops.CacheScope.releaseAll()
+    assert(ids == Seq(11L, 17L), s"survivors: $ids")
+    assert(f.toSeq == Seq("raw" -> 7L, "exact_dedup" -> 5L,
+      "quality_gate" -> 4L, "near_dedup" -> 2L), s"funnel: ${f.toSeq}")
+  }
+
   test("WAV VAD: islands segmentation on designed quiet/loud runs, " +
       "all-quiet clips emit nothing, partial tail frame counted") {
     import graft.ext.WavCodec
