@@ -2125,14 +2125,14 @@ object ExtQueries {
             FROM scoredq)
       SELECT source, doc_id, quality, rank FROM r WHERE rank <= 10"""))
 
-  val dedupNgram = Q(
-    "ext_dedup_ngram_jaccard",
-    (s, d) => TextDedup.ngramJaccardPairs(
-      Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.2),
-    // same 32-bit hash-set measure as the MinHash verify step (mirror of
-    // ShingleHashes), so Spark and the oracle compute the identical
-    // Jaccard even in the (astronomically unlikely) collision case
-    Some(s"""WITH toks AS (
+  // same 32-bit hash-set measure as the MinHash verify step (mirror of
+  // ShingleHashes), so Spark and the oracle compute the identical
+  // Jaccard even in the (astronomically unlikely) collision case; the
+  // oracle states the ALL-PAIRS form — shared by the inverted-index
+  // join and its prefix-filtered variant, proving both candidate
+  // generations lossless at their thresholds
+  private def ngramJaccardOracleSql(threshold: Double): String =
+    s"""WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
         FROM documents),
       sh AS (SELECT doc_id, ${dkShingles(3)} AS sh FROM toks),
@@ -2149,7 +2149,28 @@ object ExtQueries {
           len(list_intersect(a.hs, b.hs)) AS inter
         FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
       SELECT id_a, id_b, jaccard FROM pairs
-      WHERE jaccard >= 0.2 AND inter > 0"""))
+      WHERE jaccard >= $threshold AND inter > 0"""
+
+  val dedupNgram = Q(
+    "ext_dedup_ngram_jaccard",
+    (s, d) => TextDedup.ngramJaccardPairs(
+      Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.2),
+    Some(ngramJaccardOracleSql(0.2)))
+
+  /** PREFIX-FILTERED exact Jaccard join
+    * ([[TextDedup.prefixFilterJaccardPairs]] carries the lossless
+    * prefix-cut proof and the 100 TB rationale): the Bayardo et al.
+    * 2007 candidate generation — only each doc's first
+    * |s| − ⌈θ·|s|⌉ + 1 sorted shingle hashes enter the inverted
+    * index — verified with the exact full-set intersection. The
+    * oracle is the same all-pairs statement as the full
+    * inverted-index join at θ = 0.5 — hash-equality IS the
+    * losslessness proof at corpus scale. */
+  val dedupPrefixFilter = Q(
+    "ext_dedup_prefix_filter",
+    (s, d) => TextDedup.prefixFilterJaccardPairs(
+      Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.5),
+    Some(ngramJaccardOracleSql(0.5)))
 
   /** Shared signature CTE mirroring TextDedup.simhash (32 sign-sums). */
   private def simhashSigCte: String = {
@@ -5173,7 +5194,7 @@ object ExtQueries {
     dedupLshGrowPruned, dedupMinhash,
     dedupContainment,
     dedupEditDistance, pagerank, hitsQ, trianglesQ, labelPropQ, kcoreQ,
-    dedupNgram, dedupSimhash,
+    dedupNgram, dedupPrefixFilter, dedupSimhash,
     dedupSimhashPairs,
     dedupComponents, dedupClusterSizes, clusterSplit, softDedupWeights,
     dedupKeepBest,

@@ -465,6 +465,29 @@ class ExtSpec extends SparkSpec {
     assert(zero.getSeq[Double](2) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("prefix-filtered jaccard join: pair-identical to the full " +
+      "inverted-index join; prefix index carries ~half the volume") {
+    import graft.ext.TextDedup
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))
+    val full = TextDedup.ngramJaccardPairs(
+      docs, "text", "doc_id", n = 3, threshold = 0.5).collect().map(key)
+    val pf = TextDedup.prefixFilterJaccardPairs(
+      docs, "text", "doc_id", n = 3, threshold = 0.5).collect().map(key)
+    assert(full.toSet == pf.toSet, "prefix filtering changed the output")
+    assert(pf.nonEmpty, "fixture produced no pairs — test is vacuous")
+    // the scale claim: the prefix inverted index posts ~|s|/2 + 1
+    // hashes per doc instead of |s|
+    val vol = docs.select(size(graft.functions.ShingleHashes
+        .shingle_hashes(col("text"), 3)).as("nsh"))
+      .agg(sum(col("nsh")).as("fullV"),
+        sum(col("nsh") - ceil(col("nsh") * 0.5).cast("int") + 1)
+          .as("prefV")).head()
+    assert(vol.getLong(1) <= vol.getLong(0) / 2 + docs.count() + 1,
+      s"prefix volume ${vol.getLong(1)} not ~half of ${vol.getLong(0)}")
+  }
+
   test("incremental corpus build: every drop path fires exactly once " +
       "and the funnel books each stage") {
     import graft.ext.{Curation, TextDedup}
