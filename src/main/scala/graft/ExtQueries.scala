@@ -1540,26 +1540,51 @@ object ExtQueries {
     * Output is the cleaned batch's (doc_id, source) rows — the
     * row-level gate. Oracle replays all three stages from the shared
     * fingerprint / band-chain fragments. */
+  /** The day-2 incoming feed shared by the batch incremental build, its
+    * streaming DQ monitor, and their oracles: odd-id novels plus four
+    * salt families (exact/near copies of archived and incoming docs).
+    * ONE definition each side — a drifted copy would silently test a
+    * different feed. */
+  private[graft] def corpusIncrementalIncoming(docs: DataFrame)
+      : DataFrame =
+    docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("text"),
+          col("source")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+          col("source")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat(col("text"), lit(" zz extra")).as("text"),
+          col("source")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 1200001L).as("doc_id"),
+          concat(col("text"), lit(" qq extra")).as("text"),
+          col("source")))
+
+  private[graft] val corpusIncrementalFeedSql: String =
+    """inc AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 600000, text, source FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 900000, text, source FROM documents
+        WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT doc_id + 800000, text || ' zz extra', source
+        FROM documents WHERE doc_id % 10 = 2
+        UNION ALL
+        SELECT doc_id + 1200001, text || ' qq extra', source
+        FROM documents WHERE doc_id % 10 = 5)"""
+
   val corpusBuildIncr = Q(
     "ext_corpus_build_incremental",
     (s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text", "source")
       val archive = docs.filter(col("doc_id") % 2 === 0)
-      val incoming = docs.filter(col("doc_id") % 2 === 1)
-        .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 600000L).as("doc_id"), col("text"),
-            col("source")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 7)
-          .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
-            col("source")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 2)
-          .select((col("doc_id") + 800000L).as("doc_id"),
-            concat(col("text"), lit(" zz extra")).as("text"),
-            col("source")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 5)
-          .select((col("doc_id") + 1200001L).as("doc_id"),
-            concat(col("text"), lit(" qq extra")).as("text"),
-            col("source")))
+      val incoming = corpusIncrementalIncoming(docs)
       val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
         .select("fp", "representative_id")
       val (bandsIdx, hashesIdx) =
@@ -1575,20 +1600,7 @@ object ExtQueries {
           / (len($x) + len($y) - len(list_intersect($x, $y))), 6)"""
       s"""WITH arch AS (
         SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
-      inc AS (
-        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
-        UNION ALL
-        SELECT doc_id + 600000, text, source FROM documents
-        WHERE doc_id % 10 = 0
-        UNION ALL
-        SELECT doc_id + 900000, text, source FROM documents
-        WHERE doc_id % 10 = 7
-        UNION ALL
-        SELECT doc_id + 800000, text || ' zz extra', source
-        FROM documents WHERE doc_id % 10 = 2
-        UNION ALL
-        SELECT doc_id + 1200001, text || ' qq extra', source
-        FROM documents WHERE doc_id % 10 = 5),
+      $corpusIncrementalFeedSql,
       afp AS (SELECT DISTINCT ${fpSql()} AS fp FROM arch),
       ifp AS (
         SELECT doc_id, text, source, ${fpSql()} AS fp FROM inc),
@@ -1624,6 +1636,46 @@ object ExtQueries {
       WHERE NOT EXISTS (SELECT 1 FROM wdrop w WHERE w.doc_id = s2.doc_id)
         AND NOT EXISTS (SELECT 1 FROM xdrop x WHERE x.doc_id = s2.doc_id)"""
     })
+
+  /** Streaming CORPUS-INGEST DQ monitor
+    * ([[graft.streaming.StreamPipeline.corpusDqAvailableNow]] carries
+    * the stream-static/one-counter-row design): the day-2 feed's
+    * landing-zone receipt — exact-dup-vs-archive (fingerprint index
+    * join made row-local), below-quality, too-short — the cheap gate
+    * an operator watches before the near-dedup stages spend anything.
+    * Oracle: one CASE-sum scan over the SAME feed (shared CTE) joined
+    * to the archive fingerprint set. */
+  val corpusDqStream = Q(
+    "q_stream_corpus_dq",
+    (s, d) => graft.streaming.StreamPipeline.corpusDqAvailableNow(s, d),
+    Some(s"""WITH arch AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
+      $corpusIncrementalFeedSql,
+      afp AS (SELECT DISTINCT ${fpSql()} AS fp FROM arch),
+      ifp2 AS (
+        SELECT doc_id, text, ${fpSql()} AS fp FROM inc),
+      j2 AS (
+        SELECT i.doc_id, i.text, (a.fp IS NOT NULL) AS isdup
+        FROM ifp2 i LEFT JOIN afp a ON i.fp = a.fp),
+      cq3 AS (
+        SELECT doc_id, isdup, $qcTokSql AS tc, $qcSrSql AS sr,
+          $qcPrSql AS pr, $qcDrSql AS dr
+        FROM j2),
+      w AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+          CAST(sum(CASE WHEN
+            ${qualityCompositeSql("tc", "sr", "pr", "dr")} < 0.72
+            THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+          CAST(sum(CASE WHEN tc < 17 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        FROM cq3)
+      SELECT 'doc_exact_dup_vs_archive' AS rule, n AS n_checked,
+        v0 AS n_violations,
+        round(v0 / CAST(n AS DOUBLE), 9) AS violation_rate FROM w
+      UNION ALL SELECT 'doc_below_quality', n, v1,
+        round(v1 / CAST(n AS DOUBLE), 9) FROM w
+      UNION ALL SELECT 'doc_too_short', n, v2,
+        round(v2 / CAST(n AS DOUBLE), 9) FROM w"""))
 
   /** Shard manifest ([[graft.ext.Curation.shardManifest]]): stable
     * id-hash shard assignment + per-shard volume stats — the job-start
@@ -5200,7 +5252,8 @@ object ExtQueries {
     dedupKeepBest,
     sourceCap,
     snapshotDiff, thresholdSweep, minhashErrEval, corpusBuildE2e,
-    corpusBuildFunnel, corpusBuildIncr, shardManifest, sourceOverlap,
+    corpusBuildFunnel, corpusBuildIncr, corpusDqStream, shardManifest,
+    sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
     rpReduce, rpRecallQ, mmrRerankQ, sparseCosine, ndcgQ,

@@ -1477,6 +1477,43 @@ object StreamPipeline {
     runAvailableNow(report, "stream_dq_", "complete")
   }
 
+  /** Streaming CORPUS-INGEST DQ monitor — the [[dqConstraintsAvailableNow]]
+    * landing-zone pattern applied to the LLM ingest feed: arriving
+    * documents (the SAME day-2 feed as `ext_corpus_build_incremental`,
+    * one definition in [[graft.ExtQueries.corpusIncrementalIncoming]])
+    * stream-static-join the archive's fingerprint index (the cross-
+    * corpus rule made row-local before the gate), then three rules
+    * fold into ONE wide counter row per micro-batch: exact-dup-vs-
+    * archive, below-quality, too-short. The receipt an ingest operator
+    * watches BEFORE the expensive near-dedup stages run — counter
+    * state is volume-independent (one row), no watermark, no join
+    * state. */
+  def corpusDqAvailableNow(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val base = java.nio.file.Files.createTempDirectory("graft-corpusdq")
+    val inDir = s"$base/in"
+    val feed = graft.ExtQueries.corpusIncrementalIncoming(docs)
+    feed.write.parquet(inDir)
+    val raw = spark.readStream.schema(feed.schema).parquet(inDir)
+    val afp = graft.ext.TextDedup.exactDedup(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      .select(col("fp").as("__afp"))
+    val joined = raw
+      .withColumn("__fp", graft.ext.TextStats.fingerprint(col("text")))
+      .join(afp, col("__fp") === col("__afp"), "left")
+    val report = graft.ops.DqConstraints.checkRules(joined, Seq(
+      "doc_exact_dup_vs_archive" -> col("__afp").isNotNull,
+      "doc_below_quality" ->
+        (graft.ext.TextStats.qualityScore(col("text")) < 0.72),
+      "doc_too_short" ->
+        (graft.ext.TextStats.tokenCount(col("text")) < 17)))
+    val out = runAvailableNow(report, "stream_corpus_dq_", "complete")
+    rmRf(base.toFile)
+    out
+  }
+
   /** Streaming SCD2 ([[Scd2Stream]]): watermark-final CLOSED dimension
     * versions drained AvailableNow, formatted like the batch twin
     * (`q_scd2_user_segments`) minus the open versions the stream by

@@ -531,6 +531,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus DQ: the archive-dup rule stays row-local via " +
+      "the static fp index and counters accumulate across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val tA = "the cat and the dog and the fox and the bird sit here"
+    val archive = Seq((2L, tA)).toDF("doc_id", "text")
+    val afp = graft.ext.TextDedup.exactDedup(archive, "text", "doc_id")
+      .select(col("fp").as("__afp"))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)]
+    val joined = in.toDF.toDF("doc_id", "text")
+      .withColumn("__fp", graft.ext.TextStats.fingerprint(col("text")))
+      .join(afp, col("__fp") === col("__afp"), "left")
+    val rep = graft.ops.DqConstraints.checkRules(joined, Seq(
+      "dup_vs_archive" -> col("__afp").isNotNull,
+      "too_short" -> (graft.ext.TextStats.tokenCount(col("text")) < 3)))
+    val q = rep.writeStream.format("memory").queryName("corpus_dq_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((11L, "we read many books in the library"), (13L, tA))
+      q.processAllAvailable()
+      // batch 2: a SECOND archive dup (the static index answers again)
+      // and a too-short doc
+      in.addData((15L, tA), (17L, "zz qq"))
+      q.processAllAvailable()
+      val out = spark.table("corpus_dq_out")
+        .select("rule", "n_checked", "n_violations")
+        .as[(String, Long, Long)].collect().toSet
+      assert(out == Set(("dup_vs_archive", 4L, 2L), ("too_short", 4L, 1L)),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dedup: cross-batch arrivals probe the static " +
       "archive index and match the batch incremental replay") {
     import spark.implicits._
