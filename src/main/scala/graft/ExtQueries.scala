@@ -4073,31 +4073,77 @@ object ExtQueries {
     * width forces real bucket collisions at this vocabulary, so the
     * no-false-negatives overestimate property is load-bearing in the
     * oracle compare, not vacuous. */
+  /** Shared CMS-vs-exact oracle CTE chain (ends in `vocab(tok,
+    * exact_count)` and `est(tok, cms_count)`) — one definition for the
+    * heavy-hitter scan and the calibration eval. */
+  private def cmsOracleCtes(w: Int = 64): String = {
+    val rows = (0 until 4).map { r =>
+      s"""SELECT tok, $r AS r,
+        ((${TextDedup.minhashA(r)} * base + ${TextDedup.minhashB(r)})
+          % ${TextDedup.minhashP}) % $w AS bucket FROM h"""
+    }.mkString(" UNION ALL ")
+    s"""tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+        FROM documents),
+      h AS (SELECT tok,
+        ('0x' || substring(md5(tok), 1, 8))::BIGINT AS base FROM tok),
+      buck AS ($rows),
+      counters AS (SELECT r, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
+      vocab AS (SELECT tok, count(*) AS exact_count FROM tok GROUP BY 1),
+      probes AS (SELECT DISTINCT tok, r, bucket FROM buck),
+      est AS (SELECT p.tok, min(c.c) AS cms_count
+              FROM probes p JOIN counters c USING (r, bucket) GROUP BY 1)"""
+  }
+
   val cmsHeavy = Q(
     "ext_heavy_hitters_cms",
     (s, d) => Sketches.cmsHeavyHitters(
       Tables.documents(s, d), "text", d = 4, w = 64, minCount = 900),
-    Some {
-      val rows = (0 until 4).map { r =>
-        s"""SELECT tok, $r AS r,
-          ((${TextDedup.minhashA(r)} * base + ${TextDedup.minhashB(r)})
-            % ${TextDedup.minhashP}) % 64 AS bucket FROM h"""
-      }.mkString(" UNION ALL ")
-      s"""WITH tok AS (
-          SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
-          FROM documents),
-        h AS (SELECT tok,
-          ('0x' || substring(md5(tok), 1, 8))::BIGINT AS base FROM tok),
-        buck AS ($rows),
-        counters AS (SELECT r, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
-        vocab AS (SELECT tok, count(*) AS exact_count FROM tok GROUP BY 1),
-        probes AS (SELECT DISTINCT tok, r, bucket FROM buck),
-        est AS (SELECT p.tok, min(c.c) AS cms_count
-                FROM probes p JOIN counters c USING (r, bucket) GROUP BY 1)
+    Some(s"""WITH ${cmsOracleCtes()}
         SELECT v.tok, e.cms_count, v.exact_count
         FROM vocab v JOIN est e USING (tok)
-        WHERE e.cms_count >= 900"""
-    })
+        WHERE e.cms_count >= 900"""))
+
+  /** CMS CALIBRATION EVAL — the `ext_sketch_quantile_error` /
+    * `ext_minhash_error_eval` contract applied to the count sketch:
+    * over the FULL vocabulary (not just heavy hitters), the overcount
+    * err = cms − exact (≥ 0 by the no-false-negative property — a
+    * negative err anywhere would hash-fail) bucketed into integer
+    * magnitude bands, with term counts, total/max overcount, and the
+    * exact mass per band — the table a platform team reads before
+    * trusting a (d, w) setting for a dashboard. All-integer
+    * arithmetic: no rounding contract needed anywhere. */
+  val cmsErrEval = Q(
+    "ext_cms_error_eval",
+    (s, d) => {
+      val hh = Sketches.cmsHeavyHitters(
+        Tables.documents(s, d), "text", d = 4, w = 16, minCount = 0L)
+      hh.select((col("cms_count") - col("exact_count")).as("err"),
+          col("exact_count"))
+        .groupBy(when(col("err") === 0, "0")
+          .when(col("err") < 10, "1-9")
+          .when(col("err") < 100, "10-99")
+          .when(col("err") < 1000, "100-999")
+          .otherwise("1000+").as("err_bucket"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("err")).as("sum_overcount"),
+          max(col("err")).as("max_overcount"),
+          sum(col("exact_count")).as("sum_exact"))
+    },
+    Some(s"""WITH ${cmsOracleCtes(16)},
+      err AS (
+        SELECT e.cms_count - v.exact_count AS err, v.exact_count
+        FROM vocab v JOIN est e USING (tok))
+      SELECT CASE WHEN err = 0 THEN '0'
+          WHEN err < 10 THEN '1-9'
+          WHEN err < 100 THEN '10-99'
+          WHEN err < 1000 THEN '100-999'
+          ELSE '1000+' END AS err_bucket,
+        count(*) AS n_terms,
+        CAST(sum(err) AS BIGINT) AS sum_overcount,
+        max(err) AS max_overcount,
+        CAST(sum(exact_count) AS BIGINT) AS sum_exact
+      FROM err GROUP BY 1"""))
 
   /** Deterministic weighted sampling (sequential Poisson order sampling,
     * [[graft.ext.Sketches.weightedSample]]): 20 documents drawn with
@@ -5262,7 +5308,7 @@ object ExtQueries {
     kmvDistinct, detSample,
     quantileSketch, stratifiedSample,
     llmCorpus,
-    langidTrigram, cmsHeavy, weightedSample, lmScore, bigramLm,
+    langidTrigram, cmsHeavy, cmsErrEval, weightedSample, lmScore, bigramLm,
     qualityClassifier,
     dupNgramCov, winnow,
     removeSpans,
