@@ -162,6 +162,61 @@ object ScaleProbe {
       return
     }
 
+    // mode "pfjoin": the EXACT Jaccard-threshold join both ways — full
+    // inverted index vs prefix-filtered (Bayardo 2007) — at growing N.
+    // Per-copy word salt keeps cross-copy shingles disjoint, so pair
+    // density per copy is constant and the probe measures the candidate
+    // machinery. Alongside the (noisy) seconds, the DETERMINISTIC
+    // volumes: index postings and distinct candidate pairs per plan —
+    // the quantities that hit the shuffle and the verify join.
+    if (mode == "pfjoin") {
+      import graft.ext.TextDedup
+      Seq(1, 2, 4, 8, 16, 32).filter(_ <= maxN).foreach { n =>
+        val docs0 = Tables.documents(spark, sfDir)
+        val docs = (0 until n).map { i =>
+          docs0.withColumn("doc_id",
+              col("doc_id") + lit(i.toLong * 100000000L))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"p${i}_$$1"))
+        }.reduce(_ unionAll _)
+        val withHs = docs.select(col("doc_id"),
+          array_sort(graft.functions.ShingleHashes
+            .shingle_hashes(col("text"), 3)).as("hs"))
+        val plen = (size(col("hs"))
+          - ceil(size(col("hs")) * lit(0.5)).cast("int") + 1).cast("int")
+        val vols = withHs
+          .agg(sum(size(col("hs"))).as("full"), sum(plen).as("pref"))
+          .head()
+        val inv = withHs.select(col("doc_id"), explode(col("hs")).as("h"))
+        val candFull = inv.as("a")
+          .join(inv.as("b"), Seq("h"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+        val pref = withHs.select(col("doc_id"),
+          explode(slice(col("hs"), lit(1), plen)).as("h"))
+        val candPref = pref.as("a")
+          .join(pref.as("b"), Seq("h"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+        val tFull = time {
+          TextDedup.ngramJaccardPairs(
+            docs, "text", "doc_id", n = 3, threshold = 0.5).count()
+        }
+        val tPref = time {
+          TextDedup.prefixFilterJaccardPairs(
+            docs, "text", "doc_id", n = 3, threshold = 0.5).count()
+        }
+        println(s"""{"probe":"pfjoin","n":$n,""" +
+          s""""postings_full":${vols.getLong(0)},""" +
+          s""""postings_prefix":${vols.getLong(1)},""" +
+          s""""cand_full":$candFull,"cand_prefix":$candPref,""" +
+          s""""sec_full":${"%.3f".format(tFull)},""" +
+          s""""sec_prefix":${"%.3f".format(tPref)}}""")
+      }
+      spark.stop()
+      return
+    }
+
     Seq(1, 2, 4, 8, 16, 32).filter(_ <= maxN).foreach { n =>
       val li = scaledLineitem(n)
       val q1 = time {
