@@ -1100,6 +1100,99 @@ object ExtQueries3 {
       FROM gen"""
     })
 
+  /** IMAGE EXPOSURE GATE over REAL decoded BMP pixels — the image
+    * sibling of the text quality gate and the WAV VAD: per image, mean
+    * normalized luminance, dark/bright pixel fractions, the luminance
+    * range, and the keep verdict (neither fraction past 0.5) — the
+    * curation filter that drops under/over-exposed captures before
+    * they cost feature-extraction compute. The generator renders every
+    * 7th doc DARK (channels mod 64) and every 11th BRIGHT (192 + mod
+    * 64), so both drop directions fire; the decode side reads ONLY the
+    * encoded bytes.
+    *
+    * Scale: completely ROW-LOCAL — decode, per-pixel luminance, and
+    * all five stats are one projection with per-row array aggregates;
+    * no shuffle, no window, no groupBy anywhere. Determinism: integer
+    * luminance sums and counts; the two ratios and the mean round
+    * identical IEEE doubles. */
+  val bmpExposureQ = Q(
+    "ext_bmp_exposure_gate",
+    (s, d) => {
+      import graft.ext.BmpCodec
+      val w = (lit(8) + pmod(col("doc_id"), lit(5))).cast("int")
+      val h = (lit(6) + pmod(col("doc_id"), lit(4))).cast("int")
+      def ch(a: Int, b: Int, i: org.apache.spark.sql.Column) = {
+        val base = pmod(col("doc_id") * a + i * b, lit(256))
+        when(pmod(col("doc_id"), lit(7)) === 0, pmod(base, lit(64)))
+          .when(pmod(col("doc_id"), lit(11)) === 0,
+            pmod(base, lit(64)) + 192)
+          .otherwise(base)
+      }
+      val gen = transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+        (ch(7, 13, i) * 65536 + ch(11, 3, i) * 256 + ch(5, 17, i))
+          .cast("int"))
+      val enc = Tables.documents(s, d).select(col("doc_id"),
+        BmpCodec.encodeBmp(gen, w, h).as("bmp"))
+      // everything below reads the BYTES, never the generator
+      val px = BmpCodec.pixels(col("bmp"))
+      val lums = transform(px, p =>
+        floor(p / 65536).cast("long")
+          + pmod(floor(p / 256).cast("long"), lit(256))
+          + pmod(p, lit(256)))
+      enc.select(col("doc_id"),
+          BmpCodec.numPixels(col("bmp")).as("n_px"),
+          aggregate(lums, lit(0L), _ + _).as("sum_lum"),
+          aggregate(lums, lit(0L),
+            (a, l) => a + when(l < 192, 1L).otherwise(0L)).as("n_dark"),
+          aggregate(lums, lit(0L),
+            (a, l) => a + when(l >= 576, 1L).otherwise(0L))
+            .as("n_bright"),
+          array_min(lums).as("lum_min"), array_max(lums).as("lum_max"))
+        .select(col("doc_id"), col("n_px"),
+          round(col("sum_lum") / (col("n_px") * 765).cast("double"), 6)
+            .as("mean_lum"),
+          round(col("n_dark") / col("n_px").cast("double"), 6)
+            .as("dark_frac"),
+          round(col("n_bright") / col("n_px").cast("double"), 6)
+            .as("bright_frac"),
+          col("lum_min"), col("lum_max"),
+          when(col("n_dark") * 2 <= col("n_px")
+            && col("n_bright") * 2 <= col("n_px"), 1).otherwise(0)
+            .as("keep"))
+    },
+    Some("""WITH gen AS (
+        SELECT doc_id,
+          (8 + doc_id % 5) * (6 + doc_id % 4) AS n,
+          list_transform(range(0, (8 + doc_id % 5) * (6 + doc_id % 4)),
+            i -> CASE WHEN doc_id % 7 = 0 THEN
+                ((doc_id*7 + i*13) % 256) % 64
+                + ((doc_id*11 + i*3) % 256) % 64
+                + ((doc_id*5 + i*17) % 256) % 64
+              WHEN doc_id % 11 = 0 THEN
+                ((doc_id*7 + i*13) % 256) % 64 + 192
+                + ((doc_id*11 + i*3) % 256) % 64 + 192
+                + ((doc_id*5 + i*17) % 256) % 64 + 192
+              ELSE ((doc_id*7 + i*13) % 256)
+                + ((doc_id*11 + i*3) % 256)
+                + ((doc_id*5 + i*17) % 256) END) AS lums
+        FROM documents),
+      st AS (
+        SELECT doc_id, n,
+          list_sum(lums) AS sum_lum,
+          len(list_filter(lums, l -> l < 192)) AS n_dark,
+          len(list_filter(lums, l -> l >= 576)) AS n_bright,
+          list_min(lums) AS lum_min, list_max(lums) AS lum_max
+        FROM gen)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_px,
+        round(CAST(sum_lum AS DOUBLE) / (n * 765), 6) AS mean_lum,
+        round(CAST(n_dark AS DOUBLE) / n, 6) AS dark_frac,
+        round(CAST(n_bright AS DOUBLE) / n, 6) AS bright_frac,
+        CAST(lum_min AS BIGINT) AS lum_min,
+        CAST(lum_max AS BIGINT) AS lum_max,
+        CASE WHEN n_dark * 2 <= n AND n_bright * 2 <= n
+          THEN 1 ELSE 0 END AS keep
+      FROM st"""))
+
   /** dHash near-dup pairs over REAL DECODED PIXELS
     * ([[graft.ext.Multimodal.dHashPairs]] through the
     * [[graft.ext.Multimodal.pooledProfile]] dispatcher — BMP payloads
@@ -1466,6 +1559,6 @@ object ExtQueries3 {
     ecdfQ,
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
-    bmpRoundtripQ, bmpDhashQ, lshDedupPrunedQ,
+    bmpRoundtripQ, bmpDhashQ, bmpExposureQ, lshDedupPrunedQ,
     videoBmpFramesQ, videoBmpSharedQ, dqQuarantineStreamQ)
 }
