@@ -1100,6 +1100,68 @@ object ExtQueries3 {
       FROM gen"""
     })
 
+  /** DOWNSAMPLE-THEN-VERIFY over real WAV bytes
+    * ([[graft.ext.WavCodec.downsample]] carries the decimation
+    * contract): every clip decimated 2× and RE-ENCODED; all reported
+    * stats decode the NEW payload's bytes — rate halved, ceil(n/2)
+    * samples, and the positional contract (first kept sample = old
+    * first, last = old even-index last) hash-proven against the
+    * generator formula. The rate-normalization step of an audio
+    * training pipeline, one pure projection. */
+  val wavDownsampleQ = Q(
+    "ext_wav_downsample",
+    (s, d) => {
+      import graft.ext.WavCodec
+      val n = lit(64) + pmod(col("doc_id"), lit(32))
+      val rate = (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000)
+        .cast("int")
+      val gen = transform(sequence(lit(0), n - 1), i =>
+        (pmod(col("doc_id") * 31 + i * 17, lit(65536)) - 32768)
+          .cast("int"))
+      // the cache barrier between ENCODE and DOWNSAMPLE is
+      // load-bearing for evaluation complexity, not just reuse:
+      // samples() re-derives its hex view per element inside the
+      // transform lambda, so feeding downsample the NESTED encode
+      // expression re-evaluates the full encode per decoded sample —
+      // O(n²) encodes per row (measured: 357 s at sf0.001; with the
+      // barrier, ~20 s). Materializing first is also the honest
+      // pipeline shape: re-encode reads stored payloads, exactly as a
+      // lake stage would
+      val raw = graft.ops.CacheScope.persist(
+        Tables.documents(s, d).select(col("doc_id"),
+          WavCodec.encodeWav(gen, rate).as("wav0")))
+      val enc = graft.ops.CacheScope.persist(
+        raw.select(col("doc_id"),
+          WavCodec.downsample(col("wav0"), 2).as("wav")))
+      // everything below reads the RE-ENCODED bytes
+      val ss = WavCodec.samples(col("wav"))
+      enc.select(col("doc_id"),
+        WavCodec.sampleRate(col("wav")).as("sample_rate"),
+        WavCodec.numSamples(col("wav")).as("n_samples"),
+        aggregate(ss, lit(0L), (a, x) => a + abs(x)).as("sum_abs"),
+        element_at(ss, 1).as("s_first"),
+        element_at(ss, -1).as("s_last"))
+    },
+    Some("""WITH gen AS (
+        SELECT doc_id,
+          CAST((8000 + (doc_id % 3) * 4000) // 2 AS BIGINT)
+            AS sample_rate,
+          64 + doc_id % 32 AS n,
+          list_transform(range(0, 64 + doc_id % 32),
+            i -> CAST((doc_id*31 + i*17) % 65536 - 32768 AS INTEGER))
+            AS ss
+        FROM documents),
+      ds AS (
+        SELECT doc_id, sample_rate, (n + 1) // 2 AS m,
+          list_transform(range(0, (n + 1) // 2), j -> ss[2*j + 1])
+            AS kept
+        FROM gen)
+      SELECT doc_id, sample_rate, CAST(m AS BIGINT) AS n_samples,
+        CAST(list_sum(list_transform(kept, s -> abs(s))) AS BIGINT)
+          AS sum_abs,
+        kept[1] AS s_first, kept[m] AS s_last
+      FROM ds"""))
+
   /** IMAGE EXPOSURE GATE over REAL decoded BMP pixels — the image
     * sibling of the text quality gate and the WAV VAD: per image, mean
     * normalized luminance, dark/bright pixel fractions, the luminance
@@ -1555,8 +1617,8 @@ object ExtQueries3 {
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
     ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
-    lshDedupStreamQ, wavRoundtripQ, wavVadQ, topValueStreamQ, keySkewQ,
-    ecdfQ,
+    lshDedupStreamQ, wavRoundtripQ, wavVadQ, wavDownsampleQ,
+    topValueStreamQ, keySkewQ, ecdfQ,
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
     bmpRoundtripQ, bmpDhashQ, bmpExposureQ, lshDedupPrunedQ,

@@ -132,6 +132,21 @@ object WavCodec {
     }: _*)
   }
 
+  /** NAIVE DECIMATION downsample: keep every `factor`-th sample and
+    * re-encode at rate/factor — the sample-rate normalization step an
+    * audio pipeline runs before training (all clips to one rate).
+    * Deliberately WITHOUT an anti-alias low-pass (that is a DSP-kernel
+    * concern, honestly out of scope for a byte-format codec); the
+    * contract is positional: decode(downsample(x, f))[i] ≡
+    * decode(x)[f·i], spec-pinned. Pure Catalyst projection — decode,
+    * index-filter, re-encode in one expression, no shuffle. */
+  def downsample(payload: Column, factor: Int): Column = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val kept = filter(samples(payload),
+      (_, i) => i % factor === 0)
+    encodeWav(kept, (sampleRate(payload) / factor).cast("int"))
+  }
+
   /** VOICE-ACTIVITY SEGMENTATION over decoded WAV payloads — the
     * speech-curation op an audio pipeline runs right after decode
     * (split each clip into utterance segments, drop silence):

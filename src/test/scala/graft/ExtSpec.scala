@@ -526,6 +526,27 @@ class ExtSpec extends SparkSpec {
       "quality_gate" -> 4L, "near_dedup" -> 2L), s"funnel: ${f.toSeq}")
   }
 
+  test("WAV downsample: positional decimation contract and halved rate, " +
+      "odd lengths keep the ceil half") {
+    import graft.ext.WavCodec
+    val df = Seq((1L, (1 to 9).map(i => i * 100), 8000),
+        (2L, Seq(7, -7, 300, -300), 12000))
+      .toDF("id", "ss", "rate")
+      .select(col("id"), col("ss"),
+        WavCodec.downsample(
+          WavCodec.encodeWav(col("ss"), col("rate")), 2).as("wav"))
+    val out = df.select(col("id"),
+        WavCodec.sampleRate(col("wav")).as("r"),
+        WavCodec.numSamples(col("wav")).as("n"),
+        WavCodec.samples(col("wav")).as("dec"))
+      .as[(Long, Long, Long, Seq[Int])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 4000L && out(2L)._2 == 6000L)
+    // decode(downsample(x, 2))[i] == decode(x)[2*i]; 9 samples -> 5
+    assert(out(1L)._4 == Seq(100, 300, 500, 700, 900))
+    assert(out(1L)._3 == 5L)
+    assert(out(2L)._4 == Seq(7, 300))
+  }
+
   test("WAV VAD: islands segmentation on designed quiet/loud runs, " +
       "all-quiet clips emit nothing, partial tail frame counted") {
     import graft.ext.WavCodec
