@@ -1316,10 +1316,41 @@ object AnalyticsQueries2 {
           AS repeat_share
       FROM g"""))
 
+  /** BLOOM SEMI-JOIN REDUCTION ([[graft.ops.BloomSemiJoin]] carries the
+    * sideways-information-passing design and the past-broadcast-budget
+    * rationale): monthly order volume/revenue for ONE selective
+    * customer slice (BUILDING segment, nation 5 — 12 of 1 500
+    * customers at sf0.01), with the fact side cut MAP-SIDE by the
+    * dim-key bitmap before any exchange. The exact semi-join still
+    * runs, so the oracle states the PLAIN semi-join form —
+    * hash-equality proves the reduction transparent. */
+  val qBloomSemijoin = Q(
+    "q_bloom_semijoin_orders",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING"
+          && col("c_nationkey") === 5)
+        .select(col("c_custkey"))
+      val pre = graft.ops.BloomSemiJoin.prefilteredSemiJoin(
+        Tables.orders(s, d), "o_custkey", dim, "c_custkey")
+      pre.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("revenue"))
+    },
+    Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        count(*) AS n_orders,
+        ${Det.dsumSql("o_totalprice")} AS revenue
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey
+          AND c.c_mktsegment = 'BUILDING' AND c.c_nationkey = 5)
+      GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(qGrowthAccounting, qBenford, qForecastBacktest,
     qBasketTriples, qOpenOrdersDaily, qJourneyPaths, qValueMigration,
     qStreamGrowth, qCohortLtv, qStreamSessionNative, qReturnByLag,
     qScd2, qRollup, qCube, qGroupingSets, qScd2Stream,
     qBasketTriplesApriori, qPivot,
-    qLeadLag, qSeasonalIndex, qBacklogAging, qNewVsRepeat)
+    qLeadLag, qSeasonalIndex, qBacklogAging, qNewVsRepeat,
+    qBloomSemijoin)
 }

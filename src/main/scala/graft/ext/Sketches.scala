@@ -26,6 +26,41 @@ object Sketches {
     }
   }
 
+  /** Bloom BITMAP over a key column: `mBits` bits as mBits/64 longs,
+    * `numHashes` universal hashes per key (the MinHash coefficient
+    * family via [[cmsBuckets]]), built distributed (per-word bit_or
+    * aggregate) and collected once — ≤ mBits/64 longs, 8 KB at the
+    * default m: the tiny-stats exception to the no-collect rule. Ship
+    * it to tasks as ONE `typedLit` array literal and test membership
+    * with [[bloomMemberExpr]]. No false negatives ever; false
+    * positives only admit rows a downstream exact step re-checks. */
+  def bloomBitmap(keys: DataFrame, keyCol: String,
+      mBits: Int, numHashes: Int): Array[Long] = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val words = keys
+      .select(explode(array(
+        cmsBuckets(col(keyCol), numHashes, mBits): _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val bitmap = Array.fill(mBits / 64)(0L)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    bitmap
+  }
+
+  /** Membership predicate against a [[bloomBitmap]] literal: AND over
+    * the `numHashes` probe COLUMNS `pCols` (pre-projected
+    * [[cmsBuckets]] values) tested bit-wise against the array column
+    * `bmCol`. expr strings because shiftright-by-column has no Scala
+    * DSL form. */
+  def bloomMemberExpr(bmCol: String, pCols: Seq[String]): Column =
+    pCols.map { p =>
+      expr(s"""(shiftright(
+        element_at($bmCol, CAST(shiftright($p, 6) AS INT) + 1),
+        CAST($p % 64 AS INT)) & 1) = 1""")
+    }.reduce(_ && _)
+
   /** Count-Min-Sketch frequency counters over one key column: a d×w
     * counter matrix as (r, bucket, c) rows — at most d·w rows TOTAL
     * regardless of corpus size, built by one hash aggregate with map-side

@@ -251,26 +251,15 @@ object TextDedup {
       s"columns ${reserved.mkString(", ")} are reserved")
     val bsh = graft.ops.CacheScope.persist(
       bench.select(col(benchIdCol), explode(shingles(col(textCol), n)).as("sh")))
-    val words = bsh
-      .select(explode(array(
-        Sketches.cmsBuckets(col("sh"), numHashes, mBits): _*)).as("p"))
-      .select(shiftright(col("p"), 6).cast("int").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
-      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
-      .collect()
-    val bitmap = Array.fill(mBits / 64)(0L)
-    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bitmap = Sketches.bloomBitmap(bsh, "sh", mBits, numHashes)
     val dsh = docs
       .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
       .select((col(idCol) +: col("sh") +:
         Sketches.cmsBuckets(col("sh"), numHashes, mBits)
           .zipWithIndex.map { case (c, i) => c.as(s"__p$i") }): _*)
       .withColumn("__bm", typedLit(bitmap.toSeq))
-    val member = (0 until numHashes).map { i =>
-      expr(s"""(shiftright(
-        element_at(__bm, CAST(shiftright(__p$i, 6) AS INT) + 1),
-        CAST(__p$i % 64 AS INT)) & 1) = 1""")
-    }.reduce(_ && _)
+    val member = Sketches.bloomMemberExpr("__bm",
+      (0 until numHashes).map(i => s"__p$i"))
     dsh.filter(member).select(col(idCol), col("sh"))
       .join(broadcast(bsh), Seq("sh"))
       .groupBy(col(idCol), col(benchIdCol))

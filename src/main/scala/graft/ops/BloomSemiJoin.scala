@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sketches
+
+/** SEMI-JOIN REDUCTION via a Bloom bitmap — the classic 100 TB
+  * shuffle-volume cut for a selective dim→fact join (Bloom 1970;
+  * the sideways-information-passing / runtime-filter pattern of every
+  * warehouse engine): compress the filtered dimension's join keys to a
+  * few-KB bitmap, ship it to every fact task as ONE array literal, and
+  * drop non-matching fact rows MAP-SIDE before any exchange. The exact
+  * semi-join still runs afterwards, so the reduction is semantically
+  * transparent: no false negatives by construction, and false positives
+  * only admit rows the join then drops (output hash-identical to the
+  * plain semi-join — the oracle states the plain form).
+  *
+  * Why not just broadcast the dim? When the filtered dim fits the
+  * broadcast budget, Spark already builds a hash relation per task and
+  * the bitmap saves little. The regime this targets is the one past
+  * that budget: the semi-join becomes a shuffle of the FULL fact table
+  * on the join key, while the bitmap stays a few KB regardless of dim
+  * cardinality — the fact side arrives at the exchange already cut to
+  * near-matches. AQE's own runtime filters cover only partitioned /
+  * DPP-able scans; this works on any key column.
+  */
+object BloomSemiJoin {
+
+  /** Fact rows whose `factKey` passes the Bloom membership test over
+    * `dimKeys`, then exact-verified with a left-semi join. Output ≡
+    * `fact SEMI JOIN dimKeys` row-for-row. */
+  def prefilteredSemiJoin(fact: DataFrame, factKey: String,
+      dimKeys: DataFrame, dimKey: String,
+      mBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    val reserved = "__bm" +: (0 until numHashes).map(i => s"__p$i")
+    require(!fact.columns.exists(reserved.contains),
+      s"fact may not carry reserved columns ${reserved.mkString(", ")}")
+    // hash the RENDERED key so fact/dim type differences (int vs long)
+    // cannot split the hash space
+    val dimStr = dimKeys.select(col(dimKey).cast("string").as("__k"))
+    val bitmap = Sketches.bloomBitmap(dimStr, "__k", mBits, numHashes)
+    val probed = fact
+      .select((fact.columns.map(col) ++
+        Sketches.cmsBuckets(col(factKey).cast("string"), numHashes, mBits)
+          .zipWithIndex.map { case (c, i) => c.as(s"__p$i") }): _*)
+      .withColumn("__bm", typedLit(bitmap.toSeq))
+    probed
+      .filter(Sketches.bloomMemberExpr("__bm",
+        (0 until numHashes).map(i => s"__p$i")))
+      .drop(reserved: _*)
+      .join(dimKeys.select(col(dimKey).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
+  }
+}

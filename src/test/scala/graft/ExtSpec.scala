@@ -465,6 +465,42 @@ class ExtSpec extends SparkSpec {
     assert(zero.getSeq[Double](2) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("bloom semi-join reduction: output identical to the plain " +
+      "semi-join even with a deliberately tiny, collision-heavy bitmap") {
+    val orders = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val plain = orders
+      .join(dim.select(col("c_custkey").as("o_custkey")).distinct(),
+        Seq("o_custkey"), "left_semi")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    // 256 bits for dozens of keys: false positives guaranteed, output
+    // must not change (the exact verify is load-bearing)
+    val viaBloom = graft.ops.BloomSemiJoin.prefilteredSemiJoin(
+        orders, "o_custkey", dim, "c_custkey", mBits = 256, numHashes = 2)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(plain.nonEmpty, "fixture slice empty — test is vacuous")
+    assert(viaBloom == plain)
+    // and the bitmap really does pass extra keys at this size: the
+    // PRE-verify filter admits more distinct custkeys than the dim has
+    val bm = graft.ext.Sketches.bloomBitmap(
+      dim.select(col("c_custkey").cast("string").as("__k")), "__k",
+      256, 2)
+    val probed = orders.select(col("o_custkey").cast("string").as("__k"))
+      .distinct()
+      .select((col("__k") +: graft.ext.Sketches
+        .cmsBuckets(col("__k"), 2, 256)
+        .zipWithIndex.map { case (c, i) => c.as(s"__p$i") }): _*)
+      .withColumn("__bm", typedLit(bm.toSeq))
+      .filter(graft.ext.Sketches.bloomMemberExpr("__bm",
+        Seq("__p0", "__p1")))
+      .count()
+    val trueKeys = dim.distinct().count()
+    assert(probed > trueKeys,
+      s"expected false positives at 256 bits (passed $probed vs $trueKeys true)")
+  }
+
   test("prefix-filtered jaccard join: pair-identical to the full " +
       "inverted-index join; prefix index carries ~half the volume") {
     import graft.ext.TextDedup
