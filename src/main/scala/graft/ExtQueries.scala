@@ -1513,19 +1513,11 @@ object ExtQueries {
     "ext_corpus_build_funnel",
     (s, d) => Curation.corpusBuild(
       corpusBuildInput(s, d), "text", "doc_id", minQuality = 0.72)._2,
-    Some {
-      def stageSql(ord: Int, name: String, src: String) =
-        s"""SELECT $ord AS stage_ord, '$name' AS stage,
-          count(*) AS n_docs,
-          CAST(coalesce(sum(len(string_split_regex(${wsTrimSql("text")},
-            '[ \\t\\n\\x0B\\f\\r]+'))), 0) AS BIGINT) AS n_tokens
-          FROM $src"""
-      s"""WITH $corpusBuildChainSql
-      ${stageSql(0, "raw", "salted")}
-      UNION ALL ${stageSql(1, "exact_dedup", "s1")}
-      UNION ALL ${stageSql(2, "quality_gate", "s2")}
-      UNION ALL ${stageSql(3, "near_dedup", "s3")}"""
-    })
+    Some(s"""WITH $corpusBuildChainSql
+      ${funnelStageSql(0, "raw", "salted")}
+      UNION ALL ${funnelStageSql(1, "exact_dedup", "s1")}
+      UNION ALL ${funnelStageSql(2, "quality_gate", "s2")}
+      UNION ALL ${funnelStageSql(3, "near_dedup", "s3")}"""))
 
   /** INCREMENTAL corpus build
     * ([[graft.ext.Curation.corpusBuildIncremental]] carries the
@@ -1579,93 +1571,16 @@ object ExtQueries {
         SELECT doc_id + 1200001, text || ' qq extra', source
         FROM documents WHERE doc_id % 10 = 5)"""
 
-  val corpusBuildIncr = Q(
-    "ext_corpus_build_incremental",
-    (s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
-      val archive = docs.filter(col("doc_id") % 2 === 0)
-      val incoming = corpusIncrementalIncoming(docs)
-      val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
-        .select("fp", "representative_id")
-      val (bandsIdx, hashesIdx) =
-        TextDedup.lshIndex(archive, "text", "doc_id")
-      val (cleaned, _) = Curation.corpusBuildIncremental(
-        incoming, "text", "doc_id", fpIndex, bandsIdx, hashesIdx,
-        minQuality = 0.72)
-      cleaned.select("doc_id", "source")
-    },
-    Some {
-      val jac = (x: String, y: String) =>
-        s"""round(CAST(len(list_intersect($x, $y)) AS DOUBLE)
-          / (len($x) + len($y) - len(list_intersect($x, $y))), 6)"""
-      s"""WITH arch AS (
-        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
-      $corpusIncrementalFeedSql,
-      afp AS (SELECT DISTINCT ${fpSql()} AS fp FROM arch),
-      ifp AS (
-        SELECT doc_id, text, source, ${fpSql()} AS fp FROM inc),
-      keepers AS (SELECT fp, min(doc_id) AS keep FROM ifp GROUP BY 1),
-      s1 AS (
-        SELECT i.doc_id, i.text, i.source FROM ifp i
-        JOIN keepers k ON i.doc_id = k.keep
-        WHERE NOT EXISTS (SELECT 1 FROM afp a WHERE a.fp = i.fp)),
-      cq2 AS (
-        SELECT doc_id, text, source, $qcTokSql AS tc, $qcSrSql AS sr,
-          $qcPrSql AS pr, $qcDrSql AS dr
-        FROM s1),
-      s2 AS (
-        SELECT doc_id, text, source FROM cq2
-        WHERE ${qualityCompositeSql("tc", "sr", "pr", "dr")} >= 0.72),
-      ${minhashBandChain("a_", "arch")},
-      ${minhashBandChain("i_", "s2")},
-      wc AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-          a.hs AS ha, b.hs AS hb
-        FROM i_banded a JOIN i_banded b USING (band)
-        WHERE a.doc_id < b.doc_id),
-      wdrop AS (
-        SELECT DISTINCT id_b AS doc_id FROM wc
-        WHERE ${jac("ha", "hb")} >= 0.5),
-      xc AS (
-        SELECT DISTINCT i.doc_id AS doc_id, i.hs AS hi, a.hs AS ha
-        FROM i_banded i JOIN a_banded a USING (band)),
-      xdrop AS (
-        SELECT DISTINCT doc_id FROM xc
-        WHERE ${jac("hi", "ha")} >= 0.5)
-      SELECT s2.doc_id, s2.source FROM s2
-      WHERE NOT EXISTS (SELECT 1 FROM wdrop w WHERE w.doc_id = s2.doc_id)
-        AND NOT EXISTS (SELECT 1 FROM xdrop x WHERE x.doc_id = s2.doc_id)"""
-    })
-
-  /** The incremental build's FUNNEL receipt — same 4-row schema as the
-    * batch build's, so day-1 and day-N rows read uniformly in a run
-    * log. Oracle replays each stage count from the shared chain
-    * fragments (the near-dedup stage subtracts the union of
-    * within-batch and cross-archive drops). */
-  val corpusBuildIncrFunnel = Q(
-    "ext_corpus_build_incremental_funnel",
-    (s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
-      val archive = docs.filter(col("doc_id") % 2 === 0)
-      val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
-        .select("fp", "representative_id")
-      val (bandsIdx, hashesIdx) =
-        TextDedup.lshIndex(archive, "text", "doc_id")
-      Curation.corpusBuildIncremental(
-        corpusIncrementalIncoming(docs), "text", "doc_id",
-        fpIndex, bandsIdx, hashesIdx, minQuality = 0.72)._2
-    },
-    Some {
-      val jac = (x: String, y: String) =>
-        s"""round(CAST(len(list_intersect($x, $y)) AS DOUBLE)
-          / (len($x) + len($y) - len(list_intersect($x, $y))), 6)"""
-      def stageSql(ord: Int, name: String, src: String) =
-        s"""SELECT $ord AS stage_ord, '$name' AS stage,
-          count(*) AS n_docs,
-          CAST(coalesce(sum(len(string_split_regex(${wsTrimSql("text")},
-            '[ \\t\\n\\x0B\\f\\r]+'))), 0) AS BIGINT) AS n_tokens
-          FROM $src"""
-      s"""WITH arch AS (
+  /** The shared incremental-chain CTE prefix (archive + salted feed →
+    * archive-fp exact gate → quality ≥ 0.72 → within-batch UNION
+    * cross-archive near-dedup), ending in `s3(doc_id, text, source)` —
+    * ONE definition for the row-level query and its funnel (a drifted
+    * copy would silently verify a different pipeline). */
+  private def corpusIncrChainSql: String = {
+    val jac = (x: String, y: String) =>
+      s"""round(CAST(len(list_intersect($x, $y)) AS DOUBLE)
+        / (len($x) + len($y) - len(list_intersect($x, $y))), 6)"""
+    s"""arch AS (
         SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
       $corpusIncrementalFeedSql,
       afp AS (SELECT DISTINCT ${fpSql()} AS fp FROM arch),
@@ -1701,13 +1616,61 @@ object ExtQueries {
         WHERE ${jac("hi", "ha")} >= 0.5),
       s3 AS (
         SELECT s2.doc_id, s2.text, s2.source FROM s2
-        WHERE NOT EXISTS (SELECT 1 FROM wdrop w WHERE w.doc_id = s2.doc_id)
-          AND NOT EXISTS (SELECT 1 FROM xdrop x WHERE x.doc_id = s2.doc_id))
-      ${stageSql(0, "raw", "inc")}
-      UNION ALL ${stageSql(1, "exact_dedup", "s1")}
-      UNION ALL ${stageSql(2, "quality_gate", "s2")}
-      UNION ALL ${stageSql(3, "near_dedup", "s3")}"""
-    })
+        WHERE NOT EXISTS (SELECT 1 FROM wdrop w
+            WHERE w.doc_id = s2.doc_id)
+          AND NOT EXISTS (SELECT 1 FROM xdrop x
+            WHERE x.doc_id = s2.doc_id))"""
+  }
+
+  /** One funnel stage row (shared by both corpus-build funnels). */
+  private def funnelStageSql(ord: Int, name: String, src: String) =
+    s"""SELECT $ord AS stage_ord, '$name' AS stage,
+      count(*) AS n_docs,
+      CAST(coalesce(sum(len(string_split_regex(${wsTrimSql("text")},
+        '[ \\t\\n\\x0B\\f\\r]+'))), 0) AS BIGINT) AS n_tokens
+      FROM $src"""
+
+  val corpusBuildIncr = Q(
+    "ext_corpus_build_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val archive = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = corpusIncrementalIncoming(docs)
+      val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
+        .select("fp", "representative_id")
+      val (bandsIdx, hashesIdx) =
+        TextDedup.lshIndex(archive, "text", "doc_id")
+      val (cleaned, _) = Curation.corpusBuildIncremental(
+        incoming, "text", "doc_id", fpIndex, bandsIdx, hashesIdx,
+        minQuality = 0.72)
+      cleaned.select("doc_id", "source")
+    },
+    Some(s"""WITH $corpusIncrChainSql
+      SELECT doc_id, source FROM s3"""))
+
+  /** The incremental build's FUNNEL receipt — same 4-row schema as the
+    * batch build's, so day-1 and day-N rows read uniformly in a run
+    * log. Oracle replays each stage count from the shared chain
+    * fragments (the near-dedup stage subtracts the union of
+    * within-batch and cross-archive drops). */
+  val corpusBuildIncrFunnel = Q(
+    "ext_corpus_build_incremental_funnel",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val archive = docs.filter(col("doc_id") % 2 === 0)
+      val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
+        .select("fp", "representative_id")
+      val (bandsIdx, hashesIdx) =
+        TextDedup.lshIndex(archive, "text", "doc_id")
+      Curation.corpusBuildIncremental(
+        corpusIncrementalIncoming(docs), "text", "doc_id",
+        fpIndex, bandsIdx, hashesIdx, minQuality = 0.72)._2
+    },
+    Some(s"""WITH $corpusIncrChainSql
+      ${funnelStageSql(0, "raw", "inc")}
+      UNION ALL ${funnelStageSql(1, "exact_dedup", "s1")}
+      UNION ALL ${funnelStageSql(2, "quality_gate", "s2")}
+      UNION ALL ${funnelStageSql(3, "near_dedup", "s3")}"""))
 
   /** Streaming CORPUS-INGEST DQ monitor
     * ([[graft.streaming.StreamPipeline.corpusDqAvailableNow]] carries

@@ -453,7 +453,11 @@ object Curation {
     val drops = TextDedup
       .minhashNearDups(s2, textCol, idCol, n, k, bands, threshold)
       .select(col("id_b").as(idCol)).distinct()
-    val s3 = s2.join(drops, Seq(idCol), "left_anti")
+    // s3 pinned for the same reason as s1/s2: it feeds BOTH returned
+    // frames (cleaned and the funnel's last row) — without the pin a
+    // caller consuming the pair runs the LSH near-dup stage twice
+    val s3 = graft.ops.CacheScope.persist(
+      s2.join(drops, Seq(idCol), "left_anti"))
     (s3, stageFunnel(textCol,
       Seq("raw" -> docs, "exact_dedup" -> s1, "quality_gate" -> s2,
         "near_dedup" -> s3)))
@@ -514,8 +518,9 @@ object Curation {
       .incrementalLshPairs(s2, textCol, idCol, lshBands, lshHashes,
         n, k, bands, threshold)
       .select(col("doc_id").as(idCol))
-    val s3 = s2.join(withinDrops.unionByName(crossDrops).distinct(),
-      Seq(idCol), "left_anti")
+    val s3 = graft.ops.CacheScope.persist(
+      s2.join(withinDrops.unionByName(crossDrops).distinct(),
+        Seq(idCol), "left_anti"))
     (s3, stageFunnel(textCol,
       Seq("raw" -> incoming, "exact_dedup" -> s1, "quality_gate" -> s2,
         "near_dedup" -> s3)))

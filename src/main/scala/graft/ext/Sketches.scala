@@ -38,6 +38,10 @@ object Sketches {
       mBits: Int, numHashes: Int): Array[Long] = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
     val words = keys
+      // a NULL key hashes to NULL probes and would NPE the driver
+      // unboxing the null word index; membership semantics match the
+      // semi-join's (NULL never matches), so dropping is correct
+      .filter(col(keyCol).isNotNull)
       .select(explode(array(
         cmsBuckets(col(keyCol), numHashes, mBits): _*)).as("p"))
       .select(shiftright(col("p"), 6).cast("int").as("w"),

@@ -168,12 +168,24 @@ object WavCodec {
       wavCol: String, frameLen: Int = 16,
       threshold: Double = 1000.0): org.apache.spark.sql.DataFrame = {
     require(frameLen > 0, "frameLen must be positive")
+    require(idCol != "__ss", "idCol may not be the reserved name __ss")
     import org.apache.spark.sql.expressions.Window
-    val ss = samples(col(wavCol))
+    // the decode is pinned to a CONCRETE column behind a cache barrier:
+    // HOF lambdas get no subexpression elimination, so slicing the raw
+    // samples() expression would re-run the full decode once per frame
+    // (the measured wavDownsampleQ pathology, 357 s vs 21 s)
+    val withSs = graft.ops.CacheScope.persist(
+      df.select(col(idCol), samples(col(wavCol)).as("__ss")))
+    val ss = col("__ss")
     val nf = ceil(size(ss) / lit(frameLen.toDouble)).cast("int")
-    val frames = df.select(col(idCol),
-        posexplode(transform(sequence(lit(0), nf - 1),
-          f => slice(ss, f * frameLen + 1, lit(frameLen)))))
+    // n = 0 needs a branch, not a step: sequence(0, -1) infers step -1
+    // and would manufacture phantom frames with flen = 0 (a 0/0 energy)
+    // — the samples() lesson applied one level up. An empty clip
+    // contributes no frames, hence no rows.
+    val frames = withSs.select(col(idCol),
+        posexplode(when(nf > 0, transform(sequence(lit(0), nf - 1),
+            f => slice(ss, f * frameLen + 1, lit(frameLen))))
+          .otherwise(typedLit(Seq.empty[Seq[Int]]))))
       .select(col(idCol), col("pos").as("f"), col("col").as("fr"))
       .withColumn("flen", size(col("fr")))
       .withColumn("energy", round(

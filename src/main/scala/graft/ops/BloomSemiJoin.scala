@@ -36,9 +36,15 @@ object BloomSemiJoin {
     val reserved = "__bm" +: (0 until numHashes).map(i => s"__p$i")
     require(!fact.columns.exists(reserved.contains),
       s"fact may not carry reserved columns ${reserved.mkString(", ")}")
-    // hash the RENDERED key so fact/dim type differences (int vs long)
-    // cannot split the hash space
-    val dimStr = dimKeys.select(col(dimKey).cast("string").as("__k"))
+    // the dim key is cast to the FACT key's type BEFORE rendering, so
+    // the two sides hash identical strings even when the raw types
+    // render differently (BIGINT 5 vs DECIMAL 5.00 — a rendered-form
+    // mismatch would be a silent FALSE NEGATIVE, dropping matching
+    // fact rows the exact join never gets to rescue); the same cast
+    // feeds the join, aligning the verify with the bitmap
+    val factType = fact.schema(factKey).dataType
+    val dimCast = dimKeys.select(col(dimKey).cast(factType).as(factKey))
+    val dimStr = dimCast.select(col(factKey).cast("string").as("__k"))
     val bitmap = Sketches.bloomBitmap(dimStr, "__k", mBits, numHashes)
     val probed = fact
       .select((fact.columns.map(col) ++
@@ -49,7 +55,6 @@ object BloomSemiJoin {
       .filter(Sketches.bloomMemberExpr("__bm",
         (0 until numHashes).map(i => s"__p$i")))
       .drop(reserved: _*)
-      .join(dimKeys.select(col(dimKey).as(factKey)).distinct(),
-        Seq(factKey), "left_semi")
+      .join(dimCast.distinct(), Seq(factKey), "left_semi")
   }
 }
