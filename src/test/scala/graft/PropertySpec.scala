@@ -418,4 +418,104 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(varr - 1.0) < 1e-2, s"dim $d var $varr")
     }
   }
+
+  test("WAV VAD == sequential islands reference on random clips " +
+      "(random run patterns, partial tails, empty clips)") {
+    import graft.ext.WavCodec
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(2025)
+    // reference model: the documented frame/threshold/islands semantics
+    def ref(ss: Seq[Int]): Seq[(Int, Int, Int, Long, Long)] = {
+      val frames = ss.grouped(16).toVector
+      val active = frames.map(f =>
+        f.map(x => math.abs(x.toLong)).sum.toDouble / f.length >= 1000.0)
+      var seg = 0
+      val rows = frames.indices.flatMap { i =>
+        if (active(i)) {
+          if (i == 0 || !active(i - 1)) seg += 1
+          Some((seg, i, frames(i).length))
+        } else None
+      }
+      rows.groupBy(_._1).toSeq.map { case (s, fs) =>
+        (s, fs.map(_._2).min, fs.map(_._2).max, fs.size.toLong,
+          fs.map(_._3.toLong).sum)
+      }.sortBy(_._1)
+    }
+    val cases = (1 to 30).map { i =>
+      val n = rnd.nextInt(120) // 0 included: empty clips must emit nothing
+      val ss = List.tabulate(n) { j =>
+        if (rnd.nextInt(3) == 0) rnd.nextInt(257) - 128 // quiet frame zone
+        else {
+          val mag = 4000 + rnd.nextInt(28000)
+          if (rnd.nextBoolean()) mag else -mag
+        }
+      }
+      (i.toLong, ss)
+    }
+    val out = WavCodec.vadSegments(
+        cases.toDF("id", "ss").select(col("id"),
+          WavCodec.encodeWav(col("ss"), lit(8000)).as("wav")),
+        "id", "wav")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("seg_id"), r.getAs[Int]("start_frame"),
+          r.getAs[Int]("end_frame"), r.getAs[Long]("n_frames"),
+          r.getAs[Long]("n_samples")))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1).toSeq }
+    graft.ops.CacheScope.releaseAll()
+    cases.foreach { case (id, ss) =>
+      val expect = ref(ss)
+      val got = out.getOrElse(id, Seq.empty)
+      assert(got == expect, s"clip $id (n=${ss.length}): $got vs $expect")
+    }
+  }
+
+  test("prefixFilterJaccardPairs == ngramJaccardPairs across random " +
+      "corpora and thresholds") {
+    import graft.ext.TextDedup
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    (1 to 4).foreach { trial =>
+      val docs = (1 to 25).map { id =>
+        val len = 5 + rnd.nextInt(9)
+        (id.toLong, List.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val theta = Seq(0.3, 0.5, 0.7, 0.9)(rnd.nextInt(4))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val full = TextDedup.ngramJaccardPairs(
+        docs, "text", "doc_id", n = 3, threshold = theta)
+        .collect().map(key).toSet
+      val pf = TextDedup.prefixFilterJaccardPairs(
+        docs, "text", "doc_id", n = 3, threshold = theta)
+        .collect().map(key).toSet
+      assert(pf == full, s"trial=$trial theta=$theta")
+    }
+  }
+
+  test("BloomSemiJoin == plain semi-join over random keys, NULL keys, " +
+      "and collision-heavy bitmaps") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(451)
+    (1 to 4).foreach { trial =>
+      val fact = (1 to 80).map { i =>
+        (i.toLong, if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(50).toLong))
+      }.toDF("row_id", "k")
+      val dim = (1 to 15).map { _ =>
+        if (rnd.nextInt(8) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(50).toLong)
+      }.toDF("k")
+      val plain = fact.join(dim.distinct(), Seq("k"), "left_semi")
+        .select("row_id").as[Long].collect().sorted.toSeq
+      val mBits = Seq(64, 256)(rnd.nextInt(2))
+      val viaBloom = graft.ops.BloomSemiJoin.prefilteredSemiJoin(
+          fact, "k", dim, "k", mBits = mBits,
+          numHashes = 1 + rnd.nextInt(3))
+        .select("row_id").as[Long].collect().sorted.toSeq
+      assert(viaBloom == plain, s"trial=$trial mBits=$mBits")
+    }
+  }
 }
