@@ -4180,6 +4180,74 @@ object ExtQueries {
         CAST(sum(exact_count) AS BIGINT) AS sum_exact
       FROM err GROUP BY 1"""))
 
+  /** CMS MERGEABILITY demonstration — the `ext_hll_merge_epochs`
+    * contract for the count sketch: per-epoch counter matrices summed
+    * register-wise must estimate IDENTICALLY to one whole-corpus
+    * matrix (counter addition IS partial aggregation — the property
+    * that makes the sketch shard-mergeable at 100 TB: each ingest
+    * epoch publishes d·w longs, and any scope union is a cheap sum,
+    * never a re-scan). Output carries both estimates per term plus the
+    * `merge_identical` verdict — all-1 by the algebra, and the hash
+    * gate would fail on any term where it isn't. */
+  val cmsMergeEpochs = Q(
+    "ext_cms_merge_epochs",
+    (s, d) => {
+      val (dd, w) = (4, 16)
+      val toks = graft.ops.CacheScope.persist(
+        Tables.documents(s, d).select(
+          (col("doc_id") % 2).cast("int").as("epoch"),
+          explode(TextStats.tokens(lower(col("text")))).as("tok")))
+      val bucketed = toks.select(col("epoch"), col("tok"),
+        posexplode(array(Sketches.cmsBuckets(col("tok"), dd, w): _*))
+          .as(Seq("r", "bucket")))
+      val perEpoch = bucketed.groupBy(col("epoch"), col("r"),
+        col("bucket")).agg(count(lit(1)).as("c"))
+      val merged = perEpoch.groupBy(col("r"), col("bucket"))
+        .agg(sum(col("c")).as("c"))
+      val whole = Sketches.cmsCounters(toks, "tok", dd, w)
+      val vocab = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_count"))
+      val em = Sketches.cmsEstimate(vocab, "tok", merged, dd, w)
+        .withColumnRenamed("cms_count", "cms_merged")
+      val ew = Sketches.cmsEstimate(
+          vocab.select(col("tok")), "tok", whole, dd, w)
+        .withColumnRenamed("cms_count", "cms_whole")
+      em.join(ew, Seq("tok"))
+        .select(col("tok"), col("cms_merged"), col("cms_whole"),
+          col("exact_count"),
+          when(col("cms_merged") === col("cms_whole"), 1).otherwise(0)
+            .as("merge_identical"))
+    },
+    Some {
+      val rows = (0 until 4).map { r =>
+        s"""SELECT epoch, tok, $r AS r,
+          ((${TextDedup.minhashA(r)} * base + ${TextDedup.minhashB(r)})
+            % ${TextDedup.minhashP}) % 16 AS bucket FROM h"""
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (
+          SELECT doc_id % 2 AS epoch,
+            unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+          FROM documents),
+        h AS (SELECT epoch, tok,
+          ('0x' || substring(md5(tok), 1, 8))::BIGINT AS base FROM tok),
+        buck AS ($rows),
+        ce AS (SELECT epoch, r, bucket, count(*) AS c
+               FROM buck GROUP BY 1, 2, 3),
+        cm AS (SELECT r, bucket, CAST(sum(c) AS BIGINT) AS c
+               FROM ce GROUP BY 1, 2),
+        cw AS (SELECT r, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
+        vocab AS (SELECT tok, count(*) AS exact_count FROM tok GROUP BY 1),
+        probes AS (SELECT DISTINCT tok, r, bucket FROM buck),
+        em AS (SELECT p.tok, min(c.c) AS cms_merged
+               FROM probes p JOIN cm c USING (r, bucket) GROUP BY 1),
+        ew AS (SELECT p.tok, min(c.c) AS cms_whole
+               FROM probes p JOIN cw c USING (r, bucket) GROUP BY 1)
+        SELECT v.tok, em.cms_merged, ew.cms_whole, v.exact_count,
+          CASE WHEN em.cms_merged = ew.cms_whole THEN 1 ELSE 0 END
+            AS merge_identical
+        FROM vocab v JOIN em USING (tok) JOIN ew USING (tok)"""
+    })
+
   /** Deterministic weighted sampling (sequential Poisson order sampling,
     * [[graft.ext.Sketches.weightedSample]]): 20 documents drawn with
     * probability ≈ proportional to length, reproducibly — priorities are
@@ -5343,7 +5411,8 @@ object ExtQueries {
     kmvDistinct, detSample,
     quantileSketch, stratifiedSample,
     llmCorpus,
-    langidTrigram, cmsHeavy, cmsErrEval, weightedSample, lmScore, bigramLm,
+    langidTrigram, cmsHeavy, cmsErrEval, cmsMergeEpochs, weightedSample,
+    lmScore, bigramLm,
     qualityClassifier,
     dupNgramCov, winnow,
     removeSpans,
