@@ -358,6 +358,20 @@ object ExtQueries3 {
       Tables.embeddings(s, d), k = 8, rounds = 3),
     Some(graft.ext.Lloyd.oracleSql(k = 8, rounds = 3)))
 
+  /** Cluster-quality readout ([[graft.ext.Lloyd.silhouette]] carries
+    * the centroid-surrogate design and the one-projection scale
+    * shape): per-cluster simplified silhouette of the SAME 3-update
+    * model the streaming assigner serves — the table that says
+    * whether k = 8 earned its keep before anything downstream trusts
+    * the cluster ids. */
+  val kmeansSilhouetteQ = Q(
+    "ext_kmeans_silhouette",
+    (s, d) => graft.ext.Lloyd.silhouette(
+      Tables.embeddings(s, d),
+      graft.ext.Lloyd.fitCentroids(
+        Tables.embeddings(s, d), k = 8, updates = 3)),
+    Some(graft.ext.Lloyd.silhouetteOracleSql(k = 8, updates = 3)))
+
   /** Streaming k-means inference (the model-serving twin of
     * `ext_kmeans_lloyd`): static fit at startup, stateless nearest-
     * centroid assignment per micro-batch
@@ -1615,7 +1629,8 @@ object ExtQueries3 {
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
-    ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ, rakeQ,
+    ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ,
+    kmeansSilhouetteQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
     lshDedupStreamQ, wavRoundtripQ, wavVadQ, wavDownsampleQ,
     topValueStreamQ, keySkewQ, ecdfQ,

@@ -191,6 +191,77 @@ object Lloyd {
       $body$sep"""
   }
 
+  /** SIMPLIFIED (centroid-based) SILHOUETTE per cluster — the fit-
+    * quality readout a platform team checks before trusting k: per
+    * vector, a = distance to its assigned (nearest) centroid, b =
+    * distance to the second-nearest, s = (b − a) / max(a, b) ∈ [0, 1]
+    * (1 = deep inside its cell, 0 = on a boundary); reported per
+    * cluster as (n_members, mean/min/max silhouette). The full
+    * silhouette's O(n²) pairwise term is replaced by the standard
+    * centroid surrogate — the only form that scales, and the form
+    * whose determinism the Lloyd distance contract already covers.
+    *
+    * Scale: ONE codegen projection over literal centroids (an
+    * array_sort of k (dist, cid) structs per row — no join, no
+    * shuffle) + a k-key hash agg. Degenerate duplicate centroids
+    * (a = b = 0) score 0 by explicit branch, not 0/0. */
+  def silhouette(emb: DataFrame, cent: Array[Array[Float]]): DataFrame = {
+    val opts = cent.zipWithIndex.map { case (cv, i) =>
+      struct(
+        round(float_dot(col("embedding"), col("embedding"))
+          - lit(2.0) * float_dot(col("embedding"), typedLit(cv))
+          + lit(dccOf(cv)), 6).as("dist"),
+        lit(i).as("cid"))
+    }
+    // lexicographic struct sort ≡ ORDER BY dist, cid — the assignment
+    // tie-break, so rank 1 IS the assigned centroid
+    val sorted = array_sort(array(opts.toIndexedSeq: _*))
+    val a = element_at(sorted, 1).getField("dist")
+    val b = element_at(sorted, 2).getField("dist")
+    emb.select(
+        element_at(sorted, 1).getField("cid").cast("long").as("cid"),
+        when(greatest(a, b) > 0,
+          round((b - a) / greatest(a, b), 6)).otherwise(lit(0.0))
+          .as("s_val"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(graft.Det.dsumWide(col("s_val")) / count(lit(1)), 6)
+          .as("mean_sil"),
+        min(col("s_val")).as("min_sil"),
+        max(col("s_val")).as("max_sil"))
+  }
+
+  /** DuckDB replay of [[silhouette]] over the [[fitCentroids]] model
+    * (`updates` cycles): ranks 1 and 2 of the same rounded distance /
+    * cid order. */
+  def silhouetteOracleSql(k: Int, updates: Int,
+      seed: String = "km"): String =
+    s"""WITH ${chain(k, updates, seed)}
+      d AS MATERIALIZED (
+        SELECT e.vec_id, c.cid,
+          round(e.daa - 2 * list_dot_product(e.v, c.cv)
+            + list_dot_product(c.cv, c.cv), 6) AS dist,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            round(e.daa - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv), 6), c.cid) AS rn
+        FROM e CROSS JOIN c$updates c),
+      ab AS (
+        SELECT a.vec_id, a.cid, a.dist AS av, b.dist AS bv
+        FROM (SELECT * FROM d WHERE rn = 1) a
+        JOIN (SELECT * FROM d WHERE rn = 2) b USING (vec_id)),
+      sil AS (
+        SELECT cid,
+          CASE WHEN greatest(av, bv) > 0
+            THEN round((bv - av) / greatest(av, bv), 6)
+            ELSE 0.0 END AS s_val
+        FROM ab)
+      SELECT CAST(cid AS BIGINT) AS cid,
+        count(*) AS n_members,
+        round(${graft.Det.dsumWideSql("s_val")} / count(*), 6)
+          AS mean_sil,
+        min(s_val) AS min_sil, max(s_val) AS max_sil
+      FROM sil GROUP BY 1"""
+
   /** DuckDB replay of [[fit]] (runs at oracle SF). */
   def oracleSql(k: Int, rounds: Int, seed: String = "km"): String =
     s"""WITH ${chain(k, rounds - 1, seed)}
