@@ -290,6 +290,20 @@ object ExtQueries3 {
       "SELECT n_chars AS v, source AS grp FROM documents",
       "src0", "src1")))
 
+  /** Two-sample WASSERSTEIN-1 drift ([[graft.ext.Stats.wasserstein1]]
+    * carries the distributed-lead design): the integral companion to
+    * the same src0-vs-src1 length comparison `ext_ks_test` max-gaps —
+    * W1 prices how much mass moved how far, the quantity a drift
+    * alarm should threshold on. Rides the shared mergedCdf prefix-sum
+    * (windowWhitelist'd). */
+  val wassersteinQ = Q(
+    "ext_wasserstein_drift",
+    (s, d) => graft.ext.Stats.wasserstein1(
+      Tables.documents(s, d), "n_chars", "source", "src0", "src1"),
+    Some(graft.ext.Stats.wasserstein1OracleSql(
+      "SELECT n_chars AS v, source AS grp FROM documents",
+      "src0", "src1")))
+
   /** JSD between two sources' binned doc-length histograms (bin width
     * 32 over the ~47-560 char range → ~16 populated bins) — the
     * bounded, empty-bin-safe drift readout next to the PSI and the
@@ -1629,7 +1643,7 @@ object ExtQueries3 {
   def all: Seq[Q] = Seq(
     linkPredictionQ, qlDirichletQ, targetEncodeQ, featureHashQ,
     knBigramQ, ngramNoveltyQ, bootstrapQ, mutualInfoQ, sharedFramesQ,
-    ksTestQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ,
+    ksTestQ, wassersteinQ, jsDivergenceQ, truncationQ, kmeansQ, kmeansStreamQ,
     kmeansSilhouetteQ, rakeQ,
     woeIvQ, quantileBinsQ, audioMatchQ, mannWhitneyQ, tokenizerCoverageQ,
     lshDedupStreamQ, wavRoundtripQ, wavVadQ, wavDownsampleQ,

@@ -152,8 +152,14 @@ object Stats {
     * value, both CDFs step together).
     *
     * Output: one row (n_a, n_b, d_stat, ks_stat), 6-dp. */
-  def ksTest(rows: DataFrame, valueCol: String, groupCol: String,
-      groupA: String, groupB: String): DataFrame = {
+  /** The two-sample merged-support CDF shared by [[ksTest]] and
+    * [[wasserstein1]]: (cdf(v, __pid, ca, cb, cuma, cumb), tot(n_a,
+    * n_b)) on the packOffsets two-phase prefix-sum path. The cdf
+    * frame's partitioning column rides along so callers can run
+    * further per-partition windows on the same exchange. */
+  private def mergedCdf(rows: DataFrame, valueCol: String,
+      groupCol: String, groupA: String, groupB: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val grain = rows
       .filter(col(groupCol).isin(groupA, groupB))
@@ -177,9 +183,16 @@ object Stats {
     val tot = sorted.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     val localW = Window.partitionBy("__pid").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val gaps = sorted.join(broadcast(offs), Seq("__pid"))
+    val cdf = sorted.join(broadcast(offs), Seq("__pid"))
       .withColumn("cuma", col("__oa") + sum(col("ca")).over(localW))
       .withColumn("cumb", col("__ob") + sum(col("cb")).over(localW))
+    (cdf, tot)
+  }
+
+  def ksTest(rows: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val (cdf, tot) = mergedCdf(rows, valueCol, groupCol, groupA, groupB)
+    val gaps = cdf
       .crossJoin(broadcast(tot))
       .select(abs(col("cuma").cast("double") / col("n_a")
         - col("cumb").cast("double") / col("n_b")).as("gap"))
@@ -189,6 +202,82 @@ object Stats {
         round(sqrt((col("n_a").cast("double") * col("n_b"))
           / (col("n_a") + col("n_b"))) * col("d_stat"), 6).as("ks_stat"))
   }
+
+  /** Two-sample WASSERSTEIN-1 (earth-mover) distance between the
+    * `valueCol` distributions of two groups — the INTEGRAL drift
+    * metric next to the exact-max KS and the binned PSI/JSD: where KS
+    * reports only the worst CDF gap, W1 = ∫|F_A − F_B| dv prices HOW
+    * MUCH mass moved HOW FAR (in value units) — the number a
+    * length-distribution or score-distribution drift alarm should
+    * threshold on.
+    *
+    * Computation: on the merged distinct-value support,
+    * W1 = Σ_i |F_A(v_i) − F_B(v_i)| · (v_{i+1} − v_i) — exact for any
+    * discrete/empirical pair, no binning. The lead over the two-phase
+    * layout is distributed: within-partition lead plus each
+    * partition's successor-first-value (a #partitions-row frame)
+    * joined back for boundary rows; the last support point's term is
+    * 0 by definition (both CDFs are 1 there).
+    *
+    * Determinism: per-step |ΔF| is 6-dp-rounded, the step product
+    * rides the exact DECIMAL(38,12) sum (the mutualInformation
+    * pattern), final 6-dp round. Output: (n_a, n_b, w1). */
+  def wasserstein1(rows: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cdf, tot) = mergedCdf(rows, valueCol, groupCol, groupA, groupB)
+    val firstW = Window.orderBy("__pid")
+    val nextFirst = cdf.groupBy(col("__pid"))
+      .agg(min(col("v")).as("__fv"))
+      .withColumn("__nfv", lead(col("__fv"), 1).over(firstW))
+      .select(col("__pid"), col("__nfv"))
+    val leadW = Window.partitionBy("__pid").orderBy("v")
+    val terms = cdf.join(broadcast(nextFirst), Seq("__pid"))
+      .withColumn("__nv",
+        coalesce(lead(col("v"), 1).over(leadW), col("__nfv")))
+      .crossJoin(broadcast(tot))
+      .select(when(col("__nv").isNotNull,
+        round(abs(col("cuma").cast("double") / col("n_a")
+          - col("cumb").cast("double") / col("n_b")), 6)
+          * (col("__nv") - col("v")).cast("double"))
+        .otherwise(lit(0.0)).as("t"))
+    terms
+      .agg(round(graft.Det.dsumWide(col("t")), 6).as("w1"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("w1"))
+  }
+
+  /** DuckDB replay of [[wasserstein1]] (single-window at oracle SF):
+    * `fromSql` must yield columns (v, grp). */
+  def wasserstein1OracleSql(fromSql: String, groupA: String,
+      groupB: String): String =
+    s"""WITH base AS ($fromSql),
+      grain AS (
+        SELECT v,
+          CAST(sum(CASE WHEN grp = '$groupA' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(sum(CASE WHEN grp = '$groupB' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM base WHERE grp IN ('$groupA', '$groupB') GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+          CAST(sum(cb) AS BIGINT) AS n_b
+        FROM grain),
+      cum AS (
+        SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+          lead(v) OVER (ORDER BY v) AS nv
+        FROM grain
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      terms AS (
+        SELECT CASE WHEN nv IS NULL THEN 0.0
+          ELSE round(abs(CAST(cuma AS DOUBLE) / n_a
+            - CAST(cumb AS DOUBLE) / n_b), 6)
+            * CAST(nv - v AS DOUBLE) END AS t
+        FROM cum CROSS JOIN tot)
+      SELECT n_a, n_b,
+        round(CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE), 6) AS w1
+      FROM terms CROSS JOIN tot
+      GROUP BY n_a, n_b"""
 
   /** DuckDB replay of [[ksTest]] (single-window CDF — it runs at
     * oracle SF): `fromSql` must yield columns (v, grp). */

@@ -75,6 +75,9 @@ class PlanGuardSpec extends SparkSpec {
     "ext_ks_test" ->
       ("two-series CDF prefix-sum over per-partition totals (one row " +
         "per partition, the packOffsets shape)"),
+    "ext_wasserstein_drift" ->
+      ("the ext_ks_test CDF prefix-sum plus the successor-first-value " +
+        "lead, both over per-partition totals (one row per partition)"),
     "ext_mann_whitney" ->
       ("rank-mass prefix-sum over per-partition totals (one row per " +
         "partition, the packOffsets shape shared with ext_ks_test)"),
