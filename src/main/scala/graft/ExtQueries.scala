@@ -920,6 +920,22 @@ object ExtQueries {
       .dedupLshGrowPrunedAvailableNow(s, d),
     dedupLshGrow.oracle)
 
+  /** The capstone's MAINTENANCE path registered
+    * ([[graft.streaming.StreamPipeline.compactBucketedIndex]] carries
+    * the executed-compaction-plan design): the same grow+prune loop
+    * with both index dirs compacted after every micro-batch, so each
+    * later wave probes an index the earlier wave's compaction fully
+    * rewrote (r11 VERDICT #2 — without this pass, per-bucket file
+    * counts grow unboundedly over thousands of batches and listing
+    * costs erode the measured constant read volume). Oracle = the
+    * grow oracle a third time: hash-equality across
+    * plain / pruned / compacted is the losslessness proof. */
+  val dedupLshGrowCompact = Q(
+    "q_stream_dedup_lsh_grow_compact",
+    (s, d) => graft.streaming.StreamPipeline
+      .dedupLshGrowCompactAvailableNow(s, d),
+    dedupLshGrow.oracle)
+
   val dedupMinhash = Q(
     "ext_dedup_minhash_lsh",
     (s, d) => TextDedup.minhashNearDups(
@@ -1630,21 +1646,45 @@ object ExtQueries {
         '[ \\t\\n\\x0B\\f\\r]+'))), 0) AS BIGINT) AS n_tokens
       FROM $src"""
 
+  /** Shared adapter body for the two incremental-build queries: the
+    * archive round-trips through the UNIFIED on-disk artifact
+    * ([[graft.ext.ArchiveIndex]] — the same fp/ib/ih tables the
+    * streaming capstone grows and the corpus-DQ monitor reads), so the
+    * registered queries exercise the format batch↔stream
+    * interchangeability rests on, not session-frame conventions. The
+    * result is localized (bounded by the batch-sized output) so the
+    * temp index tree deletes before returning — the AvailableNow
+    * adapter convention. */
+  private def corpusIncrOnDisk(s: org.apache.spark.sql.SparkSession,
+      d: String, pick: ((DataFrame, DataFrame)) => DataFrame)
+      : DataFrame = {
+    import graft.ext.ArchiveIndex
+    val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+    val base = java.nio.file.Files.createTempDirectory("graft-corpusincr")
+    try {
+      ArchiveIndex.write(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", nBuckets = 32, base.toString)
+      val out = pick(Curation.corpusBuildIncremental(
+        corpusIncrementalIncoming(docs), "text", "doc_id",
+        ArchiveIndex.readFp(s, base.toString)
+          .select("fp", "representative_id"),
+        ArchiveIndex.readBands(s, base.toString),
+        ArchiveIndex.readHashes(s, base.toString),
+        minQuality = 0.72))
+      ArchiveIndex.localFrame(out)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(base.toFile)
+    }
+  }
+
   val corpusBuildIncr = Q(
     "ext_corpus_build_incremental",
-    (s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
-      val archive = docs.filter(col("doc_id") % 2 === 0)
-      val incoming = corpusIncrementalIncoming(docs)
-      val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
-        .select("fp", "representative_id")
-      val (bandsIdx, hashesIdx) =
-        TextDedup.lshIndex(archive, "text", "doc_id")
-      val (cleaned, _) = Curation.corpusBuildIncremental(
-        incoming, "text", "doc_id", fpIndex, bandsIdx, hashesIdx,
-        minQuality = 0.72)
-      cleaned.select("doc_id", "source")
-    },
+    (s, d) => corpusIncrOnDisk(s, d,
+      { case (cleaned, _) => cleaned.select("doc_id", "source") }),
     Some(s"""WITH $corpusIncrChainSql
       SELECT doc_id, source FROM s3"""))
 
@@ -1655,17 +1695,7 @@ object ExtQueries {
     * within-batch and cross-archive drops). */
   val corpusBuildIncrFunnel = Q(
     "ext_corpus_build_incremental_funnel",
-    (s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
-      val archive = docs.filter(col("doc_id") % 2 === 0)
-      val fpIndex = TextDedup.exactDedup(archive, "text", "doc_id")
-        .select("fp", "representative_id")
-      val (bandsIdx, hashesIdx) =
-        TextDedup.lshIndex(archive, "text", "doc_id")
-      Curation.corpusBuildIncremental(
-        corpusIncrementalIncoming(docs), "text", "doc_id",
-        fpIndex, bandsIdx, hashesIdx, minQuality = 0.72)._2
-    },
+    (s, d) => corpusIncrOnDisk(s, d, { case (_, funnel) => funnel }),
     Some(s"""WITH $corpusIncrChainSql
       ${funnelStageSql(0, "raw", "inc")}
       UNION ALL ${funnelStageSql(1, "exact_dedup", "s1")}
@@ -5392,7 +5422,7 @@ object ExtQueries {
     indexDelta,
     chunkDocs, simInt8, keywords,
     dedupExact, dedupIncremental, dedupIncrementalLsh, dedupLshGrow,
-    dedupLshGrowPruned, dedupMinhash,
+    dedupLshGrowPruned, dedupLshGrowCompact, dedupMinhash,
     dedupContainment,
     dedupEditDistance, pagerank, hitsQ, trianglesQ, labelPropQ, kcoreQ,
     dedupNgram, dedupPrefixFilter, dedupSimhash,

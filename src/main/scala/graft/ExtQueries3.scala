@@ -1190,6 +1190,77 @@ object ExtQueries3 {
         kept[1] AS s_first, kept[m] AS s_last
       FROM ds"""))
 
+  /** PPM encode→decode ROUNDTRIP gate ([[graft.ext.PpmCodec]]) — the
+    * THIRD real-decoder widening of the multimodal stub (r11 VERDICT
+    * stretch), the `ext_bmp_roundtrip` contract on the netpbm P6
+    * layout: the SAME deterministic w×h pixel formula is ENCODED into
+    * actual P6 bytes — 19-byte canonical ASCII header, top-down RGB
+    * triples, no padding — and every output column is computed by
+    * DECODING THOSE BYTES. The oracle computes the same quantities
+    * straight from the generator formula, so a hash match proves the
+    * roundtrip lossless including the ASCII-dims header arithmetic
+    * (file_len pins 19 + 3·w·h). PpmSpec additionally pins the
+    * dHash-consumption contract: the same pixels encoded as BMP and
+    * as PPM pool to byte-identical profiles through the
+    * [[graft.ext.Multimodal.pooledProfile]] dispatcher.
+    *
+    * Scale: one projection per row — no shuffle, no UDF, no driver. */
+  val ppmRoundtripQ = Q(
+    "ext_ppm_roundtrip",
+    (s, d) => {
+      import graft.ext.PpmCodec
+      val w = (lit(8) + pmod(col("doc_id"), lit(5))).cast("int")
+      val h = (lit(6) + pmod(col("doc_id"), lit(4))).cast("int")
+      val gen = transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+        (pmod(col("doc_id") * 7 + i * 13, lit(256)) * 65536
+          + pmod(col("doc_id") * 11 + i * 3, lit(256)) * 256
+          + pmod(col("doc_id") * 5 + i * 17, lit(256))).cast("int"))
+      val enc = Tables.documents(s, d).select(col("doc_id"),
+        PpmCodec.encodePpm(gen, w, h).as("ppm"))
+      // everything below reads the BYTES, never the generator
+      val px = PpmCodec.pixels(col("ppm"))
+      val fs = PpmCodec.ppmFeatures(col("ppm"))
+      enc.select(col("doc_id"),
+        PpmCodec.width(col("ppm")).as("width"),
+        PpmCodec.height(col("ppm")).as("height"),
+        length(col("ppm")).as("file_len"),
+        PpmCodec.numPixels(col("ppm")).as("n_px"),
+        aggregate(px, lit(0L), (a, p) =>
+          a + floor(p / 65536).cast("long")
+            + pmod(floor(p / 256).cast("long"), lit(256))
+            + pmod(p, lit(256))).as("sum_rgb"),
+        element_at(px, 1).as("px_first"),
+        element_at(px, -1).as("px_last"),
+        element_at(fs, 1).as("f1"), element_at(fs, 2).as("f2"),
+        element_at(fs, 3).as("f3"), element_at(fs, 4).as("f4"))
+    },
+    Some {
+      def blk(b: Int) =
+        s"""round(CAST(list_sum(list_transform(
+          px[(n*$b//4 + 1):(n*${b + 1}//4)],
+          p -> p // 65536 + (p // 256) % 256 + p % 256)) AS DOUBLE)
+          / (CAST(n*${b + 1}//4 - n*$b//4 AS DOUBLE) * 765.0), 6)"""
+      s"""WITH gen AS (
+        SELECT doc_id,
+          8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+          (8 + doc_id % 5) * (6 + doc_id % 4) AS n,
+          list_transform(range(0, (8 + doc_id % 5) * (6 + doc_id % 4)),
+            i -> CAST(((doc_id*7 + i*13) % 256) * 65536
+              + ((doc_id*11 + i*3) % 256) * 256
+              + (doc_id*5 + i*17) % 256 AS INTEGER)) AS px
+        FROM documents)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(19 + 3 * w * h AS INTEGER) AS file_len,
+        CAST(w * h AS BIGINT) AS n_px,
+        CAST(list_sum(list_transform(px,
+          p -> p // 65536 + (p // 256) % 256 + p % 256)) AS BIGINT)
+          AS sum_rgb,
+        px[1] AS px_first, px[n] AS px_last,
+        ${blk(0)} AS f1, ${blk(1)} AS f2, ${blk(2)} AS f3,
+        ${blk(3)} AS f4
+      FROM gen"""
+    })
+
   /** IMAGE EXPOSURE GATE over REAL decoded BMP pixels — the image
     * sibling of the text quality gate and the WAV VAD: per image, mean
     * normalized luminance, dark/bright pixel fractions, the luminance
@@ -1376,6 +1447,189 @@ object ExtQueries3 {
       FROM cand
       WHERE list_sum(list_transform(generate_series(1, 4), i ->
         bit_count(xor(bvs_a[i], bvs_b[i])))) <= 3"""))
+
+  /** Mixed-format corpus shared by the multimodal-pipeline pair
+    * (engine side; the oracle replays it from the same congruences):
+    * non-multiple-of-3 doc_ids render a 16..20 × 12..15 BMP (the
+    * `ext_bmp_dhash_pairs` generator) as id 2·doc_id plus a green-shift
+    * RE-ENCODE TWIN as 2·doc_id+1 — with every multiple-of-7 parent
+    * rendered DARK (all channels mod 64 → every luminance ≤ 189, the
+    * exposure gate's drop direction); multiple-of-3 doc_ids carry an
+    * OPAQUE payload ('OPQ:' + md5 of the id — no decodable format), so
+    * the dispatcher's byte-grid fallback is exercised next to the real
+    * decode in one corpus. */
+  private def multimodalCorpus(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.ext.BmpCodec
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val p = col("doc_id")
+    val w = (lit(16) + pmod(p, lit(5))).cast("int")
+    val h = (lit(12) + pmod(p, lit(4))).cast("int")
+    val dark = pmod(p, lit(7)) === 0
+    def gen(shift: Boolean) =
+      transform(sequence(lit(0), w * h - 1, lit(1)), i => {
+        val r0 = pmod(p * 7 + i * 13, lit(256))
+        val g0 =
+          if (shift) pmod(p * 11 + i * 3
+              + when(pmod(i, lit(16)) === 0, 3).otherwise(0), lit(256))
+          else pmod(p * 11 + i * 3, lit(256))
+        val b0 = pmod(p * 5 + i * 17, lit(256))
+        def dk(c: org.apache.spark.sql.Column) =
+          when(dark, pmod(c, lit(64))).otherwise(c)
+        (dk(r0) * 65536 + dk(g0) * 256 + dk(b0)).cast("int")
+      })
+    val bmpDocs = docs.filter(pmod(p, lit(3)) =!= 0)
+    bmpDocs.select((p * 2).as("id"),
+        BmpCodec.encodeBmp(gen(shift = false), w, h).as("payload"))
+      .unionAll(bmpDocs.select((p * 2 + 1).as("id"),
+        BmpCodec.encodeBmp(gen(shift = true), w, h).as("payload")))
+      .unionAll(docs.filter(pmod(p, lit(3)) === 0)
+        .select((p * 2).as("id"),
+          concat(lit("OPQ:"), md5(p.cast("string"))).cast("binary")
+            .as("payload")))
+  }
+
+  /** Shared oracle chain for the multimodal pipeline: replay pixel /
+    * byte generation, the exposure gate, 65-cell pooling (luminance
+    * for BMP, raw bytes for opaque — the dispatcher's two branches),
+    * dHash banding, the Hamming-≤3 pair join, the recursive-CTE
+    * transitive closure, and keep-best; ends in `kept(id)` /
+    * `fmt(id, format)` / `fmt0(id, format)` (post-gate / raw). */
+  private def multimodalChainSql: String =
+    s"""base AS MATERIALIZED (
+        SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 4 AS h,
+          doc_id % 7 = 0 AS dark, doc_id % 3 = 0 AS opaque
+        FROM documents),
+      vbr AS MATERIALIZED (
+        SELECT doc_id * 2 AS id, w * h AS n,
+          list_transform(range(0, w * h), i ->
+            CASE WHEN dark THEN
+              ((doc_id*7 + i*13) % 256) % 64
+              + ((doc_id*11 + i*3) % 256) % 64
+              + ((doc_id*5 + i*17) % 256) % 64
+            ELSE ((doc_id*7 + i*13) % 256)
+              + ((doc_id*11 + i*3) % 256)
+              + ((doc_id*5 + i*17) % 256) END) AS ls
+        FROM base WHERE NOT opaque
+        UNION ALL
+        SELECT doc_id * 2 + 1, w * h,
+          list_transform(range(0, w * h), i ->
+            CASE WHEN dark THEN
+              ((doc_id*7 + i*13) % 256) % 64
+              + (((doc_id*11 + i*3
+                  + CASE WHEN i % 16 = 0 THEN 3 ELSE 0 END) % 256) % 64)
+              + ((doc_id*5 + i*17) % 256) % 64
+            ELSE ((doc_id*7 + i*13) % 256)
+              + ((doc_id*11 + i*3
+                  + CASE WHEN i % 16 = 0 THEN 3 ELSE 0 END) % 256)
+              + ((doc_id*5 + i*17) % 256) END)
+        FROM base WHERE NOT opaque),
+      ovr AS MATERIALIZED (
+        SELECT doc_id * 2 AS id,
+          strlen('OPQ:' || md5(CAST(doc_id AS VARCHAR))) AS n,
+          list_transform(range(1,
+              strlen('OPQ:' || md5(CAST(doc_id AS VARCHAR))) + 1),
+            i -> ascii(substr('OPQ:' || md5(CAST(doc_id AS VARCHAR)),
+              CAST(i AS INTEGER), 1))) AS bys
+        FROM base WHERE opaque),
+      bmp_s1 AS MATERIALIZED (
+        SELECT id, n, ls FROM vbr
+        WHERE 2 * len(list_filter(ls, l -> l < 192)) <= n
+          AND 2 * len(list_filter(ls, l -> l >= 576)) <= n),
+      pc AS MATERIALIZED (
+        SELECT id, list_transform(generate_series(0, 64), j ->
+          CASE WHEN ((j + 1) * n) // 65 > (j * n) // 65 THEN
+            round(CAST(list_sum(
+                ls[(j * n) // 65 + 1:((j + 1) * n) // 65]) AS DOUBLE)
+              / (CAST(((j + 1) * n) // 65 - (j * n) // 65 AS DOUBLE)
+                * 3.0), 6)
+          END) AS cells
+        FROM bmp_s1
+        UNION ALL
+        SELECT id, list_transform(generate_series(0, 64), j ->
+          CASE WHEN ((j + 1) * n) // 65 > (j * n) // 65 THEN
+            round(CAST(list_sum(
+                bys[(j * n) // 65 + 1:((j + 1) * n) // 65]) AS DOUBLE)
+              / CAST(((j + 1) * n) // 65 - (j * n) // 65 AS DOUBLE), 6)
+          END)
+        FROM ovr),
+      gr AS (
+        SELECT id, list_transform(generate_series(0, 63), i ->
+          CASE WHEN coalesce(cells[i + 2], 0.0)
+              > coalesce(cells[i + 1], 0.0)
+            THEN 1 ELSE 0 END) AS grads
+        FROM pc),
+      sig AS MATERIALIZED (
+        SELECT id, list_transform(generate_series(0, 3), b ->
+          CAST(list_sum(list_transform(generate_series(0, 15), j ->
+            grads[b * 16 + j + 1] * CAST(pow(2, 15 - j) AS BIGINT)))
+            AS BIGINT)) AS bvs
+        FROM gr),
+      bands AS (
+        SELECT id, bvs, CAST(b - 1 AS INT) AS band, bvs[b] AS bv
+        FROM sig CROSS JOIN range(1, 5) t(b)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          a.bvs AS bvs_a, b.bvs AS bvs_b
+        FROM bands a JOIN bands b USING (band, bv)
+        WHERE a.id < b.id),
+      pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM cand
+        WHERE list_sum(list_transform(generate_series(1, 4), i ->
+          bit_count(xor(bvs_a[i], bvs_b[i])))) <= 3),
+      surv AS MATERIALIZED (
+        SELECT id FROM bmp_s1 UNION ALL SELECT id FROM ovr),
+      edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (
+        SELECT id, id FROM surv
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS MATERIALIZED (
+        SELECT a AS id, min(b) AS rep_id FROM reach GROUP BY a),
+      kept AS MATERIALIZED (SELECT id FROM comp WHERE id = rep_id),
+      fmt AS (
+        SELECT id, CASE WHEN (id // 2) % 3 = 0 THEN 'opaque'
+          ELSE 'bmp' END AS format
+        FROM surv),
+      fmt0 AS (
+        SELECT id, CASE WHEN (id // 2) % 3 = 0 THEN 'opaque'
+          ELSE 'bmp' END AS format
+        FROM (SELECT id FROM vbr UNION ALL SELECT id FROM ovr))"""
+
+  /** MULTIMODAL E2E COMPOSITE ([[graft.ext.Multimodal.imagePipeline]]
+    * carries the one-call stage design): the corpusBuild pattern
+    * applied to images over a MIXED-format corpus — BMP rows ride the
+    * real decode (exposure on decoded luminance, dHash on pooled
+    * pixels), opaque rows provably take the byte-grid fallback — with
+    * decode → exposure gate → dHash banded pairs → components →
+    * keep-best in one call. Output = surviving (id, format) rows. */
+  val multimodalE2eQ = Q(
+    "ext_multimodal_pipeline_e2e",
+    (s, d) => graft.ext.Multimodal
+      .imagePipeline(multimodalCorpus(s, d), "id", "payload")._1,
+    Some(s"""WITH RECURSIVE $multimodalChainSql
+      SELECT k.id, f.format FROM kept k JOIN fmt f USING (id)"""))
+
+  /** The composite's per-FORMAT funnel receipt: n_docs per stage per
+    * format — the dispatcher's honest-stub boundary visible in OUTPUT
+    * (opaque rows pass the exposure gate unjudged and dedup on
+    * byte-grid profiles; the scaladoc caveat becomes a row a user
+    * reads). */
+  val multimodalFunnelQ = Q(
+    "ext_multimodal_pipeline_funnel",
+    (s, d) => graft.ext.Multimodal
+      .imagePipeline(multimodalCorpus(s, d), "id", "payload")._2,
+    Some(s"""WITH RECURSIVE $multimodalChainSql
+      SELECT 0 AS stage_ord, 'raw' AS stage, format,
+        count(*) AS n_docs
+      FROM fmt0 GROUP BY 3
+      UNION ALL
+      SELECT 1, 'exposure_gate', format, count(*) FROM fmt GROUP BY 3
+      UNION ALL
+      SELECT 2, 'keep_best', format, count(*)
+      FROM kept JOIN fmt USING (id) GROUP BY 3"""))
 
   /** Deterministic "video" shared by the two BMP-video queries: 4
     * concatenated 8×6 24-bit BMP frames (frame byte size 198, pad 0),
@@ -1651,5 +1905,6 @@ object ExtQueries3 {
     pmiQ, sourceOutliersQ, wavStreamQ, dqConstraintsQ, sketchErrQ,
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
     bmpRoundtripQ, bmpDhashQ, bmpExposureQ, lshDedupPrunedQ,
-    videoBmpFramesQ, videoBmpSharedQ, dqQuarantineStreamQ)
+    videoBmpFramesQ, videoBmpSharedQ, dqQuarantineStreamQ,
+    multimodalE2eQ, multimodalFunnelQ, ppmRoundtripQ)
 }

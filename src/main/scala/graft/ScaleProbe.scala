@@ -162,6 +162,30 @@ object ScaleProbe {
       return
     }
 
+    // mode "sdedup-compact": the sdedup_rows methodology extended along
+    // the BATCH axis (r11 VERDICT #2) — run the capstone grow+prune
+    // loop over a growing number of micro-batches, with and without the
+    // wired-in compaction pass, and report the DETERMINISTIC quantities
+    // the maintenance claim rests on: total index data files at end of
+    // run (the listing-cost driver — linear in batch count append-only,
+    // bounded under a fixed compaction cadence) and the emitted pair
+    // count (identical across cadences = losslessness at scale).
+    if (mode == "sdedup-compact") {
+      Seq(4, 8, 16, 32).filter(_ <= maxN).foreach { waves =>
+        val (pairs0, files0) = graft.streaming.StreamPipeline
+          .growPrunedCompactProbe(spark, sfDir, waves, nBuckets = 64,
+            compactEvery = 0)
+        val (pairsC, filesC) = graft.streaming.StreamPipeline
+          .growPrunedCompactProbe(spark, sfDir, waves, nBuckets = 64,
+            compactEvery = 4)
+        println(s"""{"probe":"sdedup_compact","batches":$waves,""" +
+          s""""files_nocompact":$files0,"files_compact":$filesC,""" +
+          s""""pairs_nocompact":$pairs0,"pairs_compact":$pairsC}""")
+      }
+      spark.stop()
+      return
+    }
+
     // mode "pfjoin": the EXACT Jaccard-threshold join both ways — full
     // inverted index vs prefix-filtered (Bayardo 2007) — at growing N.
     // Per-copy word salt keeps cross-copy shingles disjoint, so pair

@@ -193,13 +193,20 @@ object Lloyd {
 
   /** SIMPLIFIED (centroid-based) SILHOUETTE per cluster — the fit-
     * quality readout a platform team checks before trusting k: per
-    * vector, a = distance to its assigned (nearest) centroid, b =
-    * distance to the second-nearest, s = (b − a) / max(a, b) ∈ [0, 1]
-    * (1 = deep inside its cell, 0 = on a boundary); reported per
-    * cluster as (n_members, mean/min/max silhouette). The full
-    * silhouette's O(n²) pairwise term is replaced by the standard
-    * centroid surrogate — the only form that scales, and the form
-    * whose determinism the Lloyd distance contract already covers.
+    * vector, a = EUCLIDEAN distance to its assigned (nearest)
+    * centroid, b = distance to the second-nearest,
+    * s = (b − a) / max(a, b) ∈ [0, 1] (1 = deep inside its cell, 0 =
+    * on a boundary); reported per cluster as (n_members, mean/min/max
+    * silhouette). The full silhouette's O(n²) pairwise term is
+    * replaced by the standard centroid surrogate — the only form that
+    * scales, and the form whose determinism the Lloyd distance
+    * contract already covers. The Lloyd contract ranks by ROUNDED
+    * SQUARED distance (assignment is sqrt-invariant), so the
+    * assignment reuses that order verbatim; the RATIO then takes
+    * sqrt of the two rounded squared distances first, so s is the
+    * conventional Euclidean simplified silhouette and standard
+    * thresholds apply directly (r11 ADVICE: the squared-distance
+    * ratio inflates s vs the textbook metric).
     *
     * Scale: ONE codegen projection over literal centroids (an
     * array_sort of k (dist, cid) structs per row — no join, no
@@ -214,10 +221,14 @@ object Lloyd {
         lit(i).as("cid"))
     }
     // lexicographic struct sort ≡ ORDER BY dist, cid — the assignment
-    // tie-break, so rank 1 IS the assigned centroid
+    // tie-break, so rank 1 IS the assigned centroid; the rounded
+    // squared distance can dip epsilon-negative (float dot rounding),
+    // so clamp at 0 before the sqrt on both engine and oracle
     val sorted = array_sort(array(opts.toIndexedSeq: _*))
-    val a = element_at(sorted, 1).getField("dist")
-    val b = element_at(sorted, 2).getField("dist")
+    val a = sqrt(greatest(
+      element_at(sorted, 1).getField("dist"), lit(0.0)))
+    val b = sqrt(greatest(
+      element_at(sorted, 2).getField("dist"), lit(0.0)))
     emb.select(
         element_at(sorted, 1).getField("cid").cast("long").as("cid"),
         when(greatest(a, b) > 0,
@@ -246,7 +257,9 @@ object Lloyd {
               + list_dot_product(c.cv, c.cv), 6), c.cid) AS rn
         FROM e CROSS JOIN c$updates c),
       ab AS (
-        SELECT a.vec_id, a.cid, a.dist AS av, b.dist AS bv
+        SELECT a.vec_id, a.cid,
+          sqrt(greatest(a.dist, 0)) AS av,
+          sqrt(greatest(b.dist, 0)) AS bv
         FROM (SELECT * FROM d WHERE rn = 1) a
         JOIN (SELECT * FROM d WHERE rn = 2) b USING (vec_id)),
       sil AS (

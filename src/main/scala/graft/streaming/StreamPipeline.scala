@@ -291,19 +291,23 @@ object StreamPipeline {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-stream-ckpt")
-    val q = out.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode(mode)
-      .format("memory")
-      .queryName(qn)
-      .start()
-    q.awaitTermination()
-    val sink = spark.table(qn)
-    val out2 = localize(sink)
-    spark.catalog.dropTempView(qn)
-    rmRf(ckpt.toFile)
-    out2
+    // finally-guarded so a failed start/drain never leaks the temp
+    // checkpoint tree (r11 ADVICE — same discipline as the temp-dir
+    // adapters below)
+    try {
+      val q = out.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode)
+        .format("memory")
+        .queryName(qn)
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(qn)
+      val out2 = localize(sink)
+      spark.catalog.dropTempView(qn)
+      out2
+    } finally rmRf(ckpt.toFile)
   }
 
   /** Recursive temp-tree delete shared by every AvailableNow adapter. */
@@ -1123,52 +1127,86 @@ object StreamPipeline {
     * (`partitionBy(bkt)` append — O(batch) files landing in the same
     * partition dirs later batches prune against), so the archive grows
     * across batches AND every probe's read volume stays bounded by the
-    * batch's key footprint. The complete 100 TB ingest shape: at
-    * production layout (bucket count sized to the archive, periodic
-    * small-file compaction — [[graft.ext.Curation.compactionPlan]]'s
-    * job) per-batch cost is O(batch + collisions) rows read. Output is
-    * IDENTICAL to [[lshDedupGrowStart]] (pruning is lossless), so the
-    * registered query shares the grow oracle verbatim. */
+    * batch's key footprint. The complete 100 TB ingest shape: bucket
+    * count sized to the archive, and the MAINTENANCE path wired in —
+    * every `compactEvery` batches the loop executes
+    * [[compactBucketedIndex]] on both index dirs, so per-bucket file
+    * counts stay bounded (≤ compactEvery append waves above the packed
+    * floor) however many micro-batches run, and per-batch cost stays
+    * O(batch + collisions) rows read instead of eroding under
+    * unbounded small-file listings. `compactEvery = 0` disables the
+    * pass (the pre-r12 behavior). Output is IDENTICAL to
+    * [[lshDedupGrowStart]] (pruning is lossless; compaction rewrites
+    * files, never rows), so the registered queries share the grow
+    * oracle verbatim. */
   def lshDedupGrowPrunedStart(incoming: DataFrame, threshold: Double,
       nBuckets: Int, pairsDir: String, ibDir: String, ihDir: String,
-      ckptDir: String, availableNow: Boolean): StreamingQuery = {
+      ckptDir: String, availableNow: Boolean, compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20): StreamingQuery = {
     val spark = incoming.sparkSession
     applyConfiguredStateStore(spark)
     val writer = incoming.writeStream
       .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (bBands, bHs) = prunedProbeBatch(batch, threshold, nBuckets,
           pairsDir, ibDir, ihDir)
-        bBands
-          .withColumn("bkt", pmod(xxhash64(col("band")), lit(nBuckets)))
-          .write.partitionBy("bkt").mode("append").parquet(ibDir)
-        bHs
-          .withColumn("bkt", pmod(xxhash64(col("id")), lit(nBuckets)))
-          .write.partitionBy("bkt").mode("append").parquet(ihDir)
+        graft.ext.ArchiveIndex.appendBucketedTable(
+          bBands, "band", ibDir, nBuckets)
+        graft.ext.ArchiveIndex.appendBucketedTable(
+          bHs, "id", ihDir, nBuckets)
         bBands.unpersist(blocking = false)
         bHs.unpersist(blocking = false)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactBucketedIndex(spark, ibDir, compactTargetBytes)
+          compactBucketedIndex(spark, ihDir, compactTargetBytes)
+        }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
 
+  /** COMPACT a bucket-partitioned index dir IN PLACE — the maintenance
+    * pass the capstone ingest loop ([[lshDedupGrowPrunedStart]]) runs
+    * every `compactEvery` batches, closing r11's one open scale risk:
+    * the grow loop appends O(batch) files into the bucket partition
+    * dirs forever, so over thousands of micro-batches per-bucket file
+    * counts grow unboundedly and listing/footer costs erode exactly
+    * the constant-read-volume property SCALEPROBE_r11 measured.
+    *
+    * This EXECUTES [[graft.ext.Curation.compactionPlan]] against the
+    * dir's REAL file manifest (one row per data file — bounded by file
+    * COUNT, the very quantity compaction exists to bound, never by
+    * data): the plan assigns each input file an `out_file` group per
+    * bucket by cumulative-offset packing at `targetBytes`, then ONE
+    * distributed job reads the dir, tags rows with their source file
+    * (`input_file_name`), broadcast-joins the plan, repartitions on
+    * (bkt, out_file) — so each plan group lands in one task and each
+    * task writes one file per bucket dir it holds — and rewrites to a
+    * staging dir. The swap into place is two directory renames
+    * (stage → live after live → tombstone), safe here because the
+    * ingest loop is the SINGLE writer and reader between batches; a
+    * production lakehouse would commit the same rewrite as a table-
+    * format snapshot instead of a rename, with identical read-side
+    * semantics. Row content is untouched — compaction is lossless by
+    * construction, and `q_stream_dedup_lsh_grow_compact` pins that
+    * end-to-end by sharing the uncompacted grow oracle verbatim.
+    * Implementation lives with the unified format
+    * ([[graft.ext.ArchiveIndex.compactBucketedDir]]) — one maintenance
+    * pass for every consumer of the layout. */
+  def compactBucketedIndex(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit =
+    graft.ext.ArchiveIndex.compactBucketedDir(spark, dir, targetBytes)
+
   /** Write the [[graft.ext.TextDedup.lshIndex]] frames of `archive` as
     * the bucket-partitioned on-disk index [[lshDedupPrunedStart]]
-    * probes (ib partitioned by band bucket, ih by id bucket). */
+    * probes (ib partitioned by band bucket, ih by id bucket) — the
+    * [[graft.ext.ArchiveIndex]] table layout at caller-chosen paths. */
   def writeBucketedLshIndex(archive: DataFrame, textCol: String,
       idCol: String, nBuckets: Int, ibDir: String, ihDir: String): Unit = {
     val (ab, ah) = graft.ext.TextDedup.lshIndex(archive, textCol, idCol)
-    // repartition ON the bucket key first: each bucket dir then holds
-    // exactly ONE file, so the per-batch listing the probe pays is
-    // O(nBuckets) — constant as the archive grows — instead of
-    // O(writer tasks × nBuckets) shards
-    ab.withColumn("bkt", pmod(xxhash64(col("band")), lit(nBuckets)))
-      .repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(ibDir)
-    ah.withColumn("bkt", pmod(xxhash64(col("id")), lit(nBuckets)))
-      .repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(ihDir)
+    graft.ext.ArchiveIndex.writeBucketedTable(ab, "band", ibDir, nBuckets)
+    graft.ext.ArchiveIndex.writeBucketedTable(ah, "id", ihDir, nBuckets)
   }
 
   /** Registered adapter for the bucket-pruned probe: the EXACT feed and
@@ -1181,26 +1219,28 @@ object StreamPipeline {
       threshold: Double = 0.5, nBuckets: Int = 32): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val base = java.nio.file.Files.createTempDirectory("graft-lshprune")
-    val (pairsDir, ibDir, ihDir, ckpt) =
-      (s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
-    writeBucketedLshIndex(docs.filter(col("doc_id") % 2 === 0),
-      "text", "doc_id", nBuckets, ibDir, ihDir)
-    val raw = streamTable(spark, dir, "documents.parquet",
-      normalizeEvents = false)
-    val incoming = raw.select(explode(array(
-        when(col("doc_id") % 2 === 1,
-          struct(col("doc_id").as("id"), col("text").as("text"))),
-        when(col("doc_id") % 10 === 0,
-          struct((col("doc_id") + 600000L).as("id"),
-            concat(col("text"), lit(" zz extra")).as("text")))))
-        .as("d"))
-      .filter(col("d").isNotNull)
-      .select(col("d.id").as("id"), col("d.text").as("text"))
-    lshDedupPrunedStart(incoming, threshold, nBuckets, pairsDir,
-      ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
-    val out = localize(spark.read.parquet(pairsDir))
-    rmRf(base.toFile)
-    out
+    try {
+      import graft.ext.ArchiveIndex
+      val (pairsDir, idx, ckpt) =
+        (s"$base/pairs", s"$base/idx", s"$base/ckpt")
+      ArchiveIndex.write(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", nBuckets, idx)
+      val (ibDir, ihDir) = (ArchiveIndex.ibDir(idx), ArchiveIndex.ihDir(idx))
+      val raw = streamTable(spark, dir, "documents.parquet",
+        normalizeEvents = false)
+      val incoming = raw.select(explode(array(
+          when(col("doc_id") % 2 === 1,
+            struct(col("doc_id").as("id"), col("text").as("text"))),
+          when(col("doc_id") % 10 === 0,
+            struct((col("doc_id") + 600000L).as("id"),
+              concat(col("text"), lit(" zz extra")).as("text")))))
+          .as("d"))
+        .filter(col("d").isNotNull)
+        .select(col("d.id").as("id"), col("d.text").as("text"))
+      lshDedupPrunedStart(incoming, threshold, nBuckets, pairsDir,
+        ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
+      localize(spark.read.parquet(pairsDir))
+    } finally rmRf(base.toFile)
   }
 
   /** ScaleProbe hook for [[lshDedupPrunedStart]]: probe a prepared
@@ -1213,12 +1253,12 @@ object StreamPipeline {
       .option("pathGlobFilter", "*.parquet")
       .parquet(incomingDir)
     val base = java.nio.file.Files.createTempDirectory("graft-lshprune-p")
-    val (pairsDir, ckpt) = (s"$base/pairs", s"$base/ckpt")
-    lshDedupPrunedStart(raw, threshold, nBuckets, pairsDir,
-      ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
-    val out = localize(spark.read.parquet(pairsDir))
-    rmRf(base.toFile)
-    out
+    try {
+      val (pairsDir, ckpt) = (s"$base/pairs", s"$base/ckpt")
+      lshDedupPrunedStart(raw, threshold, nBuckets, pairsDir,
+        ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
+      localize(spark.read.parquet(pairsDir))
+    } finally rmRf(base.toFile)
   }
 
   /** GROWING-archive streaming near-dedup — [[dedupLshAvailableNow]]'s
@@ -1307,13 +1347,13 @@ object StreamPipeline {
     * file source (latestFirst=false) drains oldest-first with
     * `maxFilesPerTrigger = 1`, so wave k IS micro-batch k. */
   private def waveStream(incoming: DataFrame, base: java.nio.file.Path,
-      inDir: String): DataFrame = {
+      inDir: String, waves: Int = 3): DataFrame = {
     val spark = incoming.sparkSession
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
     val t0 = System.currentTimeMillis()
-    (0 until 3).foreach { k =>
+    (0 until waves).foreach { k =>
       val staging = s"$base/stage_$k"
-      incoming.filter(pmod(col("id"), lit(3)) === k)
+      incoming.filter(pmod(col("id"), lit(waves)) === k)
         .coalesce(1).write.parquet(staging)
       val part = new java.io.File(staging).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -1341,20 +1381,21 @@ object StreamPipeline {
       threshold: Double = 0.5): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val base = java.nio.file.Files.createTempDirectory("graft-lshgrow")
-    val (inDir, pairsDir, ibDir, ihDir, ckpt) =
-      (s"$base/in", s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
-    val (ab, ah) = graft.ext.TextDedup.lshIndex(
-      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
-    ab.write.parquet(ibDir)
-    ah.write.parquet(ihDir)
-    val raw = waveStream(growIncoming(docs), base, inDir)
-    lshDedupGrowStart(raw, threshold, pairsDir, ibDir, ihDir, ckpt,
-      availableNow = true).awaitTermination()
-    // self-contained local result (the runAvailableNow convention), so
-    // the temp tree can be deleted before returning
-    val out = localize(spark.read.parquet(pairsDir))
-    rmRf(base.toFile)
-    out
+    try {
+      val (inDir, pairsDir, ibDir, ihDir, ckpt) =
+        (s"$base/in", s"$base/pairs", s"$base/ib", s"$base/ih",
+          s"$base/ckpt")
+      val (ab, ah) = graft.ext.TextDedup.lshIndex(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      ab.write.parquet(ibDir)
+      ah.write.parquet(ihDir)
+      val raw = waveStream(growIncoming(docs), base, inDir)
+      lshDedupGrowStart(raw, threshold, pairsDir, ibDir, ihDir, ckpt,
+        availableNow = true).awaitTermination()
+      // self-contained local result (the runAvailableNow convention),
+      // so the temp tree can be deleted before returning
+      localize(spark.read.parquet(pairsDir))
+    } finally rmRf(base.toFile)
   }
 
   /** Registered adapter for the capstone grow+prune loop
@@ -1366,16 +1407,81 @@ object StreamPipeline {
       threshold: Double = 0.5, nBuckets: Int = 32): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val base = java.nio.file.Files.createTempDirectory("graft-lshgrowpr")
-    val (inDir, pairsDir, ibDir, ihDir, ckpt) =
-      (s"$base/in", s"$base/pairs", s"$base/ib", s"$base/ih", s"$base/ckpt")
-    writeBucketedLshIndex(docs.filter(col("doc_id") % 2 === 0),
-      "text", "doc_id", nBuckets, ibDir, ihDir)
-    val raw = waveStream(growIncoming(docs), base, inDir)
-    lshDedupGrowPrunedStart(raw, threshold, nBuckets, pairsDir,
-      ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
-    val out = localize(spark.read.parquet(pairsDir))
-    rmRf(base.toFile)
-    out
+    try {
+      import graft.ext.ArchiveIndex
+      val (inDir, pairsDir, idx, ckpt) =
+        (s"$base/in", s"$base/pairs", s"$base/idx", s"$base/ckpt")
+      ArchiveIndex.write(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", nBuckets, idx)
+      val (ibDir, ihDir) = (ArchiveIndex.ibDir(idx), ArchiveIndex.ihDir(idx))
+      val raw = waveStream(growIncoming(docs), base, inDir)
+      lshDedupGrowPrunedStart(raw, threshold, nBuckets, pairsDir,
+        ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
+      localize(spark.read.parquet(pairsDir))
+    } finally rmRf(base.toFile)
+  }
+
+  /** Registered adapter for the capstone WITH the maintenance path
+    * exercised ([[compactBucketedIndex]]): identical feed, archive,
+    * and wave boundaries to [[dedupLshGrowPrunedAvailableNow]], but
+    * the loop compacts BOTH index dirs after EVERY micro-batch
+    * (`compactEvery = 1` — each later wave probes an index the earlier
+    * wave's compaction fully rewrote). The grow oracle is shared
+    * verbatim a third time, so the registry hash-pins compaction's
+    * losslessness end-to-end, not just file-count hygiene. */
+  def dedupLshGrowCompactAvailableNow(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, nBuckets: Int = 32): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-lshgrowc")
+    try {
+      import graft.ext.ArchiveIndex
+      val (inDir, pairsDir, idx, ckpt) =
+        (s"$base/in", s"$base/pairs", s"$base/idx", s"$base/ckpt")
+      ArchiveIndex.write(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", nBuckets, idx)
+      val (ibDir, ihDir) = (ArchiveIndex.ibDir(idx), ArchiveIndex.ihDir(idx))
+      val raw = waveStream(growIncoming(docs), base, inDir)
+      lshDedupGrowPrunedStart(raw, threshold, nBuckets, pairsDir,
+        ibDir, ihDir, ckpt, availableNow = true, compactEvery = 1)
+        .awaitTermination()
+      localize(spark.read.parquet(pairsDir))
+    } finally rmRf(base.toFile)
+  }
+
+  /** ScaleProbe hook for the maintenance path, the SCALEPROBE_r11
+    * `sdedup_rows` methodology extended along the BATCH axis: run the
+    * capstone loop over `waves` micro-batches (same grow feed, wave =
+    * id mod waves) with the given compaction cadence and return the
+    * deterministic quantities the file-hygiene claim rests on —
+    * (emitted pairs, total index data files at end of run). Without
+    * compaction the file count grows linearly in the batch count
+    * (every batch appends O(shuffle-partitions) files per index);
+    * with a fixed `compactEvery` it stays bounded by the packed floor
+    * plus at most `compactEvery` un-compacted waves — while the pair
+    * count stays IDENTICAL, the invariance half of the evidence. */
+  def growPrunedCompactProbe(spark: SparkSession, dir: String,
+      waves: Int, nBuckets: Int, compactEvery: Int,
+      compactTargetBytes: Long = 128L << 20): (Long, Long) = {
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-lshgpc")
+    try {
+      val (inDir, pairsDir, ibDir, ihDir, ckpt) =
+        (s"$base/in", s"$base/pairs", s"$base/ib", s"$base/ih",
+          s"$base/ckpt")
+      writeBucketedLshIndex(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", nBuckets, ibDir, ihDir)
+      val raw = waveStream(growIncoming(docs), base, inDir, waves)
+      lshDedupGrowPrunedStart(raw, threshold = 0.5, nBuckets, pairsDir,
+        ibDir, ihDir, ckpt, availableNow = true, compactEvery,
+        compactTargetBytes).awaitTermination()
+      val pairs = spark.read.parquet(pairsDir).count()
+      def dataFiles(d: String): Long =
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("bkt="))
+          .map(b => Option(b.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet")).toLong).sum
+      (pairs, dataFiles(ibDir) + dataFiles(ihDir))
+    } finally rmRf(base.toFile)
   }
 
   /** Streaming QUARANTINE ROUTING — the landing-zone twin of the batch
@@ -1493,25 +1599,32 @@ object StreamPipeline {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
     val base = java.nio.file.Files.createTempDirectory("graft-corpusdq")
-    val inDir = s"$base/in"
-    val feed = graft.ExtQueries.corpusIncrementalIncoming(docs)
-    feed.write.parquet(inDir)
-    val raw = spark.readStream.schema(feed.schema).parquet(inDir)
-    val afp = graft.ext.TextDedup.exactDedup(
-        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
-      .select(col("fp").as("__afp"))
-    val joined = raw
-      .withColumn("__fp", graft.ext.TextStats.fingerprint(col("text")))
-      .join(afp, col("__fp") === col("__afp"), "left")
-    val report = graft.ops.DqConstraints.checkRules(joined, Seq(
-      "doc_exact_dup_vs_archive" -> col("__afp").isNotNull,
-      "doc_below_quality" ->
-        (graft.ext.TextStats.qualityScore(col("text")) < 0.72),
-      "doc_too_short" ->
-        (graft.ext.TextStats.tokenCount(col("text")) < 17)))
-    val out = runAvailableNow(report, "stream_corpus_dq_", "complete")
-    rmRf(base.toFile)
-    out
+    try {
+      val inDir = s"$base/in"
+      val feed = graft.ExtQueries.corpusIncrementalIncoming(docs)
+      feed.write.parquet(inDir)
+      val raw = spark.readStream.schema(feed.schema).parquet(inDir)
+      // the archive side arrives through the UNIFIED on-disk artifact
+      // ([[graft.ext.ArchiveIndex]]) — the same fp table the batch
+      // incremental build probes, not a session-frame convention of
+      // this monitor's own
+      graft.ext.ArchiveIndex.write(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        nBuckets = 32, s"$base/idx")
+      val afp = graft.ext.ArchiveIndex.readFp(spark, s"$base/idx")
+        .select(col("fp").as("__afp"))
+      val joined = raw
+        .withColumn("__fp",
+          graft.ext.TextStats.fingerprint(col("text")))
+        .join(afp, col("__fp") === col("__afp"), "left")
+      val report = graft.ops.DqConstraints.checkRules(joined, Seq(
+        "doc_exact_dup_vs_archive" -> col("__afp").isNotNull,
+        "doc_below_quality" ->
+          (graft.ext.TextStats.qualityScore(col("text")) < 0.72),
+        "doc_too_short" ->
+          (graft.ext.TextStats.tokenCount(col("text")) < 17)))
+      runAvailableNow(report, "stream_corpus_dq_", "complete")
+    } finally rmRf(base.toFile)
   }
 
   /** Streaming SCD2 ([[Scd2Stream]]): watermark-final CLOSED dimension

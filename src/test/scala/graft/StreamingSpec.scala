@@ -205,6 +205,74 @@ class StreamingSpec extends SparkSpec {
     rm(base2.toFile)
   }
 
+  test("capstone compaction: executed plan bounds per-bucket files to " +
+      "one while pairs AND live index content stay set-identical") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val archive = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (4L, "one two three four five six seven eight")).toDF("id", "text")
+    val waves = Seq(
+      Seq((101L, "red orange yellow green blue indigo violet")),
+      Seq((201L, "cat dog bird fish mouse horse cow goat")),
+      Seq((301L, "red orange yellow green blue indigo violet crimson")))
+    def run(compactEvery: Int): (Set[(Long, Long, Double)],
+        Set[(String, Long)], Set[(Long, String)], Map[String, Int]) = {
+      val base = java.nio.file.Files.createTempDirectory("graft-cmp-spec")
+      val (ibDir, ihDir) = (s"$base/ib", s"$base/ih")
+      graft.streaming.StreamPipeline.writeBucketedLshIndex(
+        archive, "text", "id", nBuckets = 16, ibDir, ihDir)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamPipeline.lshDedupGrowPrunedStart(
+        in.toDF.toDF("id", "text"), threshold = 0.5, nBuckets = 16,
+        s"$base/pairs", ibDir, ihDir, s"$base/ckpt",
+        availableNow = false, compactEvery = compactEvery)
+      try {
+        waves.foreach { w => in.addData(w: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val pairs = spark.read.parquet(s"$base/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // live index CONTENT after the run (bkt is derivable, not data)
+      val ib = spark.read.parquet(ibDir).select("band", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val ih = spark.read.parquet(ihDir).select("id", "hs")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).mkString(",")))
+        .toSet
+      val filesPerBucket = Seq(ibDir, ihDir).flatMap { d =>
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("bkt="))
+          .map(b => s"$d/${b.getName}" ->
+            Option(b.listFiles()).getOrElse(Array.empty)
+              .count(_.getName.endsWith(".parquet")))
+      }.toMap
+      val out = (pairs, ib, ih, filesPerBucket)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(base.toFile)
+      out
+    }
+    val (pPlain, ibPlain, ihPlain, fPlain) = run(compactEvery = 0)
+    val (pComp, ibComp, ihComp, fComp) = run(compactEvery = 1)
+    // losslessness: pairs AND the surviving index rows are identical
+    assert(pComp == pPlain, s"pairs changed under compaction: " +
+      s"$pComp vs $pPlain")
+    assert(ibComp == ibPlain, "band-index content changed")
+    assert(ihComp == ihPlain, "hash-index content changed")
+    // hygiene: the compacted run ends at the packed floor (targetBytes
+    // far above bucket size → exactly ONE data file per bucket dir),
+    // while the append-only run has accumulated multi-file buckets
+    assert(fComp.values.forall(_ == 1),
+      s"compacted buckets must hold exactly one file: $fComp")
+    assert(fPlain.values.sum > fComp.values.sum,
+      s"append-only run should carry more files (${fPlain.values.sum}) " +
+        s"than the compacted one (${fComp.values.sum})")
+  }
+
   test("events windowed agg with watermark matches batch computation") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // batch form of the same plan (streaming-specific parts removed)
