@@ -1592,51 +1592,67 @@ object ExtQueries {
     * cross-archive near-dedup), ending in `s3(doc_id, text, source)` —
     * ONE definition for the row-level query and its funnel (a drifted
     * copy would silently verify a different pipeline). */
-  private def corpusIncrChainSql: String = {
+  /** The incremental-chain fragment with PREFIXED CTE names — archive
+    * `archSrc`(doc_id, text, source) + incoming `incSrc` → exact gate →
+    * quality ≥ 0.72 → within-batch ∪ cross-archive near-dedup, ending
+    * in `${p}s3(doc_id, text, source)`. ONE definition generates the
+    * day-2 chain (p = "") AND the day-3 replay (p = "d3", archive =
+    * arch ∪ day-2 survivors) — the prefix discipline of
+    * [[minhashBandChain]] lifted to the whole chain, so the committed-
+    * archive oracle can run the pipeline twice without CTE collisions
+    * or a drifted copy. `${p}s2`/`${p}s3` are MATERIALIZED: day-3's
+    * sources reference s3 three times and DuckDB inlines CTEs per
+    * reference. */
+  private def corpusIncrChainSqlG(p: String, archSrc: String,
+      incSrc: String): String = {
     val jac = (x: String, y: String) =>
       s"""round(CAST(len(list_intersect($x, $y)) AS DOUBLE)
         / (len($x) + len($y) - len(list_intersect($x, $y))), 6)"""
+    s"""${p}afp AS (SELECT DISTINCT ${fpSql()} AS fp FROM $archSrc),
+      ${p}ifp AS (
+        SELECT doc_id, text, source, ${fpSql()} AS fp FROM $incSrc),
+      ${p}keepers AS (
+        SELECT fp, min(doc_id) AS keep FROM ${p}ifp GROUP BY 1),
+      ${p}s1 AS (
+        SELECT i.doc_id, i.text, i.source FROM ${p}ifp i
+        JOIN ${p}keepers k ON i.doc_id = k.keep
+        WHERE NOT EXISTS (SELECT 1 FROM ${p}afp a WHERE a.fp = i.fp)),
+      ${p}cq2 AS (
+        SELECT doc_id, text, source, $qcTokSql AS tc, $qcSrSql AS sr,
+          $qcPrSql AS pr, $qcDrSql AS dr
+        FROM ${p}s1),
+      ${p}s2 AS MATERIALIZED (
+        SELECT doc_id, text, source FROM ${p}cq2
+        WHERE ${qualityCompositeSql("tc", "sr", "pr", "dr")} >= 0.72),
+      ${minhashBandChain(p + "a_", archSrc)},
+      ${minhashBandChain(p + "i_", p + "s2")},
+      ${p}wc AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.hs AS ha, b.hs AS hb
+        FROM ${p}i_banded a JOIN ${p}i_banded b USING (band)
+        WHERE a.doc_id < b.doc_id),
+      ${p}wdrop AS (
+        SELECT DISTINCT id_b AS doc_id FROM ${p}wc
+        WHERE ${jac("ha", "hb")} >= 0.5),
+      ${p}xc AS (
+        SELECT DISTINCT i.doc_id AS doc_id, i.hs AS hi, a.hs AS ha
+        FROM ${p}i_banded i JOIN ${p}a_banded a USING (band)),
+      ${p}xdrop AS (
+        SELECT DISTINCT doc_id FROM ${p}xc
+        WHERE ${jac("hi", "ha")} >= 0.5),
+      ${p}s3 AS MATERIALIZED (
+        SELECT s2.doc_id, s2.text, s2.source FROM ${p}s2 s2
+        WHERE NOT EXISTS (SELECT 1 FROM ${p}wdrop w
+            WHERE w.doc_id = s2.doc_id)
+          AND NOT EXISTS (SELECT 1 FROM ${p}xdrop x
+            WHERE x.doc_id = s2.doc_id))"""
+  }
+
+  private def corpusIncrChainSql: String =
     s"""arch AS (
         SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
       $corpusIncrementalFeedSql,
-      afp AS (SELECT DISTINCT ${fpSql()} AS fp FROM arch),
-      ifp AS (
-        SELECT doc_id, text, source, ${fpSql()} AS fp FROM inc),
-      keepers AS (SELECT fp, min(doc_id) AS keep FROM ifp GROUP BY 1),
-      s1 AS (
-        SELECT i.doc_id, i.text, i.source FROM ifp i
-        JOIN keepers k ON i.doc_id = k.keep
-        WHERE NOT EXISTS (SELECT 1 FROM afp a WHERE a.fp = i.fp)),
-      cq2 AS (
-        SELECT doc_id, text, source, $qcTokSql AS tc, $qcSrSql AS sr,
-          $qcPrSql AS pr, $qcDrSql AS dr
-        FROM s1),
-      s2 AS (
-        SELECT doc_id, text, source FROM cq2
-        WHERE ${qualityCompositeSql("tc", "sr", "pr", "dr")} >= 0.72),
-      ${minhashBandChain("a_", "arch")},
-      ${minhashBandChain("i_", "s2")},
-      wc AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-          a.hs AS ha, b.hs AS hb
-        FROM i_banded a JOIN i_banded b USING (band)
-        WHERE a.doc_id < b.doc_id),
-      wdrop AS (
-        SELECT DISTINCT id_b AS doc_id FROM wc
-        WHERE ${jac("ha", "hb")} >= 0.5),
-      xc AS (
-        SELECT DISTINCT i.doc_id AS doc_id, i.hs AS hi, a.hs AS ha
-        FROM i_banded i JOIN a_banded a USING (band)),
-      xdrop AS (
-        SELECT DISTINCT doc_id FROM xc
-        WHERE ${jac("hi", "ha")} >= 0.5),
-      s3 AS (
-        SELECT s2.doc_id, s2.text, s2.source FROM s2
-        WHERE NOT EXISTS (SELECT 1 FROM wdrop w
-            WHERE w.doc_id = s2.doc_id)
-          AND NOT EXISTS (SELECT 1 FROM xdrop x
-            WHERE x.doc_id = s2.doc_id))"""
-  }
+      ${corpusIncrChainSqlG("", "arch", "inc")}"""
 
   /** One funnel stage row (shared by both corpus-build funnels). */
   private def funnelStageSql(ord: Int, name: String, src: String) =
@@ -1701,6 +1717,96 @@ object ExtQueries {
       UNION ALL ${funnelStageSql(1, "exact_dedup", "s1")}
       UNION ALL ${funnelStageSql(2, "quality_gate", "s2")}
       UNION ALL ${funnelStageSql(3, "near_dedup", "s3")}"""))
+
+  /** The day-3 feed derived from the DAY-2 SURVIVORS — every family
+    * only a COMMITTED archive can adjudicate: exact copies of day-2
+    * survivors (+3000000 — drop iff the commit landed their fps),
+    * near-dup twins of day-2 survivors (+4000000, ' zz extra' — drop
+    * iff the commit landed their bands), plus genuinely novel docs
+    * (+2000000): token-REVERSED texts — same vocabulary, so the
+    * quality gate scores them like their sources, but 3-gram shingle
+    * sets are disjoint from every archived doc, so they SURVIVE
+    * (rows > 0 keeps the gate strong: a first draft used
+    * suffix-salted "novels", and every one was correctly caught as a
+    * near-dup of its own day-2-committed source — commit visibility
+    * proven by an empty result, which is the weak form). ONE
+    * definition; the oracle mirrors it from its replayed `s3`. */
+  private def day3Feed(cleaned2: DataFrame, docs: DataFrame): DataFrame =
+    cleaned2.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+        col("source"))
+      .unionByName(cleaned2.filter(col("doc_id") % 4 === 3)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" zz extra")).as("text"),
+          col("source")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(reverse(split(
+            graft.ops.ScalarFns.strip(col("text")),
+            "[ \\t\\n\\x0B\\f\\r]+")), " ").as("text"),
+          col("source")))
+
+  /** The day-N archive loop CLOSED in batch
+    * ([[graft.ext.Curation.corpusBuildIncrementalCommit]] carries the
+    * clean→append→compact design): day-2 cleans against the
+    * batch-written [[graft.ext.ArchiveIndex]] artifact and COMMITS its
+    * survivors' index rows back into it; day-3 then cleans a feed
+    * built from day-2's survivors — exact copies, near-dup twins, and
+    * novels — against the updated artifact. Every commit-dependent
+    * drop (a day-3 doc falling to a day-2 fp or band) exists ONLY if
+    * the append+compact cycle is lossless and visible, so the hash
+    * gate proves the full two-day fold, not one read-only pass. The
+    * oracle runs the SAME prefixed chain twice (day-2 with the shared
+    * fragments verbatim, day-3 against arch ∪ s3). */
+  val corpusBuildDay3 = Q(
+    "ext_corpus_build_day3",
+    (s, d) => {
+      import graft.ext.{ArchiveIndex, Curation}
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val base = java.nio.file.Files.createTempDirectory("graft-day3")
+      try {
+        ArchiveIndex.write(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", nBuckets = 32, base.toString)
+        val (cleaned2, _) = Curation.corpusBuildIncrementalCommit(
+          corpusIncrementalIncoming(docs), "text", "doc_id",
+          base.toString, minQuality = 0.72)
+        val (cleaned3, _) = Curation.corpusBuildIncremental(
+          day3Feed(cleaned2, docs), "text", "doc_id",
+          ArchiveIndex.readFp(s, base.toString)
+            .select("fp", "representative_id"),
+          ArchiveIndex.readBands(s, base.toString),
+          ArchiveIndex.readHashes(s, base.toString),
+          minQuality = 0.72)
+        ArchiveIndex.localFrame(cleaned3.select("doc_id", "source"))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(base.toFile)
+      }
+    },
+    Some(s"""WITH arch AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
+      $corpusIncrementalFeedSql,
+      ${corpusIncrChainSqlG("", "arch", "inc")},
+      arch3 AS (
+        SELECT doc_id, text, source FROM arch
+        UNION ALL SELECT doc_id, text, source FROM s3),
+      inc3 AS (
+        SELECT doc_id + 3000000 AS doc_id, text, source FROM s3
+        WHERE doc_id % 4 = 1
+        UNION ALL
+        SELECT doc_id + 4000000, text || ' zz extra', source FROM s3
+        WHERE doc_id % 4 = 3
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_reverse(string_split_regex(
+            ${wsTrimSql("text")}, '[ \\t\\n\\x0B\\f\\r]+')), ' '),
+          source
+        FROM documents WHERE doc_id % 10 = 3),
+      ${corpusIncrChainSqlG("d3", "arch3", "inc3")}
+      SELECT doc_id, source FROM d3s3"""))
 
   /** Streaming CORPUS-INGEST DQ monitor
     * ([[graft.streaming.StreamPipeline.corpusDqAvailableNow]] carries
@@ -5432,6 +5538,7 @@ object ExtQueries {
     sourceCap,
     snapshotDiff, thresholdSweep, minhashErrEval, corpusBuildE2e,
     corpusBuildFunnel, corpusBuildIncr, corpusBuildIncrFunnel,
+    corpusBuildDay3,
     corpusDqStream, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,

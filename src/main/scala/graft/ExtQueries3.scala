@@ -1261,6 +1261,66 @@ object ExtQueries3 {
       FROM gen"""
     })
 
+  /** PGM encode→decode ROUNDTRIP gate ([[graft.ext.PgmCodec]]) —
+    * [[graft.ext.PpmCodec]]'s grayscale sibling, completing the netpbm
+    * pair (P5: same canonical 19-byte header with the "P5" magic, one
+    * gray byte per pixel). Every output column decodes the BYTES; the
+    * replicated-channel pixel contract (g·65536 + g·256 + g) is pinned
+    * by px_first/px_last and the 3·g luminance by sum_rgb and the
+    * block features. PgmSpec pins the container invariance that makes
+    * the replication the right contract: the same grays as PGM and as
+    * an equal-channel BMP pool and dHash-band byte-identically. */
+  val pgmRoundtripQ = Q(
+    "ext_pgm_roundtrip",
+    (s, d) => {
+      import graft.ext.PgmCodec
+      val w = (lit(8) + pmod(col("doc_id"), lit(5))).cast("int")
+      val h = (lit(6) + pmod(col("doc_id"), lit(4))).cast("int")
+      val gen = transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+        pmod(col("doc_id") * 7 + i * 13, lit(256)).cast("int"))
+      val enc = Tables.documents(s, d).select(col("doc_id"),
+        PgmCodec.encodePgm(gen, w, h).as("pgm"))
+      // everything below reads the BYTES, never the generator
+      val px = PgmCodec.pixels(col("pgm"))
+      val fs = PgmCodec.pgmFeatures(col("pgm"))
+      enc.select(col("doc_id"),
+        PgmCodec.width(col("pgm")).as("width"),
+        PgmCodec.height(col("pgm")).as("height"),
+        length(col("pgm")).as("file_len"),
+        PgmCodec.numPixels(col("pgm")).as("n_px"),
+        aggregate(px, lit(0L), (a, p) =>
+          a + floor(p / 65536).cast("long")
+            + pmod(floor(p / 256).cast("long"), lit(256))
+            + pmod(p, lit(256))).as("sum_rgb"),
+        element_at(px, 1).as("px_first"),
+        element_at(px, -1).as("px_last"),
+        element_at(fs, 1).as("f1"), element_at(fs, 2).as("f2"),
+        element_at(fs, 3).as("f3"), element_at(fs, 4).as("f4"))
+    },
+    Some {
+      def blk(b: Int) =
+        s"""round(CAST(list_sum(list_transform(
+          gs[(n*$b//4 + 1):(n*${b + 1}//4)], g -> 3 * g)) AS DOUBLE)
+          / (CAST(n*${b + 1}//4 - n*$b//4 AS DOUBLE) * 765.0), 6)"""
+      s"""WITH gen AS (
+        SELECT doc_id,
+          8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+          (8 + doc_id % 5) * (6 + doc_id % 4) AS n,
+          list_transform(range(0, (8 + doc_id % 5) * (6 + doc_id % 4)),
+            i -> (doc_id*7 + i*13) % 256) AS gs
+        FROM documents)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(19 + w * h AS INTEGER) AS file_len,
+        CAST(w * h AS BIGINT) AS n_px,
+        CAST(list_sum(list_transform(gs, g -> 3 * g)) AS BIGINT)
+          AS sum_rgb,
+        CAST(gs[1] * 65793 AS INTEGER) AS px_first,
+        CAST(gs[n] * 65793 AS INTEGER) AS px_last,
+        ${blk(0)} AS f1, ${blk(1)} AS f2, ${blk(2)} AS f3,
+        ${blk(3)} AS f4
+      FROM gen"""
+    })
+
   /** IMAGE EXPOSURE GATE over REAL decoded BMP pixels — the image
     * sibling of the text quality gate and the WAV VAD: per image, mean
     * normalized luminance, dark/bright pixel fractions, the luminance
@@ -1450,57 +1510,69 @@ object ExtQueries3 {
 
   /** Mixed-format corpus shared by the multimodal-pipeline pair
     * (engine side; the oracle replays it from the same congruences):
-    * non-multiple-of-3 doc_ids render a 16..20 × 12..15 BMP (the
-    * `ext_bmp_dhash_pairs` generator) as id 2·doc_id plus a green-shift
-    * RE-ENCODE TWIN as 2·doc_id+1 — with every multiple-of-7 parent
-    * rendered DARK (all channels mod 64 → every luminance ≤ 189, the
-    * exposure gate's drop direction); multiple-of-3 doc_ids carry an
-    * OPAQUE payload ('OPQ:' + md5 of the id — no decodable format), so
-    * the dispatcher's byte-grid fallback is exercised next to the real
-    * decode in one corpus. */
+    * doc_id % 4 routes each parent to a CONTAINER — 1 → BMP, 2 → PPM,
+    * 3 → PGM (grayscale: the generator's green channel), 0 → OPAQUE
+    * ('OPQ:' + md5, no decodable format) — so ALL FOUR dispatcher
+    * branches run in one corpus. Decodable parents render a
+    * 16..20 × 12..15 image (the `ext_bmp_dhash_pairs` congruences) as
+    * id 2·doc_id plus a green-shift RE-ENCODE TWIN as 2·doc_id+1;
+    * every multiple-of-7 parent renders DARK (channels mod 64 → every
+    * luminance ≤ 189, the exposure gate's drop direction). */
   private def multimodalCorpus(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    import graft.ext.BmpCodec
+    import graft.ext.{BmpCodec, PgmCodec, PpmCodec}
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val p = col("doc_id")
     val w = (lit(16) + pmod(p, lit(5))).cast("int")
     val h = (lit(12) + pmod(p, lit(4))).cast("int")
     val dark = pmod(p, lit(7)) === 0
+    def dk(c: org.apache.spark.sql.Column) =
+      when(dark, pmod(c, lit(64))).otherwise(c)
+    def gch(i: org.apache.spark.sql.Column, shift: Boolean) =
+      if (shift) pmod(p * 11 + i * 3
+          + when(pmod(i, lit(16)) === 0, 3).otherwise(0), lit(256))
+      else pmod(p * 11 + i * 3, lit(256))
     def gen(shift: Boolean) =
-      transform(sequence(lit(0), w * h - 1, lit(1)), i => {
-        val r0 = pmod(p * 7 + i * 13, lit(256))
-        val g0 =
-          if (shift) pmod(p * 11 + i * 3
-              + when(pmod(i, lit(16)) === 0, 3).otherwise(0), lit(256))
-          else pmod(p * 11 + i * 3, lit(256))
-        val b0 = pmod(p * 5 + i * 17, lit(256))
-        def dk(c: org.apache.spark.sql.Column) =
-          when(dark, pmod(c, lit(64))).otherwise(c)
-        (dk(r0) * 65536 + dk(g0) * 256 + dk(b0)).cast("int")
-      })
-    val bmpDocs = docs.filter(pmod(p, lit(3)) =!= 0)
-    bmpDocs.select((p * 2).as("id"),
-        BmpCodec.encodeBmp(gen(shift = false), w, h).as("payload"))
-      .unionAll(bmpDocs.select((p * 2 + 1).as("id"),
-        BmpCodec.encodeBmp(gen(shift = true), w, h).as("payload")))
-      .unionAll(docs.filter(pmod(p, lit(3)) === 0)
+      transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+        (dk(pmod(p * 7 + i * 13, lit(256))) * 65536
+          + dk(gch(i, shift)) * 256
+          + dk(pmod(p * 5 + i * 17, lit(256)))).cast("int"))
+    def genGray(shift: Boolean) =
+      transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+        dk(gch(i, shift)).cast("int"))
+    def fam(fmtv: Int,
+        enc: Boolean => org.apache.spark.sql.Column) = {
+      val fd = docs.filter(pmod(p, lit(4)) === fmtv)
+      fd.select((p * 2).as("id"), enc(false).as("payload"))
+        .unionAll(fd.select((p * 2 + 1).as("id"),
+          enc(true).as("payload")))
+    }
+    fam(1, sh => BmpCodec.encodeBmp(gen(sh), w, h))
+      .unionAll(fam(2, sh => PpmCodec.encodePpm(gen(sh), w, h)))
+      .unionAll(fam(3, sh => PgmCodec.encodePgm(genGray(sh), w, h)))
+      .unionAll(docs.filter(pmod(p, lit(4)) === 0)
         .select((p * 2).as("id"),
           concat(lit("OPQ:"), md5(p.cast("string"))).cast("binary")
             .as("payload")))
   }
 
   /** Shared oracle chain for the multimodal pipeline: replay pixel /
-    * byte generation, the exposure gate, 65-cell pooling (luminance
-    * for BMP, raw bytes for opaque — the dispatcher's two branches),
-    * dHash banding, the Hamming-≤3 pair join, the recursive-CTE
-    * transitive closure, and keep-best; ends in `kept(id)` /
-    * `fmt(id, format)` / `fmt0(id, format)` (post-gate / raw). */
+    * byte generation, the exposure gate, 65-cell pooling (decoded
+    * luminance for BMP/PPM/PGM, raw bytes for opaque — all four
+    * dispatcher branches), dHash banding, the Hamming-≤3 pair join,
+    * the recursive-CTE transitive closure, and keep-best; ends in
+    * `kept(id)` / `fmt(id, format)` / `fmt0(id, format)` (post-gate /
+    * raw). The three decodable containers share ONE luminance-list
+    * CTE (vbr) because the codecs' pixel contracts are
+    * container-invariant (PpmSpec/PgmSpec-pinned): PGM rows
+    * contribute 3·gray, exactly the replicated-channel luminance. */
   private def multimodalChainSql: String =
     s"""base AS MATERIALIZED (
         SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 4 AS h,
-          doc_id % 7 = 0 AS dark, doc_id % 3 = 0 AS opaque
+          doc_id % 7 = 0 AS dark, doc_id % 4 AS fmtv
         FROM documents),
       vbr AS MATERIALIZED (
+        -- color containers (BMP fmtv 1, PPM fmtv 2): luminance r+g+b
         SELECT doc_id * 2 AS id, w * h AS n,
           list_transform(range(0, w * h), i ->
             CASE WHEN dark THEN
@@ -1510,7 +1582,7 @@ object ExtQueries3 {
             ELSE ((doc_id*7 + i*13) % 256)
               + ((doc_id*11 + i*3) % 256)
               + ((doc_id*5 + i*17) % 256) END) AS ls
-        FROM base WHERE NOT opaque
+        FROM base WHERE fmtv IN (1, 2)
         UNION ALL
         SELECT doc_id * 2 + 1, w * h,
           list_transform(range(0, w * h), i ->
@@ -1523,7 +1595,24 @@ object ExtQueries3 {
               + ((doc_id*11 + i*3
                   + CASE WHEN i % 16 = 0 THEN 3 ELSE 0 END) % 256)
               + ((doc_id*5 + i*17) % 256) END)
-        FROM base WHERE NOT opaque),
+        FROM base WHERE fmtv IN (1, 2)
+        UNION ALL
+        -- grayscale container (PGM fmtv 3): replicated-channel
+        -- luminance 3*gray, gray = the generator's green channel
+        SELECT doc_id * 2, w * h,
+          list_transform(range(0, w * h), i ->
+            3 * (CASE WHEN dark THEN ((doc_id*11 + i*3) % 256) % 64
+              ELSE (doc_id*11 + i*3) % 256 END))
+        FROM base WHERE fmtv = 3
+        UNION ALL
+        SELECT doc_id * 2 + 1, w * h,
+          list_transform(range(0, w * h), i ->
+            3 * (CASE WHEN dark THEN
+                (((doc_id*11 + i*3
+                  + CASE WHEN i % 16 = 0 THEN 3 ELSE 0 END) % 256) % 64)
+              ELSE ((doc_id*11 + i*3
+                + CASE WHEN i % 16 = 0 THEN 3 ELSE 0 END) % 256) END))
+        FROM base WHERE fmtv = 3),
       ovr AS MATERIALIZED (
         SELECT doc_id * 2 AS id,
           strlen('OPQ:' || md5(CAST(doc_id AS VARCHAR))) AS n,
@@ -1531,7 +1620,7 @@ object ExtQueries3 {
               strlen('OPQ:' || md5(CAST(doc_id AS VARCHAR))) + 1),
             i -> ascii(substr('OPQ:' || md5(CAST(doc_id AS VARCHAR)),
               CAST(i AS INTEGER), 1))) AS bys
-        FROM base WHERE opaque),
+        FROM base WHERE fmtv = 0),
       bmp_s1 AS MATERIALIZED (
         SELECT id, n, ls FROM vbr
         WHERE 2 * len(list_filter(ls, l -> l < 192)) <= n
@@ -1590,21 +1679,24 @@ object ExtQueries3 {
         SELECT a AS id, min(b) AS rep_id FROM reach GROUP BY a),
       kept AS MATERIALIZED (SELECT id FROM comp WHERE id = rep_id),
       fmt AS (
-        SELECT id, CASE WHEN (id // 2) % 3 = 0 THEN 'opaque'
-          ELSE 'bmp' END AS format
+        SELECT id, CASE (id // 2) % 4 WHEN 0 THEN 'opaque'
+          WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm'
+          ELSE 'pgm' END AS format
         FROM surv),
       fmt0 AS (
-        SELECT id, CASE WHEN (id // 2) % 3 = 0 THEN 'opaque'
-          ELSE 'bmp' END AS format
+        SELECT id, CASE (id // 2) % 4 WHEN 0 THEN 'opaque'
+          WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm'
+          ELSE 'pgm' END AS format
         FROM (SELECT id FROM vbr UNION ALL SELECT id FROM ovr))"""
 
   /** MULTIMODAL E2E COMPOSITE ([[graft.ext.Multimodal.imagePipeline]]
     * carries the one-call stage design): the corpusBuild pattern
-    * applied to images over a MIXED-format corpus — BMP rows ride the
-    * real decode (exposure on decoded luminance, dHash on pooled
-    * pixels), opaque rows provably take the byte-grid fallback — with
-    * decode → exposure gate → dHash banded pairs → components →
-    * keep-best in one call. Output = surviving (id, format) rows. */
+    * applied to images over a MIXED-format corpus — BMP, PPM, and PGM
+    * rows ride their real decodes (exposure on decoded luminance,
+    * dHash on pooled pixels), opaque rows provably take the byte-grid
+    * fallback — with decode → exposure gate → dHash banded pairs →
+    * components → keep-best in one call. Output = surviving
+    * (id, format) rows. */
   val multimodalE2eQ = Q(
     "ext_multimodal_pipeline_e2e",
     (s, d) => graft.ext.Multimodal
@@ -1906,5 +1998,5 @@ object ExtQueries3 {
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
     bmpRoundtripQ, bmpDhashQ, bmpExposureQ, lshDedupPrunedQ,
     videoBmpFramesQ, videoBmpSharedQ, dqQuarantineStreamQ,
-    multimodalE2eQ, multimodalFunnelQ, ppmRoundtripQ)
+    multimodalE2eQ, multimodalFunnelQ, ppmRoundtripQ, pgmRoundtripQ)
 }

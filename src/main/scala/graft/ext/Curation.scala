@@ -526,6 +526,58 @@ object Curation {
         "near_dedup" -> s3)))
   }
 
+  /** Incremental build WITH COMMIT — the day-N archive loop CLOSED in
+    * batch, matching the streaming capstone's grow semantics: clean
+    * the incoming batch against the archive's on-disk indexes
+    * ([[corpusBuildIncremental]] over [[ArchiveIndex]] readers), then
+    * APPEND the survivors' own index rows (fp entries, LSH bands,
+    * hash sets) into the same bucket layout and run the maintenance
+    * pass ([[ArchiveIndex.compact]]) — so tomorrow's batch dedups
+    * against today's accepted docs without anyone ever re-reading or
+    * re-shingling the archive. `ext_corpus_build_day3` hash-gates the
+    * full two-day fold: day-3 drops exact and near copies of day-2
+    * survivors, pairs only a committed index can produce.
+    *
+    * Ordering hazard handled here: the cleaned/funnel plans READ the
+    * same parquet dirs the commit rewrites, so both are
+    * localCheckpoint'ed (eager — materialized and lineage-truncated)
+    * BEFORE the appends and the compaction swap; without the barrier a
+    * post-compact re-evaluation would chase deleted files. The
+    * survivors' fp entries are disjoint from the archive's by
+    * construction (stage 1 dropped every fp already present), so the
+    * append preserves the one-row-per-distinct-content invariant.
+    *
+    * Scale: appends are O(batch) distributed writes into the bucketed
+    * layout; compaction cost is bounded by file count
+    * ([[compactionPlan]] on the manifest); nothing archive-sized is
+    * read beyond the indexes the probe already touches. */
+  def corpusBuildIncrementalCommit(incoming: DataFrame, textCol: String,
+      idCol: String, archiveDir: String, minQuality: Double, n: Int = 3,
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+      compactTargetBytes: Long = 128L << 20): (DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    val nB = ArchiveIndex.nBuckets(spark, archiveDir)
+    val (cleaned, funnel) = corpusBuildIncremental(
+      incoming, textCol, idCol,
+      ArchiveIndex.readFp(spark, archiveDir)
+        .select("fp", "representative_id"),
+      ArchiveIndex.readBands(spark, archiveDir),
+      ArchiveIndex.readHashes(spark, archiveDir),
+      minQuality, n, k, bands, threshold)
+    val pinned = cleaned.localCheckpoint()
+    val receipt = funnel.localCheckpoint()
+    ArchiveIndex.appendBucketedTable(
+      TextDedup.exactDedup(pinned, textCol, idCol), "fp",
+      ArchiveIndex.fpDir(archiveDir), nB)
+    val (ib, ih) = TextDedup.lshIndex(pinned, textCol, idCol, n, k, bands)
+    ArchiveIndex.appendBucketedTable(ib, "band",
+      ArchiveIndex.ibDir(archiveDir), nB)
+    ArchiveIndex.appendBucketedTable(ih, "id",
+      ArchiveIndex.ihDir(archiveDir), nB)
+    ArchiveIndex.compact(spark, archiveDir, compactTargetBytes)
+    (pinned, receipt)
+  }
+
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int = 8): DataFrame =
     docs.select(

@@ -87,6 +87,7 @@ object Multimodal {
     when(WavCodec.isWav(payload), WavCodec.waveFeatures(payload))
       .when(BmpCodec.isBmp(payload), BmpCodec.bmpFeatures(payload))
       .when(PpmCodec.isPpm(payload), PpmCodec.ppmFeatures(payload))
+      .when(PgmCodec.isPgm(payload), PgmCodec.pgmFeatures(payload))
       .otherwise(fakeDecodeFeatures(payload))
 
   /** Pooled-profile dispatcher for the perceptual hashes: a payload in
@@ -102,6 +103,7 @@ object Multimodal {
   def pooledProfile(payload: Column, k: Int): Column =
     when(BmpCodec.isBmp(payload), BmpCodec.resizePooledPixels(payload, k))
       .when(PpmCodec.isPpm(payload), PpmCodec.resizePooledPixels(payload, k))
+      .when(PgmCodec.isPgm(payload), PgmCodec.resizePooledPixels(payload, k))
       .otherwise(resizePooled(payload, k))
 
   /** Decimal places [[resizePooled]] rounds each cell mean to. The
@@ -306,6 +308,7 @@ object Multimodal {
     }
     when(BmpCodec.isBmp(payload), gate(BmpCodec.pixels(payload)))
       .when(PpmCodec.isPpm(payload), gate(PpmCodec.pixels(payload)))
+      .when(PgmCodec.isPgm(payload), gate(PgmCodec.pixels(payload)))
       .otherwise(lit(true))
   }
 
@@ -336,6 +339,7 @@ object Multimodal {
     val s0 = graft.ops.CacheScope.persist(df.withColumn("format",
       when(BmpCodec.isBmp(col(payloadCol)), lit("bmp"))
         .when(PpmCodec.isPpm(col(payloadCol)), lit("ppm"))
+        .when(PgmCodec.isPgm(col(payloadCol)), lit("pgm"))
         .otherwise(lit("opaque"))))
     val s1 = graft.ops.CacheScope.persist(
       s0.filter(exposureKeep(col(payloadCol))))

@@ -1733,8 +1733,8 @@ object StreamPipeline {
     }
 
   /** Switch the session's streaming state store to ROCKSDB with
-    * changelog checkpointing — the 100 TB configuration for every
-    * stateful operator in this module (dedup keys, sliding windows,
+    * changelog checkpointing — the LARGE-STATE configuration for the
+    * stateful operators in this module (dedup keys, sliding windows,
     * session state, stream-stream join buffers, CDC latest-per-key).
     *
     * The default HDFSBackedStateStoreProvider keeps each partition's
@@ -1744,6 +1744,20 @@ object StreamPipeline {
     * RocksDB spills state to local disk with bounded block-cache memory,
     * and changelog checkpointing uploads only the DELTA per batch
     * instead of re-snapshotting resident state.
+    *
+    * PER-SHAPE guidance (the r12 adjudication of the r10/r11 artifact
+    * contradiction — BENCH_statestore_r12.json, SURVEY §8.19.1, each
+    * timing annotated with the state volume it carried): at state that
+    * fits the heap, stream-stream interval joins and keyed dedup are
+    * provider-NEUTRAL (RocksDB marginally slower — JNI + disk vs a
+    * heap map); the reproducible RocksDB win is MANY-micro-batch
+    * stateful aggs, where per-batch delta changelogs beat whole-map
+    * snapshot commits (1.6× on the growth-lifecycle shape at sf0.1)
+    * even with tiny state. Choose rocksdb when per-executor state
+    * approaches heap (the real 100 TB crossover, unreachable at test
+    * SF) or when the job runs many micro-batches; the shipped default
+    * stays Spark's own provider — a blanket flip is not supported by
+    * the committed evidence.
     *
     * Takes effect for QUERIES STARTED AFTERWARD (the provider is pinned
     * into each query's checkpoint at first start; restarting an existing

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BmpCodec, Multimodal, PpmCodec}
+import graft.ext.{BmpCodec, Multimodal, PgmCodec, PpmCodec}
 
 /** PPM codec contracts: the roundtrip pieces the registered
   * `ext_ppm_roundtrip` hash-gates, plus the CONTAINER-INVARIANCE
@@ -85,6 +85,48 @@ class PpmSpec extends SparkSpec {
     assert(!r.getBoolean(4), "concatenated PPMs must fail")
     assert(!r.getBoolean(5), "a PPM must not pass isBmp")
     assert(r.getInt(6) == 0, "0-pixel image must decode to empty array")
+  }
+
+  test("PGM container invariance: the same grays as PGM and as an " +
+      "equal-channel BMP decode, pool, and dHash-band identically; " +
+      "isPgm rejects PPM/BMP/truncation") {
+    val p = lit(4L)
+    val w = (lit(16) + pmod(p, lit(5))).cast("int")
+    val h = (lit(12) + pmod(p, lit(4))).cast("int")
+    val grays = transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+      pmod(p * 7 + i * 13, lit(256)).cast("int"))
+    val rgb = transform(grays, g => (g * 65536 + g * 256 + g).cast("int"))
+    val r = spark.range(1).select(
+        PgmCodec.encodePgm(grays, w, h).as("pgm"),
+        BmpCodec.encodeBmp(rgb, w, h).as("bmp"))
+      .select(
+        PgmCodec.isPgm(col("pgm")).as("ok"),
+        PgmCodec.isPgm(col("bmp")).as("bmpAsPgm"),
+        PgmCodec.isPgm(substring(col("pgm"), 1, 40)).as("trunc"),
+        PpmCodec.isPpm(col("pgm")).as("pgmAsPpm"),
+        (PgmCodec.pixels(col("pgm")) === BmpCodec.pixels(col("bmp")))
+          .as("pxEq"),
+        (Multimodal.pooledProfile(col("pgm"), 65)
+          === Multimodal.pooledProfile(col("bmp"), 65)).as("poolEq"),
+        (Multimodal.dHashBandsFromPooled(
+            Multimodal.pooledProfile(col("pgm"), 65), 4, 16)
+          === Multimodal.dHashBandsFromPooled(
+            Multimodal.pooledProfile(col("bmp"), 65), 4, 16))
+          .as("bandEq"),
+        Multimodal.exposureKeep(PgmCodec.encodePgm(
+          transform(grays, g => pmod(g, lit(50)).cast("int")), w, h))
+          .as("darkKeep"))
+      .head()
+    assert(r.getBoolean(0), "canonical PGM must be recognized")
+    assert(!r.getBoolean(1), "a BMP must not pass isPgm")
+    assert(!r.getBoolean(2), "a truncated PGM must fail the length pin")
+    assert(!r.getBoolean(3), "a PGM must not pass isPpm (P5 vs P6 magic)")
+    assert(r.getBoolean(4), "replicated-channel pixels must equal the " +
+      "equal-channel BMP decode")
+    assert(r.getBoolean(5), "pooled profiles must match across containers")
+    assert(r.getBoolean(6), "dHash bands must match across containers")
+    assert(!r.getBoolean(7), "an all-dark PGM must drop at the " +
+      "exposure gate (gray < 64 -> luminance < 192)")
   }
 
   test("exposureKeep dispatches on PPM pixels: a dark PPM drops, a " +
