@@ -518,4 +518,114 @@ class PropertySpec extends SparkSpec {
       assert(viaBloom == plain, s"trial=$trial mBits=$mBits")
     }
   }
+
+  test("netpbm codecs roundtrip == identity on random dims and pixels, " +
+      "incl. degenerate 0-width/0-height") {
+    import graft.ext.{PgmCodec, PpmCodec}
+    import org.apache.spark.sql.functions.{col, length}
+    val rnd = new scala.util.Random(2711)
+    val cases = (1 to 40).map { i =>
+      val w = rnd.nextInt(10)
+      val h = rnd.nextInt(8)
+      val px = List.fill(w * h)(rnd.nextInt(0x1000000))
+      val gs = List.fill(w * h)(rnd.nextInt(256))
+      (i.toLong, px, gs, w, h)
+    }
+    val out = cases.map { case (id, px, gs, w, h) => (id, px, gs, w, h) }
+      .toDF("id", "px", "gs", "w", "h")
+      .select(col("id"),
+        PpmCodec.encodePpm(col("px"), col("w"), col("h")).as("ppm"),
+        PgmCodec.encodePgm(col("gs"), col("w"), col("h")).as("pgm"))
+      .select(col("id"),
+        PpmCodec.isPpm(col("ppm")).as("pok"),
+        PpmCodec.width(col("ppm")).as("pw"),
+        PpmCodec.height(col("ppm")).as("ph"),
+        PpmCodec.pixels(col("ppm")).as("pdec"),
+        length(col("ppm")).as("plen"),
+        PgmCodec.isPgm(col("pgm")).as("gok"),
+        PgmCodec.pixels(col("pgm")).as("gdec"),
+        length(col("pgm")).as("glen"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getSeq[Int](4),
+          r.getInt(5), r.getBoolean(6), r.getSeq[Int](7), r.getInt(8)))
+      .toMap
+    cases.foreach { case (id, px, gs, w, h) =>
+      val (pok, pw, ph, pdec, plen, gok, gdec, glen) = out(id)
+      assert(pok && pw == w && ph == h, s"case $id PPM header")
+      assert(pdec == px, s"case $id PPM pixels (w=$w h=$h)")
+      assert(plen == 19 + 3 * w * h, s"case $id PPM length")
+      assert(gok, s"case $id PGM header")
+      assert(gdec == gs.map(g => g * 65536 + g * 256 + g),
+        s"case $id PGM replicated-channel pixels (w=$w h=$h)")
+      assert(glen == 19 + w * h, s"case $id PGM length")
+    }
+  }
+
+  test("ArchiveIndex write+append+compact == session-frame reference " +
+      "across random corpora and bucket counts") {
+    import graft.ext.{ArchiveIndex, TextDedup}
+    val rnd = new scala.util.Random(9134)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def randDocs(offset: Long, n: Int) = (1 to n).map { i =>
+      (offset + i,
+        List.fill(4 + rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+    }.toDF("id", "text")
+    (1 to 3).foreach { trial =>
+      val nB = 1 + rnd.nextInt(16)
+      val arch = randDocs(0, 10 + rnd.nextInt(20))
+      val batch = randDocs(1000, 5 + rnd.nextInt(10))
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-ai-prop$trial")
+      try {
+        ArchiveIndex.write(arch, "text", "id", nB, base.toString)
+        assert(ArchiveIndex.nBuckets(spark, base.toString) == nB)
+        ArchiveIndex.appendBucketedTable(
+          TextDedup.exactDedup(batch, "text", "id"), "fp",
+          ArchiveIndex.fpDir(base.toString), nB)
+        val (bb, bh) = TextDedup.lshIndex(batch, "text", "id")
+        ArchiveIndex.appendBucketedTable(bb, "band",
+          ArchiveIndex.ibDir(base.toString), nB)
+        ArchiveIndex.appendBucketedTable(bh, "id",
+          ArchiveIndex.ihDir(base.toString), nB)
+        ArchiveIndex.compact(spark, base.toString)
+        // reference: session-frame builds unioned PER SIDE (the fp
+        // table's contract is per-writer rows, not a re-dedup of the
+        // union — stage 1 guarantees disjointness in the real loop)
+        def fpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+          .toSet
+        val fpRef = fpSet(TextDedup.exactDedup(arch, "text", "id")) ++
+          fpSet(TextDedup.exactDedup(batch, "text", "id"))
+        assert(fpSet(ArchiveIndex.readFp(spark, base.toString)) == fpRef,
+          s"trial=$trial nB=$nB fp drift")
+        val (ab, ah) = TextDedup.lshIndex(arch, "text", "id")
+        def bandSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(bandSet(ArchiveIndex.readBands(spark, base.toString)) ==
+          bandSet(ab) ++ bandSet(bb), s"trial=$trial nB=$nB band drift")
+        def hsSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).mkString(","))).toSet
+        assert(hsSet(ArchiveIndex.readHashes(spark, base.toString)) ==
+          hsSet(ah) ++ hsSet(bh), s"trial=$trial nB=$nB hash drift")
+        // packed floor: at most one data file per bucket dir
+        Seq(ArchiveIndex.fpDir(base.toString),
+            ArchiveIndex.ibDir(base.toString),
+            ArchiveIndex.ihDir(base.toString)).foreach { d =>
+          Option(new java.io.File(d).listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.getName.startsWith("bkt=")).foreach { b =>
+              val nf = Option(b.listFiles()).getOrElse(Array.empty)
+                .count(_.getName.endsWith(".parquet"))
+              assert(nf == 1, s"trial=$trial ${b.getPath}: $nf files")
+            }
+        }
+      } finally rm(base.toFile)
+    }
+  }
 }
