@@ -1758,35 +1758,42 @@ object ExtQueries {
     * gate proves the full two-day fold, not one read-only pass. The
     * oracle runs the SAME prefixed chain twice (day-2 with the shared
     * fragments verbatim, day-3 against arch ∪ s3). */
-  val corpusBuildDay3 = Q(
-    "ext_corpus_build_day3",
-    (s, d) => {
-      import graft.ext.{ArchiveIndex, Curation}
-      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
-      val base = java.nio.file.Files.createTempDirectory("graft-day3")
-      try {
-        ArchiveIndex.write(docs.filter(col("doc_id") % 2 === 0),
-          "text", "doc_id", nBuckets = 32, base.toString)
-        val (cleaned2, _) = Curation.corpusBuildIncrementalCommit(
-          corpusIncrementalIncoming(docs), "text", "doc_id",
-          base.toString, minQuality = 0.72)
-        val (cleaned3, _) = Curation.corpusBuildIncremental(
-          day3Feed(cleaned2, docs), "text", "doc_id",
-          ArchiveIndex.readFp(s, base.toString)
-            .select("fp", "representative_id"),
-          ArchiveIndex.readBands(s, base.toString),
-          ArchiveIndex.readHashes(s, base.toString),
-          minQuality = 0.72)
-        ArchiveIndex.localFrame(cleaned3.select("doc_id", "source"))
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(base.toFile)
+  /** Shared adapter body for the two day-3 queries: day-2 commit into
+    * the artifact, then the day-3 read-only build; `pick` chooses the
+    * cleaned rows or the funnel receipt. */
+  private def day3OnDisk(s: org.apache.spark.sql.SparkSession, d: String,
+      pick: ((DataFrame, DataFrame)) => DataFrame): DataFrame = {
+    import graft.ext.{ArchiveIndex, Curation}
+    val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+    val base = java.nio.file.Files.createTempDirectory("graft-day3")
+    try {
+      ArchiveIndex.write(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", nBuckets = 32, base.toString)
+      val (cleaned2, _) = Curation.corpusBuildIncrementalCommit(
+        corpusIncrementalIncoming(docs), "text", "doc_id",
+        base.toString, minQuality = 0.72)
+      val out = pick(Curation.corpusBuildIncremental(
+        day3Feed(cleaned2, docs), "text", "doc_id",
+        ArchiveIndex.readFp(s, base.toString)
+          .select("fp", "representative_id"),
+        ArchiveIndex.readBands(s, base.toString),
+        ArchiveIndex.readHashes(s, base.toString),
+        minQuality = 0.72))
+      ArchiveIndex.localFrame(out)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
       }
-    },
-    Some(s"""WITH arch AS (
+      rm(base.toFile)
+    }
+  }
+
+  /** The day-3 oracle prelude shared by the row-level query and its
+    * funnel: day-2 chain verbatim, committed archive = arch ∪ s3,
+    * day-3 feed from s3 + reversed novels, day-3 chain prefixed d3. */
+  private def day3OracleChain: String =
+    s"""arch AS (
         SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
       $corpusIncrementalFeedSql,
       ${corpusIncrChainSqlG("", "arch", "inc")},
@@ -1805,8 +1812,29 @@ object ExtQueries {
             ${wsTrimSql("text")}, '[ \\t\\n\\x0B\\f\\r]+')), ' '),
           source
         FROM documents WHERE doc_id % 10 = 3),
-      ${corpusIncrChainSqlG("d3", "arch3", "inc3")}
+      ${corpusIncrChainSqlG("d3", "arch3", "inc3")}"""
+
+  val corpusBuildDay3 = Q(
+    "ext_corpus_build_day3",
+    (s, d) => day3OnDisk(s, d,
+      { case (cleaned, _) => cleaned.select("doc_id", "source") }),
+    Some(s"""WITH $day3OracleChain
       SELECT doc_id, source FROM d3s3"""))
+
+  /** The day-3 build's FUNNEL receipt — the same 4-row schema as the
+    * day-1 full build and the day-2 incremental, so day-1/day-2/day-3
+    * rows read uniformly in a run log; the day-3 exact_dedup and
+    * near_dedup stage counts are commit-dependent (they drop the
+    * copies/twins of day-2 survivors), so the receipt doubles as the
+    * commit's observability surface. */
+  val corpusBuildDay3Funnel = Q(
+    "ext_corpus_build_day3_funnel",
+    (s, d) => day3OnDisk(s, d, { case (_, funnel) => funnel }),
+    Some(s"""WITH $day3OracleChain
+      ${funnelStageSql(0, "raw", "inc3")}
+      UNION ALL ${funnelStageSql(1, "exact_dedup", "d3s1")}
+      UNION ALL ${funnelStageSql(2, "quality_gate", "d3s2")}
+      UNION ALL ${funnelStageSql(3, "near_dedup", "d3s3")}"""))
 
   /** Streaming CORPUS-INGEST DQ monitor
     * ([[graft.streaming.StreamPipeline.corpusDqAvailableNow]] carries
@@ -5538,7 +5566,7 @@ object ExtQueries {
     sourceCap,
     snapshotDiff, thresholdSweep, minhashErrEval, corpusBuildE2e,
     corpusBuildFunnel, corpusBuildIncr, corpusBuildIncrFunnel,
-    corpusBuildDay3,
+    corpusBuildDay3, corpusBuildDay3Funnel,
     corpusDqStream, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
