@@ -1002,6 +1002,11 @@ object Curation {
     // of the aggregate via first(), identical within each group)
     var s = wins.select(col("i"), col("bt_w"), lit(1.0).as("s"))
       .localCheckpoint()
+    // NOTE stats-squaring hazard: `s` feeds the contests join twice per
+    // round (both sides of every pair), so the checkpoint-preserved
+    // sizeInBytes squares per iteration — bounded digits at the default
+    // iteration count; a much deeper fit needs connectedComponents'
+    // freshStats reset (TextDedup.scala) before planning cost explodes.
     for (_ <- 1 to iters) {
       val sj = s.select(col("i").as("j"), col("s").as("sj"))
       // `raw` feeds both the rescale normalizer (a broadcast subtree)

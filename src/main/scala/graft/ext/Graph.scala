@@ -194,6 +194,12 @@ object Graph {
       .filter(col("src") =!= col("dst")).distinct())
     var labels = nodeF.select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // NOTE stats-squaring hazard (the connectedComponents lesson,
+    // TextDedup.scala): `labels` feeds next's plan TWICE per round, so
+    // the checkpoint-preserved sizeInBytes squares each iteration —
+    // bounded digits at the default iters=4 (2^4 factors), but raising
+    // iters past ~15 needs the freshStats reset connectedComponents
+    // applies, or planning cost turns doubly exponential.
     for (_ <- 1 to iters) {
       val nbr = labels
         .join(und, labels("node") === und("src"))
@@ -241,6 +247,10 @@ object Graph {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
+    // NOTE stats-cubing hazard: `cur` feeds next's plan three times per
+    // round (edge set + both anti-join degree sets) — fine at the
+    // bounded default iters, but deep peels need connectedComponents'
+    // freshStats reset (TextDedup.scala) to keep planning O(1)/round.
     for (_ <- 1 to iters) {
       val bad = cur.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select(col("src"))

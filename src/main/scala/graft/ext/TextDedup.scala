@@ -749,9 +749,27 @@ object TextDedup {
     // localCheckpoint, not persist: the pointer-jump self-join would
     // otherwise DOUBLE the logical plan every round (persist caches
     // blocks but keeps the full lineage in the plan tree)
-    var labels = docs
+    // STATS RESET after each round's checkpoint — a driver-side
+    // doubly-exponential planning bomb hides here otherwise (found by
+    // thread-dumping a "hung" sf0.1 run stuck in BigInteger
+    // multiplyToomCook3 inside SizeInBytesOnlyStatsPlanVisitor):
+    // Spark 4's localCheckpoint REWRITES the child plan's statistics
+    // onto the new LogicalRDD (ExistingRDD.rewriteStatsAndConstraints),
+    // and the pointer-jump step below joins that checkpoint WITH
+    // ITSELF, so sizeInBytes SQUARES every round — after R rounds the
+    // stat is a BigInt with ~2^R digits and each further stats visit
+    // costs minutes of Toom-Cook multiplication before any task runs.
+    // (PageRank-style loops are immune: checkpoint ⋈ fixed-stats cache
+    // grows digits linearly per round.) Re-wrapping the checkpointed
+    // RDD via createDataFrame drops the inherited stats back to the
+    // session default, keeping every round's planning O(1); row
+    // conversion is O(|labels|) per round, the same order as the
+    // round's own join.
+    def freshStats(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    var labels = freshStats(docs
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("rep"))
-      .localCheckpoint()
+      .localCheckpoint())
     // coalesce: sum over an EMPTY corpus is NULL — an upstream gate that
     // drops every document must converge to an empty label set, not throw
     var prevSum = labels.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
@@ -768,19 +786,19 @@ object TextDedup {
       // subtree would execute twice inside every round's job — doubling
       // the per-round shuffle work on exactly the large graphs the
       // path-doubling targets
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = freshStats(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .localCheckpoint()
+        .localCheckpoint())
       // pointer jump: rep ← label(rep). Every rep IS some node's id (min
       // over node ids), so the self-join always matches; labels only
       // decrease, so shortcutting cannot overshoot the component min.
-      val next = propagated
+      val next = freshStats(propagated
         .join(propagated.select(col("id").as("rep"),
           col("rep").as("rep2")), Seq("rep"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-        .localCheckpoint()
+        .localCheckpoint())
       val newSum = next.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
       propagated.unpersist(blocking = false)
       labels.unpersist(blocking = false)
