@@ -1731,7 +1731,7 @@ object ExtQueries {
     * near-dup of its own day-2-committed source — commit visibility
     * proven by an empty result, which is the weak form). ONE
     * definition; the oracle mirrors it from its replayed `s3`. */
-  private def day3Feed(cleaned2: DataFrame, docs: DataFrame): DataFrame =
+  private[graft] def day3Feed(cleaned2: DataFrame, docs: DataFrame): DataFrame =
     cleaned2.filter(col("doc_id") % 4 === 1)
       .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
         col("source"))
@@ -1818,6 +1818,22 @@ object ExtQueries {
     "ext_corpus_build_day3",
     (s, d) => day3OnDisk(s, d,
       { case (cleaned, _) => cleaned.select("doc_id", "source") }),
+    Some(s"""WITH $day3OracleChain
+      SELECT doc_id, source FROM d3s3"""))
+
+  /** STREAMING twin of the day-N commit loop
+    * ([[graft.streaming.StreamPipeline.corpusCommitStart]], r12
+    * VERDICT #5): the day-2 and day-3 feeds arrive as two mtime-ordered
+    * wave files, each micro-batch cleans against the artifact and
+    * COMMITS its survivors' fp/band/hash rows into ALL THREE tables
+    * (where the grow capstone maintains the LSH pair only), and the
+    * registered result is the day-3 wave's survivors — the day-3
+    * oracle shared VERBATIM, so hash-equality proves the streamed
+    * per-wave commit+compact fold equals the batch two-day fold. */
+  val streamCorpusCommit = Q(
+    "q_stream_corpus_commit",
+    (s, d) => graft.streaming.StreamPipeline
+      .corpusCommitAvailableNow(s, d),
     Some(s"""WITH $day3OracleChain
       SELECT doc_id, source FROM d3s3"""))
 
@@ -5566,7 +5582,7 @@ object ExtQueries {
     sourceCap,
     snapshotDiff, thresholdSweep, minhashErrEval, corpusBuildE2e,
     corpusBuildFunnel, corpusBuildIncr, corpusBuildIncrFunnel,
-    corpusBuildDay3, corpusBuildDay3Funnel,
+    corpusBuildDay3, corpusBuildDay3Funnel, streamCorpusCommit,
     corpusDqStream, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
     simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,

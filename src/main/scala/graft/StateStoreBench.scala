@@ -82,6 +82,11 @@ object StateStoreBench {
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
     def phase[A](f: => A): (A, Long, Long) = {
+      // drain BEFORE resetting too: the warm-up run executed just
+      // before this phase can still deliver late progress events, and
+      // without a quiesced listener bus those stragglers would land in
+      // the cleared counters and over-read the phase (r12 ADVICE)
+      Thread.sleep(1500)
       maxStateRows.set(0); maxStateMem.set(0)
       val a = f
       Thread.sleep(1500) // drain async listener events

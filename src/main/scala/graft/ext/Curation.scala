@@ -557,6 +557,7 @@ object Curation {
       compactTargetBytes: Long = 128L << 20): (DataFrame, DataFrame) = {
     val spark = incoming.sparkSession
     val nB = ArchiveIndex.nBuckets(spark, archiveDir)
+    val scope = graft.ops.CacheScope.mark()
     val (cleaned, funnel) = corpusBuildIncremental(
       incoming, textCol, idCol,
       ArchiveIndex.readFp(spark, archiveDir)
@@ -566,6 +567,13 @@ object Curation {
       minQuality, n, k, bands, threshold)
     val pinned = cleaned.localCheckpoint()
     val receipt = funnel.localCheckpoint()
+    // the internal stage caches are fully pinned into the checkpoints;
+    // release them BEFORE the appends+compaction rewrite the very dirs
+    // their plans were read from — otherwise each micro-batch of the
+    // streaming commit loop leaks its stage caches AND leaves live
+    // CacheManager holders of dead (GC'd) file indexes for later
+    // recache passes to re-list
+    graft.ops.CacheScope.releaseSince(scope)
     ArchiveIndex.appendBucketedTable(
       TextDedup.exactDedup(pinned, textCol, idCol), "fp",
       ArchiveIndex.fpDir(archiveDir), nB)

@@ -29,10 +29,16 @@ object PgmCodec {
   /** Encode `w`×`h` row-major top-down gray values (`array<int>`, each
     * 0..255, length w·h) into a complete binary P5 PGM. */
   def encodePgm(grays: Column, w: Column, h: Column): Column = {
-    val header = concat(
-      lit("P5\n"),
-      lpad(w.cast("string"), 5, "0"), lit(" "),
-      lpad(h.cast("string"), 5, "0"), lit("\n255\n")).cast("binary")
+    // Spark's lpad TRUNCATES strings longer than the target width —
+    // same 5-digit loud-failure guard as [[PpmCodec.encodePpm]].
+    val header = when(w >= 0 && w <= 99999 && h >= 0 && h <= 99999,
+      concat(
+        lit("P5\n"),
+        lpad(w.cast("string"), 5, "0"), lit(" "),
+        lpad(h.cast("string"), 5, "0"), lit("\n255\n")).cast("binary"))
+      .otherwise(raise_error(concat(
+        lit("encodePgm: dimensions outside the 5-digit header bound: w="),
+        w.cast("string"), lit(" h="), h.cast("string"))).cast("binary"))
     val body = array_join(
       when(w * h > 0,
         transform(sequence(lit(0), w * h - 1, lit(1)), i =>

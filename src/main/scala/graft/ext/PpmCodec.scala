@@ -41,10 +41,18 @@ object PpmCodec {
     * (`array<int>`, each 0xRRGGBB, length w·h) into a complete binary
     * P6 PPM. */
   def encodePpm(pixels: Column, w: Column, h: Column): Column = {
-    val header = concat(
-      lit("P6\n"),
-      lpad(w.cast("string"), 5, "0"), lit(" "),
-      lpad(h.cast("string"), 5, "0"), lit("\n255\n")).cast("binary")
+    // Spark's lpad TRUNCATES strings longer than the target width, so a
+    // dimension ≥ 100000 would silently corrupt the header (and isPpm
+    // would then reject the codec's own output via the length
+    // equation). Fail loudly at the 5-digit bound instead.
+    val header = when(w >= 0 && w <= 99999 && h >= 0 && h <= 99999,
+      concat(
+        lit("P6\n"),
+        lpad(w.cast("string"), 5, "0"), lit(" "),
+        lpad(h.cast("string"), 5, "0"), lit("\n255\n")).cast("binary"))
+      .otherwise(raise_error(concat(
+        lit("encodePpm: dimensions outside the 5-digit header bound: w="),
+        w.cast("string"), lit(" h="), h.cast("string"))).cast("binary"))
     val body = array_join(
       when(w * h > 0,
         transform(sequence(lit(0), w * h - 1, lit(1)), i => {

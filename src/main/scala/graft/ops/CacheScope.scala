@@ -53,6 +53,23 @@ object CacheScope {
     df
   }
 
+  /** Position marker for [[releaseSince]]: the number of frames this
+    * thread has registered so far. */
+  def mark(): Int = active.get.size
+
+  /** Unpersist ONLY the frames this thread registered after `mark` —
+    * the scoped release for operators that pin their outputs
+    * (localCheckpoint) mid-body and then REWRITE the storage their
+    * internal stages were read from (the ArchiveIndex commit loop):
+    * the stage caches are both a per-micro-batch storage leak and, in
+    * the session-wide CacheManager, live holders of dead file indexes
+    * that a post-GC recache would re-list. Caller-registered frames
+    * (below the mark) keep their caller-owned lifetime. */
+  def releaseSince(mark: Int): Unit = {
+    val q = active.get
+    while (q.size > mark) q.pollLast().unpersist(blocking = false)
+  }
+
   /** Unpersist every frame registered ON THIS THREAD. Idempotent;
     * non-blocking (block deletion proceeds asynchronously, correctness
     * never depends on it). */

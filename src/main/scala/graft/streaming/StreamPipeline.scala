@@ -293,7 +293,10 @@ object StreamPipeline {
       .createTempDirectory("graft-stream-ckpt")
     // finally-guarded so a failed start/drain never leaks the temp
     // checkpoint tree (r11 ADVICE — same discipline as the temp-dir
-    // adapters below)
+    // adapters below) NOR the named memory-sink view: memory sinks
+    // retain all rows for the session lifetime, so the dropTempView
+    // must run even when start/awaitTermination/localize throws (the
+    // view may not exist if start() itself failed — drop is guarded).
     try {
       val q = out.writeStream
         .trigger(Trigger.AvailableNow())
@@ -303,11 +306,12 @@ object StreamPipeline {
         .queryName(qn)
         .start()
       q.awaitTermination()
-      val sink = spark.table(qn)
-      val out2 = localize(sink)
-      spark.catalog.dropTempView(qn)
-      out2
-    } finally rmRf(ckpt.toFile)
+      localize(spark.table(qn))
+    } finally {
+      try spark.catalog.dropTempView(qn)
+      catch { case scala.util.control.NonFatal(_) => }
+      rmRf(ckpt.toFile)
+    }
   }
 
   /** Recursive temp-tree delete shared by every AvailableNow adapter. */
@@ -1087,7 +1091,9 @@ object StreamPipeline {
     val bandBkts = bBands
       .select(pmod(xxhash64(col("band")), lit(nBuckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val ib = spark.read.parquet(ibDir)
+    // both index reads resolve through the manifest snapshot, so a
+    // probe racing the maintenance pass scans one consistent file set
+    val ib = graft.ext.ArchiveIndex.readBucketedTable(spark, ibDir)
       .filter(col("bkt").isin(bandBkts: _*))
     val cand = bBands
       .join(ib.select(col("band"), col("id").as("archive_id")),
@@ -1099,7 +1105,7 @@ object StreamPipeline {
       .select(pmod(xxhash64(col("archive_id")), lit(nBuckets))
         .as("bkt"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val ih = spark.read.parquet(ihDir)
+    val ih = graft.ext.ArchiveIndex.readBucketedTable(spark, ihDir)
       .filter(col("bkt").isin(idBkts: _*))
     cand
       .join(bHs.select(col("id"), col("hs").as("hs_i")), Seq("id"))
@@ -1145,6 +1151,14 @@ object StreamPipeline {
       compactTargetBytes: Long = 128L << 20): StreamingQuery = {
     val spark = incoming.sparkSession
     applyConfiguredStateStore(spark)
+    if (compactEvery <= 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "lshDedupGrowPrunedStart: compactEvery is disabled — index " +
+          "data files grow linearly in micro-batch count (measured " +
+          "552 -> 1,397 over 4 -> 32 batches, SCALEPROBE_r12) and " +
+          "listing/footer costs erode the bounded-probe property; " +
+          "long-lived ingest loops should pass a fixed cadence " +
+          "(cost curve in SCALEPROBE_r13 compact_cost rows)")
     val writer = incoming.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1179,21 +1193,20 @@ object StreamPipeline {
     * COUNT, the very quantity compaction exists to bound, never by
     * data): the plan assigns each input file an `out_file` group per
     * bucket by cumulative-offset packing at `targetBytes`, then ONE
-    * distributed job reads the dir, tags rows with their source file
-    * (`input_file_name`), broadcast-joins the plan, repartitions on
-    * (bkt, out_file) — so each plan group lands in one task and each
-    * task writes one file per bucket dir it holds — and rewrites to a
-    * staging dir. The swap into place is two directory renames
-    * (stage → live after live → tombstone), safe here because the
-    * ingest loop is the SINGLE writer and reader between batches; a
-    * production lakehouse would commit the same rewrite as a table-
-    * format snapshot instead of a rename, with identical read-side
-    * semantics. Row content is untouched — compaction is lossless by
-    * construction, and `q_stream_dedup_lsh_grow_compact` pins that
-    * end-to-end by sharing the uncompacted grow oracle verbatim.
-    * Implementation lives with the unified format
-    * ([[graft.ext.ArchiveIndex.compactBucketedDir]]) — one maintenance
-    * pass for every consumer of the layout. */
+    * distributed job reads the current snapshot, tags rows with their
+    * source file (`input_file_name`), broadcast-joins the plan,
+    * repartitions on (bkt, out_file) — so each plan group lands in one
+    * task and each task writes one file per bucket dir it holds. The
+    * packed files land ALONGSIDE the old generation and become live by
+    * ONE manifest commit (r12 VERDICT #1): concurrent readers resolve
+    * a consistent snapshot on either side of the commit, and old files
+    * are GC'd only past the grace window — writes stay single-writer
+    * (this loop), reads need no coordination. Row content is
+    * untouched — compaction is lossless by construction, and
+    * `q_stream_dedup_lsh_grow_compact` pins that end-to-end by sharing
+    * the uncompacted grow oracle verbatim. Implementation lives with
+    * the unified format ([[graft.ext.ArchiveIndex.compactBucketedDir]])
+    * — one maintenance pass for every consumer of the layout. */
   def compactBucketedIndex(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Unit =
     graft.ext.ArchiveIndex.compactBucketedDir(spark, dir, targetBytes)
@@ -1240,6 +1253,104 @@ object StreamPipeline {
       lshDedupPrunedStart(incoming, threshold, nBuckets, pairsDir,
         ibDir, ihDir, ckpt, availableNow = true).awaitTermination()
       localize(spark.read.parquet(pairsDir))
+    } finally rmRf(base.toFile)
+  }
+
+  /** Streaming twin of the day-N COMMIT loop (r12 VERDICT #5): each
+    * micro-batch runs
+    * [[graft.ext.Curation.corpusBuildIncrementalCommit]] — clean the
+    * batch against the archive artifact (exact gate → quality gate →
+    * near-dedup), COMMIT the survivors' fp/band/hash rows into ALL
+    * THREE tables of the unified [[graft.ext.ArchiveIndex]] layout,
+    * compact — then appends the wave's survivors (tagged with the
+    * micro-batch id) to `outDir`. Where the capstone grow loop
+    * ([[lshDedupGrowPrunedStart]]) maintains the two LSH tables only,
+    * this maintains the FULL artifact, fp included, so wave N's exact
+    * copies of wave N−1 survivors drop at the fp gate — the batch
+    * day-N loop's semantics, in foreachBatch.
+    *
+    * Scale: everything inherits the batch commit's shape — per-batch
+    * probes read only touched buckets, appends are O(batch), the
+    * maintenance pass is file-count-bounded, and the manifest commit
+    * keeps concurrent readers on consistent snapshots. */
+  def corpusCommitStart(incoming: DataFrame, textCol: String,
+      idCol: String, archiveDir: String, outDir: String,
+      minQuality: Double, ckptDir: String, availableNow: Boolean,
+      compactTargetBytes: Long = 128L << 20): StreamingQuery = {
+    val spark = incoming.sparkSession
+    applyConfiguredStateStore(spark)
+    val writer = incoming.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (cleaned, _) =
+          graft.ext.Curation.corpusBuildIncrementalCommit(
+            batch, textCol, idCol, archiveDir, minQuality,
+            compactTargetBytes = compactTargetBytes)
+        cleaned.select(col(idCol), col("source"),
+            lit(batchId).as("wave"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Registered adapter for the streaming day-N commit
+    * (`q_stream_corpus_commit`): the EXACT archive seed, day-2 feed,
+    * and day-3 feed of the batch `ext_corpus_build_day3` query, as two
+    * mtime-ordered wave files — so the day-3 oracle is shared
+    * VERBATIM, and hash-equality proves the stream's per-wave
+    * commit+compact fold reproduces the batch two-day fold. The day-3
+    * feed derives from day-2's survivors; it is computed READ-ONLY
+    * against the seed artifact (identical rows to what the stream's
+    * own wave-0 commit produces) and MATERIALIZED into its wave file
+    * BEFORE the stream starts — the stream's committed artifact, not
+    * this derivation, adjudicates every day-3 drop. */
+  def corpusCommitAvailableNow(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "source")
+    val base = java.nio.file.Files.createTempDirectory("graft-scommit")
+    try {
+      import graft.ext.{ArchiveIndex, Curation}
+      val (idx, inDir, outDir, ckpt) =
+        (s"$base/idx", s"$base/in", s"$base/out", s"$base/ckpt")
+      ArchiveIndex.write(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", nBuckets = 32, idx)
+      val feedDay2 = graft.ExtQueries.corpusIncrementalIncoming(docs)
+      val (cleaned2, _) = Curation.corpusBuildIncremental(
+        feedDay2, "text", "doc_id",
+        ArchiveIndex.readFp(spark, idx)
+          .select("fp", "representative_id"),
+        ArchiveIndex.readBands(spark, idx),
+        ArchiveIndex.readHashes(spark, idx), minQuality = 0.72)
+      val feedDay3 = graft.ExtQueries.day3Feed(cleaned2, docs)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(inDir))
+      val t0 = System.currentTimeMillis()
+      Seq(feedDay2, feedDay3).zipWithIndex.foreach { case (f, k) =>
+        val staging = s"$base/stage_$k"
+        f.coalesce(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(s"$inDir/wave_$k.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000))
+      }
+      // the derivation's stage caches are fully materialized into the
+      // wave files; release them BEFORE the stream rewrites the seed
+      // artifact they were read from (dead-file-index hygiene — the
+      // commit loop's releaseSince, at adapter scope)
+      graft.ops.CacheScope.releaseAll()
+      val raw = spark.readStream.schema(feedDay2.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(inDir)
+      corpusCommitStart(raw, "text", "doc_id", idx, outDir,
+        minQuality = 0.72, ckpt, availableNow = true).awaitTermination()
+      localize(spark.read.parquet(outDir)
+        .filter(col("wave") === 1).select("doc_id", "source"))
     } finally rmRf(base.toFile)
   }
 

@@ -29,4 +29,16 @@ object Bridge {
   /** Drop every cached plan (test hygiene between lint iterations). */
   def clearCache(spark: SparkSession): Unit =
     spark.asInstanceOf[CSparkSession].sharedState.cacheManager.clearCache()
+
+  /** Invalidate the session's shared file-status cache — required
+    * after a maintenance pass deletes data files OUTSIDE a Spark
+    * command (the ArchiveIndex compaction GC): a later read or
+    * partitioned append would otherwise re-list the deleted paths from
+    * the stale cache (a warn-and-skip, harmless but noisy and a wasted
+    * driver-side listing round). `catalog.refreshByPath` is the wrong
+    * tool for this — it eagerly RECACHES every cached plan touching
+    * the path, re-listing the dead file index it holds. */
+  def invalidateFileStatusCache(spark: SparkSession): Unit =
+    org.apache.spark.sql.execution.datasources.FileStatusCache
+      .getOrCreate(spark.asInstanceOf[CSparkSession]).invalidateAll()
 }

@@ -136,4 +136,159 @@ class ArchiveIndexSpec extends SparkSpec {
       }
     } finally rm(base.toFile)
   }
+
+  test("snapshot isolation: a reader resolved BEFORE the compaction " +
+      "commit completes against the old snapshot; one resolved AFTER " +
+      "sees only the packed set; grace-expired files are GC'd") {
+    import spark.implicits._
+    val archive = archiveRows.toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-snap")
+    try {
+      val idx = base.toString
+      ArchiveIndex.write(archive, "text", "id", nBuckets = 8, idx)
+      val more = Seq((10L, "nine ten eleven twelve thirteen fourteen"))
+        .toDF("id", "text")
+      ArchiveIndex.appendBucketedTable(
+        TextDedup.exactDedup(more, "text", "id"), "fp",
+        ArchiveIndex.fpDir(idx), 8)
+      def fpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      // resolve-before-commit: this frame's file index is pinned to the
+      // pre-compaction snapshot at creation time
+      val early = ArchiveIndex.readFp(spark, idx)
+      val want = fpSet(early)
+      // compact with a large grace: old generation must SURVIVE on disk
+      ArchiveIndex.compact(spark, idx, gcGraceMs = 24L * 3600 * 1000)
+      assert(fpSet(early) == want,
+        "pre-commit reader failed or drifted mid-compaction")
+      // resolve-after-commit: identical content through the new snapshot
+      assert(fpSet(ArchiveIndex.readFp(spark, idx)) == want,
+        "post-commit reader drifted")
+      // superseded generation is still present inside the grace window…
+      val fpd = ArchiveIndex.fpDir(idx)
+      def dataFiles() =
+        Option(new java.io.File(fpd).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("bkt="))
+          .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      assert(dataFiles().exists(!_.startsWith("g")),
+        "old generation GC'd inside the grace window")
+      // …and gone after a grace-0 GC pass, with content intact
+      ArchiveIndex.gcUnreferenced(spark, fpd, gcGraceMs = 0L)
+      assert(dataFiles().forall(_.startsWith("g")),
+        s"unreferenced files survived a grace-0 GC: ${dataFiles()}")
+      assert(fpSet(ArchiveIndex.readFp(spark, idx)) == want)
+    } finally rm(base.toFile)
+  }
+
+  test("orphans from a crashed append are invisible, never adopted, " +
+      "and GC'd; legacy manifest-less dirs are adopted on compact") {
+    import spark.implicits._
+    val archive = archiveRows.toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-orph")
+    try {
+      // legacy dir: raw bucket-partitioned parquet, NO manifest
+      val legacy = s"$base/legacy"
+      TextDedup.exactDedup(archive, "text", "id")
+        .withColumn("bkt", pmod(xxhash64(col("fp")), lit(8)))
+        .write.partitionBy("bkt").parquet(legacy)
+      def fpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      val want = fpSet(ArchiveIndex.readBucketedTable(spark, legacy)
+        .select("fp", "representative_id", "n_copies"))
+      ArchiveIndex.compactBucketedDir(spark, legacy) // adopts, then packs
+      assert(fpSet(ArchiveIndex.readBucketedTable(spark, legacy)
+        .select("fp", "representative_id", "n_copies")) == want,
+        "legacy adoption changed content")
+      // orphan: simulate a crash between data write and manifest commit
+      // by planting a stray parquet file no manifest references
+      val bkts = new java.io.File(legacy).listFiles()
+        .filter(_.getName.startsWith("bkt="))
+      val donor = bkts.head.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val orphan = new java.io.File(bkts.head, "orphan-crash.parquet")
+      java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+      assert(fpSet(ArchiveIndex.readBucketedTable(spark, legacy)
+        .select("fp", "representative_id", "n_copies")) == want,
+        "reader saw a file outside the manifest snapshot")
+      // an append must not adopt the orphan either
+      ArchiveIndex.appendBucketedTable(
+        TextDedup.exactDedup(
+          Seq((20L, "twenty one two three")).toDF("id", "text"),
+          "text", "id"), "fp", legacy, 8)
+      val manifested = ArchiveIndex.currentManifest(spark, legacy).get
+      assert(!manifested.exists(_.contains("orphan-crash")),
+        "append adopted a crashed write's orphan file")
+      ArchiveIndex.gcUnreferenced(spark, legacy, gcGraceMs = 0L)
+      assert(!orphan.exists(), "GC left the orphan on disk")
+    } finally rm(base.toFile)
+  }
+
+  test("STREAM-committed artifact probed by BATCH: a wave's commit " +
+      "lands fp rows that drop the next wave's exact copies, and a " +
+      "batch probe of the grown fp table sees the streamed survivors") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val archive = archiveRows.toDF("id", "text")
+      .select(col("id").as("doc_id"), col("text"),
+        lit("seed").as("source"))
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-scommit")
+    try {
+      val (idx, outDir, ckpt) = (s"$base/idx", s"$base/out", s"$base/ckpt")
+      ArchiveIndex.write(archive, "text", "doc_id", nBuckets = 8, idx)
+      val novel = "completely novel words never archived anywhere"
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamPipeline.corpusCommitStart(
+        in.toDF.toDF("doc_id", "text", "source"), "text", "doc_id",
+        idx, outDir, minQuality = -1.0, ckpt, availableNow = false)
+      try {
+        in.addData((101L, novel, "w0"))
+        q.processAllAvailable()
+        // wave 1: an exact copy of wave 0's survivor — droppable ONLY
+        // if wave 0's commit landed 101's fp row in the artifact
+        in.addData((201L, novel, "w1"), (202L, "another fresh doc of " +
+          "sufficient length entirely", "w1"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(out.contains((101L, 0L)), s"wave-0 survivor missing: $out")
+      assert(!out.exists(_._1 == 201L),
+        s"exact copy of a committed survivor was NOT dropped: $out")
+      assert(out.contains((202L, 1L)), s"novel wave-1 doc missing: $out")
+      // batch probe of the stream-grown fp table: a copy of the
+      // streamed survivor must resolve to 101's fp entry
+      val probe = Seq((301L, novel)).toDF("doc_id", "text")
+      val (kept, _) = TextDedup.incrementalDedup(probe, "text", "doc_id",
+        ArchiveIndex.readFp(spark, idx)
+          .select("fp", "representative_id"))
+      assert(kept.collect().isEmpty,
+        "batch probe failed to see the stream-committed fp row")
+    } finally rm(base.toFile)
+  }
+
+  test("layout parse is versioned: an unknown version fails loudly " +
+      "instead of being regex-guessed") {
+    import spark.implicits._
+    val archive = archiveRows.toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-ver")
+    try {
+      ArchiveIndex.write(archive, "text", "id", nBuckets = 8,
+        base.toString)
+      assert(ArchiveIndex.nBuckets(spark, base.toString) == 8)
+      // drop the local-FS checksum shadow before editing the file
+      // out-of-band, or Hadoop rejects the read with ChecksumException
+      java.nio.file.Files.deleteIfExists(
+        base.resolve("._archive_layout.json.crc"))
+      java.nio.file.Files.write(
+        base.resolve("_archive_layout.json"),
+        """{"version":99,"nBuckets":8}""".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        ArchiveIndex.nBuckets(spark, base.toString)
+      }
+      assert(e.getMessage.contains("version 99"),
+        s"wrong failure: ${e.getMessage}")
+    } finally rm(base.toFile)
+  }
 }
