@@ -94,7 +94,7 @@ object Registry {
   def all: Seq[Q] =
     AnalyticsQueries.all ++ AnalyticsQueries2.all ++ RetailQueries.all ++
       ParityQueries.all ++ ExtQueries.all ++ ExtQueries2.all ++
-      ExtQueries3.all
+      ExtQueries3.all ++ UnigramQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
