@@ -1128,6 +1128,80 @@ object ExtQueries3 {
       FROM gen"""
     })
 
+  /** RLE8 BMP encode→decode ROUNDTRIP gate ([[graft.ext.Rle8Codec]],
+    * r12 VERDICT stretch — the first COMPRESSED format in the codec
+    * family): per document a deterministic w×h GRAY image with runs of
+    * 4 (gray_i = (doc_id·7 + ⌊i/4⌋·13) mod 256 — consecutive groups
+    * differ by 13 mod 256, so runs never merge and the encoded length
+    * is formula-predictable) is ENCODED into actual BI_RLE8 bytes —
+    * 1078-byte header+palette, bottom-up rows of (count, index) run
+    * pairs, EOL per row, one EOB — and every output column is computed
+    * by DECODING THOSE BYTES. The oracle computes the same quantities
+    * from the generator formula, including `file_len` from the run
+    * structure itself (a new run starts at each row start or value
+    * change; file_len = 1078 + 2·(runs + h + 1)) — so a hash match
+    * proves the COMPRESSION layer roundtrips losslessly: run packing,
+    * row splits, the palette resolve, and the bottom-up flip.
+    *
+    * Scale: one projection per row; decode scans the command stream
+    * (≤ pixels), never a per-pixel byte walk. */
+  val rle8RoundtripQ = Q(
+    "ext_rle8_roundtrip",
+    (s, d) => {
+      import graft.ext.Rle8Codec
+      val w = (lit(8) + pmod(col("doc_id"), lit(5))).cast("int")
+      val h = (lit(6) + pmod(col("doc_id"), lit(4))).cast("int")
+      val gen = transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+        pmod(col("doc_id") * 7 + floor(i / 4).cast("int") * 13,
+          lit(256)).cast("int"))
+      val enc = Tables.documents(s, d).select(col("doc_id"),
+        Rle8Codec.encodeRle8(gen, w, h).as("rle"))
+      // everything below reads the BYTES, never the generator
+      val px = Rle8Codec.pixels(col("rle"))
+      val fs = Rle8Codec.rle8Features(col("rle"))
+      enc.select(col("doc_id"),
+        Rle8Codec.width(col("rle")).as("width"),
+        Rle8Codec.height(col("rle")).as("height"),
+        length(col("rle")).as("file_len"),
+        Rle8Codec.numPixels(col("rle")).as("n_px"),
+        aggregate(px, lit(0L), (a, p) =>
+          a + floor(p / 65536).cast("long")
+            + pmod(floor(p / 256).cast("long"), lit(256))
+            + pmod(p, lit(256))).as("sum_rgb"),
+        element_at(px, 1).as("px_first"),
+        element_at(px, -1).as("px_last"),
+        element_at(fs, 1).as("f1"), element_at(fs, 2).as("f2"),
+        element_at(fs, 3).as("f3"), element_at(fs, 4).as("f4"))
+    },
+    Some {
+      def blk(b: Int) =
+        s"""round(CAST(list_sum(list_transform(
+          px[(n*$b//4 + 1):(n*${b + 1}//4)],
+          p -> p // 65536 + (p // 256) % 256 + p % 256)) AS DOUBLE)
+          / (CAST(n*${b + 1}//4 - n*$b//4 AS DOUBLE) * 765.0), 6)"""
+      s"""WITH gen AS (
+        SELECT doc_id,
+          8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+          (8 + doc_id % 5) * (6 + doc_id % 4) AS n,
+          list_transform(range(0, (8 + doc_id % 5) * (6 + doc_id % 4)),
+            i -> CAST(((doc_id*7 + (i//4)*13) % 256) * 65536
+              + ((doc_id*7 + (i//4)*13) % 256) * 256
+              + (doc_id*7 + (i//4)*13) % 256 AS INTEGER)) AS px
+        FROM documents)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(1078 + 2 * (list_sum(list_transform(range(0, n),
+            i -> CASE WHEN i % w = 0 OR px[i+1] != px[i]
+                 THEN 1 ELSE 0 END)) + h + 1) AS INTEGER) AS file_len,
+        CAST(w * h AS BIGINT) AS n_px,
+        CAST(list_sum(list_transform(px,
+          p -> p // 65536 + (p // 256) % 256 + p % 256)) AS BIGINT)
+          AS sum_rgb,
+        px[1] AS px_first, px[n] AS px_last,
+        ${blk(0)} AS f1, ${blk(1)} AS f2, ${blk(2)} AS f3,
+        ${blk(3)} AS f4
+      FROM gen"""
+    })
+
   /** DOWNSAMPLE-THEN-VERIFY over real WAV bytes
     * ([[graft.ext.WavCodec.downsample]] carries the decimation
     * contract): every clip decimated 2× and RE-ENCODED; all reported
@@ -1998,5 +2072,6 @@ object ExtQueries3 {
     dqStreamQ, dqQuarantineCleanQ, dqQuarantineFlaggedQ,
     bmpRoundtripQ, bmpDhashQ, bmpExposureQ, lshDedupPrunedQ,
     videoBmpFramesQ, videoBmpSharedQ, dqQuarantineStreamQ,
-    multimodalE2eQ, multimodalFunnelQ, ppmRoundtripQ, pgmRoundtripQ)
+    multimodalE2eQ, multimodalFunnelQ, ppmRoundtripQ, pgmRoundtripQ,
+    rle8RoundtripQ)
 }

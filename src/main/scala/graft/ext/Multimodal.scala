@@ -88,6 +88,7 @@ object Multimodal {
       .when(BmpCodec.isBmp(payload), BmpCodec.bmpFeatures(payload))
       .when(PpmCodec.isPpm(payload), PpmCodec.ppmFeatures(payload))
       .when(PgmCodec.isPgm(payload), PgmCodec.pgmFeatures(payload))
+      .when(Rle8Codec.isRle8(payload), Rle8Codec.rle8Features(payload))
       .otherwise(fakeDecodeFeatures(payload))
 
   /** Pooled-profile dispatcher for the perceptual hashes: a payload in
@@ -104,6 +105,8 @@ object Multimodal {
     when(BmpCodec.isBmp(payload), BmpCodec.resizePooledPixels(payload, k))
       .when(PpmCodec.isPpm(payload), PpmCodec.resizePooledPixels(payload, k))
       .when(PgmCodec.isPgm(payload), PgmCodec.resizePooledPixels(payload, k))
+      .when(Rle8Codec.isRle8(payload),
+        Rle8Codec.resizePooledPixels(payload, k))
       .otherwise(resizePooled(payload, k))
 
   /** Decimal places [[resizePooled]] rounds each cell mean to. The
@@ -309,6 +312,7 @@ object Multimodal {
     when(BmpCodec.isBmp(payload), gate(BmpCodec.pixels(payload)))
       .when(PpmCodec.isPpm(payload), gate(PpmCodec.pixels(payload)))
       .when(PgmCodec.isPgm(payload), gate(PgmCodec.pixels(payload)))
+      .when(Rle8Codec.isRle8(payload), gate(Rle8Codec.pixels(payload)))
       .otherwise(lit(true))
   }
 
@@ -340,6 +344,7 @@ object Multimodal {
       when(BmpCodec.isBmp(col(payloadCol)), lit("bmp"))
         .when(PpmCodec.isPpm(col(payloadCol)), lit("ppm"))
         .when(PgmCodec.isPgm(col(payloadCol)), lit("pgm"))
+        .when(Rle8Codec.isRle8(col(payloadCol)), lit("rle8"))
         .otherwise(lit("opaque"))))
     val s1 = graft.ops.CacheScope.persist(
       s0.filter(exposureKeep(col(payloadCol))))
