@@ -42,9 +42,29 @@ object Bench {
         System.err.println(s"[bench] ${q.name}$tag FAILED: ${e.getMessage}")
         -1.0
       })
+    // Drift sentinel (r12 VERDICT #3): a fixed, pure-CPU,
+    // data-independent workload timed once per round — constant plan,
+    // constant input (an in-memory range), no IO, no registry coupling
+    // — so box/JVM regime shifts show up as a sentinel move and every
+    // query can be read as a RATIO to the box's own speed that round
+    // instead of adjudicating "the box moved" from code diffs after
+    // the fact (the §8.19.3 effort this column replaces).
+    def sentinelOnce(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0L, 600000000L, 1L, cpus.toInt)
+        .select(sum(xxhash64(col("id"))).as("s"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // warm-up (codegen + JIT), untimed like the queries'
     val warm = headline.map(attempt(_, " warm-up")).toMap
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     val rounds: Seq[Map[String, Double]] =
-      (1 to reps).map(_ => headline.map(attempt(_, "")).toMap)
+      (1 to reps).map { _ =>
+        sentinels += sentinelOnce()
+        headline.map(attempt(_, "")).toMap
+      }
     // Retry pass: a throttle window (hypervisor pause) can swallow EVERY
     // timed round of a heavy query — with reps=2, two inflated runs make
     // the min itself a 5-10x artifact. A query whose observed runs spread
@@ -78,8 +98,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sentMin = if (sentinels.nonEmpty) sentinels.min else -1.0
+    System.err.println(
+      s"[bench] __sentinel: runs=${sentinels.mkString(",")}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sentinel":$sentMin,""" +
+        s""""sentinel_runs":[${sentinels.mkString(",")}],"sf":"$sfDir"}"""
     println(json)
     // Redundant copy on disk: sbt interleaves logger lines around stdout,
     // and the one JSON line has been lost to prefix-wrapping before.

@@ -186,6 +186,36 @@ object ScaleProbe {
       return
     }
 
+    // mode "compact-cost": the COST side of the r12 compaction evidence
+    // (r12 VERDICT #2 — SCALEPROBE_r12 proved compaction bounds file
+    // counts with identical pairs, but the price of the maintenance
+    // pass itself had no probe row, and compactEvery shipped disabled).
+    // Runs the capstone grow+prune loop over `maxN` micro-batches at
+    // each cadence and reports total wall seconds, mean per-batch
+    // seconds, end-of-run file count, and the pair count (invariance
+    // guard). The curve this draws: cadence 1 pays a full index
+    // rewrite EVERY batch (quadratic-ish total rewrite bytes), cadence
+    // 0 pays unbounded listing/footer growth instead; the sane regime
+    // is a fixed cadence where the rewrite amortizes — the measured
+    // basis for the non-zero production default.
+    if (mode == "compact-cost") {
+      val waves = math.max(maxN, 32)
+      Seq(0, 1, 4, 16).foreach { every =>
+        val t0 = System.nanoTime()
+        val (pairs, files) = graft.streaming.StreamPipeline
+          .growPrunedCompactProbe(spark, sfDir, waves, nBuckets = 64,
+            compactEvery = every)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"probe":"compact_cost","batches":$waves,""" +
+          s""""compact_every":$every,""" +
+          s""""sec_total":${"%.3f".format(sec)},""" +
+          s""""sec_per_batch":${"%.4f".format(sec / waves)},""" +
+          s""""files_end":$files,"pairs":$pairs}""")
+      }
+      spark.stop()
+      return
+    }
+
     // mode "pfjoin": the EXACT Jaccard-threshold join both ways — full
     // inverted index vs prefix-filtered (Bayardo 2007) — at growing N.
     // Per-copy word salt keeps cross-copy shingles disjoint, so pair

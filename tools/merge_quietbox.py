@@ -19,7 +19,7 @@ def main():
     if not runs:
         sys.exit("merge_quietbox: no bench lines found")
     names = sorted(set(n for r in runs for n in r["queries"]))
-    merged, spread, best_two = {}, {}, {}
+    merged, spread, best_two, norm = {}, {}, {}, {}
     for n in names:
         obs = sorted(r["queries"][n] for r in runs
                      if n in r["queries"] and r["queries"][n] >= 0)
@@ -29,6 +29,15 @@ def main():
         spread[n] = round(obs[-1] / obs[0], 3) if obs[0] > 0 else None
         if len(obs) >= 2 and obs[0] > 0:
             best_two[n] = round(obs[1] / obs[0], 3)
+        # sentinel-normalized floor (r12 VERDICT #3): each run's query
+        # time divided by THAT run's sentinel (the box's own pure-CPU
+        # speed), min across runs — a floor that moves in raw seconds
+        # but not in ratio moved with the box, not the engine
+        ratios = sorted(r["queries"][n] / r["sentinel"] for r in runs
+                        if n in r["queries"] and r["queries"][n] >= 0
+                        and r.get("sentinel", -1) > 0)
+        if ratios:
+            norm[n] = round(ratios[0], 3)
     flagged = sorted(n for n, s in best_two.items() if s and s > 1.3)
     out = {
         "note": ("quiet-box: merged per-query minima over "
@@ -39,7 +48,9 @@ def main():
         "sf": runs[0].get("sf"),
         "totals": [r["value"] for r in runs],
         "merged_min_total": sum(merged.values()),
+        "sentinels": [r.get("sentinel") for r in runs],
         "queries": merged,
+        "ratio_to_sentinel": norm,
         "spread_max_over_min": spread,
         "best_two_spread": best_two,
         "flagged_unstable": flagged,
