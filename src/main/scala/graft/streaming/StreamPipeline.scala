@@ -1140,14 +1140,21 @@ object StreamPipeline {
     * counts stay bounded (≤ compactEvery append waves above the packed
     * floor) however many micro-batches run, and per-batch cost stays
     * O(batch + collisions) rows read instead of eroding under
-    * unbounded small-file listings. `compactEvery = 0` disables the
-    * pass (the pre-r12 behavior). Output is IDENTICAL to
+    * unbounded small-file listings. The default cadence 16 is the
+    * SCALEPROBE_r13 `compact_cost` recommendation — at 32 batches it
+    * was the fastest measured configuration outright (93 s vs 166 s
+    * append-only: the un-maintained loop's listing/footer overhead on
+    * 1,397 small files costs more per batch than two amortized full
+    * rewrites; cadence 1 over-pays rewrites at 259 s), with pairs
+    * identical under every cadence. `compactEvery <= 0` disables the
+    * pass (the pre-r12 behavior) and logs a warning — legitimate only
+    * for short-lived drains. Output is IDENTICAL to
     * [[lshDedupGrowStart]] (pruning is lossless; compaction rewrites
     * files, never rows), so the registered queries share the grow
     * oracle verbatim. */
   def lshDedupGrowPrunedStart(incoming: DataFrame, threshold: Double,
       nBuckets: Int, pairsDir: String, ibDir: String, ihDir: String,
-      ckptDir: String, availableNow: Boolean, compactEvery: Int = 0,
+      ckptDir: String, availableNow: Boolean, compactEvery: Int = 16,
       compactTargetBytes: Long = 128L << 20): StreamingQuery = {
     val spark = incoming.sparkSession
     applyConfiguredStateStore(spark)
@@ -1156,9 +1163,10 @@ object StreamPipeline {
         "lshDedupGrowPrunedStart: compactEvery is disabled — index " +
           "data files grow linearly in micro-batch count (measured " +
           "552 -> 1,397 over 4 -> 32 batches, SCALEPROBE_r12) and " +
-          "listing/footer costs erode the bounded-probe property; " +
-          "long-lived ingest loops should pass a fixed cadence " +
-          "(cost curve in SCALEPROBE_r13 compact_cost rows)")
+          "the un-maintained loop is MEASURABLY SLOWER than the " +
+          "default cadence 16 (166 s vs 93 s over 32 batches, " +
+          "SCALEPROBE_r13 compact_cost); disable only for " +
+          "short-lived drains")
     val writer = incoming.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
