@@ -50,10 +50,12 @@ object Bench {
     // instead of adjudicating "the box moved" from code diffs after
     // the fact (the §8.19.3 effort this column replaces).
     def sentinelOnce(): Double = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
       val t0 = System.nanoTime()
+      // pmod bounds the addends: a raw sum of full-range hashes
+      // overflows int64 under ANSI after ~2 rows on average
       spark.range(0L, 600000000L, 1L, cpus.toInt)
-        .select(sum(xxhash64(col("id"))).as("s"))
+        .select(sum(pmod(xxhash64(col("id")), lit(1000000L))).as("s"))
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
