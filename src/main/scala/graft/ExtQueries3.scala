@@ -1614,16 +1614,26 @@ object ExtQueries3 {
     def genGray(shift: Boolean) =
       transform(sequence(lit(0), w * h - 1, lit(1)), i =>
         dk(gch(i, shift)).cast("int"))
-    def fam(fmtv: Int,
+    def fam(pred: org.apache.spark.sql.Column,
         enc: Boolean => org.apache.spark.sql.Column) = {
-      val fd = docs.filter(pmod(p, lit(4)) === fmtv)
+      val fd = docs.filter(pred)
       fd.select((p * 2).as("id"), enc(false).as("payload"))
         .unionAll(fd.select((p * 2 + 1).as("id"),
           enc(true).as("payload")))
     }
-    fam(1, sh => BmpCodec.encodeBmp(gen(sh), w, h))
-      .unionAll(fam(2, sh => PpmCodec.encodePpm(gen(sh), w, h)))
-      .unionAll(fam(3, sh => PgmCodec.encodePgm(genGray(sh), w, h)))
+    import graft.ext.Rle8Codec
+    // the grayscale family (fmtv 3) splits between the two gray
+    // containers — PGM (doc_id % 8 == 7) and RLE8 (doc_id % 8 == 3) —
+    // with IDENTICAL per-doc content: container invariance (the
+    // Rle8Spec/PpmSpec promise) is what keeps the shared oracle's
+    // luminance CTE one branch for both
+    fam(pmod(p, lit(4)) === 1, sh => BmpCodec.encodeBmp(gen(sh), w, h))
+      .unionAll(fam(pmod(p, lit(4)) === 2,
+        sh => PpmCodec.encodePpm(gen(sh), w, h)))
+      .unionAll(fam(pmod(p, lit(8)) === 7,
+        sh => PgmCodec.encodePgm(genGray(sh), w, h)))
+      .unionAll(fam(pmod(p, lit(8)) === 3,
+        sh => Rle8Codec.encodeRle8(genGray(sh), w, h)))
       .unionAll(docs.filter(pmod(p, lit(4)) === 0)
         .select((p * 2).as("id"),
           concat(lit("OPQ:"), md5(p.cast("string"))).cast("binary")
@@ -1632,14 +1642,17 @@ object ExtQueries3 {
 
   /** Shared oracle chain for the multimodal pipeline: replay pixel /
     * byte generation, the exposure gate, 65-cell pooling (decoded
-    * luminance for BMP/PPM/PGM, raw bytes for opaque — all four
+    * luminance for BMP/PPM/PGM/RLE8, raw bytes for opaque — all FIVE
     * dispatcher branches), dHash banding, the Hamming-≤3 pair join,
     * the recursive-CTE transitive closure, and keep-best; ends in
     * `kept(id)` / `fmt(id, format)` / `fmt0(id, format)` (post-gate /
     * raw). The three decodable containers share ONE luminance-list
     * CTE (vbr) because the codecs' pixel contracts are
-    * container-invariant (PpmSpec/PgmSpec-pinned): PGM rows
-    * contribute 3·gray, exactly the replicated-channel luminance. */
+    * container-invariant (PpmSpec/Rle8Spec-pinned): PGM and RLE8 rows
+    * contribute 3·gray, exactly the replicated-channel luminance —
+    * the COMPRESSED container needs no oracle branch of its own
+    * because decode losslessness is already `ext_rle8_roundtrip`'s
+    * hash-gated claim; only the format LABELS split on id % 8. */
   private def multimodalChainSql: String =
     s"""base AS MATERIALIZED (
         SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 4 AS h,
@@ -1753,13 +1766,17 @@ object ExtQueries3 {
         SELECT a AS id, min(b) AS rep_id FROM reach GROUP BY a),
       kept AS MATERIALIZED (SELECT id FROM comp WHERE id = rep_id),
       fmt AS (
-        SELECT id, CASE (id // 2) % 4 WHEN 0 THEN 'opaque'
-          WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm'
+        SELECT id, CASE WHEN (id // 2) % 4 = 0 THEN 'opaque'
+          WHEN (id // 2) % 4 = 1 THEN 'bmp'
+          WHEN (id // 2) % 4 = 2 THEN 'ppm'
+          WHEN (id // 2) % 8 = 3 THEN 'rle8'
           ELSE 'pgm' END AS format
         FROM surv),
       fmt0 AS (
-        SELECT id, CASE (id // 2) % 4 WHEN 0 THEN 'opaque'
-          WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm'
+        SELECT id, CASE WHEN (id // 2) % 4 = 0 THEN 'opaque'
+          WHEN (id // 2) % 4 = 1 THEN 'bmp'
+          WHEN (id // 2) % 4 = 2 THEN 'ppm'
+          WHEN (id // 2) % 8 = 3 THEN 'rle8'
           ELSE 'pgm' END AS format
         FROM (SELECT id FROM vbr UNION ALL SELECT id FROM ovr))"""
 
