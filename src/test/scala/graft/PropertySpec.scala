@@ -628,4 +628,80 @@ class PropertySpec extends SparkSpec {
       } finally rm(base.toFile)
     }
   }
+
+  test("ArchiveIndex randomized manifest lifecycle: interleaved appends " +
+      "and compacts under random cadence and grace preserve content, a " +
+      "pinned reader's snapshot, and exact manifest↔disk consistency " +
+      "after a grace-0 pass") {
+    import graft.ext.{ArchiveIndex, TextDedup}
+    val rnd = new scala.util.Random(41213)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def randDocs(offset: Long, n: Int) = (1 to n).map { i =>
+      (offset + i,
+        List.fill(4 + rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+    }.toDF("id", "text")
+    def fpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+    (1 to 3).foreach { trial =>
+      val nB = 1 + rnd.nextInt(8)
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-ai-life$trial")
+      try {
+        val dir = s"$base/fp"
+        val first = TextDedup.exactDedup(
+          randDocs(0, 5 + rnd.nextInt(10)), "text", "id")
+        ArchiveIndex.writeBucketedTable(first, "fp", dir, nB)
+        var ref = fpSet(first)
+        // a reader pinned mid-lifecycle: once held, every later
+        // compact must run with a grace covering it
+        var held: Option[(org.apache.spark.sql.DataFrame,
+          Set[(String, Long, Long)])] = None
+        (1 to 6).foreach { step =>
+          val b = TextDedup.exactDedup(
+            randDocs(step * 1000L, 3 + rnd.nextInt(6)), "text", "id")
+          ArchiveIndex.appendBucketedTable(b, "fp", dir, nB)
+          ref = ref ++ fpSet(b)
+          if (rnd.nextBoolean()) {
+            if (held.isEmpty && rnd.nextBoolean())
+              held = Some((ArchiveIndex.readBucketedTable(spark, dir)
+                .select("fp", "representative_id", "n_copies"), ref))
+            ArchiveIndex.compactBucketedDir(spark, dir,
+              gcGraceMs = if (held.isDefined) 86400000L else 0L)
+          }
+          assert(fpSet(ArchiveIndex.readBucketedTable(spark, dir)
+            .select("fp", "representative_id", "n_copies")) == ref,
+            s"trial=$trial step=$step nB=$nB content drift")
+        }
+        held.foreach { case (r, snap) =>
+          assert(fpSet(r) == snap,
+            s"trial=$trial pinned reader drifted across compactions")
+        }
+        // final grace-0 pass: physical data files must equal the
+        // current manifest EXACTLY — nothing stranded, nothing live
+        // outside the snapshot
+        ArchiveIndex.compactBucketedDir(spark, dir, gcGraceMs = 0L)
+        val manifested = ArchiveIndex.currentManifest(spark, dir)
+          .get.toSet
+        val physical = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.startsWith("bkt=")).flatMap { bd =>
+            Option(bd.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.endsWith(".parquet"))
+              .map(f => s"${bd.getName}/${f.getName}")
+          }.toSet
+        assert(physical == manifested,
+          s"trial=$trial manifest/disk divergence: " +
+            s"stranded=${physical -- manifested} " +
+            s"phantom=${manifested -- physical}")
+        assert(fpSet(ArchiveIndex.readBucketedTable(spark, dir)
+          .select("fp", "representative_id", "n_copies")) == ref)
+      } finally rm(base.toFile)
+    }
+  }
 }
