@@ -33,3 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The registry-wide plan lints execute all 350 queries in one JVM;
+// give the test fork more headroom than the runMain default (last
+// -Xmx wins).
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}"

@@ -1627,6 +1627,12 @@ object ExtQueries3 {
     // with IDENTICAL per-doc content: container invariance (the
     // Rle8Spec/PpmSpec promise) is what keeps the shared oracle's
     // luminance CTE one branch for both
+    // materialize the five-family generator ONCE (eager checkpoint):
+    // the honest pipeline shape — payloads arrive from storage, not an
+    // inline generator — and it truncates the five encode expression
+    // trees out of every downstream plan (the un-truncated union's
+    // treeString grew large enough to OOM cache-name rendering in the
+    // registry-wide plan lint once the RLE8 fold joined the union)
     fam(pmod(p, lit(4)) === 1, sh => BmpCodec.encodeBmp(gen(sh), w, h))
       .unionAll(fam(pmod(p, lit(4)) === 2,
         sh => PpmCodec.encodePpm(gen(sh), w, h)))
@@ -1638,6 +1644,7 @@ object ExtQueries3 {
         .select((p * 2).as("id"),
           concat(lit("OPQ:"), md5(p.cast("string"))).cast("binary")
             .as("payload")))
+      .localCheckpoint()
   }
 
   /** Shared oracle chain for the multimodal pipeline: replay pixel /

@@ -541,8 +541,11 @@ object Curation {
     * Ordering hazard handled here: the cleaned/funnel plans READ the
     * same parquet dirs the commit rewrites, so both are
     * localCheckpoint'ed (eager — materialized and lineage-truncated)
-    * BEFORE the appends and the compaction swap; without the barrier a
-    * post-compact re-evaluation would chase deleted files. The
+    * BEFORE the appends and the compaction's manifest flip + GC;
+    * without the barrier a post-GC re-evaluation would chase deleted
+    * files (concurrent EXTERNAL readers are safe via the manifest
+    * snapshot + grace window; this barrier is about THIS loop's own
+    * lazy plans, which the scoped cache release below also drops). The
     * survivors' fp entries are disjoint from the archive's by
     * construction (stage 1 dropped every fp already present), so the
     * append preserves the one-row-per-distinct-content invariant.
