@@ -58,8 +58,28 @@ import org.apache.spark.sql.functions._
   *    foreachBatch replay then re-appends the batch exactly once.
   *
   * Manifest files are committed by write-temp-then-rename (atomic
-  * create on HDFS-like stores). Writes remain SINGLE-writer (appends
-  * and compaction are serialized by the ingest loop); readers are
+  * create on HDFS-like stores). Commits are MULTI-writer safe by
+  * optimistic concurrency (r13 VERDICT #1): the version-named rename
+  * is a compare-and-set — a second writer racing the same `v<N+1>`
+  * name loses (the store's create-exclusive rename fails; in-process
+  * racers additionally serialize on a per-dir mutex, the local-FS
+  * analog of HDFS's atomic namenode rename), re-resolves the new
+  * current snapshot, recomputes its delta, and retries:
+  *  - an APPEND retries unconditionally — its staged files are
+  *    already on disk under fresh unique names, so the retry is
+  *    `v<latest+1> = latest snapshot + exactly this batch's files`
+  *    and both racers' batches end up visible, versions strictly
+  *    increasing, no lost update;
+  *  - a COMPACTION carries forward files appended since its base
+  *    snapshot (appends only ADD, so `latest ⊇ base` proves nothing
+  *    rewrote its inputs and `packed ++ (latest − base)` is exact);
+  *    if `latest ⊉ base` another compaction already replaced its
+  *    input files, so it ABORTS and deletes its own staged output —
+  *    the work is done, duplicating rows would corrupt the table.
+  * Concurrent-appender deployments must run GC with `gcGraceMs`
+  * longer than an appender's stage-to-commit window: a racing GC
+  * pass sees staged-but-uncommitted files as unreferenced and the
+  * grace (keyed on file mtime) is what protects them. Readers are
   * concurrent and never coordinate. Dirs predating manifests (the
   * version-1 on-disk form) are read by directory listing and adopted
   * into a v1 manifest by the first maintenance pass that touches them.
@@ -118,28 +138,127 @@ object ArchiveIndex {
     (0 until arr.size).map(arr.get(_).asText())
   }
 
+  /** A manifest commit lost the optimistic-concurrency race: the
+    * version it targeted was committed by another writer first. The
+    * retry loops ([[commitAppendRetrying]], [[commitCompactRetrying]])
+    * catch this, re-resolve, and recompute their delta — it never
+    * escapes to callers. */
+  private[graft] final class ManifestConflict(msg: String)
+    extends RuntimeException(msg)
+
+  /** Per-dir commit mutex for IN-PROCESS racers — the local-FS analog
+    * of HDFS's atomic create-exclusive rename (a POSIX rename silently
+    * replaces an existing target, so exists-then-rename needs the
+    * lock to be a CAS within one JVM; cross-process atomicity is the
+    * store's contract, as in every manifest-committed table format). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Atomically commit manifest `version` naming `files` (relative
     * paths under `dir`): write a temp file, then rename — the rename
     * is the commit point, and readers only ever see complete
-    * manifests. */
+    * manifests. `kind` ("full" | "append" | "compact") and `base`
+    * (the snapshot version the writer resolved) are recorded for
+    * forensics; readers ignore them. Throws [[ManifestConflict]] when
+    * `version` was committed by a concurrent writer first. */
   private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
-      dir: String, version: Long, files: Seq[String]): Unit = {
+      dir: String, version: Long, files: Seq[String],
+      kind: String = "full", base: Long = 0L): Unit = {
     import org.apache.hadoop.fs.Path
     val md = manifestsPath(dir)
     f.mkdirs(md)
     val root = jsonMapper.createObjectNode()
     val arr = root.putArray("files")
     files.sorted.foreach(arr.add)
+    root.put("kind", kind)
+    root.put("base", base)
     val tmp = new Path(md,
       s".tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val out = f.create(tmp, true)
     out.write(jsonMapper.writeValueAsString(root).getBytes("UTF-8"))
     out.close()
     val target = new Path(md, f"v$version%012d.json")
-    require(f.rename(tmp, target),
-      s"ArchiveIndex: manifest commit failed for $target " +
-        "(concurrent writer? writes must be single-writer)")
-    ()
+    val lock = commitLocks.computeIfAbsent(md.toString, _ => new Object)
+    val committed = lock.synchronized {
+      if (f.exists(target)) false else f.rename(tmp, target)
+    }
+    if (!committed) {
+      f.delete(tmp, false)
+      if (f.exists(target))
+        throw new ManifestConflict(
+          s"ArchiveIndex: manifest $target already committed by a " +
+            "concurrent writer — re-resolve and retry")
+      throw new IllegalStateException(
+        s"ArchiveIndex: manifest commit rename failed for $target")
+    }
+  }
+
+  /** CAS-retry an APPEND commit: `added` (this writer's staged files,
+    * already on disk under unique names) joins whatever the current
+    * snapshot is when the commit finally wins — the append never needs
+    * to abort because appends commute. */
+  private[graft] def commitAppendRetrying(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, added: Seq[String]): Unit = {
+    var attempts = 0
+    while (true) {
+      val addedSet = added.toSet
+      val (base, files) =
+        try manifestVersions(f, dir).lastOption match {
+          case Some((v, p)) => (v, readManifestFiles(f, p))
+          case None => // legacy dir: adopt what predates this append
+            (0L, listDataFiles(f, dir).filterNot(addedSet.contains))
+        } catch { // current manifest GC'd under us mid-read: re-resolve
+          case _: java.io.FileNotFoundException => (-1L, Seq.empty[String])
+        }
+      if (base >= 0L) {
+        try {
+          commitManifest(f, dir, base + 1, files ++ added, "append", base)
+          return
+        } catch { case _: ManifestConflict => () }
+      }
+      attempts += 1
+      require(attempts < 64,
+        s"ArchiveIndex: append commit at $dir lost $attempts CAS races " +
+          "— pathological contention, giving up")
+    }
+  }
+
+  /** CAS-retry a COMPACTION commit of `packed` (the rewrite of base
+    * snapshot `baseFiles` at `baseVersion`). Files appended since the
+    * base are carried forward (`latest − base`); returns false — the
+    * caller must delete `packed` as orphans — when the latest snapshot
+    * no longer contains the base (another compaction already rewrote
+    * these inputs; committing ours would duplicate every row). */
+  private[graft] def commitCompactRetrying(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, baseVersion: Long, baseFiles: Set[String],
+      packed: Seq[String]): Boolean = {
+    var attempts = 0
+    while (true) {
+      val resolved =
+        try Some(manifestVersions(f, dir).last)
+          .map { case (v, p) =>
+            (v, if (v == baseVersion) baseFiles
+                else readManifestFiles(f, p).toSet)
+          }
+        catch { case _: java.io.FileNotFoundException => None }
+      resolved match {
+        case Some((latest, latestFiles)) =>
+          if (latest != baseVersion && !baseFiles.subsetOf(latestFiles))
+            return false // inputs rewritten: the other compaction won
+          val carried = (latestFiles -- baseFiles).toSeq
+          try {
+            commitManifest(f, dir, latest + 1, packed ++ carried,
+              "compact", baseVersion)
+            return true
+          } catch { case _: ManifestConflict => () }
+        case None => ()
+      }
+      attempts += 1
+      require(attempts < 64,
+        s"ArchiveIndex: compact commit at $dir lost $attempts CAS " +
+          "races — pathological contention, giving up")
+    }
+    false // unreachable
   }
 
   /** Relative paths of every data file physically present under the
@@ -179,12 +298,20 @@ object ArchiveIndex {
       case None => spark.read.parquet(dir)
     }
 
-  /** Garbage-collect files no surviving manifest references: drop all
-    * manifests below the current version whose age exceeds
-    * `gcGraceMs`, then delete data files referenced by none of the
-    * remaining manifests and older than the grace themselves. A reader
-    * that resolved a snapshot within the grace window still finds its
-    * files intact. */
+  /** Garbage-collect files no surviving manifest references. The grace
+    * is keyed to SUPERSESSION time, not creation time (r13 ADVICE): a
+    * superseded manifest is dropped only once the manifest that
+    * SUPERSEDED it (its successor in version order) is older than
+    * `gcGraceMs` — so a data file written hours ago but compacted away
+    * a millisecond ago stays referenced (via its retained manifest)
+    * for the full grace window, and a reader that resolved the
+    * previous snapshot finishes its scan against intact files however
+    * old those files are. Data files referenced by NO surviving
+    * manifest are then deleted once their own age exceeds the grace —
+    * the own-mtime condition is what protects a concurrent appender's
+    * staged-but-not-yet-committed files (fresh mtime, no reference
+    * yet), which is why multi-writer deployments must run GC with a
+    * grace longer than an appender's stage-to-commit window. */
   private[graft] def gcUnreferenced(spark: SparkSession, dir: String,
       gcGraceMs: Long): Unit = {
     import org.apache.hadoop.fs.Path
@@ -193,21 +320,31 @@ object ArchiveIndex {
     if (versions.isEmpty) return
     val cutoff = System.currentTimeMillis() - gcGraceMs
     val current = versions.last._1
-    versions.dropRight(1).foreach { case (_, p) =>
-      if (f.getFileStatus(p).getModificationTime <= cutoff)
-        f.delete(p, false)
+    versions.dropRight(1).zip(versions.drop(1)).foreach {
+      case ((_, p), (_, successor)) =>
+        val supersededAt =
+          try f.getFileStatus(successor).getModificationTime
+          catch { // successor GC'd by a racing pass: treat as long ago
+            case _: java.io.FileNotFoundException => Long.MinValue
+          }
+        if (supersededAt <= cutoff) f.delete(p, false)
     }
     val referenced = manifestVersions(f, dir)
-      .flatMap { case (_, p) => readManifestFiles(f, p) }.toSet
+      .flatMap { case (_, p) =>
+        try readManifestFiles(f, p)
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      }.toSet
     listDataFiles(f, dir).foreach { rel =>
       val p = new Path(s"$dir/$rel")
-      if (!referenced.contains(rel) &&
-          f.getFileStatus(p).getModificationTime <= cutoff)
+      val mtime =
+        try f.getFileStatus(p).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (!referenced.contains(rel) && mtime <= cutoff)
         f.delete(p, false)
     }
-    // current manifest version is never GC'd, so `current` stays the
-    // floor the next commit increments from
-    require(manifestVersions(f, dir).last._1 == current,
+    // the current manifest version is never GC'd (a concurrent commit
+    // may have advanced past it, never below)
+    require(manifestVersions(f, dir).last._1 >= current,
       s"ArchiveIndex.gcUnreferenced: current manifest lost at $dir")
   }
 
@@ -224,7 +361,19 @@ object ArchiveIndex {
       .repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(dir)
     val f = fs(df.sparkSession, dir)
-    commitManifest(f, dir, 1L, listDataFiles(f, dir))
+    val files = listDataFiles(f, dir)
+    if (files.isEmpty) {
+      // refuse the empty write up front (r13 ADVICE): committing an
+      // empty v1 manifest would make every later read require-fail —
+      // a legitimately-empty table permanently unreadable. Clean the
+      // dir so a retry with rows can reuse the path.
+      f.delete(new org.apache.hadoop.fs.Path(dir), true)
+      throw new IllegalArgumentException(
+        s"ArchiveIndex.writeBucketedTable: refusing to commit an EMPTY " +
+          s"table at $dir — write once the table has rows, or guard " +
+          "the empty frame at the call site")
+    }
+    commitManifest(f, dir, 1L, files)
   }
 
   /** Append a batch's rows INTO an existing bucket layout — the stream
@@ -232,22 +381,45 @@ object ArchiveIndex {
     * probes prune against, made visible ATOMICALLY by the manifest
     * commit (snapshot N+1 = snapshot N + exactly the files this write
     * produced; orphans from an earlier crashed append are already on
-    * disk before the write and are never adopted). [[compact]] is the
-    * matching maintenance pass that keeps per-bucket file counts at
-    * the packed floor. */
+    * disk before the write and are never adopted). MULTI-writer safe:
+    * the batch is STAGED under a private temp dir and moved into the
+    * live bucket dirs under a fresh unique prefix — the writer knows
+    * exactly which files are its own without a before/after listing
+    * diff (which would claim a concurrent appender's files), and the
+    * manifest commit CAS-retries against whatever snapshot is current
+    * when it wins. [[compact]] is the matching maintenance pass that
+    * keeps per-bucket file counts at the packed floor. */
   def appendBucketedTable(df: DataFrame, keyCol: String, dir: String,
       nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
     val f = fs(df.sparkSession, dir)
-    val versions = manifestVersions(f, dir)
-    val (curVersion, curFiles) = versions.lastOption match {
-      case Some((v, p)) => (v, readManifestFiles(f, p))
-      case None => (0L, listDataFiles(f, dir)) // legacy dir: adopt
-    }
-    val before = listDataFiles(f, dir).toSet
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val staged = new Path(dir, s"_append_tmp-$tag")
     df.withColumn("bkt", bktCol(keyCol, nBuckets))
-      .write.partitionBy("bkt").mode("append").parquet(dir)
-    val added = listDataFiles(f, dir).filterNot(before.contains)
-    commitManifest(f, dir, curVersion + 1, curFiles ++ added)
+      .write.partitionBy("bkt").parquet(staged.toString)
+    val added = f.listStatus(staged).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bkt="))
+      .flatMap { d =>
+        f.listStatus(d.getPath).toSeq
+          .filter(x => x.isFile && x.getPath.getName.endsWith(".parquet"))
+          .map { x =>
+            val rel = s"${d.getPath.getName}/a$tag-${x.getPath.getName}"
+            val target = new Path(s"$dir/$rel")
+            f.mkdirs(target.getParent)
+            require(f.rename(x.getPath, target),
+              s"ArchiveIndex.appendBucketedTable: staging move failed " +
+                s"for $target")
+            rel
+          }
+      }
+    f.delete(staged, true)
+    // an empty batch commits nothing (and never creates the empty-v1
+    // manifest that would make the table unreadable); a first append
+    // onto a legacy manifest-less dir still adopts its files into v1
+    if (added.nonEmpty ||
+        (manifestVersions(f, dir).isEmpty && listDataFiles(f, dir).nonEmpty))
+      commitAppendRetrying(f, dir, added)
   }
 
   /** Build and write the full three-table index of `archive`. */
@@ -348,7 +520,10 @@ object ArchiveIndex {
       case None =>
         val files = listDataFiles(f, dir)
         if (files.isEmpty) return
-        commitManifest(f, dir, 1L, files); 1L
+        try { commitManifest(f, dir, 1L, files); 1L }
+        catch { case _: ManifestConflict => // concurrent adopter won
+          manifestVersions(f, dir).last._1
+        }
     }
     val liveFiles = currentManifest(spark, dir).get
     if (liveFiles.isEmpty) return
@@ -392,7 +567,18 @@ object ArchiveIndex {
           }
       }
     f.delete(staged, true)
-    commitManifest(f, dir, gen, packed)
+    // CAS commit: carry forward files appended since our base
+    // snapshot; if another compaction rewrote our inputs first, abort
+    // and delete our own packed output (the work is already done —
+    // committing a second rewrite would duplicate every row)
+    val won = commitCompactRetrying(f, dir, curVersion,
+      liveFiles.toSet, packed)
+    if (!won) {
+      packed.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
+      org.apache.spark.sql.graftbridge.Bridge
+        .invalidateFileStatusCache(spark)
+      return
+    }
     gcUnreferenced(spark, dir, gcGraceMs)
     // drop the session's cached file listings: a later read or
     // partitioned append would otherwise re-list GC'd files from the

@@ -553,11 +553,17 @@ object Curation {
     * Scale: appends are O(batch) distributed writes into the bucketed
     * layout; compaction cost is bounded by file count
     * ([[compactionPlan]] on the manifest); nothing archive-sized is
-    * read beyond the indexes the probe already touches. */
+    * read beyond the indexes the probe already touches. `gcGraceMs`
+    * is threaded to the maintenance pass's GC: the default 0 is the
+    * single-process loop (this caller is the only reader between
+    * batches); a deployment with EXTERNAL concurrent readers or
+    * appenders passes a grace ≥ its max scan / stage-to-commit
+    * duration, per the [[ArchiveIndex]] concurrency contract. */
   def corpusBuildIncrementalCommit(incoming: DataFrame, textCol: String,
       idCol: String, archiveDir: String, minQuality: Double, n: Int = 3,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
-      compactTargetBytes: Long = 128L << 20): (DataFrame, DataFrame) = {
+      compactTargetBytes: Long = 128L << 20,
+      gcGraceMs: Long = 0L): (DataFrame, DataFrame) = {
     val spark = incoming.sparkSession
     val nB = ArchiveIndex.nBuckets(spark, archiveDir)
     val scope = graft.ops.CacheScope.mark()
@@ -585,7 +591,7 @@ object Curation {
       ArchiveIndex.ibDir(archiveDir), nB)
     ArchiveIndex.appendBucketedTable(ih, "id",
       ArchiveIndex.ihDir(archiveDir), nB)
-    ArchiveIndex.compact(spark, archiveDir, compactTargetBytes)
+    ArchiveIndex.compact(spark, archiveDir, compactTargetBytes, gcGraceMs)
     (pinned, receipt)
   }
 

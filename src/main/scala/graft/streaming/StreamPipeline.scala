@@ -1155,7 +1155,8 @@ object StreamPipeline {
   def lshDedupGrowPrunedStart(incoming: DataFrame, threshold: Double,
       nBuckets: Int, pairsDir: String, ibDir: String, ihDir: String,
       ckptDir: String, availableNow: Boolean, compactEvery: Int = 16,
-      compactTargetBytes: Long = 128L << 20): StreamingQuery = {
+      compactTargetBytes: Long = 128L << 20,
+      gcGraceMs: Long = 0L): StreamingQuery = {
     val spark = incoming.sparkSession
     applyConfiguredStateStore(spark)
     if (compactEvery <= 0)
@@ -1179,8 +1180,8 @@ object StreamPipeline {
         bBands.unpersist(blocking = false)
         bHs.unpersist(blocking = false)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          compactBucketedIndex(spark, ibDir, compactTargetBytes)
-          compactBucketedIndex(spark, ihDir, compactTargetBytes)
+          compactBucketedIndex(spark, ibDir, compactTargetBytes, gcGraceMs)
+          compactBucketedIndex(spark, ihDir, compactTargetBytes, gcGraceMs)
         }
         ()
       }
@@ -1208,16 +1209,21 @@ object StreamPipeline {
     * packed files land ALONGSIDE the old generation and become live by
     * ONE manifest commit (r12 VERDICT #1): concurrent readers resolve
     * a consistent snapshot on either side of the commit, and old files
-    * are GC'd only past the grace window — writes stay single-writer
-    * (this loop), reads need no coordination. Row content is
+    * are GC'd only once their SUPERSESSION is past the grace window —
+    * commits are multi-writer safe by optimistic CAS (r13 VERDICT #1,
+    * [[graft.ext.ArchiveIndex]]), reads need no coordination;
+    * `gcGraceMs = 0` (default) is the single-process loop, and a
+    * deployment with external concurrent readers or appenders passes a
+    * grace ≥ its max scan / stage-to-commit duration. Row content is
     * untouched — compaction is lossless by construction, and
     * `q_stream_dedup_lsh_grow_compact` pins that end-to-end by sharing
     * the uncompacted grow oracle verbatim. Implementation lives with
     * the unified format ([[graft.ext.ArchiveIndex.compactBucketedDir]])
     * — one maintenance pass for every consumer of the layout. */
   def compactBucketedIndex(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit =
-    graft.ext.ArchiveIndex.compactBucketedDir(spark, dir, targetBytes)
+      targetBytes: Long = 128L << 20, gcGraceMs: Long = 0L): Unit =
+    graft.ext.ArchiveIndex.compactBucketedDir(spark, dir, targetBytes,
+      gcGraceMs)
 
   /** Write the [[graft.ext.TextDedup.lshIndex]] frames of `archive` as
     * the bucket-partitioned on-disk index [[lshDedupPrunedStart]]
@@ -1284,7 +1290,8 @@ object StreamPipeline {
   def corpusCommitStart(incoming: DataFrame, textCol: String,
       idCol: String, archiveDir: String, outDir: String,
       minQuality: Double, ckptDir: String, availableNow: Boolean,
-      compactTargetBytes: Long = 128L << 20): StreamingQuery = {
+      compactTargetBytes: Long = 128L << 20,
+      gcGraceMs: Long = 0L): StreamingQuery = {
     val spark = incoming.sparkSession
     applyConfiguredStateStore(spark)
     val writer = incoming.writeStream
@@ -1293,7 +1300,8 @@ object StreamPipeline {
         val (cleaned, _) =
           graft.ext.Curation.corpusBuildIncrementalCommit(
             batch, textCol, idCol, archiveDir, minQuality,
-            compactTargetBytes = compactTargetBytes)
+            compactTargetBytes = compactTargetBytes,
+            gcGraceMs = gcGraceMs)
         cleaned.select(col(idCol), col("source"),
             lit(batchId).as("wave"))
           .write.mode("append").parquet(outDir)

@@ -268,6 +268,179 @@ class ArchiveIndexSpec extends SparkSpec {
     } finally rm(base.toFile)
   }
 
+  private def hadoopFs(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("multi-writer CAS: two interleaved appenders both land — both " +
+      "batches visible, versions strictly increasing, no lost update") {
+    import spark.implicits._
+    val archive = archiveRows.toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-cas")
+    try {
+      val dir = s"$base/fp"
+      ArchiveIndex.writeBucketedTable(
+        TextDedup.exactDedup(archive, "text", "id"), "fp", dir, 8)
+      def fpSet() = ArchiveIndex.readBucketedTable(spark, dir)
+        .select("fp", "representative_id", "n_copies").collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      val before = fpSet()
+      val batchA = TextDedup.exactDedup(Seq(
+        (100L, "writer a first doc entirely fresh words"),
+        (101L, "writer a second doc other fresh words")).toDF("id", "text"),
+        "text", "id").localCheckpoint()
+      val batchB = TextDedup.exactDedup(Seq(
+        (200L, "writer b first doc distinct vocabulary here"),
+        (201L, "writer b second doc more distinct vocabulary"))
+        .toDF("id", "text"), "text", "id").localCheckpoint()
+      val wantA = batchA.collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      val wantB = batchB.collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      // align the two appenders on a latch so their stage+commit
+      // windows overlap as tightly as the scheduler allows
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val ts = Seq(batchA, batchB).map { b =>
+        new Thread(() => {
+          try { gate.await(); ArchiveIndex.appendBucketedTable(b, "fp", dir, 8) }
+          catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      assert(errs.isEmpty, s"appender failed: ${errs.peek()}")
+      assert(fpSet() == before ++ wantA ++ wantB,
+        "a concurrent append was lost or corrupted")
+      // versions strictly increasing: v1 (write) + one commit per append
+      val f = hadoopFs(dir)
+      val versions = Option(new java.io.File(s"$dir/_manifests")
+        .listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.matches("v\\d{12}\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted
+      assert(versions.toSeq == Seq(1L, 2L, 3L),
+        s"expected versions 1,2,3 after two racing appends: " +
+          versions.mkString(","))
+    } finally rm(base.toFile)
+  }
+
+  test("compact-vs-append CAS: a compaction whose base was appended to " +
+      "carries the appended files forward; a compaction whose inputs " +
+      "another compaction rewrote ABORTS (loser retries/aborts, no " +
+      "double rows)") {
+    import spark.implicits._
+    val archive = archiveRows.toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-cvc")
+    try {
+      val dir = s"$base/fp"
+      ArchiveIndex.writeBucketedTable(
+        TextDedup.exactDedup(archive, "text", "id"), "fp", dir, 4)
+      val f = hadoopFs(dir)
+      val baseFiles = ArchiveIndex.currentManifest(spark, dir).get.toSet
+      // an append lands AFTER the compactor resolved `baseFiles`
+      ArchiveIndex.appendBucketedTable(
+        TextDedup.exactDedup(
+          Seq((50L, "racing appended doc with novel words"))
+            .toDF("id", "text"), "text", "id"), "fp", dir, 4)
+      val appended = ArchiveIndex.currentManifest(spark, dir).get.toSet
+      val appendedOnly = appended -- baseFiles
+      assert(appendedOnly.nonEmpty)
+      // fabricate the compactor's packed output for base snapshot v1:
+      // byte-copies of the base files under generation names
+      def fabricate(tag: String): Seq[String] = baseFiles.toSeq.map { rel =>
+        val Array(bkt, name) = rel.split('/')
+        val out = s"$bkt/g$tag-$name"
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/$rel"),
+          java.nio.file.Paths.get(s"$dir/$out"))
+        out
+      }
+      val packed1 = fabricate("A")
+      assert(ArchiveIndex.commitCompactRetrying(
+          f, dir, 1L, baseFiles, packed1),
+        "compaction racing an APPEND must win after carrying the delta")
+      val after = ArchiveIndex.currentManifest(spark, dir).get.toSet
+      assert(after == packed1.toSet ++ appendedOnly,
+        s"carried-forward manifest wrong: $after")
+      // a SECOND compaction of the same stale base must abort: its
+      // inputs are no longer in the live snapshot
+      val packed2 = fabricate("B")
+      assert(!ArchiveIndex.commitCompactRetrying(
+          f, dir, 1L, baseFiles, packed2),
+        "compaction whose inputs were rewritten must abort, not commit")
+      assert(ArchiveIndex.currentManifest(spark, dir).get.toSet == after,
+        "aborted compaction mutated the manifest")
+    } finally rm(base.toFile)
+  }
+
+  test("GC grace keys on SUPERSESSION time: a file written long ago " +
+      "but compacted away a moment ago survives the grace window") {
+    import spark.implicits._
+    val archive = archiveRows.toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-grace")
+    try {
+      val dir = s"$base/fp"
+      ArchiveIndex.writeBucketedTable(
+        TextDedup.exactDedup(archive, "text", "id"), "fp", dir, 8)
+      def fpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      // age BOTH the v1 manifest and its data files two hours into the
+      // past — the scenario where a creation-mtime grace breaks: the
+      // files' own age already exceeds any reasonable grace
+      val old = System.currentTimeMillis() - 2L * 3600 * 1000
+      ArchiveIndex.currentManifest(spark, dir).get.foreach { rel =>
+        assert(new java.io.File(s"$dir/$rel").setLastModified(old))
+      }
+      assert(new java.io.File(s"$dir/_manifests/v000000000001.json")
+        .setLastModified(old))
+      val pinned = ArchiveIndex.readBucketedTable(spark, dir)
+        .select("fp", "representative_id", "n_copies")
+      val want = fpSet(pinned)
+      // compact with a ONE-hour grace: supersession is NOW, so nothing
+      // may be deleted even though every superseded file is 2h old
+      ArchiveIndex.compactBucketedDir(spark, dir,
+        gcGraceMs = 3600L * 1000)
+      def oldGenFiles() =
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("bkt="))
+          .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+          .map(_.getName).filter(n => n.endsWith(".parquet") &&
+            !n.startsWith("g"))
+      assert(oldGenFiles().nonEmpty,
+        "grace keyed on creation time: old-but-just-superseded files " +
+          "were GC'd inside the window")
+      assert(fpSet(pinned) == want,
+        "reader pinned to the pre-compaction snapshot lost its files")
+      // and a grace-0 pass still collects them afterwards
+      ArchiveIndex.gcUnreferenced(spark, dir, gcGraceMs = 0L)
+      assert(oldGenFiles().isEmpty)
+    } finally rm(base.toFile)
+  }
+
+  test("empty writes are refused up front; empty appends commit " +
+      "nothing (no version churn, table stays readable)") {
+    import spark.implicits._
+    val archive = archiveRows.toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-empty")
+    try {
+      val dir = s"$base/fp"
+      val empty = TextDedup.exactDedup(archive, "text", "id")
+        .filter(lit(false))
+      val e = intercept[IllegalArgumentException] {
+        ArchiveIndex.writeBucketedTable(empty, "fp", dir, 8)
+      }
+      assert(e.getMessage.contains("EMPTY"), e.getMessage)
+      assert(!new java.io.File(dir).exists(),
+        "refused write left a half-written dir behind")
+      // a real write then succeeds at the same path
+      ArchiveIndex.writeBucketedTable(
+        TextDedup.exactDedup(archive, "text", "id"), "fp", dir, 8)
+      val v = ArchiveIndex.currentManifest(spark, dir).get.toSet
+      ArchiveIndex.appendBucketedTable(empty, "fp", dir, 8)
+      assert(ArchiveIndex.currentManifest(spark, dir).get.toSet == v,
+        "empty append committed a new manifest version")
+    } finally rm(base.toFile)
+  }
+
   test("layout parse is versioned: an unknown version fails loudly " +
       "instead of being regex-guessed") {
     import spark.implicits._
