@@ -1017,13 +1017,15 @@ object Curation {
     // item-keyed agg + the 1-row rescale — not three item joins (bt_w
     // and the previous strength ride the contests join and come back out
     // of the aggregate via first(), identical within each group)
-    var s = wins.select(col("i"), col("bt_w"), lit(1.0).as("s"))
-      .localCheckpoint()
-    // NOTE stats-squaring hazard: `s` feeds the contests join twice per
-    // round (both sides of every pair), so the checkpoint-preserved
-    // sizeInBytes squares per iteration — bounded digits at the default
-    // iteration count; a much deeper fit needs connectedComponents'
-    // freshStats reset (TextDedup.scala) before planning cost explodes.
+    import graft.ops.PlanStats.freshStats
+    // freshStats per round: `s` feeds the contests join twice per round
+    // (both sides of every pair), so without the reset the checkpoint-
+    // preserved sizeInBytes squares per iteration and a caller passing
+    // deep `iters` hits the doubly-exponential planning bomb (PlanStats
+    // scaladoc; r13 VERDICT #4 — the reset makes iters a safe knob)
+    var s = freshStats(
+      wins.select(col("i"), col("bt_w"), lit(1.0).as("s"))
+        .localCheckpoint())
     for (_ <- 1 to iters) {
       val sj = s.select(col("i").as("j"), col("s").as("sj"))
       // `raw` feeds both the rescale normalizer (a broadcast subtree)
@@ -1044,7 +1046,7 @@ object Curation {
       val next = raw.crossJoin(broadcast(tot))
         .select(col("i"), col("bt_w"),
           (col("s") * lit(nItems.toDouble) / col("ssum")).as("s"))
-      val promoted = next.localCheckpoint()
+      val promoted = freshStats(next.localCheckpoint())
       s.unpersist(blocking = false)
       s = promoted
     }

@@ -192,14 +192,14 @@ object Graph {
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct())
-    var labels = nodeF.select(col("node"), col("node").as("label"))
-      .localCheckpoint()
-    // NOTE stats-squaring hazard (the connectedComponents lesson,
-    // TextDedup.scala): `labels` feeds next's plan TWICE per round, so
-    // the checkpoint-preserved sizeInBytes squares each iteration —
-    // bounded digits at the default iters=4 (2^4 factors), but raising
-    // iters past ~15 needs the freshStats reset connectedComponents
-    // applies, or planning cost turns doubly exponential.
+    import graft.ops.PlanStats.freshStats
+    // freshStats per round: `labels` feeds next's plan TWICE (join +
+    // fallback coalesce), so without the reset the checkpoint-preserved
+    // sizeInBytes squares per iteration and deep `iters` turns planning
+    // doubly exponential (PlanStats scaladoc; r13 VERDICT #4)
+    var labels = freshStats(
+      nodeF.select(col("node"), col("node").as("label"))
+        .localCheckpoint())
     for (_ <- 1 to iters) {
       val nbr = labels
         .join(und, labels("node") === und("src"))
@@ -209,10 +209,10 @@ object Graph {
         .groupBy("node")
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("new_label"))
-      val next = labels.join(sel, Seq("node"), "left")
+      val next = freshStats(labels.join(sel, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint())
       labels.unpersist(blocking = false)
       labels = next
     }
@@ -242,22 +242,24 @@ object Graph {
     * per round: degree, both anti-join sides). */
   def kCore(edges: DataFrame, k: Int, iters: Int = 6): DataFrame = {
     require(k >= 1 && iters >= 1, "kCore: k and iters must be >= 1")
-    var cur = edges
+    import graft.ops.PlanStats.freshStats
+    // freshStats per round: `cur` feeds next's plan THREE times (edge
+    // set + both anti-join degree sets), so without the reset the
+    // checkpoint-preserved sizeInBytes cubes per iteration and deep
+    // peels turn planning doubly exponential (PlanStats scaladoc;
+    // r13 VERDICT #4)
+    var cur = freshStats(edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
-    // NOTE stats-cubing hazard: `cur` feeds next's plan three times per
-    // round (edge set + both anti-join degree sets) — fine at the
-    // bounded default iters, but deep peels need connectedComponents'
-    // freshStats reset (TextDedup.scala) to keep planning O(1)/round.
+      .localCheckpoint())
     for (_ <- 1 to iters) {
       val bad = cur.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select(col("src"))
-      val next = cur
+      val next = freshStats(cur
         .join(bad, Seq("src"), "left_anti")
         .join(bad.select(col("src").as("dst")), Seq("dst"), "left_anti")
-        .select("src", "dst").localCheckpoint()
+        .select("src", "dst").localCheckpoint())
       cur.unpersist(blocking = false)
       cur = next
     }

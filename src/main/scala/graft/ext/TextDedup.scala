@@ -749,24 +749,12 @@ object TextDedup {
     // localCheckpoint, not persist: the pointer-jump self-join would
     // otherwise DOUBLE the logical plan every round (persist caches
     // blocks but keeps the full lineage in the plan tree)
-    // STATS RESET after each round's checkpoint — a driver-side
-    // doubly-exponential planning bomb hides here otherwise (found by
-    // thread-dumping a "hung" sf0.1 run stuck in BigInteger
-    // multiplyToomCook3 inside SizeInBytesOnlyStatsPlanVisitor):
-    // Spark 4's localCheckpoint REWRITES the child plan's statistics
-    // onto the new LogicalRDD (ExistingRDD.rewriteStatsAndConstraints),
-    // and the pointer-jump step below joins that checkpoint WITH
-    // ITSELF, so sizeInBytes SQUARES every round — after R rounds the
-    // stat is a BigInt with ~2^R digits and each further stats visit
-    // costs minutes of Toom-Cook multiplication before any task runs.
-    // (PageRank-style loops are immune: checkpoint ⋈ fixed-stats cache
-    // grows digits linearly per round.) Re-wrapping the checkpointed
-    // RDD via createDataFrame drops the inherited stats back to the
-    // session default, keeping every round's planning O(1); row
-    // conversion is O(|labels|) per round, the same order as the
-    // round's own join.
-    def freshStats(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    // STATS RESET after each round's checkpoint — the pointer-jump
+    // step joins the checkpoint WITH ITSELF, the sizeInBytes-squaring
+    // shape (found here by thread-dumping a "hung" sf0.1 run stuck in
+    // BigInteger.multiplyToomCook3; full mechanics in the canonical
+    // home, graft.ops.PlanStats)
+    import graft.ops.PlanStats.freshStats
     var labels = freshStats(docs
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("rep"))
       .localCheckpoint())

@@ -328,6 +328,43 @@ class Ext2Spec extends SparkSpec {
     assert(sym(10L) == sym(20L))
   }
 
+  test("deep iteration is a safe public knob (r13 VERDICT #4): " +
+      "bradleyTerry, labelPropagation, and kCore complete at iters " +
+      "far past the old stats-squaring horizon and agree with their " +
+      "converged low-iter fixpoints") {
+    import graft.ext.{Curation, Graph}
+    // without the per-round freshStats reset each of these loops
+    // re-feeds its checkpoint 2-3x per round, sizeInBytes squares or
+    // cubes per iteration, and at iters=30 the driver spends effectively
+    // forever inside BigInteger multiplication BEFORE any task runs —
+    // so mere completion here is the load-bearing assertion
+    val matches = Seq(
+      (1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 3L))
+      .toDF("winner", "loser")
+    val deep = Curation.bradleyTerry(matches, "winner", "loser",
+        iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("strength"))
+      .toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(deep.size == 4 && deep.values.forall(_.isFinite))
+    assert(deep(4L) > deep(1L) && deep(1L) > deep(2L))
+    // two bridged triangles: converged communities must match the
+    // default-iters result exactly (fixpoint passes through unchanged)
+    val nodes = (1L to 6L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    def lpa(it: Int) = Graph.labelPropagation(nodes, edges, iters = it)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = lpa(4)
+    graft.ops.CacheScope.releaseAll()
+    assert(lpa(25) == want, "deep LPA drifted off the fixpoint")
+    graft.ops.CacheScope.releaseAll()
+    def core(it: Int) = Graph.kCore(edges, k = 2, iters = it)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantCore = core(6)
+    assert(core(25) == wantCore, "deep kCore drifted off the fixpoint")
+  }
+
   test("curriculumOrder: keys sort bins ascending, interleave sources " +
       "round-robin within a bin, and are collision-free") {
     import graft.ext.Curation
