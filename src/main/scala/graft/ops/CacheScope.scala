@@ -53,6 +53,20 @@ object CacheScope {
     df
   }
 
+  /** Register a `localCheckpoint()`-ed frame for DETERMINISTIC block
+    * release at the next [[releaseAll]]/[[releaseSince]]. A checkpoint
+    * pins its materialized RDD outside the CacheManager, so a plain
+    * `unpersist` is a no-op on it and cleanup is otherwise GC-driven
+    * only (ContextCleaner, whenever the LogicalRDD happens to be
+    * collected) — invoked per bench rep or per registry-lint pass,
+    * those pinned RDDs accumulate exactly like the leaked stage caches
+    * [[releaseSince]] exists to prevent. Release unwraps the frame's
+    * LogicalRDD and unpersists the checkpointed RDD itself. */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    active.get.add(df)
+    df
+  }
+
   /** Position marker for [[releaseSince]]: the number of frames this
     * thread has registered so far. */
   def mark(): Int = active.get.size
@@ -67,7 +81,7 @@ object CacheScope {
     * (below the mark) keep their caller-owned lifetime. */
   def releaseSince(mark: Int): Unit = {
     val q = active.get
-    while (q.size > mark) q.pollLast().unpersist(blocking = false)
+    while (q.size > mark) free(q.pollLast())
   }
 
   /** Unpersist every frame registered ON THIS THREAD. Idempotent;
@@ -77,8 +91,18 @@ object CacheScope {
     val q = active.get
     var df = q.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      free(df)
       df = q.poll()
     }
+  }
+
+  /** CacheManager unpersist for cached frames; checkpoint-RDD
+    * unpersist for [[trackCheckpoint]]-registered frames (a bare
+    * LogicalRDD plan — the unwrap is a no-op on everything else, so
+    * one release path serves both registrations). */
+  private def free(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(df)
+    ()
   }
 }

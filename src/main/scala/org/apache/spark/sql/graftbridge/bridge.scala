@@ -30,6 +30,19 @@ object Bridge {
   def clearCache(spark: SparkSession): Unit =
     spark.asInstanceOf[CSparkSession].sharedState.cacheManager.clearCache()
 
+  /** Unpersist the materialized RDD a `localCheckpoint()`-ed frame
+    * pins (its plan is a [[org.apache.spark.sql.execution.LogicalRDD]]
+    * holding the checkpointed RDD). `Dataset.unpersist` goes through
+    * the CacheManager and is a NO-OP on checkpoint storage — without
+    * this, release is GC-driven only (ContextCleaner). Frames whose
+    * plan is not a bare LogicalRDD are left untouched (false). */
+  def unpersistCheckpoint(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); true
+      case _ => false
+    }
+
   /** Invalidate the session's shared file-status cache — required
     * after a maintenance pass deletes data files OUTSIDE a Spark
     * command (the ArchiveIndex compaction GC): a later read or
