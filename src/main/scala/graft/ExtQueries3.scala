@@ -1202,6 +1202,90 @@ object ExtQueries3 {
       FROM gen"""
     })
 
+  /** MODE-2 RLE8 roundtrip gate (r13 VERDICT #5 —
+    * [[graft.ext.Rle8Codec.encodeRle8Mode2]] carries the full BI_RLE8
+    * command set): per document the SAME generator image is encoded
+    * through absolute blocks, horizontal and vertical deltas, and
+    * early EOLs — stored row 0 skipped outright, cols 3-4 and the last
+    * column of every other row left to the index-0 fill — and every
+    * output column is computed by DECODING THOSE BYTES through the
+    * full-command-set scan. The oracle replays the pixel map (written
+    * cells = generator, skipped cells = 0) AND the length equation
+    * from the command structure itself (1078 + initial delta 4 +
+    * per-row 12 fixed + 2·runs + EOB 2), so a hash match proves the
+    * validator admits well-formed mode-2 streams and the decode/pool
+    * folds fill exactly the skipped cells — the mode-2 twin of
+    * `ext_rle8_roundtrip`. */
+  val rle8Mode2RoundtripQ = Q(
+    "ext_rle8_mode2_roundtrip",
+    (s, d) => {
+      import graft.ext.Rle8Codec
+      val w = (lit(8) + pmod(col("doc_id"), lit(5))).cast("int")
+      val h = (lit(6) + pmod(col("doc_id"), lit(4))).cast("int")
+      val gen = transform(sequence(lit(0), w * h - 1, lit(1)), i =>
+        pmod(col("doc_id") * 7 + floor(i / 4).cast("int") * 13,
+          lit(256)).cast("int"))
+      val enc = Tables.documents(s, d).select(col("doc_id"),
+        Rle8Codec.encodeRle8Mode2(gen, w, h).as("rle"))
+      // everything below reads the BYTES, never the generator
+      val px = Rle8Codec.pixels(col("rle"))
+      val fs = Rle8Codec.rle8Features(col("rle"))
+      enc.select(col("doc_id"),
+        Rle8Codec.isRle8(col("rle")).cast("int").as("is_rle8"),
+        Rle8Codec.width(col("rle")).as("width"),
+        Rle8Codec.height(col("rle")).as("height"),
+        length(col("rle")).as("file_len"),
+        Rle8Codec.numPixels(col("rle")).as("n_px"),
+        aggregate(px, lit(0L), (a, p) =>
+          a + floor(p / 65536).cast("long")
+            + pmod(floor(p / 256).cast("long"), lit(256))
+            + pmod(p, lit(256))).as("sum_rgb"),
+        element_at(px, 1).as("px_first"),
+        element_at(px, -1).as("px_last"),
+        element_at(fs, 1).as("f1"), element_at(fs, 2).as("f2"),
+        element_at(fs, 3).as("f3"), element_at(fs, 4).as("f4"))
+    },
+    Some {
+      def blk(b: Int) =
+        s"""round(CAST(list_sum(list_transform(
+          px[(n*$b//4 + 1):(n*${b + 1}//4)],
+          p -> p // 65536 + (p // 256) % 256 + p % 256)) AS DOUBLE)
+          / (CAST(n*${b + 1}//4 - n*$b//4 AS DOUBLE) * 765.0), 6)"""
+      // written cells carry the generator gray; stored row 0 (logical
+      // bottom), cols 3-4, and the last column of written rows decode
+      // as palette index 0 = black
+      s"""WITH gen AS (
+        SELECT doc_id,
+          8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+          (8 + doc_id % 5) * (6 + doc_id % 4) AS n,
+          list_transform(range(0, (8 + doc_id % 5) * (6 + doc_id % 4)),
+            i -> CASE
+              WHEN i // (8 + doc_id % 5) = (6 + doc_id % 4) - 1 THEN 0
+              WHEN i % (8 + doc_id % 5) IN (3, 4) THEN 0
+              WHEN i % (8 + doc_id % 5) = (8 + doc_id % 5) - 1 THEN 0
+              ELSE CAST(((doc_id*7 + (i//4)*13) % 256) * 65536
+                + ((doc_id*7 + (i//4)*13) % 256) * 256
+                + (doc_id*7 + (i//4)*13) % 256 AS INTEGER) END) AS px
+        FROM documents)
+      SELECT doc_id, 1 AS is_rle8,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(1078 + 4 + 2
+          + list_sum(list_transform(range(0, h - 1), L -> 12
+            + 2 * list_sum(list_transform(range(5, w - 1), c ->
+                CASE WHEN c = 5
+                  OR (L*w + c) // 4 != (L*w + c - 1) // 4
+                THEN 1 ELSE 0 END))))
+          AS INTEGER) AS file_len,
+        CAST(w * h AS BIGINT) AS n_px,
+        CAST(list_sum(list_transform(px,
+          p -> p // 65536 + (p // 256) % 256 + p % 256)) AS BIGINT)
+          AS sum_rgb,
+        px[1] AS px_first, px[n] AS px_last,
+        ${blk(0)} AS f1, ${blk(1)} AS f2, ${blk(2)} AS f3,
+        ${blk(3)} AS f4
+      FROM gen"""
+    })
+
   /** DOWNSAMPLE-THEN-VERIFY over real WAV bytes
     * ([[graft.ext.WavCodec.downsample]] carries the decimation
     * contract): every clip decimated 2× and RE-ENCODED; all reported
@@ -1632,7 +1716,13 @@ object ExtQueries3 {
     // inline generator — and it truncates the five encode expression
     // trees out of every downstream plan (the un-truncated union's
     // treeString grew large enough to OOM cache-name rendering in the
-    // registry-wide plan lint once the RLE8 fold joined the union)
+    // registry-wide plan lint once the RLE8 fold joined the union).
+    // trackCheckpoint (r13 ADVICE): the pinned RDD is released
+    // DETERMINISTICALLY by the consumer's releaseAll instead of
+    // whenever GC collects the frame — invoked per bench rep / lint
+    // pass, unreleased checkpoints accumulate exactly like the stage
+    // caches CacheScope exists to bound
+    graft.ops.CacheScope.trackCheckpoint(
     fam(pmod(p, lit(4)) === 1, sh => BmpCodec.encodeBmp(gen(sh), w, h))
       .unionAll(fam(pmod(p, lit(4)) === 2,
         sh => PpmCodec.encodePpm(gen(sh), w, h)))
@@ -1644,7 +1734,7 @@ object ExtQueries3 {
         .select((p * 2).as("id"),
           concat(lit("OPQ:"), md5(p.cast("string"))).cast("binary")
             .as("payload")))
-      .localCheckpoint()
+      .localCheckpoint())
   }
 
   /** Shared oracle chain for the multimodal pipeline: replay pixel /
@@ -2097,5 +2187,5 @@ object ExtQueries3 {
     bmpRoundtripQ, bmpDhashQ, bmpExposureQ, lshDedupPrunedQ,
     videoBmpFramesQ, videoBmpSharedQ, dqQuarantineStreamQ,
     multimodalE2eQ, multimodalFunnelQ, ppmRoundtripQ, pgmRoundtripQ,
-    rle8RoundtripQ)
+    rle8RoundtripQ, rle8Mode2RoundtripQ)
 }

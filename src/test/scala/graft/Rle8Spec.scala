@@ -61,28 +61,24 @@ class Rle8Spec extends SparkSpec {
   }
 
   test("isRle8 validator: rejects plain BMP, truncation, " +
-      "concatenation, absolute mode, delta mode, and short rows; " +
-      "run-cap 255 and degenerate dims roundtrip") {
+      "concatenation, and malformed mode-2 commands; accepts the full " +
+      "command set with index-0 fills; run-cap 255 and degenerate " +
+      "dims roundtrip") {
     import spark.implicits._
     val (grays, w, h) = genCols(lit(5L))
     val rgb = transform(grays, g => (g * 65536 + g * 256 + g).cast("int"))
     val base = spark.range(1).select(
         Rle8Codec.encodeRle8(grays, w, h).as("rle"),
-        BmpCodec.encodeBmp(rgb, w, h).as("bmp"))
+        BmpCodec.encodeBmp(rgb, w, h).as("bmp"),
+        w.as("w"), h.as("h"))
       .collect()(0)
     val rle = base.getAs[Array[Byte]](0)
     val bmp = base.getAs[Array[Byte]](1)
-    // byte surgery on the first command (offset 1078): absolute mode
-    // marker (00 03) and delta (00 02) are non-canonical and must fail
+    val (wv, hv) = (base.getInt(2), base.getInt(3))
     def mutate(b: Array[Byte], off: Int, v: Array[Byte]): Array[Byte] = {
       val c = b.clone(); v.zipWithIndex.foreach { case (x, i) =>
         c(off + i) = x }; c
     }
-    val absMode = mutate(rle, 1078, Array(0, 3))
-    val delta = mutate(rle, 1078, Array(0, 2))
-    // shrink the first run by one (count byte), leaving the row short
-    val shortRow = mutate(rle, 1078,
-      Array(((rle(1078) & 0xff) - 1).toByte))
     def check(name: String, payload: Array[Byte]): Boolean =
       spark.range(1)
         .select(Rle8Codec.isRle8(lit(payload)).as(name))
@@ -93,9 +89,43 @@ class Rle8Spec extends SparkSpec {
       .getBoolean(0), "an RLE8 must not pass isBmp")
     assert(!check("trunc", rle.dropRight(2)), "truncation must fail")
     assert(!check("cat", rle ++ rle), "concatenation must fail")
-    assert(!check("abs", absMode), "absolute mode must fail")
-    assert(!check("delta", delta), "delta mode must fail")
-    assert(!check("short", shortRow), "a short row must fail")
+    // full command set (r13 VERDICT #5): an EARLY-closed row is now a
+    // defined stream — the dropped pixel decodes as palette index 0
+    // (black under the grayscale ramp), never a half-decode
+    val shortRow = mutate(rle, 1078,
+      Array(((rle(1078) & 0xff) - 1).toByte))
+    assert(check("short", shortRow),
+      "early-EOL (mode-2 semantics) must now validate")
+    val shortPx = spark.range(1)
+      .select(Rle8Codec.pixels(lit(shortRow)).as("px"))
+      .collect()(0).getSeq[Int](0)
+    val fullPx = spark.range(1)
+      .select(Rle8Codec.pixels(lit(rle)).as("px"))
+      .collect()(0).getSeq[Int](0)
+    assert(shortPx.size == wv * hv, "fill must keep the pixel count")
+    // stored row 0 = logical LAST row; its tail pixel is the fill
+    assert(shortPx.last == 0x000000, "early-EOL tail must be index 0")
+    // cols before the shortened run's effect match a left-shift of the
+    // original row; every other row is untouched
+    assert(shortPx.take(wv * (hv - 1)) == fullPx.take(wv * (hv - 1)),
+      "early EOL on stored row 0 leaked into other rows")
+    // malformed mode-2 commands still fail shut:
+    // absolute block overflowing its row (n = w+1 literals)
+    val absOverflow = mutate(rle, 1078, Array(0, (wv + 1).toByte))
+    assert(!check("absOv", absOverflow),
+      "absolute block wider than the row must fail")
+    // delta jumping below the bitmap (dy past the last stored row)
+    val deltaOut = mutate(rle, 1078, Array(0, 2, 0, hv.toByte))
+    assert(!check("deltaOut", deltaOut),
+      "delta jumping out of the bitmap must fail")
+    // truncated delta: 00 02 as the FINAL two bytes (args missing)
+    val deltaTrunc = mutate(rle, rle.length - 2, Array(0, 2))
+    assert(!check("deltaTrunc", deltaTrunc),
+      "delta without arguments must fail")
+    // truncated absolute: data would run past the stream end
+    val absTrunc = mutate(rle, rle.length - 2, Array(0, 3))
+    assert(!check("absTrunc", absTrunc),
+      "absolute data past the stream end must fail")
     // run cap: a 300-wide constant row must split at 255 and roundtrip
     val wide = spark.range(1).select(
         Rle8Codec.encodeRle8(
