@@ -3223,6 +3223,44 @@ object ExtQueries {
       SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5"""))
 
+  /** The PERSISTED IVF index probed from disk (r13 VERDICT stretch):
+    * the same seed centroids and deterministic search as
+    * `ext_sim_ivf_topk`, but the index lives as an
+    * [[graft.ext.ArchiveIndex]]-lifecycle artifact — centroid +
+    * assignment tables written bucket-partitioned (vec table bucketed
+    * on `cluster`, the probe key), GROWN incrementally (odd vec_ids
+    * appended against the committed centroids — the dedup archive's
+    * day-N semantics applied to retrieval), compacted to the packed
+    * floor, then searched with the probed clusters' buckets as the
+    * ONLY assignment partitions read. The oracle is
+    * `ext_sim_ivf_topk`'s VERBATIM: hash-equality proves the full
+    * write → grow → compact → bucket-pruned probe lifecycle is
+    * row-identical to the session-frame search. */
+  val simIvfDisk = Q(
+    "ext_sim_ivf_disk_topk",
+    (s, d) => {
+      import graft.ext.{ArchiveIndex, IvfIndex}
+      val emb = Tables.embeddings(s, d)
+      val model = IvfIndex.seedModel(emb, nlist = 8)
+      val base = java.nio.file.Files.createTempDirectory("graft-ivfdisk")
+      try {
+        IvfIndex.writeIndex(emb.filter(col("vec_id") % 2 === 0), model,
+          base.toString, nBuckets = 8)
+        IvfIndex.appendVectors(emb.filter(col("vec_id") % 2 === 1),
+          base.toString)
+        IvfIndex.compactIndex(s, base.toString)
+        ArchiveIndex.localFrame(IvfIndex.searchOnDisk(s, base.toString,
+          col("vec_id") < 8, k = 5, nprobe = 2))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(base.toFile)
+      }
+    },
+    simIvf.oracle)
+
   /** PQ ANN, oracle-checked end to end: deterministic seed codebooks
     * ([[graft.ext.PqIndex.seedModel]] — subvectors of the 32 md5-smallest
     * vectors) drive the NATIVE encode/LUT kernels
@@ -5585,7 +5623,7 @@ object ExtQueries {
     corpusBuildDay3, corpusBuildDay3Funnel, streamCorpusCommit,
     corpusDqStream, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
-    simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simPq, simIvfPq,
+    simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simIvfDisk, simPq, simIvfPq,
     rpReduce, rpRecallQ, mmrRerankQ, sparseCosine, ndcgQ,
     clusterBalanced, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, mmDhash,

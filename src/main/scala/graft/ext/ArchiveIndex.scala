@@ -433,6 +433,13 @@ object ArchiveIndex {
     val (ib, ih) = TextDedup.lshIndex(archive, textCol, idCol, n, k, bands)
     writeBucketedTable(ib, "band", ibDir(dir), nBuckets)
     writeBucketedTable(ih, "id", ihDir(dir), nBuckets)
+    writeLayout(spark, dir, nBuckets)
+  }
+
+  /** Write the self-describing layout file at an artifact root — shared
+    * by every consumer of the bucket/manifest lifecycle (the text-dedup
+    * three-table index above; [[IvfIndex]]'s persisted ANN index). */
+  def writeLayout(spark: SparkSession, dir: String, nBuckets: Int): Unit = {
     val f = fs(spark, dir)
     val out = f.create(
       new org.apache.hadoop.fs.Path(layoutPath(dir)), true)

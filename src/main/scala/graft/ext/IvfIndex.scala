@@ -187,6 +187,107 @@ object IvfIndex {
         col("t.rank").as("rank"))
   }
 
+  // ---- persisted index (r13 VERDICT stretch) -------------------------------
+  // The retrieval analog of the dedup archive's day-N grow: centroids +
+  // assignments live as bucket-partitioned tables under the ONE
+  // manifest-committed [[ArchiveIndex]] lifecycle the engine already
+  // trusts — snapshot manifests, CAS multi-writer commits, compaction
+  // to the packed floor, supersession-graced GC. The vec table buckets
+  // on `cluster`, so a probe's read volume is its probed clusters'
+  // buckets (partition pruning at planning time), never the corpus.
+
+  /** Centroid table subdir (nlist rows — tiny, read-collected). */
+  def cenDir(dir: String): String = s"$dir/cen"
+
+  /** Assignment table subdir (vec_id, embedding, cluster; bucketed on
+    * cluster — the probe key). */
+  def vecDir(dir: String): String = s"$dir/vec"
+
+  /** Write the full persisted index: centroid table, deterministic
+    * assignments, and the self-describing layout root. */
+  def writeIndex(emb: DataFrame, m: Model, dir: String,
+      nBuckets: Int): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cen = m.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+    ArchiveIndex.writeBucketedTable(cen, "centroid_id", cenDir(dir),
+      math.min(nBuckets, 4))
+    ArchiveIndex.writeBucketedTable(
+      emb.withColumn("cluster", nearestCentroidDet(col("embedding"), m))
+        .select(col("vec_id"), col("embedding"), col("cluster")),
+      "cluster", vecDir(dir), nBuckets)
+    ArchiveIndex.writeLayout(spark, dir, nBuckets)
+  }
+
+  /** Recover the centroid model from the on-disk table — bounded at
+    * nlist rows (the k·d driver budget every ANN variant shares). */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Model = {
+    val rows = ArchiveIndex.readBucketedTable(spark, cenDir(dir))
+      .select(col("centroid_id"), col("centroid"))
+      .orderBy(col("centroid_id")).collect()
+    Model(rows.map(_.getAs[scala.collection.Seq[Float]](1).toArray))
+  }
+
+  /** Incremental GROW: assign a new batch against the COMMITTED
+    * centroids and append into the bucket layout — tomorrow's vectors
+    * become probe-visible without re-reading or re-assigning the
+    * archive, the day-N semantics of the dedup commit loop. */
+  def appendVectors(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val nB = ArchiveIndex.nBuckets(spark, dir)
+    val m = readModel(spark, dir)
+    ArchiveIndex.appendBucketedTable(
+      emb.withColumn("cluster", nearestCentroidDet(col("embedding"), m))
+        .select(col("vec_id"), col("embedding"), col("cluster")),
+      "cluster", vecDir(dir), nB)
+  }
+
+  /** Maintenance pass over both tables (file-count-bounded). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20, gcGraceMs: Long = 0L): Unit = {
+    ArchiveIndex.compactBucketedDir(spark, cenDir(dir), targetBytes,
+      gcGraceMs)
+    ArchiveIndex.compactBucketedDir(spark, vecDir(dir), targetBytes,
+      gcGraceMs)
+  }
+
+  /** [[searchDeterministic]] against the ON-DISK index: queries resolve
+    * their probe clusters from the committed centroids, the probed
+    * clusters' BUCKETS are the only assignment partitions read
+    * (bkt-pruned through the manifest snapshot — the
+    * constant-read-volume property the dedup probes measured), and
+    * scoring/top-k are the shared deterministic kernels, so the result
+    * is row-identical to the session-frame search and
+    * `ext_sim_ivf_disk_topk` shares `ext_sim_ivf_topk`'s oracle
+    * VERBATIM. */
+  def searchOnDisk(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
+    val nB = ArchiveIndex.nBuckets(spark, dir)
+    val m = readModel(spark, dir)
+    val all = ArchiveIndex.readBucketedTable(spark, vecDir(dir))
+    val queries = graft.ops.CacheScope.persist(
+      all.filter(queryPred)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"),
+          explode(probeCentroidsDet(col("embedding"), m, nprobe))
+            .as("cluster")))
+    // touched buckets: bounded by queries·nprobe — the pruning list,
+    // never data (the prunedProbeBatch convention)
+    val bkts = queries
+      .select(pmod(xxhash64(col("cluster")), lit(nB)).as("bkt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val corpus = all.filter(col("bkt").isin(bkts: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("cluster"))
+    val scored = corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** IVF top-k search: queries probe `nprobe` clusters, cosine-rank within
     * the probed candidates (6-dp rounding + vec_id tie-break, like the
     * exact path). */

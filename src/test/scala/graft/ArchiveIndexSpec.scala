@@ -441,6 +441,56 @@ class ArchiveIndexSpec extends SparkSpec {
     } finally rm(base.toFile)
   }
 
+  test("persisted IVF index: write + incremental grow + compact " +
+      "through the manifest lifecycle is row-identical to the " +
+      "session-frame search, and the vec table reaches the packed " +
+      "floor") {
+    import spark.implicits._
+    import graft.ext.IvfIndex
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val m = IvfIndex.seedModel(emb, nlist = 4)
+    val want = IvfIndex.searchDeterministic(emb, m,
+        col("vec_id") < 4, k = 3, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    graft.ops.CacheScope.releaseAll()
+    val base = java.nio.file.Files.createTempDirectory("graft-ai-ivf")
+    try {
+      val dir = s"$base/ivf"
+      IvfIndex.writeIndex(emb.filter(col("vec_id") % 2 === 0), m, dir, 8)
+      IvfIndex.appendVectors(emb.filter(col("vec_id") % 2 === 1), dir)
+      def got() = {
+        val r = IvfIndex.searchOnDisk(spark, dir,
+            col("vec_id") < 4, k = 3, nprobe = 2)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3)))
+          .toSet
+        graft.ops.CacheScope.releaseAll()
+        r
+      }
+      assert(got() == want,
+        "disk-grown index search drifted from the session-frame search")
+      IvfIndex.compactIndex(spark, dir)
+      assert(got() == want, "compaction changed search results")
+      // packed floor: one data file per bucket dir of the vec table
+      Option(new java.io.File(IvfIndex.vecDir(dir)).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("bkt=")).foreach { b =>
+          val n = Option(b.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet"))
+          assert(n == 1, s"${b.getPath}: $n files after compaction")
+        }
+      // model survives the round-trip bit-exactly
+      assert(IvfIndex.readModel(spark, dir).centroids.map(_.toSeq) ===
+        m.centroids.map(_.toSeq))
+    } finally rm(base.toFile)
+  }
+
   test("layout parse is versioned: an unknown version fails loudly " +
       "instead of being regex-guessed") {
     import spark.implicits._
