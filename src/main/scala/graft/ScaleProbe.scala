@@ -216,6 +216,53 @@ object ScaleProbe {
       return
     }
 
+    // mode "avnow-cost": decompose the AvailableNow streaming twins'
+    // wall time (r13 VERDICT #2 — the 27 twins contribute ~24 s of the
+    // bench headline and the top twin runs ~20x its batch analog on
+    // the same rows; is that amortizable overhead or the fixed price
+    // of exactly-once?). Three representative shapes — stateless
+    // projection (pure scaffold floor), watermarked hourly window agg,
+    // stream-stream interval join (q_stream_attribution's plan) — each
+    // drained `reps` times with a FRESH checkpoint (the bench
+    // contract), reporting: seconds until start() returns, total wall,
+    // micro-batch count, and the per-trigger durationMs split
+    // (latestOffset+getBatch = source listing, queryPlanning, addBatch
+    // = execution, walCommit+commitOffsets = exactly-once bookkeeping)
+    // plus state-store commit time — so the dominant component is a
+    // measured number, not a guess.
+    if (mode == "avnow-cost") {
+      val reps = math.max(3, if (args.length > 1) maxN else 3)
+      graft.streaming.StreamPipeline.avnowProbeFrames(spark, sfDir)
+        .foreach { case (name, frame, outMode) =>
+          (1 to reps).foreach { rep =>
+            val (startSec, wall, progress) = graft.streaming.StreamPipeline
+              .probeAvailableNow(frame, outMode)
+            def sumDur(key: String): Double = progress.map { p =>
+              Option(p.durationMs.get(key)).map(_.toDouble).getOrElse(0.0)
+            }.sum / 1000.0
+            val stateCommit = progress.flatMap(_.stateOperators)
+              .map(_.commitTimeMs).sum / 1000.0
+            val trigger = sumDur("triggerExecution")
+            println(s"""{"probe":"avnow_cost","shape":"$name",""" +
+              s""""rep":$rep,"wall_sec":${"%.3f".format(wall)},""" +
+              s""""start_call_sec":${"%.3f".format(startSec)},""" +
+              s""""n_batches":${progress.length},""" +
+              s""""trigger_exec_sec":${"%.3f".format(trigger)},""" +
+              s""""source_listing_sec":${"%.3f".format(
+                sumDur("latestOffset") + sumDur("getBatch"))},""" +
+              s""""query_planning_sec":${"%.3f".format(
+                sumDur("queryPlanning"))},""" +
+              s""""add_batch_sec":${"%.3f".format(sumDur("addBatch"))},""" +
+              s""""wal_commit_sec":${"%.3f".format(
+                sumDur("walCommit") + sumDur("commitOffsets"))},""" +
+              s""""state_commit_sec":${"%.3f".format(stateCommit)},""" +
+              s""""outside_trigger_sec":${"%.3f".format(wall - trigger)}}""")
+          }
+        }
+      spark.stop()
+      return
+    }
+
     // mode "pfjoin": the EXACT Jaccard-threshold join both ways — full
     // inverted index vs prefix-filtered (Bayardo 2007) — at growing N.
     // Per-copy word salt keeps cross-copy shingles disjoint, so pair

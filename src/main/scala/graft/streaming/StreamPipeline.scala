@@ -314,6 +314,69 @@ object StreamPipeline {
     }
   }
 
+  /** INSTRUMENTED AvailableNow drain for ScaleProbe's `avnow-cost`
+    * mode (r13 VERDICT #2): identical scaffold to [[runAvailableNow]]
+    * — fresh checkpoint, memory sink, full drain — but returns the
+    * timing decomposition instead of rows: seconds until `start()`
+    * returns (driver-side stream construction), total wall to
+    * termination, and the per-micro-batch
+    * [[org.apache.spark.sql.streaming.StreamingQueryProgress]] array,
+    * whose `durationMs` splits each trigger into source listing
+    * (`latestOffset`/`getBatch`), `queryPlanning`, execution
+    * (`addBatch`), and exactly-once bookkeeping
+    * (`walCommit`/`commitOffsets`), with state-store commit time under
+    * `stateOperators`. The probe reads these to book where the fixed
+    * price of exactly-once drains actually goes. */
+  private[graft] def probeAvailableNow(out: DataFrame, mode: String)
+      : (Double, Double,
+         Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val spark = out.sparkSession
+    applyConfiguredStateStore(spark)
+    val qn = "avnow_probe_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-avnow-probe")
+    try {
+      val t0 = System.nanoTime()
+      val q = out.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode)
+        .format("memory")
+        .queryName(qn)
+        .start()
+      val startSec = (System.nanoTime() - t0) / 1e9
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      (startSec, wall, q.recentProgress)
+    } finally {
+      try spark.catalog.dropTempView(qn)
+      catch { case scala.util.control.NonFatal(_) => }
+      rmRf(ckpt.toFile)
+    }
+  }
+
+  /** ScaleProbe hooks for `avnow-cost`: the three representative twin
+    * shapes as UNSTARTED streaming frames — a stateless projection
+    * (the pure scaffold floor), the watermarked hourly window agg, and
+    * the stream-stream interval join (`q_stream_attribution`'s plan,
+    * the most expensive twin on the driver bench). */
+  private[graft] def avnowProbeFrames(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame, String)] = {
+    def ev = streamTable(spark, dir, "events.parquet",
+      normalizeEvents = true)
+    Seq(
+      ("stateless_projection",
+        ev.select(col("event_id"), col("user_id"), col("event_type")),
+        "append"),
+      ("windowed_agg_hourly", hourlyRollup(ev), "complete"),
+      ("stream_stream_interval_join",
+        clickAttributionStream(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase")),
+        "append"))
+  }
+
   /** Recursive temp-tree delete shared by every AvailableNow adapter. */
   private def rmRf(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
