@@ -232,7 +232,14 @@ object ScaleProbe {
     // measured number, not a guess.
     if (mode == "avnow-cost") {
       val reps = math.max(3, if (args.length > 1) maxN else 3)
-      graft.streaming.StreamPipeline.avnowProbeFrames(spark, sfDir)
+      // sweep the state-partition sizing (the knob the decomposition
+      // motivated): cpus = the old CPU-sized default, 8 = the
+      // state-volume-sized drain default — the delta between the two
+      // sweeps IS the booked win
+      Seq(cpus, "8").distinct.foreach { sp =>
+        spark.conf.set(
+          graft.streaming.StreamPipeline.StatePartitionsConfKey, sp)
+        graft.streaming.StreamPipeline.avnowProbeFrames(spark, sfDir)
         .foreach { case (name, frame, outMode) =>
           (1 to reps).foreach { rep =>
             val (startSec, wall, progress) = graft.streaming.StreamPipeline
@@ -244,6 +251,7 @@ object ScaleProbe {
               .map(_.commitTimeMs).sum / 1000.0
             val trigger = sumDur("triggerExecution")
             println(s"""{"probe":"avnow_cost","shape":"$name",""" +
+              s""""state_partitions":$sp,""" +
               s""""rep":$rep,"wall_sec":${"%.3f".format(wall)},""" +
               s""""start_call_sec":${"%.3f".format(startSec)},""" +
               s""""n_batches":${progress.length},""" +
@@ -259,6 +267,7 @@ object ScaleProbe {
               s""""outside_trigger_sec":${"%.3f".format(wall - trigger)}}""")
           }
         }
+      }
       spark.stop()
       return
     }

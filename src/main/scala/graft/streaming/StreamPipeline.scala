@@ -297,7 +297,10 @@ object StreamPipeline {
     // retain all rows for the session lifetime, so the dropTempView
     // must run even when start/awaitTermination/localize throws (the
     // view may not exist if start() itself failed — drop is guarded).
-    try {
+    // withStatePartitions: the drain pins a state-volume-sized
+    // partition count into its fresh checkpoint (SCALEPROBE_r14 — the
+    // per-partition state-commit term dominates these twins' wall).
+    try withStatePartitions(spark) {
       val q = out.writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt.toString)
@@ -336,7 +339,7 @@ object StreamPipeline {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-avnow-probe")
-    try {
+    try withStatePartitions(spark) {
       val t0 = System.nanoTime()
       val q = out.writeStream
         .trigger(Trigger.AvailableNow())
@@ -1907,6 +1910,38 @@ object StreamPipeline {
     * one conf, and the provider pins into each query's checkpoint at
     * first start exactly as Spark documents. */
   val StateStoreConfKey = "graft.streaming.stateStoreProvider"
+
+  /** Session conf key sizing the STATE partition count the
+    * AvailableNow drain adapters pin into each fresh checkpoint
+    * (default 8). SCALEPROBE_r14's decomposition showed the drains'
+    * dominant cost is per-partition state-store commit inside
+    * `addBatch` — it scales with partitions × stateful operators ×
+    * micro-batches, NOT data volume, so running a bounded replay
+    * feed's tiny state at the session's CPU-sized
+    * `spark.sql.shuffle.partitions` (32) pays 32 file commits per
+    * stateful operator per batch for state that fits in one. State
+    * partitions are a STATE-VOLUME knob, not a CPU knob: size them
+    * ~state_bytes / 64 MB with a floor of the parallelism the
+    * stateful shuffle needs for the feed's throughput. Production
+    * continuous streams pick their own shuffle-partition count at
+    * first start exactly as Spark documents (it pins into the
+    * checkpoint); this key only governs the self-contained drain
+    * adapters, whose feeds are bounded by construction. */
+  val StatePartitionsConfKey = "graft.streaming.statePartitions"
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to
+    * [[StatePartitionsConfKey]] (default 8), restoring the previous
+    * value after. The pin needs to span the stream's micro-batch
+    * planning, and every adapter drain is synchronous and
+    * single-threaded on its session, so the restore lands before any
+    * other work reads the conf. */
+  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      spark.conf.getOption(StatePartitionsConfKey).getOrElse("8"))
+    try body finally spark.conf.set(key, prev)
+  }
 
   /** Apply [[StateStoreConfKey]] to the session — called by every
     * stream start in this module ([[runAvailableNow]],
