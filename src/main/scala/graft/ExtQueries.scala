@@ -3261,6 +3261,18 @@ object ExtQueries {
     },
     simIvf.oracle)
 
+  /** STREAMING grow twin of the persisted IVF index
+    * ([[graft.streaming.StreamPipeline.ivfGrowAvailableNow]] carries
+    * the lifecycle): seed quarter written, three quarter-waves
+    * appended per micro-batch through the manifest CAS commit with a
+    * compaction after each, probed ON DISK after the drain —
+    * `ext_sim_ivf_topk`'s oracle VERBATIM, so hash-equality proves
+    * stream-grown ≡ batch-grown ≡ session-frame search. */
+  val simIvfStreamGrow = Q(
+    "q_stream_ivf_grow",
+    (s, d) => graft.streaming.StreamPipeline.ivfGrowAvailableNow(s, d),
+    simIvf.oracle)
+
   /** PQ ANN, oracle-checked end to end: deterministic seed codebooks
     * ([[graft.ext.PqIndex.seedModel]] — subvectors of the 32 md5-smallest
     * vectors) drive the NATIVE encode/LUT kernels
@@ -5623,7 +5635,7 @@ object ExtQueries {
     corpusBuildDay3, corpusBuildDay3Funnel, streamCorpusCommit,
     corpusDqStream, shardManifest, sourceOverlap,
     cosineNearDup, semanticDedup,
-    simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simIvfDisk, simPq, simIvfPq,
+    simBrute, simEval, simHardNegatives, simSemiHardNegatives, simBitextMargin, simLsh, simLshRh, simIvf, simIvfDisk, simIvfStreamGrow, simPq, simIvfPq,
     rpReduce, rpRecallQ, mmrRerankQ, sparseCosine, ndcgQ,
     clusterBalanced, simCentroids,
     mmMeta, mmFeatures, mmFrames, mmResize, mmPhash, mmDhash,

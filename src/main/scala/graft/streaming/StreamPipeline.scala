@@ -1436,6 +1436,69 @@ object StreamPipeline {
     } finally rmRf(base.toFile)
   }
 
+  /** STREAMING grow twin of the PERSISTED IVF index — the retrieval
+    * analog of [[corpusCommitAvailableNow]]: the index is seeded from
+    * a quarter of the vectors, the remaining three quarters arrive as
+    * mtime-ordered wave files, and every micro-batch APPENDS its wave
+    * into the bucketed assignment table through the manifest CAS
+    * commit ([[graft.ext.IvfIndex.appendVectors]] — assignment against
+    * the COMMITTED centroids, an O(batch) bucket append, never an
+    * index rewrite), then runs the file-count-bounded compaction — the
+    * same committed-artifact lifecycle the dedup commit loop
+    * maintains, driven from foreachBatch. The registered result is the
+    * ON-DISK probe after the drain with `ext_sim_ivf_topk`'s
+    * parameters, so that query's oracle is shared VERBATIM:
+    * hash-equality proves stream-grown index ≡ batch-grown index ≡
+    * session-frame search. No streaming state at all — the growth IS
+    * the state, durable in the manifest-committed tables (the
+    * grow-capstone convention). */
+  def ivfGrowAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfIndex
+    val emb = graft.Tables.embeddings(spark, dir)
+    val model = IvfIndex.seedModel(emb, nlist = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft-sivf")
+    val markPos = graft.ops.CacheScope.mark()
+    try {
+      val (idx, inDir, ckpt) = (s"$base/ivf", s"$base/in", s"$base/ckpt")
+      IvfIndex.writeIndex(emb.filter(col("vec_id") % 4 === 0), model,
+        idx, nBuckets = 8)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(inDir))
+      val t0 = System.currentTimeMillis()
+      (1 to 3).foreach { k =>
+        val staging = s"$base/stage_$k"
+        emb.filter(col("vec_id") % 4 === k).coalesce(1)
+          .write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(s"$inDir/wave_$k.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000))
+      }
+      val raw = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(inDir)
+      raw.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IvfIndex.appendVectors(batch, idx)
+          IvfIndex.compactIndex(spark, idx)
+        }
+        .start()
+        .awaitTermination()
+      localize(IvfIndex.searchOnDisk(spark, idx,
+        col("vec_id") < 8, k = 5, nprobe = 2))
+    } finally {
+      // release the probe's internal cache BEFORE deleting the dirs
+      // its plan reads (dead-file-index hygiene), then the temp tree
+      graft.ops.CacheScope.releaseSince(markPos)
+      rmRf(base.toFile)
+    }
+  }
+
   /** ScaleProbe hook for [[lshDedupPrunedStart]]: probe a prepared
     * bucket-partitioned index with a prepared incoming directory. */
   def dedupLshPrunedAvailableNowParts(spark: SparkSession,
