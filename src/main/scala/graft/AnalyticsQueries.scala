@@ -1577,26 +1577,46 @@ object AnalyticsQueries {
       ASOF LEFT JOIN sg ON l.user_id = sg.user_id AND l.ts >= sg.ts"""),
     bench = true)
 
-  /** Band join ([[graft.ops.BandJoin]]): for each event, how many events
-    * other users produced within ±30 minutes, and their total value — the
-    * time-proximity join shape (co-occurrence, correlation windows) that
-    * a raw inequality predicate would plan as an all-pairs nested loop.
-    * The oracle states the predicate naively; the Spark side is the
-    * bucketed single-shuffle rewrite, and they must agree exactly. */
+  /** Band-proximity aggregate: for each event, how many events OTHER
+    * users produced within ±30 minutes, and their total value — the
+    * time-proximity shape (co-occurrence, correlation windows) that a
+    * raw inequality predicate would plan as an all-pairs nested loop.
+    * The oracle states the predicate naively (join then group); the
+    * Spark side never materializes a pair: [[graft.ops.BandAgg]]
+    * answers the whole-band aggregate from a two-phase distributed
+    * prefix sum (O(n log n), pair-free — see the r14 rewrite note), and
+    * the same-user exclusion is subtracted via a user-partitioned range
+    * window (per-user bands are the only pair-grained term and they
+    * never leave their aggregate either). Decimal arithmetic end to
+    * end, so subtraction cancels exactly and the values match the
+    * pairwise oracle bit-for-bit; `n_nearby > 0` restores the inner
+    * join's presence semantics. */
   val qBandJoin = Q(
     "q_band_join_nearby_events",
     (s, d) => {
       val ev = Tables.events(s, d)
-      val l = ev.select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("l_us"))
-      val r = ev.select(col("event_id").as("r_event_id"),
-        col("user_id").as("r_user_id"), unix_micros(col("ts")).as("r_us"),
-        col("value").as("r_value"))
-      graft.ops.BandJoin(l, r, "l_us", "r_us", 1800L * 1000000)
-        .filter(col("r_user_id") =!= col("user_id"))
-        .groupBy(col("event_id"))
-        .agg(count(lit(1)).as("n_nearby"),
-          dsum(col("r_value")).as("nearby_value"))
+      val tol = 1800L * 1000000
+      val dec = DecimalType(38, 2)
+      val base = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      val band = graft.ops.BandAgg(base, "event_id", "us",
+        base.select(col("us"), col("value")), "us", "value", tol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-tol, tol)
+      val own = base.select(col("event_id"),
+        count(lit(1)).over(w).as("o_c"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).over(w)
+          .as("o_nn"),
+        sum(coalesce(col("value").cast(dec), lit(0).cast(dec))).over(w)
+          .as("o_v"))
+      band.join(own, Seq("event_id"))
+        .select(col("event_id"),
+          (col("band_cnt") - col("o_c")).as("n_nearby"),
+          when(col("band_nn") - col("o_nn") > 0L,
+            (col("band_val") - col("o_v")).cast("double"))
+            .otherwise(lit(null).cast("double")).as("nearby_value"))
+        .filter(col("n_nearby") > 0L)
     },
     Some(s"""SELECT e1.event_id, count(*) AS n_nearby,
         ${dsumSql("e2.value")} AS nearby_value
@@ -1611,13 +1631,16 @@ object AnalyticsQueries {
     * collapses onto one hot instant (±1 ms id-derived jitter), so at
     * sf0.1 one time bucket holds ~1.6k rows and would run its ~2.4M-pair
     * cross product on ONE task under the plain bucket join. The query
-    * runs [[graft.ops.BandJoin]] with `maxBucketRows = 200`: the
-    * right-side bucket histogram gives the hot bucket salt factor
-    * ⌈|b|/200⌉ (8 at sf0.1) while every uniform bucket stays at 1 —
-    * zero replication off the hot path — and the pair set stays exactly
-    * the unsalted one (OpsSpec pins the equivalence; the oracle here
-    * pins the values through the salted plan). Tolerance is 60 s, so
-    * the uniform background contributes thin pairs and the hot bucket
+    * runs [[graft.ops.BandAgg]]: the hot instant never materializes its
+    * ~2.4M-pair cross product AT ALL — the band aggregate reads the
+    * whole pileup off a range-partitioned prefix sum (the hot bucket
+    * costs one task an O(m log m) sort instead of O(m²) pairs that
+    * salting could only split ⌈|b|/200⌉ ways), and the self-pair is
+    * subtracted exactly (its own decimal-rounded value). The r13-era
+    * salted [[graft.ops.BandJoin]] path remains spec-pinned in OpsSpec
+    * for callers that need the pairs themselves; the oracle here pins
+    * the values through the aggregate plan. Tolerance is 60 s, so the
+    * uniform background contributes thin bands and the hot instant
     * dominates — the stress is the point. */
   val qBandJoinSkewed = Q(
     "q_band_join_skewed",
@@ -1629,18 +1652,23 @@ object AnalyticsQueries {
           ts: org.apache.spark.sql.Column) =
         when(id % 64 === 0, lit(hotUs) + (id % 1000) * 1000L)
           .otherwise(unix_micros(ts))
-      val l = ev.select(col("event_id"), col("user_id"),
-        skewKey(col("event_id"), col("ts")).as("l_us"))
-      val r = ev.select(col("event_id").as("r_event_id"),
-        col("user_id").as("r_user_id"),
-        skewKey(col("event_id"), col("ts")).as("r_us"),
-        col("value").as("r_value"))
-      graft.ops.BandJoin(l, r, "l_us", "r_us", 60L * 1000000,
-          maxBucketRows = 200L)
-        .filter(col("r_event_id") =!= col("event_id"))
-        .groupBy(col("event_id"))
-        .agg(count(lit(1)).as("n_nearby"),
-          dsum(col("r_value")).as("nearby_value"))
+      val dec = DecimalType(38, 2)
+      val base = ev.select(col("event_id"),
+        skewKey(col("event_id"), col("ts")).as("us"), col("value"))
+      val band = graft.ops.BandAgg(base, "event_id", "us",
+        base.select(col("us"), col("value")), "us", "value",
+        60L * 1000000)
+      band.join(base.select(col("event_id"), col("value")),
+          Seq("event_id"))
+        .select(col("event_id"),
+          (col("band_cnt") - 1L).as("n_nearby"),
+          when(col("band_nn")
+              - when(col("value").isNotNull, 1L).otherwise(0L) > 0L,
+            (col("band_val")
+              - coalesce(col("value").cast(dec), lit(0).cast(dec)))
+              .cast("double"))
+            .otherwise(lit(null).cast("double")).as("nearby_value"))
+        .filter(col("n_nearby") > 0L)
     },
     Some(s"""WITH k AS (
         SELECT event_id, user_id, value,

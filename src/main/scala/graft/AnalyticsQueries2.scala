@@ -282,28 +282,59 @@ object AnalyticsQueries2 {
   /** Frequent 3-itemsets over order baskets — see [[qBasketTriples]].
     * Exposed with the `maxBasket` contract parameterized so the spec
     * can pin an over-cap basket's exclusion with a small cap. */
-  def basketTriples(lineitem: DataFrame, maxBasket: Long = DefaultMaxBasket)
+  /** Shared basket materialization for the 3-itemset miners: the capped
+    * orders' DISTINCT items collected into one ASCENDING array per order.
+    * The maxBasket gate runs on the bounded count aggregate BEFORE any
+    * array exists, so a pathological hot order never materializes its
+    * item list; collect_list state is therefore ≤ maxBasket elements.
+    * The (l_orderkey)-keyed collect rides the join's partitioning — no
+    * extra exchange. */
+  private def saneBaskets(lineitem: DataFrame, maxBasket: Long)
       : DataFrame = {
     val raw = lineitem
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    // maxBasket contract: one extra hash agg on the items grain prunes
-    // pathological baskets BEFORE any self-join sees them
     val sane = raw.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") <= maxBasket)
       .select(col("l_orderkey"))
-    val items = graft.ops.CacheScope.persist(
-      raw.join(sane, Seq("l_orderkey")))
-    val tri = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
-        Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("p3")),
-        Seq("l_orderkey"))
-      .filter(col("p2") < col("p3"))
-    val nOrders = items.agg(
-      countDistinct(col("l_orderkey")).as("n_orders"))
-    tri.groupBy(col("p1"), col("p2"), col("p3"))
+    raw.join(sane, Seq("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("__ps"))
+  }
+
+  /** Ordered combinations from the sorted basket array, generated
+    * LOCALLY (posexplode + slice of the strictly-ascending suffix) —
+    * p1 < p2 (< p3) holds by construction, each combination exactly
+    * once. Replaces the r13 self-equi-joins: same Σ C(basket, k)
+    * candidate volume, but produced map-side off the basket cache
+    * instead of through two pair/triple-sized sort-merge joins (two
+    * full candidate-stream sorts removed; measured r14). */
+  private def basketPairsExp(baskets: DataFrame): DataFrame =
+    baskets
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "p1")))
+      .select(col("p1"),
+        explode(slice(col("__ps"), col("__i") + lit(2),
+          size(col("__ps")))).as("p2"))
+
+  private def basketTriplesExp(baskets: DataFrame): DataFrame =
+    baskets
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "p1")))
+      .select(col("p1"),
+        slice(col("__ps"), col("__i") + lit(2), size(col("__ps")))
+          .as("__r"))
+      .select(col("p1"), col("__r"),
+        posexplode(col("__r")).as(Seq("__j", "p2")))
+      .select(col("p1"), col("p2"),
+        explode(slice(col("__r"), col("__j") + lit(2),
+          size(col("__r")))).as("p3"))
+
+  def basketTriples(lineitem: DataFrame, maxBasket: Long = DefaultMaxBasket)
+      : DataFrame = {
+    val baskets = graft.ops.CacheScope.persist(
+      saneBaskets(lineitem, maxBasket))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    basketTriplesExp(baskets)
+      .groupBy(col("p1"), col("p2"), col("p3"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .crossJoin(broadcast(nOrders))
@@ -318,15 +349,16 @@ object AnalyticsQueries2 {
     * ordered p1 < p2 < p3 with support ≥ 2 orders, plus the support
     * fraction over the basket count.
     *
-    * Scale: candidates come from TWO self-equi-joins keyed on the
-    * ORDER — the join volume is Σ_orders C(basket_size, 3), bounded by
-    * the per-order item count (single digits in practice) AND by the
-    * [[DefaultMaxBasket]] contract (a pre-agg drops pathological
-    * baskets before the joins, so no single hot key can blow up the
-    * candidate volume); the distinct item set rides each join side
-    * (one shuffle on orderkey each), and the triple-key hash agg
-    * prunes with map-side partial counts. The basket-count normalizer
-    * is a 1-row broadcast over the POST-CAP basket universe. */
+    * Scale: candidates are generated LOCALLY off the per-order basket
+    * array ([[basketTriplesExp]] — ordered suffix expansion, no
+    * self-join) — the candidate volume is Σ_orders C(basket_size, 3),
+    * bounded by the per-order item count (single digits in practice)
+    * AND by the [[DefaultMaxBasket]] contract (a pre-agg on the bounded
+    * count grain drops pathological baskets BEFORE any array is
+    * collected, so no single hot key can blow up either the collect
+    * state or the candidate volume); the triple-key hash agg prunes
+    * with map-side partial counts. The basket-count normalizer is a
+    * 1-row broadcast over the POST-CAP basket universe. */
   val qBasketTriples = Q(
     "q_basket_triples",
     (s, d) => basketTriples(Tables.lineitem(s, d)),
@@ -1004,35 +1036,36 @@ object AnalyticsQueries2 {
     * direct plan. */
   def basketTriplesApriori(lineitem: DataFrame,
       maxBasket: Long = DefaultMaxBasket): DataFrame = {
-    val raw = lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val sane = raw.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("__bs"))
-      .filter(col("__bs") <= maxBasket)
-      .select(col("l_orderkey"))
-    val items = graft.ops.CacheScope.persist(
-      raw.join(sane, Seq("l_orderkey")))
+    val baskets = graft.ops.CacheScope.persist(
+      saneBaskets(lineitem, maxBasket))
+    // L2 = frequent pairs, generated locally off the basket cache
+    // (basketPairsExp — no pair self-join) and pruned by support
     val l2 = graft.ops.CacheScope.persist(
-      items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
-          Seq("l_orderkey"))
-        .filter(col("p1") < col("p2"))
+      basketPairsExp(baskets)
         .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("n2"))
         .filter(col("n2") >= 2)
         .select(col("p1"), col("p2")))
-    val tri = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
-        Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
+    // candidate triples: expand pairs WITH their ascending suffix, prune
+    // against L2 BEFORE fanning out p3 (the Apriori step — the suffix
+    // array rides the semi join so the surviving pairs expand in place,
+    // bounded by basket size, instead of re-joining the items table),
+    // then close under the remaining two pair constraints
+    val tri = baskets
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "p1")))
+      .select(col("p1"),
+        slice(col("__ps"), col("__i") + lit(2), size(col("__ps")))
+          .as("__r"))
+      .select(col("p1"), col("__r"),
+        posexplode(col("__r")).as(Seq("__j", "p2")))
+      .select(col("p1"), col("p2"),
+        slice(col("__r"), col("__j") + lit(2), size(col("__r")))
+          .as("__r2"))
       .join(l2, Seq("p1", "p2"), "left_semi")
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("p3")),
-        Seq("l_orderkey"))
-      .filter(col("p2") < col("p3"))
+      .select(col("p1"), col("p2"), explode(col("__r2")).as("p3"))
       .join(l2.toDF("p2", "p3"), Seq("p2", "p3"), "left_semi")
       .join(l2.toDF("p1", "p3"), Seq("p1", "p3"), "left_semi")
-    val nOrders = items.agg(
-      countDistinct(col("l_orderkey")).as("n_orders"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     tri.groupBy(col("p1"), col("p2"), col("p3"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)

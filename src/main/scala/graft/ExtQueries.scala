@@ -1491,6 +1491,11 @@ object ExtQueries {
       .unionByName(docs.filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 800000L).as("doc_id"),
           concat(col("text"), lit(" zz extra")).as("text"), col("source")))
+      // single-split scan × 3 branches → 3 tasks; spread the narrow rows
+      // once so the fingerprint/quality/shingle passes of every consumer
+      // (full build, funnel, day-2/3 incrementals) run wide (the
+      // dupNgramCoverage rationale; measured r14)
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   /** END-TO-END CORPUS BUILD ([[graft.ext.Curation.corpusBuild]] carries
@@ -3937,7 +3942,14 @@ object ExtQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" tail marker token")).as("text"),
           col("lang"))
+      // the 3-branch union scans the single-split documents parquet →
+      // 3 tasks total; every downstream map-side pass (tokenize, the
+      // exact-dedup fingerprint md5, the semi-join build) inherits that
+      // width. Spread the narrow (id, text, lang) rows once so the
+      // CPU-heavy text work runs at full parallelism (the
+      // dupNgramCoverage rationale; measured r14)
       val corpus = docs.unionByName(dupCopies).unionByName(nearCopies)
+        .repartition(s.sparkContext.defaultParallelism)
       val filtered = corpus
         .withColumn("n_tokens", TextStats.tokenCount(col("text")))
         .filter(col("lang") === "en" && col("n_tokens") >= 30)
@@ -5140,9 +5152,14 @@ object ExtQueries {
       // cut plan is the single percentile_disc aggregate (the r11
       // adjudication of the r9 sweep: the distributed rank-selection
       // subtree was a 1.5× floor move this input never needed)
+      // spread the single-split documents scan BEFORE the composite
+      // quality projection — qualityScore tokenizes + entropy-scans each
+      // text, and on the 1-task scan that pass was the query's single
+      // largest stage (2.8 s of 6.5 s, measured r14)
       val binned = Curation.percentileBins(
-        docs.select(col("doc_id"),
-          TextStats.qualityScore(col("text")).as("quality")),
+        docs.repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            TextStats.qualityScore(col("text")).as("quality")),
         "quality", "doc_id", bins = 8, boundedDistinct = true)
       val base = binned.join(docs.select(col("doc_id"), col("source")),
         "doc_id")

@@ -329,7 +329,12 @@ object ParityQueries {
   val transformChain = Q(
     "transform_chain_full",
     (s, d) => {
-      val derived = Tables.orders(s, d).select(
+      // single-split scan → spread the narrow base so BOTH Transform
+      // passes (fused stats + final projection: multi-format date
+      // parses, regex scrubs) run wide instead of on the scan's 1-2
+      // tasks (the amazonE2e/intlRaw shape; measured r14)
+      val derived = Tables.orders(s, d)
+        .repartition(s.sparkContext.defaultParallelism).select(
         when(col("o_orderkey") % 13 === 0, lit("NA"))
           .when(col("o_orderkey") % 13 === 1, lit(" "))
           .otherwise(concat(lit(" "), col("o_orderstatus"), lit(" ")))

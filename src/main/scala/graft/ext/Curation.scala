@@ -998,11 +998,17 @@ object Curation {
       col(loserCol).cast("long").as("l"))
     val directed = CacheScope.persist(
       m.groupBy(col("w"), col("l")).agg(count(lit(1)).as("nwl")))
+    // contests is pinned PRE-PARTITIONED on j: each round's first join
+    // keys on j, so the cached hash(j) layout is reused and the pair
+    // table itself never re-shuffles inside the loop (r14 optimization —
+    // the loop's pair-sized exchanges drop 3 → 1 per round together
+    // with the join reorder below)
     val contests = CacheScope.persist(
       directed.select(col("w").as("i"), col("l").as("j"), col("nwl").as("n"))
         .unionAll(directed.select(col("l").as("i"), col("w").as("j"),
           col("nwl").as("n")))
-        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n_ij")))
+        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n_ij"))
+        .repartition(col("j")))
     val games = contests.groupBy(col("i"))
       .agg(sum(col("n_ij")).as("n_games"))
     val wins = CacheScope.persist(games
@@ -1011,7 +1017,6 @@ object Curation {
       .select(col("i"), coalesce(col("wn"), lit(0L)).as("n_wins"),
         col("n_games"),
         (coalesce(col("wn"), lit(0L)).cast("double") + 0.5).as("bt_w")))
-    val nItems = wins.count()
 
     // the strengths frame CARRIES bt_w so a round is ONE pair join + one
     // item-keyed agg + the 1-row rescale — not three item joins (bt_w
@@ -1028,13 +1033,19 @@ object Curation {
         .localCheckpoint())
     for (_ <- 1 to iters) {
       val sj = s.select(col("i").as("j"), col("s").as("sj"))
+      // join order is load-bearing for the exchange count: sj first
+      // (contests' cached hash(j) layout absorbs it — only the
+      // item-grain sj side shuffles), then s on i — the join's hash(i)
+      // output feeds the i-keyed aggregate WITHOUT another pair-sized
+      // exchange. The r13 order (i then j then group i) re-shuffled the
+      // pair rows twice more per round for the same numbers.
       // `raw` feeds both the rescale normalizer (a broadcast subtree)
       // and the rescaled rows; both consumers execute inside the ONE
       // checkpoint job per round — the round's pair join is re-run once
       // within the job, which profiles cheaper than a second
       // materialization job (tiny stages vs fixed job latency)
       val raw = contests
-        .join(s, Seq("i")).join(sj, Seq("j"))
+        .join(sj, Seq("j")).join(s, Seq("i"))
         .groupBy(col("i"))
         .agg(first(col("bt_w")).as("bt_w"),
           first(col("s")).as("sp"),
@@ -1042,10 +1053,13 @@ object Curation {
         .select(col("i"), col("bt_w"),
           (col("bt_w") / (col("den") + lit(1.0) / (col("sp") + lit(1.0))))
             .as("s"))
-      val tot = raw.agg(decSum(col("s")).as("ssum"))
+      // the item count rides the SAME 1-row rescale aggregate (an exact
+      // long → double), replacing the r13 `wins.count()` driver job
+      val tot = raw.agg(decSum(col("s")).as("ssum"),
+        count(lit(1)).cast("double").as("ni"))
       val next = raw.crossJoin(broadcast(tot))
         .select(col("i"), col("bt_w"),
-          (col("s") * lit(nItems.toDouble) / col("ssum")).as("s"))
+          (col("s") * col("ni") / col("ssum")).as("s"))
       val promoted = freshStats(next.localCheckpoint())
       s.unpersist(blocking = false)
       s = promoted

@@ -615,6 +615,71 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
   }
 
+  test("BandAgg: equals the brute-force pairwise aggregate, including " +
+      "nulls, duplicate keys, hot keys, and empty bands") {
+    import org.apache.spark.sql.types.DecimalType
+    // adversarial layout: a hot key (30 rows at k=500, several sharing
+    // values), duplicate keys elsewhere, NULL values, a NULL key on each
+    // side, band edges landing exactly on points, and left rows whose
+    // band is empty
+    val right = ((1L to 30L).map(i =>
+      (i, 500L, if (i % 5 == 0) null else s"${i * 1.5}")) ++ Seq(
+      (31L, 100L, "2.25"), (32L, 100L, null), (33L, 199L, "7.0"),
+      (34L, 201L, "-3.5"), (35L, 9000L, "1.0"),
+      (36L, null, "99.0"))) // NULL key matches nothing
+      .map { case (i, k, v) =>
+        (i, k.asInstanceOf[java.lang.Long],
+          Option(v).map(_.toDouble).map(Double.box).orNull
+            .asInstanceOf[java.lang.Double])
+      }.toDF("rid", "rk", "rv")
+    val left = Seq(1L -> 100L, 2L -> 500L, 3L -> 300L, 4L -> 99L,
+      5L -> 20000L, 6L -> null.asInstanceOf[java.lang.Long])
+      .map { case (i, k) => (i, k.asInstanceOf[java.lang.Long]) }
+      .toDF("lid", "lk")
+    val tol = 100L
+    val got = BandAgg(left, "lid", "lk", right, "rk", "rv", tol)
+      .orderBy("lid")
+      .select(col("lid"), col("band_cnt"), col("band_nn"),
+        col("band_val").cast("double"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // brute force over the same frames (the semantics being replaced)
+    val brute = left.join(right,
+        abs(col("lk") - col("rk")) <= tol, "inner")
+      .groupBy(col("lid"))
+      .agg(count(lit(1)).as("c"),
+        count(col("rv")).as("nn"),
+        sum(col("rv").cast(DecimalType(38, 2))).cast("double").as("v"))
+      .orderBy("lid")
+      .as[(Long, Long, Long, java.lang.Double)].collect().toSeq
+    val gotNonEmpty = got.filter(_._2 > 0L)
+      .map { case (id, c, nn, v) =>
+        (id, c, nn, if (nn == 0L) null else Double.box(v)) }
+    assert(gotNonEmpty == brute,
+      s"band aggregate drifted from pairwise:\n$gotNonEmpty\nvs\n$brute")
+    // empty bands and NULL left keys come back as explicit zero rows
+    assert(got.filter(_._2 == 0L).map(_._1) == Seq(5L),
+      "empty-band left rows must surface with band_cnt = 0")
+    // decimal exactness at the band edge: lid=1 (k=100) spans [0,200] —
+    // 2.25 + 7.0 with the 201 point excluded and the NULL uncounted
+    val lid1 = got.find(_._1 == 1L).get
+    assert(lid1 == ((1L, 3L, 2L, 9.25)), s"edge inclusivity: $lid1")
+    graft.ops.CacheScope.releaseAll()
+  }
+
+  test("BandAgg: plan is pair-free — no join of point rows, windows " +
+      "partitioned or per-partition-total-grained") {
+    val l = (1L to 50L).map(i => (i, i * 10L)).toDF("lid", "lk")
+    val r = (1L to 50L).map(i => (i, i * 7L, i * 1.0)).toDF("rid", "rk", "rv")
+    val plan = BandAgg(l, "lid", "lk", r, "rk", "rv", 25L)
+      .queryExecution.executedPlan.toString
+    graft.ops.CacheScope.releaseAll()
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "BandAgg planned a pair-producing join")
+    // the one range exchange is the prefix backbone
+    assert(plan.contains("rangepartitioning"),
+      "BandAgg lost its range-partitioned prefix backbone")
+  }
+
   test("AsofJoin rejects colliding right value column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "ts", "v")

@@ -41,6 +41,12 @@ class PlanGuardSpec extends SparkSpec {
         "spine (one row per calendar day)"),
     "ext_pack_offsets" ->
       "prefix-sum over per-partition totals (one row per partition)",
+    "q_band_join_nearby_events" ->
+      ("BandAgg's prefix-sum over per-partition totals (one row per " +
+        "partition, the packOffsets shape)"),
+    "q_band_join_skewed" ->
+      ("BandAgg's prefix-sum over per-partition totals (one row per " +
+        "partition, the packOffsets shape)"),
     "ext_pack_binpack" ->
       "prefix-count over per-partition totals (one row per partition)",
     "ext_pack_fill_report" ->
@@ -194,16 +200,21 @@ class PlanGuardSpec extends SparkSpec {
       s"scale-killer plan shapes:\n${offenders.result().mkString("\n")}")
   }
 
-  test("q_band_join_skewed engages the salted band-join path") {
-    // the skew-hardening claim is structural: the hot time bucket must
-    // be spread across salt partitions, i.e. the join keys carry __salt
-    // alongside __bucket (OpsSpec separately pins salted ≡ unsalted)
+  test("q_band_join_skewed stays pair-free on the band-aggregate path") {
+    // the skew-hardening claim is structural: the hot instant must never
+    // materialize its cross product — the plan must carry BandAgg's
+    // range-partitioned prefix machinery (__kind marker) and NO join
+    // keyed on a time bucket (the pair-producing r13 path salted that
+    // join; the r14 aggregate removed it — OpsSpec pins value
+    // equivalence of BandAgg against the brute-force pair form)
     val q = Registry.all.find(_.name == "q_band_join_skewed").get
     val plan = q.run(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.toString
     graft.ops.CacheScope.releaseAll()
-    assert(plan.contains("__salt"),
-      "salted band join no longer engages for the skewed headline query")
+    assert(plan.contains("__kind"),
+      "band-aggregate prefix path no longer engages for the skewed query")
+    assert(!plan.contains("__bucket"),
+      "the pair-producing bucket join is back in the skewed band query")
   }
 
   test("ext_source_topics ranks via the bounded heap, not a vocab window") {
