@@ -1491,11 +1491,9 @@ object ExtQueries {
       .unionByName(docs.filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 800000L).as("doc_id"),
           concat(col("text"), lit(" zz extra")).as("text"), col("source")))
-      // single-split scan × 3 branches → 3 tasks; spread the narrow rows
-      // once so the fingerprint/quality/shingle passes of every consumer
-      // (full build, funnel, day-2/3 incrementals) run wide (the
-      // dupNgramCoverage rationale; measured r14)
-      .repartition(s.sparkContext.defaultParallelism)
+      // NOTE(r14 opt): a repartition spread here regressed the warm
+      // bench 1.34× (same finding as llm_corpus_pipeline_e2e) —
+      // reverted, see OPTIMIZATION_r14.md change 4.
   }
 
   /** END-TO-END CORPUS BUILD ([[graft.ext.Curation.corpusBuild]] carries
@@ -3942,14 +3940,13 @@ object ExtQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" tail marker token")).as("text"),
           col("lang"))
-      // the 3-branch union scans the single-split documents parquet →
-      // 3 tasks total; every downstream map-side pass (tokenize, the
-      // exact-dedup fingerprint md5, the semi-join build) inherits that
-      // width. Spread the narrow (id, text, lang) rows once so the
-      // CPU-heavy text work runs at full parallelism (the
-      // dupNgramCoverage rationale; measured r14)
+      // NOTE(r14 opt): a repartition spread of this union (the
+      // dupNgramCoverage pattern) was tried and REGRESSED the warm
+      // bench 1.38× — the 3-task fingerprint stage it targeted is
+      // cold-JIT-only, and the extra exchange plus the lost semi-join
+      // pushdown through the union cost more than the width bought.
+      // Reverted; left as measured evidence.
       val corpus = docs.unionByName(dupCopies).unionByName(nearCopies)
-        .repartition(s.sparkContext.defaultParallelism)
       val filtered = corpus
         .withColumn("n_tokens", TextStats.tokenCount(col("text")))
         .filter(col("lang") === "en" && col("n_tokens") >= 30)

@@ -1031,6 +1031,7 @@ object Curation {
     var s = freshStats(
       wins.select(col("i"), col("bt_w"), lit(1.0).as("s"))
         .localCheckpoint())
+    var prevCk = s
     for (_ <- 1 to iters) {
       val sj = s.select(col("i").as("j"), col("s").as("sj"))
       // join order is load-bearing for the exchange count: sj first
@@ -1039,12 +1040,18 @@ object Curation {
       // output feeds the i-keyed aggregate WITHOUT another pair-sized
       // exchange. The r13 order (i then j then group i) re-shuffled the
       // pair rows twice more per round for the same numbers.
-      // `raw` feeds both the rescale normalizer (a broadcast subtree)
-      // and the rescaled rows; both consumers execute inside the ONE
-      // checkpoint job per round — the round's pair join is re-run once
-      // within the job, which profiles cheaper than a second
-      // materialization job (tiny stages vs fixed job latency)
-      val raw = contests
+      // The CHECKPOINT sits on `raw` (r14 opt): the r13 shape
+      // checkpointed the rescaled rows, so the pair join executed TWICE
+      // per round — once under the rescale normalizer's broadcast
+      // subtree and once for the checkpoint (the round's two dominant
+      // stages, measured). Checkpointing the pre-rescale aggregate runs
+      // the join ONCE; the normalizer and the rescale are then cheap
+      // item-grain reads of the checkpoint, deferred into the NEXT
+      // round's job (identical arithmetic, identical values). Stats
+      // stay linear: each round's plan roots at a fresh checkpoint
+      // leaf, so the twice-referenced `s` multiplies within one round
+      // only and nothing compounds across rounds (PlanStats contract).
+      val rawCk = freshStats(contests
         .join(sj, Seq("j")).join(s, Seq("i"))
         .groupBy(col("i"))
         .agg(first(col("bt_w")).as("bt_w"),
@@ -1053,16 +1060,16 @@ object Curation {
         .select(col("i"), col("bt_w"),
           (col("bt_w") / (col("den") + lit(1.0) / (col("sp") + lit(1.0))))
             .as("s"))
+        .localCheckpoint())
       // the item count rides the SAME 1-row rescale aggregate (an exact
       // long → double), replacing the r13 `wins.count()` driver job
-      val tot = raw.agg(decSum(col("s")).as("ssum"),
+      val tot = rawCk.agg(decSum(col("s")).as("ssum"),
         count(lit(1)).cast("double").as("ni"))
-      val next = raw.crossJoin(broadcast(tot))
+      prevCk.unpersist(blocking = false)
+      prevCk = rawCk
+      s = rawCk.crossJoin(broadcast(tot))
         .select(col("i"), col("bt_w"),
           (col("s") * col("ni") / col("ssum")).as("s"))
-      val promoted = freshStats(next.localCheckpoint())
-      s.unpersist(blocking = false)
-      s = promoted
     }
     wins.join(s.select(col("i"), col("s")), Seq("i"))
       .select(col("i").as("item"), col("n_wins"), col("n_games"),

@@ -360,8 +360,20 @@ object TextDedup {
     // SETS (identical formula on the oracle side), so shingle strings
     // never materialize. The band explode/self-join shuffles only
     // (id, band) pairs; hash arrays join back by id for the verify.
-    val withHs = df.select(col(idCol).as("id"),
-      graft.functions.ShingleHashes.shingle_hashes(col(textCol), n).as("hs"))
+    // PERSISTED (r14 opt): this frame feeds THREE consumers — the band
+    // projection and both per-side hash-set join-backs (aliased id_a /
+    // id_b, so their exchanges never canonicalize to one reuse) —
+    // and without the pin the shingle+hash pass, the dominant CPU cost
+    // of the whole candidate stage, re-executed once per consumer
+    // (3 full shingle passes of the corpus at any scale).
+    val withHs = graft.ops.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+        graft.functions.ShingleHashes.shingle_hashes(col(textCol), n)
+          .as("hs")))
+    // eager: the three consumers are INDEPENDENT leaf stages that AQE
+    // submits concurrently — racing the unfilled cache, each would
+    // compute the shingle pass itself (the dupNgramCoverage lesson)
+    withHs.count()
     // signature projected once so the band slices don't re-inline it
     val banded = withHs
       .select(col("id"), signatureFromHashes(col("hs"), k).as("sig"))
