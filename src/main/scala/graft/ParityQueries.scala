@@ -564,7 +564,7 @@ object ParityQueries {
     * P3 → O1 split → Transform → F1. */
   val intlE2ePart1 = Q(
     "international_pipeline_e2e_part1",
-    (s, d) => graft.pipeline.Cleaners.international(intlRaw(s, d))._1,
+    (s, d) => graft.pipeline.Cleaners.internationalPart1(intlRaw(s, d)),
     Some(intlOracle("o_orderkey <= 7500")))
 
   /** Part 2: rows after the embedded header, re-headered from the pivot
@@ -572,7 +572,7 @@ object ParityQueries {
     * `gross_amount`), then the same Transform + F1 chain. */
   val intlE2ePart2 = Q(
     "international_pipeline_e2e_part2",
-    (s, d) => graft.pipeline.Cleaners.international(intlRaw(s, d))._2,
+    (s, d) => graft.pipeline.Cleaners.internationalPart2(intlRaw(s, d)),
     Some(intlOracle("o_orderkey >= 7501")),
     bench = true)
 

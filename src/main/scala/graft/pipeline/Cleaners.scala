@@ -58,6 +58,25 @@ object Cleaners {
     * see SURVEY.md defects).
     */
   def international(df0: DataFrame): (DataFrame, DataFrame) = {
+    val parts = internationalImpl(df0, wantPart1 = true, wantPart2 = true)
+    (parts._1.get, parts._2.get)
+  }
+
+  /** Single-part entry points for consumers that materialize only one
+    * side (the two e2e registry queries): building a part's Transform
+    * costs a distributed stats action at CONSTRUCTION time, so the old
+    * `international(df)._2` paid part 1's full stats pass (plus its
+    * scope-cache fill) for a frame it never read. Identical lineage for
+    * the requested part — the shared prepared/O1 front half is built the
+    * same way, only the sibling's Transform is skipped. */
+  def internationalPart1(df0: DataFrame): DataFrame =
+    internationalImpl(df0, wantPart1 = true, wantPart2 = false)._1.get
+
+  def internationalPart2(df0: DataFrame): DataFrame =
+    internationalImpl(df0, wantPart1 = false, wantPart2 = true)._2.get
+
+  private def internationalImpl(df0: DataFrame, wantPart1: Boolean,
+      wantPart2: Boolean): (Option[DataFrame], Option[DataFrame]) = {
     val idx = "__row_idx"
     val indexed = if (df0.columns.contains(idx)) df0
       else OrderedSplit.withRowIndex(df0)
@@ -78,19 +97,24 @@ object Cleaners {
     val (part1Raw, part2RawOpt) = OrderedSplit.embeddedHeaderSplit(
       prepared, cols, Projections.allAlphabetic(cols), idx)    // O1
 
-    val part1 = part1Raw
+    // the no-pivot fallback (part2 = empty part1) needs part1's schema,
+    // so part1 must also build when part2 is wanted but no pivot exists
+    val buildPart1 = wantPart1 || (wantPart2 && part2RawOpt.isEmpty)
+    val part1 = if (buildPart1) Some(part1Raw
       .transform(Transform.apply)
-      .transform(ScalarFns.upperTrimKeywordCols())             // F1
+      .transform(ScalarFns.upperTrimKeywordCols()))            // F1
+    else None
 
-    val part2 = part2RawOpt match {
+    val part2 = if (wantPart2) Some(part2RawOpt match {
       case Some(p2) =>
         p2.transform(Projections.normalizeColumnNames)         // P2
           .transform(Projections.renameColumns(
             Map("gross_amt" -> "gross_amount")))               // P3 (intent)
           .transform(Transform.apply)
           .transform(ScalarFns.upperTrimKeywordCols())         // F1
-      case None => part1.limit(0)
-    }
+      case None => part1.get.limit(0)
+    })
+    else None
     (part1, part2)
   }
 
