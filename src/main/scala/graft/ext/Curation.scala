@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus-curation selection operators: per-domain caps and canonical-doc
   * selection inside near-duplicate clusters. Both are selection policies a
@@ -996,27 +997,42 @@ object Curation {
       sum(c.cast(DecimalType(38, 18))).cast("double")
     val m = matches.select(col(winnerCol).cast("long").as("w"),
       col(loserCol).cast("long").as("l"))
-    val directed = CacheScope.persist(
-      m.groupBy(col("w"), col("l")).agg(count(lit(1)).as("nwl")))
+    // ONE log pass (r15 opt): explode each match into its two directed
+    // halves carrying a win marker, then a single (i, j) hash aggregate
+    // yields both the match count n_ij AND i's win count against j. The
+    // old shape (directed pair agg → union+re-agg → separate per-item
+    // win agg joined onto games) spent three aggregates, a join and an
+    // extra scope-cache on the same information — at sf0.1 the loop's
+    // fixed cost is JOB COUNT (55 jobs/rep measured, every stage
+    // < 0.4 s), and this removes ~5 setup jobs; at scale it is one
+    // fewer pass over the preference log. Identical values: n_ij sums
+    // the same matches, n_wins_i = Σ_j w_ij over the same log, and
+    // items enter the universe iff they played ≥ 1 game, as before.
     // contests is pinned PRE-PARTITIONED on j: each round's first join
     // keys on j, so the cached hash(j) layout is reused and the pair
     // table itself never re-shuffles inside the loop (r14 optimization —
     // the loop's pair-sized exchanges drop 3 → 1 per round together
     // with the join reorder below)
     val contests = CacheScope.persist(
-      directed.select(col("w").as("i"), col("l").as("j"), col("nwl").as("n"))
-        .unionAll(directed.select(col("l").as("i"), col("w").as("j"),
-          col("nwl").as("n")))
-        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n_ij"))
+      m.select(explode(array(
+          struct(col("w").as("i"), col("l").as("j"), lit(1L).as("wn")),
+          struct(col("l").as("i"), col("w").as("j"), lit(0L).as("wn"))))
+          .as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.wn").as("wn"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_ij"), sum(col("wn")).as("w_ij"))
         .repartition(col("j")))
-    val games = contests.groupBy(col("i"))
-      .agg(sum(col("n_ij")).as("n_games"))
-    val wins = CacheScope.persist(games
-      .join(directed.groupBy(col("w").as("i"))
-        .agg(sum(col("nwl")).as("wn")), Seq("i"), "left")
-      .select(col("i"), coalesce(col("wn"), lit(0L)).as("n_wins"),
-        col("n_games"),
-        (coalesce(col("wn"), lit(0L)).cast("double") + 0.5).as("bt_w")))
+    // games and wins are now ONE item-keyed aggregate over the cached
+    // pair table — no join, no second pass over the log
+    val wins = CacheScope.persist(contests
+      .groupBy(col("i"))
+      .agg(sum(col("n_ij")).as("n_games"), sum(col("w_ij")).as("wn"))
+      .select(col("i"), col("wn").as("n_wins"), col("n_games"),
+        (col("wn").cast("double") + 0.5).as("bt_w")))
+
+    // the loop reads the pair table WITHOUT the win column (narrower
+    // join rows); the projection preserves the cached hash(j) layout
+    val pairLoop = contests.select(col("i"), col("j"), col("n_ij"))
 
     // the strengths frame CARRIES bt_w so a round is ONE pair join + one
     // item-keyed agg + the 1-row rescale — not three item joins (bt_w
@@ -1051,7 +1067,7 @@ object Curation {
       // stay linear: each round's plan roots at a fresh checkpoint
       // leaf, so the twice-referenced `s` multiplies within one round
       // only and nothing compounds across rounds (PlanStats contract).
-      val rawCk = freshStats(contests
+      val raw = pairLoop
         .join(sj, Seq("j")).join(s, Seq("i"))
         .groupBy(col("i"))
         .agg(first(col("bt_w")).as("bt_w"),
@@ -1060,16 +1076,27 @@ object Curation {
         .select(col("i"), col("bt_w"),
           (col("bt_w") / (col("den") + lit(1.0) / (col("sp") + lit(1.0))))
             .as("s"))
-        .localCheckpoint())
-      // the item count rides the SAME 1-row rescale aggregate (an exact
-      // long → double), replacing the r13 `wins.count()` driver job
+      // NOTE(r15): a Dataset-persist variant that folded the checkpoint
+      // job into the rescale aggregate (raw.persist + cache-filling
+      // agg + freshStats over the cache) was tried and REVERTED: warm
+      // 4.6 s → 6.7 s, job count unchanged — the columnar
+      // InMemoryRelation encode/decode per round costs far more than
+      // the localCheckpoint's raw RDD blocks save in scheduling.
+      val rawCk = freshStats(raw.localCheckpoint())
+      // the rescale scalars (item count + exact-decimal strength sum —
+      // the r13 `wins.count()` fold) are COLLECTED off the materialized
+      // checkpoint and folded back as literals (r15 opt): the old
+      // crossJoin(broadcast(tot)) made the next round's plan carry a
+      // BroadcastExchange whose build was its own job + planning pass.
+      // Same arithmetic on the same doubles — bit-identical strengths.
       val tot = rawCk.agg(decSum(col("s")).as("ssum"),
-        count(lit(1)).cast("double").as("ni"))
+        count(lit(1)).cast("double").as("ni")).head()
+      val ssum = tot.getDouble(0)
+      val ni = tot.getDouble(1)
       prevCk.unpersist(blocking = false)
       prevCk = rawCk
-      s = rawCk.crossJoin(broadcast(tot))
-        .select(col("i"), col("bt_w"),
-          (col("s") * col("ni") / col("ssum")).as("s"))
+      s = rawCk.select(col("i"), col("bt_w"),
+        (col("s") * lit(ni) / lit(ssum)).as("s"))
     }
     wins.join(s.select(col("i"), col("s")), Seq("i"))
       .select(col("i").as("item"), col("n_wins"), col("n_games"),
