@@ -68,8 +68,26 @@ object BandAgg {
     val dec = DecimalType(38, scale)
     val zero = lit(0).cast(dec)
     val idT = left.schema(left.schema.fieldIndex(idCol)).dataType
+    // __salt (r15, guide §2.5): a deterministic per-row hash over ALL of
+    // the right row's columns, appended to the range-partition sort key
+    // AFTER __kind. A pathological single key used to land its entire
+    // band in one range partition (equal keys are never split), costing
+    // one task an O(m log m) sort — at 100 TB a flash-sale instant means
+    // one task sorting 10⁸ rows. With the salt as a sort-key tiebreak,
+    // the range partitioner's sampled boundaries can fall INSIDE a hot
+    // key's point mass, spreading it across partitions. Correctness is
+    // untouched: a query row at (k, ±1) orders before/after EVERY point
+    // at (k, 0) regardless of salt (kind dominates), points' order among
+    // themselves contributes nothing to any query's prefix, the
+    // per-partition offset pass already handles boundaries falling
+    // anywhere, and the decimal sums are order-independent. Hash of the
+    // row's values (not rand/partition id), so retried tasks re-derive
+    // the same salt (SPARK-38388 discipline).
+    val salt = pmod(
+      xxhash64(right.columns.map(qcol).toSeq: _*), lit(1 << 16)).cast("int")
     val pts = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).cast("long").as("__k"), lit(0).as("__kind"),
+      salt.as("__salt"),
       lit(1L).as("__c"),
       when(col(valueCol).isNotNull, 1L).otherwise(0L).as("__nn"),
       coalesce(col(valueCol).cast(dec), zero).as("__v"),
@@ -77,6 +95,7 @@ object BandAgg {
     def query(kind: Int, off: Long, sign: Long) =
       left.filter(col(leftKey).isNotNull).select(
         (col(leftKey).cast("long") + off).as("__k"), lit(kind).as("__kind"),
+        lit(0).as("__salt"),
         lit(0L).as("__c"), lit(0L).as("__nn"), zero.as("__v"),
         col(idCol).as("__id"), lit(sign).as("__sign"))
     val hi = query(1, tolerance, 1L)   // prefix at key ≤ k+tol (inclusive)
@@ -87,7 +106,7 @@ object BandAgg {
     // but both consumers must see the SAME __pid assignment)
     val sorted = CacheScope.persist(
       pts.unionByName(hi).unionByName(lo)
-        .repartitionByRange(col("__k"), col("__kind"))
+        .repartitionByRange(col("__k"), col("__kind"), col("__salt"))
         .sortWithinPartitions(col("__k"), col("__kind"))
         .withColumn("__pid", spark_partition_id()))
     val offW = Window.orderBy("__pid")

@@ -30,8 +30,12 @@ import org.apache.spark.sql.DataFrame
 object PlanStats {
 
   /** Reset `df`'s planning statistics to the session default by
-    * re-wrapping its RDD — content-identical, lineage stays truncated
-    * (pair with an eager `localCheckpoint`). */
+    * re-rooting at its checkpointed RDD — content-identical, lineage
+    * stays truncated (pair with an eager `localCheckpoint`). Since r15
+    * the rewrap KEEPS the checkpoint's outputPartitioning/ordering and
+    * the InternalRow RDD (no external-Row round trip): loops whose
+    * next round joins or aggregates on the key the checkpoint is
+    * already laid out on skip that exchange entirely. */
   def freshStats(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    org.apache.spark.sql.graftbridge.Bridge.freshStatsKeepLayout(df)
 }

@@ -43,6 +43,32 @@ object Bridge {
       case _ => false
     }
 
+  /** Re-root a `localCheckpoint()`-ed frame at its materialized RDD with
+    * DEFAULT planning statistics but the checkpoint's actual
+    * outputPartitioning/outputOrdering kept (r15 opt). The stats reset is
+    * the [[graft.ops.PlanStats]] contract (checkpoint-inherited
+    * sizeInBytes squares per round in self-referencing loops); the old
+    * reset path — `createDataFrame(df.rdd, df.schema)` — additionally
+    * (a) DISCARDED the partitioning metadata, forcing every loop to
+    * re-exchange frames that are already laid out on the join key, and
+    * (b) round-tripped rows through the external Row encoder on every
+    * consumption. Rebuilding the LogicalRDD directly keeps the
+    * InternalRow RDD and the layout, drops only the inherited stats
+    * (originStats = None → session default). Partitioning metadata is
+    * descriptive, not behavioral: values are unchanged. Falls back to
+    * the Row round-trip for frames whose plan is not a bare LogicalRDD. */
+  def freshStatsKeepLayout(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(df.sparkSession,
+          org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming)(
+            df.sparkSession.asInstanceOf[CSparkSession], None, None))
+      case _ =>
+        df.sparkSession.createDataFrame(df.rdd, df.schema)
+    }
+
   /** Invalidate the session's shared file-status cache — required
     * after a maintenance pass deletes data files OUTSIDE a Spark
     * command (the ArchiveIndex compaction GC): a later read or

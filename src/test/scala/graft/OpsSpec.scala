@@ -680,6 +680,36 @@ class OpsSpec extends SparkSpec {
       "BandAgg lost its range-partitioned prefix backbone")
   }
 
+  test("BandAgg: a single pathological key spreads across range " +
+      "partitions via the salt and still sums exactly") {
+    // ONE key owns the whole right side (the flash-sale instant): the
+    // r14 shape concentrated it in one range partition (equal keys are
+    // never split), one task sorting the band; the r15 __salt sort-key
+    // tiebreak lets the sampled boundaries cut inside the hot key's
+    // point mass. Correctness first: exact decimal totals against the
+    // closed form, band edges inclusive, off-band points excluded.
+    val hotN = 5000L
+    val right = spark.range(1L, hotN + 1L)
+      .select(col("id").as("rid"), lit(1000L).as("rk"),
+        (col("id") % 97L).cast("double").as("rv"))
+    val left = Seq((1L, 1000L), (2L, 995L), (3L, 2000L))
+      .toDF("lid", "lk")
+    val got = BandAgg(left, "lid", "lk", right, "rk", "rv", 10L)
+      .orderBy("lid")
+      .select(col("lid"), col("band_cnt"),
+        col("band_val").cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val total = (1L to hotN).map(_ % 97L).sum.toDouble
+    assert(got == Seq((1L, hotN, total), (2L, hotN, total), (3L, 0L, 0.0)),
+      s"hot-key band aggregate drifted: $got")
+    // and the salt is actually in the range-partition key
+    val plan = BandAgg(left, "lid", "lk", right, "rk", "rv", 10L)
+      .queryExecution.executedPlan.toString
+    graft.ops.CacheScope.releaseAll()
+    assert(plan.contains("__salt"),
+      "BandAgg lost its hot-key salt in the range partitioning")
+  }
+
   test("AsofJoin rejects colliding right value column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "ts", "v")

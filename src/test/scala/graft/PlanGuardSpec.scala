@@ -169,35 +169,55 @@ class PlanGuardSpec extends SparkSpec {
     case other => other.children.forall(rowBounded)
   }
 
+  /** ONE registry sweep shared by the plan-shape lint and the
+    * cache-release lint below (r15): building all 353 queries at
+    * sf0.001 — which executes their construction-time stats actions
+    * (Transform's fused stats pass, the iterative loops' checkpoints) —
+    * was this suite's entire wall clock, and it ran TWICE, once per
+    * test; it was the longest pole of the whole parallel-grouped test
+    * run. Both lints now read one sweep. Sequential by necessity: the
+    * leak check asserts the SESSION-WIDE CacheManager is empty after
+    * each query's release, which concurrent construction would
+    * false-positive. */
+  private case class SweepRow(name: String, planOffenses: Seq[String],
+      leaked: Boolean)
+  private lazy val sweep: Seq[SweepRow] = {
+    val sf = "/root/testdata/sf0.001"
+    Registry.all.map { q =>
+      val plan =
+        try q.run(spark, sf).queryExecution.sparkPlan
+        finally graft.ops.CacheScope.releaseAll()
+      val leaked =
+        !org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark)
+      org.apache.spark.sql.graftbridge.Bridge.clearCache(spark)
+      val offenses = Seq.newBuilder[String]
+      if (plan.collect { case c: CartesianProductExec => c }.nonEmpty)
+        offenses += s"${q.name}: CartesianProduct"
+      val badWin = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (badWin.nonEmpty && !windowWhitelist.contains(q.name))
+        offenses += s"${q.name}: unpartitioned Window"
+      val badBnl = plan.collect {
+        case j: BroadcastNestedLoopJoinExec =>
+          val broadcastSide = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          (j, broadcastSide)
+      }.filterNot { case (_, side) => rowBounded(side) }
+      if (badBnl.nonEmpty && !bnlJoinWhitelist.contains(q.name))
+        offenses += s"${q.name}: BroadcastNestedLoopJoin over a " +
+          "row-grained broadcast side"
+      SweepRow(q.name, offenses.result(), leaked)
+    }
+  }
+
   test("no registered query plans a cartesian join, a row-grained " +
       "unpartitioned window, or a corpus-sized nested-loop broadcast") {
-    val sf = "/root/testdata/sf0.001"
-    val offenders = Seq.newBuilder[String]
-    Registry.all.foreach { q =>
-      try {
-        val plan = q.run(spark, sf).queryExecution.sparkPlan
-        if (plan.collect { case c: CartesianProductExec => c }.nonEmpty)
-          offenders += s"${q.name}: CartesianProduct"
-        val badWin = plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-        }
-        if (badWin.nonEmpty && !windowWhitelist.contains(q.name))
-          offenders += s"${q.name}: unpartitioned Window"
-        val badBnl = plan.collect {
-          case j: BroadcastNestedLoopJoinExec =>
-            val broadcastSide = j.buildSide match {
-              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
-              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
-            }
-            (j, broadcastSide)
-        }.filterNot { case (_, side) => rowBounded(side) }
-        if (badBnl.nonEmpty && !bnlJoinWhitelist.contains(q.name))
-          offenders += s"${q.name}: BroadcastNestedLoopJoin over a " +
-            "row-grained broadcast side"
-      } finally graft.ops.CacheScope.releaseAll()
-    }
-    assert(offenders.result().isEmpty,
-      s"scale-killer plan shapes:\n${offenders.result().mkString("\n")}")
+    val offenders = sweep.flatMap(_.planOffenses)
+    assert(offenders.isEmpty,
+      s"scale-killer plan shapes:\n${offenders.mkString("\n")}")
   }
 
   test("q_band_join_skewed stays pair-free on the band-aggregate path") {
@@ -332,21 +352,9 @@ class PlanGuardSpec extends SparkSpec {
     // the round-1 bench pathology (persist-and-never-unpersist slowly
     // evicting the executor store) made structural: after building each
     // query and releasing its CacheScope, the session-wide CacheManager
-    // must be empty again
-    val sf = "/root/testdata/sf0.001"
-    val leakers = Seq.newBuilder[String]
-    Registry.all.foreach { q =>
-      try {
-        q.run(spark, sf).queryExecution.sparkPlan
-        ()
-      } finally {
-        graft.ops.CacheScope.releaseAll()
-        if (!org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark))
-          leakers += q.name
-        org.apache.spark.sql.graftbridge.Bridge.clearCache(spark)
-      }
-    }
-    assert(leakers.result().isEmpty,
-      s"queries leaving cached plans behind:\n${leakers.result().mkString("\n")}")
+    // must be empty again — checked per query by the shared sweep above
+    val leakers = sweep.filter(_.leaked).map(_.name)
+    assert(leakers.isEmpty,
+      s"queries leaving cached plans behind:\n${leakers.mkString("\n")}")
   }
 }
