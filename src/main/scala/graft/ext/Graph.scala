@@ -57,18 +57,31 @@ object Graph {
 
     val nodeF = CacheScope.persist(nodes.select(col("node")).distinct())
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // PRE-PARTITIONED on src (r15, the Bradley-Terry loop reorder
+    // applied here per the r14 brief): the per-round rank⋈edge join
+    // keys on src, so the cached hash(src) layout is reused every
+    // round and the edge table never re-shuffles inside the loop; the
+    // rank frame is checkpointed hash(node)-partitioned (below), so
+    // the join is exchange-free on BOTH sides — the only edge-sized
+    // exchange left per round is the inflow aggregate's hash(dst).
     val edgeF = CacheScope.persist(
-      edges.select(col("src"), col("dst")).join(outdeg, "src"))
+      edges.select(col("src"), col("dst")).join(outdeg, "src")
+        .repartition(col("src")))
 
     def decSum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 18))).cast("double")
 
-    var ranks =
-      nodeF.select(col("node"), lit(1.0 / nD).as("rank")).localCheckpoint()
+    var ranks = nodeF.select(col("node"), lit(1.0 / nD).as("rank"))
+      .repartition(col("node")).localCheckpoint()
     for (_ <- 1 to iters) {
-      // dangling mass: rank held by nodes with no outgoing edges
+      // dangling mass: rank held by nodes with no outgoing edges —
+      // anti-joined against the CACHED edge frame's src (hash(src)
+      // layout, co-partitioned with ranks' hash(node)) instead of the
+      // unpersisted outdeg aggregate, which re-scanned the edge input
+      // every round
       val dang = ranks
-        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .join(edgeF.select(col("src")), ranks("node") === col("src"),
+          "left_anti")
         .agg(coalesce(decSum(col("rank")), lit(0.0)).as("dang"))
       val inflow = ranks
         .join(edgeF, ranks("node") === edgeF("src"))
@@ -117,7 +130,14 @@ object Graph {
       : DataFrame = {
     require(iters >= 1, "hits: iters must be >= 1")
     val nodeF = CacheScope.persist(nodes.select(col("node")).distinct())
-    val edgeF = CacheScope.persist(edges.select(col("src"), col("dst")))
+    // TWO cached copies, one per loop join key (r15 — the "bucketed on
+    // BOTH src and dst copies" posture the scaladoc promised): the auth
+    // half-step joins on src, the hub half-step on dst; each reuses its
+    // copy's hash layout so neither half-step re-shuffles the edge list.
+    val edgeBySrc = CacheScope.persist(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
+    val edgeByDst = CacheScope.persist(
+      edges.select(col("src"), col("dst")).repartition(col("dst")))
 
     def decSum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 18))).cast("double")
@@ -132,12 +152,12 @@ object Graph {
             .otherwise(lit(0.0)).as(valueCol))
     }
 
-    var hubs =
-      nodeF.select(col("node"), lit(1.0).as("hub")).localCheckpoint()
+    var hubs = nodeF.select(col("node"), lit(1.0).as("hub"))
+      .repartition(col("node")).localCheckpoint()
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       val authRaw = hubs
-        .join(edgeF, hubs("node") === edgeF("src"))
+        .join(edgeBySrc, hubs("node") === edgeBySrc("src"))
         .groupBy(col("dst").as("node"))
         .agg(decSum(col("hub")).as("auth"))
       val nextAuth = l1norm(
@@ -147,7 +167,7 @@ object Graph {
       if (auths != null) auths.unpersist(blocking = false)
       auths = nextAuth
       val hubRaw = auths
-        .join(edgeF, auths("node") === edgeF("dst"))
+        .join(edgeByDst, auths("node") === edgeByDst("dst"))
         .groupBy(col("src").as("node"))
         .agg(decSum(col("auth")).as("hub"))
       val nextHub = l1norm(
@@ -188,10 +208,18 @@ object Graph {
       iters: Int = 4): DataFrame = {
     require(iters >= 1, "labelPropagation: iters must be >= 1")
     val nodeF = CacheScope.persist(nodes.select(col("node")).distinct())
+    // PRE-PARTITIONED on src (r15, the Bradley-Terry loop reorder): the
+    // per-round neighbor join keys on src, so the cached hash(src)
+    // layout absorbs it; labels ride checkpointed hash(node)-partitioned
+    // (kept through freshStats since the r15 layout-preserving reset),
+    // so the join is exchange-free on both sides and the relabel join
+    // reuses the groupBy(node) layout — the only edge-sized exchange
+    // left per round is the (dst, label) count aggregate.
     val und = CacheScope.persist(edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct())
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")))
     import graft.ops.PlanStats.freshStats
     // freshStats per round: `labels` feeds next's plan TWICE (join +
     // fallback coalesce), so without the reset the checkpoint-preserved
@@ -199,7 +227,7 @@ object Graph {
     // doubly exponential (PlanStats scaladoc; r13 VERDICT #4)
     var labels = freshStats(
       nodeF.select(col("node"), col("node").as("label"))
-        .localCheckpoint())
+        .repartition(col("node")).localCheckpoint())
     for (_ <- 1 to iters) {
       val nbr = labels
         .join(und, labels("node") === und("src"))
@@ -248,10 +276,16 @@ object Graph {
     // checkpoint-preserved sizeInBytes cubes per iteration and deep
     // peels turn planning doubly exponential (PlanStats scaladoc;
     // r13 VERDICT #4)
+    // PRE-PARTITIONED on src (r15): the per-round induced-degree
+    // aggregate keys on src; with the layout-preserving freshStats the
+    // checkpointed edge set stays hash(src)-partitioned through the
+    // (broadcast) anti-joins and each round's degree pass is
+    // exchange-free — rounds of a converged graph cost one cached scan.
     var cur = freshStats(edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
       .localCheckpoint())
     for (_ <- 1 to iters) {
       val bad = cur.groupBy("src").agg(count(lit(1)).as("deg"))
