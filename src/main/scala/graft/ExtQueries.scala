@@ -3947,9 +3947,13 @@ object ExtQueries {
       // pushdown through the union cost more than the width bought.
       // Reverted; left as measured evidence.
       val corpus = docs.unionByName(dupCopies).unionByName(nearCopies)
-      val filtered = corpus
+      // persisted (r15): `filtered` — the union + tokenize + language
+      // gate — feeds BOTH the exact-dedup fingerprint aggregate and the
+      // survivors' semi-join fill; uncached it computed twice (two full
+      // tokenize passes of the corpus, 44 jobs/rep warm at sf0.1)
+      val filtered = graft.ops.CacheScope.persist(corpus
         .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-        .filter(col("lang") === "en" && col("n_tokens") >= 30)
+        .filter(col("lang") === "en" && col("n_tokens") >= 30))
       val firsts = TextDedup.exactDedup(filtered, "text", "doc_id")
         .select(col("representative_id").as("doc_id"))
       val survivors = graft.ops.CacheScope.persist(
